@@ -1,0 +1,103 @@
+"""Complex arithmetic over interleaved re/im array columns.
+
+Spark has no complex dtype (SURVEY §1.2); following the reference's own
+parquet encoding (``ComplexType = pa.list_(subtype, 2)``,
+daskms/experimental/arrow/extension_types.py:178-200) a complex tensor
+column is a flat ``ArrayType`` with re/im interleaved, stride 2:
+``[re0, im0, re1, im1, ...]``.
+
+All functions here are UDF-free compositions of higher-order functions
+(``transform`` / ``zip_with`` / ``aggregate``) — they stay JVM-side and
+inside whole-stage codegen, the Spark analogue of the reference's
+vectorized numpy kernels (daskms/reads.py:40-56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale",
+           "c_abs", "c_abs2", "c_real", "c_imag", "c_sum"]
+
+
+def c_make(re: Column, im: Column) -> Column:
+    """Interleave two equal-length float arrays into a complex array."""
+    n = F.size(re)
+    idx = F.sequence(F.lit(0), n * 2 - 1)
+    return F.transform(
+        idx,
+        lambda i: F.when(i % 2 == 0, F.element_at(re, (i / 2).cast("int") + 1))
+                   .otherwise(F.element_at(im, ((i - 1) / 2).cast("int") + 1)))
+
+
+def c_add(a: Column, b: Column) -> Column:
+    """Elementwise complex add: interleaved layout makes this a plain
+    elementwise float add."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def c_sub(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def _pairs(a: Column) -> Column:
+    """Index sequence 0..n_complex-1."""
+    return F.sequence(F.lit(0), (F.size(a) / 2).cast("int") - 1)
+
+
+def c_mul(a: Column, b: Column) -> Column:
+    """Elementwise complex multiply:
+    (ar+i·ai)(br+i·bi) = (ar·br − ai·bi) + i(ar·bi + ai·br)."""
+    def term(k: Column) -> Column:
+        ar = F.element_at(a, k * 2 + 1)
+        ai = F.element_at(a, k * 2 + 2)
+        br = F.element_at(b, k * 2 + 1)
+        bi = F.element_at(b, k * 2 + 2)
+        return F.array(ar * br - ai * bi, ar * bi + ai * br)
+
+    return F.flatten(F.transform(_pairs(a), term))
+
+
+def c_conj(a: Column) -> Column:
+    """Complex conjugate: negate odd (imaginary) slots."""
+    n = F.size(a)
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.zip_with(a, idx,
+                      lambda x, i: F.when(i % 2 == 1, -x).otherwise(x))
+
+
+def c_scale(a: Column, s: Column | float) -> Column:
+    """Multiply by a real scalar."""
+    s = F.lit(s) if not isinstance(s, Column) else s
+    return F.transform(a, lambda x: x * s)
+
+
+def c_abs2(a: Column) -> Column:
+    """Per-element squared magnitude: array of re²+im²."""
+    def term(k: Column) -> Column:
+        re = F.element_at(a, k * 2 + 1)
+        im = F.element_at(a, k * 2 + 2)
+        return re * re + im * im
+
+    return F.transform(_pairs(a), term)
+
+
+def c_abs(a: Column) -> Column:
+    """Per-element magnitude."""
+    return F.transform(c_abs2(a), lambda x: F.sqrt(x))
+
+
+def c_real(a: Column) -> Column:
+    return F.transform(_pairs(a), lambda k: F.element_at(a, k * 2 + 1))
+
+
+def c_imag(a: Column) -> Column:
+    return F.transform(_pairs(a), lambda k: F.element_at(a, k * 2 + 2))
+
+
+def c_sum(a: Column) -> Column:
+    """Sum a complex array to a single (re, im) pair."""
+    re = F.aggregate(c_real(a), F.lit(0.0), lambda acc, x: acc + x)
+    im = F.aggregate(c_imag(a), F.lit(0.0), lambda acc, x: acc + x)
+    return F.array(re, im)

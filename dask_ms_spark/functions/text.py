@@ -1,0 +1,149 @@
+"""Text analysis for large-scale corpus pipelines — UDF-free.
+
+No reference analogue (dask-ms is a radio-astronomy I/O library); these
+are the BASELINE.json north-star operators for LLM training-data work:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Every function composes built-in ``pyspark.sql.functions`` so the hot
+path is JVM-side and codegen'd — at 100 TB a per-row Python UDF here
+would dominate the job.  Hashes are built on ``md5`` (bit-identical in
+any engine) so results are portable across engines for oracle checking,
+rather than engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
+           "word_shingles", "quality_features", "langid_scores", "langid",
+           "fingerprint", "STOPWORDS"]
+
+_WS = r"\s+"
+
+
+def portable_hash64(col: Column, salt: str | Column = "") -> Column:
+    """Deterministic 60-bit hash from md5 — identical in Spark, DuckDB,
+    Python.  ``conv(substr(md5(x || salt),1,15),16,10)`` as bigint.
+
+    Engine-private hashes (xxhash64, DuckDB's ``hash()``) disagree
+    across engines; md5 is the lingua franca, and 15 hex digits fit in
+    a signed 64-bit int.
+    """
+    salt_col = F.lit(salt) if isinstance(salt, str) else salt
+    payload = F.concat(col.cast("string"), salt_col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenisation of trimmed text; empty string -> []."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, _WS))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of ``text``.
+
+    ``transform(sequence(1, len-n+1), i -> substr(text, i, n))`` —
+    codegen'd, no Python.
+    """
+    t = text
+    count = F.length(t) - F.lit(n - 1)
+    grams = F.when(count <= 0, F.array(t)).otherwise(
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: t.substr(i, F.lit(n))))
+    return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles joined by single spaces."""
+    toks = tokens(F.lower(text))
+    count = F.size(toks) - F.lit(k - 1)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)])
+    return F.array_distinct(
+        F.when(count <= 0, F.array(F.concat_ws(" ", toks)))
+         .otherwise(F.transform(F.sequence(F.lit(1), count), shingle)))
+
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic.  Word-boundary regex counts are portable SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "es": ("el", "los", "las", "una", "es", "que", "por", "para"),
+}
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (heuristic language ID)."""
+    low = F.lower(text)
+    return {
+        lang: sum((F.regexp_count(low, F.lit(rf"\b{w}\b")) for w in words),
+                  F.lit(0))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def langid(text: Column, default: str = "en") -> Column:
+    """Argmax language over stopword scores; ties break by language
+    order en > fr > de > es; all-zero -> ``default``."""
+    scores = langid_scores(text)
+    langs = list(scores)
+    best = None
+    for lang in langs:
+        cond = F.lit(True)
+        seen_langs = langs[:langs.index(lang)]
+        for prev in seen_langs:
+            cond = cond & (scores[lang] > scores[prev])
+        for nxt in langs[langs.index(lang) + 1:]:
+            cond = cond & (scores[lang] >= scores[nxt])
+        clause = F.when((scores[lang] > 0) & cond, F.lit(lang))
+        best = clause if best is None else best.otherwise(
+            F.when((scores[lang] > 0) & cond, F.lit(lang)))
+    return best.otherwise(F.lit(default))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Cheap quality-score features (length, punctuation/digit/upper
+    ratios, mean word length) — the standard corpus-filtering set."""
+    n = F.length(text).cast("double")
+    nz = F.when(n > 0, n).otherwise(F.lit(1.0))
+    toks = tokens(text)
+    ntok = F.size(toks).cast("double")
+    return {
+        "n_chars": n,
+        "n_tokens": ntok,
+        "punct_ratio": F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\-]", "")) / nz,
+        "digit_ratio": F.length(F.regexp_replace(text, r"[^0-9]", "")) / nz,
+        "upper_ratio": F.length(F.regexp_replace(text, r"[^A-Z]", "")) / nz,
+        "mean_word_len": F.when(ntok > 0,
+                                (n - (ntok - 1)) / ntok).otherwise(F.lit(0.0)),
+    }
+
+
+def fingerprint(text: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing-style document fingerprint: hash each k-char shingle
+    (portable md5 hash), then keep per-window minima — the rolling-hash
+    fingerprint family, as a sorted distinct array of selected hashes.
+
+    For the oracle-checkable single-value form see ``portable_hash64``
+    over the normalised text.
+    """
+    t = F.lower(F.regexp_replace(text, _WS, " "))
+    count = F.length(t) - F.lit(k - 1)
+    hashes = F.when(count <= 0, F.array(portable_hash64(t))).otherwise(
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: portable_hash64(t.substr(i, F.lit(k)))))
+    nwin = F.size(hashes) - F.lit(window - 1)
+    mins = F.when(nwin <= 0, F.array(F.array_min(hashes))).otherwise(
+        F.transform(F.sequence(F.lit(1), nwin),
+                    lambda i: F.array_min(F.slice(hashes, i, window))))
+    return F.array_sort(F.array_distinct(mins))

@@ -1,0 +1,225 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+No reference analogue (SURVEY §7 step 8 / BASELINE.json north star).
+Five families, each shuffle-shaped for 100 TB:
+
+* exact           — hash-groupBy on normalised text: one shuffle keyed
+                    on a 64-bit digest, never on the raw text bytes.
+* minhash_lsh     — shingle -> K minhashes -> B bands; candidate pairs
+                    only within identical band buckets (the
+                    classic MinHash-LSH join), so the self-join is a
+                    bucket-local equi-join, not an O(n²) cross join.
+* simhash         — 64-bit weighted-projection signature; near-dups
+                    share signatures within small Hamming distance.
+* ngram_jaccard   — exact Jaccard over character-shingle sets via an
+                    exploded inverted index (shingle -> doc posting
+                    list) + pair aggregation; prune by a minimum
+                    shared-shingle count before scoring.
+* embedding near-dup — cosine over ``array<float>`` embeddings; see
+                    llm/similarity.py for the bucketed form.
+
+All hashing uses the md5-derived ``portable_hash64`` so signatures are
+engine-portable (oracle-checkable) and stable across runs/executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams, portable_hash64
+from ..functions.vector import cosine
+
+__all__ = ["normalize_text", "exact_dedup", "minhash_signature",
+           "minhash_lsh_pairs", "minhash_dedup", "simhash", "simhash_dedup",
+           "ngram_jaccard_pairs", "embedding_dup_pairs"]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per normalised-text group.
+
+    Shuffles on the 64-bit digest of the text, not the text itself —
+    at 100 TB the shuffle payload is (id, digest), a few bytes/row.
+    """
+    digest = portable_hash64(normalize_text(F.col(text_col)))
+    return (docs.select(F.col(id_col), digest.alias("text_hash"))
+                .groupBy("text_hash")
+                .agg(F.min(id_col).alias("keep_id"),
+                     F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signature(text: Column, num_hashes: int = 32,
+                      shingle_k: int = 5) -> Column:
+    """K minhash values over character-k-shingles.
+
+    Each permutation i is ``min(portable_hash64(shingle, salt=i))`` —
+    all codegen'd array ops, no UDF, no shuffle.
+    """
+    shingles = char_ngrams(normalize_text(text), shingle_k)
+    sigs = [
+        F.array_min(F.transform(
+            shingles, lambda s, i=i: portable_hash64(s, f"#{i}")))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def _bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
+    """Band digests: hash of each contiguous rows_per_band slice."""
+    return [
+        portable_hash64(
+            F.concat_ws(",", *[
+                F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)]),
+            f"band{b}")
+        for b in range(num_bands)
+    ]
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 32,
+                      num_bands: int = 8, shingle_k: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, then exact
+    signature-Jaccard estimation on candidates only.
+
+    Plan shape at scale: docs -> (band_id, band_hash, id, sig) explode
+    (num_bands rows/doc) -> hash-shuffle on (band_id, band_hash) ->
+    bucket-local self-join -> distinct pairs -> score.  No cross join
+    ever materialises; skew in huge buckets is handled by AQE skew
+    splitting.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    bands = _bands(F.col("sig"), num_bands, rows_per_band)
+    banded = with_sig.select(
+        "id", "sig",
+        F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (left.join(right, on=["band_id", "band_hash"])
+                 .where(F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         F.col("a.sig").alias("sig_a"),
+                         F.col("b.sig").alias("sig_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    est = (matches / F.lit(num_hashes)).alias("est_jaccard")
+    return (pairs.select("id_a", "id_b", est)
+                 .where(F.col("est_jaccard") >= threshold))
+
+
+def minhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", **kw) -> DataFrame:
+    """Docs to DROP: connected to a lower-id near-duplicate.
+
+    Single-link transitive closure is iterative; the standard one-pass
+    approximation (keep the minimum id among direct neighbours) is what
+    production dedup pipelines run per batch.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, **kw)
+    return (pairs.groupBy(F.col("id_b").alias("drop_id"))
+                 .agg(F.min("id_a").alias("kept_id"),
+                      F.max("est_jaccard").alias("max_sim")))
+
+
+def simhash(text: Column, shingle_k: int = 4, bits: int = 64) -> Column:
+    """SimHash signature: sign-sum of per-shingle hash bits.
+
+    bit_j(doc) = 1 if sum over shingles of (+1 if hash(shingle) bit j
+    else -1) > 0.  Expressed with array ops over the shingle hashes —
+    no UDF.  Returns the signature as a bigint.
+    """
+    shingles = char_ngrams(normalize_text(text), shingle_k)
+    hashes = F.transform(shingles, lambda s: portable_hash64(s, "simhash"))
+    bit_cols = []
+    for j in range(bits - 1):  # avoid the sign bit of the bigint
+        votes = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h, j=j: acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(2 ** j).cast("bigint"))
+             .otherwise(F.lit(0).cast("bigint")))
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out
+
+
+def simhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_k: int = 4,
+                  bits: int = 16) -> DataFrame:
+    """Exact-signature SimHash grouping (Hamming distance 0): group by
+    signature, keep min id.  For Hamming<=d banding, split the
+    signature into d+1 blocks and LSH-join as in minhash_lsh_pairs."""
+    sig = simhash(F.col(text_col), shingle_k, bits)
+    return (docs.select(F.col(id_col), sig.alias("simhash"))
+                .groupBy("simhash")
+                .agg(F.min(id_col).alias("keep_id"),
+                     F.count(F.lit(1)).alias("dup_count")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        min_shared: int = 1) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via an inverted index.
+
+    Explode distinct shingles -> shuffle keyed on the shingle hash ->
+    per-shingle posting join -> count shared shingles per pair ->
+    |A∩B| / (|A|+|B|−|A∩B|).  The join is on 8-byte shingle hashes,
+    not strings; high-document-frequency shingles are the skew risk —
+    prune with ``min_shared`` and AQE.
+    """
+    grams = F.array_distinct(char_ngrams(normalize_text(F.col(text_col)), n))
+    base = docs.select(F.col(id_col).alias("id"),
+                       grams.alias("grams"),
+                       F.size(grams).alias("n_grams"))
+    inv = base.select(
+        "id", "n_grams",
+        F.explode(F.transform("grams", lambda g: portable_hash64(g)))
+         .alias("gram_hash"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (a.join(b, on="gram_hash")
+                .where(F.col("a.id") < F.col("b.id"))
+                .groupBy(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         F.col("a.n_grams").alias("na"),
+                         F.col("b.n_grams").alias("nb"))
+                .agg(F.count(F.lit(1)).alias("shared")))
+    jac = (F.col("shared") /
+           (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard")
+    return (shared.where(F.col("shared") >= min_shared)
+                  .select("id_a", "id_b", jac)
+                  .where(F.col("jaccard") >= threshold))
+
+
+def embedding_dup_pairs(embs: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force form).
+
+    O(n²) — correct baseline for modest n; the scale path buckets by an
+    LSH/IVF key first (llm/similarity.py) so the self-join is
+    bucket-local.
+    """
+    a = embs.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("vec_a"))
+    b = embs.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vec_b"))
+    sim = cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", sim)
+             .where(F.col("cos_sim") >= threshold))

@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus typed metadata — the same
+discipline the reference applies to tensor columns (opaque payload +
+schema metadata, SURVEY §1.2).  The Spark-side plumbing (schema,
+batching, partitioning, Arrow transfer through ``mapInPandas``) is real
+and tested; the actual codecs (PIL/ffmpeg/librosa) are NOT in this
+container, so the decode kernels are import-gated with deterministic
+fakes clearly marked below — swap ``_decode_image_stub`` for a real
+decoder in production.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+__all__ = ["MEDIA_SCHEMA", "media_table", "decode_image_features",
+           "sample_video_frames"]
+
+# Canonical multimodal column group: payload + typed metadata.
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),       # image|audio|video
+    StructField("mime", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("payload", BinaryType(), True),
+])
+
+try:  # pragma: no cover - codec libs absent in this container
+    from PIL import Image  # type: ignore
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    HAVE_PIL = False
+
+
+def media_table(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Derive a deterministic fake media table from any table — the
+    payload is the utf-8 text bytes.  Stands in for real ingested media
+    so the downstream plumbing is exercised end-to-end."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/x-fake").alias("mime"),
+        (F.length(text_col) % 64 + 1).cast("int").alias("width"),
+        (F.length(text_col) % 48 + 1).cast("int").alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.col(text_col).cast("binary").alias("payload"))
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder (no codec libs in this container).
+
+    Real implementation: ``np.asarray(Image.open(io.BytesIO(payload)))``.
+    The fake derives a (height, width) uint8 gradient from the payload
+    digest so tests have stable, payload-dependent values.
+    """
+    if HAVE_PIL:  # pragma: no cover
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    seed = int.from_bytes(bytes(payload[:8] or b"\0"), "big", signed=False)
+    base = np.arange(height * width, dtype=np.uint64) + seed
+    return (base % 251).astype(np.uint8).reshape(height, width)
+
+
+_FEATURE_SCHEMA = ("media_id long, mean_px double, std_px double, "
+                   "n_px long")
+
+
+def decode_image_features(media: DataFrame,
+                          batch_size: int = 256) -> DataFrame:
+    """Decode payloads and emit per-image pixel statistics.
+
+    ``mapInPandas`` streams Arrow batches into Python once, decodes,
+    and emits a narrow feature frame — the canonical shape for any
+    Python-side media kernel: payload bytes cross the language boundary
+    exactly once, outputs are small fixed-width columns.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = _decode_image_stub(row.payload or b"",
+                                        int(row.width or 1),
+                                        int(row.height or 1))
+                out.append((row.media_id, float(px.mean()),
+                            float(px.std()), int(px.size)))
+            yield pd.DataFrame(out, columns=["media_id", "mean_px",
+                                             "std_px", "n_px"])
+
+    return (media.select("media_id", "width", "height", "payload")
+                 .mapInPandas(compute, schema=_FEATURE_SCHEMA))
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: one output row per kept frame index.
+
+    Frame decoding itself is the stubbed step; the index arithmetic,
+    explode shape and partition behaviour are the real scale concerns.
+    """
+    frames = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                        F.lit(every_n))
+    return (media.where(F.col("kind") == "video")
+                 .select("media_id",
+                         F.explode(frames).alias("frame_index")))

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two tiers:
+
+* ``brute_force_topk`` — exact cosine top-k: query ⨯ corpus with a
+  broadcast of the (small) query set, per-query window top-k.  The
+  correct baseline, and the right plan whenever |queries| is small:
+  the corpus never shuffles, each executor scores its own splits.
+* ``lsh_topk`` — random-hyperplane LSH buckets: corpus and queries are
+  hashed to sign-pattern buckets; scoring joins only same-bucket rows.
+  Recall < 1 by construction; multi-probe (hamming-1 neighbours) lifts
+  it.  This is the 100 TB path: bucket-local joins, no all-pairs.
+
+Hyperplanes are seeded deterministically (portable md5-derived
+pseudo-randoms) so plans are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot
+
+__all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk"]
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                     query_id: str = "vec_id", query_vec: str = "embedding",
+                     include_self: bool = False) -> DataFrame:
+    """Exact cosine top-k per query via broadcast cross-score + window.
+
+    Returns (query_id, neighbor_id, cos_sim, rank<=k).
+    """
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(query_vec).alias("qvec"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(corpus_vec).alias("cvec"))
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def _seeded_unit(seed: str, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit vector from an md5 stream."""
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{seed}:{counter}".encode()).digest()
+        for off in range(0, 16, 4):
+            u = int.from_bytes(h[off:off + 4], "big") / 2 ** 32
+            # Box-Muller would need pairs; uniform in [-1,1) is fine
+            # for sign-hash hyperplanes.
+            vals.append(2.0 * u - 1.0)
+            if len(vals) == dim:
+                break
+        counter += 1
+    nrm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / nrm for v in vals]
+
+
+def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8,
+                         seed: str = "dask-ms-spark") -> Column:
+    """Random-hyperplane sign signature as an int bucket id.
+
+    bit_j = 1 iff <vec, plane_j> >= 0; planes are literal arrays baked
+    into the plan (broadcast by value), so hashing is pure codegen.
+    """
+    bucket = F.lit(0)
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _seeded_unit(f"{seed}:{j}", dim)])
+        bit = (dot(vec, plane) >= 0).cast("int")
+        bucket = bucket + bit * F.lit(2 ** j)
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             num_planes: int = 8, multiprobe: bool = True,
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+             query_id: str = "vec_id", query_vec: str = "embedding") -> DataFrame:
+    """Approximate top-k: join corpus and queries on hyperplane bucket,
+    score within buckets, window top-k per query.
+
+    ``multiprobe`` also probes all Hamming-distance-1 buckets of each
+    query (num_planes extra probes) — the standard recall lift that
+    keeps the join bucket-local.
+    """
+    csig = hyperplane_signature(F.col(corpus_vec), dim, num_planes)
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(corpus_vec).alias("cvec"),
+                      csig.alias("bucket"))
+    qsig = hyperplane_signature(F.col(query_vec), dim, num_planes)
+    probes = [qsig]
+    if multiprobe:
+        probes += [qsig.bitwiseXOR(F.lit(2 ** j)) for j in range(num_planes)]
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qvec"),
+        F.explode(F.array(*probes)).alias("bucket"))
+    scored = (c.join(q, on="bucket")
+               .where(F.col("query_id") != F.col("neighbor_id"))
+               .select("query_id", "neighbor_id",
+                       cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+               .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))

@@ -1,0 +1,83 @@
+"""Sorts & ordering (reference §2.4: O1-O4).
+
+The reference's sorted reads are TAQL ``ORDERBY`` row-id queries
+(daskms/ordering.py:64-99) plus per-group ``np.lexsort``
+(daskms/ordering.py:102-117); row-run coalescing and permutation
+restore (daskms/ordering.py:18-57) are storage artifacts that parquet +
+Catalyst make unnecessary.
+
+Spark-first mappings:
+* global sorted read  -> ``orderBy`` (range-partitioned sort, O1);
+* within-group sort   -> window functions or ``sortWithinPartitions``
+  after a hash repartition on the group key (no global sort, O2);
+* deterministic ROWID -> rank over the natural key — at scale prefer a
+  stored ROWID column written at ingest over recomputing (a global
+  row_number is a single-partition bottleneck; the keyed form here
+  stays parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..types import ROWID
+
+__all__ = ["sorted_read", "within_group_sort", "attach_rowid",
+           "group_rank", "top_k"]
+
+
+def sorted_read(df: DataFrame, index_cols: Iterable[str]) -> DataFrame:
+    """Global sorted read (O1, daskms/ordering.py:64-99) — a
+    range-partitioned total sort; avoid at 100 TB unless the consumer
+    truly needs global order (per-group order usually suffices)."""
+    return df.orderBy(*index_cols)
+
+
+def within_group_sort(df: DataFrame, group_cols: Iterable[str],
+                      index_cols: Iterable[str]) -> DataFrame:
+    """Within-group sort (O2, daskms/ordering.py:102-117): hash
+    repartition on the group key then sort each partition — one shuffle,
+    no global range exchange."""
+    group_cols = list(group_cols)
+    index_cols = list(index_cols)
+    return (df.repartition(*[F.col(c) for c in group_cols])
+              .sortWithinPartitions(*(group_cols + index_cols)))
+
+
+def attach_rowid(df: DataFrame, order_cols: Iterable[str],
+                 name: str = ROWID) -> DataFrame:
+    """Deterministic ROWID from a natural ordering key (the reference's
+    ROWID coordinate, daskms/reads.py:227).
+
+    Implemented as ``row_number`` over a global window — correct and
+    deterministic, but serialises through one partition; at ingest
+    scale use ``zipWithIndex``-style per-partition offsets or persist
+    ROWID in the source instead (daskms/writes.py:363-425 appends do
+    the equivalent chained row-count discovery).
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(name, F.row_number().over(w) - F.lit(1))
+
+
+def group_rank(df: DataFrame, group_cols: Iterable[str],
+               index_cols: Iterable[str], name: str = "rank") -> DataFrame:
+    """Per-group ordinal (the reference's per-group lexsort positions,
+    daskms/ordering.py:102-117) — fully parallel window."""
+    w = Window.partitionBy(*group_cols).orderBy(*index_cols)
+    return df.withColumn(name, F.row_number().over(w))
+
+
+def top_k(df: DataFrame, group_cols: Iterable[str],
+          order_by: Iterable[Column | str], k: int,
+          rank_name: str = "rn") -> DataFrame:
+    """Per-group top-k (no reference analogue — SURVEY §2.4 notes the
+    gap).  Window row_number + filter: Spark pushes a per-partition
+    top-k (TakeOrderedAndProject / WindowGroupLimit) so only k rows per
+    group survive the shuffle."""
+    w = Window.partitionBy(*group_cols).orderBy(*[
+        F.col(c) if isinstance(c, str) else c for c in order_by])
+    return (df.withColumn(rank_name, F.row_number().over(w))
+              .where(F.col(rank_name) <= k))

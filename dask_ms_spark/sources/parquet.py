@@ -1,0 +1,76 @@
+"""Parquet source/sink (reference S4/S9).
+
+The reference discovers ``*.parquet`` fragments, groups them by
+Hive-style ``FIELD=val`` dirs and reassembles chunked arrays
+(daskms/experimental/arrow/reads.py:209-346); its sink writes one file
+per row-chunk under Hive partition dirs
+(daskms/experimental/arrow/writes.py:100-178).
+
+On Spark both directions are native: ``spark.read.parquet`` does
+partition discovery + pruning, ``df.write.partitionBy(...).parquet``
+produces the identical Hive layout.  What remains is the dataset-list
+facade and the partition-key round trip (G3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dataset import Dataset, concat, partition_datasets
+from ..types import PARTITION_KEY
+
+__all__ = ["xds_from_parquet", "xds_to_parquet", "read_table"]
+
+
+def read_table(spark: SparkSession, path: str,
+               columns: Iterable[str] | None = None) -> DataFrame:
+    """Plain lazy parquet scan; column pruning via select."""
+    df = spark.read.parquet(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def xds_from_parquet(spark: SparkSession, store: str,
+                     columns: Iterable[str] | None = None,
+                     group_cols: Iterable[str] = (),
+                     index_cols: Iterable[str] = (),
+                     where: str | None = None) -> list[Dataset]:
+    """Read a parquet store into one Dataset per group (reference
+    ``xds_from_parquet``, daskms/experimental/arrow/reads.py:209-346,
+    plus the grouping semantics of ``xds_from_table``,
+    daskms/dask_ms.py:128-294).
+
+    ``where`` is pushed into the scan by Catalyst (PushedFilters);
+    ``group_cols`` matching Hive partition dirs prune partitions.
+    """
+    df = spark.read.parquet(store)
+    return partition_datasets(df, group_cols, index_cols, where, columns)
+
+
+def xds_to_parquet(datasets: list[Dataset] | Dataset | DataFrame, store: str,
+                   partition_cols: Iterable[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write datasets to a Hive-partitioned parquet store (reference
+    ``xds_to_parquet``, daskms/experimental/arrow/writes.py:100-178).
+
+    Partition columns default to the datasets' recorded partition key,
+    giving the same ``FIELD=val`` directory layout the reference emits.
+    """
+    if isinstance(datasets, Dataset):
+        datasets = [datasets]
+    if isinstance(datasets, list):
+        if partition_cols is None:
+            key = datasets[0].attrs.get(PARTITION_KEY, ())
+            partition_cols = [c for c, _ in key]
+        df = concat(datasets)
+    else:
+        df = datasets
+        partition_cols = list(partition_cols or ())
+
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(store)

@@ -1,0 +1,148 @@
+"""Structured Streaming over the events table (SURVEY §2.10).
+
+The reference has no streaming; its nearest analogues are incremental
+appends (daskms/writes.py:584-612) and live-archive reads (S5 katdal).
+This module is the pure-extension streaming surface: file-source
+streams, watermarked tumbling/sliding windows, and a custom stateful
+operator via ``applyInPandasWithState``.
+
+Every transformation is defined once against a *batch or streaming*
+DataFrame — the same code path serves both, which is how the batch
+oracle (DuckDB) can check the windowed semantics the stream runs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["normalize_ts", "read_events", "read_events_stream",
+           "windowed_counts", "sliding_value_stats", "sessionize",
+           "run_stream_to_memory"]
+
+
+def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalise an epoch-nanos long ``ts`` to TimestampType.
+
+    The events parquet carries TIMESTAMP(NANOS), which Spark's reader
+    only accepts as a long (``spark.sql.legacy.parquet.nanosAsLong``,
+    set in session.py); sub-microsecond precision is dropped.
+    """
+    field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    if field.get(ts_col) == "bigint":
+        micros = (F.col(ts_col) / 1000).cast("long")
+        return df.withColumn(ts_col, F.timestamp_micros(micros))
+    return df
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the events table with ``ts`` normalised."""
+    return normalize_ts(spark.read.parquet(path))
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       schema=None, max_files: int = 1) -> DataFrame:
+    """File-source stream over a parquet events directory.
+
+    Spark's FileStreamSource requires a *directory*; a single-file
+    path (like the testdata tables) is staged behind a symlink dir so
+    the read-only source file is never touched.
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = tempfile.mkdtemp(prefix="dms_stream_")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(stage, os.path.basename(path)))
+        path = stage
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files).parquet(path))
+    return normalize_ts(stream)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + sums per event_type with late-data
+    watermarking.  Works identically on batch and streaming frames."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (df.groupBy(F.window("ts", window).alias("win"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("sum_value"))
+              .select(F.col("win.start").alias("window_start"),
+                      "event_type", "n_events", "sum_value"))
+
+
+def sliding_value_stats(events: DataFrame, window: str = "2 hours",
+                        slide: str = "1 hour",
+                        watermark: str = "4 hours") -> DataFrame:
+    """Sliding-window per-user value statistics."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (df.groupBy(F.window("ts", window, slide).alias("win"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.avg("value"), 4).alias("avg_value"))
+              .select(F.col("win.start").alias("window_start"),
+                      "user_id", "n_events", "avg_value"))
+
+
+_SESSION_SCHEMA = ("user_id long, session_start timestamp, "
+                   "session_end timestamp, n_events long")
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Custom stateful operator: session aggregation with a processing
+    -time timeout — the ``applyInPandasWithState`` pattern for
+    operators Spark lacks natively (SURVEY custom-operator rule (b))."""
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame([{
+            "user_id": key[0],
+            "session_start": pd.Timestamp(start, unit="us"),
+            "session_end": pd.Timestamp(last, unit="us"),
+            "n_events": n}])
+        return
+    start = last = None
+    n = 0
+    if state.exists:
+        start, last, n = state.get
+    for pdf in pdf_iter:
+        ts_us = (pdf["ts"].astype("int64") // 1000)
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        start = lo if start is None else min(start, lo)
+        last = hi if last is None else max(last, hi)
+        n += len(pdf)
+    state.update((start, last, n))
+    state.setTimeoutDuration(30_000)
+    yield pd.DataFrame([], columns=["user_id", "session_start",
+                                    "session_end", "n_events"])
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Per-user session rollup as a stateful streaming operator."""
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(_session_fn, _SESSION_SCHEMA,
+                                    _STATE_SCHEMA, "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         timeout_s: float = 60.0) -> DataFrame:
+    """Drive a stream to completion against a finite file source and
+    return the in-memory sink table (test/bench harness)."""
+    query = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode("complete" if stream_df.isStreaming else "append")
+             .trigger(availableNow=True).start())
+    query.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)
