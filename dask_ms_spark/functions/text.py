@@ -98,16 +98,14 @@ def langid(text: Column, default: str = "en") -> Column:
     scores = langid_scores(text)
     langs = list(scores)
     best = None
-    for lang in langs:
-        cond = F.lit(True)
-        seen_langs = langs[:langs.index(lang)]
-        for prev in seen_langs:
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for prev in langs[:i]:
             cond = cond & (scores[lang] > scores[prev])
-        for nxt in langs[langs.index(lang) + 1:]:
+        for nxt in langs[i + 1:]:
             cond = cond & (scores[lang] >= scores[nxt])
-        clause = F.when((scores[lang] > 0) & cond, F.lit(lang))
-        best = clause if best is None else best.otherwise(
-            F.when((scores[lang] > 0) & cond, F.lit(lang)))
+        best = F.when(cond, F.lit(lang)) if best is None \
+            else best.when(cond, F.lit(lang))
     return best.otherwise(F.lit(default))
 
 

@@ -62,12 +62,15 @@ def minhash_signature(text: Column, num_hashes: int = 32,
     all codegen'd array ops, no UDF, no shuffle.
     """
     shingles = char_ngrams(normalize_text(text), shingle_k)
-    sigs = [
-        F.array_min(F.transform(
-            shingles, lambda s, i=i: portable_hash64(s, f"#{i}")))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+
+    def perm_min(i: int):
+        salt = f"#{i}"
+        # single-arg lambda: a two-arg lambda would make transform()
+        # pass the element index as the second argument
+        return F.array_min(
+            F.transform(shingles, lambda s: portable_hash64(s, salt)))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
 def _bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:

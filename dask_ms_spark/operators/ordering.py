@@ -59,7 +59,7 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     the equivalent chained row-count discovery).
     """
     w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(name, F.row_number().over(w) - F.lit(1))
+    return df.withColumn(name, (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
 def group_rank(df: DataFrame, group_cols: Iterable[str],
@@ -67,7 +67,7 @@ def group_rank(df: DataFrame, group_cols: Iterable[str],
     """Per-group ordinal (the reference's per-group lexsort positions,
     daskms/ordering.py:102-117) — fully parallel window."""
     w = Window.partitionBy(*group_cols).orderBy(*index_cols)
-    return df.withColumn(name, F.row_number().over(w))
+    return df.withColumn(name, F.row_number().over(w).cast("long"))
 
 
 def top_k(df: DataFrame, group_cols: Iterable[str],
@@ -79,5 +79,5 @@ def top_k(df: DataFrame, group_cols: Iterable[str],
     group survive the shuffle."""
     w = Window.partitionBy(*group_cols).orderBy(*[
         F.col(c) if isinstance(c, str) else c for c in order_by])
-    return (df.withColumn(rank_name, F.row_number().over(w))
+    return (df.withColumn(rank_name, F.row_number().over(w).cast("long"))
               .where(F.col(rank_name) <= k))

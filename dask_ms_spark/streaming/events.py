@@ -42,7 +42,13 @@ def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Batch read of the events table with ``ts`` normalised."""
+    """Batch read of the events table with ``ts`` normalised.
+
+    Sets ``nanosAsLong`` defensively: the conf is runtime-settable and
+    the session may not come from ``get_spark`` (e.g. the test driver's
+    own session).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_ts(spark.read.parquet(path))
 
 
@@ -54,6 +60,7 @@ def read_events_stream(spark: SparkSession, path: str,
     path (like the testdata tables) is staged behind a symlink dir so
     the read-only source file is never touched.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
