@@ -36,8 +36,8 @@ from dask_ms_spark.functions.text import (  # noqa: E402
     STOPWORDS, langid, portable_hash64, quality_features, token_count)
 from dask_ms_spark.functions.vector import cosine  # noqa: E402
 from dask_ms_spark.llm.dedup import (  # noqa: E402
-    embedding_dup_pairs, exact_dedup, minhash_signature, ngram_jaccard_pairs,
-    normalize_text)
+    MINHASH_COEFFS, MINHASH_P, embedding_dup_pairs_gemm, exact_dedup,
+    lsh_jaccard_pairs, normalize_text, with_minhash)
 from dask_ms_spark.llm.multimodal import (  # noqa: E402
     decode_image_features, media_table)
 from dask_ms_spark.llm.similarity import brute_force_topk  # noqa: E402
@@ -277,25 +277,29 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
-    """MinHash signatures (8 portable permutation hashes over 5-char
-    shingles) — the LSH building block, oracle-checked end to end."""
+    """MinHash signatures: one portable md5 base hash per shingle,
+    8 affine permutations mod 2^31-1 — the LSH building block,
+    oracle-checked end to end."""
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(F.col("text"), num_hashes=8, shingle_k=5)
-    return docs.select("doc_id", sig.alias("sig"))
+    return with_minhash(docs, num_hashes=8, shingle_k=5) \
+        .select(F.col("id").alias("doc_id"), "sig")
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via inverted index."""
-    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                                n=3, threshold=0.75)
+    """n-gram Jaccard near-dups, LSH-accelerated: banded MinHash
+    candidates + exact shingle-set verify (the inverted-index form in
+    llm/dedup.py explodes on common shingles at scale)."""
+    pairs = lsh_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                              n=5, num_hashes=16, num_bands=4,
+                              threshold=0.6)
     return pairs.select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute-force baseline)."""
-    pairs = embedding_dup_pairs(_t(spark, sf_dir, "embeddings"),
-                                threshold=0.4)
+    """Embedding-cosine near-dup pairs via distributed blocked GEMM."""
+    pairs = embedding_dup_pairs_gemm(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.4)
     return pairs.select("id_a", "id_b",
                         F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -396,38 +400,65 @@ def _minhash_sig_sql(num_hashes: int = 8, k: int = 5) -> str:
                 f"THEN [{norm}] ELSE list_transform("
                 f"range(1, length({norm}) - {k - 2}), "
                 f"i -> substring({norm}, i, {k})) END)")
+    base = ("list_transform(shingles, s -> " +
+            _DUCK_HASH.format(x="s") + f" % {MINHASH_P})")
     mins = ", ".join(
-        "list_min(list_transform(shingles, s -> " +
-        _DUCK_HASH.format(x=f"s || '#{i}'") + "))"
-        for i in range(num_hashes))
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:num_hashes])
     return f"""
-        WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents)
-        SELECT doc_id, [{mins}] AS sig FROM sh
+        WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents),
+        hb AS (SELECT doc_id, {base} AS base FROM sh)
+        SELECT doc_id, [{mins}] AS sig FROM hb
     """
 
 
-def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.75) -> str:
+def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
+                     num_bands: int = 4, threshold: float = 0.6) -> str:
+    """Mirror of llm.dedup.lsh_jaccard_pairs: banded-MinHash candidates
+    (portable hashes -> identical candidate sets) + exact Jaccard over
+    the shingle-hash sets."""
+    rows_per_band = num_hashes // num_bands
     norm = _DUCK_NORM.format(x="text")
-    grams = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
-             f"THEN [{norm}] ELSE list_transform("
-             f"range(1, length({norm}) - {n - 2}), "
-             f"i -> substring({norm}, i, {n})) END)")
-    gh = _DUCK_HASH.format(x="g")
+    shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
+                f"THEN [{norm}] ELSE list_transform("
+                f"range(1, length({norm}) - {n - 2}), "
+                f"i -> substring({norm}, i, {n})) END)")
+    base = ("list_transform(grams, s -> " +
+            _DUCK_HASH.format(x="s") + f" % {MINHASH_P})")
+    mins = ", ".join(
+        f"list_min(list_transform(hset, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:num_hashes])
+    band_exprs = ", ".join(
+        _DUCK_HASH.format(
+            x=("array_to_string(list_slice(sig, "
+               f"{b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ',') "
+               f"|| 'band{b}'"))
+        for b in range(num_bands))
+    band_ids = "[" + ", ".join(str(b) for b in range(num_bands)) + "]"
     return f"""
-        WITH base AS (SELECT doc_id AS id, {grams} AS grams FROM documents),
-        sized AS (SELECT id, grams, len(grams) AS n_grams FROM base),
-        inv AS (SELECT id, n_grams, {gh} AS gram_hash
-                FROM (SELECT id, n_grams, unnest(grams) AS g FROM sized)),
-        shared AS (
-            SELECT a.id AS id_a, b.id AS id_b, a.n_grams AS na,
-                   b.n_grams AS nb, count(*) AS shared
-            FROM inv a JOIN inv b USING (gram_hash)
-            WHERE a.id < b.id
-            GROUP BY 1, 2, 3, 4)
-        SELECT id_a, id_b,
-               round(shared / (na + nb - shared), 6) AS jaccard
-        FROM shared
-        WHERE shared / (na + nb - shared) >= {threshold}
+        WITH sh AS (SELECT doc_id AS id, {shingles} AS grams
+                    FROM documents),
+        hb AS (SELECT id, list_sort(list_distinct({base})) AS hset FROM sh),
+        sg AS (SELECT id, hset, [{mins}] AS sig FROM hb),
+        banded AS (
+            SELECT id, unnest([{band_exprs}]) AS band_hash,
+                   unnest({band_ids}) AS band_id
+            FROM sg),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.id < b.id),
+        scored AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(ha.hset, hb2.hset)) /
+                   (len(ha.hset) + len(hb2.hset) -
+                    len(list_intersect(ha.hset, hb2.hset))) AS jaccard
+            FROM cand
+            JOIN hb ha ON ha.id = id_a
+            JOIN hb hb2 ON hb2.id = id_b)
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+        FROM scored WHERE jaccard >= {threshold}
     """
 
 
@@ -641,7 +672,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_sig": _minhash_sig_sql(),
-        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_embedding": _embedding_dup_sql(),
         "similarity_topk": _similarity_topk_sql(),
         "text_stats": """

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Execution is forced with a noop write (full JVM-side materialisation,
+no driver collect), so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+# Headline set: the scans/joins/aggregations plus the corpus operators
+# that dominate real pipelines.  Kept in sync with __spark_entry__.
+HEADLINE = [
+    "tpch_q1",
+    "star_join",
+    "broadcast_join",
+    "filter_pushdown",
+    "expr_arithmetic",
+    "sorted_read",
+    "within_group_sort",
+    "topk",
+    "overlay",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "similarity_topk",
+    "text_langid",
+    "text_fingerprint",
+    "events_windowed",
+    "events_sliding",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf encoded in the dir name, e.g. .../sf0.1
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(tail[2:]) if tail.startswith("sf") else None
+
+    from dask_ms_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("dask-ms-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers with one tiny action.
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    t_total0 = time.time()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
+    total = round(time.time() - t_total0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0 if all(v >= 0 for v in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,9 +30,11 @@ from pyspark.sql import functions as F
 from ..functions.text import char_ngrams, portable_hash64
 from ..functions.vector import cosine
 
-__all__ = ["normalize_text", "exact_dedup", "minhash_signature",
-           "minhash_lsh_pairs", "minhash_dedup", "simhash", "simhash_dedup",
-           "ngram_jaccard_pairs", "embedding_dup_pairs"]
+__all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
+           "shingle_base_hashes", "minhash_signature", "minhash_from_base",
+           "with_minhash", "minhash_lsh_pairs", "minhash_dedup", "simhash",
+           "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
+           "embedding_dup_pairs", "embedding_dup_pairs_gemm"]
 
 
 def normalize_text(text: Column) -> Column:
@@ -54,23 +56,69 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                      F.count(F.lit(1)).alias("dup_count")))
 
 
-def minhash_signature(text: Column, num_hashes: int = 32,
-                      shingle_k: int = 5) -> Column:
-    """K minhash values over character-k-shingles.
+# Mersenne prime 2^31-1: (a*h + b) stays under 2^62, so the affine
+# permutation hashes below are exact in int64 arithmetic in any engine.
+MINHASH_P = 2_147_483_647
 
-    Each permutation i is ``min(portable_hash64(shingle, salt=i))`` —
-    all codegen'd array ops, no UDF, no shuffle.
+# Fixed affine-permutation constants (a_i, b_i), a_i != 0 mod P.
+# Derived once from Knuth multiplicative constants; hardcoded so Spark
+# and external oracles stay in sync by construction.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    ((2 * i + 1) * 2_654_435_761 % MINHASH_P,
+     (i + 1) * 2_246_822_519 % MINHASH_P)
+    for i in range(64)
+]
+
+
+def shingle_base_hashes(text: Column, shingle_k: int = 5) -> Column:
+    """Distinct shingles -> one portable 31-bit base hash each.
+
+    One md5 per shingle; the K permutations are derived arithmetically
+    (affine maps mod 2^31-1), so cost is O(shingles), not
+    O(shingles * K) md5 invocations.
     """
     shingles = char_ngrams(normalize_text(text), shingle_k)
+    return F.transform(
+        shingles, lambda s: portable_hash64(s) % F.lit(MINHASH_P))
 
+
+def minhash_signature(text: Column, num_hashes: int = 32,
+                      shingle_k: int = 5) -> Column:
+    """K minhash values over character-k-shingles (Column form).
+
+    Prefer :func:`with_minhash` on a DataFrame: it materialises the
+    base-hash array in its own projection so the shingle + md5 work is
+    evaluated once, not once per permutation.
+    """
+    return minhash_from_base(shingle_base_hashes(text, shingle_k),
+                             num_hashes)
+
+
+def minhash_from_base(base: Column, num_hashes: int = 32) -> Column:
+    """Affine-permutation minima over a base-hash array."""
     def perm_min(i: int):
-        salt = f"#{i}"
+        a, b = MINHASH_COEFFS[i]
         # single-arg lambda: a two-arg lambda would make transform()
         # pass the element index as the second argument
-        return F.array_min(
-            F.transform(shingles, lambda s: portable_hash64(s, salt)))
+        return F.array_min(F.transform(
+            base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
 
     return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", num_hashes: int = 32,
+                 shingle_k: int = 5, keep: tuple = ()) -> DataFrame:
+    """(id, sig) DataFrame with the base hashes computed exactly once
+    (separate projection -> codegen evaluates shingling + md5 once per
+    row, permutations reuse the array)."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep],
+        shingle_base_hashes(F.col(text_col), shingle_k).alias("base"))
+    return base.select(
+        "id", *keep,
+        minhash_from_base(F.col("base"), num_hashes).alias("sig"))
 
 
 def _bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
@@ -99,8 +147,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     splitting.
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    with_sig = with_minhash(docs, text_col, id_col, num_hashes, shingle_k)
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
     banded = with_sig.select(
         "id", "sig",
@@ -174,6 +221,67 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
                      F.count(F.lit(1)).alias("dup_count")))
 
 
+def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      num_hashes: int = 16, num_bands: int = 4,
+                      threshold: float = 0.75) -> DataFrame:
+    """Near-dup pairs with EXACT n-gram Jaccard, found via LSH.
+
+    The 100 TB shape: banded MinHash-LSH proposes candidates
+    (bucket-local equi-join, no all-pairs), then each candidate pair is
+    verified with exact shingle-set Jaccard (``array_intersect`` on the
+    two gram arrays).  Compare ``ngram_jaccard_pairs``: the exact
+    inverted-index form explodes on high-frequency shingles (a 3-gram
+    present in every doc creates |docs|² posting pairs); here the band
+    join bounds the candidate set and skewed buckets split under AQE.
+    Recall < 1 by LSH construction (tune bands/hashes).
+    """
+    rows_per_band = num_hashes // num_bands
+    grams = F.array_distinct(
+        char_ngrams(normalize_text(F.col(text_col)), n))
+    # The shingle-hash SET (sorted int64s) replaces the string set for
+    # the exact verify: 8-byte elements instead of strings, identical
+    # Jaccard (hashes are portable and per-doc distinct on both
+    # engines; cross-gram collisions mod 2^31-1 are ~1e-5/doc and
+    # identical in any engine, so results stay comparable).
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(F.transform(
+            grams, lambda s: portable_hash64(s) % F.lit(MINHASH_P))))
+         .alias("hset"))
+    sigged = base.select(
+        "id", "hset", minhash_from_base(F.col("hset"), num_hashes)
+        .alias("sig"))
+    # Three consumers below (band explode + two hset re-joins) would
+    # each recompute the shingle->md5->signature chain — persist it
+    # once (the reference memoises its ordering arrays the same way,
+    # daskms/optimisation.py:215-269).
+    sigged = sigged.persist()
+    bands = _bands(F.col("sig"), num_bands, rows_per_band)
+    # Band join on (band_id, band_hash, id) ONLY — the hash sets must
+    # not ride through the self-join shuffle and pair-dedup; they are
+    # re-attached to the (small) candidate pair set by id-keyed joins.
+    banded = sigged.select(
+        "id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, on=["band_id", "band_hash"])
+              .where(F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
+    hset_tbl = sigged.select("id", "hset")
+    joined = (cand
+              .join(hset_tbl.select(F.col("id").alias("id_a"),
+                                    F.col("hset").alias("ha")), "id_a")
+              .join(hset_tbl.select(F.col("id").alias("id_b"),
+                                    F.col("hset").alias("hb")), "id_b"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    jac = (inter / union).alias("jaccard")
+    return (joined.select("id_a", "id_b", jac)
+                  .where(F.col("jaccard") >= threshold))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
@@ -212,11 +320,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def embedding_dup_pairs(embs: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force form).
+    """Embedding-cosine near-dup pairs (codegen'd join form).
 
-    O(n²) — correct baseline for modest n; the scale path buckets by an
-    LSH/IVF key first (llm/similarity.py) so the self-join is
-    bucket-local.
+    O(n²) pairwise folds — correct but slow beyond ~10⁴ rows; prefer
+    :func:`embedding_dup_pairs_gemm` (blocked matrix multiply) or the
+    LSH-bucketed path (llm/similarity.py).
     """
     a = embs.select(F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("vec_a"))
@@ -226,3 +334,61 @@ def embedding_dup_pairs(embs: DataFrame, vec_col: str = "embedding",
     return (a.join(b, F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", sim)
              .where(F.col("cos_sim") >= threshold))
+
+
+def embedding_dup_pairs_gemm(embs: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95,
+                             block_size: int = 1024) -> DataFrame:
+    """Embedding-cosine near-dup pairs via blocked GEMM.
+
+    Fully distributed blocked all-pairs: vectors are packed into blocks
+    (modulo-id assignment), block pairs (a <= b) meet via a join of the
+    packed block table with itself, and each block pair is scored with
+    one float64 matrix multiply (numpy/BLAS) inside ``mapInPandas``.
+    No driver collect, no executor-memory broadcast of the corpus —
+    shuffle volume is O(B · corpus) for B blocks, and each task is a
+    dense GEMM, the highest-throughput way to do all-pairs cosine.
+    At the 100 TB tier, put an IVF/LSH bucketing in front so only
+    same-bucket block pairs form, and keep this kernel as the
+    within-bucket scorer.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = embs.count()
+    num_blocks = max(1, math.ceil(n / block_size))
+    packed = (embs.select((F.col(id_col) % num_blocks).alias("blk"),
+                          F.col(id_col).alias("id"), F.col(vec_col)
+                          .alias("vec"))
+                  .groupBy("blk")
+                  .agg(F.collect_list(F.struct("id", "vec")).alias("rows")))
+    pairs = (packed.select(F.col("blk").alias("blk_a"),
+                           F.col("rows").alias("rows_a"))
+             .join(packed.select(F.col("blk").alias("blk_b"),
+                                 F.col("rows").alias("rows_b")),
+                   F.col("blk_a") <= F.col("blk_b")))
+
+    def unpack(cell) -> tuple:
+        ids = np.fromiter((r["id"] for r in cell), dtype=np.int64,
+                          count=len(cell))
+        mat = np.array([r["vec"] for r in cell], dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        return ids, mat / nrm[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ia, ua = unpack(rows_a)
+                ib, ub = unpack(rows_b)
+                sims = ua @ ub.T
+                qi, ci = np.nonzero((sims >= threshold) &
+                                    (ia[:, None] < ib[None, :]))
+                yield pd.DataFrame({"id_a": ia[qi], "id_b": ib[ci],
+                                    "cos_sim": sims[qi, ci]})
+
+    return pairs.select("rows_a", "rows_b").mapInPandas(
+        score, schema="id_a long, id_b long, cos_sim double")
