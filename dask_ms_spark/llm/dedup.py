@@ -33,6 +33,7 @@ from ..functions.vector import cosine
 __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "shingle_base_hashes", "minhash_signature", "minhash_from_base",
            "with_minhash", "minhash_lsh_pairs", "minhash_dedup", "simhash",
+           "with_simhash",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
            "embedding_dup_pairs", "embedding_dup_pairs_gemm"]
 
@@ -184,28 +185,67 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(text: Column, shingle_k: int = 4, bits: int = 64) -> Column:
-    """SimHash signature: sign-sum of per-shingle hash bits.
+    """SimHash signature (Column form): sign-sum of per-shingle hash
+    bits.  bit_j(doc) = 1 if sum over shingles of (+1 if hash(shingle)
+    bit j else -1) > 0.  Returns the signature as a bigint.
 
-    bit_j(doc) = 1 if sum over shingles of (+1 if hash(shingle) bit j
-    else -1) > 0.  Expressed with array ops over the shingle hashes —
-    no UDF.  Returns the signature as a bigint.
+    One pass over the shingle-hash array: the fold accumulator is the
+    per-bit vote array, merged with ``zip_with`` against each hash's
+    bit vector.  For the DataFrame pipeline prefer :func:`with_simhash`
+    (explode + partial-aggregated vote sums — the shuffle-friendly
+    shape).
     """
     shingles = char_ngrams(normalize_text(text), shingle_k)
     hashes = F.transform(shingles, lambda s: portable_hash64(s, "simhash"))
-    bit_cols = []
-    for j in range(bits - 1):  # avoid the sign bit of the bigint
-        votes = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h, j=j: acc + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bit_cols.append(
-            F.when(votes > 0, F.lit(2 ** j).cast("bigint"))
-             .otherwise(F.lit(0).cast("bigint")))
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out + b
-    return out
+    nbits = bits - 1  # avoid the sign bit of the bigint
+    zero = F.array_repeat(F.lit(0), nbits)
+
+    def bitvec(h: Column) -> Column:
+        # bit j as ±1 votes; literal shifts keep numBits an int
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+             .otherwise(F.lit(-1))
+            for j in range(nbits)])
+
+    votes = F.aggregate(hashes, zero,
+                        lambda acc, h: F.zip_with(acc, bitvec(h),
+                                                  lambda a, b: a + b))
+    weights = F.array(*[F.lit(2 ** j).cast("bigint") for j in range(nbits)])
+    return F.aggregate(
+        F.zip_with(votes, weights,
+                   lambda v, w: F.when(v > 0, w).otherwise(F.lit(0)
+                                                           .cast("bigint"))),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_k: int = 4,
+                 bits: int = 16) -> DataFrame:
+    """(id, simhash) via explode + vote-sum aggregation.
+
+    The 100 TB shape: one explode (doc -> distinct shingle hashes), one
+    hash-shuffle keyed on id with map-side partial sums of the
+    (bits-1) vote columns, then the signature reassembled from vote
+    signs.  The shingle/md5 work runs exactly once per shingle.
+    """
+    nbits = bits - 1
+    shingles = char_ngrams(normalize_text(F.col(text_col)), shingle_k)
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles).alias("shingle"))
+    h = portable_hash64(F.col("shingle"), "simhash")
+    votes = exploded.select("id", *[
+        F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+         .otherwise(F.lit(-1)).alias(f"v{j}")
+        for j in range(nbits)])
+    sums = votes.groupBy("id").agg(
+        *[F.sum(f"v{j}").alias(f"v{j}") for j in range(nbits)])
+    sig = None
+    for j in range(nbits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text",
@@ -214,10 +254,9 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     """Exact-signature SimHash grouping (Hamming distance 0): group by
     signature, keep min id.  For Hamming<=d banding, split the
     signature into d+1 blocks and LSH-join as in minhash_lsh_pairs."""
-    sig = simhash(F.col(text_col), shingle_k, bits)
-    return (docs.select(F.col(id_col), sig.alias("simhash"))
-                .groupBy("simhash")
-                .agg(F.min(id_col).alias("keep_id"),
+    sigs = with_simhash(docs, text_col, id_col, shingle_k, bits)
+    return (sigs.groupBy("simhash")
+                .agg(F.min("id").alias("keep_id"),
                      F.count(F.lit(1)).alias("dup_count")))
 
 
@@ -381,14 +420,24 @@ def embedding_dup_pairs_gemm(embs: DataFrame, vec_col: str = "embedding",
 
     def score(batches):
         for pdf in batches:
-            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                    pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
                 ia, ua = unpack(rows_a)
                 ib, ub = unpack(rows_b)
                 sims = ua @ ub.T
-                qi, ci = np.nonzero((sims >= threshold) &
-                                    (ia[:, None] < ib[None, :]))
-                yield pd.DataFrame({"id_a": ia[qi], "id_b": ib[ci],
+                if blk_a == blk_b:
+                    # diagonal block: dedup the symmetric matrix
+                    qi, ci = np.nonzero((sims >= threshold) &
+                                        (ia[:, None] < ib[None, :]))
+                    lo, hi = ia[qi], ib[ci]
+                else:
+                    # off-diagonal: every hit is a distinct unordered
+                    # pair, but the lower id may sit on either side
+                    qi, ci = np.nonzero(sims >= threshold)
+                    lo = np.minimum(ia[qi], ib[ci])
+                    hi = np.maximum(ia[qi], ib[ci])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi,
                                     "cos_sim": sims[qi, ci]})
 
-    return pairs.select("rows_a", "rows_b").mapInPandas(
+    return pairs.select("blk_a", "blk_b", "rows_a", "rows_b").mapInPandas(
         score, schema="id_a long, id_b long, cos_sim double")

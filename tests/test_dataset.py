@@ -1,0 +1,62 @@
+"""Dataset facade tests (reference model: daskms/tests/test_ms_read_and_update.py).
+
+The oracle style mirrors the reference's raw-TAQL comparisons
+(test_ms_read_and_update.py:61-89): re-run the same relational work
+directly on the DataFrame and compare.
+"""
+
+from pyspark.sql import functions as F
+
+from dask_ms_spark.dataset import Dataset, concat, partition_datasets
+from dask_ms_spark.types import PARTITION_KEY
+
+
+def test_partition_datasets_groups(lineitem):
+    dss = partition_datasets(lineitem, group_cols=["l_returnflag"])
+    flags = sorted(ds.attrs["l_returnflag"] for ds in dss)
+    expected = sorted(
+        r[0] for r in lineitem.select("l_returnflag").distinct().collect())
+    assert flags == expected
+    # per-partition rowcounts sum to the table
+    assert sum(ds.df.count() for ds in dss) == lineitem.count()
+    # partition key records (col, dtype)
+    assert dss[0].attrs[PARTITION_KEY] == (("l_returnflag", "string"),)
+
+
+def test_partition_datasets_where_and_columns(lineitem):
+    dss = partition_datasets(
+        lineitem, group_cols=["l_linestatus"], where="l_quantity > 45",
+        columns=["l_orderkey", "l_quantity"])
+    for ds in dss:
+        assert ds.columns == ["l_orderkey", "l_quantity"]
+        assert ds.df.where("l_quantity <= 45").count() == 0
+    total = lineitem.where("l_quantity > 45").count()
+    assert sum(ds.df.count() for ds in dss) == total
+
+
+def test_partition_datasets_ungrouped(lineitem):
+    [ds] = partition_datasets(lineitem, group_cols=[])
+    assert ds.attrs == {}
+    assert ds.df.count() == lineitem.count()
+
+
+def test_concat_reexpands_group_columns(orders):
+    dss = partition_datasets(orders, group_cols=["o_orderstatus"])
+    back = concat(dss)
+    assert back.count() == orders.count()
+    # group column re-materialised with correct values
+    orig = sorted(
+        tuple(r) for r in
+        orders.groupBy("o_orderstatus").count().collect())
+    round_trip = sorted(
+        tuple(r) for r in back.groupBy("o_orderstatus").count().collect())
+    assert orig == round_trip
+
+
+def test_dataset_assign_select_where(lineitem):
+    ds = Dataset(lineitem)
+    out = (ds.assign(double_qty=F.col("l_quantity") * 2)
+             .where("l_quantity >= 49")
+             .select("l_orderkey", "double_qty"))
+    rows = out.df.collect()
+    assert rows and all(r.double_qty >= 98 for r in rows)

@@ -1,0 +1,168 @@
+"""Function-library tests: complex arithmetic, vector math, text,
+expression DSL.  Oracles are plain Python/numpy on collected rows."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dask_ms_spark.expressions import apply_expr, data_column_expr
+from dask_ms_spark.functions import complexf
+from dask_ms_spark.functions.text import (char_ngrams, fingerprint, langid,
+                                          portable_hash64, quality_features,
+                                          token_count, tokens, word_shingles)
+from dask_ms_spark.functions.vector import (cosine, dot, l2_distance, norm,
+                                            normalize)
+
+
+@pytest.fixture(scope="module")
+def cdf(spark):
+    # complex arrays [re0, im0, re1, im1] — two complex elements/row
+    rows = [Row(id=1, a=[1.0, 2.0, 3.0, -1.0], b=[0.5, -0.5, 2.0, 2.0]),
+            Row(id=2, a=[0.0, 1.0, -2.0, 0.0], b=[1.0, 0.0, 0.0, 1.0])]
+    return spark.createDataFrame(rows)
+
+
+def _cplx(arr):
+    return [complex(arr[i], arr[i + 1]) for i in range(0, len(arr), 2)]
+
+
+def test_complex_mul_matches_python(cdf):
+    out = cdf.select("a", "b", complexf.c_mul(F.col("a"), F.col("b"))
+                     .alias("p")).collect()
+    for r in out:
+        expect = [x * y for x, y in zip(_cplx(r.a), _cplx(r.b))]
+        got = _cplx(r.p)
+        assert got == pytest.approx(expect)
+
+
+def test_complex_conj_abs_sum(cdf):
+    out = cdf.select(
+        "a",
+        complexf.c_conj(F.col("a")).alias("cj"),
+        complexf.c_abs(F.col("a")).alias("mag"),
+        complexf.c_sum(F.col("a")).alias("s")).collect()
+    for r in out:
+        assert _cplx(r.cj) == [z.conjugate() for z in _cplx(r.a)]
+        assert r.mag == pytest.approx([abs(z) for z in _cplx(r.a)])
+        total = sum(_cplx(r.a))
+        assert complex(r.s[0], r.s[1]) == pytest.approx(total)
+
+
+def test_complex_make_real_imag(cdf):
+    out = cdf.select(
+        complexf.c_make(complexf.c_real(F.col("a")),
+                        complexf.c_imag(F.col("a"))).alias("rt"),
+        "a").collect()
+    for r in out:
+        assert r.rt == pytest.approx(r.a)
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [Row(a=[3.0, 4.0], b=[4.0, 3.0]), Row(a=[0.0, 0.0], b=[1.0, 1.0])])
+    r = df.select(dot(F.col("a"), F.col("b")).alias("d"),
+                  norm(F.col("a")).alias("na"),
+                  cosine(F.col("a"), F.col("b")).alias("c"),
+                  l2_distance(F.col("a"), F.col("b")).alias("l2"),
+                  normalize(F.col("a")).alias("u")).collect()
+    assert r[0].d == pytest.approx(24.0)
+    assert r[0].na == pytest.approx(5.0)
+    assert r[0].c == pytest.approx(24.0 / 25.0)
+    assert r[0].l2 == pytest.approx(math.sqrt(2.0))
+    assert r[0].u == pytest.approx([0.6, 0.8])
+    # zero vector: cosine defined 0, normalize passes through
+    assert r[1].c == 0.0
+    assert r[1].u == [0.0, 0.0]
+
+
+def test_tokens_and_ngrams(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat  sat"), Row(t=""), Row(t="ab")])
+    out = df.select(
+        "t", tokens(F.col("t")).alias("tk"),
+        token_count(F.col("t")).alias("n"),
+        char_ngrams(F.col("t"), 3).alias("g3"),
+        word_shingles(F.col("t"), 2).alias("w2")).collect()
+    by_t = {r.t: r for r in out}
+    assert by_t["the cat  sat"].tk == ["the", "cat", "sat"]
+    assert by_t["the cat  sat"].n == 3
+    assert by_t[""].tk == [] and by_t[""].n == 0
+    # shorter than n -> whole string is the only gram
+    assert by_t["ab"].g3 == ["ab"]
+    assert sorted(by_t["the cat  sat"].w2) == ["cat sat", "the cat"]
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["hello", "wörld", ""]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    got = {r.v: r.h for r in
+           df.select("v", portable_hash64(F.col("v")).alias("h")).collect()}
+    for v in vals:
+        [(want,)] = duckdb.sql(
+            "SELECT cast(('0x' || substring(md5(?), 1, 15)) as bigint)",
+            params=[v]).fetchall()
+        assert got[v] == want
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([Row(t="Ab, c1!")])
+    feats = quality_features(F.col("t"))
+    r = df.select(*[v.alias(k) for k, v in feats.items()]).first()
+    assert r.n_chars == 7.0
+    assert r.n_tokens == 2.0
+    assert r.punct_ratio == pytest.approx(2 / 7)   # ',' and '!'
+    assert r.digit_ratio == pytest.approx(1 / 7)
+    assert r.upper_ratio == pytest.approx(1 / 7)
+
+
+def test_langid(spark):
+    df = spark.createDataFrame([
+        Row(t="the cat and the dog is in that house with them"),
+        Row(t="le chat est dans la maison pour les amis"),
+        Row(t="der hund ist nicht mit der katze und das haus"),
+        Row(t="xyzzy plugh")])
+    got = [r.p for r in df.select(langid(F.col("t")).alias("p")).collect()]
+    assert got == ["en", "fr", "de", "en"]  # last falls back to default
+
+
+def test_fingerprint_windowed(spark):
+    df = spark.createDataFrame([Row(t="abcdefghijklmnop"), Row(t="ab")])
+    out = df.select("t", fingerprint(F.col("t"), k=4, window=3)
+                    .alias("fp")).collect()
+    by_t = {r.t: r.fp for r in out}
+    long_fp = by_t["abcdefghijklmnop"]
+    assert long_fp == sorted(set(long_fp))  # sorted distinct
+    assert 0 < len(long_fp) <= 13
+    assert len(by_t["ab"]) == 1  # shorter than k -> single hash
+
+
+def test_expression_dsl_scalar(lineitem):
+    col = data_column_expr(
+        lineitem, "l_extendedprice * (1 - l_discount) - l_tax")
+    rows = lineitem.select("l_extendedprice", "l_discount", "l_tax",
+                           col.alias("v")).limit(50).collect()
+    for r in rows:
+        expect = float(r.l_extendedprice) * (1 - r.l_discount) - r.l_tax
+        assert r.v == pytest.approx(expect)
+
+
+def test_expression_dsl_arrays(spark):
+    df = spark.createDataFrame(
+        [Row(A=[1.0, 2.0], B=[3.0, 5.0], s=2.0)])
+    out = apply_expr(df, X="A + B", Y="A * 3", Z="-A", W="B // A")
+    r = out.first()
+    assert r.X == [4.0, 7.0]
+    assert r.Y == [3.0, 6.0]
+    assert r.Z == [-1.0, -2.0]
+    assert r.W == [3.0, 2.0]
+
+
+def test_expression_dsl_errors(lineitem):
+    with pytest.raises(ValueError):
+        data_column_expr(lineitem, "no_such_column + 1")
+    with pytest.raises(ValueError):
+        data_column_expr(lineitem, "l_quantity ** 2")

@@ -1,0 +1,185 @@
+"""LLM-pipeline operator tests: dedup families, similarity search,
+multimodal plumbing.  Oracles are brute-force recomputation in Python
+on the small sf0.001 corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dask_ms_spark.llm.dedup import (embedding_dup_pairs,
+                                     embedding_dup_pairs_gemm, exact_dedup,
+                                     lsh_jaccard_pairs, minhash_lsh_pairs,
+                                     ngram_jaccard_pairs, simhash_dedup,
+                                     with_minhash)
+from dask_ms_spark.llm.multimodal import (decode_image_features, media_table,
+                                          sample_video_frames)
+from dask_ms_spark.llm.similarity import brute_force_topk, lsh_topk
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),   # dup of 1 after norm
+            Row(doc_id=3, text="something else"),
+            Row(doc_id=4, text="HELLO WORLD  ")]  # dup of 1
+    out = exact_dedup(spark.createDataFrame(rows)).collect()
+    groups = {r.keep_id: r.dup_count for r in out}
+    assert groups == {1: 3, 3: 1}
+
+
+def test_minhash_signature_properties(documents):
+    sig = with_minhash(documents, num_hashes=8).collect()
+    assert all(len(r.sig) == 8 for r in sig)
+    # identical text -> identical signature; near-dup estimate sanity
+    # runs through minhash_lsh_pairs below.
+
+
+def test_minhash_lsh_estimates_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),                      # exact dup
+            Row(doc_id=3, text=base.replace("lazy", "busy")),
+            Row(doc_id=4, text="completely different content here")]
+    pairs = minhash_lsh_pairs(spark.createDataFrame(rows), num_hashes=16,
+                              num_bands=4, threshold=0.5).collect()
+    by_pair = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert by_pair[(1, 2)] == 1.0
+    assert all(4 not in p for p in by_pair)
+
+
+def test_lsh_jaccard_matches_bruteforce(documents):
+    """LSH candidates + exact verify finds the same >=0.6 pairs the
+    all-pairs inverted index does (recall can drop below 1 only for
+    sub-threshold bands; with 4 bands of 4 at t=0.6 the planted
+    near-dups in the synthetic corpus all collide)."""
+    lsh = lsh_jaccard_pairs(documents, n=5, num_hashes=16, num_bands=4,
+                            threshold=0.6)
+    exact = ngram_jaccard_pairs(documents, n=5, threshold=0.6)
+    lsh_pairs = {(r.id_a, r.id_b): round(r.jaccard, 6)
+                 for r in lsh.collect()}
+    exact_pairs = {(r.id_a, r.id_b): round(r.jaccard, 6)
+                   for r in exact.collect()}
+    # every LSH pair is a true pair with the identical score
+    for k, v in lsh_pairs.items():
+        assert exact_pairs[k] == pytest.approx(v, abs=1e-6)
+    # and recall on this corpus is total
+    assert set(lsh_pairs) == set(exact_pairs)
+
+
+def test_simhash_dedup_exact_dups_collide(spark):
+    rows = [Row(doc_id=1, text="aaaa bbbb cccc dddd"),
+            Row(doc_id=2, text="aaaa  bbbb cccc dddd"),  # same after norm
+            Row(doc_id=3, text="zzzz yyyy xxxx wwww")]
+    out = simhash_dedup(spark.createDataFrame(rows), bits=16).collect()
+    by_keep = {r.keep_id: r.dup_count for r in out}
+    assert by_keep[1] == 2
+    assert by_keep[3] == 1
+
+
+def _np_cosine_pairs(embs, threshold):
+    ids = np.array([r.vec_id for r in embs])
+    mat = np.array([r.embedding for r in embs], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    sims = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
+    out = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and sims[i, j] >= threshold:
+                out[(int(ids[i]), int(ids[j]))] = sims[i, j]
+    return out
+
+
+def test_embedding_gemm_matches_bruteforce(embeddings):
+    sample = embeddings.where("vec_id < 120")
+    rows = sample.collect()
+    want = _np_cosine_pairs(rows, 0.3)
+    got_gemm = {(r.id_a, r.id_b): r.cos_sim
+                for r in embedding_dup_pairs_gemm(
+                    sample, threshold=0.3, block_size=32).collect()}
+    got_join = {(r.id_a, r.id_b): r.cos_sim
+                for r in embedding_dup_pairs(sample, threshold=0.3).collect()}
+    assert set(got_gemm) == set(want)
+    for k in want:
+        assert got_gemm[k] == pytest.approx(want[k], abs=1e-9)
+        assert got_join[k] == pytest.approx(want[k], abs=1e-5)
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    rows = embeddings.collect()
+    got = brute_force_topk(embeddings, embeddings.where("vec_id = 0"),
+                           k=5).collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0] = 1.0
+    unit = mat / nrm[:, None]
+    q = unit[ids == 0][0]
+    sims = unit @ q
+    order = sorted(
+        ((s, i) for s, i in zip(sims, ids) if i != 0),
+        key=lambda t: (-t[0], t[1]))[:5]
+    want = [(int(i), s) for s, i in order]
+    got_sorted = sorted(got, key=lambda r: r.rank)
+    assert [(r.neighbor_id,) + () for r in got_sorted] == \
+        [(i,) for i, _ in want]
+    for r, (_, s) in zip(got_sorted, want):
+        assert r.cos_sim == pytest.approx(s, abs=1e-6)
+
+
+def test_lsh_topk_clustered_recall(spark):
+    """On clustered data (where near neighbors are actually close in
+    angle) bucketed LSH must recover most true top-k; on uniformly
+    random vectors poor recall is expected LSH behaviour, so the
+    fixture plants 10 tight clusters."""
+    rng = np.random.RandomState(42)
+    dim, n_clusters, per = 16, 10, 8
+    centers = rng.randn(n_clusters, dim)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    queries = df.where("vec_id % 8 = 0")  # first member of each cluster
+    k = per - 1
+    exact = brute_force_topk(df, queries, k=k).collect()
+    approx = lsh_topk(df, queries, dim=dim, k=k, num_planes=8).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) /
+               len(exact_sets[q]) for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # and every approx score is the true cosine
+    rows_by_id = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    for r in approx:
+        a, b = rows_by_id[r.query_id], rows_by_id[r.neighbor_id]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.cos_sim == pytest.approx(want, abs=1e-6)
+
+
+def test_multimodal_features(documents):
+    media = media_table(documents.limit(20))
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r.n_px > 0
+        assert 0.0 <= r.mean_px <= 255.0
+    # deterministic: same input -> same output
+    again = decode_image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_sample_video_frames(spark):
+    rows = [Row(media_id=1, kind="video", n_frames=25),
+            Row(media_id=2, kind="image", n_frames=1)]
+    out = sample_video_frames(spark.createDataFrame(rows), every_n=10) \
+        .collect()
+    assert sorted((r.media_id, r.frame_index) for r in out) == \
+        [(1, 0), (1, 10), (1, 20)]

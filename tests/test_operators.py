@@ -1,0 +1,137 @@
+"""Operator tests: joins, ordering, grouping, overlay/fragments."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dask_ms_spark.operators.grouping import group_metadata
+from dask_ms_spark.operators.joins import (anti_filter, broadcast_lookup,
+                                           semi_filter)
+from dask_ms_spark.operators.ordering import attach_rowid, group_rank, top_k
+from dask_ms_spark.operators.overlay import (consolidate, get_ancestry,
+                                             overlay, read_fragment,
+                                             rebase_fragment, write_fragment)
+
+
+def test_attach_rowid_is_dense_and_ordered(lineitem):
+    df = attach_rowid(lineitem, ["l_orderkey", "l_linenumber"])
+    rows = df.select("ROWID", "l_orderkey", "l_linenumber") \
+             .orderBy("ROWID").collect()
+    assert [r.ROWID for r in rows] == list(range(len(rows)))
+    keys = [(r.l_orderkey, r.l_linenumber) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_group_rank_matches_lexsort(lineitem):
+    df = lineitem.where("l_quantity >= 49")
+    ranked = group_rank(df, ["l_returnflag"],
+                        ["l_shipdate", "l_orderkey", "l_linenumber"])
+    for flag_rows in ranked.groupBy("l_returnflag").agg(
+            F.collect_list(F.struct("rank", "l_shipdate", "l_orderkey",
+                                    "l_linenumber")).alias("rs")).collect():
+        rs = sorted(flag_rows.rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r.l_shipdate, r.l_orderkey, r.l_linenumber) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_top_k(orders):
+    out = top_k(orders, ["o_orderstatus"],
+                [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+                k=3, rank_name="rn")
+    per_group = out.groupBy("o_orderstatus").count().collect()
+    assert all(r["count"] <= 3 for r in per_group)
+    # top-1 really is the max
+    status, best = out.where("rn = 1").select(
+        "o_orderstatus", "o_totalprice").first()
+    true_max = orders.where(F.col("o_orderstatus") == status) \
+                     .agg(F.max("o_totalprice")).first()[0]
+    assert best == true_max
+
+
+def test_group_metadata(lineitem):
+    df = attach_rowid(lineitem, ["l_orderkey", "l_linenumber"])
+    meta = group_metadata(df, ["l_returnflag"], rowid="ROWID")
+    got = {r.l_returnflag: (r.group_count, r.exemplar_rowid)
+           for r in meta.collect()}
+    oracle = df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ROWID").alias("x")).collect()
+    assert got == {r.l_returnflag: (r.n, r.x) for r in oracle}
+
+
+def test_semi_anti_partition_table(customer, orders):
+    with_orders = semi_filter(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey")
+    without = anti_filter(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey")
+    assert with_orders.count() + without.count() == customer.count()
+    assert with_orders.join(without, "c_custkey", "inner").count() == 0
+
+
+def test_broadcast_lookup_values(customer, nation):
+    dim = nation.withColumnRenamed("n_nationkey", "c_nationkey")
+    j = broadcast_lookup(customer, dim, "c_nationkey")
+    assert j.count() == customer.count()
+    sample = j.select("c_nationkey", "n_name").distinct().collect()
+    truth = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert all(truth[r.c_nationkey] == r.n_name for r in sample)
+
+
+def test_overlay_fragment_wins(orders):
+    base = orders.withColumn("ROWID", F.col("o_orderkey"))
+    frag = (base.where("o_orderstatus = 'O'")
+                .select("ROWID", F.lit(-1.0).alias("o_totalprice")))
+    merged = overlay(base, frag, key="ROWID")
+    assert merged.count() == base.count()
+    n_open = base.where("o_orderstatus = 'O'").count()
+    assert merged.where("o_totalprice = -1.0").count() == n_open
+    # non-fragment rows untouched
+    untouched = merged.where("o_orderstatus <> 'O'") \
+        .join(base.where("o_orderstatus <> 'O'")
+              .select("ROWID", F.col("o_totalprice").alias("orig")), "ROWID")
+    assert untouched.where("o_totalprice <> orig").count() == 0
+
+
+def test_fragment_roundtrip_and_ancestry(spark, orders, tmp_path):
+    root_store = str(tmp_path / "root")
+    frag1 = str(tmp_path / "frag1")
+    frag2 = str(tmp_path / "frag2")
+
+    base = orders.withColumn("ROWID", F.col("o_orderkey")) \
+                 .select("ROWID", "o_totalprice", "o_orderstatus")
+    base.write.parquet(root_store)
+
+    f1 = base.where("o_orderstatus = 'O'") \
+             .select("ROWID", F.lit(1.0).alias("o_totalprice"))
+    write_fragment(f1, frag1, parent=root_store)
+    f2 = base.where("o_orderstatus = 'F'") \
+             .select("ROWID", F.lit(2.0).alias("o_totalprice"))
+    write_fragment(f2, frag2, parent=frag1)
+
+    assert get_ancestry(frag2) == [root_store, frag1, frag2]
+
+    merged = read_fragment(spark, frag2)
+    n_o = base.where("o_orderstatus = 'O'").count()
+    n_f = base.where("o_orderstatus = 'F'").count()
+    assert merged.where("o_totalprice = 1.0").count() == n_o
+    assert merged.where("o_totalprice = 2.0").count() == n_f
+    assert merged.count() == base.count()
+
+    # rebase: skip frag1 -> only frag2's overlay applies
+    rebase_fragment(frag2, root_store)
+    assert get_ancestry(frag2) == [root_store, frag2]
+    merged2 = read_fragment(spark, frag2)
+    assert merged2.where("o_totalprice = 1.0").count() == 0
+    assert merged2.where("o_totalprice = 2.0").count() == n_f
+
+
+def test_consolidate_later_fragment_wins(spark, orders):
+    base = orders.withColumn("ROWID", F.col("o_orderkey")) \
+                 .select("ROWID", "o_totalprice")
+    fa = base.limit(10).select("ROWID", F.lit(10.0).alias("o_totalprice"))
+    fb = base.limit(5).select("ROWID", F.lit(20.0).alias("o_totalprice"))
+    out = consolidate([base, fa, fb])
+    assert out.where("o_totalprice = 20.0").count() == 5
+    assert out.where("o_totalprice = 10.0").count() == 5

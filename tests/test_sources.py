@@ -1,0 +1,108 @@
+"""Source/sink tests: parquet round trips, storage dispatch, convert.
+
+Reference model: format round-trip tests
+(daskms/experimental/arrow/tests/test_parquet.py,
+daskms/apps/tests/test_convert.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_ms_spark.sources.convert import convert_store, convert_table
+from dask_ms_spark.sources.parquet import (read_table, xds_from_parquet,
+                                           xds_to_parquet)
+from dask_ms_spark.sources.storage import (TableStore, infer_format,
+                                           xds_from_storage_table,
+                                           xds_to_storage_table)
+from tests.conftest import SF_DIR
+
+
+def test_table_store_parse():
+    s = TableStore.parse("/data/ms.parquet::SPECTRAL_WINDOW")
+    assert s.url == "/data/ms.parquet"
+    assert s.subtable == "SPECTRAL_WINDOW"
+    assert s.path == "/data/ms.parquet/SPECTRAL_WINDOW"
+    assert TableStore.parse("/plain").path == "/plain"
+
+
+def test_infer_format(tmp_path):
+    casa = tmp_path / "casa_t"
+    casa.mkdir()
+    (casa / "table.dat").touch()
+    z = tmp_path / "z"
+    z.mkdir()
+    (z / ".zgroup").touch()
+    assert infer_format(str(casa)) == "casa"
+    assert infer_format(str(z)) == "zarr"
+    assert infer_format(str(tmp_path / "whatever")) == "parquet"
+
+
+def test_parquet_roundtrip_partitioned(spark, orders, tmp_path):
+    store = str(tmp_path / "orders_store")
+    dss = xds_from_parquet(spark, os.path.join(SF_DIR, "orders.parquet"),
+                           group_cols=["o_orderstatus"])
+    xds_to_parquet(dss, store)
+    # Hive layout written
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(store))
+    back = spark.read.parquet(store)
+    assert back.count() == orders.count()
+    orig = sorted(tuple(r) for r in
+                  orders.groupBy("o_orderstatus").count().collect())
+    rt = sorted(tuple(r) for r in
+                back.groupBy("o_orderstatus").count().collect())
+    assert orig == rt
+
+
+def test_storage_dispatch_roundtrip(spark, nation, tmp_path):
+    store = str(tmp_path / "nation_store")
+    dss = xds_from_storage_table(
+        spark, os.path.join(SF_DIR, "nation.parquet"))
+    xds_to_storage_table(dss, store)
+    assert infer_format(store) == "parquet"
+    back = xds_from_storage_table(spark, store)
+    assert back[0].df.count() == nation.count()
+
+
+def test_partition_pruning_on_hive_store(spark, orders, tmp_path):
+    """Group-pruned reads actually prune: the plan for one partition of
+    a Hive store must not scan the others (G3 partition-key round trip +
+    Catalyst partition pruning)."""
+    store = str(tmp_path / "pruned")
+    dss = xds_from_parquet(spark, os.path.join(SF_DIR, "orders.parquet"),
+                           group_cols=["o_orderstatus"])
+    xds_to_parquet(dss, store)
+    back = xds_from_parquet(spark, store, group_cols=["o_orderstatus"])
+    one = next(d for d in back if d.attrs["o_orderstatus"] == "F")
+    plan = one.df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
+    want = orders.where("o_orderstatus = 'F'").count()
+    assert one.df.count() == want
+
+
+def test_convert_excludes_and_partitions(spark, tmp_path):
+    out = str(tmp_path / "converted")
+    convert_table(spark, os.path.join(SF_DIR, "orders.parquet"), out,
+                  exclude_columns=["o_orderpriority"],
+                  group_cols=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert "o_orderpriority" not in back.columns
+    assert "o_orderstatus" in back.columns
+    src = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    assert back.count() == src.count()
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    """P2: the predicate must appear as PushedFilters in the scan."""
+    df = lineitem.where("l_quantity < 5").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(lineitem):
+    """P1: ReadSchema carries only the selected columns."""
+    df = lineitem.select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_tax" not in read_schema

@@ -1,0 +1,51 @@
+"""Streaming tests: batch/stream parity for windowed aggregations, the
+stateful sessionize operator, and the file-source staging."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_ms_spark.streaming.events import (read_events, read_events_stream,
+                                            run_stream_to_memory,
+                                            sliding_value_stats,
+                                            windowed_counts)
+
+
+@pytest.fixture(scope="module")
+def events(spark, events_path):
+    return read_events(spark, events_path)
+
+
+def test_read_events_normalizes_ts(events):
+    assert dict((f.name, f.dataType.simpleString())
+                for f in events.schema.fields)["ts"] == "timestamp"
+    assert events.count() > 0
+
+
+def test_windowed_counts_batch(events):
+    wc = windowed_counts(events, "1 hour")
+    total = wc.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+    # every window start is hour-aligned
+    misaligned = wc.where(
+        (F.minute("window_start") != 0) | (F.second("window_start") != 0))
+    assert misaligned.count() == 0
+
+
+def test_sliding_window_double_counts(events):
+    sl = sliding_value_stats(events, "2 hours", "1 hour")
+    total = sl.agg(F.sum("n_events")).first()[0]
+    # each event lands in exactly 2 sliding windows
+    assert total == 2 * events.count()
+
+
+def test_stream_matches_batch(spark, events_path, events):
+    """The same windowed_counts code on a file-source stream produces
+    the batch answer once the finite source drains."""
+    stream = read_events_stream(spark, events_path)
+    assert stream.isStreaming
+    result = run_stream_to_memory(
+        windowed_counts(stream, "1 hour"), "wc_stream")
+    batch = windowed_counts(events, "1 hour")
+    got = sorted(tuple(r) for r in result.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
