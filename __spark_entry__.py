@@ -37,10 +37,13 @@ from dask_ms_spark.functions.text import (  # noqa: E402
 from dask_ms_spark.functions.vector import cosine  # noqa: E402
 from dask_ms_spark.llm.dedup import (  # noqa: E402
     MINHASH_COEFFS, MINHASH_P, embedding_dup_pairs_gemm, exact_dedup,
-    lsh_jaccard_pairs, normalize_text, with_minhash)
+    lsh_jaccard_pairs, normalize_text, with_minhash, with_simhash)
 from dask_ms_spark.llm.multimodal import (  # noqa: E402
     decode_image_features, media_table)
-from dask_ms_spark.llm.similarity import brute_force_topk  # noqa: E402
+from dask_ms_spark.functions.text import (  # noqa: E402
+    fingerprint, with_fingerprint)
+from dask_ms_spark.llm.similarity import (  # noqa: E402
+    brute_force_topk, ivf_topk)
 from dask_ms_spark.operators.grouping import group_metadata  # noqa: E402
 from dask_ms_spark.operators.joins import (  # noqa: E402
     anti_filter, broadcast_lookup, semi_filter, star_join)
@@ -54,7 +57,14 @@ from dask_ms_spark.streaming.events import (  # noqa: E402
 # helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan + adaptive split widening: the testdata tables are single
+    row groups (one input split), which would serialise CPU-heavy
+    per-row work on one core; at real scale the scan has many splits
+    and ensure_parallelism is a no-op."""
+    from dask_ms_spark.session import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def _money(col):
@@ -103,9 +113,14 @@ def q_expr_arithmetic(spark, sf_dir):
 
 def q_group_partition(spark, sf_dir):
     """G1 group-by-columns partitioning metadata (daskms/ordering.py:
-    165-192): GCOUNT() / GROWID()[0] analogues per group."""
-    df = attach_rowid(_t(spark, sf_dir, "lineitem"),
-                      ["l_orderkey", "l_linenumber"])
+    165-192): GCOUNT() / GROWID()[0] analogues per group.
+
+    ROWID orders by ALL columns: (l_orderkey, l_linenumber) is not
+    unique in the synthetic data, and ties under a partial key make
+    row_number engine-arbitrary; a total (or duplicate-row-only-tied)
+    order keeps min(ROWID) per group deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = attach_rowid(li, li.columns)
     meta = group_metadata(df, ["l_returnflag", "l_linestatus"],
                           rowid="ROWID")
     return meta.select("l_returnflag", "l_linestatus", "group_count",
@@ -126,8 +141,11 @@ def q_sorted_read(spark, sf_dir):
     """O1 global sorted read (daskms/ordering.py:64-99): global rank
     via row_number over the index columns = the sorted-ROWID query."""
     df = _t(spark, sf_dir, "lineitem").where("l_quantity >= 49")
+    # l_quantity joins the sort key so ties among duplicate partial
+    # keys cannot permute visible columns across engines
     return attach_rowid(
-        df, ["l_shipdate", "l_orderkey", "l_linenumber"], name="position"
+        df, ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        name="position"
     ).select("position", "l_orderkey", "l_linenumber", "l_quantity")
 
 
@@ -252,6 +270,52 @@ def q_tpch_q1(spark, sf_dir):
                    F.count(F.lit(1)).alias("count_order")))
 
 
+def q_tensor_slice(spark, sf_dir):
+    """P3 per-column slice read (daskms/reads.py:58-75): hyperslab
+    selection on a tensor column = array slice — element pruning
+    without touching the rest of the row."""
+    embs = _t(spark, sf_dir, "embeddings")
+    sl = F.slice(F.col("embedding"), 2, 3)
+    return embs.select(
+        "vec_id", sl.alias("slab"),
+        F.round(F.aggregate(sl, F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double")), 6)
+         .alias("slab_sum"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single agg — the pushdown +
+    map-side-combine stress case."""
+    df = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp '1994-01-01' AND "
+        "l_shipdate < timestamp '1995-01-01' AND "
+        "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           F.col("l_discount").cast("decimal(18,4)"))
+    return df.agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective join + agg + global top-k."""
+    cust = _t(spark, sf_dir, "customer").where("c_nationkey < 10")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate < timestamp '1995-03-15'")
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate > timestamp '1995-03-15'")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey))
+    agg = (j.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+               .limit(10)
+               .select("l_orderkey",
+                       F.unix_timestamp("o_orderdate").alias("odate_epoch"),
+                       "revenue"))
+
+
 def q_complex_mul(spark, sf_dir):
     """§2.7 complex arithmetic over interleaved re/im arrays
     (encoding: daskms/experimental/arrow/extension_types.py:178-200).
@@ -299,9 +363,37 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs via distributed blocked GEMM."""
     pairs = embedding_dup_pairs_gemm(_t(spark, sf_dir, "embeddings"),
-                                     threshold=0.4)
+                                     threshold=0.4, block_size=256)
     return pairs.select("id_a", "id_b",
                         F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash signatures (15 usable bits): explode + partial-agg vote
+    sums — the shuffle-friendly SimHash shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_simhash(docs, shingle_k=4, bits=16) \
+        .select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbours: 16 cells, 4 probes
+    — the ANN scale path (cell-local scoring joins only)."""
+    embs = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = embs.where("vec_id < 5")
+    return ivf_topk(embs, queries, k=10, num_cells=16, nprobe=4) \
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints: per-window minima of rolling k-gram
+    hashes (the rolling-hash fingerprint family), staged so each md5
+    is computed once."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs, k=8, window=4)
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -357,6 +449,19 @@ def q_events_sliding(spark, sf_dir):
     sl = sliding_value_stats(events, "2 hours", "1 hour")
     return sl.select(F.unix_timestamp("window_start").alias("win_epoch"),
                      "user_id", "n_events", "avg_value")
+
+
+def q_events_session(spark, sf_dir):
+    """Session windows (30-minute gap) per user — Structured
+    Streaming's session_window on the batch path; the oracle mirrors it
+    with gaps-and-islands SQL."""
+    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return (events.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                           "user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.round(F.sum("value"), 4).alias("sum_value"))
+                  .select(F.unix_timestamp("w.start").alias("session_epoch"),
+                          "user_id", "n_events", "sum_value"))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -462,6 +567,101 @@ def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
     """
 
 
+def _simhash_sql(shingle_k: int = 4, bits: int = 16) -> str:
+    """Mirror of llm.dedup.with_simhash: explode shingle hashes, sum
+    per-bit ±1 votes, reassemble the signature from vote signs."""
+    nbits = bits - 1
+    norm = _DUCK_NORM.format(x="text")
+    shingles = (f"list_distinct(CASE WHEN length({norm}) <= {shingle_k - 1} "
+                f"THEN [{norm}] ELSE list_transform("
+                f"range(1, length({norm}) - {shingle_k - 2}), "
+                f"i -> substring({norm}, i, {shingle_k})) END)")
+    h = _DUCK_HASH.format(x="g || 'simhash'")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(nbits))
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN cast({2 ** j} as bigint) "
+        f"ELSE 0 END)" for j in range(nbits))
+    return f"""
+        WITH sh AS (SELECT doc_id, {shingles} AS grams FROM documents),
+        ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        hx AS (SELECT doc_id, {h} AS h FROM ex),
+        v AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id)
+        SELECT doc_id, {sig} AS simhash FROM v
+    """
+
+
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """Mirror of functions.text.fingerprint (winnowing): rolling k-gram
+    hashes -> per-window minima -> sorted distinct."""
+    # fingerprint() lowercases + collapses whitespace but does NOT trim
+    norm = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+    gh = _DUCK_HASH.format(x=f"substring(t, i, {k})")
+    th = _DUCK_HASH.format(x="t")
+    return f"""
+        WITH base AS (SELECT doc_id, {norm} AS t FROM documents),
+        hs AS (SELECT doc_id,
+                      CASE WHEN length(t) - {k - 1} <= 0 THEN [{th}]
+                           ELSE list_transform(
+                               range(1, length(t) - {k - 2}),
+                               i -> {gh}) END AS hashes
+               FROM base),
+        mins AS (SELECT doc_id,
+                        CASE WHEN len(hashes) - {window - 1} <= 0
+                             THEN [list_min(hashes)]
+                             ELSE list_transform(
+                                 range(1, len(hashes) - {window - 2}),
+                                 i -> list_min(list_slice(
+                                     hashes, i, i + {window - 1}))) END
+                        AS mins
+                 FROM hs)
+        SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM mins
+    """
+
+
+def _ivf_sql(k: int = 10, num_cells: int = 16, nprobe: int = 4,
+             n_queries: int = 5) -> str:
+    """Mirror of llm.similarity.ivf_topk: nearest-centroid cell
+    assignment, nprobe probes per query, exact cosine in probed cells."""
+    cos_vc = _COS.replace("va", "v.vec").replace("vb", "c.cvec")
+    cos_qn = _COS.replace("va", "q.qvec").replace("vb", "n.nvec")
+    return f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> cast(x as double))
+                          AS vec FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, vec AS cvec FROM v
+                 WHERE vec_id < {num_cells}),
+        aff AS (SELECT v.vec_id, v.vec, c.cent_id, {cos_vc} AS aff
+                FROM v, cent c),
+        cells AS (
+            SELECT vec_id AS neighbor_id, vec AS nvec, cent_id AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY aff DESC, cent_id ASC) AS pr FROM aff)
+            WHERE pr = 1),
+        probes AS (
+            SELECT vec_id AS query_id, vec AS qvec, cent_id AS cell
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY aff DESC, cent_id ASC) AS pr FROM aff
+                  WHERE vec_id < {n_queries})
+            WHERE pr <= {nprobe}),
+        scored AS (
+            SELECT DISTINCT q.query_id, n.neighbor_id, {cos_qn} AS cos
+            FROM probes q JOIN cells n ON q.cell = n.cell
+            WHERE q.query_id != n.neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC)
+                   AS rank, cos
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 _COS = ("list_dot_product(va, vb) / "
         "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")
 
@@ -522,17 +722,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "overlay": q_overlay,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tensor_slice": q_tensor_slice,
         "complex_mul": q_complex_mul,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
+        "ann_ivf": q_ann_ivf,
+        "text_winnow": q_text_winnow,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -558,7 +765,12 @@ def oracle_sql() -> dict[str, str]:
         "group_partition": """
             WITH r AS (SELECT l_returnflag, l_linestatus,
                               row_number() OVER (ORDER BY l_orderkey,
-                                                 l_linenumber) - 1 AS rowid
+                                                 l_partkey, l_suppkey,
+                                                 l_linenumber, l_quantity,
+                                                 l_extendedprice, l_discount,
+                                                 l_tax, l_returnflag,
+                                                 l_linestatus, l_shipdate)
+                              - 1 AS rowid
                        FROM lineitem)
             SELECT l_returnflag, l_linestatus, count(*) AS group_count,
                    min(rowid) AS exemplar_rowid
@@ -572,7 +784,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sorted_read": """
             SELECT row_number() OVER (ORDER BY l_shipdate, l_orderkey,
-                                      l_linenumber) - 1 AS position,
+                                      l_linenumber, l_quantity)
+                   - 1 AS position,
                    l_orderkey, l_linenumber, l_quantity
             FROM lineitem WHERE l_quantity >= 49
         """,
@@ -654,6 +867,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   cast(epoch(o_orderdate) as bigint) AS odate_epoch,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey < 10
+              AND o_orderdate < timestamp '1995-03-15'
+              AND l_shipdate > timestamp '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q6": """
+            SELECT round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                 cast(l_discount as decimal(18,4)))
+                        as double), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1994-01-01'
+              AND l_shipdate < timestamp '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "tensor_slice": """
+            SELECT vec_id, list_slice(embedding, 2, 4) AS slab,
+                   round(list_sum(list_transform(
+                       list_slice(embedding, 2, 4),
+                       x -> cast(x as double))), 6) AS slab_sum
+            FROM embeddings
+        """,
+        "events_session": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, value,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT cast(floor(epoch(min(ts))) as bigint) AS session_epoch,
+                   user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
         "complex_mul": """
             SELECT l_orderkey, l_linenumber,
                    round(cast(cast(l_quantity as float) *
@@ -674,7 +938,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": _minhash_sig_sql(),
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_embedding": _embedding_dup_sql(),
+        "dedup_simhash": _simhash_sql(),
         "similarity_topk": _similarity_topk_sql(),
+        "ann_ivf": _ivf_sql(),
+        "text_winnow": _winnow_sql(),
         "text_stats": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -33,9 +33,12 @@ HEADLINE = [
     "dedup_minhash_sig",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "dedup_simhash",
     "similarity_topk",
+    "ann_ivf",
     "text_langid",
     "text_fingerprint",
+    "text_winnow",
     "events_windowed",
     "events_sliding",
 ]

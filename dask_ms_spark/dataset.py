@@ -110,9 +110,11 @@ def partition_datasets(df: DataFrame,
         # One dataset per row — only sane for tiny subtables; collect()
         # here matches the reference's per-row grouping of small
         # non-uniform subtables (daskms/reads.py:492-517).
-        rows = df.withColumn(ROWID, F.monotonically_increasing_id()).collect()
+        with_rowid = df.withColumn(ROWID, F.monotonically_increasing_id())
+        rows = with_rowid.collect()
         sess = df.sparkSession
-        return [Dataset(sess.createDataFrame([r], df.schema.add(ROWID, "long")),
+        schema = with_rowid.schema  # one instance: StructType.add mutates
+        return [Dataset(sess.createDataFrame([r], schema),
                         {ROWID: r[ROWID]}) for r in rows]
 
     # Eager metadata-only query: distinct group tuples (small).

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
            "word_shingles", "quality_features", "langid_scores", "langid",
-           "fingerprint", "STOPWORDS"]
+           "fingerprint", "with_fingerprint", "STOPWORDS"]
 
 _WS = r"\s+"
 
@@ -132,6 +132,12 @@ def fingerprint(text: Column, k: int = 8, window: int = 4) -> Column:
     (portable md5 hash), then keep per-window minima — the rolling-hash
     fingerprint family, as a sorted distinct array of selected hashes.
 
+    CAUTION (Column form): the ``hashes`` subtree is referenced inside
+    the window lambda, and higher-order functions re-evaluate captured
+    subtrees per element — O(n·window·n) md5 calls.  Use
+    :func:`with_fingerprint` on a DataFrame, which stages each
+    intermediate as a bound attribute so every hash is computed once.
+
     For the oracle-checkable single-value form see ``portable_hash64``
     over the normalised text.
     """
@@ -145,3 +151,32 @@ def fingerprint(text: Column, k: int = 8, window: int = 4) -> Column:
         F.transform(F.sequence(F.lit(1), nwin),
                     lambda i: F.array_min(F.slice(hashes, i, window))))
     return F.array_sort(F.array_distinct(mins))
+
+
+def with_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 8, window: int = 4,
+                     out: str = "fps"):
+    """Winnowing fingerprints with staged projections.
+
+    Each stage's result binds to a real attribute, so the k-gram md5
+    array is computed exactly once per row (CollapseProject keeps
+    multi-referenced non-trivial aliases apart) — the same staging
+    discipline as ``llm.dedup.with_minhash``.  Returns (id, fps).
+    """
+    t = F.lower(F.regexp_replace(F.col(text_col), _WS, " "))
+    s1 = df.select(F.col(id_col), t.alias("__t"))
+    tcol = F.col("__t")
+    count = F.length(tcol) - F.lit(k - 1)
+    hashes = F.when(count <= 0, F.array(portable_hash64(tcol))).otherwise(
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: portable_hash64(tcol.substr(i, F.lit(k)))))
+    s2 = s1.select(id_col, hashes.alias("__hashes"))
+    h = F.col("__hashes")
+    nwin = F.size(h) - F.lit(window - 1)
+    mins = F.when(nwin <= 0, F.array(F.array_min(h))).otherwise(
+        F.transform(F.sequence(F.lit(1), nwin),
+                    lambda i: F.array_min(F.slice(h, i, window))))
+    s3 = s2.select(id_col, mins.alias("__mins"))
+    return s3.select(
+        id_col,
+        F.array_sort(F.array_distinct(F.col("__mins"))).alias(out))

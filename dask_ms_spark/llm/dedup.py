@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import char_ngrams, portable_hash64
 from ..functions.vector import cosine
+from ..session import ensure_parallelism
 
 __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "shingle_base_hashes", "minhash_signature", "minhash_from_base",
@@ -51,6 +52,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     at 100 TB the shuffle payload is (id, digest), a few bytes/row.
     """
     digest = portable_hash64(normalize_text(F.col(text_col)))
+    docs = ensure_parallelism(docs)
     return (docs.select(F.col(id_col), digest.alias("text_hash"))
                 .groupBy("text_hash")
                 .agg(F.min(id_col).alias("keep_id"),
@@ -113,7 +115,7 @@ def with_minhash(docs: DataFrame, text_col: str = "text",
     """(id, sig) DataFrame with the base hashes computed exactly once
     (separate projection -> codegen evaluates shingling + md5 once per
     row, permutations reuse the array)."""
-    base = docs.select(
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in keep],
         shingle_base_hashes(F.col(text_col), shingle_k).alias("base"))
@@ -230,11 +232,15 @@ def with_simhash(docs: DataFrame, text_col: str = "text",
     """
     nbits = bits - 1
     shingles = char_ngrams(normalize_text(F.col(text_col)), shingle_k)
-    exploded = docs.select(
+    exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(shingles).alias("shingle"))
-    h = portable_hash64(F.col("shingle"), "simhash")
-    votes = exploded.select("id", *[
+    # stage the hash as an attribute: the 15 vote columns then read it
+    # instead of re-deriving md5 per bit
+    hashed = exploded.select(
+        "id", portable_hash64(F.col("shingle"), "simhash").alias("h"))
+    h = F.col("h")
+    votes = hashed.select("id", *[
         F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
          .otherwise(F.lit(-1)).alias(f"v{j}")
         for j in range(nbits)])
@@ -283,7 +289,7 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # Jaccard (hashes are portable and per-doc distinct on both
     # engines; cross-gram collisions mod 2^31-1 are ~1e-5/doc and
     # identical in any engine, so results stay comparable).
-    base = docs.select(
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(F.transform(
             grams, lambda s: portable_hash64(s) % F.lit(MINHASH_P))))
@@ -334,7 +340,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     prune with ``min_shared`` and AQE.
     """
     grams = F.array_distinct(char_ngrams(normalize_text(F.col(text_col)), n))
-    base = docs.select(F.col(id_col).alias("id"),
+    base = ensure_parallelism(docs).select(F.col(id_col).alias("id"),
                        grams.alias("grams"),
                        F.size(grams).alias("n_grams"))
     inv = base.select(

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot
 
-__all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk"]
+__all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk",
+           "ivf_assign", "ivf_topk"]
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -83,6 +84,67 @@ def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8,
         bit = (dot(vec, plane) >= 0).cast("int")
         bucket = bucket + bit * F.lit(2 ** j)
     return bucket
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "cent_id", cent_vec: str = "cvec",
+               nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (IVF cell assignment).  Centroids are broadcast (they are small by
+    construction); assignment is a map-side cross-score + per-vector
+    top-nprobe window — the corpus never shuffles for assignment.
+
+    Ties break by centroid id, so assignment is deterministic and
+    engine-portable.
+    """
+    scored = (vectors.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("vec"))
+              .crossJoin(F.broadcast(
+                  centroids.select(F.col(cent_id).alias("cell"),
+                                   F.col(cent_vec).alias("cv"))))
+              .select("id", "vec", "cell",
+                      cosine(F.col("vec"), F.col("cv")).alias("aff")))
+    w = Window.partitionBy("id").orderBy(F.col("aff").desc(),
+                                         F.col("cell").asc())
+    return (scored.withColumn("probe_rank", F.row_number().over(w))
+                  .where(F.col("probe_rank") <= nprobe)
+                  .select("id", "vec", "cell"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             num_cells: int = 16, nprobe: int = 4,
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+             query_id: str = "vec_id", query_vec: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into inverted-file cells,
+    queries probe their ``nprobe`` nearest cells, exact cosine within
+    probed cells only.
+
+    Centroids are the first ``num_cells`` corpus vectors (deterministic;
+    production would run k-means — the plan shape is identical).  At
+    scale this is the standard ANN layout: the expensive scoring join is
+    cell-local (shuffle keyed on the cell id), and raising nprobe
+    trades recall for work linearly.
+    """
+    centroids = (corpus.where(F.col(corpus_id) < num_cells)
+                 .select(F.col(corpus_id).alias("cent_id"),
+                         F.col(corpus_vec).alias("cvec")))
+    cells = ivf_assign(corpus, centroids, corpus_id, corpus_vec, nprobe=1) \
+        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec2"),
+                "cell")
+    probes = ivf_assign(queries, centroids, query_id, query_vec,
+                        nprobe=nprobe) \
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
+                "cell")
+    scored = (cells.join(probes, on="cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("qvec"), F.col("cvec2")).alias("cos_sim"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,

@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "ensure_parallelism"]
 
 
 def _cpus() -> int:
@@ -69,6 +69,27 @@ def get_spark(app_name: str = "dask-ms-spark", master: str | None = None,
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition ``df`` iff its scan yields fewer
+    partitions than the session's core count.
+
+    Why: a small parquet file is a single row group = ONE input split,
+    so CPU-heavy per-row work (md5 shingling, regex scoring) serialises
+    on one core no matter how many the session has.  At production
+    scale inputs span many splits and this is a no-op — the check reads
+    the planned partition count (no job runs), so the extra exchange
+    only ever appears when the scan genuinely under-parallelises.
+    The reference has the same issue inverted: its chunks arg splits a
+    monolithic CASA table into dask tasks (daskms/dask_ms.py:243-267).
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
 
 
 def stop_spark() -> None:

@@ -52,12 +52,16 @@ def xds_from_parquet(spark: SparkSession, store: str,
 
 def xds_to_parquet(datasets: list[Dataset] | Dataset | DataFrame, store: str,
                    partition_cols: Iterable[str] | None = None,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite",
+                   table_keywords: dict | None = None,
+                   column_keywords: dict | None = None) -> None:
     """Write datasets to a Hive-partitioned parquet store (reference
     ``xds_to_parquet``, daskms/experimental/arrow/writes.py:100-178).
 
     Partition columns default to the datasets' recorded partition key,
     giving the same ``FIELD=val`` directory layout the reference emits.
+    ``table_keywords``/``column_keywords`` mirror ``xds_to_table``'s
+    metadata args (daskms/writes.py:723-739) via a JSON sidecar.
     """
     if isinstance(datasets, Dataset):
         datasets = [datasets]
@@ -74,3 +78,8 @@ def xds_to_parquet(datasets: list[Dataset] | Dataset | DataFrame, store: str,
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(store)
+
+    if table_keywords or column_keywords:
+        from .keywords import write_keywords
+
+        write_keywords(store, table_keywords, column_keywords)

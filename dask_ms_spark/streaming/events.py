@@ -36,7 +36,10 @@ def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """
     field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
     if field.get(ts_col) == "bigint":
-        micros = (F.col(ts_col) / 1000).cast("long")
+        # integer division: (ns / 1000) through double rounds near
+        # microsecond boundaries (2^53 < ns range), which shifts events
+        # across second edges vs an exact-ns engine
+        micros = F.expr(f"`{ts_col}` div 1000")
         return df.withColumn(ts_col, F.timestamp_micros(micros))
     return df
 

@@ -53,6 +53,18 @@ def test_concat_reexpands_group_columns(orders):
     assert orig == round_trip
 
 
+def test_group_by_row(nation):
+    """G2 '__row__' grouping (daskms/dask_ms.py:165-177): one dataset
+    per row, for small non-uniform subtables."""
+    from dask_ms_spark.dataset import GROUP_BY_ROW
+
+    dss = partition_datasets(nation, group_cols=[GROUP_BY_ROW])
+    assert len(dss) == nation.count()
+    assert all(ds.df.count() == 1 for ds in dss[:3])
+    keys = sorted(ds.df.first().n_nationkey for ds in dss)
+    assert keys == sorted(r.n_nationkey for r in nation.collect())
+
+
 def test_dataset_assign_select_where(lineitem):
     ds = Dataset(lineitem)
     out = (ds.assign(double_qty=F.col("l_quantity") * 2)

@@ -92,6 +92,74 @@ def test_convert_excludes_and_partitions(spark, tmp_path):
     assert back.count() == src.count()
 
 
+def test_keywords_roundtrip(spark, nation, tmp_path):
+    """S7 table/column keyword metadata (daskms/writes.py:723-739)."""
+    from dask_ms_spark.sources.keywords import (read_keywords,
+                                                update_keywords)
+
+    store = str(tmp_path / "kw_store")
+    dss = xds_from_parquet(spark, os.path.join(SF_DIR, "nation.parquet"))
+    xds_to_parquet(dss, store,
+                   table_keywords={"MS_VERSION": 2.0},
+                   column_keywords={"n_name": {"UNIT": "name"}})
+    table, cols = read_keywords(store)
+    assert table == {"MS_VERSION": 2.0}
+    assert cols == {"n_name": {"UNIT": "name"}}
+    update_keywords(store, {"EXTRA": 1}, {"n_name": {"QuantumUnits": ["s"]}})
+    table, cols = read_keywords(store)
+    assert table == {"MS_VERSION": 2.0, "EXTRA": 1}
+    assert cols["n_name"] == {"UNIT": "name", "QuantumUnits": ["s"]}
+    # keywordless store reads as empty dicts
+    assert read_keywords(str(tmp_path)) == ({}, {})
+
+
+def test_cli_convert_and_fragments(spark, tmp_path, capsys):
+    """S11/F4 CLI apps (daskms/apps/convert.py, daskms/apps/fragments.py)."""
+    from dask_ms_spark.apps import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["convert", os.path.join(SF_DIR, "nation.parquet"), out,
+               "--exclude", "n_regionkey"])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert "n_regionkey" not in back.columns
+    assert back.count() == spark.read.parquet(
+        os.path.join(SF_DIR, "nation.parquet")).count()
+
+    # fragment ancestry + rebase through the CLI
+    from dask_ms_spark.operators.overlay import write_fragment
+
+    frag = str(tmp_path / "cli_frag")
+    write_fragment(back.selectExpr("n_nationkey AS ROWID", "n_name"),
+                   frag, parent=out)
+    rc = main(["fragments", "ancestry", frag])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines() == [out, frag]
+    rc = main(["fragments", "rebase", frag, str(tmp_path / "other")])
+    assert rc == 0
+    rc = main(["fragments", "ancestry", frag])
+    lines = capsys.readouterr().out.splitlines()
+    assert lines[0] == str(tmp_path / "other")
+
+
+def test_gated_sources_raise_helpfully(spark):
+    """casa/zarr/katdal adapters must point at the parquet path when
+    their native libraries are absent."""
+    import pytest as _pytest
+
+    from dask_ms_spark.sources import casa, katdal, zarr
+
+    if not casa.HAVE_CASACORE:
+        with _pytest.raises(NotImplementedError, match="parquet"):
+            casa.xds_from_casa(spark, "/nonexistent")
+    if not zarr.HAVE_ZARR:
+        with _pytest.raises(NotImplementedError, match="parquet"):
+            zarr.xds_from_zarr(spark, "/nonexistent")
+    if not katdal.HAVE_KATDAL:
+        with _pytest.raises(NotImplementedError, match="parquet"):
+            katdal.xds_from_katdal(spark, "rdb://nonexistent")
+
+
 def test_filter_pushdown_reaches_scan(lineitem):
     """P2: the predicate must appear as PushedFilters in the scan."""
     df = lineitem.where("l_quantity < 5").select("l_orderkey", "l_quantity")
