@@ -109,10 +109,18 @@ _SESSION_SCHEMA = ("user_id long, session_start timestamp, "
 _STATE_SCHEMA = "start long, last long, n long"
 
 
-def _session_fn(key, pdf_iter, state: GroupState):
-    """Custom stateful operator: session aggregation with a processing
-    -time timeout — the ``applyInPandasWithState`` pattern for
-    operators Spark lacks natively (SURVEY custom-operator rule (b))."""
+def _session_fn(key, pdf_iter, state: GroupState,
+                timeout_ms: int = 30_000):
+    """Custom stateful operator: per-user session aggregation with a
+    processing-time timeout — the ``applyInPandasWithState`` pattern
+    for operators Spark lacks natively (SURVEY custom-operator rule
+    (b)).
+
+    Emits a snapshot row on every update (outputMode ``update``
+    replaces earlier snapshots per key) and closes the session on
+    timeout; a finite source therefore still surfaces the final state
+    even though the timeout never fires before it drains.
+    """
     if state.hasTimedOut:
         start, last, n = state.get
         state.remove()
@@ -133,15 +141,28 @@ def _session_fn(key, pdf_iter, state: GroupState):
         last = hi if last is None else max(last, hi)
         n += len(pdf)
     state.update((start, last, n))
-    state.setTimeoutDuration(30_000)
-    yield pd.DataFrame([], columns=["user_id", "session_start",
-                                    "session_end", "n_events"])
+    state.setTimeoutDuration(timeout_ms)
+    yield pd.DataFrame([{
+        "user_id": key[0],
+        "session_start": pd.Timestamp(start, unit="us"),
+        "session_end": pd.Timestamp(last, unit="us"),
+        "n_events": n}])
 
 
-def sessionize(events: DataFrame) -> DataFrame:
-    """Per-user session rollup as a stateful streaming operator."""
+def sessionize(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
+    """Per-user session rollup as a stateful streaming operator.
+
+    ``timeout_ms`` is the idle gap that closes a session; a closure
+    carries it to the workers (an availableNow stream keeps running
+    micro-batches until pending timers fire, so tests pass a short
+    gap).
+    """
+
+    def fn(key, pdf_iter, state):
+        yield from _session_fn(key, pdf_iter, state, timeout_ms)
+
     return (events.groupBy("user_id")
-            .applyInPandasWithState(_session_fn, _SESSION_SCHEMA,
+            .applyInPandasWithState(fn, _SESSION_SCHEMA,
                                     _STATE_SCHEMA, "update",
                                     GroupStateTimeout.ProcessingTimeTimeout))
 

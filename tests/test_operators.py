@@ -79,6 +79,17 @@ def test_broadcast_lookup_values(customer, nation):
     assert all(truth[r.c_nationkey] == r.n_name for r in sample)
 
 
+def test_star_join_broadcasts(customer, nation):
+    """Plan shape: dimension lookups must be broadcast hash joins, not
+    shuffle joins (golden-plan analogue of the reference's TAQL string
+    tests, daskms/tests/test_ordering.py:32-117)."""
+    dim = nation.withColumnRenamed("n_nationkey", "c_nationkey")
+    j = broadcast_lookup(customer, dim, "c_nationkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_overlay_fragment_wins(orders):
     base = orders.withColumn("ROWID", F.col("o_orderkey"))
     frag = (base.where("o_orderstatus = 'O'")

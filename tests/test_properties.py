@@ -1,0 +1,55 @@
+"""Property-based tests (hypothesis) — beyond the reference's seeded
+-random fixtures (SURVEY §5): the expression DSL must agree with
+Python's own evaluator on arbitrary expressions and inputs."""
+
+import math
+
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+pytestmark = pytest.mark.skipif(not HAVE_HYPOTHESIS,
+                                reason="hypothesis not installed")
+
+
+def _exprs():
+    """Random arithmetic over columns A, B and small literals."""
+    atoms = st.sampled_from(["A", "B", "2", "3", "1.5"])
+
+    def compose(children):
+        op = st.sampled_from([" + ", " - ", " * ", " / ", " // "])
+        return st.builds(lambda a, o, b: f"({a}{o}{b})",
+                         children, op, children)
+
+    return st.recursive(atoms, compose, max_leaves=8)
+
+
+@pytest.fixture(scope="module")
+def expr_df(spark):
+    return spark.createDataFrame([(7.0, 3.0)], ["A", "B"])
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(expression=_exprs())
+    @settings(max_examples=10, deadline=None)
+    def test_expression_dsl_matches_python(expr_df, expression):
+        from dask_ms_spark.expressions import data_column_expr
+
+        try:
+            want = eval(expression, {"__builtins__": {}},  # noqa: S307
+                        {"A": 7.0, "B": 3.0})
+        except ZeroDivisionError:
+            return
+        col = data_column_expr(expr_df, expression)
+        got = expr_df.select(col.alias("v")).first().v
+        if want is None or (isinstance(want, float) and math.isnan(want)):
+            assert got is None or math.isnan(got)
+        else:
+            assert got == pytest.approx(float(want), rel=1e-9)

@@ -38,6 +38,35 @@ def test_sliding_window_double_counts(events):
     assert total == 2 * events.count()
 
 
+def test_sessionize_stateful(spark, events_path, events):
+    """applyInPandasWithState sessionize: final per-user snapshot on a
+    finite stream equals the batch min/max/count rollup."""
+    from dask_ms_spark.streaming.events import sessionize
+
+    import time
+
+    stream = read_events_stream(spark, events_path)
+    sess = sessionize(stream, timeout_ms=1000)
+    q = (sess.writeStream.format("memory").queryName("sess_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    # stop once the data batch has landed: with stateful timers pending
+    # the query does not self-terminate promptly, and the snapshot
+    # emission makes waiting for timer batches unnecessary
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if any(p.numInputRows > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = {r.user_id: (r.session_start, r.session_end, r.n_events)
+           for r in spark.table("sess_test").collect()}
+    want = {r.user_id: (r.lo, r.hi, r.n) for r in
+            events.groupBy("user_id").agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
 def test_stream_matches_batch(spark, events_path, events):
     """The same windowed_counts code on a file-source stream produces
     the batch answer once the finite source drains."""
