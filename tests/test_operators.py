@@ -79,6 +79,25 @@ def test_broadcast_lookup_values(customer, nation):
     assert all(truth[r.c_nationkey] == r.n_name for r in sample)
 
 
+def test_star_join_helper(spark, customer, nation):
+    """star_join chains prefix-renamed broadcast lookups (the
+    reference's ddid -> spw/pol chained lookups,
+    examples/ms_subtable_join.py:60-61)."""
+    from dask_ms_spark.operators.joins import star_join
+
+    region = spark.read.parquet(
+        "/root/testdata/sf0.001/region.parquet")
+    dims = {
+        "nat": (nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+                "c_nationkey"),
+    }
+    j = star_join(customer, dims)
+    assert j.count() == customer.count()
+    assert "nat_n_name" in j.columns  # payload prefixed, key not
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_star_join_broadcasts(customer, nation):
     """Plan shape: dimension lookups must be broadcast hash joins, not
     shuffle joins (golden-plan analogue of the reference's TAQL string
