@@ -464,6 +464,31 @@ def q_events_session(spark, sf_dir):
                           "user_id", "n_events", "sum_value"))
 
 
+def q_events_props(spark, sf_dir):
+    """Semi-structured column: JSON props parsed JVM-side
+    (get_json_object), aggregated per event_type — the standard
+    event-payload shape."""
+    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (events.select("event_type", k.alias("k"))
+                  .groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("k").alias("sum_k"),
+                       F.count(F.when(F.col("k") > 50, 1)).alias("n_hi")))
+
+
+def q_dedup_minhash_drop(spark, sf_dir):
+    """End-to-end MinHash-LSH dedup decision: docs to DROP (connected
+    to a lower-id near-duplicate by estimated signature Jaccard)."""
+    from dask_ms_spark.llm.dedup import minhash_dedup
+
+    drops = minhash_dedup(_t(spark, sf_dir, "documents"),
+                          num_hashes=16, num_bands=4, shingle_k=5,
+                          threshold=0.5)
+    return drops.select("drop_id", "kept_id",
+                        F.round("max_sim", 6).alias("max_sim"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature
     extraction (decode stubbed — no codec libs; Spark-side schema,
@@ -675,6 +700,57 @@ def _ivf_sql(k: int = 10, num_cells: int = 16, nprobe: int = 4,
     """
 
 
+def _minhash_drop_sql(n: int = 5, num_hashes: int = 16,
+                      num_bands: int = 4, threshold: float = 0.5) -> str:
+    """Mirror of llm.dedup.minhash_dedup: banded candidates, estimated
+    Jaccard from signature agreement, min-kept-id per dropped doc."""
+    rows_per_band = num_hashes // num_bands
+    norm = _DUCK_NORM.format(x="text")
+    shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
+                f"THEN [{norm}] ELSE list_transform("
+                f"range(1, length({norm}) - {n - 2}), "
+                f"i -> substring({norm}, i, {n})) END)")
+    base = ("list_transform(grams, s -> " +
+            _DUCK_HASH.format(x="s") + f" % {MINHASH_P})")
+    mins = ", ".join(
+        f"list_min(list_transform(hset, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:num_hashes])
+    band_exprs = ", ".join(
+        _DUCK_HASH.format(
+            x=("array_to_string(list_slice(sig, "
+               f"{b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ',') "
+               f"|| 'band{b}'"))
+        for b in range(num_bands))
+    band_ids = "[" + ", ".join(str(b) for b in range(num_bands)) + "]"
+    return f"""
+        WITH sh AS (SELECT doc_id AS id, {shingles} AS grams
+                    FROM documents),
+        hb AS (SELECT id, list_distinct({base}) AS hset FROM sh),
+        sg AS (SELECT id, [{mins}] AS sig FROM hb),
+        banded AS (
+            SELECT id, unnest([{band_exprs}]) AS band_hash,
+                   unnest({band_ids}) AS band_id
+            FROM sg),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.id < b.id),
+        est AS (
+            SELECT id_a, id_b,
+                   len(list_filter(range(1, {num_hashes + 1}),
+                       i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0
+                   AS est_jaccard
+            FROM cand
+            JOIN sg sa ON sa.id = id_a
+            JOIN sg sb ON sb.id = id_b)
+        SELECT id_b AS drop_id, min(id_a) AS kept_id,
+               round(max(est_jaccard), 6) AS max_sim
+        FROM est WHERE est_jaccard >= {threshold}
+        GROUP BY id_b
+    """
+
+
 _COS = ("list_dot_product(va, vb) / "
         "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")
 
@@ -753,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
+        "events_props": q_events_props,
+        "dedup_minhash_drop": q_dedup_minhash_drop,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -990,6 +1068,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(avg(value), 4) AS avg_value
             FROM e GROUP BY 1, 2
         """,
+        "events_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(cast(json_extract(props, '$.k') as bigint)) AS sum_k,
+                   count(CASE WHEN cast(json_extract(props, '$.k')
+                              as bigint) > 50 THEN 1 END) AS n_hi
+            FROM events GROUP BY event_type
+        """,
+        "dedup_minhash_drop": _minhash_drop_sql(),
         # multimodal_features: no oracle (Python-side decode kernel) —
         # driver records rows-only check.
     }

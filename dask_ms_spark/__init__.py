@@ -22,6 +22,12 @@ from .sources.storage import (xds_from_storage_table, xds_to_storage_table,
 from .sources.convert import convert_table, convert_store
 from .sources.casa import xds_from_ms, MS_GROUP_COLS, MS_INDEX_COLS
 
+# Reference-parity aliases: the reference's primary entry points are
+# xds_from_table / xds_to_table (daskms/dask_ms.py:18-294); here the
+# storage-dispatched pair is the same surface.
+xds_from_table = xds_from_storage_table
+xds_to_table = xds_to_storage_table
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -31,4 +37,5 @@ __all__ = [
     "xds_to_parquet", "read_table", "xds_from_storage_table",
     "xds_to_storage_table", "infer_format", "TableStore", "convert_table",
     "convert_store", "xds_from_ms", "MS_GROUP_COLS", "MS_INDEX_COLS",
+    "xds_from_table", "xds_to_table",
 ]

@@ -70,6 +70,12 @@ class Dataset:
     def sort(self, *index_cols: str) -> "Dataset":
         return Dataset(self.df.orderBy(*index_cols), dict(self.attrs))
 
+    def compute(self):
+        """Materialise to a pandas DataFrame — the reference's
+        ``dask.compute(dataset)`` step (daskms/reads.py:166-189), via
+        Arrow transfer."""
+        return self.df.toPandas()
+
     def __repr__(self) -> str:  # pragma: no cover
         keys = {k: v for k, v in self.attrs.items() if k != PARTITION_KEY}
         return f"Dataset(attrs={keys}, columns={self.df.columns})"

@@ -53,6 +53,39 @@ def test_concat_reexpands_group_columns(orders):
     assert orig == round_trip
 
 
+def test_compute_and_aliases(nation):
+    """Reference-parity surface: xds_from_table alias + compute()."""
+    import dask_ms_spark as dms
+
+    assert dms.xds_from_table is dms.xds_from_storage_table
+    pdf = Dataset(nation).compute()
+    assert len(pdf) == nation.count()
+    assert list(pdf.columns) == nation.columns
+
+
+def test_tensor_field_metadata_roundtrip(spark, tmp_path):
+    """§1.2 dims/shape metadata on tensor columns survives a parquet
+    round trip (the reference's arrow extension-type metadata,
+    daskms/experimental/arrow/extension_types.py:54-90)."""
+    from pyspark.sql.types import FloatType, LongType, StructField, StructType
+
+    from dask_ms_spark.types import field_dims, field_shape, tensor_field
+
+    schema = StructType([
+        StructField("row", LongType()),
+        tensor_field("DATA", FloatType(), dims=("chan", "corr"),
+                     shape=(4, 2)),
+    ])
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 8)], schema)
+    store = str(tmp_path / "tensor")
+    df.write.parquet(store)
+    back = spark.read.parquet(store)
+    f = back.schema["DATA"]
+    assert field_dims(f) == ("chan", "corr")
+    assert field_shape(f) == (4, 2)
+
+
 def test_group_by_row(nation):
     """G2 '__row__' grouping (daskms/dask_ms.py:165-177): one dataset
     per row, for small non-uniform subtables."""
