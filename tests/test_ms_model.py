@@ -1,0 +1,142 @@
+"""Reference-faithful MS data-model tests: the exact workload of
+daskms/tests/test_ms_read_and_update.py:39-267 re-expressed on the
+Spark engine, over the FIXTURES.md fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_ms_spark.dataset import partition_datasets
+from dask_ms_spark.example_data import (antenna_table, example_ms,
+                                        ms_main_table,
+                                        spectral_window_table)
+from dask_ms_spark.functions import complexf
+from dask_ms_spark.operators.joins import broadcast_lookup
+from dask_ms_spark.operators.overlay import overlay
+from dask_ms_spark.sources.parquet import xds_from_parquet, xds_to_parquet
+from dask_ms_spark.types import ROWID, field_dims, field_shape
+
+
+@pytest.fixture(scope="module")
+def ms(spark):
+    return ms_main_table(spark).cache()
+
+
+def test_ms_group_partitioning(ms):
+    """Group by (FIELD_ID, DATA_DESC_ID) — the reference's default MS
+    read (daskms/dask_ms.py:12-13): 3 datasets with the fixture's
+    group sizes."""
+    dss = partition_datasets(ms, ["FIELD_ID", "DATA_DESC_ID"])
+    got = {(d.attrs["FIELD_ID"], d.attrs["DATA_DESC_ID"]): d.df.count()
+           for d in dss}
+    assert got == {(0, 0): 3, (1, 0): 4, (2, 1): 3}
+
+
+def test_ms_sorted_read_per_group(ms):
+    """index_cols (TIME, ANTENNA1, ANTENNA2): rows come back
+    TIME-ascending within each group (the np.lexsort oracle,
+    daskms/tests/test_ms_read_and_update.py:185-204)."""
+    dss = partition_datasets(ms, ["FIELD_ID", "DATA_DESC_ID"],
+                             index_cols=["TIME", "ANTENNA1", "ANTENNA2"])
+    for ds in dss:
+        times = [r.TIME for r in ds.df.select("TIME").collect()]
+        assert times == sorted(times)
+
+
+def test_ms_where_filter(ms):
+    """taql_where analogue: FIELD_ID >= 0 AND FIELD_ID < 2
+    (daskms/tests/test_ms_read_and_update.py:210-267)."""
+    dss = partition_datasets(ms, ["FIELD_ID", "DATA_DESC_ID"],
+                             where="FIELD_ID >= 0 AND FIELD_ID < 2")
+    assert {d.attrs["FIELD_ID"] for d in dss} == {0, 1}
+    assert sum(d.df.count() for d in dss) == 7
+
+
+def test_ms_update_column_roundtrip(spark, ms, tmp_path):
+    """The reference's update test: write a known ramp into STATE_ID,
+    re-read, assert (daskms/tests/test_ms_read_and_update.py:112-173).
+    On the immutable store this is the overlay write path (S7)."""
+    updates = ms.select(ROWID, (F.col(ROWID) % 3).cast("int")
+                        .alias("STATE_ID"))
+    updated = overlay(ms, updates, key=ROWID)
+    store = str(tmp_path / "ms_updated")
+    xds_to_parquet(updated, store)
+    back = spark.read.parquet(store)
+    got = {r[0]: r[1] for r in back.select(ROWID, "STATE_ID").collect()}
+    assert got == {i: i % 3 for i in range(10)}
+    # untouched DATA column survives byte-identically
+    orig = {r[0]: r[1] for r in ms.select(ROWID, "DATA").collect()}
+    after = {r[0]: r[1] for r in back.select(ROWID, "DATA").collect()}
+    assert orig == after
+
+
+def test_ms_partitioned_roundtrip_preserves_tensors(spark, ms, tmp_path):
+    """Hive-partitioned write + grouped re-read: partition pruning and
+    tensor payload equality (format round-trip family, SURVEY §5)."""
+    store = str(tmp_path / "ms_store")
+    dss = partition_datasets(ms, ["FIELD_ID", "DATA_DESC_ID"])
+    xds_to_parquet(dss, store)
+    back = xds_from_parquet(spark, store,
+                            group_cols=["FIELD_ID", "DATA_DESC_ID"])
+    assert len(back) == 3
+    orig = {r[0]: r[1] for r in ms.select(ROWID, "DATA").collect()}
+    for ds in back:
+        for r in ds.df.select(ROWID, "DATA").collect():
+            assert r[1] == orig[r[0]]
+
+
+def test_ms_complex_data_ops(ms):
+    """Complex arithmetic on the DATA tensor: DATA * conj(DATA) is
+    |DATA|^2 + 0j elementwise (§2.7)."""
+    prod = ms.select(
+        ROWID,
+        complexf.c_mul(F.col("DATA"), complexf.c_conj(F.col("DATA")))
+        .alias("P"),
+        complexf.c_abs2(F.col("DATA")).alias("A2"))
+    for r in prod.collect():
+        res = r.P
+        mags = r.A2
+        for k in range(len(mags)):
+            assert res[2 * k] == pytest.approx(mags[k], rel=1e-5)
+            assert res[2 * k + 1] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_ragged_spectral_window(spark):
+    """Variably-shaped subtable: natively ragged arrays replace the
+    reference's per-row datasets (SURVEY §1.2 / G2)."""
+    spw = spectral_window_table(spark)
+    rows = spw.orderBy(ROWID).collect()
+    assert [r.NUM_CHAN for r in rows] == [8, 16, 32]
+    assert all(len(r.CHAN_FREQ) == r.NUM_CHAN for r in rows)
+    assert field_dims(spw.schema["CHAN_FREQ"]) == ("chan",)
+
+
+def test_example_ms_subtable_join(spark):
+    """The ms_subtable_join example (examples/ms_subtable_join.py:36-69)
+    as broadcast joins: every main row's DATA shape matches the
+    SPW/POL of its DATA_DESC_ID."""
+    tables = example_ms(spark)
+    main = tables["MAIN"]
+    ddid = tables["DATA_DESCRIPTION"].select(
+        F.col(ROWID).alias("DATA_DESC_ID"),
+        "SPECTRAL_WINDOW_ID", "POLARIZATION_ID")
+    spw = tables["SPECTRAL_WINDOW"].select(
+        F.col(ROWID).alias("SPECTRAL_WINDOW_ID"), "NUM_CHAN")
+    pol = tables["POLARIZATION"].select(
+        F.col(ROWID).alias("POLARIZATION_ID"), "NUM_CORR")
+    j = broadcast_lookup(
+        broadcast_lookup(
+            broadcast_lookup(main, ddid, "DATA_DESC_ID"),
+            spw, "SPECTRAL_WINDOW_ID"),
+        pol, "POLARIZATION_ID")
+    rows = j.select("DATA", "NUM_CHAN", "NUM_CORR").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.DATA) == 2 * r.NUM_CHAN * r.NUM_CORR
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_ms_dims_metadata(ms):
+    assert field_dims(ms.schema["DATA"]) == ("chan", "corr")
+    assert field_shape(ms.schema["DATA"]) == (16, 4)
+    assert field_dims(ms.schema["UVW"]) == ("uvw",)
