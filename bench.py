@@ -19,29 +19,9 @@ sys.path.insert(0, ROOT)
 
 # Headline set: the scans/joins/aggregations plus the corpus operators
 # that dominate real pipelines.  Kept in sync with __spark_entry__.
-HEADLINE = [
-    "tpch_q1",
-    "star_join",
-    "broadcast_join",
-    "filter_pushdown",
-    "expr_arithmetic",
-    "sorted_read",
-    "within_group_sort",
-    "topk",
-    "overlay",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_simhash",
-    "similarity_topk",
-    "ann_ivf",
-    "text_langid",
-    "text_fingerprint",
-    "text_winnow",
-    "events_windowed",
-    "events_sliding",
-]
+# Headline set: every declared query (the full driver contract).
+# Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to restrict.
+HEADLINE: list[str] | None = None
 
 
 def main() -> int:
@@ -58,6 +38,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    names = [q for q in only.split(",") if q] or HEADLINE or list(queries)
     timings: dict[str, float] = {}
 
     # Warm the JVM, parquet reader, codegen and shuffle paths so the
@@ -68,7 +50,7 @@ def main() -> int:
         .mode("overwrite").save()
 
     t_total0 = time.time()
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         t0 = time.time()
         try:

@@ -180,20 +180,27 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     splitting.
     """
     rows_per_band = num_hashes // num_bands
-    with_sig = with_minhash(docs, text_col, id_col, num_hashes, shingle_k)
+    with_sig = with_minhash(docs, text_col, id_col, num_hashes,
+                            shingle_k).persist()
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
+    # Band join and pair-dedup on ids ONLY; signatures re-attach to the
+    # deduped candidate set (a band collision in several bands would
+    # otherwise ship sig pairs once per colliding band).
     banded = with_sig.select(
-        "id", "sig",
-        F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
+        "id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (left.join(right, on=["band_id", "band_hash"])
-                 .where(F.col("a.id") < F.col("b.id"))
-                 .select(F.col("a.id").alias("id_a"),
-                         F.col("b.id").alias("id_b"),
-                         F.col("a.sig").alias("sig_a"),
-                         F.col("b.sig").alias("sig_b"))
-                 .dropDuplicates(["id_a", "id_b"]))
+    cand = (left.join(right, on=["band_id", "band_hash"])
+                .where(F.col("a.id") < F.col("b.id"))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+                .distinct())
+    sig_tbl = with_sig.select("id", "sig")
+    pairs = (cand
+             .join(sig_tbl.select(F.col("id").alias("id_a"),
+                                  F.col("sig").alias("sig_a")), "id_a")
+             .join(sig_tbl.select(F.col("id").alias("id_b"),
+                                  F.col("sig").alias("sig_b")), "id_b"))
     matches = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
