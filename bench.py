@@ -52,6 +52,9 @@ def main() -> int:
     t_total0 = time.time()
     for name in names:
         fn = queries[name]
+        # isolate queries: persisted frames from earlier queries would
+        # otherwise hold executor memory and skew later timings
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
