@@ -46,7 +46,9 @@ from dask_ms_spark.llm.similarity import (  # noqa: E402
     brute_force_topk, ivf_topk)
 from dask_ms_spark.operators.grouping import group_metadata  # noqa: E402
 from dask_ms_spark.operators.joins import (  # noqa: E402
-    anti_filter, broadcast_lookup, semi_filter, star_join)
+    anti_filter, asof_join, broadcast_lookup, salted_join, semi_filter,
+    star_join)
+from pyspark.sql.window import Window  # noqa: E402
 from dask_ms_spark.operators.ordering import (  # noqa: E402
     attach_rowid, group_rank, top_k)
 from dask_ms_spark.operators.overlay import overlay  # noqa: E402
@@ -329,6 +331,109 @@ def q_complex_mul(spark, sf_dir):
         "l_orderkey", "l_linenumber",
         F.round(F.element_at(prod, 1).cast("double"), 4).alias("re"),
         F.round(F.element_at(prod, 2).cast("double"), 4).alias("im"))
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (SURVEY §2.5: absent in reference, a capability gain
+    here): each click matched to the user's most recent prior-or-equal
+    purchase — union+window linear form, no range-join pair blow-up.
+    Purchases pre-aggregated per (user, ts) so the match is unique."""
+    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    clicks = events.where("event_type = 'click'") \
+                   .select("event_id", "user_id", "ts")
+    purchases = (events.where("event_type = 'purchase'")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("p_value")))
+    j = asof_join(clicks, purchases, on="ts", by="user_id")
+    return j.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.coalesce(F.unix_timestamp("ts_r"), F.lit(-1)).alias("purchase_epoch"),
+        F.round(F.coalesce(F.col("p_value"), F.lit(-1.0)), 4).alias("p_value"))
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant salted join: bit-identical to the plain join (the
+    oracle runs the unsalted SQL) while spreading each hot orderkey
+    across 8 reducer sub-keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    j = salted_join(li, orders, on="l_orderkey", salt=8,
+                    fact_salt_cols=["l_partkey", "l_suppkey", "l_linenumber"])
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (j.groupBy("o_orderpriority")
+             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def q_window_frames(spark, sf_dir):
+    """Window frames (SURVEY §2.6: absent in reference): per-customer
+    running order total, ROWS UNBOUNDED PRECEDING frame. Exact decimal
+    accumulation keeps the running sum engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(frame)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(running.cast("double"), 2).alias("running_total"))
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (SURVEY §2.6: absent in reference) with
+    grouping_id — subtotal + grand-total rows in one pass (partial
+    aggregation still applies per grouping set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                            .cast("double"), 2).alias("sum_qty"),
+                   F.grouping_id().cast("long").alias("gid"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                      "gid", "n", "sum_qty"))
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation (SURVEY §2.6): exact distinct-customer
+    count per priority — expand+two-phase agg under AQE."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+                  .agg(F.countDistinct("o_custkey").alias("n_custkeys"),
+                       F.count(F.lit(1)).alias("n_orders"),
+                       _money("o_totalprice").alias("sum_total")))
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators (SURVEY §2.6: absent in reference): custkeys with
+    both open and finished orders (INTERSECT) and open-only (EXCEPT)."""
+    o_keys = _t(spark, sf_dir, "orders") \
+        .where("o_orderstatus = 'O'").select("o_custkey")
+    f_keys = _t(spark, sf_dir, "orders") \
+        .where("o_orderstatus = 'F'").select("o_custkey")
+    both = o_keys.intersect(f_keys) \
+        .select("o_custkey", F.lit("both").alias("tag"))
+    only_o = o_keys.subtract(f_keys) \
+        .select("o_custkey", F.lit("only_open").alias("tag"))
+    return both.unionByName(only_o)
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (SURVEY §2.6): order counts by priority × status, pivoted
+    to one column per status — values pinned so the plan needs no
+    distinct-values pre-pass."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (orders.groupBy("o_orderpriority")
+               .pivot("o_orderstatus", ["O", "F", "P"])
+               .agg(F.count(F.lit(1))))
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"))
 
 
 # ---------------------------------------------------------------------------
@@ -815,6 +920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tensor_slice": q_tensor_slice,
         "complex_mul": q_complex_mul,
+        "asof_join": q_asof_join,
+        "salted_join": q_salted_join,
+        "window_frames": q_window_frames,
+        "rollup": q_rollup,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "pivot": q_pivot,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1020,6 +1132,81 @@ def oracle_sql() -> dict[str, str]:
                               cast(l_discount as float) *
                               cast(l_quantity as float) as double), 4) AS im
             FROM lineitem WHERE l_orderkey <= 100
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+            purch AS (
+                SELECT user_id, ts, max(value) AS p_value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id,
+                   cast(floor(epoch(c.ts)) as bigint) AS click_epoch,
+                   coalesce(cast(floor(epoch(p.ts)) as bigint), -1)
+                   AS purchase_epoch,
+                   round(coalesce(p.p_value, -1.0), 4) AS p_value
+            FROM clicks c ASOF LEFT JOIN purch p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "salted_join": """
+            SELECT o_orderpriority,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "window_frames": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS order_seq,
+                   round(cast(sum(cast(o_totalprice as decimal(18,2)))
+                              OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING)
+                         as double), 2) AS running_total
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   cast(grouping(l_returnflag, l_linestatus) as bigint)
+                   AS gid,
+                   count(*) AS n,
+                   round(cast(sum(cast(l_quantity as decimal(18,2)))
+                         as double), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "distinct_agg": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_custkeys,
+                   count(*) AS n_orders,
+                   round(cast(sum(cast(o_totalprice as decimal(18,2)))
+                         as double), 2) AS sum_total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "set_ops": """
+            SELECT o_custkey, 'both' AS tag FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            UNION ALL
+            SELECT o_custkey, 'only_open' AS tag FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                   AS n_open,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                   AS n_finished,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                   AS n_pending
+            FROM orders GROUP BY o_orderpriority
         """,
         "dedup_exact": f"""
             SELECT {h_norm_text} AS text_hash,

@@ -18,8 +18,10 @@ from typing import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["broadcast_lookup", "star_join", "semi_filter", "anti_filter"]
+__all__ = ["broadcast_lookup", "star_join", "semi_filter", "anti_filter",
+           "asof_join", "salted_join"]
 
 
 def broadcast_lookup(fact: DataFrame, dim: DataFrame, on: str | Sequence[str],
@@ -68,3 +70,85 @@ def anti_filter(fact: DataFrame, dim: DataFrame,
     """Drop fact rows with a dimension match (left_anti)."""
     keys = [on] if isinstance(on, str) else list(on)
     return fact.join(F.broadcast(dim), on=keys, how="left_anti")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str | Sequence[str] | None = None,
+              right_cols: Sequence[str] | None = None,
+              tolerance: float | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """As-of join: attach to each left row the *latest* right row whose
+    ``on`` value is ``<=`` the left row's, per ``by`` group (left join
+    semantics — unmatched left rows keep NULL payload).
+
+    Absent in the reference (SURVEY §2.5).  The naive Spark spelling is
+    a range join — O(|L|·|R|) pair blow-up within each group.  This is
+    the scale-safe union+window form: tag both inputs, union them, one
+    shuffle on ``by``, one within-partition sort on ``(on, side)``
+    (right rows sort first at ties so equality matches), then a running
+    ``last(payload) IGNORE NULLS`` — linear work, no pair explosion,
+    and AQE can still split a skewed ``by`` key's sort.
+
+    The right payload is packed into a single struct so every output
+    column comes from the *same* matched right row.  Right rows should
+    be unique per ``(by, on)``; pre-aggregate otherwise (ties at equal
+    ``on`` are engine-arbitrary).  ``tolerance`` (in the units of
+    ``on`` cast to double; seconds for timestamps) nulls out matches
+    further back than the window.
+    """
+    bys = [by] if isinstance(by, str) else list(by or [])
+    payload = list(right_cols) if right_cols is not None else \
+        [c for c in right.columns if c not in set(bys) | {on}]
+    packed = F.struct(
+        *[F.col(c) for c in payload],
+        F.col(on).alias("__asof_on"))
+    r = right.select(*bys, F.col(on),
+                     packed.alias("__asof_payload"),
+                     F.lit(0).alias("__asof_side"))
+    l = left.withColumn("__asof_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(*[F.col(c) for c in bys])
+         .orderBy(F.col(on).asc(), F.col("__asof_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("__asof_match",
+                     F.last("__asof_payload", ignorenulls=True).over(w))
+    if tolerance is not None:
+        gap = (F.col(on).cast("double") -
+               F.col("__asof_match.__asof_on").cast("double"))
+        u = u.withColumn(
+            "__asof_match",
+            F.when(gap <= F.lit(float(tolerance)), F.col("__asof_match")))
+    out = u.where(F.col("__asof_side") == 1) \
+           .drop("__asof_payload", "__asof_side")
+    for c in payload + ["__asof_on"]:
+        name = on + suffix if c == "__asof_on" else \
+            (c + suffix if c in left.columns else c)
+        out = out.withColumn(name, F.col(f"__asof_match.{c}"))
+    return out.drop("__asof_match")
+
+
+def salted_join(fact: DataFrame, build: DataFrame,
+                on: str | Sequence[str], how: str = "inner",
+                salt: int = 8,
+                fact_salt_cols: Sequence[str] | None = None) -> DataFrame:
+    """Skew-resistant equi-join: replicate the build side ``salt``×
+    and spread each fact key's rows across ``salt`` sub-keys.
+
+    At 100 TB a handful of hot join keys (one giant order, one viral
+    document) can pin an entire shuffle on one reducer.  AQE skew-join
+    splitting handles this adaptively; ``salted_join`` is the explicit,
+    plan-deterministic form for when the skew is known up front.  The
+    fact side never duplicates rows — its salt is a deterministic hash
+    of ``fact_salt_cols`` (default: all fact columns) — so the join
+    result is exactly the plain join's.  Cost: build side is shuffled
+    ``salt``× larger, which is why the *small* side must be ``build``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    cols = list(fact_salt_cols) if fact_salt_cols else fact.columns
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+               F.lit(salt)).cast("int"))
+    build_s = build.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return fact_s.join(build_s, on=keys + ["__salt"], how=how).drop("__salt")

@@ -165,3 +165,50 @@ def test_consolidate_later_fragment_wins(spark, orders):
     out = consolidate([base, fa, fb])
     assert out.where("o_totalprice = 20.0").count() == 5
     assert out.where("o_totalprice = 10.0").count() == 5
+
+
+def test_asof_join_matches_naive_range_join(spark):
+    from dask_ms_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 5.0), (2, 7.0), (3, 1.0)],
+        "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 15.0, "b"), (2, 3.0, "c"), (4, 1.0, "d")],
+        "k long, t double, v string")
+    out = {(r.k, r.t): (r.v, r.t_r)
+           for r in asof_join(left, right, on="t", by="k").collect()}
+    # equality matches (t=10 picks the t=10 right row), latest wins,
+    # no-match rows keep NULLs
+    assert out[(1, 10.0)] == ("a", 10.0)
+    assert out[(1, 20.0)] == ("b", 15.0)
+    assert out[(1, 5.0)] == (None, None)
+    assert out[(2, 7.0)] == ("c", 3.0)
+    assert out[(3, 1.0)] == (None, None)
+    assert len(out) == 5
+
+
+def test_asof_join_tolerance(spark):
+    from dask_ms_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 10.0, "old")],
+                                  "k long, t double, v string")
+    hit = asof_join(left, right, on="t", by="k", tolerance=95.0).collect()
+    assert hit[0].v == "old"
+    miss = asof_join(left, right, on="t", by="k", tolerance=50.0).collect()
+    assert miss[0].v is None
+
+
+def test_salted_join_equals_plain_join(lineitem, orders):
+    from dask_ms_spark.operators.joins import salted_join
+
+    dim = orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                        "o_orderpriority")
+    plain = lineitem.join(dim, "l_orderkey") \
+        .groupBy("o_orderpriority").count().collect()
+    salted = salted_join(lineitem, dim, on="l_orderkey", salt=4,
+                         fact_salt_cols=["l_partkey", "l_linenumber"]) \
+        .groupBy("o_orderpriority").count().collect()
+    assert sorted((r.o_orderpriority, r["count"]) for r in plain) == \
+        sorted((r.o_orderpriority, r["count"]) for r in salted)
