@@ -48,6 +48,15 @@ def main() -> int:
     warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     warm.groupBy("l_returnflag").count().write.format("noop") \
         .mode("overwrite").save()
+    # Warm the Python worker pool too: the first Arrow/Python exchange
+    # pays daemon + worker spawn for every core (~5-10 s on 32); that
+    # cost belongs to session setup, not to whichever mapInPandas
+    # query happens to run first.
+    def _ident(it):
+        yield from it
+    spark.range(1000, numPartitions=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", os.cpu_count() or 4))) \
+        .mapInPandas(_ident, "id long").count()
 
     t_total0 = time.time()
     for name in names:
