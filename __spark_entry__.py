@@ -539,6 +539,38 @@ def q_text_fingerprint(spark, sf_dir):
         portable_hash64(normalize_text(F.col("text"))).alias("fp"))
 
 
+def q_text_bpe(spark, sf_dir):
+    """BPE-ish regex token counting + stopword-ratio quality signal
+    (brief: whitespace AND regex token counts) — all codegen'd
+    regexp/array ops, no Python."""
+    from dask_ms_spark.functions.text import (bpe_token_count,
+                                              stopword_ratio)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-k (the second ANN scale
+    path next to IVF): sign-signature buckets + Hamming-1 multiprobe;
+    the scoring join is bucket-local.  Hyperplanes are md5-seeded, so
+    the oracle bakes the identical plane literals into its SQL."""
+    from dask_ms_spark.llm.similarity import lsh_topk
+
+    embs = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = embs.where("vec_id < 5")
+    return lsh_topk(embs, queries, dim=64, k=10, num_planes=8,
+                    multiprobe=True) \
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling-window aggregation (Structured Streaming semantics on
     the batch path; identical code runs the stream — SURVEY §2.10)."""
@@ -860,6 +892,71 @@ _COS = ("list_dot_product(va, vb) / "
         "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")
 
 
+def _bpe_sql() -> str:
+    """Mirror of functions.text.bpe_tokens / stopword_ratio."""
+    from dask_ms_spark.functions.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+') END AS toks
+            FROM documents)
+        SELECT doc_id, n_bpe_tokens, len(toks) AS n_ws_tokens,
+               round(len(list_filter(toks,
+                         t -> list_contains([{stops}], t))) /
+                     greatest(len(toks), 1), 6) AS stopword_ratio
+        FROM t
+    """
+
+
+def _ann_lsh_sql(k: int = 10, num_planes: int = 8, dim: int = 64,
+                 n_queries: int = 5) -> str:
+    """Mirror of llm.similarity.lsh_topk: identical md5-seeded
+    hyperplane literals -> identical buckets, Hamming-1 multiprobe,
+    exact cosine within probed buckets."""
+    from dask_ms_spark.llm.similarity import _seeded_unit
+
+    planes = [_seeded_unit(f"dask-ms-spark:{j}", dim)
+              for j in range(num_planes)]
+    sig = " + ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(repr(v) for v in planes[j])
+        + f"]) >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(num_planes))
+    probe_list = "[sig, " + ", ".join(
+        f"xor(sig, {2 ** j})" for j in range(num_planes)) + "]"
+    cos = _COS.replace("va", "q.qvec").replace("vb", "c.cvec")
+    return f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> cast(x as double))
+                          AS vec FROM embeddings),
+        sigs AS (SELECT vec_id, vec, {sig} AS sig FROM v),
+        cells AS (SELECT vec_id AS neighbor_id, vec AS cvec, sig AS bucket
+                  FROM sigs),
+        probes AS (
+            SELECT vec_id AS query_id, vec AS qvec,
+                   unnest({probe_list}) AS bucket
+            FROM sigs WHERE vec_id < {n_queries}),
+        scored AS (
+            SELECT DISTINCT q.query_id, c.neighbor_id, {cos} AS cos
+            FROM probes q JOIN cells c ON q.bucket = c.bucket
+            WHERE q.query_id != c.neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC)
+                   AS rank, cos
+            FROM scored)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _embedding_dup_sql(threshold: float = 0.4) -> str:
     return f"""
         WITH v AS (SELECT vec_id,
@@ -934,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "text_bpe": q_text_bpe,
         "text_winnow": q_text_winnow,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -1219,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "similarity_topk": _similarity_topk_sql(),
         "ann_ivf": _ivf_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),
         "text_stats": """
             SELECT doc_id,

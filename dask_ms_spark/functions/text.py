@@ -18,9 +18,40 @@ from pyspark.sql import functions as F
 
 __all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
            "word_shingles", "quality_features", "langid_scores", "langid",
-           "fingerprint", "with_fingerprint", "STOPWORDS"]
+           "fingerprint", "with_fingerprint", "STOPWORDS",
+           "BPE_TOKEN_PATTERN", "bpe_tokens", "bpe_token_count",
+           "stopword_ratio"]
 
 _WS = r"\s+"
+
+# GPT-2-style pre-tokeniser shape, RE2-safe (no lookahead, ASCII
+# classes) so the same pattern runs in Spark (Java regex) and DuckDB
+# (RE2): contraction suffixes, space-prefixed word/number/punct runs,
+# whitespace runs.
+BPE_TOKEN_PATTERN = (r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                     r"| ?[^A-Za-z0-9\s']+|\s+")
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenisation: regex token runs, the standard
+    LLM-pipeline token estimator (whitespace counts undercount code
+    and punctuation-heavy text).  Pure codegen via regexp_extract_all."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords — the classic
+    gibberish/boilerplate quality signal (natural prose ~0.3-0.5,
+    keyword spam ~0)."""
+    toks = tokens(F.lower(text))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return n_stop.cast("double") / \
+        F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
 def portable_hash64(col: Column, salt: str | Column = "") -> Column:

@@ -166,3 +166,35 @@ def test_expression_dsl_errors(lineitem):
         data_column_expr(lineitem, "no_such_column + 1")
     with pytest.raises(ValueError):
         data_column_expr(lineitem, "l_quantity ** 2")
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    import re
+
+    from dask_ms_spark.functions.text import (BPE_TOKEN_PATTERN,
+                                              bpe_token_count)
+
+    texts = ["Hello, world! It's 2026.",
+             "def f(x): return x+1  # comment",
+             "", "   ", "élan café",  # non-ASCII falls in the punct run
+             "don't can't won't I'll we're you've"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r.i: r.n for r in df.select(
+        "i", bpe_token_count(F.col("text")).alias("n")).collect()}
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall(t)), (t, got[i], pat.findall(t))
+
+
+def test_stopword_ratio(spark):
+    from dask_ms_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "buy cheap pills now"), (3, "")],
+        "i long, text string")
+    got = {r.i: r.r for r in df.select(
+        "i", stopword_ratio(F.col("text")).alias("r")).collect()}
+    assert abs(got[1] - 3 / 5) < 1e-9   # the, and, the
+    assert got[2] == 0.0
+    assert got[3] == 0.0
