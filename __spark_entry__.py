@@ -368,6 +368,37 @@ def q_salted_join(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_items")))
 
 
+def q_range_join(spark, sf_dir):
+    """Interval-containment join (SURVEY §2.5 capability gain): for
+    each high-value order, lineitems (of any order) shipped within 7
+    days of its order date — bucketized equi-join, not a nested loop.
+    Inner semantics: zero-shipment windows drop on both sides."""
+    from dask_ms_spark.operators.joins import range_join
+
+    # Additive metrics pre-aggregate to one row per ship-day BEFORE the
+    # range join — the join then touches |days|·replicas rows instead
+    # of |lineitem|·replicas (measured 11.8 s -> sub-second at sf0.1).
+    daily = (_t(spark, sf_dir, "lineitem")
+             .groupBy("l_shipdate")
+             .agg(F.count(F.lit(1)).alias("d_n"),
+                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                   .alias("d_qty")))
+    wins = (_t(spark, sf_dir, "orders")
+            .where("o_totalprice > 480000")
+            .select("o_orderkey", F.col("o_orderdate").alias("win_start"),
+                    (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+                    .alias("win_end")))
+    j = range_join(daily, wins, point="l_shipdate",
+                   start="win_start", end="win_end",
+                   bucket_width=7 * 86_400.0)
+    return (j.groupBy("o_orderkey", "win_start")
+             .agg(F.sum("d_n").alias("n_shipped"),
+                  F.round(F.sum("d_qty").cast("double"), 2).alias("sum_qty"))
+             .select("o_orderkey",
+                     F.unix_timestamp("win_start").alias("win_epoch"),
+                     "n_shipped", "sum_qty"))
+
+
 def q_window_frames(spark, sf_dir):
     """Window frames (SURVEY §2.6: absent in reference): per-customer
     running order total, ROWS UNBOUNDED PRECEDING frame. Exact decimal
@@ -1018,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_slice": q_tensor_slice,
         "complex_mul": q_complex_mul,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "salted_join": q_salted_join,
         "window_frames": q_window_frames,
         "rollup": q_rollup,
@@ -1246,6 +1278,18 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.p_value, -1.0), 4) AS p_value
             FROM clicks c ASOF LEFT JOIN purch p
                  ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_join": """
+            SELECT o_orderkey,
+                   cast(floor(epoch(o_orderdate)) as bigint) AS win_epoch,
+                   count(*) AS n_shipped,
+                   round(cast(sum(cast(l_quantity as decimal(18,2)))
+                         as double), 2) AS sum_qty
+            FROM orders JOIN lineitem
+                 ON l_shipdate >= o_orderdate
+                AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+            WHERE o_totalprice > 480000
+            GROUP BY o_orderkey, o_orderdate
         """,
         "salted_join": """
             SELECT o_orderpriority,

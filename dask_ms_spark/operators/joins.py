@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["broadcast_lookup", "star_join", "semi_filter", "anti_filter",
-           "asof_join", "salted_join"]
+           "asof_join", "salted_join", "range_join"]
 
 
 def broadcast_lookup(fact: DataFrame, dim: DataFrame, on: str | Sequence[str],
@@ -125,6 +125,50 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
             (c + suffix if c in left.columns else c)
         out = out.withColumn(name, F.col(f"__asof_match.{c}"))
     return out.drop("__asof_match")
+
+
+def range_join(left: DataFrame, right: DataFrame, point: str,
+               start: str, end: str, by: str | Sequence[str] = (),
+               bucket_width: float = 86_400.0) -> DataFrame:
+    """Interval-containment join: left rows whose ``point`` falls in
+    ``[right.start, right.end)``, optionally within ``by`` groups.
+
+    Absent in the reference (SURVEY §2.5).  Spark's native plan for a
+    pure range predicate is a broadcast nested-loop join — O(|L|·|R|)
+    comparisons, which dies at scale.  This is the bucketized form:
+    points bucket to ``floor(point/w)``, intervals explode to every
+    bucket they overlap, the join runs as an ordinary shuffled
+    equi-join on ``(by…, bucket)``, and an exact containment filter
+    removes the same-bucket false positives.  Work is linear in
+    |L| + |R|·(interval/width), and the shuffle key spreads across
+    buckets instead of one nested loop.
+
+    Pick ``bucket_width`` near the typical interval length (in the
+    units of the columns cast to double — epoch seconds for
+    timestamps): wider buckets mean fewer replicas but more false
+    positives to filter.  ``point``/``start``/``end`` must be distinct
+    column names across the two frames.  Inner-join semantics.
+    """
+    def as_seconds(df: DataFrame, colname: str):
+        # timestamps (incl. _ntz) won't cast to double directly
+        t = dict(df.dtypes)[colname]
+        c = F.col(colname)
+        if t.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp")).cast("double") / 1e6
+        if t == "date":
+            return F.unix_date(c).cast("double") * 86_400.0
+        return c.cast("double")
+
+    bys = [by] if isinstance(by, str) else list(by)
+    w = float(bucket_width)
+    p, s, e = (as_seconds(left, point), as_seconds(right, start),
+               as_seconds(right, end))
+    lb = left.withColumn("__rj_b", F.floor(p / F.lit(w)))
+    rb = right.withColumn(
+        "__rj_b",
+        F.explode(F.sequence(F.floor(s / F.lit(w)), F.floor(e / F.lit(w)))))
+    joined = lb.join(rb, on=bys + ["__rj_b"], how="inner")
+    return joined.where((p >= s) & (p < e)).drop("__rj_b")
 
 
 def salted_join(fact: DataFrame, build: DataFrame,

@@ -212,3 +212,21 @@ def test_salted_join_equals_plain_join(lineitem, orders):
         .groupBy("o_orderpriority").count().collect()
     assert sorted((r.o_orderpriority, r["count"]) for r in plain) == \
         sorted((r.o_orderpriority, r["count"]) for r in salted)
+
+
+def test_range_join_matches_naive(spark):
+    from dask_ms_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                "pid long, p double")
+    ivs = spark.createDataFrame(
+        [(100, 3.0, 7.0), (101, 6.5, 20.0), (102, 45.0, 99.0),
+         (103, -5.0, 0.5)],
+        "iid long, s double, e double")
+    got = sorted((r.pid, r.iid) for r in
+                 range_join(pts, ivs, "p", "s", "e", bucket_width=5.0)
+                 .select("pid", "iid").collect())
+    naive = sorted((r.pid, r.iid) for r in
+                   pts.crossJoin(ivs)
+                   .where("p >= s AND p < e").select("pid", "iid").collect())
+    assert got == naive and len(got) > 0
