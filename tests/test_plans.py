@@ -1,0 +1,40 @@
+"""Plan-shape assertions via dask_ms_spark.plans — the golden-TAQL
+analogue (daskms/tests/test_ordering.py:32-117): assert what the
+optimizer actually did, not what we hope it did."""
+
+from pyspark.sql import functions as F
+
+from dask_ms_spark.plans import (assert_max_exchanges, assert_pushdown,
+                                 exchange_count, has_broadcast_hash_join,
+                                 pushed_filters, read_schema)
+
+
+def test_pushed_filters_and_read_schema(lineitem):
+    df = lineitem.where("l_quantity < 5 AND l_discount > 0.05") \
+                 .select("l_orderkey", "l_quantity", "l_discount")
+    assert_pushdown(df, "l_quantity", "l_discount")
+    cols = set(read_schema(df))
+    assert cols == {"l_orderkey", "l_quantity", "l_discount"}
+
+
+def test_broadcast_join_has_no_fact_shuffle(customer, nation):
+    dim = nation.withColumnRenamed("n_nationkey", "c_nationkey")
+    j = customer.join(F.broadcast(dim), "c_nationkey") \
+                .select("c_custkey", "n_name")
+    assert has_broadcast_hash_join(j)
+    # fact side scans straight into the join: no shuffle exchange
+    assert exchange_count(j) == 0
+
+
+def test_single_agg_shuffles_once(lineitem):
+    agg = lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    assert_max_exchanges(agg, 1)
+
+
+def test_no_pushdown_reports_clearly(lineitem):
+    import pytest
+
+    df = lineitem.select("l_orderkey")
+    assert pushed_filters(df) == []
+    with pytest.raises(AssertionError, match="not pushed"):
+        assert_pushdown(df, "l_quantity")
