@@ -38,3 +38,34 @@ def test_no_pushdown_reports_clearly(lineitem):
     assert pushed_filters(df) == []
     with pytest.raises(AssertionError, match="not pushed"):
         assert_pushdown(df, "l_quantity")
+
+
+def test_asof_join_single_shuffle(orders):
+    from dask_ms_spark.operators.joins import asof_join
+
+    left = orders.select("o_custkey", F.col("o_orderdate").alias("t"),
+                         "o_orderkey")
+    right = orders.groupBy("o_custkey",
+                           F.col("o_orderdate").alias("t")) \
+                  .agg(F.max("o_totalprice").alias("v"))
+    out = asof_join(left, right, on="t", by="o_custkey")
+    # one shuffle for the right pre-agg + one on `by` for the window;
+    # the as-of itself adds no pair explosion and no extra exchange
+    assert_max_exchanges(out, 2)
+
+
+def test_range_join_is_not_nested_loop(lineitem, orders):
+    from dask_ms_spark.operators.joins import range_join
+    from dask_ms_spark.plans import plan_str
+
+    li = lineitem.select("l_shipdate", "l_quantity")
+    wins = orders.select(
+        "o_orderkey", F.col("o_orderdate").alias("ws"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("we"))
+    out = range_join(li, wins, "l_shipdate", "ws", "we",
+                     bucket_width=7 * 86_400.0)
+    plan = plan_str(out)
+    # the whole point: an equi-join (hash or sort-merge), never the
+    # BroadcastNestedLoopJoin a raw range predicate would plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
