@@ -602,6 +602,20 @@ def q_ann_lsh(spark, sf_dir):
                 F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_udaf_ols(spark, sf_dir):
+    """Grouped Arrow-batch kernel (reference §2.9 UDF surface as
+    applyInPandas): per-user OLS slope of event value over hours since
+    first event — the numpy kernel mirrors regr_slope/regr_intercept
+    exactly, so even the Python path is oracle-checked."""
+    from dask_ms_spark.functions.stats import grouped_ols
+
+    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    fit = grouped_ols(events, "user_id", "ts", "value", x_scale=3600.0)
+    return fit.select("user_id", "n_events",
+                      F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"))
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling-window aggregation (Structured Streaming semantics on
     the batch path; identical code runs the stream — SURVEY §2.10)."""
@@ -1069,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "udaf_ols": q_udaf_ols,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
@@ -1381,6 +1396,17 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "text_fingerprint": f"""
             SELECT doc_id, {h_norm_text} AS fp FROM documents
+        """,
+        "udaf_ols": """
+            WITH b AS (
+                SELECT user_id, value,
+                       (epoch(ts) - min(epoch(ts))
+                            OVER (PARTITION BY user_id)) / 3600.0 AS xh
+                FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   round(regr_slope(value, xh), 6) AS slope,
+                   round(regr_intercept(value, xh), 6) AS intercept
+            FROM b GROUP BY user_id
         """,
         "events_windowed": """
             SELECT cast(epoch(date_trunc('hour', ts)) as bigint)

@@ -198,3 +198,17 @@ def test_stopword_ratio(spark):
     assert abs(got[1] - 3 / 5) < 1e-9   # the, and, the
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    from dask_ms_spark.functions.stats import grouped_ols
+
+    rows = [(g, float(x), 2.0 * x + 3.0 + g) for g in (1, 2)
+            for x in range(20)]
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    got = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    for g in (1, 2):
+        assert got[g].n_events == 20
+        assert abs(got[g].slope - 2.0) < 1e-9
+        # x is re-based to the group min (0 here), so intercept = 3+g
+        assert abs(got[g].intercept - (3.0 + g)) < 1e-9
