@@ -602,6 +602,21 @@ def q_ann_lsh(spark, sf_dir):
                 F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split + hash sampling: membership
+    is a pure function of (id, salt) via the portable md5 hash, so the
+    oracle reproduces it row for row — the property that makes splits
+    stable across engines and re-runs at 100 TB."""
+    from dask_ms_spark.llm.sampling import deterministic_split, hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    split = deterministic_split(docs, "doc_id")
+    return split.select(
+        "doc_id", "split",
+        (hash_bucket(F.col("doc_id"), 1_000_000, "sample")
+         < F.lit(100_000)).alias("in_10pct_sample"))
+
+
 def q_udaf_ols(spark, sf_dir):
     """Grouped Arrow-batch kernel (reference §2.9 UDF surface as
     applyInPandas): per-user OLS slope of event value over hours since
@@ -1083,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "sample_split": q_sample_split,
         "udaf_ols": q_udaf_ols,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
@@ -1396,6 +1412,23 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "text_fingerprint": f"""
             SELECT doc_id, {h_norm_text} AS fp FROM documents
+        """,
+        "sample_split": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       {_DUCK_HASH.format(
+                           x="cast(doc_id as varchar) || 'split'")}
+                       % 1000000 AS sb,
+                       {_DUCK_HASH.format(
+                           x="cast(doc_id as varchar) || 'sample'")}
+                       % 1000000 AS pb
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN sb < 800000 THEN 'train'
+                        WHEN sb < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   pb < 100000 AS in_10pct_sample
+            FROM b
         """,
         "udaf_ols": """
             WITH b AS (

@@ -1,0 +1,68 @@
+"""Deterministic sampling and dataset splits (training-pipeline staple).
+
+Random sampling (``df.sample``) is irreproducible across runs, engines
+and repartitions — useless for train/val/test splits that must stay
+stable as a 100 TB corpus is re-processed.  These operators key every
+decision off a portable md5-derived hash of a stable id
+(``functions.text.portable_hash64``), so membership is a pure function
+of (id, salt): re-runs, other engines, and incremental appends all
+agree, and changing the salt draws an independent split.
+
+All decisions are row-local (no shuffle, no state); the filter pushes
+into the scan's projection stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64
+
+__all__ = ["hash_bucket", "sample_by_hash", "deterministic_split"]
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column, n_buckets: int = _BUCKETS,
+                salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets) from the md5-derived hash."""
+    return F.pmod(portable_hash64(col, salt), F.lit(n_buckets))
+
+
+def sample_by_hash(df: DataFrame, id_col: str, rate: float,
+                   salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows by id hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(rate * _BUCKETS)
+    return df.where(hash_bucket(F.col(id_col), _BUCKETS, salt) < cut)
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        weights: dict[str, float] | None = None,
+                        salt: str = "split",
+                        out: str = "split") -> DataFrame:
+    """Assign each row a split label with ~``weights`` proportions.
+
+    Default 80/10/10 train/val/test.  Thresholds are cumulative over a
+    million hash buckets, so proportions are exact to 1e-6 in
+    expectation and every engine computing the same md5 agrees row for
+    row.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        acc += weights[label]
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(label)) if expr is None \
+            else expr.when(cond, F.lit(label))
+    expr = (expr.otherwise(F.lit(labels[-1])) if expr is not None
+            else F.lit(labels[-1]))
+    return df.withColumn(out, expr)

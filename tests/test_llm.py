@@ -183,3 +183,39 @@ def test_sample_video_frames(spark):
         .collect()
     assert sorted((r.media_id, r.frame_index) for r in out) == \
         [(1, 0), (1, 10), (1, 20)]
+
+
+def test_deterministic_split_is_stable_and_proportional(documents):
+    from dask_ms_spark.llm.sampling import (deterministic_split,
+                                            sample_by_hash)
+
+    s1 = deterministic_split(documents, "doc_id")
+    s2 = deterministic_split(documents, "doc_id")
+    a = sorted((r.doc_id, r.split) for r in s1.select("doc_id", "split").collect())
+    b = sorted((r.doc_id, r.split) for r in s2.select("doc_id", "split").collect())
+    assert a == b  # pure function of (id, salt)
+    counts = dict((r.split, r["count"]) for r in
+                  s1.groupBy("split").count().collect())
+    n = sum(counts.values())
+    assert counts.get("train", 0) / n > 0.7
+    assert 0 < counts.get("val", 0) / n < 0.2
+    assert 0 < counts.get("test", 0) / n < 0.2
+
+    sampled = sample_by_hash(documents, "doc_id", 0.2)
+    frac = sampled.count() / n
+    assert 0.1 < frac < 0.3
+    # sample is a subset, decided per-row: resampling agrees
+    assert sample_by_hash(documents, "doc_id", 0.2).count() == sampled.count()
+
+
+def test_split_salt_draws_independent_assignment(documents):
+    from dask_ms_spark.llm.sampling import deterministic_split
+
+    s1 = deterministic_split(documents, "doc_id", salt="a")
+    s2 = deterministic_split(documents, "doc_id", salt="b")
+    j = s1.select("doc_id", F.col("split").alias("sa")) \
+          .join(s2.select("doc_id", F.col("split").alias("sb")), "doc_id")
+    n = j.count()
+    agree = j.where("sa = sb").count()
+    # independent draws agree ~ sum(w^2) = 0.66, never ~1.0
+    assert agree / n < 0.9
