@@ -686,6 +686,27 @@ def q_dedup_minhash_drop(spark, sf_dir):
                         F.round("max_sim", 6).alias("max_sim"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup clusters: LSH candidate pairs -> connected
+    components (iterative min-label propagation; A~B~C clusters even
+    when A~C was never a candidate).  Oracle mirrors with a recursive
+    CTE over the identical candidate graph."""
+    from dask_ms_spark.llm.dedup import minhash_lsh_pairs
+    from dask_ms_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, num_bands=4,
+                              shingle_k=5, threshold=0.5)
+    comp = connected_components(
+        pairs, "id_a", "id_b",
+        nodes=docs.select(F.col("doc_id").alias("id")))
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas feature
     extraction (decode stubbed — no codec libs; Spark-side schema,
@@ -948,6 +969,67 @@ def _minhash_drop_sql(n: int = 5, num_hashes: int = 16,
     """
 
 
+def _dedup_clusters_sql(n: int = 5, num_hashes: int = 16,
+                        num_bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    """Mirror of q_dedup_clusters: the minhash_lsh_pairs candidate
+    graph (same CTEs as _minhash_drop_sql) closed transitively with a
+    recursive CTE; component id = min reachable doc id."""
+    rows_per_band = num_hashes // num_bands
+    norm = _DUCK_NORM.format(x="text")
+    shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
+                f"THEN [{norm}] ELSE list_transform("
+                f"range(1, length({norm}) - {n - 2}), "
+                f"i -> substring({norm}, i, {n})) END)")
+    base = ("list_transform(grams, s -> " +
+            _DUCK_HASH.format(x="s") + f" % {MINHASH_P})")
+    mins = ", ".join(
+        f"list_min(list_transform(hset, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:num_hashes])
+    band_exprs = ", ".join(
+        _DUCK_HASH.format(
+            x=("array_to_string(list_slice(sig, "
+               f"{b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ',') "
+               f"|| 'band{b}'"))
+        for b in range(num_bands))
+    band_ids = "[" + ", ".join(str(b) for b in range(num_bands)) + "]"
+    return f"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id AS id, {shingles} AS grams FROM documents),
+        hb AS (SELECT id, list_distinct({base}) AS hset FROM sh),
+        sg AS (SELECT id, [{mins}] AS sig FROM hb),
+        banded AS (
+            SELECT id, unnest([{band_exprs}]) AS band_hash,
+                   unnest({band_ids}) AS band_id
+            FROM sg),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.id < b.id),
+        edges AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN sg sa ON sa.id = id_a
+            JOIN sg sb ON sb.id = id_b
+            WHERE len(list_filter(range(1, {num_hashes + 1}),
+                      i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0
+                  >= {threshold}),
+        undir AS MATERIALIZED (
+            SELECT id_a AS s, id_b AS d FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, u.d FROM reach r JOIN undir u ON u.s = r.dst),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                 FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """
+
+
 _COS = ("list_dot_product(va, vb) / "
         "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))")
 
@@ -1105,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "events_props": q_events_props,
         "dedup_minhash_drop": q_dedup_minhash_drop,
+        "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1467,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "dedup_minhash_drop": _minhash_drop_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         # multimodal_features: no oracle (Python-side decode kernel) —
         # driver records rows-only check.
     }

@@ -230,3 +230,16 @@ def test_range_join_matches_naive(spark):
                    pts.crossJoin(ivs)
                    .where("p >= s AND p < e").select("pid", "iid").collect())
     assert got == naive and len(got) > 0
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from dask_ms_spark.operators.graph import connected_components
+
+    # chain 1-2-3 (transitive: 1~3 never listed), pair 10-11, isolate 99
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)],
+                                  "id long")
+    got = {r.id: r.component
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
