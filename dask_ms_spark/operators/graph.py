@@ -46,10 +46,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
              .unionByName(edges.select(F.col(dst).alias("s"),
                                        F.col(src).alias("d")))
              .localCheckpoint())
+    # Iterate ONLY over edge-touched nodes.  Nodes in no candidate
+    # pair are singletons by definition; carrying them through every
+    # round would shuffle the full corpus per iteration at scale,
+    # when the candidate subgraph is orders of magnitude smaller.
     members = undir.select(F.col("s").alias(id_col)).distinct()
-    if nodes is not None:
-        members = members.unionByName(
-            nodes.select(F.col(id_col))).distinct()
     labels = members.select(id_col, F.col(id_col).alias("component")) \
                     .localCheckpoint()
     for _ in range(max_iter):
@@ -73,4 +74,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = stepped.drop("_changed")
         if changed == 0:
             break
+    if nodes is not None:
+        singletons = (nodes.select(F.col(id_col))
+                      .join(labels, on=id_col, how="left_anti")
+                      .select(id_col, F.col(id_col).alias("component")))
+        labels = labels.unionByName(singletons)
     return labels
