@@ -52,14 +52,35 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     """Deterministic ROWID from a natural ordering key (the reference's
     ROWID coordinate, daskms/reads.py:227).
 
-    Implemented as ``row_number`` over a global window — correct and
-    deterministic, but serialises through one partition; at ingest
-    scale use ``zipWithIndex``-style per-partition offsets or persist
-    ROWID in the source instead (daskms/writes.py:363-425 appends do
-    the equivalent chained row-count discovery).
+    Distributed global row_number: range-partition on the key, rank
+    within each partition, then add the cumulative row count of the
+    partitions before it.  A naive ``row_number`` over an unpartitioned
+    window serialises the whole table through one reducer; this form
+    keeps every stage parallel.  The offsets branch and the data branch
+    share one range exchange (Catalyst ReuseExchange), so the total
+    cost is one shuffle plus a broadcast of #partitions offset rows.
+    Equal key tuples land in one partition (range partitioner), so ids
+    are only tie-permuted among identical rows — the same guarantee a
+    global window gives.  (daskms/writes.py:363-425 appends do the
+    equivalent chained row-count discovery.)
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(name, (F.row_number().over(w) - F.lit(1)).cast("long"))
+    order_cols = list(order_cols)
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    parted = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+                .sortWithinPartitions(*order_cols)
+                .withColumn("__pid", F.spark_partition_id()))
+    offs = (parted.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__off",
+                        (F.sum("__cnt").over(Window.orderBy("__pid"))
+                         - F.col("__cnt")).cast("long"))
+            .select("__pid", "__off"))
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    return (parted.join(F.broadcast(offs), "__pid")
+            .withColumn(name, (F.row_number().over(w) - F.lit(1)
+                               + F.col("__off")).cast("long"))
+            .drop("__pid", "__off"))
 
 
 def group_rank(df: DataFrame, group_cols: Iterable[str],
