@@ -428,6 +428,69 @@ def q_rollup(spark, sf_dir):
                       "gid", "n", "sum_qty"))
 
 
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets (SURVEY §2.6: absent in reference): all four
+    grouping combinations of (returnflag, linestatus) in one pass —
+    Catalyst expands the grouping sets before partial aggregation, so
+    the scan happens once and the map-side combine still applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   _money("l_extendedprice").alias("sum_price"),
+                   F.grouping_id().cast("long").alias("gid"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                      "gid", "n", "sum_price"))
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (SURVEY §2.6 gap).
+
+    ``percentile`` sorts within each group — exact and
+    oracle-matchable (DuckDB ``quantile_cont`` uses the same linear
+    interpolation).  At 100 TB the same query shape swaps in
+    ``percentile_approx`` (a fixed-size QuantileSummaries sketch that
+    merges map-side, no global sort) — the exact form here is the
+    correctness anchor for that sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice",
+                       F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(pct[0].cast("double"), 2).alias("p25"),
+                   F.round(pct[1].cast("double"), 2).alias("p50"),
+                   F.round(pct[2].cast("double"), 2).alias("p75"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join + agg.  Dimension tables
+    (region 5 / nation 25 / supplier 100 rows) broadcast; only the
+    lineitem⋈orders fact-fact edge shuffles, on the join key both
+    sides — the plan a 1000-executor cluster wants.  The c_nationkey =
+    s_nationkey condition rides on the broadcast join, not a second
+    shuffle."""
+    region = F.broadcast(_t(spark, sf_dir, "region")
+                         .where("r_name = 'ASIA'"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp '1996-01-01' AND "
+        "o_orderdate < timestamp '1998-01-01'")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(customer, orders.o_custkey == customer.c_custkey)
+           .join(supplier, (li.l_suppkey == supplier.s_suppkey) &
+                 (customer.c_nationkey == supplier.s_nationkey))
+           .join(nation, supplier.s_nationkey == nation.n_nationkey)
+           .join(region, nation.n_regionkey == region.r_regionkey))
+    return (j.groupBy("n_name")
+             .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct aggregation (SURVEY §2.6): exact distinct-customer
     count per priority — expand+two-phase agg under AQE."""
@@ -1164,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "window_frames": q_window_frames,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "quantiles": q_quantiles,
+        "tpch_q5": q_tpch_q5,
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "pivot": q_pivot,
@@ -1435,6 +1501,42 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(cast(l_quantity as decimal(18,2)))
                          as double), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   cast(grouping(l_returnflag, l_linestatus) as bigint)
+                   AS gid,
+                   count(*) AS n,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)))
+                         as double), 2) AS sum_price
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= timestamp '1996-01-01'
+              AND o_orderdate < timestamp '1998-01-01'
+            GROUP BY n_name
         """,
         "distinct_agg": """
             SELECT o_orderpriority,

@@ -54,6 +54,18 @@ def test_asof_join_single_shuffle(orders):
     assert_max_exchanges(out, 2)
 
 
+def test_tpch_q5_dims_broadcast(spark):
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q5(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    # region/nation/supplier must ride broadcast joins; a 6-table join
+    # must never degenerate into a nested loop or cartesian product
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_range_join_is_not_nested_loop(lineitem, orders):
     from dask_ms_spark.operators.joins import range_join
     from dask_ms_spark.plans import plan_str
