@@ -22,7 +22,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 __all__ = ["MEDIA_SCHEMA", "media_table", "decode_image_features",
-           "sample_video_frames"]
+           "resize_images", "sample_video_frames"]
 
 # Canonical multimodal column group: payload + typed metadata.
 MEDIA_SCHEMA = StructType([
@@ -103,6 +103,42 @@ def decode_image_features(media: DataFrame,
 
     return (media.select("media_id", "width", "height", "payload")
                  .mapInPandas(compute, schema=_FEATURE_SCHEMA))
+
+
+_RESIZE_SCHEMA = ("media_id long, width int, height int, "
+                  "payload binary")
+
+
+def resize_images(media: DataFrame, out_width: int = 32,
+                  out_height: int = 32) -> DataFrame:
+    """Resize every image to a fixed (out_height, out_width) raster.
+
+    Only the initial decode is the stubbed step; the resample itself is
+    real — nearest-neighbour index mapping in vectorised numpy — and
+    the output payload is the raw uint8 raster with updated metadata.
+    Same single-crossing discipline as ``decode_image_features``:
+    payloads enter Python once per Arrow batch, and the output rows are
+    bounded (out_width × out_height bytes) regardless of input size —
+    the property that keeps executor memory flat on mixed-size corpora.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                h, w = int(row.height or 1), int(row.width or 1)
+                px = _decode_image_stub(row.payload or b"", w, h)
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                resized = px[np.ix_(ys, xs)]
+                out.append((row.media_id, out_width, out_height,
+                            resized.tobytes()))
+            yield pd.DataFrame(out, columns=["media_id", "width",
+                                             "height", "payload"])
+
+    return (media.where(F.col("kind") == "image")
+                 .select("media_id", "width", "height", "payload")
+                 .mapInPandas(compute, schema=_RESIZE_SCHEMA))
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:

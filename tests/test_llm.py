@@ -176,6 +176,21 @@ def test_multimodal_features(documents):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
 
 
+def test_resize_images_fixed_raster(documents):
+    from dask_ms_spark.llm.multimodal import resize_images
+
+    media = media_table(documents.limit(10))
+    out = resize_images(media, out_width=8, out_height=6).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.payload) == 8 * 6  # bounded output, any input size
+    # deterministic nearest-neighbour resample
+    again = resize_images(media, out_width=8, out_height=6).collect()
+    assert sorted((r.media_id, bytes(r.payload)) for r in out) == \
+        sorted((r.media_id, bytes(r.payload)) for r in again)
+
+
 def test_sample_video_frames(spark):
     rows = [Row(media_id=1, kind="video", n_frames=25),
             Row(media_id=2, kind="image", n_frames=1)]
