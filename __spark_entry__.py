@@ -491,6 +491,27 @@ def q_tpch_q5(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_items")))
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share) per ship month: broadcast
+    part dim (2k rows) onto the lineitem fact — no fact shuffle before
+    the group-by — with a conditional aggregate.  Sums stay in exact
+    decimal until the final ratio so the per-month share is
+    engine-independent."""
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(22,6)"))
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int")
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .groupBy(ym.alias("ship_month"))
+              .agg((F.round((F.lit(100.0) * F.sum(promo).cast("double") /
+                             F.sum(rev).cast("double")), 4))
+                   .alias("promo_share"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct aggregation (SURVEY §2.6): exact distinct-customer
     count per priority — expand+two-phase agg under AQE."""
@@ -1230,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "quantiles": q_quantiles,
         "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "pivot": q_pivot,
@@ -1537,6 +1559,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= timestamp '1996-01-01'
               AND o_orderdate < timestamp '1998-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q14": """
+            SELECT cast(year(l_shipdate) * 100 + month(l_shipdate) as int)
+                   AS ship_month,
+                   round(100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+                             THEN cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4))
+                             ELSE cast(0 as decimal(22,6)) END) as double)
+                         / cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                    cast(1 - l_discount as decimal(18,4)))
+                           as double), 4) AS promo_share,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "distinct_agg": """
             SELECT o_orderpriority,
