@@ -758,6 +758,23 @@ def q_events_props(spark, sf_dir):
                        F.count(F.when(F.col("k") > 50, 1)).alias("n_hi")))
 
 
+def q_events_correlate(spark, sf_dir):
+    """Stream-stream-join shape on the batch path: clicks correlated
+    with same-user errors within 30 minutes (streaming form carries
+    watermarks on both sides so join state is evictable).  Delays
+    average over exact integer microseconds, so the mean is
+    engine-deterministic."""
+    from dask_ms_spark.streaming.events import correlate_events
+
+    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    pairs = correlate_events(events, "click", "error", "30 minutes")
+    delay_us = F.unix_micros("b_ts") - F.unix_micros("a_ts")
+    return (pairs.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.round(F.avg(delay_us) / F.lit(1e6), 4)
+                       .alias("avg_delay_s")))
+
+
 def q_dedup_minhash_drop(spark, sf_dir):
     """End-to-end MinHash-LSH dedup decision: docs to DROP (connected
     to a lower-id near-duplicate by estimated signature Jaccard)."""
@@ -1274,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "events_props": q_events_props,
+        "events_correlate": q_events_correlate,
         "dedup_minhash_drop": q_dedup_minhash_drop,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
@@ -1686,6 +1704,17 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN cast(json_extract(props, '$.k')
                               as bigint) > 50 THEN 1 END) AS n_hi
             FROM events GROUP BY event_type
+        """,
+        "events_correlate": """
+            SELECT a.user_id AS user_id, count(*) AS n_pairs,
+                   round(avg(epoch_us(b.ts) - epoch_us(a.ts)) / 1e6, 4)
+                   AS avg_delay_s
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'click' AND b.event_type = 'error'
+            GROUP BY 1
         """,
         "dedup_minhash_drop": _minhash_drop_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["normalize_ts", "read_events", "read_events_stream",
-           "windowed_counts", "sliding_value_stats", "sessionize",
-           "run_stream_to_memory"]
+           "windowed_counts", "sliding_value_stats", "correlate_events",
+           "sessionize", "run_stream_to_memory"]
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -104,6 +104,35 @@ def sliding_value_stats(events: DataFrame, window: str = "2 hours",
                       "user_id", "n_events", "avg_value"))
 
 
+def correlate_events(events: DataFrame, left_type: str = "click",
+                     right_type: str = "error",
+                     horizon: str = "10 minutes",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Same-user temporal correlation: every ``right_type`` event that
+    follows a ``left_type`` event by the same user within ``horizon``.
+
+    The stream-stream-join shape (SURVEY §2.10 extension): on streaming
+    frames both sides carry watermarks and the two-sided time bound
+    lets Spark evict join state, so state stays O(events within
+    watermark), not O(stream).  On batch frames the identical code
+    plans an equi-join on ``user_id`` — one shuffle per side, the time
+    predicate evaluated join-local, never a nested loop over time.
+    """
+    a = events.where(F.col("event_type") == left_type).select(
+        "user_id", F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"))
+    b = events.where(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"))
+    if events.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+        b = b.withWatermark("b_ts", watermark)
+    cond = ((a.user_id == b.b_user) & (b.b_ts >= a.a_ts) &
+            (b.b_ts <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}")))
+    return (a.join(b, cond)
+             .select("user_id", "a_id", "b_id", "a_ts", "b_ts"))
+
+
 _SESSION_SCHEMA = ("user_id long, session_start timestamp, "
                    "session_end timestamp, n_events long")
 _STATE_SCHEMA = "start long, last long, n long"
@@ -168,11 +197,21 @@ def sessionize(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
-                         timeout_s: float = 60.0) -> DataFrame:
+                         timeout_s: float = 60.0,
+                         output_mode: str | None = None) -> DataFrame:
     """Drive a stream to completion against a finite file source and
-    return the in-memory sink table (test/bench harness)."""
+    return the in-memory sink table (test/bench harness).
+
+    Default output mode: ``complete`` for aggregating streams (the
+    memory sink then holds the final window states), ``append`` for
+    non-aggregating ones (joins, maps) where complete is unsupported.
+    """
+    if output_mode is None:
+        aggregating = stream_df.isStreaming and "Aggregate" in \
+            stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if aggregating else "append"
     query = (stream_df.writeStream.format("memory").queryName(name)
-             .outputMode("complete" if stream_df.isStreaming else "append")
+             .outputMode(output_mode)
              .trigger(availableNow=True).start())
     query.awaitTermination(timeout_s)
     spark = stream_df.sparkSession

@@ -38,6 +38,20 @@ def test_sliding_window_double_counts(events):
     assert total == 2 * events.count()
 
 
+def test_correlate_stream_matches_batch(spark, events_path, events):
+    """Stream-stream join with two-sided time bounds drains a finite
+    source to the batch answer (watermarks evict state; append mode)."""
+    from dask_ms_spark.streaming.events import correlate_events
+
+    stream = read_events_stream(spark, events_path)
+    joined = correlate_events(stream, "click", "error", "30 minutes")
+    result = run_stream_to_memory(joined, "corr_stream")
+    batch = correlate_events(events, "click", "error", "30 minutes")
+    got = sorted((r.user_id, r.a_id, r.b_id) for r in result.collect())
+    want = sorted((r.user_id, r.a_id, r.b_id) for r in batch.collect())
+    assert got == want and len(want) > 0
+
+
 def test_sessionize_stateful(spark, events_path, events):
     """applyInPandasWithState sessionize: final per-user snapshot on a
     finite stream equals the batch min/max/count rollup."""
