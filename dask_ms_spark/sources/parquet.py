@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..dataset import Dataset, concat, partition_datasets
 from ..types import PARTITION_KEY
 
-__all__ = ["xds_from_parquet", "xds_to_parquet", "read_table"]
+__all__ = ["xds_from_parquet", "xds_to_parquet", "read_table",
+           "compact_parquet"]
 
 
 def read_table(spark: SparkSession, path: str,
@@ -83,3 +84,52 @@ def xds_to_parquet(datasets: list[Dataset] | Dataset | DataFrame, store: str,
         from .keywords import write_keywords
 
         write_keywords(store, table_keywords, column_keywords)
+
+
+def compact_parquet(spark: SparkSession, store: str, out_store: str,
+                    sort_cols: Iterable[str] = (),
+                    target_files: int | None = None) -> int:
+    """Rewrite a parquet store into fewer, larger, optionally sorted
+    files — the small-files maintenance pass every incremental-append
+    table needs at scale (each streaming micro-batch or per-chunk
+    writer leaves one file; metadata and open() overhead then dominate
+    the scan).
+
+    With ``sort_cols`` the rewrite range-partitions on those keys, so
+    each output file covers a disjoint key range and parquet min/max
+    row-group stats prune scans with key predicates — the same
+    locality the reference gets from its sorted row-run layout
+    (daskms/ordering.py:18-57), achieved declaratively.  Returns the
+    number of output files written.
+    """
+    df = spark.read.parquet(store)
+    if target_files is None:
+        target_files = max(1, df.rdd.getNumPartitions() // 8)
+    sort_cols = list(sort_cols)
+    if sort_cols:
+        df = (df.repartitionByRange(target_files, *sort_cols)
+                .sortWithinPartitions(*sort_cols))
+    else:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(out_store)
+    out = [f for f in _list_files(spark, out_store)
+           if f.endswith(".parquet")]
+    return len(out)
+
+
+def _list_files(spark: SparkSession, store: str) -> list[str]:
+    import os
+
+    if os.path.isdir(store):
+        return [os.path.join(r, f) for r, _, fs in os.walk(store)
+                for f in fs]
+    # non-local stores: go through the JVM Hadoop FS
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(store)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    names = []
+    while it.hasNext():
+        names.append(it.next().getPath().toString())
+    return names

@@ -24,7 +24,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["normalize_ts", "read_events", "read_events_stream",
            "windowed_counts", "sliding_value_stats", "correlate_events",
-           "sessionize", "run_stream_to_memory"]
+           "sessionize", "run_stream_to_memory", "stream_append_parquet"]
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -67,9 +67,19 @@ def read_events_stream(spark: SparkSession, path: str,
     if schema is None:
         schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="dms_stream_")
-        os.symlink(os.path.abspath(path),
-                   os.path.join(stage, os.path.basename(path)))
+        # staging dir must be a pure function of the source path:
+        # checkpointed streams record source files by absolute path, so
+        # a fresh random dir per call would invalidate every checkpoint
+        import hashlib
+
+        digest = hashlib.md5(
+            os.path.abspath(path).encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(),
+                             f"dms_stream_{digest}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, os.path.basename(path))
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(path), link)
         path = stage
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files).parquet(path))
@@ -194,6 +204,26 @@ def sessionize(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
             .applyInPandasWithState(fn, _SESSION_SCHEMA,
                                     _STATE_SCHEMA, "update",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_append_parquet(stream_df: DataFrame, out_path: str,
+                          checkpoint: str,
+                          timeout_s: float = 120.0) -> None:
+    """Incremental exactly-once append to a parquet table (reference
+    S7 append semantics, daskms/writes.py:352-490, in streaming form).
+
+    The checkpoint's write-ahead log records which source files each
+    committed batch consumed: re-running after new data arrives appends
+    only the unseen rows, and re-running with nothing new writes
+    nothing — the chained row-count-discovery bookkeeping the reference
+    does by hand becomes the sink's commit protocol.
+    """
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,

@@ -54,6 +54,41 @@ def test_parquet_roundtrip_partitioned(spark, orders, tmp_path):
     assert orig == rt
 
 
+def test_compact_parquet_shrinks_files_and_sorts(spark, orders,
+                                                 tmp_path):
+    from dask_ms_spark.sources.parquet import compact_parquet
+
+    frag_store = str(tmp_path / "fragmented")
+    # simulate micro-batch debris: many tiny files
+    orders.repartition(24).write.parquet(frag_store)
+    n_in = sum(1 for f in os.listdir(frag_store)
+               if f.endswith(".parquet"))
+    assert n_in == 24
+    out_store = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, frag_store, out_store,
+                            sort_cols=["o_orderdate"], target_files=3)
+    assert n_out == 3
+    back = spark.read.parquet(out_store)
+    assert back.count() == orders.count()
+    # range layout: per-file min/max o_orderdate ranges are disjoint
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(out_store)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out_store, f))
+        idx = md.schema.names.index("o_orderdate")
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+
+
 def test_storage_dispatch_roundtrip(spark, nation, tmp_path):
     store = str(tmp_path / "nation_store")
     dss = xds_from_storage_table(

@@ -81,6 +81,21 @@ def test_sessionize_stateful(spark, events_path, events):
     assert got == want
 
 
+def test_stream_append_exactly_once(spark, events_path, events,
+                                    tmp_path):
+    """Re-running the incremental append with an unchanged source must
+    not duplicate rows (checkpoint WAL dedupes consumed files)."""
+    from dask_ms_spark.streaming.events import stream_append_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n = events.count()
+    for _ in range(2):
+        stream = read_events_stream(spark, events_path)
+        stream_append_parquet(stream, out, ckpt)
+        assert spark.read.parquet(out).count() == n
+
+
 def test_stream_matches_batch(spark, events_path, events):
     """The same windowed_counts code on a file-source stream produces
     the batch answer once the finite source drains."""
