@@ -758,6 +758,19 @@ def q_events_props(spark, sf_dir):
                        F.count(F.when(F.col("k") > 50, 1)).alias("n_hi")))
 
 
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style one-pass column profile (nulls/ndv/min/max) —
+    every stat partial-merges map-side, one scan regardless of column
+    count.  Restricted to integer/string columns so min/max string
+    rendering is engine-identical; at 100 TB run with exact_ndv=False
+    (HyperLogLog) — this exact form is that sketch's oracle."""
+    from dask_ms_spark.functions.stats import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_orderkey", "o_custkey",
+                                  "o_orderstatus", "o_orderpriority"])
+
+
 def q_events_correlate(spark, sf_dir):
     """Stream-stream-join shape on the batch path: clicks correlated
     with same-user errors within 30 minutes (streaming form carries
@@ -1292,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "events_props": q_events_props,
         "events_correlate": q_events_correlate,
+        "table_profile": q_table_profile,
         "dedup_minhash_drop": q_dedup_minhash_drop,
         "dedup_clusters": q_dedup_clusters,
         "multimodal_features": q_multimodal_features,
@@ -1716,6 +1730,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.event_type = 'click' AND b.event_type = 'error'
             GROUP BY 1
         """,
+        "table_profile": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   cast(min({c}) as varchar) AS min_s,
+                   cast(max({c}) as varchar) AS max_s
+            FROM orders"""
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_orderpriority"]),
         "dedup_minhash_drop": _minhash_drop_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         # multimodal_features: no oracle (Python-side decode kernel) —

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["grouped_ols"]
+__all__ = ["grouped_ols", "profile_table"]
 
 _OLS_SCHEMA = ("{keys}, n_events long, slope double, intercept double")
 
@@ -65,3 +65,41 @@ def grouped_ols(df: DataFrame, group_cols: list[str] | str,
         return pd.DataFrame([row])
 
     return df.groupBy(*keys).applyInPandas(fit, out_schema)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_ndv: bool = True) -> DataFrame:
+    """Single-pass per-column profile: nulls, min, max, distinct count.
+
+    One wide aggregate over one scan — every statistic partial-merges
+    map-side, so the cost at 100 TB is the scan plus one tiny shuffle,
+    not a pass per column.  ``exact_ndv=False`` swaps exact distinct
+    (which expands the aggregate per column) for HyperLogLog
+    ``approx_count_distinct`` — the only sane setting on wide fact
+    tables at scale; the exact form exists so the sketch has an oracle.
+    Output is long-format ``(col_name, n_nulls, n_distinct, min_s,
+    max_s)`` with min/max rendered to strings so mixed types share one
+    schema.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or [f.name for f in df.schema.fields]
+    ndv = (F.countDistinct if exact_ndv
+           else lambda c: F.approx_count_distinct(c))
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            ndv(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(f"__nn_{c}").alias("n_nulls"),
+                 F.col(f"__nd_{c}").alias("n_distinct"),
+                 F.col(f"__mn_{c}").alias("min_s"),
+                 F.col(f"__mx_{c}").alias("max_s"))
+        for c in cols]))
+    return wide.select(stacked.alias("p")).select("p.*")

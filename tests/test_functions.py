@@ -212,3 +212,36 @@ def test_grouped_ols_recovers_exact_line(spark):
         assert abs(got[g].slope - 2.0) < 1e-9
         # x is re-based to the group min (0 here), so intercept = 3+g
         assert abs(got[g].intercept - (3.0 + g)) < 1e-9
+
+
+def test_profile_table_exact_and_sketch(orders):
+    from dask_ms_spark.functions.stats import profile_table
+
+    cols = ["o_orderkey", "o_orderstatus"]
+    exact = {r.col_name: r for r in
+             profile_table(orders, cols).collect()}
+    n = orders.count()
+    n_keys = orders.select("o_orderkey").distinct().count()
+    assert exact["o_orderkey"].n_nulls == 0
+    assert exact["o_orderkey"].n_distinct == n_keys == n
+    assert set(exact) == set(cols)
+    # the scale path: HLL ndv near the exact anchor (default rsd 5%,
+    # so allow 2 sigma)
+    approx = {r.col_name: r for r in
+              profile_table(orders, cols, exact_ndv=False).collect()}
+    for c in cols:
+        rel = abs(approx[c].n_distinct - exact[c].n_distinct) / \
+            max(1, exact[c].n_distinct)
+        assert rel < 0.10
+
+
+def test_percentile_approx_tracks_exact(lineitem):
+    """The documented 100 TB swap for q_quantiles: the QuantileSummaries
+    sketch must stay within 1% relative of the exact sort-based form."""
+    from pyspark.sql import functions as F
+
+    row = lineitem.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5),
+                            F.lit(10_000)).alias("approx")).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.01
