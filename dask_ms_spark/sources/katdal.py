@@ -33,7 +33,41 @@ except Exception:  # pragma: no cover
     _katdal = None
     HAVE_KATDAL = False
 
-__all__ = ["HAVE_KATDAL", "xds_from_katdal", "katdal_import"]
+__all__ = ["HAVE_KATDAL", "xds_from_katdal", "katdal_import",
+           "transpose_to_rowmajor"]
+
+
+def transpose_to_rowmajor(vis, cp_index, time_col: str = "time",
+                          cp_col: str = "corrprod",
+                          data_col: str = "data"):
+    """(time, corrprod)-keyed chan-arrays -> MSv2 row-major layout
+    (time, antenna1, antenna2) with ``data[chan][corr]``.
+
+    The reference does this with a numba kernel over dense blocks
+    (daskms/experimental/katdal/transpose.py:34-131); here it is a
+    declarative regroup, fully JVM-side: broadcast-join the tiny
+    corrprod index (corrprod -> antenna1, antenna2, corr), shuffle
+    once keyed on the output row identity (time, baseline), and build
+    the (chan, corr) nested array with higher-order functions —
+    ``collect_list`` of corr-tagged chan-arrays, corr-sorted, then a
+    nested ``transform`` flips to chan-major.  Scales with the number
+    of output rows; no dense intermediate ever materialises.
+
+    ``cp_index`` columns: ``corrprod, antenna1, antenna2, corr``.
+    """
+    from pyspark.sql import functions as F
+
+    joined = vis.join(F.broadcast(cp_index), cp_col)
+    per_row = (joined.groupBy(time_col, "antenna1", "antenna2")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col("corr"),
+                    F.col(data_col).alias("v")))).alias("cs")))
+    nchan = F.size(F.col("cs")[0]["v"])
+    chan_major = F.transform(
+        F.sequence(F.lit(0), nchan - F.lit(1)),
+        lambda ch: F.transform(F.col("cs"), lambda s: s["v"][ch]))
+    return per_row.select(time_col, "antenna1", "antenna2",
+                          chan_major.alias(data_col))
 
 
 def _require_katdal():

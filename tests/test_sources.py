@@ -209,3 +209,32 @@ def test_column_pruning_reaches_scan(lineitem):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_tax" not in read_schema
+
+
+def test_transpose_to_rowmajor_matches_numpy(spark):
+    """S5 layout transform: (time, corrprod) chan-arrays regroup to
+    MSv2 (row, chan, corr) — verified against a numpy transpose."""
+    import numpy as np
+
+    from dask_ms_spark.sources.katdal import transpose_to_rowmajor
+
+    ntime, nbl, ncorr, nchan = 3, 2, 2, 4
+    rng = np.random.RandomState(7)
+    # dense (time, chan, corrprod) block, corrprod = baseline x corr
+    block = rng.rand(ntime, nchan, nbl * ncorr).round(6)
+    cp_rows = [(bl * ncorr + c, bl, bl + 1, c)
+               for bl in range(nbl) for c in range(ncorr)]
+    cp_index = spark.createDataFrame(
+        cp_rows, "corrprod int, antenna1 int, antenna2 int, corr int")
+    vis_rows = [(t, cp, [float(block[t, ch, cp]) for ch in range(nchan)])
+                for t in range(ntime) for cp in range(nbl * ncorr)]
+    vis = spark.createDataFrame(
+        vis_rows, "time int, corrprod int, data array<double>")
+    out = transpose_to_rowmajor(vis, cp_index)
+    assert out.count() == ntime * nbl
+    for r in out.collect():
+        bl = r.antenna1
+        want = block[r.time, :, bl * ncorr:(bl + 1) * ncorr]
+        got = np.array(r.data)
+        assert got.shape == (nchan, ncorr)
+        assert np.allclose(got, want)
