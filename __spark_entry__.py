@@ -1248,8 +1248,13 @@ def _similarity_topk_sql(k: int = 10) -> str:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_star_join(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H Q5 shape: 6-table star join with broadcast dims and a single
+    fact-fact shuffle — the reference does this with manual per-dataset
+    lookups (examples/ms_subtable_join.py:36-69); here it is one
+    declarative plan."""
+    return q_tpch_q5(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

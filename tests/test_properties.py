@@ -53,3 +53,41 @@ if HAVE_HYPOTHESIS:
             assert got is None or math.isnan(got)
         else:
             assert got == pytest.approx(float(want), rel=1e-9)
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0, max_size=30))
+    @settings(max_examples=8, deadline=None)
+    def test_connected_components_matches_union_find(spark, edges):
+        """Min-label propagation must agree with a sequential
+        union-find on arbitrary small graphs (chains, cliques,
+        self-loops, isolates)."""
+        from dask_ms_spark.operators.graph import connected_components
+
+        nodes = sorted({n for e in edges for n in e} | set(range(5)))
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        # canonical label = min node id in the component
+        comp_min = {}
+        for n in nodes:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        want = {n: comp_min[find(n)] for n in nodes}
+
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long")
+        ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+        got = {r.id: r.component for r in
+               connected_components(edf, nodes=ndf).collect()}
+        assert got == want
