@@ -512,6 +512,29 @@ def q_tpch_q14(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_items")))
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose lineitems sum past a quantity
+    threshold, joined back for customer detail.  The HAVING aggregate
+    runs fact-side first and produces a tiny key set, which then
+    drives broadcast joins against orders/customer — the
+    aggregate-then-semi-join ordering that avoids ever shuffling the
+    full fact-fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                           .cast("double"), 2).alias("total_qty"))
+             .where(F.col("total_qty") > 300))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(big),
+                        orders.o_orderkey == big.l_orderkey)
+                  .join(cust, orders.o_custkey == cust.c_custkey)
+                  .select("c_custkey", "c_name", "o_orderkey",
+                          F.unix_timestamp("o_orderdate")
+                           .alias("odate_epoch"),
+                          "total_qty"))
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct aggregation (SURVEY §2.6): exact distinct-customer
     count per priority — expand+two-phase agg under AQE."""
@@ -1287,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "pivot": q_pivot,
@@ -1734,6 +1758,21 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'click' AND b.event_type = 'error'
             GROUP BY 1
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       round(cast(sum(cast(l_quantity as decimal(18,2)))
+                             as double), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(cast(sum(cast(l_quantity as decimal(18,2)))
+                             as double), 2) > 300)
+            SELECT c_custkey, c_name, o_orderkey,
+                   cast(epoch(o_orderdate) as bigint) AS odate_epoch,
+                   total_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "table_profile": " UNION ALL ".join(
             f"""SELECT '{c}' AS col_name,
