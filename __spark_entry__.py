@@ -577,6 +577,22 @@ def q_pivot(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # corpus / LLM-pipeline queries (BASELINE.json north star)
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (SURVEY §2.6 family: absent in reference): wide
+    measure columns reshaped to long (metric, value) rows, then one
+    aggregate pass.  Catalyst's Expand node emits the long rows
+    map-side — one scan, no join, partial agg still applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "val")
+    return (long.groupBy("l_returnflag", "metric")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum(F.col("val").cast("decimal(18,2)"))
+                              .cast("double"), 2).alias("sum_val")))
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalised text."""
     return exact_dedup(_t(spark, sf_dir, "documents")) \
@@ -1314,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "pivot": q_pivot,
+        "unpivot": q_unpivot,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1663,6 +1680,23 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
                    AS n_pending
             FROM orders GROUP BY o_orderpriority
+        """,
+        "unpivot": """
+            SELECT l_returnflag, metric, count(*) AS n,
+                   round(cast(sum(cast(val as decimal(18,2)))
+                         as double), 2) AS sum_val
+            FROM (
+                SELECT l_returnflag, 'l_quantity' AS metric,
+                       l_quantity AS val FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_discount', l_discount
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+            GROUP BY l_returnflag, metric
         """,
         "dedup_exact": f"""
             SELECT {h_norm_text} AS text_hash,
