@@ -535,6 +535,243 @@ def q_tpch_q18(spark, sf_dir):
                           "total_qty"))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelated to
+    a left-semi hash join with a non-equi residual (l_shipdate >
+    o_orderdate rides on the hash-matched orderkey probe, no extra
+    shuffle beyond the one on the join key).  The orders side carries a
+    pushed-down quarter filter, so the build input is small."""
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp '1996-07-01' AND "
+        "o_orderdate < timestamp '1996-10-01'")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) &
+            (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): nation is
+    joined twice under different roles (supplier vs customer side) —
+    both copies broadcast, as does supplier; the only shuffles are the
+    fact edges lineitem⋈orders and ⋈customer.  The nation-pair
+    disjunction is evaluated post-broadcast, fact-local."""
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation")))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp '1996-01-01' AND "
+        "l_shipdate < timestamp '1998-01-01'")
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    pair = ((F.col("supp_nation") == "NATION_5") &
+            (F.col("cust_nation") == "NATION_12")) | \
+           ((F.col("supp_nation") == "NATION_12") &
+            (F.col("cust_nation") == "NATION_5"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(customer, orders.o_custkey == customer.c_custkey)
+           .join(supplier, li.l_suppkey == supplier.s_suppkey)
+           .join(n1, supplier.s_nationkey == F.col("s_nk"))
+           .join(n2, customer.c_nationkey == F.col("c_nk"))
+           .where(pair))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+             .agg(F.round(F.sum(vol).cast("double"), 2).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, no partsupp in this
+    corpus): part is filtered by a LIKE before the broadcast, so the
+    join doubles as the selective filter on the fact; profit rolls up
+    per supplier nation and order year."""
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .where("p_name LIKE '%red%'")
+                       .select("p_partkey"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier")
+                           .select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (F.col("l_extendedprice").cast("decimal(18,2)") *
+              (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+           .join(supplier, li.l_suppkey == supplier.s_suppkey)
+           .join(nation, supplier.s_nationkey == nation.n_nationkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("bigint").alias("o_year"))
+             .agg(F.round(F.sum(profit).cast("double"), 2)
+                   .alias("sum_profit"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue, top 20 customers): the
+    returnflag + quarter filters prune the fact before its single
+    shuffle onto orders; customer and nation broadcast; the top-k is a
+    TakeOrdered over the small agg output, tie-broken on the key for a
+    deterministic cross-engine result."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp '1996-10-01' AND "
+        "o_orderdate < timestamp '1997-01-01'")
+    li = _t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(nation, cust.c_nationkey == nation.n_nationkey))
+    agg = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+               .limit(20)
+               .select("c_custkey", "c_name",
+                       F.round(F.col("c_acctbal").cast("double"), 2)
+                        .alias("acctbal"),
+                       "n_name", "revenue"))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    with a pushed-into-the-join filter on the orders side (rows that
+    fail it null out rather than drop the customer), then a second
+    aggregation over the first's output — the classic two-level
+    group-by whose second stage is tiny."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders") \
+        .where("o_orderstatus <> 'F'") \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left_outer")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    then the max selected by joining a broadcast single-row global max
+    back onto the agg — no global sort, no window over a single
+    partition; exact decimal sums make the max-equality comparison
+    engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp '1996-01-01' AND "
+        "l_shipdate < timestamp '1996-04-01'")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    per_supp = (li.groupBy("l_suppkey")
+                  .agg(F.round(F.sum(rev).cast("double"), 2)
+                        .alias("total_revenue")))
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    top = per_supp.join(F.broadcast(mx),
+                        per_supp.total_revenue == F.col("mx")).drop("mx")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (top.join(supplier, top.l_suppkey == supplier.s_suppkey)
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count per part attribute; lineitem
+    stands in for partsupp): a broadcast anti-join removes blacklisted
+    suppliers before the distinct-agg, and the count-distinct runs as
+    the expand + two-phase aggregate Catalyst plans for it."""
+    bad = F.broadcast(_t(spark, sf_dir, "supplier")
+                      .where("s_acctbal < 0").select("s_suppkey"))
+    part = F.broadcast(_t(spark, sf_dir, "part").where(
+        "p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keep = li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+    return (keep.join(part, keep.l_partkey == part.p_partkey)
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part average subquery decorrelates into a groupBy over the fact
+    plus an equi-join back on partkey.  The threshold is computed as
+    exact-decimal-sum / count in double so both engines derive the
+    identical IEEE value before the 0.2× comparison."""
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .where("p_brand = 'Brand#13'")
+                       .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+                  .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                         .cast("double") /
+                        F.count(F.lit(1))).alias("avg_qty")))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+           .join(per_part, li.l_partkey == F.col("t_partkey"))
+           .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")))
+    return j.agg(
+        F.round((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double") / F.lit(7.0)), 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    the three OR-arms share the same broadcast part join; Catalyst
+    extracts the common p_partkey = l_partkey conjunct so the join is
+    still a hash join with the disjunction as a residual filter."""
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .select("p_partkey", "p_brand", "p_size"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    arm = ((F.col("p_brand") == "Brand#2") &
+           F.col("p_size").between(1, 5) &
+           F.col("l_quantity").between(1, 11)) | \
+          ((F.col("p_brand") == "Brand#13") &
+           F.col("p_size").between(1, 10) &
+           F.col("l_quantity").between(10, 20)) | \
+          ((F.col("p_brand") == "Brand#20") &
+           F.col("p_size").between(1, 15) &
+           F.col("l_quantity").between(20, 30))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+              .where(arm)
+              .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity, nationkey standing in
+    for the phone country code): the scalar average broadcasts as a
+    one-row join input; customers-without-recent-orders is an
+    anti-join against the pruned orders scan (every customer in this
+    corpus has SOME order, so the recency filter keeps the anti arm
+    non-trivial) — at 100 TB the anti side shuffles, same plan
+    shape."""
+    cust = _t(spark, sf_dir, "customer")
+    thr = (cust.where("c_acctbal > 0")
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                      .cast("double") /
+                     F.count(F.lit(1))).alias("thr")))
+    rich = cust.join(F.broadcast(thr)) \
+               .where(F.col("c_acctbal") > F.col("thr"))
+    orders = (_t(spark, sf_dir, "orders")
+              .where("o_orderdate >= timestamp '2000-07-01'")
+              .select("o_custkey"))
+    lonely = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                       "left_anti")
+    return (lonely.groupBy("c_nationkey")
+                  .agg(F.count(F.lit(1)).alias("numcust"),
+                       _money("c_acctbal").alias("totacctbal")))
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct aggregation (SURVEY §2.6): exact distinct-customer
     count per priority — expand+two-phase agg under AQE."""
@@ -1327,6 +1564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "distinct_agg": q_distinct_agg,
         "set_ops": q_set_ops,
         "pivot": q_pivot,
@@ -1792,6 +2039,145 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'click' AND b.event_type = 'error'
             GROUP BY 1
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= timestamp '1996-07-01'
+              AND o_orderdate < timestamp '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   cast(year(l_shipdate) as bigint) AS l_year,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate < timestamp '1998-01-01'
+              AND ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_12')
+                OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_5'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   cast(year(o_orderdate) as bigint) AS o_year,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS sum_profit,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name,
+                   round(cast(c_acctbal as double), 2) AS acctbal,
+                   n_name,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= timestamp '1996-10-01'
+              AND o_orderdate < timestamp '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer
+                  LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                      cast(1 - l_discount as decimal(18,4)))
+                             as double), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= timestamp '1996-01-01'
+                  AND l_shipdate < timestamp '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q17": """
+            WITH pp AS (
+                SELECT l_partkey AS t_partkey,
+                       cast(sum(cast(l_quantity as decimal(18,2)))
+                            as double) / count(*) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+            SELECT round(cast(sum(cast(l_extendedprice as decimal(18,2)))
+                         as double) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN pp ON l_partkey = t_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q19": """
+            SELECT round(cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4)))
+                         as double), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            WITH thr AS (
+                SELECT cast(sum(cast(c_acctbal as decimal(18,2)))
+                            as double) / count(*) AS t
+                FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(cast(sum(cast(c_acctbal as decimal(18,2)))
+                         as double), 2) AS totacctbal
+            FROM customer, thr
+            WHERE c_acctbal > t
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    timestamp '2000-07-01')
+            GROUP BY c_nationkey
         """,
         "tpch_q18": """
             WITH big AS (
