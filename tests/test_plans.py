@@ -81,3 +81,52 @@ def test_range_join_is_not_nested_loop(lineitem, orders):
     # BroadcastNestedLoopJoin a raw range predicate would plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q4_semi_join_not_inner(spark):
+    """The EXISTS must plan as a semi join (one probe output row per
+    order), never a full inner join followed by dedup."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q4(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q9_dims_broadcast(spark):
+    """part/supplier/nation are dims: all three must broadcast so the
+    only fact shuffle is lineitem⋈orders."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q9(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_broadcast(spark):
+    """The supplier blacklist is tiny: the NOT IN must ride a broadcast
+    anti join, not a shuffle."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q16(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q19_join_stays_hash(spark):
+    """Catalyst must extract the common partkey conjunct from the
+    OR-arms: the disjunction is a residual on a hash join, never a
+    nested-loop theta join."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q19(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
