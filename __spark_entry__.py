@@ -53,7 +53,7 @@ from dask_ms_spark.operators.ordering import (  # noqa: E402
     attach_rowid, group_rank, top_k)
 from dask_ms_spark.operators.overlay import overlay  # noqa: E402
 from dask_ms_spark.streaming.events import (  # noqa: E402
-    read_events, sliding_value_stats, windowed_counts)
+    dedup_events, read_events, sliding_value_stats, windowed_counts)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1064,6 +1064,20 @@ def q_events_correlate(spark, sf_dir):
                        .alias("avg_delay_s")))
 
 
+def q_events_dedup(spark, sf_dir):
+    """Watermarked stream deduplication on its batch path: events with
+    the same (user, type) inside one 5-minute bucket collapse to a
+    deterministic representative (min ts, then min event_id).  The
+    streaming form is dropDuplicatesWithinWatermark with evictable
+    state; the parity test checks both keep the same duplicate
+    classes."""
+    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    kept = dedup_events(events, bucket_s=300)
+    return (kept.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_dedup_minhash_drop(spark, sf_dir):
     """End-to-end MinHash-LSH dedup decision: docs to DROP (connected
     to a lower-id near-duplicate by estimated signature Jaccard)."""
@@ -1598,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session": q_events_session,
         "events_props": q_events_props,
         "events_correlate": q_events_correlate,
+        "events_dedup": q_events_dedup,
         "table_profile": q_table_profile,
         "dedup_minhash_drop": q_dedup_minhash_drop,
         "dedup_clusters": q_dedup_clusters,
@@ -2039,6 +2054,20 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'click' AND b.event_type = 'error'
             GROUP BY 1
+        """,
+        "events_dedup": """
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type,
+                                        epoch_ns(ts) // 300000000000
+                           ORDER BY epoch_ns(ts) // 1000, event_id)
+                       AS rn
+                FROM events)
+            SELECT event_type, count(*) AS n_kept,
+                   round(sum(value), 4) AS sum_value
+            FROM ranked WHERE rn = 1
+            GROUP BY event_type
         """,
         "tpch_q4": """
             SELECT o_orderpriority, count(*) AS order_count

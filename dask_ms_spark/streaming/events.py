@@ -24,7 +24,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["normalize_ts", "read_events", "read_events_stream",
            "windowed_counts", "sliding_value_stats", "correlate_events",
-           "sessionize", "run_stream_to_memory", "stream_append_parquet"]
+           "dedup_events", "sessionize", "run_stream_to_memory",
+           "stream_append_parquet"]
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -141,6 +142,39 @@ def correlate_events(events: DataFrame, left_type: str = "click",
             (b.b_ts <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}")))
     return (a.join(b, cond)
              .select("user_id", "a_id", "b_id", "a_ts", "b_ts"))
+
+
+def dedup_events(events: DataFrame,
+                 keys: tuple[str, ...] = ("user_id", "event_type"),
+                 ts: str = "ts", bucket_s: int = 300,
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Collapse near-duplicate events: rows with the same ``keys``
+    inside the same ``bucket_s``-second event-time bucket count once.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keyed on
+    (keys, bucket) — state is evicted once the watermark passes a
+    bucket, so memory stays O(buckets within watermark), not
+    O(stream).  Which row of a duplicate class survives is
+    arrival-order dependent.
+
+    Batch: the same duplicate classes, but with a deterministic
+    representative (min ts, then min event_id) so the result is
+    oracle-checkable.  Both paths agree on the *set of classes*; the
+    streaming parity test compares exactly that.
+    """
+    bucket = (F.floor(F.unix_timestamp(F.col(ts)) / bucket_s)
+              .cast("bigint").alias("bucket_id"))
+    df = events.withColumn("bucket_id", bucket)
+    subset = [*keys, "bucket_id"]
+    if df.isStreaming:
+        return (df.withWatermark(ts, watermark)
+                  .dropDuplicatesWithinWatermark(subset))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*subset).orderBy(
+        F.col(ts).asc(), F.col("event_id").asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn"))
 
 
 _SESSION_SCHEMA = ("user_id long, session_start timestamp, "

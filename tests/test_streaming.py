@@ -107,3 +107,27 @@ def test_stream_matches_batch(spark, events_path, events):
     got = sorted(tuple(r) for r in result.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_dedup_events_stream_matches_batch_classes(spark, events_path,
+                                                   events):
+    """Streaming dropDuplicatesWithinWatermark and the batch
+    row_number dedup keep exactly the same duplicate classes (which
+    member survives is arrival-order dependent on the stream, so the
+    parity check is on the class keys)."""
+    from dask_ms_spark.streaming.events import dedup_events
+
+    batch = dedup_events(events, bucket_s=300)
+    assert batch.count() <= events.count()
+    # batch representative is deterministic: re-running is identical
+    a = sorted(tuple(r) for r in batch.collect())
+    b = sorted(tuple(r) for r in dedup_events(events, bucket_s=300).collect())
+    assert a == b
+
+    stream = read_events_stream(spark, events_path)
+    kept = run_stream_to_memory(dedup_events(stream, bucket_s=300),
+                                "dedup_stream", output_mode="append")
+    key = ["user_id", "event_type", "bucket_id"]
+    got = sorted(tuple(r) for r in kept.select(*key).distinct().collect())
+    want = sorted(tuple(r) for r in batch.select(*key).distinct().collect())
+    assert got == want
