@@ -589,6 +589,69 @@ def q_tpch_q7(spark, sf_dir):
                   F.count(F.lit(1)).alias("n_items")))
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part; lineitem's distinct
+    part-supp pairs stand in for partsupp, s_acctbal for supplycost):
+    groupwise argmin via a window min + equality filter — one shuffle
+    on the group key, ties kept on both engines.  The distinct runs
+    fact-side first so the window sees |pairs|, not |lineitem|."""
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .where("p_size <= 15 AND p_type = 'LARGE'")
+                       .select("p_partkey", "p_name"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier")
+                           .select("s_suppkey", "s_name", "s_acctbal"))
+    j = (pairs.join(part, pairs.l_partkey == part.p_partkey)
+              .join(supplier, pairs.l_suppkey == supplier.s_suppkey))
+    w = Window.partitionBy("p_partkey")
+    sel = (j.withColumn("_mn", F.min("s_acctbal").over(w))
+            .where(F.col("s_acctbal") == F.col("_mn")).drop("_mn"))
+    return (sel.orderBy(F.col("s_acctbal").asc(), F.col("p_partkey").asc(),
+                        F.col("s_suppkey").asc())
+               .limit(100)
+               .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                       F.round(F.col("s_acctbal").cast("double"), 2)
+                        .alias("acctbal")))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): share of ASIA-customer
+    order volume supplied from NATION_5, per order year — nation twice
+    (customer side gates through region, supplier side feeds the CASE),
+    all dims broadcast, conditional and total sums in one aggregate
+    pass over exact decimals."""
+    region = F.broadcast(_t(spark, sf_dir, "region")
+                         .where("r_name = 'ASIA'"))
+    n_cust = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk")))
+    n_supp = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation")))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp '1996-01-01' AND "
+        "o_orderdate < timestamp '1998-01-01'")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    target = F.when(F.col("supp_nation") == "NATION_5", vol) \
+              .otherwise(F.lit(0).cast("decimal(22,6)"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(customer, orders.o_custkey == customer.c_custkey)
+           .join(n_cust, customer.c_nationkey == F.col("c_nk"))
+           .join(region, F.col("c_rk") == region.r_regionkey)
+           .join(supplier, li.l_suppkey == supplier.s_suppkey)
+           .join(n_supp, supplier.s_nationkey == F.col("s_nk")))
+    return (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+             .agg(F.round(F.sum(target).cast("double") /
+                          F.sum(vol).cast("double"), 6)
+                   .alias("mkt_share"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
 def q_tpch_q9(spark, sf_dir):
     """TPC-H Q9 shape (product-type profit, no partsupp in this
     corpus): part is filtered by a LIKE before the broadcast, so the
@@ -1578,8 +1641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
@@ -2078,6 +2143,44 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "tpch_q2": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            j AS (
+                SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+                       min(s_acctbal) OVER (PARTITION BY p_partkey) AS mn
+                FROM pairs
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE p_size <= 15 AND p_type = 'LARGE')
+            SELECT p_partkey, p_name, s_suppkey, s_name,
+                   round(cast(s_acctbal as double), 2) AS acctbal
+            FROM j WHERE s_acctbal = mn
+            ORDER BY s_acctbal ASC, p_partkey ASC, s_suppkey ASC
+            LIMIT 100
+        """,
+        "tpch_q8": """
+            SELECT cast(year(o_orderdate) as bigint) AS o_year,
+                   round(cast(sum(CASE WHEN n2.n_name = 'NATION_5'
+                             THEN cast(l_extendedprice as decimal(18,2)) *
+                                  cast(1 - l_discount as decimal(18,4))
+                             ELSE cast(0 as decimal(22,6)) END) as double)
+                         / cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                                    cast(1 - l_discount as decimal(18,4)))
+                           as double), 6) AS mkt_share,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= timestamp '1996-01-01'
+              AND o_orderdate < timestamp '1998-01-01'
+            GROUP BY 1
         """,
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
