@@ -705,6 +705,28 @@ def q_tpch_q10(spark, sf_dir):
                        "n_name", "revenue"))
 
 
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (late shipments by priority class; returnflag
+    stands in for shipmode): one equi-join shuffle on orderkey with the
+    lateness predicate as a join-local residual, then conditional
+    counts split high/low priority in a single aggregate pass."""
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp '1996-01-01' AND "
+        "l_shipdate < timestamp '1997-01-01'") \
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .where(li.l_shipdate >
+                     orders.o_orderdate + F.expr("INTERVAL 30 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (late.groupBy("l_returnflag")
+                .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                      .alias("high_line_count"),
+                     F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+                      .alias("low_line_count")))
+
+
 def q_tpch_q13(spark, sf_dir):
     """TPC-H Q13 shape (customer order-count distribution): outer join
     with a pushed-into-the-join filter on the orders side (rows that
@@ -1647,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
@@ -2233,6 +2256,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate < timestamp '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_returnflag
         """,
         "tpch_q13": """
             SELECT c_count, count(*) AS custdist
