@@ -131,10 +131,14 @@ def q_group_partition(spark, sf_dir):
 
 def q_group_aggr(spark, sf_dir):
     """G1 GAGGR aggregate (daskms/ordering.py:169-175): per-group
-    collected arrays (sorted for cross-engine determinism)."""
+    collected arrays (sorted for cross-engine determinism).  The array
+    is serialized to a CSV string on both sides: the driver's pandas
+    canonicalizer cannot sort frames with list-valued cells."""
     df = _t(spark, sf_dir, "orders").where("o_totalprice > 400000")
     return (df.groupBy("o_orderpriority")
-              .agg(F.sort_array(F.collect_list("o_orderkey"))
+              .agg(F.array_join(
+                       F.sort_array(F.collect_list("o_orderkey"))
+                        .cast("array<string>"), ",")
                     .alias("orderkeys"),
                    F.count(F.lit(1)).alias("n")))
 
@@ -275,14 +279,26 @@ def q_tpch_q1(spark, sf_dir):
 def q_tensor_slice(spark, sf_dir):
     """P3 per-column slice read (daskms/reads.py:58-75): hyperslab
     selection on a tensor column = array slice — element pruning
-    without touching the rest of the row."""
+    without touching the rest of the row.
+
+    The slab is emitted one element per row (posexplode) rather than
+    as an array column: the driver's pandas canonicalizer cannot sort
+    list-valued cells, and exploding avoids cross-engine float→string
+    formatting entirely."""
     embs = _t(spark, sf_dir, "embeddings")
     sl = F.slice(F.col("embedding"), 2, 3)
-    return embs.select(
-        "vec_id", sl.alias("slab"),
-        F.round(F.aggregate(sl, F.lit(0.0),
+    return (embs.select("vec_id", sl.alias("slab"),
+                        F.round(F.aggregate(
+                            sl, F.lit(0.0),
                             lambda acc, x: acc + x.cast("double")), 6)
-         .alias("slab_sum"))
+                         .alias("slab_sum"))
+                .select("vec_id",
+                        F.posexplode("slab").alias("pos", "raw"),
+                        "slab_sum")
+                .select("vec_id", "pos",
+                        F.round(F.col("raw").cast("double"), 6)
+                         .alias("val"),
+                        "slab_sum"))
 
 
 def q_tpch_q6(spark, sf_dir):
@@ -924,10 +940,13 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_minhash_sig(spark, sf_dir):
     """MinHash signatures: one portable md5 base hash per shingle,
     8 affine permutations mod 2^31-1 — the LSH building block,
-    oracle-checked end to end."""
+    oracle-checked end to end.  The signature is serialized to a CSV
+    string (driver's pandas canon cannot sort list cells)."""
     docs = _t(spark, sf_dir, "documents")
     return with_minhash(docs, num_hashes=8, shingle_k=5) \
-        .select(F.col("id").alias("doc_id"), "sig")
+        .select(F.col("id").alias("doc_id"),
+                F.array_join(F.col("sig").cast("array<string>"), ",")
+                 .alias("sig"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -972,9 +991,13 @@ def q_ann_ivf(spark, sf_dir):
 def q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints: per-window minima of rolling k-gram
     hashes (the rolling-hash fingerprint family), staged so each md5
-    is computed once."""
+    is computed once.  The fingerprint set is serialized to a CSV
+    string (driver's pandas canon cannot sort list cells)."""
     docs = _t(spark, sf_dir, "documents")
-    return with_fingerprint(docs, k=8, window=4)
+    return with_fingerprint(docs, k=8, window=4).select(
+        "doc_id",
+        F.array_join(F.col("fps").cast("array<string>"), ",")
+         .alias("fps"))
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -1245,7 +1268,7 @@ def _minhash_sig_sql(num_hashes: int = 8, k: int = 5) -> str:
     return f"""
         WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents),
         hb AS (SELECT doc_id, {base} AS base FROM sh)
-        SELECT doc_id, [{mins}] AS sig FROM hb
+        SELECT doc_id, array_to_string([{mins}], ',') AS sig FROM hb
     """
 
 
@@ -1361,7 +1384,9 @@ def _winnow_sql(k: int = 8, window: int = 4) -> str:
                                      hashes, i, i + {window - 1}))) END
                         AS mins
                  FROM hs)
-        SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM mins
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+        FROM mins
     """
 
 
@@ -1633,12 +1658,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver validates the FIRST 50 entries only.
+    # Round 2 leads with the 21 entries that got no driver row in
+    # round 1, then the 4 entries whose round-1 rows were red (result
+    # surfaces fixed this round), then this round's new queries; the
+    # tail re-lists round-1-green entries.
     return {
+        # -- never driver-checked in round 1 (positions 51-71) --
+        "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_props": q_events_props,
+        "events_correlate": q_events_correlate,
+        "events_dedup": q_events_dedup,
+        "text_bpe": q_text_bpe,
+        "text_winnow": q_text_winnow,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_drop": q_dedup_minhash_drop,
+        "dedup_clusters": q_dedup_clusters,
+        "similarity_topk": q_similarity_topk,
+        "sample_split": q_sample_split,
+        "udaf_ols": q_udaf_ols,
+        "table_profile": q_table_profile,
+        "multimodal_features": q_multimodal_features,
+        # -- red in round 1 (result-surface fixes this round) --
+        "group_aggr": q_group_aggr,
+        "tensor_slice": q_tensor_slice,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "tpch_q12": q_tpch_q12,
+        # -- green in round 1 --
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
         "expr_arithmetic": q_expr_arithmetic,
         "group_partition": q_group_partition,
-        "group_aggr": q_group_aggr,
         "sorted_read": q_sorted_read,
         "within_group_sort": q_within_group_sort,
         "topk": q_topk,
@@ -1651,7 +1708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
-        "tensor_slice": q_tensor_slice,
         "complex_mul": q_complex_mul,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1660,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "quantiles": q_quantiles,
+        "dedup_exact": q_dedup_exact,
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -1669,7 +1726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
@@ -1680,31 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "pivot": q_pivot,
         "unpivot": q_unpivot,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_simhash": q_dedup_simhash,
-        "similarity_topk": q_similarity_topk,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "text_bpe": q_text_bpe,
-        "text_winnow": q_text_winnow,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "sample_split": q_sample_split,
-        "udaf_ols": q_udaf_ols,
-        "events_windowed": q_events_windowed,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_props": q_events_props,
-        "events_correlate": q_events_correlate,
-        "events_dedup": q_events_dedup,
-        "table_profile": q_table_profile,
-        "dedup_minhash_drop": q_dedup_minhash_drop,
-        "dedup_clusters": q_dedup_clusters,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1742,7 +1775,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "group_aggr": """
             SELECT o_orderpriority,
-                   list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n
+                   array_to_string(list_sort(list(o_orderkey)), ',')
+                   AS orderkeys,
+                   count(*) AS n
             FROM orders WHERE o_totalprice > 400000
             GROUP BY o_orderpriority
         """,
@@ -1858,11 +1893,13 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """,
         "tensor_slice": """
-            SELECT vec_id, list_slice(embedding, 2, 4) AS slab,
+            SELECT vec_id, p.pos,
+                   round(cast(embedding[p.pos + 2] as double), 6) AS val,
                    round(list_sum(list_transform(
                        list_slice(embedding, 2, 4),
                        x -> cast(x as double))), 6) AS slab_sum
-            FROM embeddings
+            FROM embeddings,
+                 (SELECT unnest([0, 1, 2]) AS pos) p
         """,
         "events_session": """
             WITH o AS (
@@ -2127,7 +2164,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props": """
             SELECT event_type, count(*) AS n,
-                   sum(cast(json_extract(props, '$.k') as bigint)) AS sum_k,
+                   cast(sum(cast(json_extract(props, '$.k') as bigint))
+                        as bigint) AS sum_k,
                    count(CASE WHEN cast(json_extract(props, '$.k')
                               as bigint) > 50 THEN 1 END) AS n_hi
             FROM events GROUP BY event_type
@@ -2259,10 +2297,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12": """
             SELECT l_returnflag,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 0 ELSE 1 END) AS low_line_count
+                   cast(sum(CASE WHEN o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) as bigint)
+                   AS high_line_count,
+                   cast(sum(CASE WHEN o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) as bigint)
+                   AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= timestamp '1996-01-01'
               AND l_shipdate < timestamp '1997-01-01'
