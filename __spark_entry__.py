@@ -1124,7 +1124,8 @@ def q_events_session(spark, sf_dir):
     return (events.groupBy(F.session_window("ts", "30 minutes").alias("w"),
                            "user_id")
                   .agg(F.count(F.lit(1)).alias("n_events"),
-                       F.round(F.sum("value"), 4).alias("sum_value"))
+                       F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                                .cast("double"), 4).alias("sum_value"))
                   .select(F.unix_timestamp("w.start").alias("session_epoch"),
                           "user_id", "n_events", "sum_value"))
 
@@ -1183,7 +1184,8 @@ def q_events_dedup(spark, sf_dir):
     kept = dedup_events(events, bucket_s=300)
     return (kept.groupBy("event_type")
                 .agg(F.count(F.lit(1)).alias("n_kept"),
-                     F.round(F.sum("value"), 4).alias("sum_value")))
+                     F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                              .cast("double"), 4).alias("sum_value")))
 
 
 def q_dedup_minhash_drop(spark, sf_dir):
@@ -1916,7 +1918,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM o)
             SELECT cast(floor(epoch(min(ts))) as bigint) AS session_epoch,
                    user_id, count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(cast(sum(cast(value as decimal(18,2)))
+                         as double), 4) AS sum_value
             FROM s GROUP BY user_id, sid
         """,
         "complex_mul": """
@@ -2148,7 +2151,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(epoch(date_trunc('hour', ts)) as bigint)
                    AS win_epoch,
                    event_type, count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(cast(sum(cast(value as decimal(18,2)))
+                         as double), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sliding": """
@@ -2159,7 +2163,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE date_trunc('hour', ts) - to_hours(k) >=
                       date_trunc('hour', ts) - to_hours(1))
             SELECT cast(epoch(win_start) as bigint) AS win_epoch, user_id,
-                   count(*) AS n_events, round(avg(value), 4) AS avg_value
+                   count(*) AS n_events,
+                   round(cast(sum(cast(value as decimal(18,2)))
+                         as double) / count(*), 4) AS avg_value
             FROM e GROUP BY 1, 2
         """,
         "events_props": """
@@ -2191,7 +2197,8 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
                 FROM events)
             SELECT event_type, count(*) AS n_kept,
-                   round(sum(value), 4) AS sum_value
+                   round(cast(sum(cast(value as decimal(18,2)))
+                         as double), 4) AS sum_value
             FROM ranked WHERE rn = 1
             GROUP BY event_type
         """,

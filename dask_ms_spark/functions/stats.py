@@ -58,10 +58,16 @@ def grouped_ols(df: DataFrame, group_cols: list[str] | str,
         xm, ym = x.mean(), y.mean()
         xc = x - xm
         sxx = (xc * xc).sum()
-        slope = float((xc * (y - ym)).sum() / sxx) if sxx > 0 else 0.0
         row = {k: pdf[k].iloc[0] for k in keys}
-        row.update(n_events=len(pdf), slope=slope,
-                   intercept=float(ym - slope * xm))
+        if sxx > 0:
+            slope = float((xc * (y - ym)).sum() / sxx)
+            row.update(n_events=len(pdf), slope=slope,
+                       intercept=float(ym - slope * xm))
+        else:
+            # single point / all-identical x: SQL regr_slope and
+            # regr_intercept return NULL here, and so do we — a 0.0
+            # slope would silently diverge from the oracle
+            row.update(n_events=len(pdf), slope=None, intercept=None)
         return pd.DataFrame([row])
 
     return df.groupBy(*keys).applyInPandas(fit, out_schema)

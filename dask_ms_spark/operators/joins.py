@@ -186,7 +186,15 @@ def salted_join(fact: DataFrame, build: DataFrame,
     of ``fact_salt_cols`` (default: all fact columns) — so the join
     result is exactly the plain join's.  Cost: build side is shuffled
     ``salt``× larger, which is why the *small* side must be ``build``.
+
+    Only ``inner`` and ``left`` are supported: joins that preserve
+    unmatched *build* rows (right/full outer) would emit one
+    null-padded row per salt replica, not one.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "unmatched build rows would be replicated salt times")
     keys = [on] if isinstance(on, str) else list(on)
     cols = list(fact_salt_cols) if fact_salt_cols else fact.columns
     fact_s = fact.withColumn(

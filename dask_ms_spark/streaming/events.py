@@ -73,14 +73,35 @@ def read_events_stream(spark: SparkSession, path: str,
         # a fresh random dir per call would invalidate every checkpoint
         import hashlib
 
-        digest = hashlib.md5(
-            os.path.abspath(path).encode()).hexdigest()[:12]
+        import hashlib as _hashlib
+        import stat as _stat
+
+        target = os.path.abspath(path)
+        digest = _hashlib.md5(target.encode()).hexdigest()[:12]
         stage = os.path.join(tempfile.gettempdir(),
                              f"dms_stream_{digest}")
-        os.makedirs(stage, exist_ok=True)
+        os.makedirs(stage, mode=0o700, exist_ok=True)
+        # the stage path is predictable, so never adopt somebody
+        # else's dir or a stale/planted symlink: the dir must be ours
+        # and not group/world-writable, and the link must point at
+        # exactly the expected source file
+        st = os.lstat(stage)
+        if (_stat.S_ISLNK(st.st_mode) or not _stat.S_ISDIR(st.st_mode)
+                or st.st_uid != os.getuid()
+                or st.st_mode & (_stat.S_IWGRP | _stat.S_IWOTH)):
+            raise RuntimeError(
+                f"refusing to reuse staging dir {stage}: not a "
+                "user-owned private directory")
         link = os.path.join(stage, os.path.basename(path))
-        if not os.path.islink(link):
-            os.symlink(os.path.abspath(path), link)
+        if os.path.islink(link):
+            if os.readlink(link) != target:
+                os.remove(link)
+                os.symlink(target, link)
+        elif os.path.exists(link):
+            raise RuntimeError(
+                f"staging entry {link} exists and is not a symlink")
+        else:
+            os.symlink(target, link)
         path = stage
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files).parquet(path))
@@ -94,9 +115,13 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     df = events
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
+    # decimal accumulation: double summation order differs across
+    # engines/partitionings; value is 2-dp money-like, so the decimal
+    # sum is exact and the rounded double is engine-identical
     return (df.groupBy(F.window("ts", window).alias("win"), "event_type")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.sum("value"), 4).alias("sum_value"))
+                   F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                            .cast("double"), 4).alias("sum_value"))
               .select(F.col("win.start").alias("window_start"),
                       "event_type", "n_events", "sum_value"))
 
@@ -108,9 +133,13 @@ def sliding_value_stats(events: DataFrame, window: str = "2 hours",
     df = events
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
+    # decimal-sum / count instead of native avg: both engines then
+    # derive the identical IEEE double (oracle-parity rule)
     return (df.groupBy(F.window("ts", window, slide).alias("win"), "user_id")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.avg("value"), 4).alias("avg_value"))
+                   F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                            .cast("double") / F.count(F.lit(1)), 4)
+                    .alias("avg_value"))
               .select(F.col("win.start").alias("window_start"),
                       "user_id", "n_events", "avg_value"))
 
