@@ -31,7 +31,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          nodes: DataFrame | None = None,
                          id_col: str = "id",
                          max_iter: int = 25,
-                         check_every: int = 3) -> DataFrame:
+                         check_every: int = 2) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
     ``edges`` is undirected input (each pair listed once is enough);
