@@ -7,10 +7,11 @@ a ``::SUBTABLE`` url suffix (daskms/fsspec_store.py:17-189).
 
 Spark natively speaks any Hadoop-compatible filesystem (file://, s3a://,
 ...), so the store abstraction reduces to path parsing + format probing.
-CASA and zarr need native libraries not present in this environment;
-they are import-gated stubs (see casa.py / zarr.py) — the reference
-itself blesses conversion to cloud-native formats as the scale path
-(``dask-ms convert``, daskms/apps/convert.py:139-280).
+Zarr v2 stores read/write natively (see zarr.py — executor-side chunk
+I/O, no zarr package needed for uncompressed stores); CASA needs
+python-casacore and stays import-gated — the reference itself blesses
+conversion to cloud-native formats as the scale path (``dask-ms
+convert``, daskms/apps/convert.py:139-280).
 """
 
 from __future__ import annotations
@@ -76,8 +77,29 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     if fmt == "casa":
         return casa.xds_from_casa(spark, store.path, columns,
                                   group_cols, index_cols, where)
-    return zarr.xds_from_zarr(spark, store.path, columns,
-                              group_cols, index_cols, where)
+    # zarr reads take only a column projection; grouping/ordering/filter
+    # are applied on the lazy frames afterwards, matching the parquet leg
+    # (partition_datasets re-derives one Dataset per group tuple).
+    group_cols = list(group_cols)
+    index_cols = list(index_cols)
+    if where is not None:
+        # the filter may reference unprojected columns; read everything
+        # and let partition_datasets prune to ``columns`` after filtering
+        read_cols = None
+    elif columns is not None:
+        read_cols = list(dict.fromkeys(
+            list(columns) + group_cols + index_cols))
+    else:
+        read_cols = None
+    dss = zarr.xds_from_zarr(spark, store.path, read_cols)
+    if not (group_cols or index_cols or where or
+            (columns is not None and read_cols != list(columns or ()))):
+        return dss
+    from ..dataset import concat as _concat
+    from ..dataset import partition_datasets
+
+    return partition_datasets(_concat(dss), group_cols, index_cols,
+                              where, columns)
 
 
 def xds_to_storage_table(datasets, url: str, fmt: str = "parquet",

@@ -148,31 +148,49 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
 
         df = attach_rowid(df, [c for c in df.columns])
 
-    # one small metadata aggregation: row count, ragged-tensor check,
-    # string widths (the eager-DDL analogue; data never hits driver)
+    # one small metadata aggregation: row count, null check, ragged-
+    # tensor check, string widths (the eager-DDL analogue; data never
+    # hits driver)
     aggs = [F.count(F.lit(1)).alias("__n")]
     arr_cols = [f.name for f in df.schema.fields
                 if isinstance(f.dataType, ArrayType)]
     str_cols = [f.name for f in df.schema.fields
                 if isinstance(f.dataType, StringType)]
+    data_cols = [f.name for f in df.schema.fields if f.name != ROWID]
     for c in arr_cols:
         aggs += [F.min(F.size(c)).alias(f"__lo_{c}"),
                  F.max(F.size(c)).alias(f"__hi_{c}")]
     for c in str_cols:
         aggs.append(F.max(F.length(c)).alias(f"__sl_{c}"))
+    for c in data_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"__null_{c}"))
+    for c in arr_cols:
+        aggs.append(F.max(F.exists(F.col(c), lambda x: x.isNull()))
+                    .alias(f"__enull_{c}"))
     meta = df.agg(*aggs).first()
-    nrow = meta["__n"]
+    nrow = int(meta["__n"])
+    nulled = {c: meta[f"__null_{c}"] for c in data_cols
+              if (meta[f"__null_{c}"] or 0) > 0}
+    nulled.update({c: "element" for c in arr_cols
+                   if meta[f"__enull_{c}"]})
+    if nulled:
+        raise ValueError(
+            f"null values in columns {nulled} — zarr arrays are dense; "
+            "fill them first (df.fillna / F.coalesce with the column's "
+            "fill value)")
     widths = {}
     for c in arr_cols:
         lo, hi = meta[f"__lo_{c}"], meta[f"__hi_{c}"]
-        if lo != hi:
+        if nrow and lo != hi:
             raise ValueError(
                 f"column {c} is ragged ({lo}..{hi} elements/row); zarr "
                 "arrays are rectangular — partition by the shape-defining "
                 "column (e.g. DATA_DESC_ID) first, as the reference does "
                 "(README.rst:100-116)")
-        widths[c] = int(hi)
-    strlen = {c: int(meta[f"__sl_{c}"] or 1) for c in str_cols}
+        widths[c] = int(hi) if nrow else 0
+    strlen = {c: int(meta[f"__sl_{c}"] or 1) if nrow else 1
+              for c in str_cols}
     plan = _column_plan(df, strlen, widths)
 
     os.makedirs(group_dir, exist_ok=True)
@@ -193,6 +211,10 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
             "filters": None,
         }
         _write_json(os.path.join(adir, ".zarray"), zarray)
+
+    if nrow == 0:
+        # metadata-only store: shape [0, ...] arrays have no chunk files
+        return 0
 
     # distributed chunk-aligned writes: one task per row chunk
     cols = list(plan)
@@ -321,6 +343,14 @@ def _read_group(spark: SparkSession, group_dir: str,
     if len(nrows) != 1:
         raise ValueError(f"row-count mismatch across arrays: {shapes}")
     nrow = nrows.pop()
+    if nrow == 0:
+        fields = [StructField(ROWID, LongType(), False)]
+        for c, z in arrays.items():
+            t = _np_to_spark(z["dtype"])
+            fields.append(StructField(
+                c, ArrayType(t) if len(z["shape"]) > 1 else t))
+        return Dataset(spark.createDataFrame([], StructType(fields)),
+                       attrs)
     row_chunks = {z["chunks"][0] for z in arrays.values()}
     if len(row_chunks) != 1:
         raise ValueError("arrays disagree on row chunking; rechunk first")

@@ -177,22 +177,35 @@ def test_cli_convert_and_fragments(spark, tmp_path, capsys):
     assert lines[0] == str(tmp_path / "other")
 
 
-def test_gated_sources_raise_helpfully(spark):
-    """casa/zarr/katdal adapters must point at the parquet path when
-    their native libraries are absent."""
+def test_gated_sources_raise_helpfully(spark, tmp_path):
+    """casa stays import-gated; zarr reads natively (missing store =
+    FileNotFoundError, compressed store without the zarr package points
+    at the parquet conversion path)."""
+    import json
+
     import pytest as _pytest
 
-    from dask_ms_spark.sources import casa, katdal, zarr
+    from dask_ms_spark.sources import casa, zarr
 
     if not casa.HAVE_CASACORE:
         with _pytest.raises(NotImplementedError, match="parquet"):
             casa.xds_from_casa(spark, "/nonexistent")
+    # zarr no longer gates on the package: a missing store is a plain
+    # filesystem error, not a capability error
+    with _pytest.raises(FileNotFoundError):
+        zarr.xds_from_zarr(spark, str(tmp_path / "nonexistent"))
+    # ...but a compressed store still needs the zarr package
     if not zarr.HAVE_ZARR:
+        store = tmp_path / "compressed"
+        (store / "x").mkdir(parents=True)
+        (store / ".zgroup").write_text('{"zarr_format": 2}')
+        (store / "x" / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [4], "chunks": [4],
+            "dtype": "<i8", "order": "C", "filters": None,
+            "fill_value": 0,
+            "compressor": {"id": "blosc"}}))
         with _pytest.raises(NotImplementedError, match="parquet"):
-            zarr.xds_from_zarr(spark, "/nonexistent")
-    if not katdal.HAVE_KATDAL:
-        with _pytest.raises(NotImplementedError, match="parquet"):
-            katdal.xds_from_katdal(spark, "rdb://nonexistent")
+            zarr.xds_from_zarr(spark, str(store))
 
 
 def test_filter_pushdown_reaches_scan(lineitem):
