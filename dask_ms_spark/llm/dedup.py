@@ -36,7 +36,8 @@ __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "minhash_table", "with_minhash", "minhash_lsh_pairs", "minhash_dedup", "simhash",
            "with_simhash",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
-           "embedding_dup_pairs", "embedding_dup_pairs_gemm"]
+           "embedding_dup_pairs", "embedding_dup_pairs_gemm",
+           "embedding_dup_pairs_bucketed"]
 
 
 def normalize_text(text: Column) -> Column:
@@ -471,6 +472,25 @@ def embedding_dup_pairs_gemm(embs: DataFrame, vec_col: str = "embedding",
                                  F.col("rows").alias("rows_b")),
                    F.col("blk_a") <= F.col("blk_b")))
 
+    return _gemm_score_block_pairs(
+        pairs.select("blk_a", "blk_b", "rows_a", "rows_b"), threshold)
+
+
+def _gemm_score_block_pairs(pairs: DataFrame,
+                            threshold: float) -> DataFrame:
+    """Score packed block pairs with one float64 GEMM per pair.
+
+    ``pairs`` carries ``(blk_a, blk_b, rows_a, rows_b)`` where each
+    ``rows_*`` is a packed ``array<struct<id, vec>>`` block; a
+    diagonal pair (``blk_a == blk_b``, same cell on both sides) dedups
+    the symmetric similarity matrix with an ``id_a < id_b`` mask.
+    Shared kernel of :func:`embedding_dup_pairs_gemm` (all block
+    pairs) and :func:`embedding_dup_pairs_bucketed` (bucket-local
+    block pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
     def unpack(cell) -> tuple:
         ids = np.fromiter((r["id"] for r in cell), dtype=np.int64,
                           count=len(cell))
@@ -500,5 +520,77 @@ def embedding_dup_pairs_gemm(embs: DataFrame, vec_col: str = "embedding",
                 yield pd.DataFrame({"id_a": lo, "id_b": hi,
                                     "cos_sim": sims[qi, ci]})
 
-    return pairs.select("blk_a", "blk_b", "rows_a", "rows_b").mapInPandas(
+    return pairs.mapInPandas(
         score, schema="id_a long, id_b long, cos_sim double")
+
+
+def embedding_dup_pairs_bucketed(embs: DataFrame,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 dim: int = 64,
+                                 threshold: float = 0.95,
+                                 num_planes: int = 4,
+                                 block_size: int = 1024,
+                                 multiprobe: bool = False,
+                                 seed: str = "dask-ms-spark") -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH buckets in front of the
+    blocked-GEMM scorer — the 100 TB composition.
+
+    :func:`embedding_dup_pairs_gemm` forms ALL block pairs, O(n²/B²)
+    GEMMs; here each vector is sign-hashed into a hyperplane bucket
+    (``llm.similarity.hyperplane_signature`` — pure codegen, planes
+    baked as literals) and block pairs form only *within* a bucket, so
+    the block-pair join is a bucket-keyed equi-join (hash/sort-merge),
+    never a cartesian.  Expected work drops by ~2^num_planes for
+    near-uniform buckets; recall < 1 by construction (a pair split
+    across buckets is never scored).
+
+    ``multiprobe=True`` replicates every vector into its own bucket
+    plus the ``num_planes`` Hamming-1 flips, so a pair meets iff their
+    signatures differ in <= 2 bits — recall rises at ~(num_planes+1)×
+    replication cost.  Duplicate meetings collapse via a final
+    (id_a, id_b) aggregation.
+
+    Both the bucketing and the cosine scores are deterministic and
+    engine-portable: an external oracle reproduces the pair set with
+    ``bit_count(xor(sig_a, sig_b)) <= radius`` over the same baked
+    plane literals.
+    """
+    import math
+
+    from .similarity import hyperplane_signature
+
+    tagged = embs.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("vec"))
+    sig = hyperplane_signature(F.col("vec"), dim, num_planes, seed)
+    tagged = tagged.withColumn("sig", sig)
+    if multiprobe:
+        probes = F.array(F.col("sig"),
+                         *[F.col("sig").bitwiseXOR(F.lit(1 << j))
+                           for j in range(num_planes)])
+        tagged = tagged.select(
+            "id", "vec", F.explode(probes).alias("bucket"))
+    else:
+        tagged = tagged.select("id", "vec", F.col("sig").alias("bucket"))
+
+    n = embs.count()
+    num_blocks = max(1, math.ceil(n / block_size))
+    packed = (tagged
+              .select("bucket", (F.col("id") % num_blocks).alias("blk"),
+                      F.struct("id", "vec").alias("row"))
+              .groupBy("bucket", "blk")
+              .agg(F.collect_list("row").alias("rows")))
+    pairs = (packed.select("bucket", F.col("blk").alias("blk_a"),
+                           F.col("rows").alias("rows_a"))
+             .join(packed.select("bucket", F.col("blk").alias("blk_b"),
+                                 F.col("rows").alias("rows_b")),
+                   on="bucket")
+             .where(F.col("blk_a") <= F.col("blk_b")))
+    scored = _gemm_score_block_pairs(
+        pairs.select("blk_a", "blk_b", "rows_a", "rows_b"), threshold)
+    if multiprobe:
+        # the same pair can meet in several probed buckets; scores are
+        # equal by construction, max() just picks the one row
+        scored = (scored.groupBy("id_a", "id_b")
+                  .agg(F.max("cos_sim").alias("cos_sim")))
+    return scored

@@ -106,6 +106,47 @@ def test_embedding_gemm_matches_bruteforce(embeddings):
         assert got_join[k] == pytest.approx(want[k], abs=1e-5)
 
 
+def test_embedding_bucketed_matches_hamming_filtered_bruteforce(embeddings):
+    """Bucketed GEMM = brute-force pairs restricted to sign-signature
+    Hamming distance <= 2 (the multiprobe meet condition) — and its
+    block-pair join must be bucket-keyed, never a cartesian."""
+    from dask_ms_spark.llm.dedup import embedding_dup_pairs_bucketed
+    from dask_ms_spark.llm.similarity import _seeded_unit
+
+    sample = embeddings.where("vec_id < 150") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    rows = sample.collect()
+    num_planes, dim = 4, len(rows[0].embedding)
+    planes = np.array([_seeded_unit(f"dask-ms-spark:{j}", dim)
+                       for j in range(num_planes)])
+
+    def sig(vec):
+        bits = (planes @ np.array(vec, dtype=np.float64)) >= 0
+        return sum(1 << j for j in range(num_planes) if bits[j])
+
+    sigs = {r.vec_id: sig(r.embedding) for r in rows}
+    want = {k: v for k, v in _np_cosine_pairs(rows, 0.3).items()
+            if bin(sigs[k[0]] ^ sigs[k[1]]).count("1") <= 2}
+
+    pairs = embedding_dup_pairs_bucketed(
+        sample, dim=dim, threshold=0.3, num_planes=num_planes,
+        block_size=32, multiprobe=True)
+    got = {(r.id_a, r.id_b): r.cos_sim for r in pairs.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the un-bucketed GEMM, by contrast, IS an all-pairs block join
+    allpairs = embedding_dup_pairs_gemm(sample, threshold=0.3,
+                                        block_size=32)
+    ap_plan = allpairs._jdf.queryExecution().executedPlan().toString()
+    assert ("CartesianProduct" in ap_plan
+            or "BroadcastNestedLoopJoin" in ap_plan)
+
+
 def test_brute_force_topk_matches_numpy(embeddings):
     rows = embeddings.collect()
     got = brute_force_topk(embeddings, embeddings.where("vec_id = 0"),
