@@ -17,7 +17,8 @@ convert``, daskms/apps/convert.py:139-280).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+import re
+from dataclasses import dataclass, field
 from typing import Iterable
 
 from pyspark.sql import SparkSession
@@ -29,31 +30,138 @@ from .parquet import xds_from_parquet, xds_to_parquet
 __all__ = ["TableStore", "infer_format", "xds_from_storage_table",
            "xds_to_storage_table"]
 
+# fsspec/s3fs-style option names -> Hadoop s3a configuration keys
+# (the reference forwards storage_options into fsspec,
+# daskms/fsspec_store.py:17-48; on Spark the same knobs live in the
+# Hadoop configuration consumed by the s3a committer/reader)
+_S3_OPTION_MAP = {
+    "key": "fs.s3a.access.key",
+    "username": "fs.s3a.access.key",
+    "secret": "fs.s3a.secret.key",
+    "password": "fs.s3a.secret.key",
+    "token": "fs.s3a.session.token",
+    "endpoint_url": "fs.s3a.endpoint",
+    "region_name": "fs.s3a.endpoint.region",
+}
+
+_ANON_PROVIDER = ("org.apache.hadoop.fs.s3a."
+                  "AnonymousAWSCredentialsProvider")
+
+# schemes Spark's Hadoop layer serves under a different name
+_SCHEME_ALIASES = {"s3": "s3a", "s3n": "s3a"}
+
 
 @dataclass
 class TableStore:
-    """Parsed table url: ``/path/to/store::SUBTABLE`` convention
-    (daskms/fsspec_store.py:120-140)."""
+    """Parsed table url: ``scheme://bucket/store::SUBTABLE`` convention
+    (daskms/fsspec_store.py:120-140) plus fsspec-style
+    ``storage_options`` mapped onto the Hadoop configuration."""
 
     url: str
     subtable: str | None = None
+    storage_options: dict = field(default_factory=dict)
 
     @classmethod
-    def parse(cls, url: str) -> "TableStore":
+    def parse(cls, url: str,
+              storage_options: dict | None = None) -> "TableStore":
         if "::" in url:
             base, subtable = url.rsplit("::", 1)
-            return cls(base, subtable)
-        return cls(url)
+            return cls(base, subtable, dict(storage_options or {}))
+        return cls(url, None, dict(storage_options or {}))
+
+    @property
+    def scheme(self) -> str:
+        m = re.match(r"^([A-Za-z0-9]+)://", self.url)
+        return m.group(1).lower() if m else "file"
+
+    @property
+    def is_local(self) -> bool:
+        return self.scheme == "file" and "://" not in self.url
 
     @property
     def path(self) -> str:
-        return os.path.join(self.url, self.subtable) if self.subtable else self.url
+        """Spark-readable path: scheme normalised (s3 -> s3a), subtable
+        appended."""
+        url = self.url
+        alias = _SCHEME_ALIASES.get(self.scheme)
+        if alias:
+            url = re.sub(r"^[A-Za-z0-9]+://", f"{alias}://", url)
+        if not self.subtable:
+            return url
+        if self.is_local:
+            return os.path.join(url, self.subtable)
+        return f"{url.rstrip('/')}/{self.subtable}"
+
+    def hadoop_options(self) -> dict[str, str]:
+        """Translate fsspec-style ``storage_options`` to Hadoop conf
+        entries.  Keys containing a dot pass through verbatim (raw
+        Hadoop keys, e.g. ``fs.s3a.connection.maximum``); unknown
+        fsspec names raise so typos don't silently fall back to
+        instance credentials.
+        """
+        out: dict[str, str] = {}
+        opts = dict(self.storage_options)
+        client_kwargs = opts.pop("client_kwargs", {}) or {}
+        for k, v in {**opts, **client_kwargs}.items():
+            if "." in k:
+                out[k] = str(v)
+            elif k in _S3_OPTION_MAP:
+                out[_S3_OPTION_MAP[k]] = str(v)
+            elif k == "anon":
+                if v:
+                    out["fs.s3a.aws.credentials.provider"] = _ANON_PROVIDER
+            elif k == "use_ssl":
+                out["fs.s3a.connection.ssl.enabled"] = str(bool(v)).lower()
+            elif k == "path_style":
+                out["fs.s3a.path.style.access"] = str(bool(v)).lower()
+            else:
+                raise ValueError(
+                    f"unsupported storage option {k!r}; use a raw "
+                    "Hadoop key (contains '.') or one of "
+                    f"{sorted(_S3_OPTION_MAP) + ['anon', 'use_ssl', 'path_style', 'client_kwargs']}")
+        return out
+
+    def apply(self, spark: SparkSession) -> dict[str, str]:
+        """Set the mapped options on the session's Hadoop
+        configuration; returns what was applied."""
+        mapped = self.hadoop_options()
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in mapped.items():
+            hconf.set(k, v)
+        return mapped
 
 
-def infer_format(path: str) -> str:
-    """Probe the on-disk layout (daskms/fsspec_store.py:59-82):
+def infer_format(path: str, spark: SparkSession | None = None) -> str:
+    """Probe the store layout (daskms/fsspec_store.py:59-82):
     ``table.dat`` -> casa, ``.zgroup``/``.zarray`` -> zarr, else parquet.
+
+    Local paths probe via ``os``; remote URLs probe through the JVM
+    Hadoop filesystem when a session is supplied (zero-byte marker
+    reads), else default to parquet — the blessed cloud-native format.
     """
+    if "://" in path:
+        if spark is None:
+            return "parquet"
+        try:
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(conf)
+
+            def exists(name: str) -> bool:
+                return fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    f"{path.rstrip('/')}/{name}"))
+
+            if exists("table.dat"):
+                return "casa"
+            if exists(".zgroup") or exists(".zarray") \
+                    or exists("zarr.json"):
+                return "zarr"
+        except Exception:
+            # probe failure (e.g. filesystem jars absent) falls back
+            # to parquet; the scan will surface the real error
+            pass
+        return "parquet"
     if os.path.exists(os.path.join(path, "table.dat")):
         return "casa"
     if (os.path.exists(os.path.join(path, ".zgroup"))
@@ -67,10 +175,20 @@ def xds_from_storage_table(spark: SparkSession, url: str,
                            columns: Iterable[str] | None = None,
                            group_cols: Iterable[str] = (),
                            index_cols: Iterable[str] = (),
-                           where: str | None = None) -> list[Dataset]:
-    """Format-dispatched read (reference daskms/dask_ms.py:341-380)."""
-    store = TableStore.parse(url)
-    fmt = infer_format(store.path)
+                           where: str | None = None,
+                           storage_options: dict | None = None
+                           ) -> list[Dataset]:
+    """Format-dispatched read (reference daskms/dask_ms.py:341-380).
+
+    ``storage_options`` (fsspec-style, e.g. ``{"key": ..., "secret":
+    ..., "endpoint_url": ...}`` for s3) are mapped onto the Hadoop
+    configuration before the scan — the Spark analogue of the
+    reference's fsspec plumb-through (daskms/fsspec_store.py:17-48).
+    """
+    store = TableStore.parse(url, storage_options)
+    if store.storage_options:
+        store.apply(spark)
+    fmt = infer_format(store.path, spark)
     if fmt == "parquet":
         return xds_from_parquet(spark, store.path, columns,
                                 group_cols, index_cols, where)
@@ -104,9 +222,14 @@ def xds_from_storage_table(spark: SparkSession, url: str,
 
 def xds_to_storage_table(datasets, url: str, fmt: str = "parquet",
                          partition_cols: Iterable[str] | None = None,
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite",
+                         storage_options: dict | None = None) -> None:
     """Format-dispatched write (reference daskms/dask_ms.py:383-439)."""
-    store = TableStore.parse(url)
+    store = TableStore.parse(url, storage_options)
+    if store.storage_options:
+        ds0 = datasets[0] if isinstance(datasets, list) else datasets
+        df0 = ds0.df if isinstance(ds0, Dataset) else ds0
+        store.apply(df0.sparkSession)
     if fmt == "parquet":
         return xds_to_parquet(datasets, store.path, partition_cols, mode)
     if fmt == "casa":

@@ -377,3 +377,55 @@ def test_katdal_gate_without_loader(spark):
     if not katdal.HAVE_KATDAL:
         with pytest.raises(NotImplementedError, match="parquet"):
             katdal.xds_from_katdal(spark, "rdb://nonexistent")
+
+
+def test_table_store_s3_scheme_and_options(spark):
+    """S10: s3 URL parse (scheme normalised to s3a, subtable joined
+    with '/') and fsspec-style storage_options mapped onto the Hadoop
+    configuration — testable without a live endpoint."""
+    s = TableStore.parse(
+        "s3://bucket/data/ms.zarr::SPECTRAL_WINDOW",
+        storage_options={
+            "key": "AKID", "secret": "SECRET",
+            "client_kwargs": {"endpoint_url": "http://minio:9000"},
+            "use_ssl": False, "path_style": True,
+            "fs.s3a.connection.maximum": 64,
+        })
+    assert s.scheme == "s3"
+    assert not s.is_local
+    assert s.path == "s3a://bucket/data/ms.zarr/SPECTRAL_WINDOW"
+    mapped = s.hadoop_options()
+    assert mapped == {
+        "fs.s3a.access.key": "AKID",
+        "fs.s3a.secret.key": "SECRET",
+        "fs.s3a.endpoint": "http://minio:9000",
+        "fs.s3a.connection.ssl.enabled": "false",
+        "fs.s3a.path.style.access": "true",
+        "fs.s3a.connection.maximum": "64",
+    }
+    # apply() lands the entries on the live Hadoop configuration
+    applied = s.apply(spark)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        assert hconf.get(k) == v
+
+    # anonymous access maps to the anonymous credentials provider
+    anon = TableStore.parse("s3://public-bucket/t",
+                            storage_options={"anon": True})
+    assert anon.hadoop_options() == {
+        "fs.s3a.aws.credentials.provider":
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"}
+
+    # typo'd option names fail loudly instead of silently falling back
+    with pytest.raises(ValueError, match="unsupported storage option"):
+        TableStore.parse("s3://b/t",
+                         storage_options={"sceret": "x"}).hadoop_options()
+
+    # local paths are unaffected by the new parsing
+    plain = TableStore.parse("/data/ms.parquet::SUB")
+    assert plain.is_local and plain.scheme == "file"
+    assert plain.path == "/data/ms.parquet/SUB"
+
+
+def test_infer_format_remote_defaults_to_parquet():
+    assert infer_format("s3a://bucket/nonexistent-store") == "parquet"
