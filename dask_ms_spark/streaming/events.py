@@ -109,18 +109,25 @@ def read_events_stream(spark: SparkSession, path: str,
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
+                    watermark: str = "2 hours",
+                    value_scale: int = 2) -> DataFrame:
     """Tumbling-window counts + sums per event_type with late-data
-    watermarking.  Works identically on batch and streaming frames."""
+    watermarking.  Works identically on batch and streaming frames.
+
+    ``value`` accumulates as ``decimal(18, value_scale)`` — exact and
+    summation-order-independent, which is what makes the result
+    engine-identical (double sums reorder under repartitioning).  The
+    default scale of 2 matches the money-like events fixture; inputs
+    with more fractional digits are rounded *before* aggregation, so
+    pass a larger ``value_scale`` for higher-precision streams (an
+    18-digit decimal keeps sums exact up to ~10^(16-scale))."""
     df = events
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
-    # decimal accumulation: double summation order differs across
-    # engines/partitionings; value is 2-dp money-like, so the decimal
-    # sum is exact and the rounded double is engine-identical
+    acc = f"decimal(18,{int(value_scale)})"
     return (df.groupBy(F.window("ts", window).alias("win"), "event_type")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                   F.round(F.sum(F.col("value").cast(acc))
                             .cast("double"), 4).alias("sum_value"))
               .select(F.col("win.start").alias("window_start"),
                       "event_type", "n_events", "sum_value"))
@@ -128,16 +135,22 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
 
 def sliding_value_stats(events: DataFrame, window: str = "2 hours",
                         slide: str = "1 hour",
-                        watermark: str = "4 hours") -> DataFrame:
-    """Sliding-window per-user value statistics."""
+                        watermark: str = "4 hours",
+                        value_scale: int = 2) -> DataFrame:
+    """Sliding-window per-user value statistics.
+
+    ``value_scale`` sets the decimal accumulation precision (see
+    :func:`windowed_counts` — inputs round to this scale before the
+    sum; raise it for non-money-like streams)."""
     df = events
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     # decimal-sum / count instead of native avg: both engines then
     # derive the identical IEEE double (oracle-parity rule)
+    acc = f"decimal(18,{int(value_scale)})"
     return (df.groupBy(F.window("ts", window, slide).alias("win"), "user_id")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                   F.round(F.sum(F.col("value").cast(acc))
                             .cast("double") / F.count(F.lit(1)), 4)
                     .alias("avg_value"))
               .select(F.col("win.start").alias("window_start"),
