@@ -48,11 +48,14 @@ def _star_round(e: DataFrame) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (und.groupBy("u").agg(F.min("v").alias("m"))
             .select("u", F.least("u", "m").alias("m")))
+    # no distinct here: duplicate intermediate edges only pad the
+    # small-star aggregation input and are cheaper than the extra
+    # shuffle a dedup would cost; the round's final distinct restores
+    # set semantics for the convergence checksum
     large = (und.join(mins, "u")
              .where(F.col("v") > F.col("u"))
              .select(F.col("v").alias("u"), F.col("m").alias("v"))
-             .where(F.col("u") != F.col("v"))
-             .distinct())
+             .where(F.col("u") != F.col("v")))
     # small-star on the (u > v)-oriented result: for each node u with
     # m = min of its smaller neighbours, emit (x, m) for every smaller
     # neighbour x plus u itself
@@ -110,26 +113,45 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                .distinct())
 
     def checksum(frame: DataFrame):
-        return tuple(frame.agg(
+        row = frame.agg(
             F.count(F.lit(1)),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).first())
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.countDistinct("u")).first()
+        return (row[0], row[1]), row[0] == row[2]
 
-    prev = checksum(e)
+    def is_star_forest(frame: DataFrame) -> bool:
+        # given out-degree 1 everywhere (checked by the caller), the
+        # set is a star forest iff no source also appears as a target;
+        # then every component is one star centred on its minimum
+        return (frame.select("u")
+                .join(frame.select(F.col("v").alias("u")), "u",
+                      "left_semi")
+                .limit(1).count() == 0)
+
+    prev, _ = checksum(e)
     converged = False
     for _ in range(max_iter):
         for _ in range(check_every):
             e = _star_round(e)
         e = e.localCheckpoint(eager=False)
-        cur = checksum(e)  # materializes the checkpoint: 1 job/round
+        # one job per round: the checkpoint materializes under the
+        # checksum aggregation
+        cur, degree_one = checksum(e)
         if cur == prev:
             converged = True
             break
         prev = cur
+        # early fixed-point exit: checksum-equality alone needs one
+        # extra (unchanged) round to fire; the star-forest test
+        # detects convergence on the round that produced it
+        if degree_one and is_star_forest(e):
+            converged = True
+            break
     if not converged:
         # one final round: did the last permitted round already reach
         # the fixed point?  (change is otherwise detected one round
         # after stabilization)
-        if checksum(_star_round(e)) != prev:
+        if checksum(_star_round(e))[0] != prev:
             raise RuntimeError(
                 f"connected_components did not converge within "
                 f"{max_iter} rounds; raise max_iter")
