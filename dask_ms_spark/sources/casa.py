@@ -1,29 +1,45 @@
-"""CASA Measurement Set source/sink (reference S1/S2/S7) — import-gated.
+"""CASA Measurement Set source/sink (reference S1/S2/S7).
 
 The reference reads CASA tables through python-casacore with per-column
 ``getcol`` kernels (daskms/reads.py:40-189) serialised on a per-table
-single I/O thread (daskms/table_executor.py:39-65).  python-casacore is
-not available in this environment, so this module is a thin,
-clearly-gated adapter:
+single I/O thread (daskms/table_executor.py:39-65).  Here the same
+shape is Spark-native:
 
-* if ``casacore`` imports, ``xds_from_casa`` materialises the table via
-  ``mapInPandas``-style batched ``getcol`` reads into Arrow and hands
-  back the same Dataset facade;
-* otherwise it raises with the blessed alternative: convert to parquet
-  (the reference's own recommendation for cloud-scale use — ``dask-ms
-  convert``, daskms/apps/convert.py:139-280) and read natively.
+* the driver opens the table once for **metadata only** (row count,
+  column names, a one-row dtype probe — the analogue of the
+  reference's eager descriptor read);
+* ``mapInPandas`` over ``spark.range(n_chunks)`` reads row ranges on
+  executors, each task holding its own table handle (the reference's
+  TableProxy-per-worker pattern, daskms/table_proxy.py) and calling
+  ``getcol(col, startrow, nrow)`` — so the scan parallelises across
+  row chunks without ever materialising the table on the driver;
+* complex columns arrive as interleaved re/im float arrays and
+  N-d cells as flat arrays, per ``types.py`` conventions.
 
-The single-writer constraint of casacore (SURVEY §2.11 I1) is a storage
-artifact, not carried into the Spark design.
+python-casacore is not available in this environment, so the default
+table factory is import-gated; the *table seam* (any object with
+``colnames() / nrows() / getcol(...)`` — python-casacore's own public
+surface) keeps the distributed plumbing real and testable with a fake.
+Writes honour casacore's single-writer storage constraint (SURVEY
+§2.11 I1): ``xds_to_casa`` streams result partitions through the
+driver into sequential ``putcol`` calls — the constraint is the
+storage format's, not the engine's; the blessed scale path remains
+convert-to-parquet (daskms/apps/convert.py:139-280).
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+import math
+from typing import Callable, Iterable
 
+import numpy as np
 from pyspark.sql import SparkSession
+from pyspark.sql.types import (ArrayType, BooleanType, DataType, DoubleType,
+                               FloatType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
 from ..dataset import Dataset, partition_datasets
+from ..types import ROWID
 
 try:  # pragma: no cover - casacore absent in this environment
     import casacore.tables as _ct  # type: ignore
@@ -34,11 +50,13 @@ except Exception:  # pragma: no cover
     HAVE_CASACORE = False
 
 __all__ = ["HAVE_CASACORE", "xds_from_casa", "xds_to_casa", "xds_from_ms",
-           "MS_GROUP_COLS", "MS_INDEX_COLS"]
+           "MS_GROUP_COLS", "MS_INDEX_COLS", "DEFAULT_CASA_ROW_CHUNK"]
 
 # Reference defaults for Measurement Sets (daskms/dask_ms.py:12-13).
 MS_GROUP_COLS = ("FIELD_ID", "DATA_DESC_ID")
 MS_INDEX_COLS = ("TIME", "ANTENNA1", "ANTENNA2")
+
+DEFAULT_CASA_ROW_CHUNK = 10_000  # daskms/reads.py:33 default chunking
 
 
 def _require_casacore():
@@ -51,35 +69,108 @@ def _require_casacore():
         )
 
 
+def _casacore_factory(path: str):  # pragma: no cover - needs casacore
+    return _ct.table(path, ack=False, readonly=True)
+
+
+def _np_cell_to_spark(dtype: np.dtype, ndim: int) -> tuple[DataType, str]:
+    """numpy column dtype -> (Spark type, transfer kind).
+
+    kinds: ``scalar`` (1-d column), ``flat`` (N-d cell flattened),
+    ``complex`` (re/im interleaved, doubling the flat width).
+    """
+    if np.issubdtype(dtype, np.complexfloating):
+        elem = FloatType() if dtype.itemsize == 8 else DoubleType()
+        return ArrayType(elem), "complex"
+    if np.issubdtype(dtype, np.bool_):
+        spark = BooleanType()
+    elif np.issubdtype(dtype, np.integer):
+        spark = IntegerType() if dtype.itemsize <= 4 else LongType()
+    elif np.issubdtype(dtype, np.floating):
+        spark = FloatType() if dtype.itemsize <= 4 else DoubleType()
+    elif dtype.kind in ("U", "S", "O"):
+        spark = StringType()
+    else:
+        raise NotImplementedError(f"unsupported CASA column dtype {dtype}")
+    if ndim > 1:
+        return ArrayType(spark), "flat"
+    return spark, "scalar"
+
+
 def xds_from_casa(spark: SparkSession, path: str,
                   columns: Iterable[str] | None = None,
                   group_cols: Iterable[str] = (),
                   index_cols: Iterable[str] = (),
-                  where: str | None = None) -> list[Dataset]:
-    """Read a CASA table (reference ``xds_from_table``,
-    daskms/dask_ms.py:128-294).  Requires python-casacore."""
-    _require_casacore()
-    # Eager driver-side read of the (single-node) CASA table into Arrow,
-    # then parallelize: casacore I/O is inherently single-machine, so
-    # the distributed path is convert-to-parquet; this path exists for
-    # small tables and subtables.
-    import numpy as np  # noqa: F401
-    import pandas as pd
+                  where: str | None = None,
+                  table_factory: Callable | None = None,
+                  row_chunk: int = DEFAULT_CASA_ROW_CHUNK) -> list[Dataset]:
+    """Read a CASA table into Datasets via distributed chunked getcol
+    (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
+    per-chunk getter kernels of daskms/reads.py:40-189).
 
-    with _ct.table(path, ack=False) as t:  # pragma: no cover
-        names = list(columns) if columns else t.colnames()
-        data = {}
+    ``table_factory(path)`` must return a python-casacore-shaped
+    table: ``colnames()``, ``nrows()``, ``getcol(col, startrow,
+    nrow)``, ``close()``.  Defaults to ``casacore.tables.table``
+    (import-gated); tests inject a fake.
+    """
+    if table_factory is None:
+        _require_casacore()
+        table_factory = _casacore_factory
+
+    # driver: metadata + one-row dtype probe only
+    t = table_factory(path)
+    try:
+        names = list(columns) if columns else list(t.colnames())
+        missing = set(names) - set(t.colnames())
+        if missing:
+            raise KeyError(f"columns not in table: {sorted(missing)}")
+        nrow = int(t.nrows())
+        specs: dict[str, str] = {}
+        fields = [StructField(ROWID, LongType(), False)]
         for c in names:
-            arr = t.getcol(c)
-            if hasattr(arr, "ndim") and arr.ndim > 1:
-                arr = [v.ravel().tolist() for v in arr]
-            if getattr(arr, "dtype", None) is not None and \
-                    np.iscomplexobj(arr):
-                arr = [np.column_stack([v.real, v.imag]).ravel().tolist()
-                       for v in arr]
-            data[c] = list(arr)
-        pdf = pd.DataFrame(data)
-    df = spark.createDataFrame(pdf)
+            probe = np.asarray(t.getcol(c, 0, min(1, nrow))) \
+                if nrow else np.asarray(t.getcol(c, 0, 0))
+            spark_t, kind = _np_cell_to_spark(probe.dtype, probe.ndim)
+            specs[c] = kind
+            fields.append(StructField(c, spark_t))
+    finally:
+        if hasattr(t, "close"):
+            t.close()
+    schema = StructType(fields)
+    n_chunks = max(1, math.ceil(nrow / row_chunk))
+
+    def read_chunks(batches):
+        import pandas as pd
+
+        table = None
+        for pdf in batches:
+            for ci in pdf["id"].astype(int):
+                if table is None:
+                    table = table_factory(path)
+                lo = ci * row_chunk
+                hi = min(nrow, lo + row_chunk)
+                out = {ROWID: np.arange(lo, hi, dtype=np.int64)}
+                for c, kind in specs.items():
+                    arr = np.asarray(table.getcol(c, lo, hi - lo))
+                    if kind == "complex":
+                        flat = arr.reshape(hi - lo, -1)
+                        inter = np.empty(
+                            (hi - lo, flat.shape[1] * 2),
+                            dtype=np.float32 if arr.dtype.itemsize == 8
+                            else np.float64)
+                        inter[:, 0::2] = flat.real
+                        inter[:, 1::2] = flat.imag
+                        out[c] = list(inter)
+                    elif kind == "flat":
+                        out[c] = list(arr.reshape(hi - lo, -1))
+                    else:
+                        out[c] = arr
+                yield pd.DataFrame(out)
+
+    if nrow == 0:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.range(n_chunks).mapInPandas(read_chunks, schema)
     return partition_datasets(df, group_cols, index_cols, where, None)
 
 
@@ -91,11 +182,59 @@ def xds_from_ms(spark: SparkSession, path: str, **kw) -> list[Dataset]:
     return xds_from_casa(spark, path, **kw)
 
 
-def xds_to_casa(datasets, path: str) -> None:
-    """CASA sink (reference ``xds_to_table``, daskms/writes.py:742-782).
-    Requires python-casacore."""
-    _require_casacore()
-    raise NotImplementedError(
-        "CASA write-back is not supported in this environment; write "
-        "parquet (xds_to_parquet) and convert externally."
-    )
+def xds_to_casa(datasets, path: str,
+                columns: Iterable[str] | None = None,
+                table_factory: Callable | None = None) -> int:
+    """Update columns of an existing CASA table from datasets
+    (reference ``xds_to_table`` update mode, daskms/writes.py:742-782).
+
+    casacore is single-writer (SURVEY §2.11 I1), so partitions stream
+    through the driver into sequential ``putcol(col, value, startrow,
+    nrow)`` calls, ordered by ROWID — the storage format serialises
+    writes no matter the engine; creation of new tables stays on the
+    convert-to-parquet path.  Returns rows written.
+    """
+    if table_factory is None:
+        _require_casacore()
+
+        def table_factory(p):  # pragma: no cover - needs casacore
+            return _ct.table(p, ack=False, readonly=False)
+
+    if isinstance(datasets, Dataset):
+        datasets = [datasets]
+    if not isinstance(datasets, list):
+        datasets = [Dataset(datasets, {})]
+
+    t = table_factory(path)
+    written = 0
+    try:
+        for ds in datasets:
+            df = ds.df
+            if ROWID not in df.columns:
+                raise ValueError(
+                    "xds_to_casa updates require a ROWID column "
+                    "addressing the target rows")
+            names = [c for c in (columns or df.columns) if c != ROWID]
+            pdf = df.select(ROWID, *names).orderBy(ROWID).toPandas()
+            if not len(pdf):
+                continue
+            rows = pdf[ROWID].to_numpy()
+            # split into contiguous runs so putcol row ranges are
+            # valid even for scattered updates
+            breaks = np.flatnonzero(np.diff(rows) != 1) + 1
+            for seg in np.split(np.arange(len(rows)), breaks):
+                lo = int(rows[seg[0]])
+                n = len(seg)
+                for c in names:
+                    cell = pdf[c].iloc[seg[0]:seg[0] + n]
+                    if cell.dtype == object:
+                        vals = np.asarray(
+                            [np.asarray(v) for v in cell])
+                    else:
+                        vals = cell.to_numpy()
+                    t.putcol(c, vals, lo, n)
+                written += n
+    finally:
+        if hasattr(t, "close"):
+            t.close()
+    return written

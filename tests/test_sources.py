@@ -429,3 +429,120 @@ def test_table_store_s3_scheme_and_options(spark):
 
 def test_infer_format_remote_defaults_to_parquet():
     assert infer_format("s3a://bucket/nonexistent-store") == "parquet"
+
+
+def _make_fake_casa_table():
+    """python-casacore-shaped fake table (colnames/nrows/getcol/
+    putcol), defined in a closure so cloudpickle ships it by value."""
+    import numpy as np
+
+    class FakeCasaTable:
+        N = 37  # not a multiple of the chunk size used in tests
+        rng = np.random.RandomState(11)
+        COLS = {}
+
+        def __init__(self, path, writable=False):
+            self.path = path
+            self.puts = []
+            if not FakeCasaTable.COLS:
+                n = FakeCasaTable.N
+                FakeCasaTable.COLS = {
+                    "FIELD_ID": (np.arange(n) % 3).astype(np.int32),
+                    "TIME": 5e9 + np.arange(n, dtype=np.float64),
+                    "NAME": np.array([f"src{i % 4}" for i in range(n)]),
+                    "DATA": (FakeCasaTable.rng.rand(n, 4, 2)
+                             + 1j * FakeCasaTable.rng.rand(n, 4, 2))
+                    .astype(np.complex64),
+                    "UVW": FakeCasaTable.rng.rand(n, 3),
+                }
+
+        def colnames(self):
+            return list(self.COLS)
+
+        def nrows(self):
+            return self.N
+
+        def getcol(self, col, startrow=0, nrow=-1):
+            arr = self.COLS[col]
+            stop = self.N if nrow < 0 else startrow + nrow
+            return arr[startrow:stop]
+
+        def putcol(self, col, value, startrow=0, nrow=-1):
+            self.puts.append((col, startrow, len(value)))
+            self.COLS[col] = self.COLS[col].copy()
+            self.COLS[col][startrow:startrow + len(value)] = value
+
+        def close(self):
+            pass
+
+    return FakeCasaTable
+
+
+FakeCasaTable = _make_fake_casa_table()
+
+
+def test_casa_distributed_read_with_fake_table(spark):
+    """S1/S2: chunked executor-side getcol through the table seam —
+    scalar/string/tensor/complex columns, values vs the fake's numpy
+    arrays, grouped datasets with MS defaults."""
+    import numpy as np
+
+    from dask_ms_spark.sources.casa import xds_from_casa
+    from dask_ms_spark.types import ROWID
+
+    dss = xds_from_casa(spark, "/fake/ms", group_cols=["FIELD_ID"],
+                        index_cols=["TIME"],
+                        table_factory=FakeCasaTable, row_chunk=10)
+    assert {d.attrs["FIELD_ID"] for d in dss} == {0, 1, 2}
+    assert sum(d.df.count() for d in dss) == FakeCasaTable.N
+
+    cols = FakeCasaTable("/fake/ms").COLS
+    one = next(d for d in dss if d.attrs["FIELD_ID"] == 1)
+    r = one.df.orderBy(ROWID).first()
+    i = r[ROWID]
+    assert cols["FIELD_ID"][i] == 1
+    assert r.TIME == cols["TIME"][i]
+    assert r.NAME == cols["NAME"][i]
+    got = np.array(r.DATA, dtype=np.float32)
+    want = cols["DATA"][i].ravel()
+    assert np.allclose(got[0::2], want.real)
+    assert np.allclose(got[1::2], want.imag)
+    assert np.allclose(np.array(r.UVW), cols["UVW"][i])
+
+    # column projection limits the probe + transfer set
+    (proj,) = xds_from_casa(spark, "/fake/ms", columns=["TIME"],
+                            table_factory=FakeCasaTable)
+    assert sorted(proj.df.columns) == [ROWID, "TIME"]
+    with pytest.raises(KeyError, match="not in table"):
+        xds_from_casa(spark, "/fake/ms", columns=["NOPE"],
+                      table_factory=FakeCasaTable)
+
+
+def test_casa_read_plan_is_distributed(spark):
+    """The scan must be mapInPandas over Range — no driver-eager
+    createDataFrame of the whole table (the round-2 weakness)."""
+    from dask_ms_spark.sources.casa import xds_from_casa
+
+    (ds,) = xds_from_casa(spark, "/fake/ms",
+                          table_factory=FakeCasaTable, row_chunk=10)
+    plan = ds.df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Range" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_casa_update_write_putcol_runs(spark):
+    """S7 update mode: scattered ROWID updates split into contiguous
+    putcol runs; values land in the fake table."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.casa import xds_to_casa
+    from dask_ms_spark.types import ROWID
+
+    sink = FakeCasaTable("/fake/ms", writable=True)
+    updates = spark.createDataFrame(
+        [(3, 1.5), (4, 2.5), (5, 3.5), (20, 9.5)],
+        f"{ROWID} bigint, TIME double")
+    n = xds_to_casa([Dataset(updates, {})], "/fake/ms",
+                    table_factory=lambda p: sink)
+    assert n == 4
+    assert sink.puts == [("TIME", 3, 3), ("TIME", 20, 1)]
+    assert sink.COLS["TIME"][3] == 1.5 and sink.COLS["TIME"][20] == 9.5
