@@ -1184,7 +1184,11 @@ def q_events_correlate(spark, sf_dir):
 
     events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
     pairs = correlate_events(events, "click", "error", "30 minutes")
-    delay_us = F.unix_micros("b_ts") - F.unix_micros("a_ts")
+    # timestampdiff accepts TIMESTAMP and TIMESTAMP_NTZ alike (the
+    # testdata parquet is naive micros, which Spark 4 infers as NTZ);
+    # unix_micros rejects NTZ, and an NTZ->LTZ cast would drag the
+    # session timezone into the arithmetic.
+    delay_us = F.expr("timestampdiff(MICROSECOND, a_ts, b_ts)")
     return (pairs.groupBy("user_id")
                  .agg(F.count(F.lit(1)).alias("n_pairs"),
                       F.round(F.avg(delay_us) / F.lit(1e6), 4)

