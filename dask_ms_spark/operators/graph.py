@@ -68,12 +68,60 @@ def _star_round(e: DataFrame) -> DataFrame:
     return small
 
 
+def _local_components(e: DataFrame, id_col: str) -> DataFrame:
+    """Single-task union-find over a small materialized edge set.
+
+    The labels are identical to the star-contraction fixed point
+    (minimum reachable id per component) and independent of edge
+    order: union-find roots are order-dependent, but the final label
+    is re-derived as the min id over each root's members.  Runs as one
+    executor task (``mapInPandas`` over a single coalesced partition)
+    — no driver collect; ~5M edges resolve in a few seconds in one
+    task, versus O(log n) rounds of 5 shuffles each.
+    """
+    id_type = dict((f.name, f.dataType.simpleString())
+                   for f in e.schema.fields)["u"]
+
+    def unionfind(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in pdf_iter:
+            for u, v in zip(pdf["u"].values, pdf["v"].values):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+        if not parent:
+            yield pd.DataFrame({"id": [], "component": []})
+            return
+        ids = list(parent)
+        roots = [find(x) for x in ids]
+        df = pd.DataFrame({"id": ids, "root": roots})
+        df["component"] = df.groupby("root")["id"].transform("min")
+        yield df[["id", "component"]]
+
+    return e.coalesce(1).mapInPandas(
+        unionfind, schema=f"id {id_type}, component {id_type}") \
+        .withColumnRenamed("id", id_col)
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          nodes: DataFrame | None = None,
                          id_col: str = "id",
                          max_iter: int = 25,
-                         check_every: int = 1) -> DataFrame:
+                         check_every: int = 1,
+                         local_threshold: int = 2_000_000) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
     ``edges`` is undirected input (each pair listed once is enough);
@@ -94,6 +142,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     with no signal.  ``check_every`` rounds share one materialization
     job; with O(log n) total rounds the default of 1 keeps peak memory
     at a single edge generation.
+
+    **Size-adaptive fast path**: after LSH candidate generation the
+    edge set is typically orders of magnitude smaller than the corpus
+    (near-dup pairs, not documents).  When the materialized distinct
+    edge count is at most ``local_threshold``, the component labels
+    come from a single-task union-find (:func:`_local_components`)
+    instead of the shuffle rounds — the iterative machinery only pays
+    off once the edge set itself no longer fits one task.  Set
+    ``local_threshold=0`` to force star contraction (tests do, to
+    exercise both paths against each other).
     """
     # Materialise the canonical edge list ONCE.  ``edges`` is typically
     # the tail of an expensive pipeline (shingle->minhash->LSH);
@@ -111,6 +169,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     members = (e.select(F.col("u").alias(id_col))
                .unionByName(e.select(F.col("v").alias(id_col)))
                .distinct())
+
+    if local_threshold and e.count() <= local_threshold:
+        # count is one cheap pass over the already-checkpointed edges
+        labels = _local_components(e, id_col)
+        if nodes is not None:
+            singletons = (nodes.select(F.col(id_col))
+                          .join(members, on=id_col, how="left_anti")
+                          .select(id_col,
+                                  F.col(id_col).alias("component")))
+            labels = labels.unionByName(singletons)
+        return labels
 
     def checksum(frame: DataFrame):
         row = frame.agg(

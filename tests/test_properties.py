@@ -88,6 +88,13 @@ if HAVE_HYPOTHESIS:
         edf = spark.createDataFrame(
             edges or [(0, 0)], "id_a long, id_b long")
         ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
-        got = {r.id: r.component for r in
-               connected_components(edf, nodes=ndf).collect()}
-        assert got == want
+        # exercise BOTH execution paths: the single-task union-find
+        # fast path (default at this size) and the star-contraction
+        # shuffle rounds (forced via local_threshold=0)
+        got_local = {r.id: r.component for r in
+                     connected_components(edf, nodes=ndf).collect()}
+        got_star = {r.id: r.component for r in
+                    connected_components(edf, nodes=ndf,
+                                         local_threshold=0).collect()}
+        assert got_local == want
+        assert got_star == want
