@@ -1210,6 +1210,51 @@ def q_events_dedup(spark, sf_dir):
                               .cast("double"), 4).alias("sum_value")))
 
 
+def q_kmeans_cluster(spark, sf_dir):
+    """Semantic clustering: 2 deterministic Lloyd iterations over the
+    embedding table (lowest-id init, fixed-point centroid update) —
+    the coarse quantizer behind semantic dedup and IVF ANN.
+    Broadcast centroids, map-side assignment, k*dim partial-sum
+    shuffle per update: the canonical distributed k-means plan."""
+    from dask_ms_spark.llm.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"),
+                         k=8, iters=2)
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Training-mixture planning table: per (source, detected
+    language) document counts, token totals, and mean length — the
+    aggregate a weighted mixture sampler consumes.  One corpus scan;
+    every stat partial-merges map-side (integer sums are exact, so
+    the derived mean is engine-identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("source",
+                        langid(F.col("text")).alias("pred_lang"),
+                        token_count(F.col("text")).cast("long")
+                        .alias("toks"),
+                        F.length("text").cast("long").alias("chars"))
+                .groupBy("source", "pred_lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("toks").alias("total_tokens"),
+                     F.round(F.avg("chars"), 4).alias("avg_chars")))
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval decontamination: train docs (source != src0) whose
+    20-char-gram shingles collide with the eval corpus (source ==
+    src0).  The eval shingle set broadcasts, so the train side never
+    shuffles its payload — the 100 TB decontamination shape."""
+    from dask_ms_spark.llm.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    report = contamination_report(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        n=20, min_hits=1)
+    return report.orderBy("doc_id")
+
+
 def q_dedup_minhash_drop(spark, sf_dir):
     """End-to-end MinHash-LSH dedup decision: docs to DROP (connected
     to a lower-id near-duplicate by estimated signature Jaccard)."""
@@ -1293,6 +1338,112 @@ def _minhash_sig_sql(num_hashes: int = 8, k: int = 5) -> str:
         WITH sh AS (SELECT doc_id, {shingles} AS shingles FROM documents),
         hb AS (SELECT doc_id, {base} AS base FROM sh)
         SELECT doc_id, array_to_string([{mins}], ',') AS sig FROM hb
+    """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: int = 1 << 20) -> str:
+    """Mirror of llm.clustering.kmeans_assign: lowest-id init, exact
+    double argmin with (d2, cidx) tie-break, fixed-point centroid
+    update (round(x*2^20) summed as bigint)."""
+    assert iters == 2, "SQL mirror is written for exactly 2 iterations"
+    dist = (f"list_sum(list_transform(range(1, {dim + 1}), "
+            "i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i])))")
+    return f"""
+        WITH pts AS (SELECT vec_id AS id,
+                            list_transform(embedding,
+                                           x -> cast(x as double)) AS vec
+                     FROM embeddings),
+        c0 AS (SELECT row_number() OVER (ORDER BY id) AS cidx,
+                      vec AS cvec
+               FROM (SELECT id, vec FROM pts ORDER BY id LIMIT {k})),
+        d1 AS (SELECT id, vec, cidx, {dist} AS d2
+               FROM pts CROSS JOIN c0),
+        a1 AS (SELECT id, vec, cidx,
+                      row_number() OVER (PARTITION BY id
+                                         ORDER BY d2, cidx) AS rn
+               FROM d1),
+        ex AS (SELECT cidx, i AS pos,
+                      cast(round(vec[i] * {scale}) as bigint) AS qx
+               FROM a1 CROSS JOIN
+                    (SELECT unnest(range(1, {dim + 1})) AS i) r
+               WHERE rn = 1),
+        m AS (SELECT cidx, pos,
+                     cast(sum(qx) as double)
+                     / cast(count(*) * {scale} as double) AS cx
+              FROM ex GROUP BY 1, 2),
+        c1 AS (SELECT cidx, list(cx ORDER BY pos) AS cvec
+               FROM m GROUP BY cidx),
+        d2t AS (SELECT id, cidx, {dist} AS d2
+                FROM pts CROSS JOIN c1),
+        a2 AS (SELECT id, cidx, d2,
+                      row_number() OVER (PARTITION BY id
+                                         ORDER BY d2, cidx) AS rn
+                FROM d2t)
+        SELECT id AS vec_id, cast(cidx as bigint) AS cluster,
+               round(sqrt(d2), 6) AS dist
+        FROM a2 WHERE rn = 1
+    """
+
+
+def _corpus_mixture_sql() -> str:
+    """Mirror of q_corpus_mixture: the _langid_sql CASE over stopword
+    scores, aggregated per (source, predicted language)."""
+    score_exprs = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in words)
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs):
+        s = f"s_{lang}"
+        conds = [f"{s} > 0"]
+        conds += [f"{s} > s_{p}" for p in langs[:i]]
+        conds += [f"{s} >= s_{n}" for n in langs[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'en' END"
+    scores_sql = ", ".join(f"{e} AS s_{lang}"
+                           for lang, e in score_exprs.items())
+    toks = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    return f"""
+        WITH scored AS (SELECT source, text, {scores_sql} FROM documents),
+        pred AS (SELECT source, {case_sql} AS pred_lang,
+                        {toks} AS toks, length(text) AS chars
+                 FROM scored)
+        SELECT source, pred_lang, count(*) AS n_docs,
+               cast(sum(toks) as bigint) AS total_tokens,
+               round(avg(chars), 4) AS avg_chars
+        FROM pred GROUP BY 1, 2
+    """
+
+
+def _contamination_sql(n: int = 20) -> str:
+    """Mirror of llm.contamination.contamination_report: eval (src0)
+    distinct gram hashes joined against exploded train grams."""
+    norm = _DUCK_NORM.format(x="text")
+    shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
+                f"THEN [{norm}] ELSE list_transform("
+                f"range(1, length({norm}) - {n - 2}), "
+                f"i -> substring({norm}, i, {n})) END)")
+    hashed = ("list_distinct(list_transform(grams, s -> "
+              + _DUCK_HASH.format(x="s") + "))")
+    return f"""
+        WITH g AS (SELECT doc_id, source, {hashed} AS ghash
+                   FROM (SELECT doc_id, source, {shingles} AS grams
+                         FROM documents)),
+        tg AS (SELECT doc_id, len(ghash) AS n_grams,
+                      unnest(ghash) AS gh
+               FROM g WHERE source <> 'src0'),
+        eg AS (SELECT DISTINCT unnest(ghash) AS gh
+               FROM g WHERE source = 'src0')
+        SELECT doc_id, count(*) AS n_hits, n_grams,
+               round(count(*) / n_grams, 6) AS contamination
+        FROM tg JOIN eg USING (gh)
+        GROUP BY doc_id, n_grams
+        ORDER BY doc_id
     """
 
 
@@ -1713,66 +1864,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver validates the FIRST 50 entries only.
-    # Round 3 leads with the 21 entries whose last driver row is from
-    # round 1 (stale by one round), then this round's new/changed
-    # queries (bucketed embedding dedup; dedup_clusters rides the
-    # rewritten connected-components), then round-2-green entries fill
-    # the window; the tail re-lists the rest of the round-2 greens.
+    # Round 4 leads with the 22 entries whose last driver row is from
+    # round 2 (rotated out of the r3 window), then this round's
+    # code-touched queries (events_correlate's NTZ fix; dedup_clusters
+    # rides the union-find fast path), then round-3 greens fill the
+    # window; the tail re-lists the remaining round-3 greens, all
+    # untouched this round.
     return {
-        # -- last green in round 1 (rotated out of the r2 window) --
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        # -- new / code-touched this round --
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "dedup_clusters": q_dedup_clusters,
-        # -- green in round 2, re-validated this round --
-        "events_windowed": q_events_windowed,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_props": q_events_props,
-        "events_correlate": q_events_correlate,
-        "events_dedup": q_events_dedup,
-        "text_bpe": q_text_bpe,
-        "text_winnow": q_text_winnow,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_minhash_drop": q_dedup_minhash_drop,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_exact": q_dedup_exact,
-        "similarity_topk": q_similarity_topk,
-        "sample_split": q_sample_split,
-        "udaf_ols": q_udaf_ols,
-        "table_profile": q_table_profile,
-        "group_aggr": q_group_aggr,
-        "tensor_slice": q_tensor_slice,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        # -- green in round 2 (beyond the 50-entry driver window) --
+        # -- last green in round 2 (rotated out of the r3 window) --
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
         "expr_arithmetic": q_expr_arithmetic,
@@ -1795,6 +1894,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "quantiles": q_quantiles,
         "multimodal_features": q_multimodal_features,
+        # -- new / code-touched this round --
+        "contamination": q_contamination,
+        "corpus_mixture": q_corpus_mixture,
+        "kmeans_cluster": q_kmeans_cluster,
+        "events_correlate": q_events_correlate,
+        "dedup_clusters": q_dedup_clusters,
+        # -- green in round 3, re-validated this round --
+        "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_props": q_events_props,
+        "events_dedup": q_events_dedup,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        # -- green in round 3 (beyond the 50-entry driver window) --
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "text_bpe": q_text_bpe,
+        "text_winnow": q_text_winnow,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_drop": q_dedup_minhash_drop,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_exact": q_dedup_exact,
+        "similarity_topk": q_similarity_topk,
+        "sample_split": q_sample_split,
+        "udaf_ols": q_udaf_ols,
+        "table_profile": q_table_profile,
+        "group_aggr": q_group_aggr,
+        "tensor_slice": q_tensor_slice,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
     }
 
 
@@ -2477,6 +2632,9 @@ def oracle_sql() -> dict[str, str]:
                       "o_orderpriority"]),
         "dedup_minhash_drop": _minhash_drop_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "contamination": _contamination_sql(),
+        "corpus_mixture": _corpus_mixture_sql(),
+        "kmeans_cluster": _kmeans_sql(),
         # multimodal_features: no oracle (Python-side decode kernel) —
         # driver records rows-only check.
     }

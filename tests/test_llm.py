@@ -275,3 +275,59 @@ def test_split_salt_draws_independent_assignment(documents):
     agree = j.where("sa = sb").count()
     # independent draws agree ~ sum(w^2) = 0.66, never ~1.0
     assert agree / n < 0.9
+
+
+def test_contamination_flags_copied_grams(spark):
+    from dask_ms_spark.llm.contamination import contamination_report
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "prefix text the quick brown fox jumps over the lazy "
+             "dog tonight and more"),       # contains the eval text
+         (2, "completely unrelated content with no overlap at all "
+             "whatsoever in it")],
+        "doc_id long, text string")
+    rep = contamination_report(train, eval_docs, n=20, min_hits=1)
+    rows = {r.doc_id: r for r in rep.collect()}
+    assert 1 in rows and 2 not in rows
+    assert rows[1].n_hits >= 1
+    assert 0 < rows[1].contamination <= 1.0
+    # the 100 TB shape: eval grams reach the train side via a
+    # broadcast semi join (no train-side payload shuffle)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from dask_ms_spark.llm.clustering import kmeans_assign
+
+    # two tight blobs far apart; ids interleaved so the lowest-id
+    # init picks one seed from each blob (k=2)
+    rows = []
+    for i in range(20):
+        blob = i % 2
+        base = 0.0 if blob == 0 else 10.0
+        vec = [base + 0.01 * ((i * 7 + j) % 5) for j in range(4)]
+        rows.append((i, vec))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(embs, k=2, iters=2).collect()
+    by_blob = {0: set(), 1: set()}
+    for r in out:
+        by_blob[r.vec_id % 2].add(r.cluster)
+    # each blob maps to exactly one cluster, and they differ
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+    assert all(r.dist < 1.0 for r in out)
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from dask_ms_spark.llm.clustering import kmeans_assign
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted((r.vec_id, r.cluster, r.dist)
+               for r in kmeans_assign(embs, k=4, iters=2).collect())
+    b = sorted((r.vec_id, r.cluster, r.dist)
+               for r in kmeans_assign(embs, k=4, iters=2).collect())
+    assert a == b
