@@ -117,12 +117,18 @@ def q_group_partition(spark, sf_dir):
     """G1 group-by-columns partitioning metadata (daskms/ordering.py:
     165-192): GCOUNT() / GROWID()[0] analogues per group.
 
-    ROWID orders by ALL columns: (l_orderkey, l_linenumber) is not
-    unique in the synthetic data, and ties under a partial key make
-    row_number engine-arbitrary; a total (or duplicate-row-only-tied)
-    order keeps min(ROWID) per group deterministic."""
+    ROWID orders by the oracle's 11-column key: (l_orderkey,
+    l_linenumber) is not unique in the synthetic data, and ties under
+    a partial key make row_number engine-arbitrary.  The 11 columns
+    include the group columns, so any residual ties permute rows
+    *within* one group and min(ROWID) per group stays deterministic —
+    while sorting 5 fewer columns than the all-column order."""
     li = _t(spark, sf_dir, "lineitem")
-    df = attach_rowid(li, li.columns)
+    df = attach_rowid(li, ["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_linenumber", "l_quantity",
+                           "l_extendedprice", "l_discount", "l_tax",
+                           "l_returnflag", "l_linestatus",
+                           "l_shipdate"])
     meta = group_metadata(df, ["l_returnflag", "l_linestatus"],
                           rowid="ROWID")
     return meta.select("l_returnflag", "l_linestatus", "group_count",
@@ -1210,6 +1216,15 @@ def q_events_dedup(spark, sf_dir):
                               .cast("double"), 4).alias("sum_value")))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals: word-bigram
+    duplicate ratio + dominant-bigram share, the standard quality
+    filter for machine-generated/boilerplate text."""
+    from dask_ms_spark.functions.text import bigram_repetition
+
+    return bigram_repetition(_t(spark, sf_dir, "documents"))
+
+
 def q_kmeans_cluster(spark, sf_dir):
     """Semantic clustering: 2 deterministic Lloyd iterations over the
     embedding table (lowest-id init, fixed-point centroid update) —
@@ -1898,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "corpus_mixture": q_corpus_mixture,
         "kmeans_cluster": q_kmeans_cluster,
+        "text_repetition": q_text_repetition,
         "events_correlate": q_events_correlate,
         "dedup_clusters": q_dedup_clusters,
         # -- green in round 3, re-validated this round --
@@ -2635,6 +2651,27 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_sql(),
         "corpus_mixture": _corpus_mixture_sql(),
         "kmeans_cluster": _kmeans_sql(),
+        "text_repetition": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])
+                         AS grams
+                  FROM t WHERE len(toks) >= 2),
+            e AS (SELECT doc_id, cast(len(grams) as bigint) AS n_grams,
+                         unnest(grams) AS gram
+                  FROM g),
+            c AS (SELECT doc_id, n_grams, gram, count(*) AS cnt
+                  FROM e GROUP BY 1, 2, 3)
+            SELECT doc_id, n_grams,
+                   count(*) AS n_distinct,
+                   round(1.0 - count(*) / n_grams, 6) AS dup_ratio,
+                   round(max(cnt) / n_grams, 6) AS max_gram_frac
+            FROM c GROUP BY doc_id, n_grams
+        """,
         # multimodal_features: no oracle (Python-side decode kernel) —
         # driver records rows-only check.
     }

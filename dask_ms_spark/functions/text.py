@@ -13,7 +13,7 @@ rather than engine-private hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
@@ -211,3 +211,40 @@ def with_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
     return s3.select(
         id_col,
         F.array_sort(F.array_distinct(F.col("__mins"))).alias(out))
+
+
+def bigram_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family of
+    quality filters): word-bigram duplicate ratio and the most
+    frequent bigram's share of the document.
+
+    Machine-generated and boilerplate text repeats local n-grams far
+    above natural-language rates, so ``dup_ratio`` (1 - distinct/total
+    bigrams) and ``max_gram_frac`` are standard drop criteria before
+    training.  Plan shape: one scan -> explode bigrams -> two
+    partial-merged aggregations keyed on (doc, gram) then (doc) — no
+    Python, no skew (keys are per-document).
+
+    Returns ``(id_col, n_grams, n_distinct, dup_ratio,
+    max_gram_frac)`` for documents with at least one bigram.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    base = (df.where(n >= 2)
+            .select(F.col(id_col),
+                    F.size(grams).cast("long").alias("n_grams"),
+                    F.explode(grams).alias("gram")))
+    per_gram = (base.groupBy(id_col, "n_grams", "gram")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_gram.groupBy(id_col, "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_distinct"),
+                 F.round(F.lit(1.0)
+                         - F.count(F.lit(1)) / F.col("n_grams"), 6)
+                  .alias("dup_ratio"),
+                 F.round(F.max("cnt") / F.col("n_grams"), 6)
+                  .alias("max_gram_frac")))

@@ -245,3 +245,22 @@ def test_percentile_approx_tracks_exact(lineitem):
         F.percentile_approx("l_extendedprice", F.lit(0.5),
                             F.lit(10_000)).alias("approx")).first()
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_bigram_repetition_hand_computed(spark):
+    from dask_ms_spark.functions.text import bigram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+         (2, "w x y z"),           # 3 distinct of 3
+         (3, "solo")],             # no bigram -> dropped
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_repetition(docs).collect()}
+    assert 3 not in rows
+    r1 = rows[1]
+    assert (r1.n_grams, r1.n_distinct) == (5, 2)
+    assert r1.dup_ratio == round(1 - 2 / 5, 6)
+    assert r1.max_gram_frac == round(3 / 5, 6)
+    r2 = rows[2]
+    assert (r2.n_grams, r2.n_distinct) == (3, 3)
+    assert r2.dup_ratio == 0.0
