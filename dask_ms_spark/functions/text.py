@@ -229,22 +229,30 @@ def bigram_repetition(df: DataFrame, text_col: str = "text",
     Returns ``(id_col, n_grams, n_distinct, dup_ratio,
     max_gram_frac)`` for documents with at least one bigram.
     """
+    from ..session import ensure_parallelism
+
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i),
                               F.element_at(toks, i + 1)))
-    base = (df.where(n >= 2)
-            .select(F.col(id_col),
-                    F.size(grams).cast("long").alias("n_grams"),
-                    F.explode(grams).alias("gram")))
-    per_gram = (base.groupBy(id_col, "n_grams", "gram")
+    # n_grams is derived from the per-gram counts (sum) rather than
+    # size() on the gram array: referencing the gram chain twice
+    # (size + explode) re-evaluates it per exploded row, and
+    # InferFiltersFromGenerate clones any explode input into the scan
+    # filter — keep that cloned expression the only extra evaluation
+    base = (ensure_parallelism(df.where(n >= 2))
+            .select(F.col(id_col), F.explode(grams).alias("gram")))
+    per_gram = (base.groupBy(id_col, "gram")
                 .agg(F.count(F.lit(1)).alias("cnt")))
-    return (per_gram.groupBy(id_col, "n_grams")
-            .agg(F.count(F.lit(1)).alias("n_distinct"),
-                 F.round(F.lit(1.0)
-                         - F.count(F.lit(1)) / F.col("n_grams"), 6)
-                  .alias("dup_ratio"),
-                 F.round(F.max("cnt") / F.col("n_grams"), 6)
-                  .alias("max_gram_frac")))
+    totals = (per_gram.groupBy(id_col)
+              .agg(F.sum("cnt").alias("n_grams"),
+                   F.count(F.lit(1)).alias("n_distinct"),
+                   F.max("cnt").alias("max_cnt")))
+    return totals.select(
+        id_col, "n_grams", "n_distinct",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6)
+         .alias("dup_ratio"),
+        F.round(F.col("max_cnt") / F.col("n_grams"), 6)
+         .alias("max_gram_frac"))

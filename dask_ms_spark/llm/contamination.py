@@ -21,17 +21,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams, portable_hash64
+from ..functions.text import portable_hash64
+from ..session import ensure_parallelism
 from .dedup import normalize_text
 
 __all__ = ["contamination_report"]
 
 
-def _gram_hashes(text: Column, n: int) -> Column:
-    """Distinct character-n-gram hashes of normalised text."""
-    return F.array_distinct(F.transform(
-        char_ngrams(normalize_text(text), n),
-        lambda g: portable_hash64(g)))
+def _raw_grams(text: Column, n: int) -> Column:
+    """Character n-grams of normalised text, NOT deduplicated.
+
+    Strings, not hashes: hashing happens *after* the explode so md5
+    runs in whole-stage codegen (inside a higher-order ``transform``
+    it is interpreted, ~10x slower — the explode-then-hash discipline
+    of ``llm.dedup.minhash_table``).  No ``array_distinct`` either:
+    per-doc dedup is O(|grams|^2) string compares *inside* the scan
+    projection, and Catalyst's generate-filter inference
+    (InferFiltersFromGenerate) can clone the whole chain into the
+    scan filter — dedup happens post-explode on (id, hash) instead,
+    where it is one partial-merged aggregation."""
+    t = text
+    count = F.length(t) - F.lit(n - 1)
+    return F.when(count <= 0, F.array(t)).otherwise(
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: t.substr(i, F.lit(n))))
 
 
 def contamination_report(train: DataFrame, eval_docs: DataFrame,
@@ -45,24 +58,32 @@ def contamination_report(train: DataFrame, eval_docs: DataFrame,
     with the eval set at least ``min_hits`` times; ``contamination``
     is the collided fraction of the document's shingles.
 
-    Plan shape: eval grams -> distinct -> broadcast; train grams
-    probe it with a broadcast LEFT SEMI join (map-side, no train
-    shuffle), then one partial-merged count per document.
+    Plan shape: eval grams -> hash -> distinct -> broadcast.  Train
+    side: explode raw grams, hash post-explode (codegen), dedup on
+    (id, hash) with one partial-merged aggregation, mark eval hits
+    with a broadcast LEFT join (map-side), then one count/sum per
+    document.  The train corpus payload never shuffles — only
+    (id, 8-byte hash) pairs move.
     """
+    norm = normalize_text(F.col(text_col))
     eval_grams = (eval_docs
-                  .select(F.explode(_gram_hashes(F.col(text_col), n))
-                          .alias("g"))
+                  .select(F.explode(_raw_grams(norm, n)).alias("s"))
+                  .select(portable_hash64(F.col("s")).alias("g"))
                   .distinct())
-    train_grams = train.select(
-        F.col(id_col),
-        F.size(_gram_hashes(F.col(text_col), n)).cast("long")
-         .alias("n_grams"),
-        F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
-    hits = (train_grams
-            .join(F.broadcast(eval_grams), "g", "left_semi")
-            .groupBy(id_col, "n_grams")
-            .agg(F.count(F.lit(1)).alias("n_hits")))
-    return (hits.where(F.col("n_hits") >= min_hits)
-                .select(id_col, "n_hits", "n_grams",
-                        F.round(F.col("n_hits") / F.col("n_grams"), 6)
-                         .alias("contamination")))
+    deduped = (ensure_parallelism(train)
+               .select(F.col(id_col),
+                       F.explode(_raw_grams(norm, n)).alias("s"))
+               .select(F.col(id_col),
+                       portable_hash64(F.col("s")).alias("g"))
+               .distinct())
+    marked = deduped.join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))),
+        "g", "left")
+    report = (marked.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .alias("n_hits")))
+    return (report.where(F.col("n_hits") >= min_hits)
+                  .select(id_col, "n_hits", "n_grams",
+                          F.round(F.col("n_hits") / F.col("n_grams"), 6)
+                           .alias("contamination")))

@@ -295,9 +295,9 @@ def test_contamination_flags_copied_grams(spark):
     assert rows[1].n_hits >= 1
     assert 0 < rows[1].contamination <= 1.0
     # the 100 TB shape: eval grams reach the train side via a
-    # broadcast semi join (no train-side payload shuffle)
+    # broadcast hash join (no train-side payload shuffle)
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
 def test_kmeans_separates_planted_clusters(spark):
