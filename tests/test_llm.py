@@ -331,3 +331,17 @@ def test_kmeans_deterministic_across_runs(spark):
     b = sorted((r.vec_id, r.cluster, r.dist)
                for r in kmeans_assign(embs, k=4, iters=2).collect())
     assert a == b
+
+
+def test_kmeans_k_exceeding_n_and_empty_clusters(spark):
+    from dask_ms_spark.llm.clustering import kmeans_assign
+
+    # 3 vectors, k=8: init takes all 3 as centroids; every vector
+    # sits on its own centroid (dist 0); clusters stay disjoint
+    embs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [9.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in kmeans_assign(embs, k=8, iters=2).collect()}
+    assert len(out) == 3
+    assert len({r.cluster for r in out.values()}) == 3
+    assert all(r.dist == 0.0 for r in out.values())
