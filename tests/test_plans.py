@@ -130,3 +130,29 @@ def test_tpch_q19_join_stays_hash(spark):
     plan = plan_str(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The scoring cross join must broadcast the k-row centroid table
+    (map-side assignment); the corpus must never sort-merge or
+    shuffle-hash against it."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_kmeans_cluster(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_corpus_mixture_single_scan_single_agg(spark):
+    """Every mixture stat partial-merges over ONE documents scan: one
+    exchange (the final groupBy), one FileScan."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_corpus_mixture(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 2  # hash exchange (+AQE read)
