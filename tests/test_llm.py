@@ -345,3 +345,13 @@ def test_kmeans_k_exceeding_n_and_empty_clusters(spark):
     assert len(out) == 3
     assert len({r.cluster for r in out.values()}) == 3
     assert all(r.dist == 0.0 for r in out.values())
+
+
+def test_contamination_empty_eval_set(spark):
+    from dask_ms_spark.llm.contamination import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "some training document text that is long enough")],
+        "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert contamination_report(train, empty, n=20).count() == 0
