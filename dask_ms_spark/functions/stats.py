@@ -40,6 +40,9 @@ def grouped_ols(df: DataFrame, group_cols: list[str] | str,
     many small groups), wrong for a handful of giant groups.
     """
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # the kernel reads only (keys, x, y): project before the groupBy
+    # so no other column rides the shuffle or the Arrow exchange
+    df = df.select(*dict.fromkeys([*keys, x_col, y_col]))
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields if f.name in keys)
