@@ -98,3 +98,41 @@ if HAVE_HYPOTHESIS:
                                          local_threshold=0).collect()}
         assert got_local == want
         assert got_star == want
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(texts=st.lists(
+        st.text(alphabet="ab cd\t\n", min_size=0, max_size=40),
+        min_size=1, max_size=8))
+    @settings(max_examples=8, deadline=None)
+    def test_bigram_repetition_matches_python(spark, texts):
+        """Spark bigram stats must agree with a sequential Python
+        recomputation on arbitrary whitespace-heavy strings."""
+        import re
+
+        from dask_ms_spark.functions.text import bigram_repetition
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_grams, r.n_distinct,
+                          r.dup_ratio, r.max_gram_frac)
+               for r in bigram_repetition(df).collect()}
+
+        want = {}
+        for i, t in rows:
+            # mirror engine semantics exactly: SQL trim strips SPACES
+            # only (not \t\n), and split keeps empty tokens — '\n'
+            # therefore yields two empty tokens and one ' ' bigram in
+            # Spark AND DuckDB (the oracle contract), unlike Python
+            # .strip()/.split()
+            t2 = t.lower().strip(" ")
+            toks = re.split(r"\s+", t2) if t2 else []
+            if len(toks) < 2:
+                continue
+            grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            from collections import Counter
+            c = Counter(grams)
+            n, nd, mx = len(grams), len(c), max(c.values())
+            want[i] = (n, nd, round(1.0 - nd / n, 6), round(mx / n, 6))
+        assert got == want
