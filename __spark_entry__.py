@@ -39,7 +39,7 @@ from dask_ms_spark.llm.dedup import (  # noqa: E402
     MINHASH_COEFFS, MINHASH_P, embedding_dup_pairs_gemm, exact_dedup,
     lsh_jaccard_pairs, normalize_text, with_minhash, with_simhash)
 from dask_ms_spark.llm.multimodal import (  # noqa: E402
-    decode_image_features, media_table)
+    binary_features, media_table)
 from dask_ms_spark.functions.text import (  # noqa: E402
     fingerprint, with_fingerprint)
 from dask_ms_spark.llm.similarity import (  # noqa: E402
@@ -1311,11 +1311,15 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> mapInPandas feature
-    extraction (decode stubbed — no codec libs; Spark-side schema,
-    batching and Arrow transfer are real).  Non-SQL: rows-only check."""
+    """Multimodal plumbing: binary payload -> mapInPandas byte-level
+    feature extraction.  Every output column is a pure function of the
+    payload bytes (length, md5-prefix hash64, magic-bytes tag,
+    boundary bytes, header dims), so the Python kernel path is fully
+    oracle-checkable — the Arrow exchange itself is what's under test.
+    The codec-stubbed decode variant lives in
+    ``llm.multimodal.decode_image_features``."""
     media = media_table(_t(spark, sf_dir, "documents"))
-    return decode_image_features(media)
+    return binary_features(media)
 
 
 # ---------------------------------------------------------------------------
@@ -1363,13 +1367,15 @@ def _minhash_sig_sql(num_hashes: int = 8, k: int = 5) -> str:
     """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+def _kmeans_sql(k: int = 8, iters: int = 2,
                 scale: int = 1 << 20) -> str:
     """Mirror of llm.clustering.kmeans_assign: lowest-id init, exact
     double argmin with (d2, cidx) tie-break, fixed-point centroid
-    update (round(x*2^20) summed as bigint)."""
+    update (round(x*2^20) summed as bigint).  The vector length is
+    derived from the data (len(vec)) so a regenerated testdata with a
+    different embedding dim cannot silently skew the oracle."""
     assert iters == 2, "SQL mirror is written for exactly 2 iterations"
-    dist = (f"list_sum(list_transform(range(1, {dim + 1}), "
+    dist = ("list_sum(list_transform(range(1, len(vec) + 1), "
             "i -> (vec[i] - cvec[i]) * (vec[i] - cvec[i])))")
     return f"""
         WITH pts AS (SELECT vec_id AS id,
@@ -1387,8 +1393,7 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
                FROM d1),
         ex AS (SELECT cidx, i AS pos,
                       cast(round(vec[i] * {scale}) as bigint) AS qx
-               FROM a1 CROSS JOIN
-                    (SELECT unnest(range(1, {dim + 1})) AS i) r
+               FROM a1, UNNEST(range(1, len(vec) + 1)) AS t(i)
                WHERE rn = 1),
         m AS (SELECT cidx, pos,
                      cast(sum(qx) as double)
@@ -1442,7 +1447,7 @@ def _corpus_mixture_sql() -> str:
     """
 
 
-def _contamination_sql(n: int = 20) -> str:
+def _contamination_sql(n: int = 20, min_hits: int = 1) -> str:
     """Mirror of llm.contamination.contamination_report: eval (src0)
     distinct gram hashes joined against exploded train grams."""
     norm = _DUCK_NORM.format(x="text")
@@ -1465,6 +1470,7 @@ def _contamination_sql(n: int = 20) -> str:
                round(count(*) / n_grams, 6) AS contamination
         FROM tg JOIN eg USING (gh)
         GROUP BY doc_id, n_grams
+        HAVING count(*) >= {min_hits}
         ORDER BY doc_id
     """
 
@@ -2679,6 +2685,25 @@ def oracle_sql() -> dict[str, str]:
                    round(max(cnt) / n_grams, 6) AS max_gram_frac
             FROM c GROUP BY doc_id, n_grams
         """,
-        # multimodal_features: no oracle (Python-side decode kernel) —
-        # driver records rows-only check.
+        # multimodal_features: byte-level features of the fake media
+        # payload (utf-8 text bytes) — DuckDB mirrors each column from
+        # the same bytes.  hex()/md5() in DuckDB operate on the utf-8
+        # encoding of the string, which is exactly the Spark payload.
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+                       AS hash64,
+                   substring(hex(encode(text)), 1, 8) AS magic_hex,
+                   CASE WHEN strlen(text) > 0 THEN CAST(
+                       ('0x' || substring(hex(encode(text)), 1, 2)) AS INT)
+                   END AS first_byte,
+                   CASE WHEN strlen(text) > 0 THEN CAST(
+                       ('0x' || substring(hex(encode(text)),
+                                          2 * strlen(text) - 1, 2)) AS INT)
+                   END AS last_byte,
+                   CAST(length(text) % 64 + 1 AS INT) AS width,
+                   CAST(length(text) % 48 + 1 AS INT) AS height
+            FROM documents
+        """,
     }

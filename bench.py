@@ -78,8 +78,12 @@ def main() -> int:
             try:
                 queries[name](spark, warm_dir).write.format("noop") \
                     .mode("overwrite").save()
-            except Exception:  # noqa: BLE001
-                pass  # the timed loop will surface real failures
+            except Exception as exc:  # noqa: BLE001
+                # the timed loop will surface real failures; still log
+                # so a warm-only failure is visible when debugging
+                print(f"warmup {name}: {type(exc).__name__}: "
+                      f"{str(exc).splitlines()[0][:200]}",
+                      file=sys.stderr)
             spark.catalog.clearCache()
 
     jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
-__all__ = ["MEDIA_SCHEMA", "media_table", "decode_image_features",
-           "resize_images", "sample_video_frames"]
+__all__ = ["MEDIA_SCHEMA", "media_table", "binary_features",
+           "decode_image_features", "resize_images", "sample_video_frames"]
 
 # Canonical multimodal column group: payload + typed metadata.
 MEDIA_SCHEMA = StructType([
@@ -73,6 +73,50 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     seed = int.from_bytes(bytes(payload[:8] or b"\0"), "big", signed=False)
     base = np.arange(height * width, dtype=np.uint64) + seed
     return (base % 251).astype(np.uint8).reshape(height, width)
+
+
+_BINARY_FEATURE_SCHEMA = ("media_id long, n_bytes long, hash64 long, "
+                          "magic_hex string, first_byte int, "
+                          "last_byte int, width int, height int")
+
+
+def binary_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Codec-free, fully deterministic byte-level media features.
+
+    Unlike :func:`decode_image_features` (whose decode kernel is
+    stubbed when codec libs are absent), every column here is a pure
+    function of the payload *bytes* — content length, a 64-bit md5
+    prefix digest (the repo's ``portable_hash64`` convention), the
+    magic-bytes format tag (first 4 bytes, uppercase hex — how real
+    ingest sniffs PNG/JPEG/RIFF containers), boundary bytes, and the
+    header-carried dimensions.  That makes the whole ``mapInPandas``
+    Arrow exchange externally verifiable: a SQL engine can mirror each
+    column from the same binary payload, so the correctness oracle
+    checks the Python kernel path end-to-end rather than rows-only.
+
+    Scale shape: payload bytes cross the language boundary exactly
+    once per Arrow batch; output is a narrow fixed-width frame, so
+    executor memory stays flat on mixed-size corpora.
+    """
+    import hashlib
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                b = bytes(row.payload or b"")
+                digest = hashlib.md5(b).hexdigest()
+                out.append((row.media_id, len(b), int(digest[:15], 16),
+                            b[:4].hex().upper(),
+                            b[0] if b else None,
+                            b[-1] if b else None,
+                            row.width, row.height))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_bytes", "hash64", "magic_hex",
+                "first_byte", "last_byte", "width", "height"])
+
+    return (media.select("media_id", "width", "height", "payload")
+                 .mapInPandas(compute, schema=_BINARY_FEATURE_SCHEMA))
 
 
 _FEATURE_SCHEMA = ("media_id long, mean_px double, std_px double, "

@@ -83,7 +83,6 @@ def _local_components(e: DataFrame, id_col: str) -> DataFrame:
                    for f in e.schema.fields)["u"]
 
     def unionfind(pdf_iter):
-        import numpy as np
         import pandas as pd
 
         parent: dict = {}
@@ -95,7 +94,9 @@ def _local_components(e: DataFrame, id_col: str) -> DataFrame:
             return x
 
         for pdf in pdf_iter:
-            for u, v in zip(pdf["u"].values, pdf["v"].values):
+            # tolist() yields plain Python ints — smaller and faster
+            # dict keys than boxed numpy scalars at the 2M-edge bound.
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
                 parent.setdefault(u, u)
                 parent.setdefault(v, v)
                 ru, rv = find(u), find(v)

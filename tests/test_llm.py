@@ -217,6 +217,26 @@ def test_multimodal_features(documents):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
 
 
+def test_binary_features_byte_exact(documents):
+    """Every column of binary_features is a pure function of the
+    payload bytes — verified against a direct Python computation."""
+    import hashlib
+
+    from dask_ms_spark.llm.multimodal import binary_features
+
+    media = media_table(documents.limit(20))
+    src = {r.media_id: (bytes(r.payload), r.width, r.height)
+           for r in media.collect()}
+    for r in binary_features(media).collect():
+        b, w, h = src[r.media_id]
+        digest = hashlib.md5(b).hexdigest()
+        assert r.n_bytes == len(b)
+        assert r.hash64 == int(digest[:15], 16)
+        assert r.magic_hex == b[:4].hex().upper()
+        assert r.first_byte == b[0] and r.last_byte == b[-1]
+        assert (r.width, r.height) == (w, h)
+
+
 def test_resize_images_fixed_raster(documents):
     from dask_ms_spark.llm.multimodal import resize_images
 
