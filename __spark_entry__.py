@@ -1892,71 +1892,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver validates the FIRST 50 entries only.
-    # Round 4 leads with the 22 entries whose last driver row is from
-    # round 2 (rotated out of the r3 window), then this round's
-    # code-touched queries (events_correlate's NTZ fix; dedup_clusters
-    # rides the union-find fast path), then round-3 greens fill the
-    # window; the tail re-lists the remaining round-3 greens, all
-    # untouched this round.
+    # Round 5 leads with the 26 entries whose last driver row is
+    # round 3 (the r4 tail), then this round's code-touched queries
+    # (multimodal_features now oracle-checked; kmeans/contamination
+    # SQL mirrors hardened; dedup_clusters perf work), then round-4
+    # greens fill the window; the tail re-lists the remaining
+    # round-4 greens so the r4+r5 union covers all 76.
     return {
-        # -- last green in round 2 (rotated out of the r3 window) --
-        "projection": q_projection,
-        "filter_pushdown": q_filter_pushdown,
-        "expr_arithmetic": q_expr_arithmetic,
-        "group_partition": q_group_partition,
-        "sorted_read": q_sorted_read,
-        "within_group_sort": q_within_group_sort,
-        "topk": q_topk,
-        "broadcast_join": q_broadcast_join,
-        "star_join": q_star_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "concat": q_concat,
-        "overlay": q_overlay,
-        "complex_mul": q_complex_mul,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "salted_join": q_salted_join,
-        "window_frames": q_window_frames,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "quantiles": q_quantiles,
-        "multimodal_features": q_multimodal_features,
-        # -- new / code-touched this round --
-        "contamination": q_contamination,
-        "corpus_mixture": q_corpus_mixture,
-        "kmeans_cluster": q_kmeans_cluster,
-        "text_repetition": q_text_repetition,
-        "events_correlate": q_events_correlate,
-        "dedup_clusters": q_dedup_clusters,
-        # -- green in round 3, re-validated this round --
-        "events_windowed": q_events_windowed,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_props": q_events_props,
-        "events_dedup": q_events_dedup,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
+        # -- last driver row is round 3 (r4 tail) --
         "pivot": q_pivot,
         "unpivot": q_unpivot,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        # -- green in round 3 (beyond the 50-entry driver window) --
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "text_bpe": q_text_bpe,
         "text_winnow": q_text_winnow,
@@ -1979,6 +1926,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
+        # -- code-touched this round --
+        "multimodal_features": q_multimodal_features,
+        "kmeans_cluster": q_kmeans_cluster,
+        "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
+        # -- green in round 4, re-validated this round --
+        "star_join": q_star_join,
+        "rollup": q_rollup,
+        "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_props": q_events_props,
+        "events_dedup": q_events_dedup,
+        "events_correlate": q_events_correlate,
+        "corpus_mixture": q_corpus_mixture,
+        "text_repetition": q_text_repetition,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        # -- tail: green in round 4, untouched --
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "projection": q_projection,
+        "filter_pushdown": q_filter_pushdown,
+        "expr_arithmetic": q_expr_arithmetic,
+        "group_partition": q_group_partition,
+        "sorted_read": q_sorted_read,
+        "within_group_sort": q_within_group_sort,
+        "topk": q_topk,
+        "broadcast_join": q_broadcast_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "concat": q_concat,
+        "overlay": q_overlay,
+        "complex_mul": q_complex_mul,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "salted_join": q_salted_join,
+        "window_frames": q_window_frames,
+        "cube": q_cube,
+        "quantiles": q_quantiles,
     }
 
 
