@@ -1117,10 +1117,15 @@ def q_sample_split(spark, sf_dir):
 
 
 def q_udaf_ols(spark, sf_dir):
-    """Grouped Arrow-batch kernel (reference §2.9 UDF surface as
-    applyInPandas): per-user OLS slope of event value over hours since
-    first event — the numpy kernel mirrors regr_slope/regr_intercept
-    exactly, so even the Python path is oracle-checked."""
+    """Per-user OLS slope of event value over hours since first event.
+
+    Default spelling is the native single-aggregate path (regr_slope
+    rebased arithmetically — slope is shift-invariant in x, so only
+    the intercept needs the group minimum); the grouped Arrow-batch
+    kernel (reference §2.9 UDF surface as applyInPandas) lives behind
+    ``method='kernel'`` and is property-tested identical.  The Python
+    mapInPandas surface keeps its own oracle row via
+    ``multimodal_features``."""
     from dask_ms_spark.functions.stats import grouped_ols
 
     events = read_events(spark, os.path.join(sf_dir, "events.parquet"))

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["grouped_ols", "profile_table"]
 
@@ -26,20 +27,61 @@ _OLS_SCHEMA = ("{keys}, n_events long, slope double, intercept double")
 
 def grouped_ols(df: DataFrame, group_cols: list[str] | str,
                 x_col: str, y_col: str,
-                x_scale: float = 1.0) -> DataFrame:
-    """Per-group ordinary-least-squares fit of ``y`` on ``x`` via
-    ``applyInPandas`` — the grouped-kernel pattern for anything numpy
-    can do that SQL aggregates can't (here they can, which is exactly
-    what makes it oracle-checkable).
+                x_scale: float = 1.0,
+                method: str = "native") -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x``.
+
+    ``method='native'`` (the default, and the production path) spells
+    the fit as one partial-merged JVM aggregate: OLS slope is
+    invariant under shifting ``x``, so re-basing to the group minimum
+    only affects the intercept —
+
+        slope'     = regr_slope(y, x) * x_scale
+        intercept' = avg(y) - regr_slope(y, x) * (avg(x) - min(x))
+
+    — which makes the whole fit ``groupBy(keys).agg(...)``: map-side
+    combine, one tiny shuffle, no Python in the loop.  At 100 TB this
+    is strictly the right plan.
+
+    ``method='kernel'`` is the grouped-Arrow-kernel spelling of the
+    same computation (``applyInPandas`` + numpy) — the extensibility
+    seam for fits SQL aggregates genuinely can't express (robust
+    regression, per-group scipy).  Values are identical by
+    construction (property-tested); the Arrow exchange costs ~2.5× at
+    sf0.1 (SCALE.md), which is the measured price of dropping into
+    Python per group.
 
     ``x`` is re-based to the group minimum and divided by ``x_scale``
     (e.g. 3600 for per-hour slopes from second timestamps), which both
     engines mirror and which keeps the slope magnitude printable.
-    Timestamps are converted to epoch seconds.  Each group must fit in
-    one Arrow batch — fine for per-entity groups (the 100 TB shape:
-    many small groups), wrong for a handful of giant groups.
+    Timestamps are converted to epoch seconds.  In the kernel path
+    each group must fit in one Arrow batch — fine for per-entity
+    groups (the 100 TB shape: many small groups), wrong for a handful
+    of giant groups.
     """
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if method == "native":
+        x = F.col(x_col)
+        x_type = dict(df.dtypes)[x_col]
+        if x_type == "timestamp_ntz":
+            # NTZ has no cast-to-double; microsecond diff from the
+            # epoch is timezone-free and exact in double below 2^53 us
+            x = F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{x_col}`)"
+            ) / F.lit(1e6)
+        elif x_type.startswith("timestamp"):
+            x = x.cast("double")          # epoch seconds
+        y = F.col(y_col).cast("double")
+        slope_raw = F.regr_slope(y, x)
+        slope = slope_raw * F.lit(float(x_scale))
+        intercept = F.avg(y) - slope_raw * (F.avg(x) - F.min(x))
+        return (df.groupBy(*keys)
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       slope.alias("slope"),
+                       intercept.alias("intercept")))
+    if method != "kernel":
+        raise ValueError(f"unknown grouped_ols method: {method!r}")
     # the kernel reads only (keys, x, y): project before the groupBy
     # so no other column rides the shuffle or the Arrow exchange
     df = df.select(*dict.fromkeys([*keys, x_col, y_col]))

@@ -206,12 +206,54 @@ def test_grouped_ols_recovers_exact_line(spark):
     rows = [(g, float(x), 2.0 * x + 3.0 + g) for g in (1, 2)
             for x in range(20)]
     df = spark.createDataFrame(rows, "g long, x double, y double")
-    got = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
-    for g in (1, 2):
-        assert got[g].n_events == 20
-        assert abs(got[g].slope - 2.0) < 1e-9
-        # x is re-based to the group min (0 here), so intercept = 3+g
-        assert abs(got[g].intercept - (3.0 + g)) < 1e-9
+    for method in ("native", "kernel"):
+        got = {r.g: r for r in
+               grouped_ols(df, "g", "x", "y", method=method).collect()}
+        for g in (1, 2):
+            assert got[g].n_events == 20
+            assert abs(got[g].slope - 2.0) < 1e-9
+            # x is re-based to the group min (0), so intercept = 3+g
+            assert abs(got[g].intercept - (3.0 + g)) < 1e-9
+
+
+def test_grouped_ols_native_matches_kernel(spark):
+    """The native regr_slope spelling and the Arrow kernel are the
+    same computation — including x_scale, timestamp x, degenerate
+    (single-point / constant-x) groups, and noisy data."""
+    import datetime
+    import random
+
+    from dask_ms_spark.functions.stats import grouped_ols
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for g in range(30):
+        n = rng.randint(1, 40)
+        for i in range(n):
+            ts = base + datetime.timedelta(
+                seconds=rng.randint(0, 3_000_000) if n > 1 else 0)
+            rows.append((g, ts, rng.gauss(0.3 * i, 2.0)))
+    # constant-x group: slope/intercept must be NULL in both paths
+    rows += [(99, base, 1.0), (99, base, 2.0)]
+    df = spark.createDataFrame(rows, "g long, ts timestamp, y double")
+    nat = {r.g: r for r in
+           grouped_ols(df, "g", "ts", "y", x_scale=3600.0,
+                       method="native").collect()}
+    ker = {r.g: r for r in
+           grouped_ols(df, "g", "ts", "y", x_scale=3600.0,
+                       method="kernel").collect()}
+    assert set(nat) == set(ker)
+    for g, kr in ker.items():
+        nr = nat[g]
+        assert nr.n_events == kr.n_events
+        if kr.slope is None:
+            assert nr.slope is None and nr.intercept is None
+        else:
+            assert abs(nr.slope - kr.slope) < 1e-6 * max(
+                1.0, abs(kr.slope))
+            assert abs(nr.intercept - kr.intercept) < 1e-6 * max(
+                1.0, abs(kr.intercept))
 
 
 def test_profile_table_exact_and_sketch(orders):
