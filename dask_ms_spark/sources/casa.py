@@ -97,13 +97,39 @@ def _np_cell_to_spark(dtype: np.dtype, ndim: int) -> tuple[DataType, str]:
     return spark, "scalar"
 
 
+def _resolve_slab(cell_shape: tuple[int, ...],
+                  sl: tuple) -> tuple[list[int], list[int], list[int]]:
+    """Normalise a tuple of python slices over the cell (non-row) dims
+    into casacore ``getcolslice`` ``(blc, trc, inc)`` — inclusive
+    bottom-left / top-right corners plus strides, one entry per cell
+    axis (missing trailing axes are taken whole)."""
+    if len(sl) > len(cell_shape):
+        raise ValueError(
+            f"slice rank {len(sl)} exceeds cell rank {len(cell_shape)}")
+    blc, trc, inc = [], [], []
+    for axis, dim in enumerate(cell_shape):
+        s = sl[axis] if axis < len(sl) else slice(None)
+        if not isinstance(s, slice):           # plain int -> width-1
+            s = slice(int(s), int(s) + 1)
+        start, stop, step = s.indices(dim)
+        if step < 1:
+            raise ValueError("negative slice steps are not supported")
+        if stop <= start:
+            raise ValueError(f"empty slice on axis {axis}: {s}")
+        blc.append(start)
+        trc.append(stop - 1)                   # casacore trc inclusive
+        inc.append(step)
+    return blc, trc, inc
+
+
 def xds_from_casa(spark: SparkSession, path: str,
                   columns: Iterable[str] | None = None,
                   group_cols: Iterable[str] = (),
                   index_cols: Iterable[str] = (),
                   where: str | None = None,
                   table_factory: Callable | None = None,
-                  row_chunk: int = DEFAULT_CASA_ROW_CHUNK) -> list[Dataset]:
+                  row_chunk: int = DEFAULT_CASA_ROW_CHUNK,
+                  slices: dict | None = None) -> list[Dataset]:
     """Read a CASA table into Datasets via distributed chunked getcol
     (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
     per-chunk getter kernels of daskms/reads.py:40-189).
@@ -112,10 +138,19 @@ def xds_from_casa(spark: SparkSession, path: str,
     table: ``colnames()``, ``nrows()``, ``getcol(col, startrow,
     nrow)``, ``close()``.  Defaults to ``casacore.tables.table``
     (import-gated); tests inject a fake.
+
+    ``slices`` maps a tensor column name to a tuple of python slices
+    over its cell (non-row) dimensions; sliced columns are read with
+    ``getcolslice(col, blc, trc, inc, startrow, nrow)`` so only the
+    requested hyperslab's bytes leave storage (the reference's
+    source-level slab read, daskms/reads.py:58-75) — for a wide DATA
+    column read at one channel, an I/O reduction of the full
+    channel-count factor, not a post-read projection.
     """
     if table_factory is None:
         _require_casacore()
         table_factory = _casacore_factory
+    slices = dict(slices or {})
 
     # driver: metadata + one-row dtype probe only
     t = table_factory(path)
@@ -124,13 +159,25 @@ def xds_from_casa(spark: SparkSession, path: str,
         missing = set(names) - set(t.colnames())
         if missing:
             raise KeyError(f"columns not in table: {sorted(missing)}")
+        bad_slices = set(slices) - set(names)
+        if bad_slices:
+            raise KeyError(
+                f"sliced columns not in read set: {sorted(bad_slices)}")
         nrow = int(t.nrows())
         specs: dict[str, str] = {}
+        slabs: dict[str, tuple[list[int], list[int], list[int]]] = {}
         fields = [StructField(ROWID, LongType(), False)]
         for c in names:
             probe = np.asarray(t.getcol(c, 0, min(1, nrow))) \
                 if nrow else np.asarray(t.getcol(c, 0, 0))
             spark_t, kind = _np_cell_to_spark(probe.dtype, probe.ndim)
+            if c in slices:
+                if probe.ndim < 2:
+                    raise ValueError(
+                        f"column {c} is scalar; slices apply to "
+                        "tensor columns only")
+                slabs[c] = _resolve_slab(probe.shape[1:],
+                                         tuple(slices[c]))
             specs[c] = kind
             fields.append(StructField(c, spark_t))
     finally:
@@ -151,7 +198,12 @@ def xds_from_casa(spark: SparkSession, path: str,
                 hi = min(nrow, lo + row_chunk)
                 out = {ROWID: np.arange(lo, hi, dtype=np.int64)}
                 for c, kind in specs.items():
-                    arr = np.asarray(table.getcol(c, lo, hi - lo))
+                    if c in slabs:
+                        blc, trc, inc = slabs[c]
+                        arr = np.asarray(table.getcolslice(
+                            c, blc, trc, inc, lo, hi - lo))
+                    else:
+                        arr = np.asarray(table.getcol(c, lo, hi - lo))
                     if kind == "complex":
                         flat = arr.reshape(hi - lo, -1)
                         inter = np.empty(

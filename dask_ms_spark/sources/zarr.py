@@ -308,8 +308,74 @@ def _group_dirs(store: str) -> list[str]:
     return sorted(subs, key=order)
 
 
+def _cell_slab(cell_shape: list[int],
+               sl: tuple) -> list[tuple[int, int]]:
+    """Normalise python slices over the cell (non-row) dims into
+    inclusive-exclusive (start, stop) ranges, one per axis (missing
+    trailing axes taken whole; step must be 1 — chunk pruning is about
+    contiguous slabs)."""
+    if len(sl) > len(cell_shape):
+        raise ValueError(
+            f"slice rank {len(sl)} exceeds cell rank {len(cell_shape)}")
+    out = []
+    for axis, dim in enumerate(cell_shape):
+        s = sl[axis] if axis < len(sl) else slice(None)
+        if not isinstance(s, slice):
+            s = slice(int(s), int(s) + 1)
+        start, stop, step = s.indices(dim)
+        if step != 1:
+            raise ValueError("strided cell slices are not supported")
+        if stop <= start:
+            raise ValueError(f"empty slice on axis {axis}: {s}")
+        out.append((start, stop))
+    return out
+
+
+def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
+                      n_valid: int, slab: list | None) -> "np.ndarray":
+    """Assemble one row-chunk of a column from its cell-chunk files,
+    reading ONLY the cell chunks that intersect ``slab`` (the
+    reference's blc:trc hyperslab read, daskms/reads.py:58-75, at
+    zarr's natural chunk granularity — the chunk is the storage I/O
+    unit, so pruning whole chunks IS the byte reduction).
+
+    zarr v2 layout: chunk key ``"{ci}.{j}.{k}..."``, every file padded
+    to the full chunk shape; valid extents trimmed after read.
+    """
+    cell_shape = list(z["shape"][1:])
+    cell_chunks = list(z["chunks"][1:])
+    dtype = np.dtype(z["dtype"])
+    row_chunk = z["chunks"][0]
+    if slab is None:
+        slab = [(0, d) for d in cell_shape]
+    if not cell_shape:                      # 1-d array: single file
+        raw = np.fromfile(os.path.join(group_dir, col, str(ci)),
+                          dtype=dtype)
+        return raw[:n_valid]
+    out_shape = [n_valid] + [b - a for a, b in slab]
+    buf = np.empty(out_shape, dtype=dtype)
+    ranges = [range(a // ch, (b - 1) // ch + 1)
+              for (a, b), ch in zip(slab, cell_chunks)]
+    from itertools import product
+
+    for coord in product(*ranges):
+        key = ".".join([str(ci)] + [str(j) for j in coord])
+        raw = np.fromfile(os.path.join(group_dir, col, key),
+                          dtype=dtype)
+        chunk = raw.reshape([row_chunk] + cell_chunks)
+        src: list[slice] = [slice(0, n_valid)]
+        dst: list[slice] = [slice(0, n_valid)]
+        for (a, b), ch, j in zip(slab, cell_chunks, coord):
+            g0, g1 = max(a, j * ch), min(b, (j + 1) * ch)
+            src.append(slice(g0 - j * ch, g1 - j * ch))
+            dst.append(slice(g0 - a, g1 - a))
+        buf[tuple(dst)] = chunk[tuple(src)]
+    return buf.reshape(n_valid, -1) if len(cell_shape) > 1 else buf
+
+
 def _read_group(spark: SparkSession, group_dir: str,
-                columns: Iterable[str] | None = None) -> Dataset:
+                columns: Iterable[str] | None = None,
+                slices: dict | None = None) -> Dataset:
     attrs_path = os.path.join(group_dir, ".zattrs")
     attrs = _read_json(attrs_path) if os.path.exists(attrs_path) else {}
     if PARTITION_KEY in attrs:
@@ -328,6 +394,17 @@ def _read_group(spark: SparkSession, group_dir: str,
         arrays = {c: arrays[c] for c in columns}
     if not arrays:
         raise ValueError(f"no zarr arrays under {group_dir}")
+    slices = dict(slices or {})
+    bad = set(slices) - set(arrays)
+    if bad:
+        raise KeyError(f"sliced columns not in read set: {sorted(bad)}")
+    slabs: dict[str, list[tuple[int, int]]] = {}
+    for c, sl in slices.items():
+        if len(arrays[c]["shape"]) < 2:
+            raise ValueError(
+                f"column {c} is scalar; slices apply to tensor "
+                "columns only")
+        slabs[c] = _cell_slab(arrays[c]["shape"][1:], tuple(sl))
 
     compressed = [c for c, z in arrays.items()
                   if z.get("compressor") is not None
@@ -377,16 +454,18 @@ def _read_group(spark: SparkSession, group_dir: str,
                 hi = min(nrow, lo + row_chunk)
                 out = {ROWID: np.arange(lo, hi, dtype=np.int64)}
                 for c, z in metas.items():
+                    slab = slabs.get(c)
                     if use_zarr_pkg:  # pragma: no cover
-                        arr = zroot[c][lo:hi]
+                        if slab is None:
+                            arr = zroot[c][lo:hi]
+                        else:      # zarr prunes cell chunks natively
+                            sel = tuple(slice(a, b) for a, b in slab)
+                            arr = zroot[c][(slice(lo, hi),) + sel]
+                        if arr.ndim > 2:
+                            arr = arr.reshape(arr.shape[0], -1)
                     else:
-                        key = str(ci) if len(z["shape"]) == 1 \
-                            else f"{ci}.0"
-                        raw = np.fromfile(
-                            os.path.join(group_dir, c, key),
-                            dtype=np.dtype(z["dtype"]))
-                        arr = raw.reshape([row_chunk] +
-                                          z["shape"][1:])[: hi - lo]
+                        arr = _read_cell_chunks(
+                            group_dir, c, z, ci, hi - lo, slab)
                     if arr.ndim > 1:
                         out[c] = list(arr)
                     elif arr.dtype.kind == "M":
@@ -400,16 +479,21 @@ def _read_group(spark: SparkSession, group_dir: str,
 
 
 def xds_from_zarr(spark: SparkSession, store: str,
-                  columns: Iterable[str] | None = None) -> list[Dataset]:
+                  columns: Iterable[str] | None = None,
+                  slices: dict | None = None) -> list[Dataset]:
     """Read a zarr store into Datasets, one per ``{table}_{i}`` group
     (reference ``xds_from_zarr``,
     daskms/experimental/zarr/__init__.py:380-528).  Only JSON metadata
     is read on the driver; chunk data is loaded per-chunk on executors
     via ``mapInPandas``.
+
+    ``slices`` maps a tensor column to python slices over its cell
+    dims; only the cell chunks intersecting the slab are read from
+    storage (see :func:`_read_cell_chunks`).
     """
     groups = _group_dirs(store)
     if not groups:
         # a bare array group (store IS the group)
-        return [_read_group(spark, store, columns)]
-    return [_read_group(spark, os.path.join(store, g), columns)
+        return [_read_group(spark, store, columns, slices)]
+    return [_read_group(spark, os.path.join(store, g), columns, slices)
             for g in groups]

@@ -467,6 +467,14 @@ def _make_fake_casa_table():
             stop = self.N if nrow < 0 else startrow + nrow
             return arr[startrow:stop]
 
+        def getcolslice(self, col, blc, trc, inc=(), startrow=0,
+                        nrow=-1):
+            arr = self.COLS[col]
+            stop = self.N if nrow < 0 else startrow + nrow
+            sel = tuple(slice(b, t + 1, i or 1) for b, t, i in
+                        zip(blc, trc, list(inc) or [1] * len(blc)))
+            return arr[(slice(startrow, stop),) + sel]
+
         def putcol(self, col, value, startrow=0, nrow=-1):
             self.puts.append((col, startrow, len(value)))
             self.COLS[col] = self.COLS[col].copy()
@@ -516,6 +524,63 @@ def test_casa_distributed_read_with_fake_table(spark):
     with pytest.raises(KeyError, match="not in table"):
         xds_from_casa(spark, "/fake/ms", columns=["NOPE"],
                       table_factory=FakeCasaTable)
+
+
+def _make_slab_only_table():
+    """Fake table that FORBIDS full-cell reads of DATA/UVW: any
+    multi-row getcol on a sliced column raises, so the test proves the
+    reader pushes the hyperslab down to storage (the one-row dtype
+    probe remains legal)."""
+    base = _make_fake_casa_table()
+
+    class SlabOnlyTable(base):
+        SLICED = ("DATA", "UVW")
+
+        def getcol(self, col, startrow=0, nrow=-1):
+            if col in self.SLICED and (nrow < 0 or nrow > 1):
+                raise AssertionError(
+                    f"full getcol({col}) — slab pushdown violated")
+            return super().getcol(col, startrow, nrow)
+
+    return SlabOnlyTable
+
+
+def test_casa_slab_pushdown(spark):
+    """P3 at the source: slices reach getcolslice so only the
+    requested hyperslab's bytes are read per chunk — a full-cell
+    getcol on a sliced column raises inside the factory."""
+    import numpy as np
+
+    from dask_ms_spark.sources.casa import xds_from_casa
+    from dask_ms_spark.types import ROWID
+
+    SlabOnlyTable = _make_slab_only_table()
+    cols = SlabOnlyTable("/fake/ms").COLS
+    # DATA cells are (4, 2) complex; take channel 1:3, corr 0 -> (2, 1)
+    (ds,) = xds_from_casa(
+        spark, "/fake/ms", columns=["DATA", "UVW", "TIME"],
+        table_factory=SlabOnlyTable, row_chunk=10,
+        slices={"DATA": (slice(1, 3), slice(0, 1)), "UVW": (slice(0, 2),)})
+    rows = {r[ROWID]: r for r in ds.df.collect()}
+    assert len(rows) == SlabOnlyTable.N
+    for i in (0, 17, SlabOnlyTable.N - 1):
+        want = cols["DATA"][i][1:3, 0:1].ravel()
+        got = np.array(rows[i].DATA, dtype=np.float32)
+        assert got.shape == (4,)  # 2 cells re/im-interleaved
+        assert np.allclose(got[0::2], want.real)
+        assert np.allclose(got[1::2], want.imag)
+        assert np.allclose(np.array(rows[i].UVW), cols["UVW"][i][:2])
+        assert rows[i].TIME == cols["TIME"][i]  # unsliced col intact
+
+    # bad slices fail fast on the driver
+    with pytest.raises(KeyError, match="sliced columns"):
+        xds_from_casa(spark, "/fake/ms", columns=["TIME"],
+                      table_factory=SlabOnlyTable,
+                      slices={"DATA": (slice(0, 1),)})
+    with pytest.raises(ValueError, match="scalar"):
+        xds_from_casa(spark, "/fake/ms", columns=["TIME"],
+                      table_factory=SlabOnlyTable,
+                      slices={"TIME": (slice(0, 1),)})
 
 
 def test_casa_read_plan_is_distributed(spark):

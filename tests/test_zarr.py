@@ -169,6 +169,78 @@ def test_zarr_storage_dispatch_with_grouping(spark, orders, tmp_path):
         assert d.attrs[PARTITION_KEY] == (("o_orderstatus", "string"),)
 
 
+def _write_multichunk_store(root, n=20, w=8, row_chunk=10, cell_chunk=4):
+    """Hand-build a zarr v2 group whose tensor column is chunked along
+    the CELL axis too — the third-party layout our own writer doesn't
+    produce (it writes one cell chunk)."""
+    import numpy as np
+
+    os.makedirs(root)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    data = np.arange(n * w, dtype="<f8").reshape(n, w)
+    for name, arr, chunks in [
+            ("X", data, [row_chunk, cell_chunk]),
+            ("rid", np.arange(n, dtype="<i8"), [row_chunk])]:
+        adir = os.path.join(root, name)
+        os.makedirs(adir)
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump({"zarr_format": 2, "shape": list(arr.shape),
+                       "chunks": chunks, "dtype": arr.dtype.str,
+                       "compressor": None, "filters": None,
+                       "fill_value": 0, "order": "C"}, f)
+        n_row_chunks = (n + row_chunk - 1) // row_chunk
+        for ci in range(n_row_chunks):
+            rows = arr[ci * row_chunk:(ci + 1) * row_chunk]
+            pad = row_chunk - rows.shape[0]
+            if pad:
+                rows = np.concatenate(
+                    [rows, np.zeros((pad,) + arr.shape[1:],
+                                    dtype=arr.dtype)])
+            if arr.ndim == 1:
+                rows.tofile(os.path.join(adir, str(ci)))
+            else:
+                for j in range((w + cell_chunk - 1) // cell_chunk):
+                    rows[:, j * cell_chunk:(j + 1) * cell_chunk] \
+                        .tofile(os.path.join(adir, f"{ci}.{j}"))
+    return data
+
+
+def test_zarr_slab_pushdown_prunes_cell_chunks(spark, tmp_path):
+    """P3 at the source: a cell-dim slice reads only the intersecting
+    cell-chunk files.  The pruned files are DELETED from the store, so
+    any non-pushed-down read path would fail outright."""
+    import numpy as np
+
+    root = str(tmp_path / "mc")
+    data = _write_multichunk_store(root, n=20, w=8, row_chunk=10,
+                                   cell_chunk=4)
+    # full read still works (all files present)
+    (full,) = xds_from_zarr(spark, root)
+    got = {r[ROWID]: r.X for r in full.df.collect()}
+    assert np.allclose(got[7], data[7])
+
+    # now delete every second-cell-chunk file: columns 4..7 unreadable
+    for ci in range(2):
+        os.remove(os.path.join(root, "X", f"{ci}.1"))
+    (ds,) = xds_from_zarr(spark, root, slices={"X": (slice(0, 4),)})
+    rows = {r[ROWID]: r for r in ds.df.collect()}
+    assert len(rows) == 20
+    for i in (0, 9, 10, 19):
+        assert np.allclose(np.array(rows[i].X), data[i, :4])
+        assert rows[i].rid == i           # unsliced 1-d col intact
+    # chunk-straddling slab (2:6) touches the deleted chunk -> fails
+    (bad,) = xds_from_zarr(spark, root, slices={"X": (slice(2, 6),)})
+    with pytest.raises(Exception):
+        bad.df.collect()
+    # guards
+    with pytest.raises(KeyError, match="sliced columns"):
+        xds_from_zarr(spark, root, columns=["rid"],
+                      slices={"X": (slice(0, 4),)})
+    with pytest.raises(ValueError, match="scalar"):
+        xds_from_zarr(spark, root, slices={"rid": (slice(0, 2),)})
+
+
 def test_zarr_read_plan_is_distributed(spark, tmp_path):
     """Plan-shape guard: the read must be mapInPandas over a Range
     scan — a rewrite that goes driver-eager (createDataFrame of
