@@ -427,6 +427,41 @@ def test_table_store_s3_scheme_and_options(spark):
     assert plain.path == "/data/ms.parquet/SUB"
 
 
+def test_storage_options_reach_scan_non_file_scheme(spark, nation,
+                                                    tmp_path):
+    """S10 end-to-end on a NON-file:// scheme: Hadoop's viewfs
+    resolves mounts purely from configuration, so the read/write only
+    succeed if ``storage_options`` actually lands on the Hadoop conf
+    before the scan — the same plumb-through an s3a endpoint/key set
+    rides.  The unconfigured authority must fail."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.storage import (xds_from_storage_table,
+                                               xds_to_storage_table)
+
+    local = str(tmp_path / "nation_store")
+    nation.write.parquet(local)
+
+    # unconfigured mount table -> the scan cannot resolve the scheme
+    with pytest.raises(Exception):
+        spark.read.parquet("viewfs://nomount/data").count()
+
+    opts = {"fs.viewfs.mounttable.cluster5.link./data":
+            f"file://{local}",
+            "fs.viewfs.mounttable.cluster5.link./out":
+            f"file://{tmp_path / 'out_store'}"}
+    dss = xds_from_storage_table(spark, "viewfs://cluster5/data",
+                                 storage_options=opts)
+    assert sum(d.df.count() for d in dss) == nation.count()
+
+    # write leg through the same remote scheme, then verify the bytes
+    # landed at the mount target via a plain local read
+    xds_to_storage_table([Dataset(nation.limit(5), {})],
+                         "viewfs://cluster5/out",
+                         storage_options=opts)
+    back = spark.read.parquet(str(tmp_path / "out_store"))
+    assert back.count() == 5
+
+
 def test_infer_format_remote_defaults_to_parquet():
     assert infer_format("s3a://bucket/nonexistent-store") == "parquet"
 
