@@ -1315,6 +1315,31 @@ def q_dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: 50 most frequent tokens with occurrence and
+    document frequencies (llm/corpus.py — explode -> (token, doc)
+    partial-count -> (token) merge -> deterministic top-k)."""
+    from dask_ms_spark.llm.corpus import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_phrase_boilerplate(spark, sf_dir):
+    """Cross-document duplicated-phrase ratio per doc (boilerplate
+    signal word-5-grams; hashes shuffle, payloads don't)."""
+    from dask_ms_spark.llm.corpus import phrase_boilerplate
+
+    return phrase_boilerplate(_t(spark, sf_dir, "documents"), n=5)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality verdict with reason bitmask
+    (llm/corpus.py quality_filter)."""
+    from dask_ms_spark.llm.corpus import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas byte-level
     feature extraction.  Every output column is a pure function of the
@@ -1931,7 +1956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
-        # -- code-touched this round --
+        # -- new / code-touched this round --
+        "vocab_topk": q_vocab_topk,
+        "phrase_boilerplate": q_phrase_boilerplate,
+        "quality_filter": q_quality_filter,
         "multimodal_features": q_multimodal_features,
         "kmeans_cluster": q_kmeans_cluster,
         "contamination": q_contamination,
@@ -2689,6 +2717,77 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(*) / n_grams, 6) AS dup_ratio,
                    round(max(cnt) / n_grams, 6) AS max_gram_frac
             FROM c GROUP BY doc_id, n_grams
+        """,
+        "vocab_topk": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            c AS (SELECT token, doc_id, count(*) AS cnt
+                  FROM w GROUP BY 1, 2)
+            SELECT token, cast(sum(cnt) as bigint) AS n_occurrences,
+                   cast(count(*) as bigint) AS n_docs
+            FROM c GROUP BY token
+            ORDER BY n_occurrences DESC, token LIMIT 50
+        """,
+        "phrase_boilerplate": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(range(1, len(toks) - 3),
+                             i -> concat_ws(' ', toks[i], toks[i+1],
+                                 toks[i+2], toks[i+3], toks[i+4]))
+                         AS grams
+                  FROM t WHERE len(toks) >= 5),
+            p AS (SELECT DISTINCT doc_id,
+                         {_DUCK_HASH.format(x='gram')} AS gh
+                  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+            d AS (SELECT gh, count(*) AS nd FROM p GROUP BY 1)
+            SELECT doc_id,
+                   cast(count(*) as bigint) AS n_phrases,
+                   cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        as bigint) AS n_shared,
+                   round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS boilerplate_ratio
+            FROM p JOIN d USING (gh) GROUP BY doc_id
+        """,
+        "quality_filter": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            c AS (SELECT doc_id, w, count(*) AS cnt
+                  FROM w GROUP BY 1, 2),
+            f AS (SELECT doc_id,
+                         cast(sum(cnt) as bigint) AS n_words,
+                         cast(count(*) as bigint) AS n_distinct,
+                         cast(max(cnt) as bigint) AS max_cnt,
+                         cast(sum(CASE WHEN w IN ('the', 'a')
+                                  THEN cnt ELSE 0 END) as bigint)
+                             AS stop_cnt
+                  FROM c GROUP BY doc_id),
+            r AS (SELECT *,
+                         (CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+                          + CASE WHEN n_words > 5000 THEN 2 ELSE 0 END
+                          + CASE WHEN n_distinct / n_words < 0.40
+                                 THEN 4 ELSE 0 END
+                          + CASE WHEN max_cnt / n_words > 0.12
+                                 THEN 8 ELSE 0 END
+                          + CASE WHEN stop_cnt = 0
+                                   OR stop_cnt / n_words > 0.10
+                                 THEN 16 ELSE 0 END) AS reasons
+                  FROM f)
+            SELECT doc_id, n_words,
+                   round(n_distinct / n_words, 6) AS distinct_ratio,
+                   round(max_cnt / n_words, 6) AS max_word_frac,
+                   round(stop_cnt / n_words, 6) AS stop_frac,
+                   cast(reasons as int) AS reasons,
+                   reasons = 0 AS keep
+            FROM r
         """,
         # multimodal_features: byte-level features of the fake media
         # payload (utf-8 text bytes) — DuckDB mirrors each column from

@@ -1,0 +1,185 @@
+"""Corpus-level analytics for training-data curation.
+
+No reference analogue (the reference is a radio-astronomy I/O layer);
+these are the corpus-wide statistics a 100 TB text pipeline runs
+between ingest and training: vocabulary building, cross-document
+boilerplate detection, composite quality gating, and PII scanning.
+
+Every operator is a UDF-free DataFrame composition whose heavy stages
+partial-merge map-side; shuffles carry (id, 8-byte hash) or
+(token, count) pairs, never document payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64, tokens
+from ..session import ensure_parallelism
+
+__all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
+           "QUALITY_REASONS", "pii_scan", "PII_PATTERNS"]
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 50) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent tokens with
+    occurrence and document frequencies.
+
+    Plan shape: explode tokens -> (token, doc) partial-count (map-side
+    combine collapses each document's repeats before the shuffle) ->
+    (token) merge -> global top-k.  The first shuffle carries
+    (token, doc_id, count); the second only |vocab| rows — at 100 TB
+    the vocabulary, not the corpus, bounds the reduce side.  Ordering
+    ties break on the token string so the result is deterministic.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(toks).alias("token")))
+    per_doc = (base.groupBy("token", "id")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    total = (per_doc.groupBy("token")
+             .agg(F.sum("cnt").cast("long").alias("n_occurrences"),
+                  F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return (total.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+            .limit(k))
+
+
+def phrase_boilerplate(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Cross-document duplicated-phrase ratio (boilerplate signal).
+
+    A phrase is a word ``n``-gram; a phrase is *shared* when it occurs
+    in more than one document.  Documents dominated by shared phrases
+    are templates/boilerplate — the CCNet-style drop signal that
+    within-document repetition (``bigram_repetition``) cannot see.
+
+    Plan shape: explode n-grams, hash POST-explode (the measured
+    codegen discipline — hashing inside the array ``transform`` runs
+    interpreted), distinct (doc, gram-hash), then one aggregation per
+    gram-hash counting documents and one per doc computing the shared
+    fraction.  Payload never shuffles: every exchanged row is
+    (8-byte hash, id) or smaller.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    nt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), nt - n + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    pairs = (ensure_parallelism(docs.where(nt >= n))
+             .select(F.col(id_col).alias("id"),
+                     F.explode(grams).alias("gram"))
+             .select("id", portable_hash64(F.col("gram")).alias("gh"))
+             .distinct())
+    gram_docs = (pairs.groupBy("gh")
+                 .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (pairs.join(gram_docs, "gh")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_phrases"),
+                 F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                  .cast("long").alias("n_shared"))
+            .select(id_col, "n_phrases", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_phrases"), 6)
+                     .alias("boilerplate_ratio")))
+
+
+# reason bits for quality_filter verdicts
+QUALITY_REASONS = {
+    "too_short": 1,        # < min_words
+    "too_long": 2,         # > max_words
+    "low_diversity": 4,    # distinct/total below threshold
+    "repeated_word": 8,    # one word dominates
+    "stopword_anomaly": 16,  # no stopwords at all, or far too many
+}
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 20, max_words: int = 5000,
+                   min_distinct_ratio: float = 0.40,
+                   max_word_frac: float = 0.12,
+                   max_stop_frac: float = 0.10,
+                   stopwords: tuple = ("the", "a")) -> DataFrame:
+    """Gopher-style composite quality gate: one verdict row per doc
+    with a ``reasons`` bitmask (:data:`QUALITY_REASONS`) and
+    ``keep = (reasons == 0)``.
+
+    The feature set (length bounds, lexical diversity, single-word
+    dominance, stopword-rate anomaly) is the standard pre-training
+    drop battery; thresholds are corpus-tunable parameters.  Plan
+    shape: explode words -> (doc, word) partial-count -> (doc) merge,
+    identical to ``bigram_repetition`` — two partial-merged
+    aggregations, per-document keys, no skew, no Python.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(toks).alias("w")))
+    per_word = (base.groupBy("id", "w")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    stop = F.col("w").isin(*stopwords)
+    feats = (per_word.groupBy("id")
+             .agg(F.sum("cnt").cast("long").alias("n_words"),
+                  F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                  F.max("cnt").cast("long").alias("max_cnt"),
+                  F.sum(F.when(stop, F.col("cnt")).otherwise(0))
+                   .cast("long").alias("stop_cnt")))
+    nw = F.col("n_words").cast("double")
+    reasons = (
+        F.when(F.col("n_words") < min_words,
+               QUALITY_REASONS["too_short"]).otherwise(0)
+        + F.when(F.col("n_words") > max_words,
+                 QUALITY_REASONS["too_long"]).otherwise(0)
+        + F.when(F.col("n_distinct") / nw < min_distinct_ratio,
+                 QUALITY_REASONS["low_diversity"]).otherwise(0)
+        + F.when(F.col("max_cnt") / nw > max_word_frac,
+                 QUALITY_REASONS["repeated_word"]).otherwise(0)
+        + F.when((F.col("stop_cnt") == 0)
+                 | (F.col("stop_cnt") / nw > max_stop_frac),
+                 QUALITY_REASONS["stopword_anomaly"]).otherwise(0))
+    return feats.select(
+        F.col("id").alias(id_col), "n_words",
+        F.round(F.col("n_distinct") / nw, 6).alias("distinct_ratio"),
+        F.round(F.col("max_cnt") / nw, 6).alias("max_word_frac"),
+        F.round(F.col("stop_cnt") / nw, 6).alias("stop_frac"),
+        reasons.cast("int").alias("reasons"),
+        (reasons == 0).alias("keep"))
+
+
+# Conservative RE2-compatible patterns (no backreferences/lookarounds)
+# so the same regex runs in Spark (Java), DuckDB (RE2), and RE2-based
+# scrubbers.  Deliberately high-precision forms; corpus-specific
+# recall tuning belongs to the caller.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": (r"(?:\+?[0-9]{1,3}[-. ])?"
+              r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"),
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id",
+             redact: bool = True) -> DataFrame:
+    """Per-document PII hit counts and (optionally) redacted text.
+
+    Pure map-side regexp work in whole-stage codegen — zero shuffles,
+    so it composes into any scan at 100 TB for free.  Counts use
+    ``regexp_count`` per pattern; redaction replaces each match with
+    ``[TYPE]``, applied in a fixed pattern order so output is
+    deterministic.
+    """
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                    .cast("long").alias(f"n_{name}"))
+    if redact:
+        red = F.col(text_col)
+        for name, pat in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+        cols.append(red.alias("redacted"))
+    return df.select(*cols)

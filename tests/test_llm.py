@@ -375,3 +375,71 @@ def test_contamination_empty_eval_set(spark):
         "doc_id long, text string")
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert contamination_report(train, empty, n=20).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus-level analytics (llm/corpus.py)
+
+
+def test_vocab_topk_counts(spark):
+    """Occurrence + document frequencies vs a hand-counted corpus;
+    deterministic tie-break on the token string."""
+    from dask_ms_spark.llm.corpus import vocab_topk
+
+    rows = [(1, "a b b c"), (2, "b c c"), (3, "a  a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.token, r.n_occurrences, r.n_docs)
+           for r in vocab_topk(df, k=2).collect()]
+    # a: 3 occ / 2 docs, b: 3 occ / 2 docs, c: 3 occ / 2 docs -> ties
+    # break alphabetically
+    assert got == [("a", 3, 2), ("b", 3, 2)]
+
+
+def test_phrase_boilerplate_shared_vs_unique(spark):
+    from dask_ms_spark.llm.corpus import phrase_boilerplate
+
+    shared = "one two three four five"
+    rows = [(1, shared + " alpha beta gamma delta epsilon"),
+            (2, shared + " zeta eta theta iota kappa"),
+            (3, "u1 u2 u3 u4 u5 u6")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in phrase_boilerplate(df, n=5).collect()}
+    # doc 3: 2 distinct 5-grams, none shared
+    assert got[3].n_shared == 0 and got[3].boilerplate_ratio == 0.0
+    # docs 1/2 share exactly the "one two three four five" gram
+    assert got[1].n_shared == 1 and got[2].n_shared == 1
+    assert got[1].n_phrases == 6  # 10 words -> 6 distinct 5-grams
+
+
+def test_quality_filter_reasons(spark):
+    from dask_ms_spark.llm.corpus import QUALITY_REASONS, quality_filter
+
+    long_ok = "the " + " ".join(f"w{i}" for i in range(30))
+    rows = [(1, long_ok),                       # clean
+            (2, "tiny doc only four the"),      # too short
+            (3, "the " + "spam " * 40)]         # repeated + low diversity
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert got[1].keep and got[1].reasons == 0
+    assert not got[2].keep
+    assert got[2].reasons & QUALITY_REASONS["too_short"]
+    assert not got[3].keep
+    assert got[3].reasons & QUALITY_REASONS["repeated_word"]
+    assert got[3].reasons & QUALITY_REASONS["low_diversity"]
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    from dask_ms_spark.llm.corpus import pii_scan
+
+    rows = [(1, "mail me at jane.doe+x@example.org or 192.168.0.1"),
+            (2, "call 555-867-5309 ssn 123-45-6789"),
+            (3, "clean text, nothing here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_ipv4 == 1
+    assert got[2].n_phone == 1 and got[2].n_ssn == 1
+    assert got[3].n_email == got[3].n_phone == 0
+    assert "[EMAIL]" in got[1].redacted and "[IPV4]" in got[1].redacted
+    assert "jane.doe" not in got[1].redacted
+    assert "[SSN]" in got[2].redacted
+    assert got[3].redacted == rows[2][1]

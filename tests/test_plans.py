@@ -156,3 +156,51 @@ def test_corpus_mixture_single_scan_single_agg(spark):
     plan = plan_str(df)
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") <= 2  # hash exchange (+AQE read)
+
+
+def test_quality_filter_partial_merged_two_stage(spark):
+    """quality_filter is explode -> (doc, word) -> (doc): one scan,
+    partial aggregation before each exchange, no Python stage."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_quality_filter(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert plan.count("FileScan") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "InMemoryTableScan" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" \
+        not in plan
+
+
+def test_phrase_boilerplate_hashes_not_payload(spark):
+    """The (doc, gram) exchange must carry the 64-bit hash, not the
+    gram string: hashing happens post-explode, below the first
+    Exchange."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_phrase_boilerplate(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    ex = plan.find("Exchange")
+    md5 = plan.find("md5")
+    assert ex != -1 and md5 != -1
+    # plans print top-down: the hash projection must appear BELOW
+    # (after) the first exchange in the tree text, i.e. computed
+    # before rows are shuffled
+    assert md5 > ex
+
+
+def test_grouped_ols_native_single_aggregate(spark):
+    """Default OLS is ONE partial-merged aggregate on a pruned scan —
+    no window, no Arrow exchange."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_udaf_ols(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "partial_regr_slope" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2
