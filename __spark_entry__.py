@@ -1315,6 +1315,35 @@ def q_dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (the corpus_mixture
+    materialization step): per-source keep-rates applied through the
+    portable id hash, so the oracle reproduces membership row for row
+    — including a zero-rate stratum and the unlisted default."""
+    from dask_ms_spark.llm.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(
+        docs, "doc_id", "source",
+        {"src1": 0.5, "src2": 0.25, "src3": 0.0}, default_rate=0.75)
+    return samp.select("doc_id", "source", "lang")
+
+
+def q_embed_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection of the embedding table
+    to 4 scalar components — map-side codegen, planes baked into the
+    plan as prefix-stable literal arrays (dim probed from the data, so
+    a regenerated corpus with a different dim stays oracle-true)."""
+    from dask_ms_spark.llm.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    proj = random_projection(emb, dim=dim, out_dim=4)
+    return proj.select(
+        "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}")
+                    for j in range(4)])
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 50 most frequent tokens with occurrence and
     document frequencies (llm/corpus.py — explode -> (token, doc)
@@ -1475,6 +1504,26 @@ def _corpus_mixture_sql() -> str:
                round(avg(chars), 4) AS avg_chars
         FROM pred GROUP BY 1, 2
     """
+
+
+def _embed_project_sql(out_dim: int = 4,
+                       seed: str = "dask-ms-spark") -> str:
+    """Mirror of llm.similarity.random_projection: identical md5
+    coefficient stream inlined as list literals; both engines consume
+    the first len(embedding) entries (prefix-stable planes), so a
+    regenerated dim changes nothing."""
+    from dask_ms_spark.llm.similarity import projection_coefficients
+
+    comps = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(
+            repr(v) for v in projection_coefficients(seed, j)) + "]"
+        comps.append(
+            "round(list_sum(list_transform("
+            "range(1, len(embedding) + 1), "
+            f"i -> cast(embedding[i] as double) * ({lit})[i])), 6) "
+            f"AS p{j}")
+    return "SELECT vec_id, " + ", ".join(comps) + " FROM embeddings"
 
 
 def _contamination_sql(n: int = 20, min_hits: int = 1) -> str:
@@ -1957,6 +2006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
         # -- new / code-touched this round --
+        "stratified_sample": q_stratified_sample,
+        "embed_project": q_embed_project,
         "vocab_topk": q_vocab_topk,
         "phrase_boilerplate": q_phrase_boilerplate,
         "quality_filter": q_quality_filter,
@@ -2718,6 +2769,20 @@ def oracle_sql() -> dict[str, str]:
                    round(max(cnt) / n_grams, 6) AS max_gram_frac
             FROM c GROUP BY doc_id, n_grams
         """,
+        "stratified_sample": f"""
+            WITH b AS (SELECT doc_id, source, lang,
+                              {_DUCK_HASH.format(
+                                  x="cast(doc_id as varchar) "
+                                    "|| 'stratum'")}
+                              % 1000000 AS hb
+                       FROM documents)
+            SELECT doc_id, source, lang FROM b
+            WHERE hb < CASE source WHEN 'src1' THEN 500000
+                                   WHEN 'src2' THEN 250000
+                                   WHEN 'src3' THEN 0
+                                   ELSE 750000 END
+        """,
+        "embed_project": _embed_project_sql(),
         "vocab_topk": """
             WITH t AS (SELECT doc_id,
                               regexp_split_to_array(trim(lower(text)),

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash64
 
-__all__ = ["hash_bucket", "sample_by_hash", "deterministic_split"]
+__all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
+           "stratified_sample"]
 
 _BUCKETS = 1_000_000
 
@@ -66,3 +67,47 @@ def deterministic_split(df: DataFrame, id_col: str,
     expr = (expr.otherwise(F.lit(labels[-1])) if expr is not None
             else F.lit(labels[-1]))
     return df.withColumn(out, expr)
+
+
+def stratified_sample(df: DataFrame, id_col: str,
+                      strata_cols: list[str] | str,
+                      rates: dict, default_rate: float = 1.0,
+                      salt: str = "stratum") -> DataFrame:
+    """Per-stratum deterministic sampling — the materialization step
+    after mixture planning (``corpus_mixture`` decides the per-source
+    rates; this applies them).
+
+    ``rates`` maps a stratum key (single value, or tuple matching
+    ``strata_cols``) to a keep-rate; unlisted strata keep
+    ``default_rate``.  Membership is a pure function of (id, salt) —
+    the SAME hash decides across strata, so lowering one stratum's
+    rate yields a strict subset of the higher-rate sample
+    (nested/coordinated sampling, the property that makes corpus
+    ablations comparable).  Row-local, zero shuffles: the filter
+    composes into the scan.
+    """
+    strata = [strata_cols] if isinstance(strata_cols, str) \
+        else list(strata_cols)
+    for key, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {key!r} must be in [0, 1], "
+                             f"got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1]")
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    rate_expr = None
+    for key, rate in rates.items():
+        vals = (key,) if not isinstance(key, tuple) else key
+        if len(vals) != len(strata):
+            raise ValueError(
+                f"stratum key {key!r} arity != {len(strata)} cols")
+        cond = None
+        for c, v in zip(strata, vals):
+            leg = F.col(c) == F.lit(v)
+            cond = leg if cond is None else (cond & leg)
+        cut = F.lit(int(rate * _BUCKETS))
+        rate_expr = F.when(cond, cut) if rate_expr is None \
+            else rate_expr.when(cond, cut)
+    cut_expr = F.lit(int(default_rate * _BUCKETS)) if rate_expr is None \
+        else rate_expr.otherwise(F.lit(int(default_rate * _BUCKETS)))
+    return df.where(bucket < cut_expr)

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ..functions.vector import cosine, dot
 
 __all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk",
-           "ivf_assign", "ivf_topk"]
+           "ivf_assign", "ivf_topk", "random_projection",
+           "projection_coefficients"]
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -69,6 +70,60 @@ def _seeded_unit(seed: str, dim: int) -> list[float]:
         counter += 1
     nrm = math.sqrt(sum(v * v for v in vals)) or 1.0
     return [v / nrm for v in vals]
+
+
+# Over-provisioned coefficient stream length: projection planes are a
+# PREFIX of this stream, so any embedding dim <= _PROJ_STREAM uses the
+# same leading coefficients — a regenerated corpus with a different
+# dim changes nothing but how much of the stream is consumed, and
+# external mirrors (the DuckDB oracle) stay value-identical.
+_PROJ_STREAM = 256
+
+
+def projection_coefficients(seed: str, component: int,
+                            n: int = _PROJ_STREAM) -> list[float]:
+    """Raw (un-normalised) uniform[-1,1) md5-stream coefficients for
+    projection component ``component``.  Deliberately NOT unit-scaled:
+    normalisation would couple every coefficient to the vector length
+    and break the prefix property documented above."""
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < n:
+        h = hashlib.md5(
+            f"{seed}:proj{component}:{counter}".encode()).digest()
+        for off in range(0, 16, 4):
+            u = int.from_bytes(h[off:off + 4], "big") / 2 ** 32
+            vals.append(2.0 * u - 1.0)
+            if len(vals) == n:
+                break
+        counter += 1
+    return vals
+
+
+def random_projection(vectors: DataFrame, dim: int, out_dim: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed: str = "dask-ms-spark",
+                      keep: tuple = ()) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` scalar
+    components ``p0..p{out_dim-1}`` — embedding compaction before
+    downstream similarity / clustering.
+
+    The projection matrix is seeded-deterministic and baked into the
+    plan as literal arrays (broadcast by value, like
+    :func:`hyperplane_signature`), so the whole operator is one
+    map-side projection in codegen: zero shuffles, zero state, and
+    any engine reproducing the md5 stream reproduces the output
+    bit-for-bit (sequential left-to-right summation in both).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col), *[F.col(c) for c in keep]]
+    for j in range(out_dim):
+        plane = F.array(*[
+            F.lit(v) for v in
+            projection_coefficients(seed, j, dim)])
+        cols.append(dot(vec, plane).alias(f"p{j}"))
+    return vectors.select(*cols)
 
 
 def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8,

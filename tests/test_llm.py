@@ -443,3 +443,57 @@ def test_pii_scan_counts_and_redacts(spark):
     assert "jane.doe" not in got[1].redacted
     assert "[SSN]" in got[2].redacted
     assert got[3].redacted == rows[2][1]
+
+
+def test_stratified_sample_rates_and_nesting(documents):
+    """Per-stratum rates land near target, zero-rate empties the
+    stratum, and lowering a rate yields a strict SUBSET (coordinated
+    sampling via the shared id hash)."""
+    from dask_ms_spark.llm.sampling import stratified_sample
+
+    half = stratified_sample(documents, "doc_id", "source",
+                             {"src1": 0.5, "src3": 0.0},
+                             default_rate=1.0)
+    rows = half.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in rows}
+    total = {r.source: r["count"] for r in
+             documents.groupBy("source").count().collect()}
+    assert "src3" not in by_src
+    assert by_src.get("src0") == total["src0"]     # default keeps all
+    # nested: the 0.2 sample of src1 is a subset of the 0.5 sample
+    fifth = stratified_sample(documents, "doc_id", "source",
+                              {"src1": 0.2}, default_rate=0.0)
+    ids_half = {r.doc_id for r in half.where("source='src1'")
+                .select("doc_id").collect()}
+    ids_fifth = {r.doc_id for r in fifth.select("doc_id").collect()}
+    assert ids_fifth <= ids_half
+
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(documents, "doc_id", "source", {"src1": 1.5})
+    with pytest.raises(ValueError, match="arity"):
+        stratified_sample(documents, "doc_id", ["source", "lang"],
+                          {"src1": 0.5})
+
+
+def test_random_projection_matches_numpy(embeddings):
+    """Projection values equal the literal-matrix matmul, and the plan
+    is pure map-side codegen (no shuffle, no Python)."""
+    from dask_ms_spark.llm.similarity import (projection_coefficients,
+                                              random_projection)
+
+    sample = embeddings.where("vec_id < 40")
+    rows = sample.collect()
+    dim = len(rows[0].embedding)
+    proj = random_projection(sample, dim=dim, out_dim=3)
+    got = {r.vec_id: [r.p0, r.p1, r.p2] for r in proj.collect()}
+    planes = np.array([projection_coefficients("dask-ms-spark", j,
+                                               dim) for j in range(3)])
+    for r in rows:
+        want = planes @ np.array(r.embedding, dtype=np.float64)
+        assert np.allclose(got[r.vec_id], want, atol=1e-9)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
+    # prefix property: a smaller dim uses the leading coefficients
+    assert projection_coefficients("dask-ms-spark", 0, 16) == \
+        projection_coefficients("dask-ms-spark", 0, 64)[:16]
