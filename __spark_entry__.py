@@ -1369,6 +1369,23 @@ def q_quality_filter(spark, sf_dir):
     return quality_filter(_t(spark, sf_dir, "documents"))
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup candidate graph (same
+    LSH pair pipeline as dedup_clusters): template hubs rank high.
+    Two power iterations, fixed-point-quantised contributions so the
+    recursive SQL mirror is value-identical."""
+    from dask_ms_spark.llm.dedup import minhash_lsh_pairs
+    from dask_ms_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, num_bands=4,
+                              shingle_k=5, threshold=0.5)
+    pr = pagerank(pairs, "id_a", "id_b",
+                  nodes=docs.select(F.col("doc_id").alias("id")))
+    return pr.select(F.col("id").alias("doc_id"),
+                     F.round("rank", 6).alias("rank"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> mapInPandas byte-level
     feature extraction.  Every output column is a pure function of the
@@ -1765,12 +1782,13 @@ def _minhash_drop_sql(n: int = 5, num_hashes: int = 16,
     """
 
 
-def _dedup_clusters_sql(n: int = 5, num_hashes: int = 16,
-                        num_bands: int = 4,
-                        threshold: float = 0.5) -> str:
-    """Mirror of q_dedup_clusters: the minhash_lsh_pairs candidate
-    graph (same CTEs as _minhash_drop_sql) closed transitively with a
-    recursive CTE; component id = min reachable doc id."""
+def _lsh_graph_ctes(n: int = 5, num_hashes: int = 16,
+                    num_bands: int = 4,
+                    threshold: float = 0.5) -> str:
+    """Shared CTE prefix mirroring the minhash_lsh_pairs candidate
+    graph (same CTEs as _minhash_drop_sql), doubled to the undirected
+    edge relation ``undir(s, d)`` — consumed by both the transitive
+    dedup-clusters mirror and the pagerank mirror."""
     rows_per_band = num_hashes // num_bands
     norm = _DUCK_NORM.format(x="text")
     shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
@@ -1790,7 +1808,6 @@ def _dedup_clusters_sql(n: int = 5, num_hashes: int = 16,
         for b in range(num_bands))
     band_ids = "[" + ", ".join(str(b) for b in range(num_bands)) + "]"
     return f"""
-        WITH RECURSIVE
         sh AS (SELECT doc_id AS id, {shingles} AS grams FROM documents),
         hb AS (SELECT id, list_distinct({base}) AS hset FROM sh),
         sg AS (SELECT id, [{mins}] AS sig FROM hb),
@@ -1813,7 +1830,54 @@ def _dedup_clusters_sql(n: int = 5, num_hashes: int = 16,
                   >= {threshold}),
         undir AS MATERIALIZED (
             SELECT id_a AS s, id_b AS d FROM edges
-            UNION SELECT id_b, id_a FROM edges),
+            UNION SELECT id_b, id_a FROM edges)"""
+
+
+def _pagerank_sql(iterations: int = 2, damping: float = 0.85,
+                  scale: int = 1 << 20) -> str:
+    """Mirror of q_pagerank: the same candidate graph, two unrolled
+    power iterations with identical fixed-point quantisation; the
+    teleport base is inlined at full precision (``repr``) so both
+    engines use the bit-identical double."""
+    assert iterations == 2, "SQL mirror is written for 2 iterations"
+    base = repr(1.0 - damping)
+    d = repr(float(damping))
+    sc = repr(float(scale))
+    it = """,
+        c{i} AS (SELECT u.d,
+                      cast(round(r.rank / g.outdeg * {sc}) as bigint)
+                          AS qc
+               FROM undir u JOIN deg g ON g.s = u.s
+                            JOIN r{p} r ON r.s = u.s),
+        s{i} AS (SELECT d, cast(sum(qc) as bigint) AS qsum
+               FROM c{i} GROUP BY d),
+        r{i} AS (SELECT g.s,
+                      {b} + {d} * coalesce(s{i}.qsum, 0) / {sc} AS rank
+               FROM deg g LEFT JOIN s{i} ON s{i}.d = g.s)"""
+    iters = "".join(
+        it.format(i=i, p=i - 1, sc=sc, b=base, d=d)
+        for i in range(1, iterations + 1))
+    return f"""
+        WITH
+        {_lsh_graph_ctes()},
+        deg AS (SELECT s, count(*) AS outdeg FROM undir GROUP BY s),
+        r0 AS (SELECT s, 1.0 AS rank FROM deg){iters}
+        SELECT d.doc_id,
+               round(coalesce(r{iterations}.rank, {base}), 6) AS rank
+        FROM documents d
+        LEFT JOIN r{iterations} ON r{iterations}.s = d.doc_id
+    """
+
+
+def _dedup_clusters_sql(n: int = 5, num_hashes: int = 16,
+                        num_bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    """Mirror of q_dedup_clusters: the minhash_lsh_pairs candidate
+    graph closed transitively with a recursive CTE; component id =
+    min reachable doc id."""
+    return f"""
+        WITH RECURSIVE
+        {_lsh_graph_ctes(n, num_hashes, num_bands, threshold)},
         reach(src, dst) AS (
             SELECT doc_id, doc_id FROM documents
             UNION
@@ -2015,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster": q_kmeans_cluster,
         "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
+        "pagerank": q_pagerank,
         # -- green in round 4, re-validated this round --
         "star_join": q_star_join,
         "rollup": q_rollup,
@@ -2745,6 +2810,7 @@ def oracle_sql() -> dict[str, str]:
                       "o_orderpriority"]),
         "dedup_minhash_drop": _minhash_drop_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "pagerank": _pagerank_sql(),
         "contamination": _contamination_sql(),
         "corpus_mixture": _corpus_mixture_sql(),
         "kmeans_cluster": _kmeans_sql(),

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def _star_round(e: DataFrame) -> DataFrame:
@@ -241,3 +241,61 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                       .select(id_col, F.col(id_col).alias("component")))
         labels = labels.unionByName(singletons)
     return labels
+
+
+def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+             iterations: int = 2, damping: float = 0.85,
+             nodes: DataFrame | None = None, id_col: str = "id",
+             scale: int = 1 << 20) -> DataFrame:
+    """Power-iteration PageRank over an undirected edge set (each
+    input pair becomes two directed edges) — centrality over the
+    near-duplicate candidate graph surfaces template hubs that
+    pairwise scores miss.
+
+    Unnormalised formulation (rank_0 = 1, rank = (1-d) + d * sum of
+    in-contributions), the fixed-point GraphX/Pregel convention —
+    no global N dependence, so incremental corpora don't reshift
+    every rank.  Per-iteration cost is one join + one aggregation,
+    both keyed on node ids; contributions are quantised to
+    ``scale``-fixed-point int64 before the sum (the kmeans
+    discipline), so ranks are bit-identical under any shuffle order
+    and any engine mirroring the arithmetic.
+
+    ``nodes`` optionally supplies isolated nodes, which take the
+    teleport rank (1 - damping).  The edge set is materialised once
+    (``localCheckpoint``) so iterations never replay the upstream
+    candidate pipeline.
+    """
+    e = (edges
+         .select(F.greatest(F.col(src), F.col(dst)).alias("u"),
+                 F.least(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    directed = (e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+                .unionByName(
+                    e.select(F.col("v").alias("s"),
+                             F.col("u").alias("d")))
+                .localCheckpoint())
+    deg = directed.groupBy("s").agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select("s", F.lit(1.0).alias("rank"))
+    base = float(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (directed.join(deg, "s").join(ranks, "s")
+                   .select("d", F.round(F.col("rank")
+                                        / F.col("outdeg")
+                                        * F.lit(float(scale)))
+                           .cast("long").alias("qc")))
+        sums = contrib.groupBy("d").agg(F.sum("qc").alias("qsum"))
+        ranks = (deg.join(sums, deg["s"] == sums["d"], "left")
+                 .select(F.col("s"),
+                         (F.lit(base) + F.lit(float(damping))
+                          * F.coalesce(F.col("qsum"), F.lit(0))
+                          / F.lit(float(scale))).alias("rank")))
+    out = ranks.select(F.col("s").alias(id_col), "rank")
+    if nodes is not None:
+        iso = (nodes.select(F.col(id_col))
+               .join(out.select(id_col), on=id_col, how="left_anti")
+               .select(id_col, F.lit(base).alias("rank")))
+        out = out.unionByName(iso)
+    return out

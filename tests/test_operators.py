@@ -243,3 +243,39 @@ def test_connected_components_chain_and_isolates(spark):
     got = {r.id: r.component
            for r in connected_components(edges, nodes=nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """Two quantised power iterations vs a direct numpy computation on
+    a known graph; isolated nodes take the teleport rank; hub ranks
+    highest."""
+    import numpy as np
+
+    from dask_ms_spark.operators.graph import pagerank
+
+    # star: 1 is the hub of {2,3,4}; 5-6 an isolated pair; 9 isolated
+    edge_rows = [(2, 1), (3, 1), (4, 1), (5, 6)]
+    edges = spark.createDataFrame(edge_rows, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6, 9)],
+                                  "id long")
+    got = {r.id: r.rank for r in
+           pagerank(edges, nodes=nodes).collect()}
+
+    import pytest
+
+    # reference: same quantised arithmetic
+    scale = 1 << 20
+    adj = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1], 5: [6], 6: [5]}
+    rank = {n: 1.0 for n in adj}
+    for _ in range(2):
+        contrib = {n: 0 for n in adj}
+        for s, outs in adj.items():
+            q = round(rank[s] / len(outs) * scale)
+            for d in outs:
+                contrib[d] += q
+        rank = {n: 0.15 + 0.85 * contrib[n] / scale for n in adj}
+    for n, want in rank.items():
+        assert got[n] == pytest.approx(want, abs=1e-12)
+    assert got[9] == pytest.approx(0.15, abs=1e-12)
+    assert got[1] == max(got.values())
+    assert abs(got[5] - got[6]) < 1e-12
