@@ -141,8 +141,16 @@ def _column_plan(df: DataFrame, max_strlen: dict[str, int],
 
 
 def _write_group(df: DataFrame, group_dir: str, attrs: dict,
-                 row_chunk: int) -> int:
-    """Write one dataset as one zarr group; returns rows written."""
+                 row_chunk: int,
+                 cell_chunks: dict | None = None) -> int:
+    """Write one dataset as one zarr group; returns rows written.
+
+    ``cell_chunks`` maps a tensor column to a chunk size along its
+    cell (width) axis; the column's chunk files become
+    ``{ci}.{j}`` slabs so sliced readers (:func:`_read_cell_chunks`)
+    can prune whole files.  Default: one cell chunk (``{ci}.0``).
+    """
+    cell_chunks = dict(cell_chunks or {})
     if ROWID not in df.columns:
         from ..operators.ordering import attach_rowid
 
@@ -196,14 +204,23 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
     os.makedirs(group_dir, exist_ok=True)
     _write_json(os.path.join(group_dir, ".zgroup"), {"zarr_format": 2})
     _write_json(os.path.join(group_dir, ".zattrs"), attrs)
+    bad_cc = set(cell_chunks) - {c for c, sp in plan.items()
+                                 if sp["width"] is not None}
+    if bad_cc:
+        raise ValueError(
+            f"cell_chunks for non-tensor columns: {sorted(bad_cc)}")
     for col, spec in plan.items():
         adir = os.path.join(group_dir, col)
         os.makedirs(adir, exist_ok=True)
         w = spec["width"]
+        cc = None if w is None else \
+            max(1, min(int(cell_chunks.get(col, w) or w), w)) if w \
+            else w
+        spec["cc"] = cc
         zarray = {
             "zarr_format": 2,
             "shape": [nrow] if w is None else [nrow, w],
-            "chunks": [row_chunk] if w is None else [row_chunk, w],
+            "chunks": [row_chunk] if w is None else [row_chunk, cc],
             "dtype": spec["dtype"],
             "compressor": None,
             "fill_value": _fill_value(spec["dtype"]),
@@ -239,16 +256,28 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
                 full = np.zeros(row_chunk, dtype=dt)
                 full[:n] = arr
                 key = str(ci)
+                tmp = os.path.join(group_dir, col,
+                                   f".{key}.tmp{os.getpid()}")
+                with open(tmp, "wb") as fh:
+                    fh.write(np.ascontiguousarray(full).tobytes())
+                os.replace(tmp, os.path.join(group_dir, col, key))
             else:
                 arr = np.stack([np.asarray(v, dtype=dt)
                                 for v in pdf[col]])
-                full = np.zeros((row_chunk, w), dtype=dt)
-                full[:n] = arr
-                key = f"{ci}.0"
-            tmp = os.path.join(group_dir, col, f".{key}.tmp{os.getpid()}")
-            with open(tmp, "wb") as fh:
-                fh.write(np.ascontiguousarray(full).tobytes())
-            os.replace(tmp, os.path.join(group_dir, col, key))
+                cc = spec["cc"]
+                n_cc = (w + cc - 1) // cc if w else 1
+                # every chunk file padded to full (row_chunk, cc),
+                # the zarr v2 layout the slab reader prunes against
+                full = np.zeros((row_chunk, n_cc * cc), dtype=dt)
+                full[:n, :w] = arr
+                for j in range(n_cc):
+                    key = f"{ci}.{j}"
+                    part = full[:, j * cc:(j + 1) * cc]
+                    tmp = os.path.join(group_dir, col,
+                                       f".{key}.tmp{os.getpid()}")
+                    with open(tmp, "wb") as fh:
+                        fh.write(np.ascontiguousarray(part).tobytes())
+                    os.replace(tmp, os.path.join(group_dir, col, key))
         return pd.DataFrame({"chunk": [ci], "rows": [n]})
 
     written = (chunked
@@ -262,12 +291,19 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
 
 def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
                 table: str = "MAIN",
-                row_chunk: int = DEFAULT_ROW_CHUNK) -> list[int]:
+                row_chunk: int = DEFAULT_ROW_CHUNK,
+                cell_chunks: dict | None = None) -> list[int]:
     """Write datasets to a zarr store, one group ``{table}_{i}`` per
     dataset (reference ``xds_to_zarr``,
     daskms/experimental/zarr/__init__.py:270-364; group naming
     ``:129-157``).  Chunk-aligned, executor-side, uncompressed v2.
     Returns rows written per group.
+
+    ``cell_chunks`` (column -> chunk size along the cell axis) writes
+    tensor columns as multiple ``{ci}.{j}`` slab files, so later
+    sliced reads (``xds_from_zarr(..., slices=...)``) prune whole
+    files — choose it to match the dominant read slab (e.g. channel
+    blocks of a DATA column).
     """
     if isinstance(datasets, DataFrame):
         datasets = [Dataset(datasets, {})]
@@ -287,7 +323,7 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
                 attrs[k] = str(v)
         counts.append(_write_group(ds.df, os.path.join(store,
                                                        f"{table}_{i}"),
-                                   attrs, row_chunk))
+                                   attrs, row_chunk, cell_chunks))
     return counts
 
 

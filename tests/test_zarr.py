@@ -171,8 +171,8 @@ def test_zarr_storage_dispatch_with_grouping(spark, orders, tmp_path):
 
 def _write_multichunk_store(root, n=20, w=8, row_chunk=10, cell_chunk=4):
     """Hand-build a zarr v2 group whose tensor column is chunked along
-    the CELL axis too — the third-party layout our own writer doesn't
-    produce (it writes one cell chunk)."""
+    the CELL axis too — the third-party layout (our writer produces it
+    only when asked via ``cell_chunks=``)."""
     import numpy as np
 
     os.makedirs(root)
@@ -256,3 +256,40 @@ def test_zarr_read_plan_is_distributed(spark, tmp_path):
 
 def test_zarr_default_row_chunk_sane():
     assert DEFAULT_ROW_CHUNK >= 1000
+
+
+def test_zarr_cell_chunked_write_then_pruned_read(spark, tmp_path):
+    """S8+P3 round trip: cell_chunks= writes {ci}.{j} slab files; a
+    sliced read of our OWN store prunes the second slab (deleted to
+    prove it's never opened); values match the full read."""
+    import numpy as np
+
+    store = str(tmp_path / "cc_store")
+    df = spark.range(25).selectExpr(
+        f"id as {ROWID}", "cast(id as double) as v",
+        "array(id*1.0D, id*2.0D, id*3.0D, id*4.0D, id*5.0D, id*6.0D) "
+        "as vec")
+    xds_to_zarr([Dataset(df, {})], store, row_chunk=10,
+                cell_chunks={"vec": 3})
+    gdir = os.path.join(store, "MAIN_0")
+    meta = json.load(open(os.path.join(gdir, "vec", ".zarray")))
+    assert meta["chunks"] == [10, 3]
+    assert os.path.exists(os.path.join(gdir, "vec", "0.1"))
+
+    (full,) = xds_from_zarr(spark, store)
+    want = {r[ROWID]: list(r.vec) for r in full.df.collect()}
+    assert want[7] == [7.0, 14.0, 21.0, 28.0, 35.0, 42.0]
+
+    for ci in range(3):
+        os.remove(os.path.join(gdir, "vec", f"{ci}.1"))
+    (ds,) = xds_from_zarr(spark, store, slices={"vec": (slice(0, 3),)})
+    got = {r[ROWID]: list(r.vec) for r in ds.df.collect()}
+    assert len(got) == 25
+    for i in (0, 9, 10, 24):
+        assert got[i] == want[i][:3]
+        assert np.isclose(
+            {r[ROWID]: r.v for r in ds.df.collect()}[i], float(i))
+
+    with pytest.raises(ValueError, match="non-tensor"):
+        xds_to_zarr([Dataset(df, {})], str(tmp_path / "bad"),
+                    cell_chunks={"v": 2})
