@@ -291,7 +291,12 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                  .select(F.col("s"),
                          (F.lit(base) + F.lit(float(damping))
                           * F.coalesce(F.col("qsum"), F.lit(0))
-                          / F.lit(float(scale))).alias("rank")))
+                          / F.lit(float(scale))).alias("rank"))
+                 # truncate lineage: without this, each iteration
+                 # re-nests the previous plan and analysis cost grows
+                 # with iteration count (lazy: materialises with the
+                 # next job, no extra job per round)
+                 .localCheckpoint(eager=False))
     out = ranks.select(F.col("s").alias(id_col), "rank")
     if nodes is not None:
         iso = (nodes.select(F.col(id_col))
