@@ -2530,7 +2530,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, value,
                        (epoch(ts) - min(epoch(ts))
                             OVER (PARTITION BY user_id)) / 3600.0 AS xh
-                FROM events)
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL)
             SELECT user_id, count(*) AS n_events,
                    round(regr_slope(value, xh), 6) AS slope,
                    round(regr_intercept(value, xh), 6) AS intercept
@@ -2851,8 +2852,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_project": _embed_project_sql(),
         "vocab_topk": """
             WITH t AS (SELECT doc_id,
-                              regexp_split_to_array(trim(lower(text)),
-                                                    '\\s+') AS toks
+                              CASE WHEN length(trim(text)) = 0 THEN []
+                                   ELSE regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') END
+                              AS toks
                        FROM documents),
             w AS (SELECT doc_id, unnest(toks) AS token FROM t),
             c AS (SELECT token, doc_id, count(*) AS cnt
@@ -2887,13 +2890,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_filter": """
             WITH t AS (SELECT doc_id,
-                              regexp_split_to_array(trim(lower(text)),
-                                                    '\\s+') AS toks
+                              CASE WHEN length(trim(text)) = 0 THEN []
+                                   ELSE regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') END
+                              AS toks
                        FROM documents),
             w AS (SELECT doc_id, unnest(toks) AS w FROM t),
             c AS (SELECT doc_id, w, count(*) AS cnt
                   FROM w GROUP BY 1, 2),
-            f AS (SELECT doc_id,
+            a AS (SELECT doc_id,
                          cast(sum(cnt) as bigint) AS n_words,
                          cast(count(*) as bigint) AS n_distinct,
                          cast(max(cnt) as bigint) AS max_cnt,
@@ -2901,21 +2906,36 @@ def oracle_sql() -> dict[str, str]:
                                   THEN cnt ELSE 0 END) as bigint)
                              AS stop_cnt
                   FROM c GROUP BY doc_id),
+            f AS (SELECT d.doc_id,
+                         coalesce(a.n_words, 0) AS n_words,
+                         coalesce(a.n_distinct, 0) AS n_distinct,
+                         coalesce(a.max_cnt, 0) AS max_cnt,
+                         coalesce(a.stop_cnt, 0) AS stop_cnt
+                  FROM documents d LEFT JOIN a USING (doc_id)),
             r AS (SELECT *,
                          (CASE WHEN n_words < 20 THEN 1 ELSE 0 END
                           + CASE WHEN n_words > 5000 THEN 2 ELSE 0 END
-                          + CASE WHEN n_distinct / n_words < 0.40
+                          + CASE WHEN n_words > 0
+                                  AND n_distinct / n_words < 0.40
                                  THEN 4 ELSE 0 END
-                          + CASE WHEN max_cnt / n_words > 0.12
+                          + CASE WHEN n_words > 0
+                                  AND max_cnt / n_words > 0.12
                                  THEN 8 ELSE 0 END
-                          + CASE WHEN stop_cnt = 0
-                                   OR stop_cnt / n_words > 0.10
+                          + CASE WHEN n_words > 0
+                                  AND (stop_cnt = 0
+                                       OR stop_cnt / n_words > 0.10)
                                  THEN 16 ELSE 0 END) AS reasons
                   FROM f)
             SELECT doc_id, n_words,
-                   round(n_distinct / n_words, 6) AS distinct_ratio,
-                   round(max_cnt / n_words, 6) AS max_word_frac,
-                   round(stop_cnt / n_words, 6) AS stop_frac,
+                   CASE WHEN n_words > 0
+                        THEN round(n_distinct / n_words, 6) END
+                       AS distinct_ratio,
+                   CASE WHEN n_words > 0
+                        THEN round(max_cnt / n_words, 6) END
+                       AS max_word_frac,
+                   CASE WHEN n_words > 0
+                        THEN round(stop_cnt / n_words, 6) END
+                       AS stop_frac,
                    cast(reasons as int) AS reasons,
                    reasons = 0 AS keep
             FROM r

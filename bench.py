@@ -81,9 +81,9 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001
                 # the timed loop will surface real failures; still log
                 # so a warm-only failure is visible when debugging
+                first = (str(exc).splitlines() or [""])[0]
                 print(f"warmup {name}: {type(exc).__name__}: "
-                      f"{str(exc).splitlines()[0][:200]}",
-                      file=sys.stderr)
+                      f"{first[:200]}", file=sys.stderr)
             spark.catalog.clearCache()
 
     jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)

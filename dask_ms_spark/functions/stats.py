@@ -60,6 +60,12 @@ def grouped_ols(df: DataFrame, group_cols: list[str] | str,
     of giant groups.
     """
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # pairwise-complete semantics (SQL regr_* convention): drop rows
+    # where either variable is NULL before EITHER path, so the native
+    # aggregate's avg/min and the kernel's sums see the same rows —
+    # without this the intercept would mix regr_slope's complete-pair
+    # statistics with per-column null handling
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     if method == "native":
         x = F.col(x_col)
         x_type = dict(df.dtypes)[x_col]

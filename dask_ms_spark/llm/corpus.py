@@ -121,30 +121,41 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     per_word = (base.groupBy("id", "w")
                 .agg(F.count(F.lit(1)).alias("cnt")))
     stop = F.col("w").isin(*stopwords)
-    feats = (per_word.groupBy("id")
-             .agg(F.sum("cnt").cast("long").alias("n_words"),
-                  F.count(F.lit(1)).cast("long").alias("n_distinct"),
-                  F.max("cnt").cast("long").alias("max_cnt"),
-                  F.sum(F.when(stop, F.col("cnt")).otherwise(0))
-                   .cast("long").alias("stop_cnt")))
+    agg = (per_word.groupBy("id")
+           .agg(F.sum("cnt").cast("long").alias("n_words"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max("cnt").cast("long").alias("max_cnt"),
+                F.sum(F.when(stop, F.col("cnt")).otherwise(0))
+                 .cast("long").alias("stop_cnt")))
+    # token-less documents (empty/whitespace text) vanish from the
+    # explode — join them back so the WORST documents still get a
+    # verdict (n_words=0 -> too_short) instead of bypassing the gate
+    feats = (docs.select(F.col(id_col).alias("id"))
+             .join(agg, "id", "left")
+             .select("id",
+                     *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                       for c in ("n_words", "n_distinct", "max_cnt",
+                                 "stop_cnt")]))
     nw = F.col("n_words").cast("double")
+    has = F.col("n_words") > 0
     reasons = (
         F.when(F.col("n_words") < min_words,
                QUALITY_REASONS["too_short"]).otherwise(0)
         + F.when(F.col("n_words") > max_words,
                  QUALITY_REASONS["too_long"]).otherwise(0)
-        + F.when(F.col("n_distinct") / nw < min_distinct_ratio,
+        + F.when(has & (F.col("n_distinct") / nw < min_distinct_ratio),
                  QUALITY_REASONS["low_diversity"]).otherwise(0)
-        + F.when(F.col("max_cnt") / nw > max_word_frac,
+        + F.when(has & (F.col("max_cnt") / nw > max_word_frac),
                  QUALITY_REASONS["repeated_word"]).otherwise(0)
-        + F.when((F.col("stop_cnt") == 0)
-                 | (F.col("stop_cnt") / nw > max_stop_frac),
+        + F.when(has & ((F.col("stop_cnt") == 0)
+                        | (F.col("stop_cnt") / nw > max_stop_frac)),
                  QUALITY_REASONS["stopword_anomaly"]).otherwise(0))
+    ratio = (lambda num: F.when(has, F.round(num / nw, 6)))
     return feats.select(
         F.col("id").alias(id_col), "n_words",
-        F.round(F.col("n_distinct") / nw, 6).alias("distinct_ratio"),
-        F.round(F.col("max_cnt") / nw, 6).alias("max_word_frac"),
-        F.round(F.col("stop_cnt") / nw, 6).alias("stop_frac"),
+        ratio(F.col("n_distinct")).alias("distinct_ratio"),
+        ratio(F.col("max_cnt")).alias("max_word_frac"),
+        ratio(F.col("stop_cnt")).alias("stop_frac"),
         reasons.cast("int").alias("reasons"),
         (reasons == 0).alias("keep"))
 

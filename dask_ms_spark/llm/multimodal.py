@@ -80,7 +80,7 @@ _BINARY_FEATURE_SCHEMA = ("media_id long, n_bytes long, hash64 long, "
                           "last_byte int, width int, height int")
 
 
-def binary_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def binary_features(media: DataFrame) -> DataFrame:
     """Codec-free, fully deterministic byte-level media features.
 
     Unlike :func:`decode_image_features` (whose decode kernel is
@@ -123,8 +123,7 @@ _FEATURE_SCHEMA = ("media_id long, mean_px double, std_px double, "
                    "n_px long")
 
 
-def decode_image_features(media: DataFrame,
-                          batch_size: int = 256) -> DataFrame:
+def decode_image_features(media: DataFrame) -> DataFrame:
     """Decode payloads and emit per-image pixel statistics.
 
     ``mapInPandas`` streams Arrow batches into Python once, decodes,

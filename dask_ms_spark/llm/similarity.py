@@ -86,6 +86,11 @@ def projection_coefficients(seed: str, component: int,
     projection component ``component``.  Deliberately NOT unit-scaled:
     normalisation would couple every coefficient to the vector length
     and break the prefix property documented above."""
+    if n > _PROJ_STREAM:
+        raise ValueError(
+            f"embedding dim {n} exceeds the {_PROJ_STREAM}-entry "
+            "coefficient stream; raise _PROJ_STREAM (and regenerate "
+            "external mirrors) rather than silently truncating")
     vals: list[float] = []
     counter = 0
     while len(vals) < n:

@@ -111,7 +111,10 @@ def _resolve_slab(cell_shape: tuple[int, ...],
     for axis, dim in enumerate(cell_shape):
         s = sl[axis] if axis < len(sl) else slice(None)
         if not isinstance(s, slice):           # plain int -> width-1
-            s = slice(int(s), int(s) + 1)
+            i = int(s)
+            if i < 0:                          # python index semantics
+                i += dim
+            s = slice(i, i + 1)
         start, stop, step = s.indices(dim)
         if step < 1:
             raise ValueError("negative slice steps are not supported")
@@ -373,38 +376,32 @@ def create_casa_table(datasets, path: str,
 
     nrow = df.count()
     t = create_factory(path, desc, nrow)
-    written = 0
     try:
         names = [f.name for f in schema.fields if f.name != ROWID]
+        # dense fill in ROWID ORDER: the created table has exactly
+        # nrow rows, so ROWID defines placement order, not absolute
+        # offsets — a filtered (gappy-ROWID) frame still fills rows
+        # 0..nrow-1 instead of writing out of table bounds
         pdf = df.select(ROWID, *names).orderBy(ROWID).toPandas()
-        rows = pdf[ROWID].to_numpy()
-        breaks = np.flatnonzero(np.diff(rows) != 1) + 1
-        for seg in np.split(np.arange(len(rows)), breaks):
-            lo = int(rows[seg[0]])
-            n = len(seg)
-            for c in names:
-                cell = pdf[c].iloc[seg[0]:seg[0] + n]
-                if cell.dtype == object:
-                    vals = np.asarray([np.asarray(v) for v in cell])
-                else:
-                    vals = cell.to_numpy()
-                shape = shapes.get(c)
-                if c in complex_cols:
-                    flat = np.asarray(
-                        [np.asarray(v) for v in cell])
-                    vals = flat[:, 0::2] + 1j * flat[:, 1::2]
-                    if shape:
-                        vals = vals.reshape((n, *shape))
-                elif shape and vals.ndim >= 2:
-                    vals = np.asarray(
-                        [np.asarray(v) for v in cell]).reshape(
-                        (n, *shape))
-                t.putcol(c, vals, lo, n)
-            written += n
+        n = len(pdf)
+        for c in names:
+            cell = pdf[c]
+            if cell.dtype == object:
+                vals = np.asarray([np.asarray(v) for v in cell])
+            else:
+                vals = cell.to_numpy()
+            shape = shapes.get(c)
+            if c in complex_cols:
+                vals = vals[:, 0::2] + 1j * vals[:, 1::2]
+                if shape:
+                    vals = vals.reshape((n, *shape))
+            elif shape and vals.ndim >= 2:
+                vals = vals.reshape((n, *shape))
+            t.putcol(c, vals, 0, n)
     finally:
         if hasattr(t, "close"):
             t.close()
-    return written
+    return nrow
 
 
 def xds_to_casa(datasets, path: str,

@@ -357,7 +357,10 @@ def _cell_slab(cell_shape: list[int],
     for axis, dim in enumerate(cell_shape):
         s = sl[axis] if axis < len(sl) else slice(None)
         if not isinstance(s, slice):
-            s = slice(int(s), int(s) + 1)
+            i = int(s)
+            if i < 0:                          # python index semantics
+                i += dim
+            s = slice(i, i + 1)
         start, stop, step = s.indices(dim)
         if step != 1:
             raise ValueError("strided cell slices are not supported")

@@ -166,7 +166,11 @@ def test_quality_filter_partial_merged_two_stage(spark):
 
     df = entry.q_quality_filter(spark, "/root/testdata/sf0.001")
     plan = plan_str(df)
-    assert plan.count("FileScan") == 1
+    # two scans: the exploded word pipeline + the verdict-completeness
+    # id list (token-less docs still get a row); the id scan must be
+    # pruned to doc_id only
+    assert plan.count("FileScan") == 2
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "Generate explode" in plan or "Generate" in plan
     assert "InMemoryTableScan" not in plan
