@@ -1344,6 +1344,20 @@ def q_embed_project(spark, sf_dir):
                     for j in range(4)])
 
 
+def q_pack_contexts(spark, sf_dir):
+    """Context-packing plan (concat-and-cut, the pre-training layout):
+    bucketed token streams, one running-sum window per bucket; every
+    document's (pack, offset, spans) is a pure function of the hash
+    bucket and prefix sums, so the layout is engine-reproducible."""
+    from dask_ms_spark.functions.text import token_count
+    from dask_ms_spark.llm.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_toks"))
+    return pack_sequences(docs, "doc_id", "n_toks",
+                          capacity=512, n_buckets=8)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 50 most frequent tokens with occurrence and
     document frequencies (llm/corpus.py — explode -> (token, doc)
@@ -2071,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         # -- new / code-touched this round --
         "stratified_sample": q_stratified_sample,
+        "pack_contexts": q_pack_contexts,
         "embed_project": q_embed_project,
         "vocab_topk": q_vocab_topk,
         "phrase_boilerplate": q_phrase_boilerplate,
@@ -2835,6 +2850,31 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(*) / n_grams, 6) AS dup_ratio,
                    round(max(cnt) / n_grams, 6) AS max_gram_frac
             FROM c GROUP BY doc_id, n_grams
+        """,
+        "pack_contexts": f"""
+            WITH d AS (SELECT doc_id,
+                              CAST(CASE WHEN length(trim(text)) = 0
+                                   THEN 0
+                                   ELSE len(regexp_split_to_array(
+                                       trim(text), '\\s+')) END
+                                   AS BIGINT) AS t,
+                              {_DUCK_HASH.format(
+                                  x="cast(doc_id as varchar) "
+                                    "|| 'pack'")} % 8 AS bucket
+                       FROM documents),
+            s AS (SELECT doc_id, t, bucket,
+                         sum(t) OVER (PARTITION BY bucket
+                                      ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - t
+                             AS strt
+                  FROM d)
+            SELECT doc_id, t AS n_tokens,
+                   CAST(bucket * 4294967296 + (strt // 512) AS BIGINT)
+                       AS pack_id,
+                   CAST(strt % 512 AS BIGINT) AS pack_offset,
+                   CAST(((strt + greatest(t, 1) - 1) // 512)
+                        - (strt // 512) + 1 AS BIGINT) AS n_spans
+            FROM s
         """,
         "stratified_sample": f"""
             WITH b AS (SELECT doc_id, source, lang,

@@ -111,3 +111,50 @@ def stratified_sample(df: DataFrame, id_col: str,
     cut_expr = F.lit(int(default_rate * _BUCKETS)) if rate_expr is None \
         else rate_expr.otherwise(F.lit(int(default_rate * _BUCKETS)))
     return df.where(bucket < cut_expr)
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   capacity: int = 2048, n_buckets: int = 64,
+                   salt: str = "pack") -> DataFrame:
+    """Plan documents into fixed-capacity training contexts
+    (concat-and-cut packing, the standard pre-training layout: each
+    bucket's documents concatenate into one token stream and contexts
+    are consecutive ``capacity``-token windows over it, so documents
+    may span context boundaries).
+
+    Documents hash-bucket into ``n_buckets`` independent streams
+    (global concatenation is inherently sequential), order within a
+    bucket is deterministic (by id), and each document's placement is
+    a pure function of the exclusive prefix-sum of token counts:
+
+        start   = prefix_sum(tokens)            (exclusive)
+        pack    = floor(start / capacity)       (first context)
+        offset  = start mod capacity
+        n_spans = contexts the document touches
+
+    Pack ids encode ``(bucket, seq)`` as ``bucket * 2^32 + seq`` —
+    stable across engines.  Plan shape: one running-sum window per
+    bucket partition, no driver state, no Python; every engine
+    computing the same hash and ordering reproduces the layout row
+    for row.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(F.col(id_col), n_buckets, salt)
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    t = F.col(token_col).cast("long")
+    staged = (df.select(F.col(id_col), t.alias("__t"),
+                        bucket.alias("bucket"))
+              .withColumn("__start", F.sum("__t").over(w) - F.col("__t")))
+    seq = (F.col("__start") / F.lit(capacity)).cast("long")
+    last_seq = ((F.col("__start") + F.greatest(F.col("__t"), F.lit(1))
+                 - 1) / F.lit(capacity)).cast("long")
+    return staged.select(
+        id_col, F.col("__t").alias("n_tokens"),
+        (F.col("bucket").cast("long") * F.lit(1 << 32) + seq)
+        .alias("pack_id"),
+        (F.col("__start") % F.lit(capacity)).alias("pack_offset"),
+        (last_seq - seq + 1).cast("long").alias("n_spans"))

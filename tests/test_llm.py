@@ -497,3 +497,36 @@ def test_random_projection_matches_numpy(embeddings):
     # prefix property: a smaller dim uses the leading coefficients
     assert projection_coefficients("dask-ms-spark", 0, 16) == \
         projection_coefficients("dask-ms-spark", 0, 64)[:16]
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Concat-and-cut packing: within each bucket, offsets chain
+    exactly (next start = prev start + prev tokens), spans match the
+    windows a doc touches, and every context is filled to capacity
+    except each bucket's tail."""
+    from dask_ms_spark.llm.sampling import pack_sequences
+
+    cap = 10
+    rows = [(i, (i * 7) % 13 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", capacity=cap,
+                         n_buckets=4).collect()
+    assert len(out) == 60
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.pack_id >> 32, []).append(r)
+    toks = dict(rows)
+    assert len(by_bucket) > 1
+    for b, docs in by_bucket.items():
+        docs.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in docs:
+            assert r.n_tokens == toks[r.doc_id]
+            assert (r.pack_id & 0xFFFFFFFF) == start // cap
+            assert r.pack_offset == start % cap
+            last = (start + max(r.n_tokens, 1) - 1) // cap
+            assert r.n_spans == last - start // cap + 1
+            start += r.n_tokens
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, "doc_id", "n", capacity=0)
