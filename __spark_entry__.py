@@ -1358,6 +1358,16 @@ def q_pack_contexts(spark, sf_dir):
                           capacity=512, n_buckets=8)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Per-doc perplexity proxy under an add-one bigram LM built from
+    the corpus itself (CCNet-style quality signal without an external
+    model); per-term log-likelihoods fixed-point-quantised so scores
+    are shuffle-order deterministic and SQL-mirrorable."""
+    from dask_ms_spark.llm.corpus import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary: 50 most frequent tokens with occurrence and
     document frequencies (llm/corpus.py — explode -> (token, doc)
@@ -2086,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / code-touched this round --
         "stratified_sample": q_stratified_sample,
         "pack_contexts": q_pack_contexts,
+        "lm_perplexity": q_lm_perplexity,
         "embed_project": q_embed_project,
         "vocab_topk": q_vocab_topk,
         "phrase_boilerplate": q_phrase_boilerplate,
@@ -2850,6 +2861,34 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(*) / n_grams, 6) AS dup_ratio,
                    round(max(cnt) / n_grams, 6) AS max_gram_frac
             FROM c GROUP BY doc_id, n_grams
+        """,
+        "lm_perplexity": """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN length(trim(text)) = 0 THEN []
+                                   ELSE regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') END
+                              AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+                  WHERE len(toks) >= 2),
+            uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+            bi AS (SELECT w1, w2, count(*) AS c2
+                   FROM g GROUP BY w1, w2),
+            v AS (SELECT count(DISTINCT w) AS vocab FROM (
+                      SELECT w1 AS w FROM g
+                      UNION ALL SELECT w2 FROM g)),
+            lm AS (SELECT w1, w2, (c2 + 1) / (c1 + vocab) AS p
+                   FROM bi JOIN uni USING (w1) CROSS JOIN v),
+            sc AS (SELECT doc_id,
+                          cast(round(-ln(p) * 1048576.0) as bigint)
+                              AS q
+                   FROM g JOIN lm USING (w1, w2))
+            SELECT doc_id,
+                   cast(count(*) as bigint) AS n_bigrams,
+                   round(cast(sum(q) as double) / count(*)
+                         / 1048576.0, 6) AS avg_neg_logp
+            FROM sc GROUP BY doc_id
         """,
         "pack_contexts": f"""
             WITH d AS (SELECT doc_id,

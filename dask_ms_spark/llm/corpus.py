@@ -19,7 +19,8 @@ from ..functions.text import portable_hash64, tokens
 from ..session import ensure_parallelism
 
 __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
-           "QUALITY_REASONS", "pii_scan", "PII_PATTERNS"]
+           "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
+           "lm_perplexity"]
 
 
 def vocab_topk(docs: DataFrame, text_col: str = "text",
@@ -194,3 +195,72 @@ def pii_scan(df: DataFrame, text_col: str = "text",
             red = F.regexp_replace(red, pat, f"[{name.upper()}]")
         cols.append(red.alias("redacted"))
     return df.select(*cols)
+
+
+def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  scale: int = 1 << 20) -> DataFrame:
+    """Per-document perplexity proxy under an add-one-smoothed bigram
+    language model built from ``lm_docs`` (default: the corpus itself)
+    — the CCNet-style quality signal, with the n-gram LM replacing an
+    external model: fluent text scores low, gibberish high.
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+        score      = mean over the doc's bigram instances of -ln P
+
+    Every stage is a DataFrame composition: bigram/unigram counts are
+    partial-merged aggregates; scoring joins the doc's bigram
+    instances against the LM table keyed on the gram itself (exact,
+    no hash collisions in the statistics).  Per-term log-likelihoods
+    are quantised to ``scale`` fixed-point before the per-doc sum, so
+    scores are shuffle-order deterministic and engine-mirrorable.
+    Returns ``(id_col, n_bigrams, avg_neg_logp)`` for documents with
+    at least one bigram.
+    """
+    lm_docs = docs if lm_docs is None else lm_docs
+
+    def bigram_instances(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2")))
+        return (ensure_parallelism(frame.where(n >= 2))
+                .select(F.col(id_col).alias("id"),
+                        F.explode(grams).alias("g"))
+                .select("id", F.col("g.w1").alias("w1"),
+                        F.col("g.w2").alias("w2")))
+
+    lm_grams = bigram_instances(lm_docs)
+    uni = (lm_grams.groupBy("w1")
+           .agg(F.count(F.lit(1)).alias("c1")))
+    bi = (lm_grams.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("c2")))
+    vocab = (lm_grams.select(F.col("w1").alias("w"))
+             .unionByName(lm_grams.select(F.col("w2").alias("w")))
+             .distinct().count())
+    lm = (bi.join(uni, "w1")
+          .select("w1", "w2",
+                  ((F.col("c2") + 1)
+                   / (F.col("c1") + F.lit(vocab))).alias("p")))
+
+    inst = bigram_instances(docs)
+    # smoothing floor for bigrams unseen by the LM (left join):
+    # P = 1 / (c(w1) + V), or 1 / V when even w1 is unseen
+    scored = (inst.join(lm, ["w1", "w2"], "left")
+              .join(uni, "w1", "left")
+              .select("id", F.coalesce(
+                  F.col("p"),
+                  F.lit(1.0) / (F.coalesce(F.col("c1"), F.lit(0))
+                                + F.lit(vocab))).alias("p")))
+    q = F.round(-F.log(F.col("p")) * F.lit(float(scale))).cast("long")
+    return (scored.select("id", q.alias("q"))
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum("q").alias("qsum"))
+            .select(id_col, "n_bigrams",
+                    F.round(F.col("qsum")
+                            / F.col("n_bigrams") / F.lit(float(scale)),
+                            6).alias("avg_neg_logp")))

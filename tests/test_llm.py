@@ -530,3 +530,34 @@ def test_pack_sequences_layout_invariants(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(df, "doc_id", "n", capacity=0)
+
+
+def test_lm_perplexity_matches_python_model(spark):
+    """Scores equal a direct add-one bigram LM computation; repetitive
+    (high-probability) text scores lower than novel combinations."""
+    import math
+
+    from dask_ms_spark.llm.corpus import lm_perplexity
+
+    rows = [(1, "a b a b a b a b"),
+            (2, "a b c d e f"),
+            (3, "b a c a d a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_perplexity(df).collect()}
+
+    grams = {d: list(zip(t.split(), t.split()[1:])) for d, t in rows}
+    allg = [g for gs in grams.values() for g in gs]
+    c1: dict = {}
+    c2: dict = {}
+    for w1, w2 in allg:
+        c1[w1] = c1.get(w1, 0) + 1
+        c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+    vocab = len({w for g in allg for w in g})
+    scale = 1 << 20
+    for d, gs in grams.items():
+        qs = [round(-math.log((c2[g] + 1) / (c1[g[0]] + vocab)) * scale)
+              for g in gs]
+        want = round(sum(qs) / len(qs) / scale, 6)
+        assert got[d].n_bigrams == len(gs)
+        assert got[d].avg_neg_logp == pytest.approx(want, abs=2e-6)
+    assert got[1].avg_neg_logp < got[2].avg_neg_logp
