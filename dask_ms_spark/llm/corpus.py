@@ -217,7 +217,8 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     Returns ``(id_col, n_bigrams, avg_neg_logp)`` for documents with
     at least one bigram.
     """
-    lm_docs = docs if lm_docs is None else lm_docs
+    self_scored = lm_docs is None
+    lm_docs = docs if self_scored else lm_docs
 
     def bigram_instances(frame: DataFrame) -> DataFrame:
         toks = tokens(F.lower(F.col(text_col)))
@@ -234,6 +235,11 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
                         F.col("g.w2").alias("w2")))
 
     lm_grams = bigram_instances(lm_docs)
+    if self_scored:
+        # self-scoring reuses one materialised explode for LM counts,
+        # vocabulary, and the scored instances — without this the
+        # shingle pipeline runs three times
+        lm_grams = lm_grams.persist()
     uni = (lm_grams.groupBy("w1")
            .agg(F.count(F.lit(1)).alias("c1")))
     bi = (lm_grams.groupBy("w1", "w2")
@@ -246,7 +252,7 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
                   ((F.col("c2") + 1)
                    / (F.col("c1") + F.lit(vocab))).alias("p")))
 
-    inst = bigram_instances(docs)
+    inst = lm_grams if self_scored else bigram_instances(docs)
     # smoothing floor for bigrams unseen by the LM (left join):
     # P = 1 / (c(w1) + V), or 1 / V when even w1 is unseen
     scored = (inst.join(lm, ["w1", "w2"], "left")
