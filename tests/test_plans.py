@@ -208,3 +208,68 @@ def test_grouped_ols_native_single_aggregate(spark):
     assert "FlatMapGroupsInPandas" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_tpch_q11_total_reuses_persisted_agg(spark):
+    """The grand-total scalar must come from the persisted per-part
+    aggregate (InMemoryTableScan), never a second corpus scan; the
+    nation gate is a broadcast semi join and the only nested loop is
+    the one-row total broadcast."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q11(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "InMemoryTableScan" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
+
+
+def test_tpch_q20_window_decorrelation(spark):
+    """The correlated availability subquery must plan as a window over
+    the post-aggregation (part, supplier) frame — part and nation
+    gates as broadcast semi joins, no nested loop anywhere."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q20(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "Window" in plan
+    assert plan.count("LeftSemi") >= 2
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q21_decorrelated_no_subquery_loop(spark):
+    """EXISTS / NOT-EXISTS decorrelate to one per-order aggregate: the
+    plan is a single fact-fact equi-join plus broadcast supplier —
+    never a nested-loop re-probe of lineitem per row."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_tpch_q21(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the fact-fact join is an equi-join (hash or sort-merge)
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bm25_single_tokenize_pass(spark):
+    """dl, df, N and avgdl must all derive from the ONE persisted
+    (doc, term) count frame — InMemoryTableScans in the plan, no
+    second explode of the corpus — and the df/consts sides ride
+    broadcasts."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_bm25_search(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    # every printed explode is the cached relation's definition
+    # reprint under an InMemoryTableScan — no un-cached explode runs
+    assert (plan.count("Generate explode")
+            <= plan.count("InMemoryTableScan"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
