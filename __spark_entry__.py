@@ -1388,6 +1388,82 @@ def q_events_dedup(spark, sf_dir):
                               .cast("double"), 4).alias("sum_value")))
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): each stage
+    is a per-user MIN over events strictly after the previous stage's
+    time, so conversion respects event order, not mere co-occurrence.
+    All three stages shuffle on user_id — the per-user frames reuse
+    the same partitioning — and stage-to-stage latency averages over
+    exact integer seconds before one final division, so the mean is
+    engine-deterministic."""
+    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+          .select("user_id", "event_type", "ts"))
+    v = (ev.where("event_type = 'view'")
+           .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.where("event_type = 'click'")
+           .join(v, "user_id")
+           .where(F.col("ts") > F.col("t1"))
+           .groupBy("user_id")
+           .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1")))
+    p = (ev.where("event_type = 'purchase'")
+           .join(c.select("user_id", "t2"), "user_id")
+           .where(F.col("ts") > F.col("t2"))
+           .groupBy("user_id")
+           .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2")))
+
+    def stage(df, name, a, b):
+        # exact integer microseconds (not SECOND diffs, whose
+        # sub-second truncation differs between engines)
+        us = (F.expr(f"timestampdiff(MICROSECOND, {a}, {b})")
+              if a else F.lit(None).cast("long"))
+        return (df.select(us.alias("us"))
+                  .agg(F.count(F.lit(1)).alias("n_users"),
+                       F.round(F.avg("us") / 3.6e9, 6)
+                        .alias("avg_hours"))
+                  .select(F.lit(name).alias("stage"), "n_users",
+                          "avg_hours"))
+
+    return (stage(v, "1_view", None, None)
+            .unionByName(stage(c, "2_click", "t1", "t2"))
+            .unionByName(stage(p, "3_purchase", "t2", "t3")))
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by the ISO week of their first
+    event, activity counted per whole-week offset from that first
+    event.  One per-user aggregate for cohort assignment, one join
+    back (both shuffles keyed user_id, partitioning reused), then a
+    distinct-count per (cohort, offset) — the offset derives from
+    exact integer seconds so bucket edges match across engines."""
+    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+          .select("user_id", "ts"))
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(first, "user_id")
+    return (j.select(
+                F.date_format(F.date_trunc("week", F.col("first_ts")),
+                              "yyyy-MM-dd").alias("cohort_week"),
+                F.floor(F.expr("timestampdiff(MICROSECOND, first_ts, ts)")
+                        / 604800e6).alias("week_offset"),
+                "user_id")
+             .groupBy("cohort_week", "week_offset")
+             .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per type (bin width 20,
+    clamped top bin): binning is a pure map-side expression into a
+    single partial-merged aggregate — the one-pass profile shape that
+    costs one reduce of |types x bins| rows at any corpus size."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    b = F.least(F.floor(F.col("value") / 20.0), F.lit(24)).alias("bin")
+    return (ev.select("event_type", b, "value")
+              .groupBy("event_type", "bin")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                            .cast("double"), 2).alias("sum_value"))
+              .withColumn("bin_lo", F.col("bin") * 20.0))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style within-document repetition signals: word-bigram
     duplicate ratio + dominant-bigram share, the standard quality
@@ -2270,10 +2346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "bm25_search": q_bm25_search,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "value_histogram": q_value_histogram,
         # -- green in round 4, re-validated this round --
-        "star_join": q_star_join,
-        "rollup": q_rollup,
-        "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "events_props": q_events_props,
@@ -2281,6 +2357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_correlate": q_events_correlate,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
+        "star_join": q_star_join,
+        "rollup": q_rollup,
+        "events_windowed": q_events_windowed,
         "corpus_mixture": q_corpus_mixture,
         "text_repetition": q_text_repetition,
         "tpch_q2": q_tpch_q2,
@@ -2767,6 +2846,58 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'click' AND b.event_type = 'error'
             GROUP BY 1
+        """,
+        # events_funnel: ordered stages as chained min-after-previous
+        # aggregates; latency averaged over exact integer seconds.
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1
+                FROM events e JOIN v USING (user_id)
+                WHERE event_type = 'click' AND e.ts > t1
+                GROUP BY e.user_id),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t3, min(t2) AS t2
+                FROM events e JOIN c USING (user_id)
+                WHERE event_type = 'purchase' AND e.ts > t2
+                GROUP BY e.user_id)
+            SELECT '1_view' AS stage, count(*) AS n_users,
+                   CAST(NULL AS DOUBLE) AS avg_hours FROM v
+            UNION ALL
+            SELECT '2_click', count(*),
+                   round(avg(epoch_us(t2) - epoch_us(t1)) / 3.6e9, 6)
+            FROM c
+            UNION ALL
+            SELECT '3_purchase', count(*),
+                   round(avg(epoch_us(t3) - epoch_us(t2)) / 3.6e9, 6)
+            FROM p
+        """,
+        # events_retention: cohort by ISO week of first event, offset
+        # in whole weeks of exact seconds.
+        "events_retention": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS first_ts FROM events
+                GROUP BY user_id)
+            SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+                       AS cohort_week,
+                   cast(floor((epoch_us(ts) - epoch_us(first_ts))
+                              / 604800e6) as bigint) AS week_offset,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   least(cast(floor(value / 20.0) as bigint), 24)
+                       AS bin,
+                   count(*) AS n,
+                   round(cast(sum(cast(value as decimal(18,2)))
+                         as double), 2) AS sum_value,
+                   least(cast(floor(value / 20.0) as bigint), 24)
+                       * 20.0 AS bin_lo
+            FROM events GROUP BY 1, 2
         """,
         "events_dedup": """
             WITH ranked AS (
