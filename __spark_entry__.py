@@ -928,7 +928,7 @@ def q_tpch_q20(spark, sf_dir):
     per-supplier quantity in 1997.  Decorrelation is a window over the
     POST-aggregation (part, supplier) frame — the corpus is scanned
     once and the window input is |qualifying pairs|, not |lineitem|.
-    Quantity sums are integer-valued doubles, so the 0.5× threshold
+    Quantity sums are integer-valued doubles, so the 1.5× threshold
     compare is exact on both engines."""
     red_parts = F.broadcast(_t(spark, sf_dir, "part")
                             .where("p_name LIKE 'red%'")
@@ -1010,7 +1010,9 @@ def q_bm25_search(spark, sf_dir):
     from that persisted small frame, never from a second corpus scan.
     Constants and df broadcast as one-row / |terms|-row join inputs,
     the score is a pure map-side expression, and the top-20 rides the
-    same WindowGroupLimit path as ``topk``."""
+    same WindowGroupLimit path as ``topk``.  The persisted frame lives
+    until the harness's per-query ``clearCache`` (bench.py and
+    tools/check_oracle.py both isolate queries that way)."""
     K1, B = 1.2, 0.75
     terms = ["spark", "merge", "vector"]
     docs = _t(spark, sf_dir, "documents")
@@ -1394,8 +1396,8 @@ def q_events_funnel(spark, sf_dir):
     time, so conversion respects event order, not mere co-occurrence.
     All three stages shuffle on user_id — the per-user frames reuse
     the same partitioning — and stage-to-stage latency averages over
-    exact integer seconds before one final division, so the mean is
-    engine-deterministic."""
+    exact integer microseconds before one final division, so the mean
+    is engine-deterministic."""
     ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
           .select("user_id", "event_type", "ts"))
     v = (ev.where("event_type = 'view'")
@@ -1434,7 +1436,8 @@ def q_events_retention(spark, sf_dir):
     event.  One per-user aggregate for cohort assignment, one join
     back (both shuffles keyed user_id, partitioning reused), then a
     distinct-count per (cohort, offset) — the offset derives from
-    exact integer seconds so bucket edges match across engines."""
+    exact integer microseconds so bucket edges match across
+    engines."""
     ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
           .select("user_id", "ts"))
     first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
@@ -2298,9 +2301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5 leads with the 26 entries whose last driver row is
     # round 3 (the r4 tail), then this round's code-touched queries
     # (multimodal_features now oracle-checked; kmeans/contamination
-    # SQL mirrors hardened; dedup_clusters perf work), then round-4
-    # greens fill the window; the tail re-lists the remaining
-    # round-4 greens so the r4+r5 union covers all 76.
+    # SQL mirrors hardened; dedup_clusters perf work) and every query
+    # NEW this round (new entries must sit inside the window to get
+    # their first oracle row), then round-4 greens fill the window.
+    # Every entry below position 50 was green in round 4's window, so
+    # the r4+r5 union covers all 91.
     return {
         # -- last driver row is round 3 (r4 tail) --
         "pivot": q_pivot,
@@ -2848,7 +2853,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         # events_funnel: ordered stages as chained min-after-previous
-        # aggregates; latency averaged over exact integer seconds.
+        # aggregates; latency averaged over exact integer
+        # microseconds.
         "events_funnel": """
             WITH v AS (
                 SELECT user_id, min(ts) AS t1 FROM events

@@ -23,8 +23,10 @@ def test_funnel_stages_monotone(spark):
     assert rows["1_view"]["avg_hours"] is None
     for s in ("2_click", "3_purchase"):
         if rows[s]["n_users"] > 0:
-            # strict ts > predecessor => positive mean latency
-            assert rows[s]["avg_hours"] > 0
+            # strict ts > predecessor => non-negative mean latency
+            # (>= 0, not > 0: the 6-decimal rounding of hours can
+            # legitimately round a sub-2ms mean down to exactly 0.0)
+            assert rows[s]["avg_hours"] >= 0
 
 
 def test_retention_offset_zero_is_whole_cohort(spark):

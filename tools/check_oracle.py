@@ -128,6 +128,10 @@ def main():
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # queries that persist intermediates (tpch_q11, bm25_search,
+        # the LSH family) would otherwise pin storage memory across
+        # the whole 91-query session; the bench isolates the same way
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
