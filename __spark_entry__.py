@@ -1467,6 +1467,77 @@ def q_value_histogram(spark, sf_dir):
               .withColumn("bin_lo", F.col("bin") * 20.0))
 
 
+def q_skew_profile(spark, sf_dir):
+    """Heavy-hitter key profile of a join key (here lineitem's
+    l_orderkey): per-key counts from one partial-merged aggregate,
+    the grand total re-aggregated from the SAME persisted frame (the
+    ``tpch_q11`` discipline — never an unpartitioned window over
+    |keys| rows), top-20 by share.  This is the diagnostic that
+    decides when a join needs ``salted_join``: at 100 TB the skew
+    detector must itself not be skew-prone — its shuffle carries
+    (key, count), never rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_key = (li.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .persist())
+    total = per_key.agg(F.sum("n").alias("total"))
+    return (per_key.join(F.broadcast(total))
+                   .select(F.col("l_orderkey").alias("key"), "n",
+                           F.round(F.col("n") / F.col("total"), 6)
+                            .alias("share"))
+                   .orderBy(F.col("n").desc(), F.col("key"))
+                   .limit(20))
+
+
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit: orphan counts per foreign-key
+    relationship, each an anti join (broadcast when the parent is a
+    dim, shuffle for the fact-fact orders check) reduced to one row.
+    The pipeline data-quality gate: joins downstream silently drop
+    orphans, so this query is what makes that loss visible before it
+    ships."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def audit(child, fk, parent, pk, name, broadcast_parent=True):
+        keys = parent.select(pk).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        orphans = child.join(keys, child[fk] == keys[pk], "left_anti")
+        return (child.agg(F.count(F.lit(1)).alias("n_child"))
+                .join(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+                .select(F.lit(name).alias("relationship"), "n_child",
+                        "n_orphans"))
+
+    return (audit(li, "l_orderkey", orders, "o_orderkey",
+                  "lineitem->orders", broadcast_parent=False)
+            .unionByName(audit(li, "l_partkey",
+                               _t(spark, sf_dir, "part"), "p_partkey",
+                               "lineitem->part"))
+            .unionByName(audit(li, "l_suppkey",
+                               _t(spark, sf_dir, "supplier"),
+                               "s_suppkey", "lineitem->supplier"))
+            .unionByName(audit(orders, "o_custkey",
+                               _t(spark, sf_dir, "customer"),
+                               "c_custkey", "orders->customer")))
+
+
+def q_events_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user event sequences: lag
+    window keyed (user_id) ordered (ts, event_id) — the event_id
+    tiebreak makes same-timestamp ordering engine-deterministic —
+    then one count per (prev, next) pair.  One shuffle on user_id;
+    the reduce side is |types x types| rows at any corpus size."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    return (seq.where(F.col("prev_type").isNotNull())
+               .groupBy("prev_type",
+                        F.col("event_type").alias("next_type"))
+               .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style within-document repetition signals: word-bigram
     duplicate ratio + dominant-bigram share, the standard quality
@@ -2354,10 +2425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "value_histogram": q_value_histogram,
+        "skew_profile": q_skew_profile,
+        "fk_audit": q_fk_audit,
+        "events_transitions": q_events_transitions,
         # -- green in round 4, re-validated this round --
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_props": q_events_props,
         "events_dedup": q_events_dedup,
         "events_correlate": q_events_correlate,
         # -- tail: green in round 4, untouched (below the 50-entry
@@ -2365,6 +2436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": q_star_join,
         "rollup": q_rollup,
         "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_props": q_events_props,
         "corpus_mixture": q_corpus_mixture,
         "text_repetition": q_text_repetition,
         "tpch_q2": q_tpch_q2,
@@ -2892,6 +2966,55 @@ def oracle_sql() -> dict[str, str]:
                               / 604800e6) as bigint) AS week_offset,
                    count(DISTINCT e.user_id) AS n_users
             FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "skew_profile": """
+            WITH pk AS (
+                SELECT l_orderkey AS key, count(*) AS n
+                FROM lineitem GROUP BY 1)
+            SELECT key, n,
+                   round(n / (SELECT sum(n) FROM pk), 6) AS share
+            FROM pk
+            ORDER BY n DESC, key
+            LIMIT 20
+        """,
+        "fk_audit": """
+            SELECT 'lineitem->orders' AS relationship,
+                   (SELECT count(*) FROM lineitem) AS n_child,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey NOT IN
+                          (SELECT o_orderkey FROM orders)) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_partkey NOT IN
+                          (SELECT p_partkey FROM part))
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_suppkey NOT IN
+                          (SELECT s_suppkey FROM supplier))
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey NOT IN
+                          (SELECT c_custkey FROM customer))
+        """,
+        # events_transitions: lag over (ts, event_id) — the tiebreak
+        # keeps same-timestamp ordering engine-deterministic.
+        "events_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
             GROUP BY 1, 2
         """,
         "value_histogram": """
