@@ -52,8 +52,6 @@ def get_spark(app_name: str = "dask-ms-spark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Python DataSource V2 pushdown (sources/pyds.py ROWID pruning)
-        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- Arrow everywhere Python touches data ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

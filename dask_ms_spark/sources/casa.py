@@ -51,6 +51,7 @@ except Exception:  # pragma: no cover
 
 __all__ = ["HAVE_CASACORE", "xds_from_casa", "xds_to_casa", "xds_from_ms",
            "casa_table_descriptor", "create_casa_table",
+           "probe_casa_table", "read_casa_chunk",
            "MS_GROUP_COLS", "MS_INDEX_COLS", "DEFAULT_CASA_ROW_CHUNK"]
 
 # Reference defaults for Measurement Sets (daskms/dask_ms.py:12-13).
@@ -126,37 +127,15 @@ def _resolve_slab(cell_shape: tuple[int, ...],
     return blc, trc, inc
 
 
-def xds_from_casa(spark: SparkSession, path: str,
-                  columns: Iterable[str] | None = None,
-                  group_cols: Iterable[str] = (),
-                  index_cols: Iterable[str] = (),
-                  where: str | None = None,
-                  table_factory: Callable | None = None,
-                  row_chunk: int = DEFAULT_CASA_ROW_CHUNK,
-                  slices: dict | None = None) -> list[Dataset]:
-    """Read a CASA table into Datasets via distributed chunked getcol
-    (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
-    per-chunk getter kernels of daskms/reads.py:40-189).
-
-    ``table_factory(path)`` must return a python-casacore-shaped
-    table: ``colnames()``, ``nrows()``, ``getcol(col, startrow,
-    nrow)``, ``close()``.  Defaults to ``casacore.tables.table``
-    (import-gated); tests inject a fake.
-
-    ``slices`` maps a tensor column name to a tuple of python slices
-    over its cell (non-row) dimensions; sliced columns are read with
-    ``getcolslice(col, blc, trc, inc, startrow, nrow)`` so only the
-    requested hyperslab's bytes leave storage (the reference's
-    source-level slab read, daskms/reads.py:58-75) — for a wide DATA
-    column read at one channel, an I/O reduction of the full
-    channel-count factor, not a post-read projection.
-    """
-    if table_factory is None:
-        _require_casacore()
-        table_factory = _casacore_factory
+def probe_casa_table(table_factory: Callable, path: str,
+                     columns: Iterable[str] | None = None,
+                     slices: dict | None = None):
+    """Driver-side metadata probe: open once, read column names, row
+    count and a ONE-row dtype exemplar per column (the reference's
+    eager descriptor + exemplar-row read, daskms/columns.py:103-262).
+    Returns ``(schema, specs, slabs, nrow)`` — everything both the
+    mapInPandas path and the Python DataSource need to plan a scan."""
     slices = dict(slices or {})
-
-    # driver: metadata + one-row dtype probe only
     t = table_factory(path)
     try:
         names = list(columns) if columns else list(t.colnames())
@@ -187,7 +166,70 @@ def xds_from_casa(spark: SparkSession, path: str,
     finally:
         if hasattr(t, "close"):
             t.close()
-    schema = StructType(fields)
+    return StructType(fields), specs, slabs, nrow
+
+
+def read_casa_chunk(table, specs: dict, slabs: dict,
+                    lo: int, hi: int) -> dict:
+    """Executor-side chunk kernel: getcol/getcolslice the ``[lo, hi)``
+    row range of every planned column into numpy, applying the
+    complex-interleave and N-d-flatten transfer conventions of
+    ``types.py``.  Shared by the mapInPandas reader and the Python
+    DataSource."""
+    out = {ROWID: np.arange(lo, hi, dtype=np.int64)}
+    for c, kind in specs.items():
+        if c in slabs:
+            blc, trc, inc = slabs[c]
+            arr = np.asarray(table.getcolslice(
+                c, blc, trc, inc, lo, hi - lo))
+        else:
+            arr = np.asarray(table.getcol(c, lo, hi - lo))
+        if kind == "complex":
+            flat = arr.reshape(hi - lo, -1)
+            inter = np.empty(
+                (hi - lo, flat.shape[1] * 2),
+                dtype=np.float32 if arr.dtype.itemsize == 8
+                else np.float64)
+            inter[:, 0::2] = flat.real
+            inter[:, 1::2] = flat.imag
+            out[c] = list(inter)
+        elif kind == "flat":
+            out[c] = list(arr.reshape(hi - lo, -1))
+        else:
+            out[c] = arr
+    return out
+
+
+def xds_from_casa(spark: SparkSession, path: str,
+                  columns: Iterable[str] | None = None,
+                  group_cols: Iterable[str] = (),
+                  index_cols: Iterable[str] = (),
+                  where: str | None = None,
+                  table_factory: Callable | None = None,
+                  row_chunk: int = DEFAULT_CASA_ROW_CHUNK,
+                  slices: dict | None = None) -> list[Dataset]:
+    """Read a CASA table into Datasets via distributed chunked getcol
+    (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
+    per-chunk getter kernels of daskms/reads.py:40-189).
+
+    ``table_factory(path)`` must return a python-casacore-shaped
+    table: ``colnames()``, ``nrows()``, ``getcol(col, startrow,
+    nrow)``, ``close()``.  Defaults to ``casacore.tables.table``
+    (import-gated); tests inject a fake.
+
+    ``slices`` maps a tensor column name to a tuple of python slices
+    over its cell (non-row) dimensions; sliced columns are read with
+    ``getcolslice(col, blc, trc, inc, startrow, nrow)`` so only the
+    requested hyperslab's bytes leave storage (the reference's
+    source-level slab read, daskms/reads.py:58-75) — for a wide DATA
+    column read at one channel, an I/O reduction of the full
+    channel-count factor, not a post-read projection.
+    """
+    if table_factory is None:
+        _require_casacore()
+        table_factory = _casacore_factory
+    schema, specs, slabs, nrow = probe_casa_table(
+        table_factory, path, columns, slices)
     n_chunks = max(1, math.ceil(nrow / row_chunk))
 
     def read_chunks(batches):
@@ -200,28 +242,8 @@ def xds_from_casa(spark: SparkSession, path: str,
                     table = table_factory(path)
                 lo = ci * row_chunk
                 hi = min(nrow, lo + row_chunk)
-                out = {ROWID: np.arange(lo, hi, dtype=np.int64)}
-                for c, kind in specs.items():
-                    if c in slabs:
-                        blc, trc, inc = slabs[c]
-                        arr = np.asarray(table.getcolslice(
-                            c, blc, trc, inc, lo, hi - lo))
-                    else:
-                        arr = np.asarray(table.getcol(c, lo, hi - lo))
-                    if kind == "complex":
-                        flat = arr.reshape(hi - lo, -1)
-                        inter = np.empty(
-                            (hi - lo, flat.shape[1] * 2),
-                            dtype=np.float32 if arr.dtype.itemsize == 8
-                            else np.float64)
-                        inter[:, 0::2] = flat.real
-                        inter[:, 1::2] = flat.imag
-                        out[c] = list(inter)
-                    elif kind == "flat":
-                        out[c] = list(arr.reshape(hi - lo, -1))
-                    else:
-                        out[c] = arr
-                yield pd.DataFrame(out)
+                yield pd.DataFrame(read_casa_chunk(
+                    table, specs, slabs, lo, hi))
 
     if nrow == 0:
         df = spark.createDataFrame([], schema)

@@ -1,4 +1,5 @@
-"""Python DataSource V2 registration for the zarr store (reference S3).
+"""Python DataSource V2 registration for the zarr and CASA sources
+(reference S3/S1).
 
 ``xds_from_zarr`` is the dataset-list API (one Dataset per
 ``{table}_{i}`` group, the reference's read surface —
@@ -16,31 +17,45 @@ Scale shape — identical to ``xds_from_zarr``: the driver touches only
 the JSON metadata (``.zarray``/``.zattrs``); ``partitions()`` emits one
 ``InputPartition`` per row-chunk so a 1000-executor cluster reads 1000
 chunks concurrently; ``read()`` runs executor-side and yields Arrow
-record batches (one language crossing per chunk).  ``pushFilters``
-accepts ROWID range/equality predicates and prunes whole chunk
-partitions at plan time — the Python-source analogue of parquet
-row-group pruning (reference row-run selection, daskms/ordering.py:18-57).
+record batches (one language crossing per chunk).  Explicit
+``rowid_min`` / ``rowid_max`` options prune whole chunk partitions at
+plan time — the Python-source analogue of parquet row-group pruning
+(reference row-run selection, daskms/ordering.py:18-57).
+
+Why the bounds are OPTIONS and not ``pushFilters``: measured on this
+Spark (4.1), the Python-source scan object is cached per relation and
+a ``pushFilters``-narrowed scan is REUSED by later queries on the same
+DataFrame — ``df.where("ROWID >= 20").collect()`` followed by
+``df.count()`` returned the filtered count (5 of 37) for the
+unfiltered query.  Stateful filter pushdown in a Python source is
+therefore a silent-wrong-results hazard under relation reuse; explicit
+per-load options carry the same pruning with none of the shared
+mutable state.
+
+``CasaDataSource`` exposes a CASA table the same way
+(``spark.read.format("casa")``), reusing ``probe_casa_table`` /
+``read_casa_chunk`` and the ``table_factory`` seam: each task opens
+its own handle (the reference's TableProxy-per-worker pattern,
+daskms/table_proxy.py:295-361), so tests drive the full DataSource
+path with a fake factory and production rides python-casacore.
 """
 
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator
 
 import numpy as np
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, Filter, GreaterThan,
-                                    GreaterThanOrEqual, InputPartition,
-                                    LessThan, LessThanOrEqual)
+                                    InputPartition)
 from pyspark.sql.types import (ArrayType, LongType, StructField,
                                StructType)
 
 from ..types import ROWID
 from .zarr import _group_dirs, _np_to_spark, _read_cell_chunks, _read_json
 
-__all__ = ["ZarrDataSource", "register_python_sources"]
+__all__ = ["ZarrDataSource", "CasaDataSource", "register_python_sources"]
 
 
 def _resolve_group(path: str, group: str | None) -> str:
@@ -90,11 +105,44 @@ class _ChunkPartition(InputPartition):
     chunk_index: int
 
 
-class ZarrReader(DataSourceReader):
-    """One partition per row-chunk; ROWID predicates prune chunks."""
+class _RowidChunkPruning:
+    """Shared ROWID range pruning: subclasses set ``nrow``,
+    ``row_chunk`` and call ``_init_bounds(lo, hi)`` with the
+    (inclusive) bounds from the load options; ``partitions()`` emits
+    only the intersecting chunks and ``read()`` trims the boundary
+    chunks, so rows outside the bounds never leave the reader."""
+
+    nrow: int
+    row_chunk: int
+
+    def _init_bounds(self, lo: int | None = None,
+                     hi: int | None = None):
+        self.lo_bound = 0 if lo is None else max(0, int(lo))
+        top = max(self.nrow - 1, 0)
+        self.hi_bound = top if hi is None else min(top, int(hi))
+
+    def partitions(self):
+        first = self.lo_bound // self.row_chunk
+        last = self.hi_bound // self.row_chunk
+        n_chunks = max(1, (self.nrow + self.row_chunk - 1)
+                       // self.row_chunk)
+        return [_ChunkPartition(ci)
+                for ci in range(max(0, first),
+                                min(n_chunks, last + 1))]
+
+    def _chunk_range(self, partition: "_ChunkPartition"):
+        lo = partition.chunk_index * self.row_chunk
+        hi = min(self.nrow, lo + self.row_chunk)
+        return lo, hi
+
+
+class ZarrReader(_RowidChunkPruning, DataSourceReader):
+    """One partition per row-chunk; ROWID bound options prune chunks."""
 
     def __init__(self, path: str, group: str | None,
-                 columns: list[str] | None):
+                 columns: list[str] | None,
+                 rowid_min: int | None = None,
+                 rowid_max: int | None = None):
         self.group_dir = _resolve_group(path, group)
         self.arrays = _load_arrays(self.group_dir, columns)
         shapes = {c: z["shape"] for c, z in self.arrays.items()}
@@ -106,51 +154,15 @@ class ZarrReader(DataSourceReader):
         if len(row_chunks) != 1:
             raise ValueError("arrays disagree on row chunking")
         self.row_chunk = row_chunks.pop()
-        # ROWID bounds narrowed by pushed filters (inclusive)
-        self.lo_bound = 0
-        self.hi_bound = max(self.nrow - 1, 0)
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Prune chunk partitions from ROWID range predicates; every
-        pushed filter is FULLY handled (rows outside the bound never
-        leave the reader), so it is consumed, not re-evaluated."""
-        for f in filters:
-            if getattr(f, "attribute", None) != (ROWID,):
-                yield f
-                continue
-            v = f.value
-            if isinstance(f, EqualTo):
-                self.lo_bound = max(self.lo_bound, int(v))
-                self.hi_bound = min(self.hi_bound, int(v))
-            elif isinstance(f, GreaterThan):
-                self.lo_bound = max(self.lo_bound, int(v) + 1)
-            elif isinstance(f, GreaterThanOrEqual):
-                self.lo_bound = max(self.lo_bound, int(v))
-            elif isinstance(f, LessThan):
-                self.hi_bound = min(self.hi_bound, int(v) - 1)
-            elif isinstance(f, LessThanOrEqual):
-                self.hi_bound = min(self.hi_bound, int(v))
-            else:
-                yield f
-
-    def partitions(self):
-        first = self.lo_bound // self.row_chunk
-        last = self.hi_bound // self.row_chunk
-        n_chunks = max(1, (self.nrow + self.row_chunk - 1)
-                       // self.row_chunk)
-        return [_ChunkPartition(ci)
-                for ci in range(max(0, first),
-                                min(n_chunks, last + 1))]
+        self._init_bounds(rowid_min, rowid_max)
 
     def read(self, partition: _ChunkPartition):
         import pyarrow as pa
 
         ci = partition.chunk_index
-        lo = ci * self.row_chunk
-        hi = min(self.nrow, lo + self.row_chunk)
+        lo, hi = self._chunk_range(partition)
         rowid = np.arange(lo, hi, dtype=np.int64)
-        # apply the residual of the pushed ROWID bounds inside the
-        # boundary chunks
+        # trim the bound residual inside the boundary chunks
         keep = (rowid >= self.lo_bound) & (rowid <= self.hi_bound)
         cols: dict[str, pa.Array] = {
             ROWID: pa.array(rowid[keep], type=pa.int64())}
@@ -166,10 +178,18 @@ class ZarrReader(DataSourceReader):
         yield pa.RecordBatch.from_pydict(cols)
 
 
+def _bound_options(options) -> tuple[int | None, int | None]:
+    lo = options.get("rowid_min")
+    hi = options.get("rowid_max")
+    return (int(lo) if lo is not None else None,
+            int(hi) if hi is not None else None)
+
+
 class ZarrDataSource(DataSource):
     """``spark.read.format("zarr")`` over the repo's zarr-v2 store
     layout.  Options: ``group`` (required when the store holds several
-    ``{table}_{i}`` groups), ``columns`` (comma-separated projection)."""
+    ``{table}_{i}`` groups), ``columns`` (comma-separated projection),
+    ``rowid_min`` / ``rowid_max`` (inclusive chunk-pruning bounds)."""
 
     @classmethod
     def name(cls) -> str:
@@ -197,9 +217,105 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ZarrReader:
         path, group, cols = self._reader_args()
-        return ZarrReader(path, group, cols)
+        lo, hi = _bound_options(self.options)
+        return ZarrReader(path, group, cols, lo, hi)
+
+
+class CasaReader(_RowidChunkPruning, DataSourceReader):
+    """One partition per row-chunk of a CASA table; each task opens
+    its own table handle via the factory (the reference's
+    TableProxy-per-worker pattern) and reads with getcol/getcolslice
+    through the shared chunk kernel."""
+
+    def __init__(self, table_factory, path: str,
+                 columns: list[str] | None, row_chunk: int,
+                 rowid_min: int | None = None,
+                 rowid_max: int | None = None):
+        from .casa import probe_casa_table
+
+        self.table_factory = table_factory
+        self.path = path
+        self.row_chunk = row_chunk
+        _, self.specs, self.slabs, self.nrow = probe_casa_table(
+            table_factory, path, columns)
+        self._init_bounds(rowid_min, rowid_max)
+
+    def read(self, partition: _ChunkPartition):
+        import pyarrow as pa
+
+        from .casa import read_casa_chunk
+
+        lo, hi = self._chunk_range(partition)
+        table = self.table_factory(self.path)
+        try:
+            cols = read_casa_chunk(table, self.specs, self.slabs,
+                                   lo, hi)
+        finally:
+            if hasattr(table, "close"):
+                table.close()
+        rowid = cols[ROWID]
+        keep = (rowid >= self.lo_bound) & (rowid <= self.hi_bound)
+        out = {}
+        for c, v in cols.items():
+            if isinstance(v, list):
+                out[c] = pa.array([x for x, k in zip(v, keep) if k])
+            else:
+                out[c] = pa.array(v[keep])
+        yield pa.RecordBatch.from_pydict(out)
+
+
+class CasaDataSource(DataSource):
+    """``spark.read.format("casa")`` over a CASA table.  Options:
+    ``columns`` (comma-separated projection), ``row_chunk``,
+    ``rowid_min`` / ``rowid_max`` (inclusive chunk-pruning bounds).
+    The table factory defaults to python-casacore (import-gated);
+    tests subclass and override ``table_factory`` with a fake — the
+    same seam ``xds_from_casa`` uses."""
+
+    table_factory = None  # subclass override point (picklable callable)
+
+    @classmethod
+    def name(cls) -> str:
+        return "casa"
+
+    def _factory(self):
+        if type(self).table_factory is not None:
+            return type(self).table_factory
+        from .casa import _casacore_factory, _require_casacore
+
+        _require_casacore()
+        return _casacore_factory
+
+    def _reader_args(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("load(path) is required for format('casa')")
+        columns = self.options.get("columns")
+        cols = ([c.strip() for c in columns.split(",") if c.strip()]
+                if columns else None)
+        from .casa import DEFAULT_CASA_ROW_CHUNK
+
+        row_chunk = int(self.options.get("row_chunk",
+                                         DEFAULT_CASA_ROW_CHUNK))
+        return path, cols, row_chunk
+
+    def schema(self) -> StructType:
+        from .casa import probe_casa_table
+
+        path, cols, _ = self._reader_args()
+        schema, _, _, _ = probe_casa_table(self._factory(), path, cols)
+        return schema
+
+    def reader(self, schema: StructType) -> CasaReader:
+        path, cols, row_chunk = self._reader_args()
+        lo, hi = _bound_options(self.options)
+        return CasaReader(self._factory(), path, cols, row_chunk,
+                          lo, hi)
 
 
 def register_python_sources(spark) -> None:
-    """Register every Python DataSource this package provides."""
+    """Register every Python DataSource this package provides.  The
+    CASA source registers unconditionally; it raises the convert-path
+    guidance only when a read is attempted without python-casacore."""
     spark.dataSource.register(ZarrDataSource)
+    spark.dataSource.register(CasaDataSource)

@@ -28,7 +28,6 @@ def spark():
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-         .config("spark.sql.python.filterPushdown.enabled", "true")
          .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -32,26 +32,25 @@ def test_format_zarr_roundtrip(spark, store):
     assert row.TIME == 24_690.0 and row.UVW == [12345.0, 12346.0]
 
 
-def test_format_zarr_filter_pushdown_values(spark, store):
-    out = (spark.read.format("zarr").load(store)
-           .where("ROWID >= 20000 AND ROWID < 20010"))
-    got = [r.ROWID for r in out.collect()]
+def test_format_zarr_rowid_bounds_values(spark, store):
+    out = (spark.read.format("zarr")
+           .option("rowid_min", "20000").option("rowid_max", "20009")
+           .load(store))
+    got = sorted(r.ROWID for r in out.collect())
     assert got == list(range(20_000, 20_010))
+    # a plain .where on an unbounded load stays correct (the filter
+    # runs post-scan; no shared pushdown state exists to leak)
+    r = spark.read.format("zarr").load(store)
+    assert len(r.where("ROWID >= 20000 AND ROWID < 20010")
+                .collect()) == 10
+    assert r.count() == 25_000  # after the filtered query, not 10
 
 
 def test_reader_prunes_chunk_partitions(store):
-    from pyspark.sql.datasource import (GreaterThanOrEqual, LessThan,
-                                        StringStartsWith)
-
     r = ZarrReader(store + "/MAIN_0", None, None)
-    n_all = len(r.partitions())
-    assert n_all == 3  # 25k rows / 10k default chunk
-    unsupported = list(r.pushFilters([
-        GreaterThanOrEqual(("ROWID",), 20_000),
-        LessThan(("ROWID",), 20_010),
-        StringStartsWith(("TIME",), "x"),   # not ours -> handed back
-    ]))
-    assert len(unsupported) == 1
+    assert len(r.partitions()) == 3  # 25k rows / 10k default chunk
+    r = ZarrReader(store + "/MAIN_0", None, None,
+                   rowid_min=20_000, rowid_max=20_009)
     assert len(r.partitions()) == 1  # only the chunk holding 20k-20009
 
 
@@ -82,3 +81,61 @@ def test_multigroup_requires_group_option(spark, orders, tmp_path):
     one = (spark.read.format("zarr").option("group", groups[0])
            .load(path))
     assert one.count() > 0
+
+
+def test_format_casa_with_fake_factory(spark):
+    """The CASA DataSource rides the same table seam as
+    xds_from_casa: a python-casacore-shaped fake, registered under a
+    subclass, serves schema + chunked reads + ROWID pruning."""
+    from dask_ms_spark.sources.pyds import CasaDataSource
+    from tests.test_sources import FakeCasaTable
+
+    class FakeCasaSource(CasaDataSource):
+        table_factory = staticmethod(FakeCasaTable)
+
+        @classmethod
+        def name(cls):
+            return "fakecasa"
+
+    spark.dataSource.register(FakeCasaSource)
+    r = (spark.read.format("fakecasa")
+         .option("row_chunk", "10").load("/fake/ms"))
+    assert r.count() == FakeCasaTable.N
+    assert set(r.columns) == {"ROWID", "FIELD_ID", "TIME", "NAME",
+                              "DATA", "UVW"}
+    cols = FakeCasaTable("/fake/ms").COLS
+    row = r.where("ROWID = 17").collect()[0]
+    assert row.FIELD_ID == int(cols["FIELD_ID"][17])
+    assert row.TIME == float(cols["TIME"][17])
+    # complex transfer convention: interleaved re/im
+    import numpy as np
+
+    expect = np.empty(16, dtype=np.float32)
+    expect[0::2] = cols["DATA"][17].real.ravel()
+    expect[1::2] = cols["DATA"][17].imag.ravel()
+    assert np.allclose(row.DATA, expect)
+    # bounded load reads only the requested rows
+    sub = (spark.read.format("fakecasa").option("row_chunk", "10")
+           .option("rowid_min", "20").option("rowid_max", "24")
+           .load("/fake/ms"))
+    assert sorted(x.ROWID for x in sub.collect()) == list(range(20, 25))
+
+
+def test_casa_reader_prunes_partitions():
+    from dask_ms_spark.sources.pyds import CasaReader
+    from tests.test_sources import FakeCasaTable
+
+    rd = CasaReader(FakeCasaTable, "/fake/ms", None, 10)
+    assert len(rd.partitions()) == 4  # 37 rows / 10-row chunks
+    rd = CasaReader(FakeCasaTable, "/fake/ms", None, 10,
+                    rowid_min=20, rowid_max=24)
+    assert len(rd.partitions()) == 1
+
+
+def test_format_casa_without_casacore_raises(spark):
+    import pytest as _pytest
+
+    from dask_ms_spark.sources.pyds import register_python_sources
+    register_python_sources(spark)
+    with _pytest.raises(Exception, match="casacore|convert"):
+        spark.read.format("casa").load("/no/such/table").collect()
