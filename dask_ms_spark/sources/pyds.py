@@ -102,7 +102,14 @@ def _load_arrays(group_dir: str, columns: list[str] | None) -> dict:
 
 @dataclass
 class _ChunkPartition(InputPartition):
-    chunk_index: int
+    """A contiguous run of row-chunks ``[first, last]`` (inclusive).
+    Grouping chunks per task matters: one task per 10k-row chunk
+    measured 3x slower than the mapInPandas path on a 2M-row store
+    purely from per-partition protocol overhead; with runs the two
+    paths match."""
+
+    first_chunk: int
+    last_chunk: int
 
 
 class _RowidChunkPruning:
@@ -114,6 +121,14 @@ class _RowidChunkPruning:
 
     nrow: int
     row_chunk: int
+    # Default task granularity: 2x driver cores.  Measured sweep on a
+    # 2M-row store (200 chunks, 32 cores): one-partition-per-chunk
+    # 1.3-1.6 s, 64 partitions 0.54 s, 32 partitions 0.42 s — the
+    # per-partition Python-source protocol overhead dominates below
+    # ~2 chunks/task.  Cluster deployments where the driver's core
+    # count is not representative should set .option("max_partitions")
+    # to ~2-3x total executor cores.
+    max_partitions: int = max(16, 2 * (os.cpu_count() or 8))
 
     def _init_bounds(self, lo: int | None = None,
                      hi: int | None = None):
@@ -122,18 +137,31 @@ class _RowidChunkPruning:
         self.hi_bound = top if hi is None else min(top, int(hi))
 
     def partitions(self):
-        first = self.lo_bound // self.row_chunk
-        last = self.hi_bound // self.row_chunk
         n_chunks = max(1, (self.nrow + self.row_chunk - 1)
                        // self.row_chunk)
-        return [_ChunkPartition(ci)
-                for ci in range(max(0, first),
-                                min(n_chunks, last + 1))]
+        first = max(0, self.lo_bound // self.row_chunk)
+        last = min(n_chunks - 1, self.hi_bound // self.row_chunk)
+        if last < first:
+            return [_ChunkPartition(first, first)]
+        span = last - first + 1
+        n_parts = min(span, max(1, self.max_partitions))
+        # contiguous runs, remainder spread over the leading runs
+        base, extra = divmod(span, n_parts)
+        out, c = [], first
+        for i in range(n_parts):
+            size = base + (1 if i < extra else 0)
+            out.append(_ChunkPartition(c, c + size - 1))
+            c += size
+        return out
 
-    def _chunk_range(self, partition: "_ChunkPartition"):
-        lo = partition.chunk_index * self.row_chunk
-        hi = min(self.nrow, lo + self.row_chunk)
-        return lo, hi
+    def _chunks(self, partition: "_ChunkPartition"):
+        """Yield ``(lo, hi)`` row ranges for every chunk in the run."""
+        for ci in range(partition.first_chunk,
+                        partition.last_chunk + 1):
+            lo = ci * self.row_chunk
+            hi = min(self.nrow, lo + self.row_chunk)
+            if hi > lo:
+                yield ci, lo, hi
 
 
 class ZarrReader(_RowidChunkPruning, DataSourceReader):
@@ -159,23 +187,24 @@ class ZarrReader(_RowidChunkPruning, DataSourceReader):
     def read(self, partition: _ChunkPartition):
         import pyarrow as pa
 
-        ci = partition.chunk_index
-        lo, hi = self._chunk_range(partition)
-        rowid = np.arange(lo, hi, dtype=np.int64)
-        # trim the bound residual inside the boundary chunks
-        keep = (rowid >= self.lo_bound) & (rowid <= self.hi_bound)
-        cols: dict[str, pa.Array] = {
-            ROWID: pa.array(rowid[keep], type=pa.int64())}
-        for c, z in self.arrays.items():
-            arr = _read_cell_chunks(self.group_dir, c, z, ci,
-                                    hi - lo, None)[keep]
-            if arr.ndim > 1:
-                cols[c] = pa.array(list(arr))
-            elif arr.dtype.kind == "M":
-                cols[c] = pa.array(arr.astype("datetime64[us]"))
-            else:
-                cols[c] = pa.array(arr)
-        yield pa.RecordBatch.from_pydict(cols)
+        for ci, lo, hi in self._chunks(partition):
+            rowid = np.arange(lo, hi, dtype=np.int64)
+            # trim the bound residual inside the boundary chunks
+            keep = (rowid >= self.lo_bound) & (rowid <= self.hi_bound)
+            if not keep.any():
+                continue
+            cols: dict[str, pa.Array] = {
+                ROWID: pa.array(rowid[keep], type=pa.int64())}
+            for c, z in self.arrays.items():
+                arr = _read_cell_chunks(self.group_dir, c, z, ci,
+                                        hi - lo, None)[keep]
+                if arr.ndim > 1:
+                    cols[c] = pa.array(list(arr))
+                elif arr.dtype.kind == "M":
+                    cols[c] = pa.array(arr.astype("datetime64[us]"))
+                else:
+                    cols[c] = pa.array(arr)
+            yield pa.RecordBatch.from_pydict(cols)
 
 
 def _bound_options(options) -> tuple[int | None, int | None]:
@@ -183,6 +212,13 @@ def _bound_options(options) -> tuple[int | None, int | None]:
     hi = options.get("rowid_max")
     return (int(lo) if lo is not None else None,
             int(hi) if hi is not None else None)
+
+
+def _apply_max_partitions(reader, options):
+    mp = options.get("max_partitions")
+    if mp is not None:
+        reader.max_partitions = max(1, int(mp))
+    return reader
 
 
 class ZarrDataSource(DataSource):
@@ -218,7 +254,8 @@ class ZarrDataSource(DataSource):
     def reader(self, schema: StructType) -> ZarrReader:
         path, group, cols = self._reader_args()
         lo, hi = _bound_options(self.options)
-        return ZarrReader(path, group, cols, lo, hi)
+        return _apply_max_partitions(
+            ZarrReader(path, group, cols, lo, hi), self.options)
 
 
 class CasaReader(_RowidChunkPruning, DataSourceReader):
@@ -245,23 +282,27 @@ class CasaReader(_RowidChunkPruning, DataSourceReader):
 
         from .casa import read_casa_chunk
 
-        lo, hi = self._chunk_range(partition)
         table = self.table_factory(self.path)
         try:
-            cols = read_casa_chunk(table, self.specs, self.slabs,
-                                   lo, hi)
+            for _, lo, hi in self._chunks(partition):
+                cols = read_casa_chunk(table, self.specs, self.slabs,
+                                       lo, hi)
+                rowid = cols[ROWID]
+                keep = ((rowid >= self.lo_bound)
+                        & (rowid <= self.hi_bound))
+                if not keep.any():
+                    continue
+                out = {}
+                for c, v in cols.items():
+                    if isinstance(v, list):
+                        out[c] = pa.array(
+                            [x for x, k in zip(v, keep) if k])
+                    else:
+                        out[c] = pa.array(v[keep])
+                yield pa.RecordBatch.from_pydict(out)
         finally:
             if hasattr(table, "close"):
                 table.close()
-        rowid = cols[ROWID]
-        keep = (rowid >= self.lo_bound) & (rowid <= self.hi_bound)
-        out = {}
-        for c, v in cols.items():
-            if isinstance(v, list):
-                out[c] = pa.array([x for x, k in zip(v, keep) if k])
-            else:
-                out[c] = pa.array(v[keep])
-        yield pa.RecordBatch.from_pydict(out)
 
 
 class CasaDataSource(DataSource):
@@ -309,8 +350,9 @@ class CasaDataSource(DataSource):
     def reader(self, schema: StructType) -> CasaReader:
         path, cols, row_chunk = self._reader_args()
         lo, hi = _bound_options(self.options)
-        return CasaReader(self._factory(), path, cols, row_chunk,
-                          lo, hi)
+        return _apply_max_partitions(
+            CasaReader(self._factory(), path, cols, row_chunk, lo, hi),
+            self.options)
 
 
 def register_python_sources(spark) -> None:
