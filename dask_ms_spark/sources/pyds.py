@@ -359,5 +359,8 @@ def register_python_sources(spark) -> None:
     """Register every Python DataSource this package provides.  The
     CASA source registers unconditionally; it raises the convert-path
     guidance only when a read is attempted without python-casacore."""
+    from ..streaming.replay import ParquetReplayDataSource
+
     spark.dataSource.register(ZarrDataSource)
     spark.dataSource.register(CasaDataSource)
+    spark.dataSource.register(ParquetReplayDataSource)

@@ -135,3 +135,61 @@ def test_dedup_events_stream_matches_batch_classes(spark, events_path,
     got = sorted(tuple(r) for r in kept.select(*key).distinct().collect())
     want = sorted(tuple(r) for r in batch.select(*key).distinct().collect())
     assert got == want
+
+
+def test_parquet_replay_exactly_once(spark, events_path):
+    """The replay DataSource delivers every source row exactly once
+    across paced microbatches (offsets are row counts; partitions
+    split on row-group boundaries)."""
+    from dask_ms_spark.sources.pyds import register_python_sources
+    from dask_ms_spark.streaming.replay import replay_to_memory
+
+    register_python_sources(spark)
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "300").load(events_path))
+    assert s.isStreaming
+    total = spark.read.parquet(events_path).count()
+    sink = replay_to_memory(s, "replay_eo", expect_rows=total)
+    assert sink.count() == total
+    assert sink.select("event_id").distinct().count() == total
+
+
+def test_parquet_replay_offsets_partition_exactly():
+    """partitions(start, end) tiles [start, end) with no gap/overlap
+    regardless of row-group alignment."""
+    from dask_ms_spark.streaming.replay import ParquetReplayStreamReader
+
+    r = ParquetReplayStreamReader(
+        "/root/testdata/sf0.001/events.parquet", 300)
+    assert r.initialOffset() == {"row": 0}
+    covered = []
+    for lo, hi in [(0, 300), (300, 600), (600, 1000)]:
+        for p in r.partitions({"row": lo}, {"row": hi}):
+            covered.append((p.lo, p.hi))
+    covered.sort()
+    edge = 0
+    for lo, hi in covered:
+        assert lo == edge
+        edge = hi
+    assert edge == 1000
+
+
+def test_parquet_replay_windowed_parity(spark, events_path, events):
+    """A windowed aggregation over the fully-drained replayed rows
+    matches the same aggregation over the batch read."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.sources.pyds import register_python_sources
+    from dask_ms_spark.streaming.events import windowed_counts
+    from dask_ms_spark.streaming.replay import replay_to_memory
+
+    register_python_sources(spark)
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "400").load(events_path))
+    total = spark.read.parquet(events_path).count()
+    sink = replay_to_memory(s, "replay_win", expect_rows=total)
+    got = (windowed_counts(sink, "1 hour")
+           .orderBy("window_start", "event_type").collect())
+    want = (windowed_counts(events, "1 hour")
+            .orderBy("window_start", "event_type").collect())
+    assert got == want
