@@ -1467,6 +1467,18 @@ def q_value_histogram(spark, sf_dir):
               .withColumn("bin_lo", F.col("bin") * 20.0))
 
 
+def q_negative_sampling(spark, sf_dir):
+    """Contrastive-training negative pairs: k deterministic uniform
+    negatives per document (map-side k-way explode + one-row broadcast
+    for N; the corpus never shuffles).  Identical (id, i, salt) ->
+    negative on every engine, so regenerated epochs agree pair for
+    pair with the training job."""
+    from dask_ms_spark.llm.sampling import negative_sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_sampling(docs, "doc_id", k=4)
+
+
 def q_skew_profile(spark, sf_dir):
     """Heavy-hitter key profile of a join key (here lineitem's
     l_orderkey): per-key counts from one partial-merged aggregate,
@@ -2428,8 +2440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "fk_audit": q_fk_audit,
         "events_transitions": q_events_transitions,
+        "negative_sampling": q_negative_sampling,
         # -- green in round 4, re-validated this round --
-        "events_dedup": q_events_dedup,
         "events_correlate": q_events_correlate,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
@@ -2439,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "events_props": q_events_props,
+        "events_dedup": q_events_dedup,
         "corpus_mixture": q_corpus_mixture,
         "text_repetition": q_text_repetition,
         "tpch_q2": q_tpch_q2,
@@ -2967,6 +2980,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT e.user_id) AS n_users
             FROM events e JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # negative_sampling: same md5 hash -> mod-N negative with
+        # anchor-collision bump, mirrored exactly.
+        "negative_sampling": f"""
+            WITH n AS (SELECT count(*) AS n_ids FROM documents),
+            e AS (
+                SELECT doc_id, CAST(t.i AS INT) AS neg_idx,
+                       {_DUCK_HASH.format(
+                           x="cast(doc_id as varchar) || '#' || "
+                             "cast(t.i as varchar) || 'neg'")}
+                           % n_ids AS raw, n_ids
+                FROM documents, n, range(0, 4) AS t(i))
+            SELECT doc_id, neg_idx,
+                   CASE WHEN raw = doc_id THEN (raw + 1) % n_ids
+                        ELSE raw END AS neg_id
+            FROM e
         """,
         "skew_profile": """
             WITH pk AS (

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import portable_hash64
 
 __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
-           "stratified_sample"]
+           "stratified_sample", "negative_sampling"]
 
 _BUCKETS = 1_000_000
 
@@ -158,3 +158,32 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
         .alias("pack_id"),
         (F.col("__start") % F.lit(capacity)).alias("pack_offset"),
         (last_seq - seq + 1).cast("long").alias("n_spans"))
+
+
+def negative_sampling(df: DataFrame, id_col: str, k: int = 4,
+                      salt: str = "neg") -> DataFrame:
+    """``k`` deterministic uniform negatives per anchor row for
+    contrastive training pairs: ``neg_id = H(id '#' i salt) mod N``,
+    bumped by one (mod N) when it collides with the anchor itself.
+
+    Requires a dense id space ``[0, N)`` (map ids first otherwise).
+    Shape at scale: a pure map-side ``k``-way explode plus a one-row
+    broadcast for N — the corpus itself never shuffles, and the same
+    (id, i, salt) always yields the same negative on any engine, so
+    regenerated epochs and the training job agree pair for pair.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = df.agg(F.count(F.lit(1)).alias("_n_ids"))
+    base = (df.select(F.col(id_col),
+                      F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                       .alias("neg_idx"))
+              .join(F.broadcast(n)))
+    h = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                 F.col("neg_idx").cast("string")), salt)
+    raw = F.pmod(h, F.col("_n_ids"))
+    neg = F.when(raw == F.col(id_col),
+                 F.pmod(raw + 1, F.col("_n_ids"))).otherwise(raw)
+    return base.select(F.col(id_col), "neg_idx",
+                       neg.cast("long").alias("neg_id"))

@@ -83,3 +83,19 @@ def test_tpch_q20_suppliers_from_filtered_nation(spark):
                      F.col("s_nationkey") == F.col("n_nationkey"))
                .collect()}
     assert out <= allowed
+
+
+def test_negative_sampling_invariants(spark):
+    """k negatives per anchor, all within [0, N), never the anchor
+    itself, and deterministic across invocations."""
+    from dask_ms_spark.llm.sampling import negative_sampling
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n = docs.count()
+    a = negative_sampling(docs, "doc_id", k=3).collect()
+    assert len(a) == 3 * n
+    for r in a:
+        assert 0 <= r.neg_id < n
+        assert r.neg_id != r.doc_id
+    b = negative_sampling(docs, "doc_id", k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
