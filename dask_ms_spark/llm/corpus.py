@@ -20,7 +20,38 @@ from ..session import ensure_parallelism
 
 __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
-           "lm_perplexity"]
+           "lm_perplexity", "chunk_documents"]
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_chars: int = 120,
+                    stride: int = 90) -> DataFrame:
+    """Split documents into overlapping fixed-width character windows.
+
+    The pre-tokenisation chunking step of a training pipeline: every
+    document becomes ``ceil(len/stride)`` rows of at most
+    ``chunk_chars`` characters, consecutive chunks overlapping by
+    ``chunk_chars - stride``.  Empty documents still yield one
+    (empty) chunk so no document silently disappears.
+
+    Scale shape: pure map-side — ``sequence`` builds the offset array
+    from the document's own length and ``posexplode`` fans it out, all
+    inside whole-stage codegen; output volume is input volume ×
+    ``chunk_chars/stride``, with zero shuffles, so it composes into
+    the scan.  (Chunking by *tokens* is the same plan with the offset
+    grid over a token array from ``tokens()``.)
+    """
+    if stride <= 0 or chunk_chars <= 0:
+        raise ValueError("chunk_chars and stride must be positive")
+    txt = F.col(text_col)
+    offsets = F.sequence(F.lit(1), F.greatest(F.length(txt), F.lit(1)),
+                         F.lit(stride))
+    return (docs.select(F.col(id_col), txt,
+                        F.posexplode(offsets).alias("chunk_idx", "off"))
+                .select(F.col(id_col), "chunk_idx", "off",
+                        txt.substr(F.col("off"), F.lit(chunk_chars))
+                           .alias("chunk"))
+                .withColumn("chunk_len", F.length("chunk")))
 
 
 def vocab_topk(docs: DataFrame, text_col: str = "text",

@@ -37,7 +37,7 @@ __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "with_simhash",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
            "embedding_dup_pairs", "embedding_dup_pairs_gemm",
-           "embedding_dup_pairs_bucketed"]
+           "embedding_dup_pairs_bucketed", "incremental_dedup"]
 
 
 def normalize_text(text: Column) -> Column:
@@ -58,6 +58,36 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                 .groupBy("text_hash")
                 .agg(F.min(id_col).alias("keep_id"),
                      F.count(F.lit(1)).alias("dup_count")))
+
+
+def incremental_dedup(new_docs: DataFrame, base_docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      broadcast_base: bool = False) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus.
+
+    The production backfill shape: the base corpus never moves — it is
+    reduced to a *distinct 64-bit fingerprint store* (8 bytes/doc),
+    and each new document carries only ``(id, digest)`` into the join.
+    Returns one row per new document: ``(id, text_hash, is_dup)``.
+
+    At 100 TB the fingerprint store is itself large, so the default is
+    a digest-keyed shuffle join (both sides hashed on the 8-byte
+    digest); pass ``broadcast_base=True`` when the base store fits in
+    executor memory (e.g. a curated eval set), which removes the
+    new-batch shuffle entirely.  In steady state the distinct store
+    would be persisted once and reused across batches rather than
+    recomputed (write ``base_digests`` out with the parquet sink).
+    """
+    digest = portable_hash64(normalize_text(F.col(text_col)))
+    base = base_docs.select(digest.alias("text_hash")).distinct() \
+                    .withColumn("__hit", F.lit(True))
+    if broadcast_base:
+        base = F.broadcast(base)
+    new = ensure_parallelism(new_docs).select(
+        F.col(id_col), digest.alias("text_hash"))
+    return (new.join(base, "text_hash", "left")
+               .select(id_col, "text_hash",
+                       F.coalesce("__hit", F.lit(False)).alias("is_dup")))
 
 
 # Mersenne prime 2^31-1: (a*h + b) stays under 2^62, so the affine

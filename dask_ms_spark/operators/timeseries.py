@@ -1,0 +1,95 @@
+"""Time-series resampling with gap filling and forward fill.
+
+The reference has no time-series surface (its TIME axis is a plain
+sort/group column, SURVEY §2.3-2.4); this is the hypertable-style
+rollup a telemetry/event pipeline needs: regularise an irregular event
+stream onto a fixed bucket grid per key, materialise the missing
+buckets, and carry the last observation forward.
+
+Scale shape (100 TB events):
+
+* bucketing is a map-side integer projection (``timestampdiff`` from a
+  fixed origin — codegen, no timezone access, NTZ-safe);
+* the per-(key, bucket) aggregate is one partial-merged shuffle —
+  the only corpus-sized exchange in the plan;
+* the grid is generated *from the aggregate* (per-key min/max +
+  ``sequence`` explode), so its row count is bounded by
+  keys × buckets, independent of raw event volume;
+* the forward fill is one window per key over the already-small grid.
+
+The bucket index is emitted as a plain ``bigint`` (buckets since
+``origin``) rather than a timestamp: downstream joins/sorts on int64
+beat timestamp comparisons, and reconstruction is
+``timestampadd(SECOND, bucket * step, origin)`` when a display
+timestamp is wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["bucket_index", "resample_fill"]
+
+#: Fixed epoch for bucket arithmetic.  A constant (rather than the
+#: stream's own minimum) keeps bucket ids stable across incremental
+#: runs — append tomorrow's events and yesterday's buckets don't move.
+DEFAULT_ORIGIN = "2024-01-01 00:00:00"
+
+
+def bucket_index(ts_col: str, step_seconds: int,
+                 origin: str = DEFAULT_ORIGIN):
+    """Integer bucket id for the named timestamp column: complete
+    ``step_seconds`` periods since ``origin``.
+
+    Uses ``timestampdiff(SECOND, ...)`` which accepts TIMESTAMP and
+    TIMESTAMP_NTZ alike without dragging the session timezone into
+    the arithmetic (naive-micros parquet reads as NTZ in Spark 4).
+    ``origin`` must lie on a bucket boundary for engines that count
+    boundary crossings (DuckDB ``date_diff``) to agree with engines
+    that count complete periods (Spark ``timestampdiff``).
+    """
+    return F.floor(
+        F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '{origin}', "
+               f"cast({ts_col} as timestamp_ntz))") / step_seconds)
+
+
+def resample_fill(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "user_id", value_col: str = "value",
+                  step_seconds: int = 3600,
+                  origin: str = DEFAULT_ORIGIN) -> DataFrame:
+    """Per-key fixed-grid resample: bucket averages, gap buckets
+    materialised, values forward-filled.
+
+    Returns ``(key, bucket, n_events, v_avg, v_filled, is_gap)`` —
+    one row per (key, bucket) over each key's observed [min, max]
+    bucket range.  ``v_avg`` is null on gap rows; ``v_filled`` carries
+    the last non-null bucket average forward (null until the key's
+    first observation, which cannot happen here because the range
+    starts at an observed bucket).
+    """
+    bucket = bucket_index(ts_col, step_seconds, origin)
+
+    agg = (events
+           .groupBy(F.col(key_col).alias("key"),
+                    bucket.alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg(value_col), 6).alias("v_avg")))
+
+    # Grid from the aggregate, not the raw stream: keys × buckets rows.
+    rng = agg.groupBy("key").agg(F.min("bucket").alias("lo"),
+                                 F.max("bucket").alias("hi"))
+    grid = rng.select(
+        "key", F.explode(F.sequence("lo", "hi")).alias("bucket"))
+
+    joined = grid.join(agg, ["key", "bucket"], "left")
+    w = (Window.partitionBy("key").orderBy("bucket")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "v_avg",
+        F.last("v_avg", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v_avg").isNull().alias("is_gap")))

@@ -99,3 +99,73 @@ def test_negative_sampling_invariants(spark):
         assert r.neg_id != r.doc_id
     b = negative_sampling(docs, "doc_id", k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_resample_fill_grid_and_ffill(spark):
+    """Gap buckets materialised per key over [min,max], counts zero on
+    gaps, forward fill carries the last bucket average."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.timeseries import resample_fill
+
+    rows = [Row(ts="2024-01-01 00:10:00", user_id=1, value=10.0),
+            Row(ts="2024-01-01 00:40:00", user_id=1, value=20.0),
+            # bucket 1 missing for user 1
+            Row(ts="2024-01-01 02:05:00", user_id=1, value=7.0),
+            Row(ts="2024-01-01 05:30:00", user_id=2, value=4.0)]
+    df = spark.createDataFrame(rows).select(
+        F.to_timestamp("ts").alias("ts"), "user_id", "value")
+    out = {(r.user_id, r.bucket): r
+           for r in resample_fill(df, step_seconds=3600).collect()}
+    assert set(out) == {(1, 0), (1, 1), (1, 2), (2, 5)}
+    assert out[(1, 0)].n_events == 2 and out[(1, 0)].v_avg == 15.0
+    gap = out[(1, 1)]
+    assert gap.is_gap and gap.n_events == 0 and gap.v_avg is None
+    assert gap.v_filled == 15.0          # carried forward
+    assert out[(1, 2)].v_filled == 7.0   # fresh observation wins
+    assert not out[(2, 5)].is_gap
+
+
+def test_chunk_documents_reassembles(spark):
+    """Chunks at stride == chunk_chars concatenate back to the source
+    text; overlapping chunks cover every offset; empty docs survive."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.corpus import chunk_documents
+
+    rows = [Row(doc_id=1, text="abcdefghij" * 7),   # 70 chars
+            Row(doc_id=2, text="short"),
+            Row(doc_id=3, text="")]
+    df = spark.createDataFrame(rows)
+    exact = chunk_documents(df, chunk_chars=16, stride=16).collect()
+    joined = {}
+    for r in sorted(exact, key=lambda r: (r.doc_id, r.chunk_idx)):
+        joined[r.doc_id] = joined.get(r.doc_id, "") + r.chunk
+    assert joined == {1: "abcdefghij" * 7, 2: "short", 3: ""}
+
+    over = chunk_documents(df, chunk_chars=16, stride=8) \
+        .where("doc_id = 1").collect()
+    # stride-8 offsets over 70 chars: 1,9,...,65 -> 9 chunks
+    assert len(over) == 9
+    assert all(r.chunk_len == 16 for r in over if r.off <= 70 - 15)
+
+
+def test_incremental_dedup_flags_only_base_matches(spark):
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="Alpha  Beta"), Row(doc_id=2, text="gamma")])
+    new = spark.createDataFrame(
+        [Row(doc_id=10, text="alpha beta"),   # normalised dup of 1
+         Row(doc_id=11, text="delta"),
+         Row(doc_id=12, text="GAMMA ")])      # normalised dup of 2
+    out = {r.doc_id: r.is_dup
+           for r in incremental_dedup(new, base).collect()}
+    assert out == {10: True, 11: False, 12: True}
+    # broadcast path gives identical decisions
+    outb = {r.doc_id: r.is_dup
+            for r in incremental_dedup(new, base,
+                                       broadcast_base=True).collect()}
+    assert outb == out
