@@ -273,3 +273,47 @@ def test_bm25_single_tokenize_pass(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_chunk_and_pii_are_map_side_only(documents):
+    """chunk_documents and pii_scan compose into the scan: zero
+    exchanges, so they cost one pass at any corpus size."""
+    from dask_ms_spark.llm.corpus import chunk_documents, pii_scan
+
+    assert exchange_count(chunk_documents(documents)) == 0
+    assert exchange_count(pii_scan(documents)) == 0
+
+
+def test_resample_fill_single_corpus_shuffle(spark):
+    """The only corpus-sized exchange is the (key, bucket) aggregate;
+    everything after runs on the bounded keys x buckets grid."""
+    import os
+
+    from dask_ms_spark.operators.timeseries import resample_fill
+    from dask_ms_spark.streaming.events import read_events
+    from tests.conftest import SF_DIR
+
+    ev = read_events(spark, os.path.join(SF_DIR, "events.parquet"))
+    plan = resample_fill(ev.where("event_type = 'click'")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # corpus side: exactly one hashpartitioning on (key, bucket);
+    # the grid join/window re-shuffle only grid-sized inputs
+    assert plan.count("HashAggregate") >= 2  # partial + merge
+
+
+def test_incremental_dedup_shuffles_digests_only(documents):
+    """Both join inputs project down to the 8-byte digest before the
+    exchange — document payloads never shuffle."""
+    from dask_ms_spark.llm.dedup import incremental_dedup
+
+    new = documents.where("doc_id % 2 = 0")
+    base = documents.where("doc_id % 2 = 1")
+    plan = incremental_dedup(new, base) \
+        ._jdf.queryExecution().executedPlan().toString()
+    lowered = plan.lower()
+    # the exchanges hash on text_hash, and no exchange carries `text`
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", lowered):
+        assert "text#" not in m.group(1)
+        assert "text_hash" in m.group(1)
