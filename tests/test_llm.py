@@ -561,3 +561,41 @@ def test_lm_perplexity_matches_python_model(spark):
         assert got[d].n_bigrams == len(gs)
         assert got[d].avg_neg_logp == pytest.approx(want, abs=2e-6)
     assert got[1].avg_neg_logp < got[2].avg_neg_logp
+
+
+def test_lsh_bucket_cap_keeps_unique_pairs(spark):
+    """max_bucket_size bounds the quadratic candidate blowup on
+    boilerplate-heavy corpora: planted near-dup pairs with unique
+    content land in small buckets and survive the cap; the
+    boilerplate clone cluster (whose pairs belong to exact dedup) is
+    what gets dropped."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    words = [f"w{i:03d}" for i in range(3000)]
+    rows, expected = [], set()
+    did = 0
+    for p in range(15):                   # unique near-dup pairs
+        base = rng.sample(words, 30)
+        a, b = did, did + 1
+        mut = list(base)
+        mut[0] = rng.choice(words)        # 1-word mutation
+        rows += [Row(doc_id=a, text=" ".join(base)),
+                 Row(doc_id=b, text=" ".join(mut))]
+        expected.add((a, b))
+        did += 2
+    template = " ".join(rng.sample(words, 30))
+    for _ in range(120):                  # boilerplate clones
+        rows.append(Row(doc_id=did, text=template))
+        did += 1
+
+    from dask_ms_spark.llm.dedup import lsh_jaccard_pairs
+
+    docs = spark.createDataFrame(rows)
+    capped = lsh_jaccard_pairs(docs, threshold=0.7, max_bucket_size=50)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert expected <= got                 # every planted pair found
+    clone_ids = set(range(30, did))
+    assert not any(a in clone_ids and b in clone_ids for a, b in got)
