@@ -1135,6 +1135,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                         F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_lsh_capped(spark, sf_dir):
+    """The 100 TB production spelling of LSH near-dup: banded MinHash
+    with ``max_bucket_size`` bounding the quadratic candidate blowup
+    on boilerplate-dense buckets (measured 95x -> 4.1x on a 10x
+    corpus, SCALE.md).  The cap is a deterministic function of bucket
+    occupancy, so the DuckDB oracle reproduces the exact surviving
+    pair set."""
+    pairs = lsh_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                              n=5, num_hashes=16, num_bands=4,
+                              threshold=0.6, max_bucket_size=10)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs via distributed blocked GEMM."""
     pairs = embedding_dup_pairs_gemm(_t(spark, sf_dir, "embeddings"),
@@ -2034,11 +2048,14 @@ def _contamination_sql(n: int = 20, min_hits: int = 1) -> str:
 
 def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
                      num_bands: int = 4, threshold: float = 0.6,
-                     prefilter_margin: float = 0.35) -> str:
+                     prefilter_margin: float = 0.35,
+                     max_bucket_size: int | None = None) -> str:
     """Mirror of llm.dedup.lsh_jaccard_pairs: banded-MinHash candidates
     (portable hashes -> identical candidate sets) + signature-agreement
     prefilter (same integer cutoff) + exact Jaccard over the
-    shingle-hash sets."""
+    shingle-hash sets.  ``max_bucket_size`` mirrors ``_cap_buckets``:
+    bucket occupancy is deterministic, so both engines drop the same
+    overfull buckets."""
     import math
 
     rows_per_band = num_hashes // num_bands
@@ -2066,10 +2083,17 @@ def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
                     FROM documents),
         hb AS (SELECT id, list_distinct({base}) AS hset FROM sh),
         sg AS (SELECT id, hset, [{mins}] AS sig FROM hb),
-        banded AS (
+        banded0 AS (
             SELECT id, unnest([{band_exprs}]) AS band_hash,
                    unnest({band_ids}) AS band_id
             FROM sg),
+        banded AS (
+            SELECT b.* FROM banded0 b
+            JOIN (SELECT band_id, band_hash FROM banded0
+                  GROUP BY band_id, band_hash
+                  HAVING count(*) <= {max_bucket_size or 10**9})
+                 k ON b.band_id = k.band_id
+                  AND b.band_hash = k.band_hash),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
@@ -2565,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_lsh_capped": q_dedup_lsh_capped,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -2968,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_sig": _minhash_sig_sql(),
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
+        "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
         "dedup_embedding": _embedding_dup_sql(),
         "dedup_embedding_bucketed": _embedding_bucketed_sql(),
         "dedup_simhash": _simhash_sql(),
