@@ -1818,6 +1818,32 @@ def q_pii_redact(spark, sf_dir):
         portable_hash64(F.col("redacted")).alias("redacted_hash"))
 
 
+# Shared by q_sample_mixture and its oracle: the normalised weights
+# are computed once in Python and baked as identical double literals
+# on both sides, so the derived per-stratum keep-rates agree
+# bit-for-bit.
+_MIXTURE_WEIGHTS = {"src0": 3.0, "src1": 2.0}
+_MIXTURE_DEFAULT = 1.0
+_MIXTURE_BUDGET = 10_000
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Mixture execution: downsample each source so it contributes
+    ~its target share of a token budget (rates derived from the
+    corpus's own per-stratum totals — the step after the
+    ``corpus_mixture`` planning aggregate).  One partial-merged agg +
+    broadcast of the |strata|-row rate table + row-local hash
+    filter."""
+    from dask_ms_spark.llm.sampling import sample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_to_mixture(docs, "doc_id", "source", _MIXTURE_WEIGHTS,
+                            budget_tokens=_MIXTURE_BUDGET,
+                            token_col="n_chars",
+                            default_weight=_MIXTURE_DEFAULT)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup of a new batch against the base corpus's
     fingerprint store.  Planted overlap: new docs (doc_id%5==0) where
@@ -1873,6 +1899,33 @@ def _pii_sql() -> str:
                CAST(length(redacted) AS BIGINT) AS redacted_len,
                {_DUCK_HASH.format(x='redacted')} AS redacted_hash
         FROM red
+    """
+
+
+def _mixture_sql() -> str:
+    """Mirror of q_sample_mixture: identical normalised-weight double
+    literals, identical ``least(1.0, w * budget / stok)`` expression
+    shape, identical md5 hash-bucket membership."""
+    total_w = sum(_MIXTURE_WEIGHTS.values())
+    cases = " ".join(
+        f"WHEN '{k}' THEN {w / total_w!r}"
+        for k, w in _MIXTURE_WEIGHTS.items())
+    w_expr = (f"CASE source {cases} "
+              f"ELSE {_MIXTURE_DEFAULT / total_w!r} END")
+    bucket = _DUCK_HASH.format(
+        x="cast(doc_id as varchar) || 'mixture'") + " % 1000000"
+    return f"""
+        WITH stats AS (
+            SELECT source, CAST(sum(n_chars) AS DOUBLE) AS stok
+            FROM documents GROUP BY source),
+        rates AS (
+            SELECT source,
+                   least(1.0, {w_expr} * {float(_MIXTURE_BUDGET)!r}
+                         / stok) AS rate
+            FROM stats)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {bucket} < CAST(floor(r.rate * 1000000) AS BIGINT)
     """
 
 
@@ -2590,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
         "dedup_lsh_capped": q_dedup_lsh_capped,
+        "sample_mixture": q_sample_mixture,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -2994,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": _minhash_sig_sql(),
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
+        "sample_mixture": _mixture_sql(),
         "dedup_embedding": _embedding_dup_sql(),
         "dedup_embedding_bucketed": _embedding_bucketed_sql(),
         "dedup_simhash": _simhash_sql(),

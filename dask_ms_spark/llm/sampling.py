@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from ..functions.text import portable_hash64
 
 __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
-           "stratified_sample", "negative_sampling"]
+           "stratified_sample", "negative_sampling",
+           "sample_to_mixture"]
 
 _BUCKETS = 1_000_000
 
@@ -111,6 +112,58 @@ def stratified_sample(df: DataFrame, id_col: str,
     cut_expr = F.lit(int(default_rate * _BUCKETS)) if rate_expr is None \
         else rate_expr.otherwise(F.lit(int(default_rate * _BUCKETS)))
     return df.where(bucket < cut_expr)
+
+
+def sample_to_mixture(df: DataFrame, id_col: str, stratum_col: str,
+                      target_weights: dict, budget_tokens: int,
+                      token_col: str, default_weight: float = 1.0,
+                      salt: str = "mixture") -> DataFrame:
+    """Downsample each stratum so it contributes ~its target share of
+    a token budget — the *execution* step for the plan
+    ``corpus_mixture`` produces.
+
+    Per stratum s with normalised weight w_s and token total T_s, the
+    keep-rate is ``min(1, w_s * budget / T_s)`` (a stratum smaller
+    than its target share is kept whole, not upsampled).  Membership
+    reuses the coordinated ``hash_bucket`` discipline, so shrinking
+    the budget yields a strict subset of the larger sample.
+
+    Scale shape: one partial-merged aggregate over the corpus for the
+    per-stratum token totals (a |strata|-row table), broadcast back,
+    then a row-local hash filter — the same two-stage plan at 100 TB.
+    Determinism across engines: w_s is normalised in PYTHON and baked
+    as a double literal, and the rate expression is written
+    ``least(1.0, w_norm * budget / T_s)`` on both sides, so IEEE
+    double arithmetic agrees bit-for-bit.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    keys = list(target_weights)
+    total_w = sum(target_weights.values()) + 0.0
+    if any(w < 0 for w in target_weights.values()) or default_weight < 0:
+        raise ValueError("weights must be non-negative")
+
+    stats = (df.groupBy(stratum_col)
+               .agg(F.sum(token_col).alias("__stok")))
+    w_expr = None
+    for k in keys:
+        w_norm = target_weights[k] / total_w
+        cond = F.col(stratum_col) == F.lit(k)
+        w_expr = F.when(cond, F.lit(w_norm)) if w_expr is None \
+            else w_expr.when(cond, F.lit(w_norm))
+    default_norm = default_weight / total_w
+    w_expr = (w_expr.otherwise(F.lit(default_norm)) if w_expr is not None
+              else F.lit(default_norm))
+    rates = stats.select(
+        stratum_col,
+        F.least(F.lit(1.0),
+                w_expr * F.lit(float(budget_tokens))
+                / F.col("__stok").cast("double")).alias("__rate"))
+    cut = F.floor(F.col("__rate") * F.lit(_BUCKETS)).cast("bigint")
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    return (df.join(F.broadcast(rates), stratum_col)
+              .where(bucket < cut)
+              .drop("__rate"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, token_col: str,

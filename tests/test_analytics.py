@@ -169,3 +169,37 @@ def test_incremental_dedup_flags_only_base_matches(spark):
             for r in incremental_dedup(new, base,
                                        broadcast_base=True).collect()}
     assert outb == out
+
+
+def test_sample_to_mixture_budget_and_nesting(spark):
+    """Derived rates track the target shares; a smaller budget yields
+    a strict subset (coordinated sampling); strata under their target
+    share are kept whole."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.sampling import sample_to_mixture
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}", toks=100)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    # weights normalise over the LISTED weights (total 2.2): s0 rate
+    # = (2/2.2)*50k/100k = .4545, default s1 = .2272, s2 = .0454 ->
+    # expected keeps ~455 / ~227 / ~45 per 1000-doc stratum
+    big = sample_to_mixture(df, "doc_id", "source",
+                            {"s0": 2.0, "s2": 0.2}, 50_000, "toks")
+    counts = {}
+    for r in big.collect():
+        counts[r.source] = counts.get(r.source, 0) + 1
+    assert 380 <= counts["s0"] <= 530
+    assert counts["s2"] < counts["s1"] < counts["s0"]
+
+    small_ids = {r.doc_id for r in
+                 sample_to_mixture(df, "doc_id", "source",
+                                   {"s0": 2.0, "s2": 0.2}, 10_000,
+                                   "toks").collect()}
+    big_ids = {r.doc_id for r in big.collect()}
+    assert small_ids <= big_ids            # nested across budgets
+
+    whole = sample_to_mixture(df.where("source = 's0'"), "doc_id",
+                              "source", {"s0": 1.0}, 10**9, "toks")
+    assert whole.count() == 1000           # capped at keep-everything
