@@ -138,7 +138,15 @@ def infer_format(path: str, spark: SparkSession | None = None) -> str:
     Local paths probe via ``os``; remote URLs probe through the JVM
     Hadoop filesystem when a session is supplied (zero-byte marker
     reads), else default to parquet — the blessed cloud-native format.
+
+    JSONL (the lingua franca of text-corpus ingest) is recognised by
+    extension — works identically for local and remote URLs, no
+    probe I/O.
     """
+    low = path.rstrip("/").lower()
+    if low.endswith((".jsonl", ".ndjson", ".jsonl.gz", ".ndjson.gz",
+                     ".json", ".json.gz")):
+        return "jsonl"
     if "://" in path:
         if spark is None:
             return "parquet"
@@ -192,6 +200,15 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     if fmt == "parquet":
         return xds_from_parquet(spark, store.path, columns,
                                 group_cols, index_cols, where)
+    if fmt == "jsonl":
+        # corpus ingest: line-delimited JSON scans split per line in
+        # parallel (gzip members permitting); schema inference samples
+        # the data, so production callers should convert to parquet
+        # once (convert_table) and query the columnar copy
+        from ..dataset import partition_datasets as _parts
+
+        df = spark.read.json(store.path)
+        return _parts(df, group_cols, index_cols, where, columns)
     if fmt == "casa":
         return casa.xds_from_casa(spark, store.path, columns,
                                   group_cols, index_cols, where)
@@ -232,6 +249,16 @@ def xds_to_storage_table(datasets, url: str, fmt: str = "parquet",
         store.apply(df0.sparkSession)
     if fmt == "parquet":
         return xds_to_parquet(datasets, store.path, partition_cols, mode)
+    if fmt == "jsonl":
+        from ..dataset import concat as _concat
+
+        dss = datasets if isinstance(datasets, list) else [datasets]
+        dss = [d if isinstance(d, Dataset) else Dataset(d) for d in dss]
+        df = _concat(dss).df if len(dss) > 1 else dss[0].df
+        writer = df.write.mode(mode)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        return writer.json(store.path)
     if fmt == "casa":
         return casa.xds_to_casa(datasets, store.path)
     return zarr.xds_to_zarr(datasets, store.path)

@@ -769,3 +769,31 @@ def test_casa_update_write_putcol_runs(spark):
     assert n == 4
     assert sink.puts == [("TIME", 3, 3), ("TIME", 20, 1)]
     assert sink.COLS["TIME"][3] == 1.5 and sink.COLS["TIME"][20] == 9.5
+
+
+def test_jsonl_roundtrip_and_dispatch(spark, tmp_path):
+    """JSONL corpus ingest: extension-dispatched read/write through
+    the storage layer, filter applied on read, parquet conversion the
+    blessed follow-up."""
+    from dask_ms_spark.sources.convert import convert_table
+    from dask_ms_spark.sources.storage import (infer_format,
+                                               xds_from_storage_table,
+                                               xds_to_storage_table)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out = str(tmp_path / "corpus.jsonl")
+    assert infer_format(out) == "jsonl"
+    assert infer_format("s3://bucket/dump.ndjson.gz") == "jsonl"
+    xds_to_storage_table(docs, out, fmt="jsonl")
+
+    dss = xds_from_storage_table(spark, out, where="n_chars > 100")
+    got = sum(ds.df.count() for ds in dss)
+    want = docs.where("n_chars > 100").count()
+    assert got == want > 0
+
+    # jsonl -> parquet conversion (the production first step)
+    pq = str(tmp_path / "corpus.parquet")
+    convert_table(spark, out, pq, exclude_columns=["lang"])
+    back = spark.read.parquet(pq)
+    assert back.count() == docs.count()
+    assert "lang" not in back.columns
