@@ -1818,6 +1818,28 @@ def q_pii_redact(spark, sf_dir):
         portable_hash64(F.col("redacted")).alias("redacted_hash"))
 
 
+def q_rollup_merge(spark, sf_dir):
+    """Continuous-aggregate maintenance: history rollup + delta rollup
+    merged WITHOUT re-aggregating history, proven equal to the full
+    re-aggregate by the oracle (which computes the rollup directly
+    from all events).  Sums accumulate in decimal(18,2) so the merge
+    is bit-exact cross-engine."""
+    from dask_ms_spark.operators.timeseries import (bucket_aggregate,
+                                                    merge_rollups)
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id",
+                  F.col("value").cast("decimal(18,2)").alias("value")))
+    history = ev.where(F.col("event_id") % 10 < 8)
+    delta = ev.where(F.col("event_id") % 10 >= 8)
+    merged = merge_rollups(
+        bucket_aggregate(history, step_seconds=21600),
+        bucket_aggregate(delta, step_seconds=21600))
+    return merged.select(
+        F.col("key").alias("user_id"), "bucket", "n_events",
+        F.round(F.col("v_sum").cast("double"), 2).alias("v_sum"))
+
+
 # Shared by q_sample_mixture and its oracle: the normalised weights
 # are computed once in Python and baked as identical double literals
 # on both sides, so the derived per-stratum keep-rates agree
@@ -2644,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_lsh_capped": q_dedup_lsh_capped,
         "sample_mixture": q_sample_mixture,
+        "rollup_merge": q_rollup_merge,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -3049,6 +3072,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
         "sample_mixture": _mixture_sql(),
+        # rollup_merge oracle: the FULL re-aggregate over all events —
+        # passing proves merge(agg(history), agg(delta)) == agg(all)
+        "rollup_merge": """
+            SELECT user_id,
+                   CAST(floor(date_diff('second',
+                            TIMESTAMP '2024-01-01 00:00:00', ts)
+                        / 21600) AS BIGINT) AS bucket,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS v_sum
+            FROM events
+            GROUP BY 1, 2
+        """,
         "dedup_embedding": _embedding_dup_sql(),
         "dedup_embedding_bucketed": _embedding_bucketed_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -203,3 +203,23 @@ def test_sample_to_mixture_budget_and_nesting(spark):
     whole = sample_to_mixture(df.where("source = 's0'"), "doc_id",
                               "source", {"s0": 1.0}, 10**9, "toks")
     assert whole.count() == 1000           # capped at keep-everything
+
+
+def test_merge_rollups_equals_full_aggregate(spark):
+    """merge(agg(A), agg(B), agg(C)) == agg(A+B+C) for any disjoint
+    split — the continuous-aggregate maintenance invariant."""
+    from dask_ms_spark.operators.timeseries import (bucket_aggregate,
+                                                    merge_rollups)
+    from dask_ms_spark.streaming.events import read_events
+
+    ev = read_events(spark, os.path.join(SF_DIR, "events.parquet")) \
+        .select("event_id", "ts", "user_id",
+                F.col("value").cast("decimal(18,2)").alias("value"))
+    parts = [ev.where(f"event_id % 3 = {i}") for i in range(3)]
+    merged = merge_rollups(*[bucket_aggregate(p) for p in parts])
+    full = bucket_aggregate(ev)
+    m = {(r.key, r.bucket): (r.n_events, r.v_sum)
+         for r in merged.collect()}
+    f = {(r.key, r.bucket): (r.n_events, r.v_sum)
+         for r in full.collect()}
+    assert m == f and len(f) > 0
