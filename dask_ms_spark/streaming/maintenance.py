@@ -1,0 +1,120 @@
+"""Streaming continuous-aggregate maintenance.
+
+``foreachBatch`` + :func:`~dask_ms_spark.operators.timeseries.merge_rollups`:
+each micro-batch is bucket-aggregated and merged into a persisted
+rollup store WITHOUT re-reading history — the streaming form of the
+``rollup_merge`` invariant (merge(agg(history), agg(delta)) ==
+agg(all), exact because counts/sums are associative).
+
+Store layout (local filesystem; an object store would swap the
+symlink for a manifest pointer):
+
+    store/
+      v<batch_id>/   one immutable parquet snapshot per micro-batch
+      current -> vN  atomically renamed symlink = committed state
+
+Exactly-once: the committed batch id IS the symlink target.  A
+replayed micro-batch (failure between write and publish, or after
+publish) is either skipped (``batch_id <= committed``) or rewrites
+its own ``v<batch_id>`` from the same input and republishes —
+idempotent either way.  This is the checkpoint-v2 pattern Structured
+Streaming's own sinks use (write-ahead snapshot + atomic pointer).
+
+Scale: each micro-batch shuffles only the delta's (key, bucket)
+groups; the merge reads the previous snapshot once.  For rollups too
+large to rewrite per batch, partition the snapshot by bucket range so
+only touched partitions rewrite (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.timeseries import (DEFAULT_ORIGIN, bucket_aggregate,
+                                    merge_rollups)
+from .events import normalize_ts
+
+__all__ = ["maintain_rollup", "committed_batch", "read_rollup"]
+
+
+def committed_batch(store: str) -> int | None:
+    """Batch id of the committed snapshot, or None before the first."""
+    cur = os.path.join(store, "current")
+    if not os.path.lexists(cur):
+        return None
+    return int(os.readlink(cur).lstrip("v"))
+
+
+def read_rollup(spark, store: str) -> DataFrame | None:
+    """The committed rollup snapshot (None before the first commit).
+
+    Reads the CONCRETE version dir the symlink points at, not the
+    symlink path: a read through ``current`` would race with the next
+    publish (file listing resolved under one version, files fetched
+    after the pointer moved).  Snapshots are immutable, so the
+    resolved path is stable for the lifetime of the DataFrame; the
+    pruner's ``keep=2`` keeps the previous snapshot alive for
+    in-flight readers."""
+    batch = committed_batch(store)
+    if batch is None:
+        return None
+    return spark.read.parquet(os.path.join(store, f"v{batch}"))
+
+
+def _publish(store: str, batch_id: int, keep: int = 2) -> None:
+    """Atomically point ``current`` at ``v<batch_id>``; prune old
+    snapshots beyond ``keep`` (never the published one)."""
+    tmp = os.path.join(store, ".current.tmp")
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(f"v{batch_id}", tmp)
+    os.replace(tmp, os.path.join(store, "current"))
+    import shutil
+
+    versions = sorted((int(d.lstrip("v")) for d in os.listdir(store)
+                       if d.startswith("v")), reverse=True)
+    for v in versions[keep:]:
+        if v != batch_id:
+            shutil.rmtree(os.path.join(store, f"v{v}"),
+                          ignore_errors=True)
+
+
+def maintain_rollup(stream_df: DataFrame, store: str,
+                    ts_col: str = "ts", key_col: str = "user_id",
+                    value_col: str = "value", step_seconds: int = 3600,
+                    origin: str = DEFAULT_ORIGIN,
+                    value_cast: str | None = None,
+                    checkpoint: str | None = None):
+    """Start the maintenance query; returns the StreamingQuery.
+
+    ``value_cast`` (e.g. ``"decimal(18,2)"``) makes the running sums
+    order-independent and hence bit-identical to a batch re-aggregate
+    — pass it whenever exact parity matters.
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(store, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        committed = committed_batch(store)
+        if committed is not None and batch_id <= committed:
+            return  # replayed after publish: already merged
+        batch_df = normalize_ts(batch_df, ts_col)
+        if value_cast:
+            batch_df = batch_df.withColumn(
+                value_col, F.col(value_col).cast(value_cast))
+        delta = bucket_aggregate(batch_df, ts_col, key_col, value_col,
+                                 step_seconds, origin)
+        prev = read_rollup(batch_df.sparkSession, store)
+        merged = delta if prev is None else merge_rollups(prev, delta)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store, f"v{batch_id}"))
+        _publish(store, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(apply) \
+        .trigger(processingTime="0 seconds")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -193,3 +193,65 @@ def test_parquet_replay_windowed_parity(spark, events_path, events):
     want = (windowed_counts(events, "1 hour")
             .orderBy("window_start", "event_type").collect())
     assert got == want
+
+
+def test_streaming_rollup_maintenance(spark, events_path, events,
+                                      tmp_path):
+    """foreachBatch continuous aggregate: replay the events table in
+    micro-batches, merge each delta into the persisted rollup, and the
+    final committed snapshot equals the batch re-aggregate exactly
+    (decimal sums).  Also proves the replayed-batch guard is
+    idempotent."""
+    import time
+
+    from dask_ms_spark.streaming.maintenance import (committed_batch,
+                                                     maintain_rollup,
+                                                     read_rollup)
+    from dask_ms_spark.operators.timeseries import bucket_aggregate
+    from dask_ms_spark.streaming.replay import ParquetReplayDataSource
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    total = events.count()
+    store = str(tmp_path / "rollup")
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", str(max(1, total // 3)))
+         .load(events_path))
+    q = maintain_rollup(s, store, value_cast="decimal(18,2)",
+                        checkpoint=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            r = read_rollup(spark, store)
+            if r is not None and \
+                    r.agg(F.sum("n_events")).first()[0] == total:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    final = read_rollup(spark, store)
+    got = {(r.key, r.bucket): (r.n_events, r.v_sum)
+           for r in final.collect()}
+    want = {(r.key, r.bucket): (r.n_events, r.v_sum)
+            for r in bucket_aggregate(
+                events.withColumn(
+                    "value", F.col("value").cast("decimal(18,2)"))
+                ).collect()}
+    assert got == want and len(want) > 0
+
+    # replaying already-committed batches is a no-op
+    last = committed_batch(store)
+    rows_before = {tuple(r) for r in final.collect()}
+    q2 = maintain_rollup(
+        spark.readStream.format("parquet_replay")
+        .option("rows_per_batch", str(total)).load(events_path),
+        store, value_cast="decimal(18,2)",
+        checkpoint=str(tmp_path / "ckpt2"))
+    try:
+        time.sleep(2.0)
+    finally:
+        q2.stop()
+    # batch ids restart at 0 for the new checkpoint -> guard skips them
+    assert committed_batch(store) == last
+    assert {tuple(r) for r in read_rollup(spark, store).collect()} \
+        == rows_before
