@@ -1818,6 +1818,22 @@ def q_pii_redact(spark, sf_dir):
         portable_hash64(F.col("redacted")).alias("redacted_hash"))
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Multi-column layout key: Morton-interleave (user_id, 6-hour
+    bucket) so range-partitioned rewrites cluster rows close in BOTH
+    dimensions — parquet min/max stats then prune scans filtered on
+    either column (see compact_parquet for the rewrite)."""
+    from dask_ms_spark.operators.ordering import zorder_key
+    from dask_ms_spark.operators.timeseries import bucket_index
+
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select("event_id", "user_id",
+                      bucket_index("ts", 21600).alias("bucket"))
+              .select("event_id", "user_id", "bucket",
+                      zorder_key(["user_id", "bucket"], bits=16)
+                      .alias("zkey")))
+
+
 def q_rollup_merge(spark, sf_dir):
     """Continuous-aggregate maintenance: history rollup + delta rollup
     merged WITHOUT re-aggregating history, proven equal to the full
@@ -1921,6 +1937,35 @@ def _pii_sql() -> str:
                CAST(length(redacted) AS BIGINT) AS redacted_len,
                {_DUCK_HASH.format(x='redacted')} AS redacted_hash
         FROM red
+    """
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """Mirror of q_zorder_layout: identical clamp + shift/mask/weight
+    terms (generated from one loop, so the bit layout cannot drift)."""
+    def clamped(x: str) -> str:
+        return f"greatest(0, least({x}, {(1 << bits) - 1}))"
+
+    cols = ["cu", "cb"]
+    terms = []
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"(({c} >> {b}) & 1) * {1 << (b * 2 + i)}")
+    zkey = " + ".join(terms)
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(floor(date_diff('second',
+                            TIMESTAMP '2024-01-01 00:00:00', ts)
+                        / 21600) AS BIGINT) AS bucket
+            FROM events),
+        c AS (SELECT event_id, user_id, bucket,
+                     {clamped('user_id')} AS cu,
+                     {clamped('bucket')} AS cb
+              FROM e)
+        SELECT event_id, user_id, bucket,
+               CAST({zkey} AS BIGINT) AS zkey
+        FROM c
     """
 
 
@@ -2667,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_capped": q_dedup_lsh_capped,
         "sample_mixture": q_sample_mixture,
         "rollup_merge": q_rollup_merge,
+        "zorder_layout": q_zorder_layout,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -3072,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
         "sample_mixture": _mixture_sql(),
+        "zorder_layout": _zorder_sql(),
         # rollup_merge oracle: the FULL re-aggregate over all events —
         # passing proves merge(agg(history), agg(delta)) == agg(all)
         "rollup_merge": """

@@ -26,7 +26,38 @@ from pyspark.sql import functions as F
 from ..types import ROWID
 
 __all__ = ["sorted_read", "within_group_sort", "attach_rowid",
-           "group_rank", "top_k"]
+           "group_rank", "top_k", "zorder_key"]
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` of each column.
+
+    Sorting/range-partitioning a table by this key clusters rows that
+    are close in EVERY listed dimension into the same parquet files
+    and row groups, so min/max stats prune scans filtered on *any*
+    subset of the columns — the multi-column locality a single-column
+    sort can't give (the lakehouse ``OPTIMIZE ZORDER BY`` layout; pair
+    with :func:`~dask_ms_spark.sources.parquet.compact_parquet` via
+    ``sort_cols=["__z"]`` after ``withColumn("__z", zorder_key(...))``).
+
+    Values are clamped to [0, 2^bits); negative inputs clamp to 0 —
+    pre-scale real-valued or wide-range columns into bucket ranks
+    first.  Pure integer codegen: bits x len(cols) shift/mask terms,
+    no shuffle, composes into any projection.
+    """
+    n = len(cols)
+    if not 1 <= n * bits <= 62:
+        raise ValueError("need 1 <= len(cols) * bits <= 62")
+    key = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        clamped = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(col.cast("bigint"), F.lit((1 << bits) - 1)))
+        for b in range(bits):
+            bit = F.shiftright(clamped, b).bitwiseAND(F.lit(1))
+            key = key + (bit * F.lit(1 << (b * n + i))).cast("bigint")
+    return key
 
 
 def sorted_read(df: DataFrame, index_cols: Iterable[str]) -> DataFrame:

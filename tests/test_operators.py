@@ -279,3 +279,63 @@ def test_pagerank_matches_reference_iteration(spark):
     assert got[9] == pytest.approx(0.15, abs=1e-12)
     assert got[1] == max(got.values())
     assert abs(got[5] - got[6]) < 1e-12
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.ordering import zorder_key
+
+    def py_z(x, y, bits=16):
+        x = max(0, min(x, (1 << bits) - 1))
+        y = max(0, min(y, (1 << bits) - 1))
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [Row(i=i, x=x, y=y) for i, (x, y) in enumerate(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535),
+         (70000, -4), (12345, 999)])]
+    out = spark.createDataFrame(rows).select(
+        "i", "x", "y", zorder_key(["x", "y"]).alias("z")).collect()
+    for r in out:
+        assert r.z == py_z(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Range-partitioning on the z-key gives every output file a tight
+    min/max range in BOTH source columns, so a predicate on either
+    prunes files; a single-column sort only bounds its own column."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.ordering import zorder_key
+    from dask_ms_spark.sources.parquet import compact_parquet
+
+    rows = [Row(a=a, b=b) for a, b in
+            itertools.product(range(64), range(64))]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows).withColumn(
+        "z", zorder_key(["a", "b"], bits=6)) \
+        .write.parquet(src)
+    out = str(tmp_path / "z")
+    n = compact_parquet(spark, src, out, sort_cols=["z"],
+                        target_files=16)
+    assert n >= 8
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["a", "b"])
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        spans_a.append(max(a) - min(a))
+        spans_b.append(max(b) - min(b))
+    # every file covers a bounded window of BOTH dimensions: the mean
+    # span is well under the full 0-63 range in each
+    assert sum(spans_a) / len(spans_a) < 40
+    assert sum(spans_b) / len(spans_b) < 40
