@@ -1944,7 +1944,8 @@ def _zorder_sql(bits: int = 16) -> str:
     """Mirror of q_zorder_layout: identical clamp + shift/mask/weight
     terms (generated from one loop, so the bit layout cannot drift)."""
     def clamped(x: str) -> str:
-        return f"greatest(0, least({x}, {(1 << bits) - 1}))"
+        return (f"greatest(0, least(coalesce({x}, 0), "
+                f"{(1 << bits) - 1}))")
 
     cols = ["cu", "cb"]
     terms = []
@@ -2211,7 +2212,9 @@ def _lsh_jaccard_sql(n: int = 5, num_hashes: int = 16,
             SELECT b.* FROM banded0 b
             JOIN (SELECT band_id, band_hash FROM banded0
                   GROUP BY band_id, band_hash
-                  HAVING count(*) <= {max_bucket_size or 10**9})
+                  HAVING count(*) <=
+                      {10**9 if max_bucket_size is None
+                       else max_bucket_size})
                  k ON b.band_id = k.band_id
                   AND b.band_hash = k.band_hash),
         cand AS (
@@ -2647,7 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW this round (new entries must sit inside the window to get
     # their first oracle row), then round-4 greens fill the window.
     # Every entry below position 50 was green in round 4's window, so
-    # the r4+r5 union covers all 99.
+    # the r4+r5 union covers all existing entries (new ones debut r6).
     return {
         # -- last driver row is round 3 (r4 tail) --
         "pivot": q_pivot,
@@ -2703,8 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         # -- positions 50+: 26 r3-stale + 27 never-checked entries
         #    compete for 50 slots, so the 3 newest additions sit just
-        #    below the window (verified by tools/check_oracle locally,
-        #    99/99) and lead round 6's window for their first driver
+        #    below the window (verified by tools/check_oracle locally) and lead round 6's window for their first driver
         #    row --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
@@ -3909,7 +3911,8 @@ def oracle_sql() -> dict[str, str]:
             grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket
                      FROM rng),
             j AS (SELECT g.key, g.bucket,
-                         coalesce(a.n_events, 0) AS n_events, a.v_avg
+                         coalesce(a.n_events, 0) AS n_events,
+                         a.n_events IS NULL AS is_gap, a.v_avg
                   FROM grid g LEFT JOIN agg a
                     ON g.key = a.key AND g.bucket = a.bucket)
             SELECT key AS user_id, bucket, n_events, v_avg,
@@ -3917,7 +3920,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY key ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS v_filled,
-                   v_avg IS NULL AS is_gap
+                   is_gap
             FROM j
         """,
         "doc_chunks": f"""

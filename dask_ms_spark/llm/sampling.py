@@ -142,6 +142,8 @@ def sample_to_mixture(df: DataFrame, id_col: str, stratum_col: str,
     total_w = sum(target_weights.values()) + 0.0
     if any(w < 0 for w in target_weights.values()) or default_weight < 0:
         raise ValueError("weights must be non-negative")
+    if total_w <= 0:
+        raise ValueError("target_weights must contain a positive weight")
 
     stats = (df.groupBy(stratum_col)
                .agg(F.sum(token_col).alias("__stok")))

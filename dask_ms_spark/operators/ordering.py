@@ -40,10 +40,13 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     with :func:`~dask_ms_spark.sources.parquet.compact_parquet` via
     ``sort_cols=["__z"]`` after ``withColumn("__z", zorder_key(...))``).
 
-    Values are clamped to [0, 2^bits); negative inputs clamp to 0 —
-    pre-scale real-valued or wide-range columns into bucket ranks
-    first.  Pure integer codegen: bits x len(cols) shift/mask terms,
-    no shuffle, composes into any projection.
+    Values are clamped to [0, 2^bits); negative inputs clamp to 0 and
+    NULLs map to coordinate 0 (explicitly — Spark's least/greatest
+    SKIP nulls, which would otherwise send NULL rows to the top
+    corner), so null rows cluster together at the origin.  Pre-scale
+    real-valued or wide-range columns into bucket ranks first.  Pure
+    integer codegen: bits x len(cols) shift/mask terms, no shuffle,
+    composes into any projection.
     """
     n = len(cols)
     if not 1 <= n * bits <= 62:
@@ -53,7 +56,9 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
         col = F.col(c) if isinstance(c, str) else c
         clamped = F.greatest(
             F.lit(0).cast("bigint"),
-            F.least(col.cast("bigint"), F.lit((1 << bits) - 1)))
+            F.least(F.coalesce(col.cast("bigint"),
+                               F.lit(0).cast("bigint")),
+                    F.lit((1 << bits) - 1)))
         for b in range(bits):
             bit = F.shiftright(clamped, b).bitwiseAND(F.lit(1))
             key = key + (bit * F.lit(1 << (b * n + i))).cast("bigint")

@@ -110,10 +110,11 @@ def resample_fill(events: DataFrame, ts_col: str = "ts",
 
     Returns ``(key, bucket, n_events, v_avg, v_filled, is_gap)`` —
     one row per (key, bucket) over each key's observed [min, max]
-    bucket range.  ``v_avg`` is null on gap rows; ``v_filled`` carries
-    the last non-null bucket average forward (null until the key's
-    first observation, which cannot happen here because the range
-    starts at an observed bucket).
+    bucket range.  ``is_gap`` marks buckets the grid materialised
+    (no events at all — derived from the join miss, NOT from a null
+    average, so a bucket whose events carry only null values counts
+    as observed); ``v_filled`` carries the last non-null bucket
+    average forward.
     """
     bucket = bucket_index(ts_col, step_seconds, origin)
 
@@ -138,4 +139,4 @@ def resample_fill(events: DataFrame, ts_col: str = "ts",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "v_avg",
         F.last("v_avg", ignorenulls=True).over(w).alias("v_filled"),
-        F.col("v_avg").isNull().alias("is_gap")))
+        F.col("n_events").isNull().alias("is_gap")))

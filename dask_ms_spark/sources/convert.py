@@ -28,7 +28,7 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
                   group_cols: Iterable[str] = (),
                   index_cols: Iterable[str] = (),
                   where: str | None = None,
-                  output_format: str = "parquet",
+                  output_format: str | None = None,
                   mode: str = "overwrite") -> None:
     """Convert one table between formats (daskms/apps/convert.py:224-280).
 
@@ -58,7 +58,7 @@ def convert_store(spark: SparkSession, input_url: str, output_url: str,
         # Subtables are small dimension tables: no grouping, no filter.
         datasets = xds_from_storage_table(spark, sub_in)
         xds_to_storage_table(datasets, sub_out,
-                             fmt=kw.get("output_format", "parquet"))
+                             fmt=kw.get("output_format"))
 
 
 def probe(path: str) -> str:

@@ -139,14 +139,19 @@ def infer_format(path: str, spark: SparkSession | None = None) -> str:
     Hadoop filesystem when a session is supplied (zero-byte marker
     reads), else default to parquet — the blessed cloud-native format.
 
-    JSONL (the lingua franca of text-corpus ingest) is recognised by
-    extension — works identically for local and remote URLs, no
-    probe I/O.
+    JSON (the lingua franca of text-corpus ingest) is recognised by
+    extension — works identically for local and remote URLs, no probe
+    I/O.  ``.jsonl``/``.ndjson`` are line-delimited by convention;
+    plain ``.json`` means a standard (possibly multi-line /
+    array-rooted) document and reads with ``multiLine`` — the
+    extension decides, because Spark's default line-delimited parse
+    turns a pretty-printed document into ``_corrupt_record`` rows.
     """
     low = path.rstrip("/").lower()
-    if low.endswith((".jsonl", ".ndjson", ".jsonl.gz", ".ndjson.gz",
-                     ".json", ".json.gz")):
+    if low.endswith((".jsonl", ".ndjson", ".jsonl.gz", ".ndjson.gz")):
         return "jsonl"
+    if low.endswith((".json", ".json.gz")):
+        return "json"
     if "://" in path:
         if spark is None:
             return "parquet"
@@ -200,14 +205,19 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     if fmt == "parquet":
         return xds_from_parquet(spark, store.path, columns,
                                 group_cols, index_cols, where)
-    if fmt == "jsonl":
+    if fmt in ("jsonl", "json"):
         # corpus ingest: line-delimited JSON scans split per line in
         # parallel (gzip members permitting); schema inference samples
         # the data, so production callers should convert to parquet
-        # once (convert_table) and query the columnar copy
+        # once (convert_table) and query the columnar copy.  Plain
+        # .json documents need multiLine (one value per FILE, not per
+        # line — no intra-file parallelism, fine for small configs).
         from ..dataset import partition_datasets as _parts
 
-        df = spark.read.json(store.path)
+        reader = spark.read
+        if fmt == "json":
+            reader = reader.option("multiLine", "true")
+        df = reader.json(store.path)
         return _parts(df, group_cols, index_cols, where, columns)
     if fmt == "casa":
         return casa.xds_from_casa(spark, store.path, columns,
@@ -237,12 +247,26 @@ def xds_from_storage_table(spark: SparkSession, url: str,
                               where, columns)
 
 
-def xds_to_storage_table(datasets, url: str, fmt: str = "parquet",
+def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
                          partition_cols: Iterable[str] | None = None,
                          mode: str = "overwrite",
                          storage_options: dict | None = None) -> None:
-    """Format-dispatched write (reference daskms/dask_ms.py:383-439)."""
+    """Format-dispatched write (reference daskms/dask_ms.py:383-439).
+
+    ``fmt=None`` infers from the url the same way the READ side does
+    (a ``.jsonl`` extension is binding on both sides — writing parquet
+    bytes into a path later dispatched to the JSON reader would
+    corrupt the round trip), defaulting to parquet.  An explicit
+    ``fmt`` always wins.
+    """
     store = TableStore.parse(url, storage_options)
+    if fmt is None:
+        ext = infer_format(store.path)
+        fmt = ext if ext in ("jsonl", "json") else "parquet"
+    if fmt == "json":
+        raise ValueError(
+            "writing multi-line .json documents is not supported; use "
+            "a .jsonl path (or fmt='jsonl') for line-delimited output")
     if store.storage_options:
         ds0 = datasets[0] if isinstance(datasets, list) else datasets
         df0 = ds0.df if isinstance(ds0, Dataset) else ds0

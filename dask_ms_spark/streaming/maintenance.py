@@ -20,6 +20,13 @@ its own ``v<batch_id>`` from the same input and republishes —
 idempotent either way.  This is the checkpoint-v2 pattern Structured
 Streaming's own sinks use (write-ahead snapshot + atomic pointer).
 
+Batch ids are only meaningful WITHIN one checkpoint lineage, so the
+store records its checkpoint identity on first commit and
+:func:`maintain_rollup` refuses to attach a different (or missing)
+checkpoint to a non-empty store — a fresh checkpoint restarts batch
+numbering at 0 and the guard would otherwise silently drop new data.
+Resume with the original checkpoint, or start an empty store.
+
 Scale: each micro-batch shuffles only the delta's (key, bucket)
 groups; the merge reads the previous snapshot once.  For rollups too
 large to rewrite per batch, partition the snapshot by bucket range so
@@ -96,6 +103,21 @@ def maintain_rollup(stream_df: DataFrame, store: str,
     from pyspark.sql import functions as F
 
     os.makedirs(store, exist_ok=True)
+    ident_file = os.path.join(store, ".stream_identity")
+    ident = os.path.abspath(checkpoint) if checkpoint else None
+    if committed_batch(store) is not None:
+        recorded = (open(ident_file).read()
+                    if os.path.exists(ident_file) else None)
+        if ident is None or recorded != ident:
+            raise ValueError(
+                "store already holds state committed under checkpoint "
+                f"{recorded!r}; batch ids are per-checkpoint, so "
+                "attaching a different or ephemeral checkpoint would "
+                "silently drop or double-merge data — resume with the "
+                "original checkpoint or start an empty store")
+    elif ident is not None:
+        with open(ident_file, "w") as fh:
+            fh.write(ident)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         committed = committed_batch(store)

@@ -239,19 +239,24 @@ def test_streaming_rollup_maintenance(spark, events_path, events,
                 ).collect()}
     assert got == want and len(want) > 0
 
-    # replaying already-committed batches is a no-op
+    # batch ids are per-checkpoint: attaching a DIFFERENT checkpoint
+    # to the committed store must refuse (a fresh lineage restarts ids
+    # at 0, which would silently drop or double-merge)
     last = committed_batch(store)
-    rows_before = {tuple(r) for r in final.collect()}
-    q2 = maintain_rollup(
-        spark.readStream.format("parquet_replay")
-        .option("rows_per_batch", str(total)).load(events_path),
-        store, value_cast="decimal(18,2)",
-        checkpoint=str(tmp_path / "ckpt2"))
+    s2 = (spark.readStream.format("parquet_replay")
+          .option("rows_per_batch", str(total)).load(events_path))
+    with pytest.raises(ValueError, match="per-checkpoint"):
+        maintain_rollup(s2, store, value_cast="decimal(18,2)",
+                        checkpoint=str(tmp_path / "ckpt2"))
+    with pytest.raises(ValueError, match="per-checkpoint"):
+        maintain_rollup(s2, store, value_cast="decimal(18,2)")
+    assert committed_batch(store) == last
+    # resuming with the ORIGINAL checkpoint is allowed (no-op here:
+    # the checkpoint already recorded every batch as committed)
+    q2 = maintain_rollup(s2, store, value_cast="decimal(18,2)",
+                         checkpoint=str(tmp_path / "ckpt"))
     try:
-        time.sleep(2.0)
+        time.sleep(1.5)
     finally:
         q2.stop()
-    # batch ids restart at 0 for the new checkpoint -> guard skips them
     assert committed_batch(store) == last
-    assert {tuple(r) for r in read_rollup(spark, store).collect()} \
-        == rows_before
