@@ -29,8 +29,13 @@ Resume with the original checkpoint, or start an empty store.
 
 Scale: each micro-batch shuffles only the delta's (key, bucket)
 groups; the merge reads the previous snapshot once.  For rollups too
-large to rewrite per batch, partition the snapshot by bucket range so
-only touched partitions rewrite (dynamic partition overwrite).
+large to rewrite per batch, :func:`maintain_rollup_log` is the
+LSM-style variant: each batch appends its own immutable delta rollup
+(O(delta) work, committed by an atomic directory rename), readers
+merge base + committed deltas, and a compaction folds the log into a
+new base snapshot every ``compact_every`` batches — per-batch cost is
+independent of history size, and every step is idempotent under
+replay (a re-run batch overwrites its own delta dir and re-renames).
 """
 
 from __future__ import annotations
@@ -43,7 +48,8 @@ from ..operators.timeseries import (DEFAULT_ORIGIN, bucket_aggregate,
                                     merge_rollups)
 from .events import normalize_ts
 
-__all__ = ["maintain_rollup", "committed_batch", "read_rollup"]
+__all__ = ["maintain_rollup", "committed_batch", "read_rollup",
+           "maintain_rollup_log", "read_rollup_log"]
 
 
 def committed_batch(store: str) -> int | None:
@@ -134,6 +140,139 @@ def maintain_rollup(stream_df: DataFrame, store: str,
         merged.write.mode("overwrite").parquet(
             os.path.join(store, f"v{batch_id}"))
         _publish(store, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(apply) \
+        .trigger(processingTime="0 seconds")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# LSM-style delta-log maintenance: O(delta) per batch, not O(history)
+
+def _base_state(store: str) -> tuple[str | None, int]:
+    """(base version dir name or None, highest batch folded into it)."""
+    marker = os.path.join(store, "BASE")
+    if not os.path.exists(marker):
+        return None, -1
+    name, upto = open(marker).read().split()
+    return name, int(upto)
+
+
+def _committed_deltas(store: str, above: int) -> list[tuple[int, str]]:
+    ddir = os.path.join(store, "delta")
+    if not os.path.isdir(ddir):
+        return []
+    out = []
+    for d in os.listdir(ddir):
+        if d.startswith("v") and not d.startswith(".") and d[1:].isdigit():
+            b = int(d[1:])
+            if b > above:
+                out.append((b, os.path.join(ddir, d)))
+    return sorted(out)
+
+
+def read_rollup_log(spark, store: str) -> DataFrame | None:
+    """Committed state of a delta-log store: base snapshot merged with
+    every committed delta above the base's fold point."""
+    base_name, upto = _base_state(store)
+    deltas = _committed_deltas(store, upto)
+    frames = []
+    if base_name is not None:
+        frames.append(spark.read.parquet(os.path.join(store, base_name)))
+    frames.extend(spark.read.parquet(p) for _, p in deltas)
+    if not frames:
+        return None
+    return merge_rollups(*frames)
+
+
+def maintain_rollup_log(stream_df: DataFrame, store: str,
+                        ts_col: str = "ts", key_col: str = "user_id",
+                        value_col: str = "value",
+                        step_seconds: int = 3600,
+                        origin: str = DEFAULT_ORIGIN,
+                        value_cast: str | None = None,
+                        compact_every: int = 10,
+                        checkpoint: str | None = None):
+    """LSM variant of :func:`maintain_rollup`.
+
+    Per batch: aggregate the delta (O(delta)), write it to a private
+    staging dir, and commit with one atomic directory rename — history
+    is never read or rewritten on the hot path.  Every
+    ``compact_every`` committed deltas, the batch additionally folds
+    base+deltas into a new base snapshot and atomically advances the
+    ``BASE`` marker (readers that raced still see only immutable
+    dirs).  Replayed batches are idempotent: the delta dir for a batch
+    id is recomputed from the same input and the rename simply
+    replaces nothing new; batches at or below the base fold point are
+    skipped outright.
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(os.path.join(store, "delta"), exist_ok=True)
+    ident_file = os.path.join(store, ".stream_identity")
+    ident = os.path.abspath(checkpoint) if checkpoint else None
+    has_state = (_base_state(store)[0] is not None
+                 or bool(_committed_deltas(store, -1)))
+    if has_state:
+        recorded = (open(ident_file).read()
+                    if os.path.exists(ident_file) else None)
+        if ident is None or recorded != ident:
+            raise ValueError(
+                "store already holds state committed under checkpoint "
+                f"{recorded!r}; batch ids are per-checkpoint — resume "
+                "with the original checkpoint or start an empty store")
+    elif ident is not None:
+        with open(ident_file, "w") as fh:
+            fh.write(ident)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        _, upto = _base_state(store)
+        if batch_id <= upto:
+            return  # already folded into the base snapshot
+        batch_df = normalize_ts(batch_df, ts_col)
+        if value_cast:
+            batch_df = batch_df.withColumn(
+                value_col, F.col(value_col).cast(value_cast))
+        delta = bucket_aggregate(batch_df, ts_col, key_col, value_col,
+                                 step_seconds, origin)
+        staging = os.path.join(store, "delta", f".tmp-{batch_id}")
+        final = os.path.join(store, "delta", f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)     # replayed batch: replace its delta
+        os.replace(staging, final)   # atomic commit
+
+        committed = _committed_deltas(store, upto)
+        if len(committed) >= compact_every:
+            spark = batch_df.sparkSession
+            old_base, old_upto = _base_state(store)
+            frames = ([spark.read.parquet(os.path.join(store, old_base))]
+                      if old_base else [])
+            frames += [spark.read.parquet(p) for _, p in committed]
+            folded_to = committed[-1][0]
+            new_base = f"base-v{folded_to}"
+            merge_rollups(*frames).write.mode("overwrite").parquet(
+                os.path.join(store, new_base))
+            tmp = os.path.join(store, ".BASE.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(f"{new_base} {folded_to}")
+            os.replace(tmp, os.path.join(store, "BASE"))
+            # prune with ONE COMPACTION OF LAG: a reader that listed
+            # dirs under the previous marker still has every dir it
+            # needs alive; only state the PREVIOUS fold already
+            # superseded is removed now
+            for b, p in _committed_deltas(store, -1):
+                if b <= old_upto:
+                    shutil.rmtree(p, ignore_errors=True)
+            for d in os.listdir(store):
+                if (d.startswith("base-v")
+                        and d not in (new_base, old_base)):
+                    shutil.rmtree(os.path.join(store, d),
+                                  ignore_errors=True)
 
     writer = stream_df.writeStream.foreachBatch(apply) \
         .trigger(processingTime="0 seconds")

@@ -260,3 +260,54 @@ def test_streaming_rollup_maintenance(spark, events_path, events,
     finally:
         q2.stop()
     assert committed_batch(store) == last
+
+
+def test_streaming_rollup_log_with_compaction(spark, events_path,
+                                              events, tmp_path):
+    """LSM delta-log maintenance: many small micro-batches, compaction
+    every 4 deltas, final merged state equals the batch re-aggregate;
+    the delta log stays bounded (compacted into base snapshots)."""
+    import time
+
+    from dask_ms_spark.operators.timeseries import bucket_aggregate
+    from dask_ms_spark.streaming.maintenance import (_base_state,
+                                                     _committed_deltas,
+                                                     maintain_rollup_log,
+                                                     read_rollup_log)
+    from dask_ms_spark.streaming.replay import ParquetReplayDataSource
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    total = events.count()
+    store = str(tmp_path / "lsm")
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", str(max(1, total // 10)))
+         .load(events_path))
+    q = maintain_rollup_log(s, store, value_cast="decimal(18,2)",
+                            compact_every=4,
+                            checkpoint=str(tmp_path / "ck"))
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                r = read_rollup_log(spark, store)
+                if r is not None and \
+                        r.agg(F.sum("n_events")).first()[0] == total:
+                    break
+            except Exception:
+                pass  # racing a compaction prune: retry
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = {(r.key, r.bucket): (r.n_events, r.v_sum)
+           for r in read_rollup_log(spark, store).collect()}
+    want = {(r.key, r.bucket): (r.n_events, r.v_sum)
+            for r in bucket_aggregate(
+                events.withColumn(
+                    "value", F.col("value").cast("decimal(18,2)"))
+                ).collect()}
+    assert got == want and len(want) > 0
+    # compaction actually ran and bounded the live delta log
+    base, upto = _base_state(store)
+    assert base is not None and upto >= 0
+    assert len(_committed_deltas(store, upto)) < 8
