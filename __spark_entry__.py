@@ -1818,6 +1818,27 @@ def q_pii_redact(spark, sf_dir):
         portable_hash64(F.col("redacted")).alias("redacted_hash"))
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Release-to-release corpus audit: v2 simulated from v1 by
+    removing doc_id%11==0, rewriting text for doc_id%5==0, and adding
+    fresh ids (+100000 for doc_id%13==0); the diff must label exactly
+    those as removed/changed/added, everything else unchanged.  Both
+    sides project to (id, digest) before the full-outer join."""
+    from dask_ms_spark.llm.corpus import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v2 = (d.where(did % 11 != 0)
+           .select("doc_id",
+                   F.when(did % 5 == 0,
+                          F.concat("text", F.lit(" rev2")))
+                    .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               d.where(did % 13 == 0)
+                .select((did + 100000).alias("doc_id"), "text")))
+    return corpus_diff(d, v2)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Multi-column layout key: Morton-interleave (user_id, 6-hour
     bucket) so range-partitioned rewrites cluster rows close in BOTH
@@ -2715,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "rollup_merge": q_rollup_merge,
         "zorder_layout": q_zorder_layout,
+        "corpus_diff": q_corpus_diff,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -3121,6 +3143,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
         "sample_mixture": _mixture_sql(),
         "zorder_layout": _zorder_sql(),
+        "corpus_diff": f"""
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 != 0
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 13 = 0),
+            o AS (SELECT doc_id AS id,
+                         {_DUCK_HASH.format(
+                             x=_DUCK_NORM.format(x='text'))} AS old_hash
+                  FROM documents),
+            n AS (SELECT doc_id AS id,
+                         {_DUCK_HASH.format(
+                             x=_DUCK_NORM.format(x='text'))} AS new_hash
+                  FROM v2)
+            SELECT coalesce(o.id, n.id) AS doc_id,
+                   CASE WHEN o.id IS NULL THEN 'added'
+                        WHEN n.id IS NULL THEN 'removed'
+                        WHEN old_hash = new_hash THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_hash, new_hash
+            FROM o FULL OUTER JOIN n ON o.id = n.id
+        """,
         # rollup_merge oracle: the FULL re-aggregate over all events —
         # passing proves merge(agg(history), agg(delta)) == agg(all)
         "rollup_merge": """

@@ -20,7 +20,37 @@ from ..session import ensure_parallelism
 
 __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
-           "lm_perplexity", "chunk_documents"]
+           "lm_perplexity", "chunk_documents", "corpus_diff"]
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Content-level diff between two corpus versions: one row per doc
+    id in either version with status ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the audit table a dataset-versioning
+    workflow publishes alongside each release.
+
+    Scale shape: both sides project to (id, 8-byte digest) before the
+    full-outer join, so the exchange carries 16 bytes/row regardless
+    of document size; the join key is the id, so a corpus stored
+    bucketed by id diffs with no shuffle at all.
+    """
+    from .dedup import normalize_text
+
+    digest = portable_hash64(normalize_text(F.col(text_col)))
+    o = ensure_parallelism(old_docs).select(
+        F.col(id_col).alias("id"), digest.alias("old_hash"))
+    n = ensure_parallelism(new_docs).select(
+        F.col(id_col).alias("id"), digest.alias("new_hash"))
+    j = o.join(n, "id", "full_outer")
+    status = (F.when(F.col("old_hash").isNull(), F.lit("added"))
+               .when(F.col("new_hash").isNull(), F.lit("removed"))
+               .when(F.col("old_hash") == F.col("new_hash"),
+                     F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return j.select(F.col("id").alias(id_col),
+                    status.alias("status"), "old_hash", "new_hash")
 
 
 def chunk_documents(docs: DataFrame, text_col: str = "text",

@@ -223,3 +223,21 @@ def test_merge_rollups_equals_full_aggregate(spark):
     f = {(r.key, r.bucket): (r.n_events, r.v_sum)
          for r in full.collect()}
     assert m == f and len(f) > 0
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.corpus import corpus_diff
+
+    old = spark.createDataFrame([
+        Row(doc_id=1, text="same text"),
+        Row(doc_id=2, text="will change"),
+        Row(doc_id=3, text="will be removed")])
+    new = spark.createDataFrame([
+        Row(doc_id=1, text="Same  TEXT"),   # unchanged after normalise
+        Row(doc_id=2, text="did change"),
+        Row(doc_id=4, text="brand new")])
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
