@@ -2652,6 +2652,70 @@ def _similarity_topk_sql(k: int = 10) -> str:
     """
 
 
+def q_cardinality_kmv(spark, sf_dir):
+    """Per-language distinct 5-char-shingle estimate via a KMV
+    (k-minimum-values) sketch (llm/sketches.py).  Unlike HLL
+    approx_count_distinct the estimator is a deterministic function of
+    the portable md5 hash, so two engines agree bit-for-bit; the
+    sketch is mergeable (union = k smallest of the concatenation), the
+    property that makes it per-partition-combinable over a 100 TB
+    corpus.  Shingles (not whitespace tokens) because the synthetic
+    vocabulary is tiny — ~1.8k distinct shingles per language keeps
+    the sketch in its estimation regime at k=64."""
+    from dask_ms_spark.llm.dedup import normalize_text
+    from dask_ms_spark.llm.sketches import kmv_distinct
+
+    t = F.col("t")
+    grams = F.transform(F.sequence(F.lit(1), F.length(t) - 4),
+                        lambda i: t.substr(i, F.lit(5)))
+    sh = (_t(spark, sf_dir, "documents")
+          .select("lang", normalize_text(F.col("text")).alias("t"))
+          .where(F.length("t") >= 5)
+          .select("lang", F.explode(grams).alias("v")))
+    return kmv_distinct(sh, "v", ["lang"], k=64)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: deterministic k-means coarse clustering, then cosine
+    near-dup drop *within* clusters only (llm/semantic.py) — catches
+    re-worded redundancy that lexical MinHash cannot see, without the
+    all-pairs join it would naively cost."""
+    from dask_ms_spark.llm.semantic import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                          k=8, iters=2, threshold=0.4)
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Character-window duplication profile (the distributed
+    approximation of suffix-array ExactSubstr dedup): any cross-doc
+    verbatim run >= 69 chars is guaranteed a shared 60-char window at
+    stride 10, independent of tokenisation."""
+    from dask_ms_spark.llm.corpus import substring_dedup
+
+    return substring_dedup(_t(spark, sf_dir, "documents"),
+                           window=60, stride=10)
+
+
+def q_collocations_pmi(spark, sf_dir):
+    """Top-50 adjacent-pair collocations by PMI with min support 5
+    (llm/corpus.py) — fixed-phrase detection and a corpus-health
+    check (implausibly high PMI everywhere = templated text)."""
+    from dask_ms_spark.llm.corpus import collocations_pmi
+
+    return collocations_pmi(_t(spark, sf_dir, "documents"),
+                            min_count=5, topk=50)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character-distribution quality signals: Shannon entropy
+    (bits, fixed-point-quantised terms) and Simpson diversity over the
+    lower-cased char histogram (llm/corpus.py char_entropy)."""
+    from dask_ms_spark.llm.corpus import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -2737,6 +2801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": q_rollup_merge,
         "zorder_layout": q_zorder_layout,
         "corpus_diff": q_corpus_diff,
+        "cardinality_kmv": q_cardinality_kmv,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substring": q_dedup_substring,
+        "collocations_pmi": q_collocations_pmi,
+        "char_entropy": q_char_entropy,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4012,5 +4081,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT nh.doc_id, nh.text_hash,
                    (bd.text_hash IS NOT NULL) AS is_dup
             FROM nh LEFT JOIN bd ON nh.text_hash = bd.text_hash
+        """,
+        # cardinality_kmv: k smallest distinct md5-hashes per lang;
+        # estimator (k-1)/u_k, exact below the fill mark.  2^60 =
+        # 1152921504606846976 (portable_hash64 is 15 hex digits).
+        "cardinality_kmv": f"""
+            WITH d AS (SELECT lang, {_DUCK_NORM.format(x='text')} AS t
+                       FROM documents),
+            w AS (SELECT lang, substring(t, cast(i as int), 5) AS v
+                  FROM d, UNNEST(range(1, length(t) - 3)) r(i)
+                  WHERE length(t) >= 5),
+            h AS (SELECT DISTINCT lang,
+                         {_DUCK_HASH.format(x='v')} AS h FROM w),
+            rk AS (SELECT lang, h,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY h) AS rn
+                   FROM h)
+            SELECT lang, cast(count(*) as bigint) AS n_kept,
+                   cast(round(CASE WHEN count(*) < 64
+                        THEN cast(count(*) as double)
+                        ELSE 63.0 / (cast(max(h) as double)
+                                     / 1152921504606846976.0) END)
+                        as bigint) AS est_distinct,
+                   round(cast(max(h) as double)
+                         / 1152921504606846976.0, 9) AS u_k
+            FROM rk WHERE rn <= 64 GROUP BY lang
+        """,
+        # dedup_semantic: the kmeans_cluster mirror as the coarse
+        # quantizer, then within-cluster rounded-cosine >= 0.4 against
+        # any lower id
+        "dedup_semantic": f"""
+            WITH km AS ({_kmeans_sql(k=8, iters=2)}),
+            v AS (SELECT vec_id,
+                         list_transform(embedding,
+                                        x -> cast(x as double)) AS vec
+                  FROM embeddings),
+            m AS (SELECT km.vec_id AS id, km.cluster, v.vec
+                  FROM km JOIN v USING (vec_id)),
+            p AS (SELECT b.id AS id,
+                         max(round({_COS.replace('va', 'a.vec')
+                                        .replace('vb', 'b.vec')}, 6))
+                             AS max_sim
+                  FROM m a JOIN m b
+                    ON a.cluster = b.cluster AND a.id < b.id
+                  WHERE round({_COS.replace('va', 'a.vec')
+                                   .replace('vb', 'b.vec')}, 6) >= 0.4
+                  GROUP BY b.id)
+            SELECT m.id AS vec_id, m.cluster,
+                   (p.max_sim IS NULL) AS keep, p.max_sim
+            FROM m LEFT JOIN p ON m.id = p.id
+        """,
+        # dedup_substring: 60-char windows at stride 10 (whole text
+        # when shorter); range() is stop-exclusive where sequence() is
+        # inclusive, hence the +2
+        "dedup_substring": f"""
+            WITH d AS (SELECT doc_id, text AS t,
+                              length(text) AS n FROM documents),
+            st AS (SELECT doc_id, t,
+                          CASE WHEN n <= 60 THEN [cast(1 as bigint)]
+                               ELSE range(1, n - 60 + 2, 10) END
+                          AS starts
+                   FROM d),
+            w AS (SELECT DISTINCT doc_id,
+                         {_DUCK_HASH.format(
+                             x='substring(t, cast(s as int), 60)')}
+                         AS wh
+                  FROM (SELECT doc_id, t, unnest(starts) AS s FROM st)),
+            ph AS (SELECT wh, count(*) AS nd FROM w GROUP BY wh)
+            SELECT doc_id, cast(count(*) as bigint) AS n_windows,
+                   cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        as bigint) AS n_dup_windows,
+                   round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_ratio
+            FROM w JOIN ph USING (wh) GROUP BY doc_id
+        """,
+        # collocations_pmi: PMI evaluated with the exact association
+        # order of llm/corpus.py collocations_pmi (bm25 ln-parity
+        # precedent)
+        "collocations_pmi": """
+            WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                                   ELSE regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') END
+                              AS toks
+                       FROM documents),
+            f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+            bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                   FROM f, UNNEST(range(1, len(toks))) AS r(i)),
+            bi AS (SELECT w1, w2, count(*) AS c_xy
+                   FROM bg GROUP BY 1, 2),
+            uni AS (SELECT w, count(*) AS c
+                    FROM (SELECT unnest(toks) AS w FROM f)
+                    GROUP BY w),
+            tot AS (SELECT (SELECT cast(sum(c_xy) as double) FROM bi)
+                               AS m_total,
+                           (SELECT cast(sum(c) as double) FROM uni)
+                               AS n_total)
+            SELECT w1, w2, cast(c_xy as bigint) AS c_xy,
+                   round(ln((c_xy / m_total)
+                            / ((u1.c / n_total) * (u2.c / n_total))),
+                         6) AS pmi
+            FROM bi
+            JOIN uni u1 ON u1.w = bi.w1
+            JOIN uni u2 ON u2.w = bi.w2
+            CROSS JOIN tot
+            WHERE c_xy >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        # char_entropy: per-term fixed-point quantisation at 2^-20
+        # before the per-doc sum (the lm_perplexity discipline)
+        "char_entropy": """
+            WITH d AS (SELECT doc_id, lower(text) AS t
+                       FROM documents WHERE length(lower(text)) > 0),
+            ch AS (SELECT doc_id, substring(t, cast(i as int), 1) AS c
+                   FROM d, UNNEST(range(1, length(t) + 1)) AS r(i)),
+            cnt AS (SELECT doc_id, c, count(*) AS cnt
+                    FROM ch GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(cnt) AS n_chars
+                    FROM cnt GROUP BY 1),
+            q AS (SELECT cnt.doc_id, cnt.cnt, tot.n_chars,
+                         cast(round(-(cnt / n_chars)
+                                    * log2(cnt / n_chars)
+                                    * 1048576.0) as bigint) AS ent_q,
+                         cast(round((cnt / n_chars) * (cnt / n_chars)
+                                    * 1048576.0) as bigint) AS simp_q
+                  FROM cnt JOIN tot USING (doc_id))
+            SELECT doc_id, cast(max(n_chars) as bigint) AS n_chars,
+                   cast(count(*) as bigint) AS n_distinct_chars,
+                   round(sum(ent_q) / 1048576.0, 6) AS entropy_bits,
+                   round(1.0 - sum(simp_q) / 1048576.0, 6)
+                       AS simpson_diversity
+            FROM q GROUP BY doc_id
         """,
     }

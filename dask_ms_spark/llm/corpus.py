@@ -20,7 +20,8 @@ from ..session import ensure_parallelism
 
 __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
-           "lm_perplexity", "chunk_documents", "corpus_diff"]
+           "lm_perplexity", "chunk_documents", "corpus_diff",
+           "substring_dedup", "collocations_pmi", "char_entropy"]
 
 
 def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
@@ -331,3 +332,141 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
                     F.round(F.col("qsum")
                             / F.col("n_bigrams") / F.lit(float(scale)),
                             6).alias("avg_neg_logp")))
+
+
+def substring_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 40,
+                    stride: int = 10) -> DataFrame:
+    """Character-window (substring-level) duplication profile — the
+    distributed approximation of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2022:
+    suffix-array ExactSubstr).  A full distributed suffix array is a
+    poor fit for Spark; the standard approximation is fixed-width
+    character windows at a stride: any cross-document verbatim run of
+    >= window + stride - 1 chars is guaranteed to produce at least one
+    shared window, independent of tokenisation (which is what
+    word-n-gram boilerplate detection cannot promise).
+
+    Returns per doc: ``n_windows``, ``n_dup_windows`` (windows whose
+    hash occurs in >= 2 distinct docs), ``dup_ratio``.
+
+    Plan shape (the phrase_boilerplate discipline at char level):
+    explode window *start positions*, then substr+hash POST-explode so
+    md5 runs in whole-stage codegen, not interpreted per array
+    element; distinct (id, hash); per-hash doc counts; join back.
+    Shuffles carry (id, 8-byte hash) only — never text.  Docs shorter
+    than ``window`` contribute one whole-text window.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.when(n <= window, F.array(F.lit(1))).otherwise(
+        F.sequence(F.lit(1), n - F.lit(window) + 1, F.lit(stride)))
+    hashed = (ensure_parallelism(docs)
+              .select(F.col(id_col).alias("id"), t.alias("t"),
+                      F.explode(starts).alias("pos"))
+              .select("id", portable_hash64(
+                  F.col("t").substr(F.col("pos"), F.lit(window)))
+                  .alias("wh"))
+              .distinct())
+    per_hash = hashed.groupBy("wh").agg(F.count(F.lit(1)).alias("nd"))
+    dup = (F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+           .cast("long"))
+    return (hashed.join(per_hash, "wh")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 dup.alias("n_dup_windows"),
+                 F.round(dup / F.count(F.lit(1)), 6).alias("dup_ratio")))
+
+
+def collocations_pmi(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, topk: int = 50) -> DataFrame:
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information — the classic corpus-linguistics signal for fixed
+    phrases ("los angeles") vs chance co-occurrence, and a practical
+    detector of templated text when PMI is implausibly high corpus-wide.
+
+    PMI = ln( (c_xy / M) / ((c_x / N) * (c_y / N)) ) with N total
+    tokens, M total bigrams; the expression is evaluated with this
+    exact association order so any SQL mirror agrees bit-for-bit (the
+    bm25_search precedent for cross-engine ``ln`` parity).
+
+    Plan shape: one explode feeds both the bigram and unigram counts
+    (partial-merged aggs); the unigram table is vocabulary-bounded and
+    **broadcast** to the bigram side, so the only corpus-sized shuffle
+    is the (w1, w2) count.  The ``min_count`` filter applies before
+    the joins, bounding the scored set.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    tok_tbl = (ensure_parallelism(docs)
+               .select(toks.alias("toks"))
+               .where(F.size("toks") >= 2))
+    base = (tok_tbl
+            .select(F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"))))
+                .alias("bg"))
+            .select("bg.w1", "bg.w2"))
+    bi = base.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    # unigram marginals are token frequencies (not bigram-position
+    # counts, which would double-count every interior token)
+    uni = (tok_tbl.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    totals = F.broadcast(
+        bi.agg(F.sum("c_xy").cast("double").alias("m_total"))
+          .crossJoin(uni.agg(F.sum("c").cast("double").alias("n_total"))))
+    pmi = F.round(F.log(
+        (F.col("c_xy").cast("double") / F.col("m_total"))
+        / ((F.col("c1").cast("double") / F.col("n_total"))
+           * (F.col("c2").cast("double") / F.col("n_total")))), 6)
+    scored = (bi.where(F.col("c_xy") >= min_count)
+              .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                           F.col("c").alias("c1"))), "w1")
+              .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                           F.col("c").alias("c2"))), "w2")
+              .crossJoin(totals)
+              .select("w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
+                      pmi.alias("pmi")))
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(topk)
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 scale: int = 1 << 20) -> DataFrame:
+    """Per-document character-distribution signals: Shannon entropy
+    (bits) and Simpson diversity (1 - sum p^2) over the lower-cased
+    character histogram.  Low entropy flags degenerate text (repeated
+    filler, padding); it complements the word-level quality gates.
+
+    Entropy terms ``-p*log2(p)`` are quantised to int64 at 2^-20
+    before the per-doc sum (the lm_perplexity discipline) so the sum
+    is shuffle-order-independent and engine-exact; Simpson terms are
+    quantised the same way.
+
+    Plan shape: explode single characters post-normalisation, one
+    (id, char) partial-merged count, one (id) merge.  Shuffles carry
+    (id, 1-char, count) then (id, int64) — bounded by alphabet size
+    per doc, not text size.
+    """
+    tc = F.col("t")
+    chars = F.transform(F.sequence(F.lit(1), F.length(tc)),
+                        lambda i: tc.substr(i, F.lit(1)))
+    counts = (ensure_parallelism(docs)
+              .select(F.col(id_col).alias("id"),
+                      F.lower(F.col(text_col)).alias("t"))
+              .where(F.length("t") > 0)
+              .select("id", F.explode(chars).alias("c"))
+              .groupBy("id", "c").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = counts.groupBy("id").agg(F.sum("cnt").alias("n_chars"))
+    p = F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+    ent_q = F.round(-p * F.log2(p) * F.lit(float(scale))).cast("long")
+    simp_q = F.round(p * p * F.lit(float(scale))).cast("long")
+    return (counts.join(tot, "id")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.max("n_chars").cast("long").alias("n_chars"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+                 F.round(F.sum(ent_q) / F.lit(float(scale)), 6)
+                  .alias("entropy_bits"),
+                 F.round(F.lit(1.0) - F.sum(simp_q) / F.lit(float(scale)), 6)
+                  .alias("simpson_diversity")))

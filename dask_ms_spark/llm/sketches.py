@@ -1,0 +1,80 @@
+"""Mergeable cardinality sketches for corpus profiling.
+
+Counting distinct tokens / urls / shingles across a 100 TB corpus is a
+profiling staple, but Spark's ``approx_count_distinct`` (HLL++) and
+DuckDB's ``approx_count_distinct`` use engine-private hash functions,
+so their estimates can never be cross-checked value-for-value.  The
+KMV (k-minimum-values) sketch fixes that: with a portable hash
+(``portable_hash64`` — md5-derived, identical in Spark / DuckDB /
+Python) the k smallest distinct hash values are a *deterministic*
+function of the input set, and the classic estimator
+
+    est = (k - 1) / u_k        (u_k = k-th smallest hash mapped to (0,1))
+
+is reproducible bit-for-bit in any engine.  KMV sketches are also
+mergeable (union = k smallest of the concatenation), which is what
+makes them per-partition-combinable at scale.
+
+Plan shape: the heavy shuffle is the per-group ``distinct`` over
+(group, hash) — map-side combine collapses repeats before the
+exchange, and only 8-byte hashes travel, never payloads.  The
+rank-and-trim step then runs on the *distinct* set.  At 100 TB the
+distinct set of a truly high-cardinality column is itself large; the
+production refinement (documented, not needed at bench scale) is to
+pre-filter ``hash < t`` for a threshold t chosen from a lower bound on
+the cardinality — KMV only ever consults hashes below the final u_k,
+so any conservative t keeps the shuffle a tiny fixed fraction of the
+input while leaving the result identical.
+
+No reference analogue (dask-ms has no sketching surface); this is part
+of the LLM-pipeline extension set alongside llm/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_ms_spark.functions.text import portable_hash64
+
+__all__ = ["kmv_distinct", "HASH_SPACE"]
+
+# portable_hash64 yields 15 hex digits -> [0, 2^60)
+HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str]
+                 | None = None, k: int = 64) -> DataFrame:
+    """Estimate the number of distinct ``value_col`` values per group
+    with a k-minimum-values sketch.
+
+    Returns one row per group: ``n_kept`` (sketch fill, = min(k,
+    exact distinct)), ``est_distinct`` (bigint estimate; exact when the
+    sketch is not full — KMV degrades gracefully to exact counting on
+    small groups), and ``u_k`` (the k-th smallest normalised hash,
+    rounded; the sketch "state" a re-run can be checked against).
+
+    Deterministic: hashes are md5-derived, the k-minimum set of a
+    distinct-hash collection has no ties, and the estimator is a pure
+    function of u_k.
+    """
+    group_cols = list(group_cols or [])
+    hashed = (df.select(*group_cols,
+                        portable_hash64(F.col(value_col)).alias("h"))
+              .distinct())
+    w = Window.partitionBy(*group_cols).orderBy("h") if group_cols \
+        else Window.orderBy("h")
+    ranked = (hashed
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= k))
+    est = F.when(
+        F.count(F.lit(1)) < k,
+        F.count(F.lit(1)).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.max("h").cast("double") / F.lit(HASH_SPACE))
+    )
+    return (ranked.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.round(est).cast("long").alias("est_distinct"),
+                 F.round(F.max("h").cast("double") / F.lit(HASH_SPACE), 9)
+                  .alias("u_k")))

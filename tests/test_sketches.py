@@ -1,0 +1,165 @@
+"""Tests for the KMV cardinality sketch, semantic dedup, and the
+round-5 corpus analytics (substring windows, PMI, char entropy).
+Oracles are brute-force Python recomputation on tiny inputs."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dask_ms_spark.llm.corpus import (char_entropy, collocations_pmi,
+                                      substring_dedup)
+from dask_ms_spark.llm.semantic import semantic_dedup
+from dask_ms_spark.llm.sketches import kmv_distinct
+
+
+# ---------------------------------------------------------------- KMV
+
+def test_kmv_exact_below_fill(spark):
+    """A group with fewer distinct values than k reports the exact
+    count (graceful degradation)."""
+    rows = [Row(g="a", v=f"x{i % 7}") for i in range(100)]
+    out = kmv_distinct(spark.createDataFrame(rows), "v", ["g"],
+                       k=64).collect()
+    assert len(out) == 1
+    assert out[0].n_kept == 7
+    assert out[0].est_distinct == 7
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """Estimation regime: relative error should be within ~3/sqrt(k)
+    (the KMV standard error is ~1/sqrt(k-2))."""
+    n, k = 5000, 128
+    rows = [Row(g="a", v=f"value-{i}") for i in range(n)]
+    out = kmv_distinct(spark.createDataFrame(rows), "v", ["g"],
+                       k=k).collect()[0]
+    assert out.n_kept == k
+    assert abs(out.est_distinct - n) / n < 3.0 / math.sqrt(k)
+
+
+def test_kmv_merge_invariance(spark):
+    """The sketch is a pure function of the distinct value set: the
+    same values split differently across rows/partitions give an
+    identical (est, u_k)."""
+    vals = [f"v{i}" for i in range(500)]
+    a = spark.createDataFrame([Row(v=v) for v in vals]).repartition(2)
+    b = spark.createDataFrame([Row(v=v) for v in vals * 3]) \
+        .repartition(7)
+    ra = kmv_distinct(a, "v", k=32).collect()[0]
+    rb = kmv_distinct(b, "v", k=32).collect()[0]
+    assert (ra.est_distinct, ra.u_k) == (rb.est_distinct, rb.u_k)
+
+
+def test_kmv_global_no_groups(spark):
+    rows = [Row(v=f"t{i}") for i in range(10)]
+    out = kmv_distinct(spark.createDataFrame(rows), "v", k=64).collect()
+    assert len(out) == 1 and out[0].est_distinct == 10
+
+
+# ----------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_drops_near_identical(spark):
+    """Two near-identical vectors land in one cluster; the higher id
+    is dropped.  Orthogonal vectors survive."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0, 0.0]),  # dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = {r.vec_id: r for r in semantic_dedup(
+        spark.createDataFrame(rows), k=2, iters=2,
+        threshold=0.9).collect()}
+    assert not out[1].keep and out[1].max_sim >= 0.9
+    assert out[0].keep and out[2].keep and out[3].keep
+
+
+def test_semantic_dedup_respects_cluster_boundary(spark):
+    """Similar vectors in *different* clusters are not compared — the
+    SemDeDup trade-off (coarse quantisation bounds the join)."""
+    # two tight groups far apart; k=2 separates them
+    rows = [Row(vec_id=i, embedding=[10.0 + i * 0.001, 0.0])
+            for i in range(3)]
+    rows += [Row(vec_id=10 + i, embedding=[-10.0 - i * 0.001, 0.0])
+             for i in range(3)]
+    out = semantic_dedup(spark.createDataFrame(rows), k=2, iters=2,
+                         threshold=0.99).collect()
+    clusters = {r.vec_id: r.cluster for r in out}
+    # lowest id of each cluster kept, the rest dropped (cos ~ 1.0
+    # within each side)
+    keeps = {r.vec_id for r in out if r.keep}
+    assert keeps == {min(i for i in clusters
+                         if clusters[i] == c) for c in
+                     set(clusters.values())}
+
+
+# -------------------------------------------------- substring windows
+
+def test_substring_dedup_planted_shared_run(spark):
+    shared = "S" * 80  # >= window + stride - 1 guarantees a hit
+    rows = [Row(doc_id=1, text="aaa " + shared + " bbb" + "x" * 40),
+            Row(doc_id=2, text="ccc " + shared + " ddd" + "y" * 40),
+            Row(doc_id=3, text="entirely unrelated text " + "z" * 80)]
+    out = {r.doc_id: r for r in substring_dedup(
+        spark.createDataFrame(rows), window=40, stride=10).collect()}
+    assert out[1].n_dup_windows > 0
+    assert out[2].n_dup_windows > 0
+    assert out[3].n_dup_windows == 0
+    assert out[3].dup_ratio == 0.0
+
+
+def test_substring_dedup_short_doc_single_window(spark):
+    rows = [Row(doc_id=1, text="short"), Row(doc_id=2, text="short")]
+    out = {r.doc_id: r for r in substring_dedup(
+        spark.createDataFrame(rows), window=40, stride=10).collect()}
+    assert out[1].n_windows == 1 and out[1].n_dup_windows == 1
+
+
+# ---------------------------------------------------------------- PMI
+
+def test_collocations_pmi_hand_checked(spark):
+    """'new york' always adjacent -> PMI = ln(N^2 * c_xy / (M c_x c_y))
+    computed by hand on a fixed corpus."""
+    docs = ["new york is big", "new york has people",
+            "big people like york"]  # 'york' once without 'new'
+    df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                for i, t in enumerate(docs)])
+    out = collocations_pmi(df, min_count=2, topk=10).collect()
+    by_pair = {(r.w1, r.w2): r for r in out}
+    assert ("new", "york") in by_pair
+    r = by_pair[("new", "york")]
+    # counts: bigrams M = 9, c(new york) = 2; tokens N = 12,
+    # c(new) = 2, c(york) = 3
+    expected = math.log((2 / 9) / ((2 / 12) * (3 / 12)))
+    assert r.c_xy == 2
+    assert abs(r.pmi - expected) < 1e-6
+
+
+def test_collocations_pmi_min_count_filter(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])
+    assert collocations_pmi(df, min_count=2, topk=10).count() == 0
+
+
+# ------------------------------------------------------- char entropy
+
+def test_char_entropy_known_values(spark):
+    rows = [Row(doc_id=1, text="aaaa"),       # entropy 0
+            Row(doc_id=2, text="abab"),       # entropy 1 bit
+            Row(doc_id=3, text="abcd")]       # entropy 2 bits
+    out = {r.doc_id: r for r in char_entropy(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1].entropy_bits == pytest.approx(0.0, abs=1e-5)
+    assert out[2].entropy_bits == pytest.approx(1.0, abs=1e-5)
+    assert out[3].entropy_bits == pytest.approx(2.0, abs=1e-5)
+    # Simpson diversity: 1 - sum p^2
+    assert out[1].simpson_diversity == pytest.approx(0.0, abs=1e-5)
+    assert out[3].simpson_diversity == pytest.approx(0.75, abs=1e-5)
+    assert out[3].n_distinct_chars == 4
+
+
+def test_char_entropy_case_folded(spark):
+    rows = [Row(doc_id=1, text="AaAa")]
+    out = char_entropy(spark.createDataFrame(rows)).collect()[0]
+    assert out.n_distinct_chars == 1
+    assert out.entropy_bits == pytest.approx(0.0, abs=1e-5)
