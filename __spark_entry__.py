@@ -2707,6 +2707,20 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    minhash-LSH near-dup candidate graph (operators/graph.py
+    triangle_count): dense template cliques light up, chance pair
+    hits stay triangle-free."""
+    from dask_ms_spark.llm.dedup import minhash_lsh_pairs
+    from dask_ms_spark.operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, num_bands=4,
+                              shingle_k=5, threshold=0.5)
+    return triangle_count(pairs)
+
+
 def q_char_entropy(spark, sf_dir):
     """Per-doc character-distribution quality signals: Shannon entropy
     (bits, fixed-point-quantised terms) and Simpson diversity over the
@@ -2789,10 +2803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
         "resample_fill": q_resample_fill,
-        # -- positions 50+: 26 r3-stale + 27 never-checked entries
-        #    compete for 50 slots, so the 3 newest additions sit just
-        #    below the window (verified by tools/check_oracle locally) and lead round 6's window for their first driver
-        #    row --
+        # -- positions 50+: 26 r3-stale + 37 never-checked entries
+        #    compete for 50 slots, so the 13 newest additions sit just
+        #    below the window (all verified by tools/check_oracle
+        #    locally at sf0.01) and lead round 6's window for their
+        #    first driver row --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
@@ -2806,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
+        "graph_triangles": q_graph_triangles,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4186,6 +4202,37 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             WHERE c_xy >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        # graph_triangles: the pagerank candidate graph, wedge
+        # self-join closed by one more equi-join (triangle_count)
+        "graph_triangles": f"""
+            WITH
+            {_lsh_graph_ctes()},
+            e AS (SELECT DISTINCT least(id_a, id_b) AS u,
+                         greatest(id_a, id_b) AS v
+                  FROM edges WHERE id_a != id_b),
+            w AS (SELECT x.u AS a, x.v AS b, y.v AS c
+                  FROM e x JOIN e y
+                    ON x.u = y.u AND x.v < y.v),
+            t AS (SELECT a, b, c
+                  FROM w JOIN e ON e.u = w.b AND e.v = w.c),
+            tn AS (SELECT id, count(*) AS n_triangles
+                   FROM (SELECT unnest([a, b, c]) AS id FROM t)
+                   GROUP BY id),
+            dg AS (SELECT id, count(*) AS degree
+                   FROM (SELECT u AS id FROM e
+                         UNION ALL SELECT v FROM e)
+                   GROUP BY id)
+            SELECT dg.id, cast(degree as bigint) AS degree,
+                   cast(coalesce(n_triangles, 0) as bigint)
+                       AS n_triangles,
+                   CASE WHEN degree >= 2
+                        THEN round(2.0 * coalesce(n_triangles, 0)
+                                   / (cast(degree as double)
+                                      * (cast(degree as double) - 1.0)),
+                                   6)
+                        ELSE 0.0 END AS clustering_coeff
+            FROM dg LEFT JOIN tn USING (id)
         """,
         # char_entropy: per-term fixed-point quantisation at 2^-20
         # before the per-doc sum (the lm_perplexity discipline)

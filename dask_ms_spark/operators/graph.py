@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_count"]
 
 
 def _star_round(e: DataFrame) -> DataFrame:
@@ -304,3 +304,56 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                .select(id_col, F.lit(base).alias("rank")))
         out = out.unionByName(iso)
     return out
+
+
+def triangle_count(edges: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    an undirected edge set — the standard graph-density diagnostic for
+    a near-dup candidate graph: high-triangle nodes sit inside dense
+    template cliques (drop the whole clique), while triangle-free
+    nodes are chance pair hits (keep; pairwise score noise).
+
+    Algorithm (the canonical two-join MapReduce shape, Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    canonicalise edges to (u < v) and distinct them; build wedges
+    (b, c) around each apex a by self-joining the edge set on its
+    lower endpoint; close each wedge with one more equi-join against
+    the edge set.  Every stage is an equi-join on node ids — no
+    cross product anywhere — and the wedge count is bounded by
+    sum(deg^2), which the candidate-pipeline bucket caps
+    (llm/dedup.py:_cap_buckets) already bound upstream.
+
+    Returns ``(id, degree, n_triangles, clustering_coeff)`` with
+    coeff = 2*T / (d*(d-1)) rounded to 6 dp (0 when degree < 2).
+    """
+    e = (edges
+         .select(F.least(F.col(src), F.col(dst)).alias("u"),
+                 F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    # wedges around apex a: edges (a,b), (a,c) with b < c
+    wedges = (e.alias("x").join(e.alias("y"),
+                                (F.col("x.u") == F.col("y.u"))
+                                & (F.col("x.v") < F.col("y.v")))
+              .select(F.col("x.u").alias("a"), F.col("x.v").alias("b"),
+                      F.col("y.v").alias("c")))
+    closed = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"])
+    tri = (closed.select(F.explode(F.array("a", "b", "c")).alias("id"))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles")))
+    deg = (e.select(F.col("u").alias("id"))
+           .unionByName(e.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
+    d = F.col("degree").cast("double")
+    return (deg.join(tri, "id", "left")
+            .select("id", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                     .cast("long").alias("n_triangles"),
+                    F.when(F.col("degree") >= 2,
+                           F.round(2.0 * F.coalesce(F.col("n_triangles"),
+                                                    F.lit(0))
+                                   / (d * (d - 1.0)), 6))
+                     .otherwise(F.lit(0.0)).alias("clustering_coeff")))

@@ -163,3 +163,33 @@ def test_char_entropy_case_folded(spark):
     out = char_entropy(spark.createDataFrame(rows)).collect()[0]
     assert out.n_distinct_chars == 1
     assert out.entropy_bits == pytest.approx(0.0, abs=1e-5)
+
+
+# ------------------------------------------------------ triangles
+
+def test_triangle_count_known_graph(spark):
+    """K3 plus a pendant edge: nodes 1,2,3 form one triangle; 4 hangs
+    off 3."""
+    from dask_ms_spark.operators.graph import triangle_count
+
+    rows = [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+            Row(id_a=1, id_b=3), Row(id_a=3, id_b=4),
+            # duplicate + reversed edges must not change counts
+            Row(id_a=2, id_b=1), Row(id_a=1, id_b=2)]
+    out = {r.id: r for r in triangle_count(
+        spark.createDataFrame(rows)).collect()}
+    assert {i: out[i].n_triangles for i in out} == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert out[1].degree == 2 and out[3].degree == 3
+    assert out[1].clustering_coeff == 1.0
+    # node 3: 1 triangle of 3 possible pairs -> 2*1/(3*2) = 1/3
+    assert out[3].clustering_coeff == pytest.approx(1 / 3, abs=1e-6)
+    assert out[4].clustering_coeff == 0.0
+
+
+def test_triangle_count_triangle_free(spark):
+    from dask_ms_spark.operators.graph import triangle_count
+
+    rows = [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+            Row(id_a=3, id_b=4)]  # path graph
+    out = triangle_count(spark.createDataFrame(rows)).collect()
+    assert all(r.n_triangles == 0 for r in out)
