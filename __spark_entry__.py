@@ -2683,7 +2683,7 @@ def q_dedup_semantic(spark, sf_dir):
     from dask_ms_spark.llm.semantic import semantic_dedup
 
     return semantic_dedup(_t(spark, sf_dir, "embeddings"),
-                          k=8, iters=2, threshold=0.4)
+                          k=16, iters=2, threshold=0.4)
 
 
 def q_dedup_substring(spark, sf_dir):
@@ -2705,6 +2705,28 @@ def q_collocations_pmi(spark, sf_dir):
 
     return collocations_pmi(_t(spark, sf_dir, "documents"),
                             min_count=5, topk=50)
+
+
+def q_corpus_overlap_kmv(spark, sf_dir):
+    """Release-to-release corpus overlap from one merged KMV sketch
+    (llm/sketches.py kmv_overlap): |v1|, |v2|, union and Jaccard
+    estimated without joining the corpora — only (8-byte hash, flag)
+    pairs shuffle, and the sketch is k rows regardless of corpus
+    size.  v2 is the corpus_diff simulation (drop %11, revise %5,
+    add %13) so the expected overlap is known."""
+    from dask_ms_spark.llm.dedup import normalize_text
+    from dask_ms_spark.llm.sketches import kmv_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v2 = (d.where(did % 11 != 0)
+           .select(F.when(did % 5 == 0,
+                          F.concat("text", F.lit(" rev2")))
+                    .otherwise(F.col("text")).alias("text"))
+           .unionByName(d.where(did % 13 == 0).select("text")))
+    a = d.select(normalize_text(F.col("text")).alias("v"))
+    b = v2.select(normalize_text(F.col("text")).alias("v"))
+    return kmv_overlap(a, b, "v", k=256)
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -2822,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
         "graph_triangles": q_graph_triangles,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4127,7 +4150,7 @@ def oracle_sql() -> dict[str, str]:
         # quantizer, then within-cluster rounded-cosine >= 0.4 against
         # any lower id
         "dedup_semantic": f"""
-            WITH km AS ({_kmeans_sql(k=8, iters=2)}),
+            WITH km AS ({_kmeans_sql(k=16, iters=2)}),
             v AS (SELECT vec_id,
                          list_transform(embedding,
                                         x -> cast(x as double)) AS vec
@@ -4202,6 +4225,60 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             WHERE c_xy >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        # corpus_overlap_kmv: merged KMV sketch over the corpus_diff
+        # v2 simulation; per-side estimates re-trim the merged
+        # distinct-hash table (llm/sketches.py kmv_overlap)
+        "corpus_overlap_kmv": f"""
+            WITH v2 AS (
+                SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 != 0
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 13 = 0),
+            va AS (SELECT DISTINCT {_DUCK_HASH.format(
+                       x=_DUCK_NORM.format(x='text'))} AS h
+                   FROM documents),
+            vb AS (SELECT DISTINCT {_DUCK_HASH.format(
+                       x=_DUCK_NORM.format(x='text'))} AS h
+                   FROM v2),
+            m AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+                  FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM va
+                        UNION ALL
+                        SELECT h, 0 AS in_a, 1 AS in_b FROM vb)
+                  GROUP BY h),
+            sk AS (SELECT h, in_a, in_b,
+                          row_number() OVER (ORDER BY h) AS rn FROM m),
+            u AS (SELECT count(*) AS n_u, max(h) AS mx_u,
+                         sum(in_a * in_b) AS n_both
+                  FROM sk WHERE rn <= 256),
+            sa AS (SELECT count(*) AS n_a, max(h) AS mx_a
+                   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                         FROM m WHERE in_a = 1)
+                   WHERE rn <= 256),
+            sb AS (SELECT count(*) AS n_b, max(h) AS mx_b
+                   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                         FROM m WHERE in_b = 1)
+                   WHERE rn <= 256)
+            SELECT cast(256 as bigint) AS k_used,
+                   cast(round(CASE WHEN n_a < 256
+                        THEN cast(n_a as double)
+                        ELSE 255.0 / (cast(mx_a as double)
+                                      / 1152921504606846976.0) END)
+                        as bigint) AS est_a,
+                   cast(round(CASE WHEN n_b < 256
+                        THEN cast(n_b as double)
+                        ELSE 255.0 / (cast(mx_b as double)
+                                      / 1152921504606846976.0) END)
+                        as bigint) AS est_b,
+                   cast(round(CASE WHEN n_u < 256
+                        THEN cast(n_u as double)
+                        ELSE 255.0 / (cast(mx_u as double)
+                                      / 1152921504606846976.0) END)
+                        as bigint) AS est_union,
+                   round(cast(n_both as double)
+                         / cast(n_u as double), 6) AS jaccard
+            FROM u CROSS JOIN sa CROSS JOIN sb
         """,
         # graph_triangles: the pagerank candidate graph, wedge
         # self-join closed by one more equi-join (triangle_count)

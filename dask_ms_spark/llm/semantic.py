@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm
 from .clustering import kmeans_assign
 
 __all__ = ["semantic_dedup"]
@@ -54,14 +54,26 @@ def semantic_dedup(embs: DataFrame, vec_col: str = "embedding",
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double"))
          .alias("vec"))
+    # materialise the member table once: it feeds BOTH sides of the
+    # pair self-join and the final verdict join — without this the
+    # entire k-means lineage (broadcast + argmin + centroid update)
+    # re-executes three times.  Pre-computing each vector's norm here
+    # also turns the per-pair cosine from three array aggregates into
+    # one (the dot product); norms are per-vector work, not per-pair.
     members = (assigned.select(F.col(id_col).alias("id"), "cluster")
-               .join(vecs, "id"))
+               .join(vecs, "id")
+               .withColumn("nrm", norm(F.col("vec")))
+               .localCheckpoint(eager=False))
     a = members.select(F.col("id").alias("id_a"), "cluster",
-                       F.col("vec").alias("va"))
+                       F.col("vec").alias("va"),
+                       F.col("nrm").alias("na"))
     b = members.select(F.col("id").alias("id_b"),
                        F.col("cluster").alias("cluster_b"),
-                       F.col("vec").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+                       F.col("vec").alias("vb"),
+                       F.col("nrm").alias("nb"))
+    denom = F.col("na") * F.col("nb")
+    sim = F.round(F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom)
+                  .otherwise(F.lit(0.0)), 6)
     offend = (a.join(b, (F.col("cluster") == F.col("cluster_b"))
                      & (F.col("id_a") < F.col("id_b")))
               .select(F.col("id_b").alias("id"), sim.alias("cos_sim"))

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from dask_ms_spark.functions.text import portable_hash64
 
-__all__ = ["kmv_distinct", "HASH_SPACE"]
+__all__ = ["kmv_distinct", "kmv_overlap", "HASH_SPACE"]
 
 # portable_hash64 yields 15 hex digits -> [0, 2^60)
 HASH_SPACE = float(1 << 60)
@@ -78,3 +78,69 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str]
                  F.round(est).cast("long").alias("est_distinct"),
                  F.round(F.max("h").cast("double") / F.lit(HASH_SPACE), 9)
                   .alias("u_k")))
+
+
+def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
+                k: int = 256) -> "DataFrame":
+    """Estimate |A|, |B|, |A ∪ B| and Jaccard(A, B) between two value
+    sets from one merged KMV sketch — the release-to-release corpus
+    overlap check (how much of v2 is v1?) without ever joining the
+    corpora.
+
+    The k smallest distinct hashes of A ∪ B are a uniform sample of
+    the union, so the fraction of them present in both sides is a
+    consistent (and, with a fixed portable hash, *deterministic*)
+    Jaccard estimator; |A ∩ B| follows as jaccard * |A ∪ B|.  Each
+    side contributes only (hash, flag) pairs — payloads never shuffle,
+    and the sketch row count is bounded by k regardless of corpus
+    size.
+
+    Returns one row: ``k_used, est_a, est_b, est_union, jaccard``.
+    """
+    ha = (a.select(portable_hash64(F.col(value_col)).alias("h"))
+          .distinct()
+          .select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    hb = (b.select(portable_hash64(F.col(value_col)).alias("h"))
+          .distinct()
+          .select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    merged = (ha.unionByName(hb)
+              .groupBy("h")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    w = Window.orderBy("h")
+    sk = (merged.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= k))
+
+    def est(cnt, mx):
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            F.lit(float(k - 1)) / (mx.cast("double") / F.lit(HASH_SPACE)))
+
+    # per-side estimates from the side's own k-minimum subset of the
+    # union sketch (still a valid KMV sketch of that side as long as
+    # it is full; below fill it is exact)
+    agg = sk.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("mx_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    ja = F.round(F.col("n_both").cast("double")
+                 / F.col("n_u").cast("double"), 6)
+    union_est = est(F.col("n_u"), F.col("mx_u"))
+    # side sketches need their own rank-trim; compute from the merged
+    # distinct-hash table directly
+    sa = (merged.where(F.col("in_a") == 1)
+          .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+          .where(F.col("rn") <= k)
+          .agg(F.count(F.lit(1)).alias("n_a"), F.max("h").alias("mx_a")))
+    sb = (merged.where(F.col("in_b") == 1)
+          .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+          .where(F.col("rn") <= k)
+          .agg(F.count(F.lit(1)).alias("n_b"), F.max("h").alias("mx_b")))
+    return (agg.crossJoin(sa).crossJoin(sb)
+            .select(F.lit(k).cast("long").alias("k_used"),
+                    F.round(est(F.col("n_a"), F.col("mx_a"))).cast("long")
+                     .alias("est_a"),
+                    F.round(est(F.col("n_b"), F.col("mx_b"))).cast("long")
+                     .alias("est_b"),
+                    F.round(union_est).cast("long").alias("est_union"),
+                    ja.alias("jaccard")))

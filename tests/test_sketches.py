@@ -193,3 +193,32 @@ def test_triangle_count_triangle_free(spark):
             Row(id_a=3, id_b=4)]  # path graph
     out = triangle_count(spark.createDataFrame(rows)).collect()
     assert all(r.n_triangles == 0 for r in out)
+
+
+# ------------------------------------------------------- kmv overlap
+
+def test_kmv_overlap_exact_below_fill(spark):
+    """Disjoint + shared values below the fill mark -> exact set
+    arithmetic: |A|=60, |B|=60, |A∪B|=90, J=30/90."""
+    from dask_ms_spark.llm.sketches import kmv_overlap
+
+    a = spark.createDataFrame([Row(v=f"x{i}") for i in range(60)])
+    b = spark.createDataFrame([Row(v=f"x{i}") for i in range(30, 90)])
+    out = kmv_overlap(a, b, "v", k=256).collect()[0]
+    assert (out.est_a, out.est_b, out.est_union) == (60, 60, 90)
+    assert out.jaccard == pytest.approx(30 / 90, abs=1e-6)
+
+
+def test_kmv_overlap_estimation_regime(spark):
+    """Above the fill mark the union estimate tracks the truth within
+    the KMV error bound and Jaccard stays near the true ratio."""
+    from dask_ms_spark.llm.sketches import kmv_overlap
+
+    n = 2000
+    a = spark.createDataFrame([Row(v=f"v{i}") for i in range(n)])
+    b = spark.createDataFrame([Row(v=f"v{i}")
+                               for i in range(n // 2, n + n // 2)])
+    out = kmv_overlap(a, b, "v", k=256).collect()[0]
+    true_union = n + n // 2
+    assert abs(out.est_union - true_union) / true_union < 0.25
+    assert abs(out.jaccard - (n // 2) / true_union) < 0.15
