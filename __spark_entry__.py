@@ -2707,6 +2707,32 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join (operators/joins.py
+    interval_overlap_join): click activity windows [ts, ts+value*60s]
+    against error windows [ts, ts+30min] per user, bucketized to
+    hourly keys with canonical-first-bucket emission (no distinct
+    stage) — the scale-safe form of an inequality join."""
+    from dask_ms_spark.operators.joins import interval_overlap_join
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ep = F.unix_timestamp("ts")
+    clicks = (ev.where("event_type = 'click'")
+              .select("user_id", ep.alias("ls"),
+                      (ep + F.round(F.col("value") * 60).cast("long"))
+                      .alias("le")))
+    errors = (ev.where("event_type = 'error'")
+              .select("user_id", ep.alias("rs"),
+                      (ep + F.lit(1800)).alias("re_s")))
+    j = interval_overlap_join(clicks, errors, "ls", "le", "rs", "re_s",
+                              by="user_id", bucket_width=3600.0)
+    ov = F.least(F.col("le"), F.col("re_s")) \
+        - F.greatest(F.col("ls"), F.col("rs"))
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum(ov).cast("long").alias("overlap_seconds")))
+
+
 def q_corpus_overlap_kmv(spark, sf_dir):
     """Release-to-release corpus overlap from one merged KMV sketch
     (llm/sketches.py kmv_overlap): |v1|, |v2|, union and Jaccard
@@ -2845,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "graph_triangles": q_graph_triangles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "interval_overlap": q_interval_overlap,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4225,6 +4252,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             WHERE c_xy >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        # interval_overlap: plain inequality join in DuckDB (tiny
+        # inputs); the Spark side must produce the identical pair set
+        # through its bucketized plan
+        "interval_overlap": """
+            WITH c AS (SELECT user_id,
+                              cast(floor(epoch(ts)) as bigint) AS ls,
+                              cast(floor(epoch(ts)) as bigint)
+                              + cast(round(value * 60) as bigint) AS le
+                       FROM events WHERE event_type = 'click'),
+            e AS (SELECT user_id,
+                         cast(floor(epoch(ts)) as bigint) AS rs,
+                         cast(floor(epoch(ts)) as bigint) + 1800 AS re
+                  FROM events WHERE event_type = 'error'),
+            p AS (SELECT c.user_id,
+                         least(le, re) - greatest(ls, rs) AS ov
+                  FROM c JOIN e ON c.user_id = e.user_id
+                  WHERE ls < re AND rs < le)
+            SELECT user_id, cast(count(*) as bigint) AS n_pairs,
+                   cast(sum(ov) as bigint) AS overlap_seconds
+            FROM p GROUP BY user_id
         """,
         # corpus_overlap_kmv: merged KMV sketch over the corpus_diff
         # v2 simulation; per-side estimates re-trim the merged

@@ -222,3 +222,47 @@ def test_kmv_overlap_estimation_regime(spark):
     true_union = n + n // 2
     assert abs(out.est_union - true_union) / true_union < 0.25
     assert abs(out.jaccard - (n // 2) / true_union) < 0.15
+
+
+# ------------------------------------------------- interval overlap
+
+def test_interval_overlap_join_hand_checked(spark):
+    """Pairs emitted exactly once even when intervals share many
+    buckets (canonical-first-bucket emission, no distinct)."""
+    from dask_ms_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([
+        Row(g=1, lid=1, ls=0, le=10_000),       # spans ~3 hourly buckets
+        Row(g=1, lid=2, ls=20_000, le=21_000),
+        Row(g=2, lid=3, ls=0, le=10_000),       # other group
+    ])
+    right = spark.createDataFrame([
+        Row(g=1, rid=1, rs=5_000, re_s=15_000),   # overlaps lid=1 only
+        Row(g=1, rid=2, rs=9_999, re_s=25_000),   # overlaps lid=1 and 2
+        Row(g=2, rid=3, rs=10_000, re_s=11_000),  # touches lid=3 end: no
+    ])
+    out = interval_overlap_join(left, right, "ls", "le", "rs", "re_s",
+                                by="g", bucket_width=3600.0).collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    assert pairs == [(1, 1), (1, 2), (2, 2)]
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketized plan == naive cross-join filter on a random-ish
+    deterministic interval set."""
+    from dask_ms_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [Row(lid=i, ls=(i * 37) % 500, le=(i * 37) % 500 + (i % 7) * 40)
+         for i in range(60)])
+    right = spark.createDataFrame(
+        [Row(rid=i, rs=(i * 53) % 500, re_s=(i * 53) % 500 + (i % 5) * 55)
+         for i in range(60)])
+    got = sorted((r.lid, r.rid) for r in interval_overlap_join(
+        left, right, "ls", "le", "rs", "re_s",
+        bucket_width=100.0).collect())
+    want = sorted(
+        (l.lid, r.rid)
+        for l in left.collect() for r in right.collect()
+        if l.ls < r.re_s and r.rs < l.le)
+    assert got == want
