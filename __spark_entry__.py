@@ -2652,6 +2652,34 @@ def _similarity_topk_sql(k: int = 10) -> str:
     """
 
 
+def _events_ema_sql(alpha: float = 0.8, window: int = 16) -> str:
+    """Mirror of q_events_ema: identical weight literals (repr'd
+    doubles — no runtime pow), identical frame, index-order weighted
+    sum (the kmeans list_sum precedent for summation parity)."""
+    weights = [float(alpha) ** (window - 1 - j) for j in range(window)]
+    wl = "[" + ", ".join(repr(w) for w in weights) + "]"
+    return f"""
+        WITH c AS (SELECT event_id, user_id, ts, value
+                   FROM events WHERE event_type = 'click'),
+        f AS (SELECT event_id, user_id, ts, value,
+                     list(CAST(value AS DOUBLE)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {window - 1} PRECEDING
+                                  AND CURRENT ROW) AS vals
+              FROM c)
+        SELECT event_id, user_id,
+               cast(floor(epoch(ts)) as bigint) AS epoch,
+               round(value, 4) AS value,
+               round(
+                   list_sum(list_transform(range(1, len(vals) + 1),
+                       i -> vals[i] * ({wl})[{window} - len(vals) + i]))
+                   / list_sum(list_transform(range(1, len(vals) + 1),
+                       i -> ({wl})[{window} - len(vals) + i])),
+                   6) AS ema
+        FROM f
+    """
+
+
 def q_cardinality_kmv(spark, sf_dir):
     """Per-language distinct 5-char-shingle estimate via a KMV
     (k-minimum-values) sketch (llm/sketches.py).  Unlike HLL
@@ -2705,6 +2733,23 @@ def q_collocations_pmi(spark, sf_dir):
 
     return collocations_pmi(_t(spark, sf_dir, "documents"),
                             min_count=5, topk=50)
+
+
+def q_events_ema(spark, sf_dir):
+    """Per-user exponentially weighted moving average of click values
+    (operators/timeseries.py windowed_ema): bounded 16-row trailing
+    frame, decay weights inlined as literals so the recurrence is an
+    engine-exact frame aggregate, not a sequential scan."""
+    from dask_ms_spark.operators.timeseries import windowed_ema
+
+    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+          .where("event_type = 'click'"))
+    out = windowed_ema(ev, value_col="value",
+                       order_cols=("ts", "event_id"), by="user_id",
+                       alpha=0.8, window=16)
+    return out.select("event_id", "user_id",
+                      F.unix_timestamp("ts").alias("epoch"),
+                      F.round("value", 4).alias("value"), "ema")
 
 
 def q_interval_overlap(spark, sf_dir):
@@ -2872,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "interval_overlap": q_interval_overlap,
+        "events_ema": q_events_ema,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4253,6 +4299,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_xy >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 50
         """,
+        # events_ema: literal-weight bounded-frame EMA
+        "events_ema": _events_ema_sql(),
         # interval_overlap: plain inequality join in DuckDB (tiny
         # inputs); the Spark side must produce the identical pair set
         # through its bucketized plan

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["bucket_index", "resample_fill", "bucket_aggregate",
-           "merge_rollups"]
+           "merge_rollups", "windowed_ema"]
 
 #: Fixed epoch for bucket arithmetic.  A constant (rather than the
 #: stream's own minimum) keeps bucket ids stable across incremental
@@ -140,3 +140,51 @@ def resample_fill(events: DataFrame, ts_col: str = "ts",
         "v_avg",
         F.last("v_avg", ignorenulls=True).over(w).alias("v_filled"),
         F.col("n_events").isNull().alias("is_gap")))
+
+
+def windowed_ema(df: DataFrame, value_col: str = "value",
+                 order_cols: tuple = ("ts", "event_id"),
+                 by: str = "user_id", alpha: float = 0.8,
+                 window: int = 16) -> DataFrame:
+    """Exponentially weighted moving average over a bounded trailing
+    row window per key — the smoothing/denoising primitive Spark's
+    built-in window aggregates lack.
+
+    A true infinite-history EMA is a sequential recurrence (no
+    parallel form without a prefix-scan operator); bounding the
+    history to ``window`` rows makes it a plain frame aggregate while
+    keeping >99% of the mass for typical alphas (0.8^16 ~ 3e-2 tail).
+
+    Determinism discipline: the decay weights ``alpha^lag`` are
+    PRECOMPUTED driver-side and inlined as double literals (no
+    runtime ``pow``, whose libm can differ across engines); the
+    weighted sum runs left-to-right over the frame-ordered value list,
+    so any engine mirroring the same literals and order agrees
+    bit-for-bit.  Ordering must be made unique via ``order_cols``
+    (e.g. (ts, event_id)) or frame contents are engine-arbitrary.
+
+    One shuffle on ``by``; the frame is O(window) per row.
+    """
+    # weights[j] = alpha^(window-1-j): weights[window-1] = 1 (current
+    # row), oldest row in a full frame gets alpha^(window-1)
+    weights = [float(alpha) ** (window - 1 - j) for j in range(window)]
+    wlit = F.array(*[F.lit(w) for w in weights])
+    frame = (Window.partitionBy(by)
+             .orderBy(*[F.col(c) for c in order_cols])
+             .rowsBetween(-(window - 1), Window.currentRow))
+    vals = F.collect_list(F.col(value_col).cast("double")).over(frame)
+    n = F.size("vals")
+    # a frame with n < window rows uses the LAST n weights (newest
+    # row still gets weight 1)
+    idx = F.sequence(F.lit(1), n)
+    nom = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + F.element_at(F.col("vals"), i)
+        * F.element_at(wlit, F.lit(window) - n + i))
+    den = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(wlit, F.lit(window) - n + i))
+    return (df.withColumn("vals", vals)
+            .withColumn("ema", F.round(nom / den, 6))
+            .drop("vals"))

@@ -266,3 +266,37 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         for l in left.collect() for r in right.collect()
         if l.ls < r.re_s and r.rs < l.le)
     assert got == want
+
+
+# --------------------------------------------------------------- EMA
+
+def test_windowed_ema_python_model(spark):
+    """EMA values match a direct Python recomputation of the
+    bounded-frame weighted mean, including partial (warm-up) frames."""
+    from dask_ms_spark.operators.timeseries import windowed_ema
+
+    vals = [10.0, 20.0, 5.0, 40.0, 15.0, 30.0]
+    rows = [Row(user_id=1, event_id=i, ts=i, value=v)
+            for i, v in enumerate(vals)]
+    out = windowed_ema(spark.createDataFrame(rows),
+                       order_cols=("ts", "event_id"), alpha=0.5,
+                       window=3)
+    got = {r.event_id: r.ema for r in out.collect()}
+    for i in range(len(vals)):
+        frame = vals[max(0, i - 2):i + 1]
+        ws = [0.5 ** (len(frame) - 1 - j) for j in range(len(frame))]
+        want = sum(v * w for v, w in zip(frame, ws)) / sum(ws)
+        assert got[i] == pytest.approx(want, abs=1e-6), i
+
+
+def test_windowed_ema_keys_isolated(spark):
+    """Frames never cross the partition key."""
+    from dask_ms_spark.operators.timeseries import windowed_ema
+
+    rows = [Row(user_id=u, event_id=i, ts=i, value=float(100 * u))
+            for u in (1, 2) for i in range(4)]
+    out = windowed_ema(spark.createDataFrame(rows),
+                       order_cols=("ts", "event_id"), alpha=0.9,
+                       window=4).collect()
+    assert all(r.ema == pytest.approx(100.0 * r.user_id, abs=1e-6)
+               for r in out)
