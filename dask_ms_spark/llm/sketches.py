@@ -103,10 +103,14 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
     hb = (b.select(portable_hash64(F.col(value_col)).alias("h"))
           .distinct()
           .select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    # materialise once: the merged distinct-hash table feeds the union
+    # sketch AND both per-side rank-trims (three consumers; without
+    # this the two corpus scans re-execute per consumer)
     merged = (ha.unionByName(hb)
               .groupBy("h")
               .agg(F.max("in_a").alias("in_a"),
-                   F.max("in_b").alias("in_b")))
+                   F.max("in_b").alias("in_b"))
+              .localCheckpoint(eager=False))
     w = Window.orderBy("h")
     sk = (merged.withColumn("rn", F.row_number().over(w))
           .where(F.col("rn") <= k))
