@@ -317,3 +317,56 @@ def test_incremental_dedup_shuffles_digests_only(documents):
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", lowered):
         assert "text#" not in m.group(1)
         assert "text_hash" in m.group(1)
+
+
+def test_collocations_pmi_unigrams_broadcast(spark):
+    """The vocabulary-bounded unigram marginals join the bigram table
+    as broadcasts — the corpus-sized shuffle is the bigram count
+    only."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_collocations_pmi(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_interval_overlap_no_nested_loop_no_distinct(spark):
+    """Bucketization must keep the join a hash join (no
+    BroadcastNestedLoopJoin), and canonical-bucket emission means no
+    dedup aggregate between the join and the final rollup."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_interval_overlap(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    assert "NestedLoop" not in plan
+    # equi-join on (user, bucket): any hash-family join qualifies
+    # (broadcast at fixture scale, shuffled/sort-merge at corpus scale)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_substring_dedup_hashes_below_exchange(spark):
+    """Window hashing runs post-explode, pre-shuffle: only (id, hash)
+    crosses the wire, never the 60-char window text."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_dedup_substring(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    ex, md5 = plan.find("Exchange"), plan.find("md5")
+    assert ex != -1 and md5 != -1 and md5 > ex
+
+
+def test_kmv_distinct_hash_only_shuffle(spark):
+    """The sketch exchanges carry the 8-byte hash (md5 computed below
+    the first Exchange), and the whole plan needs at most the distinct
+    + rank shuffles."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import plan_str
+
+    df = entry.q_cardinality_kmv(spark, "/root/testdata/sf0.001")
+    plan = plan_str(df)
+    ex, md5 = plan.find("Exchange"), plan.find("md5")
+    assert ex != -1 and md5 != -1 and md5 > ex
