@@ -2735,6 +2735,52 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_session_stats(spark, sf_dir):
+    """Batch gap-based sessionization (operators/timeseries.py
+    sessionize; 30-min gap) rolled up to per-session stats — the
+    replayable-history complement of the streaming session window
+    (events_session)."""
+    from dask_ms_spark.operators.timeseries import sessionize
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    s = sessionize(ev, gap_seconds=1800)
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+                 F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+                 (F.max(F.unix_timestamp("ts"))
+                  - F.min(F.unix_timestamp("ts"))).alias("duration_s"),
+                 F.round(F.sum(F.round("value", 4)), 4)
+                  .alias("value_sum")))
+
+
+def q_dataset_card(spark, sf_dir):
+    """Per-(lang, source) dataset card: the release-notes profile a
+    corpus publisher ships — volumes, token totals, exact-dup ratio.
+    One scan, digest-only distinct, two partial-merged aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    from dask_ms_spark.llm.dedup import normalize_text
+
+    per_doc = d.select(
+        "lang", "source",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        portable_hash64(normalize_text(F.col("text"))).alias("digest"))
+    agg = (per_doc.groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.countDistinct("digest").cast("long")
+                 .alias("n_unique_docs")))
+    return agg.select(
+        "lang", "source", "n_docs", "total_chars", "total_tokens",
+        "n_unique_docs",
+        F.round(F.lit(1.0) - F.col("n_unique_docs")
+                / F.col("n_docs").cast("double"), 6).alias("dup_ratio"),
+        F.round(F.col("total_chars") / F.col("n_docs").cast("double"), 6)
+         .alias("avg_doc_chars"))
+
+
 def q_events_ema(spark, sf_dir):
     """Per-user exponentially weighted moving average of click values
     (operators/timeseries.py windowed_ema): bounded 16-row trailing
@@ -2918,6 +2964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "interval_overlap": q_interval_overlap,
         "events_ema": q_events_ema,
+        "session_stats": q_session_stats,
+        "dataset_card": q_dataset_card,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4301,6 +4349,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # session_stats: lag-gap flag + running-sum numbering
+        "session_stats": """
+            WITH e AS (SELECT user_id, event_id, ts, value,
+                              cast(floor(epoch(ts)) as bigint) AS ep
+                       FROM events),
+            g AS (SELECT *,
+                         CASE WHEN lag(ep) OVER w IS NULL
+                                   OR ep - lag(ep) OVER w > 1800
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            s AS (SELECT *,
+                         cast(sum(new_sess) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - 1 as bigint)
+                             AS session_idx
+                  FROM g)
+            SELECT user_id, session_idx,
+                   cast(count(*) as bigint) AS n_events,
+                   min(ep) AS start_epoch, max(ep) AS end_epoch,
+                   max(ep) - min(ep) AS duration_s,
+                   round(sum(round(value, 4)), 4) AS value_sum
+            FROM s GROUP BY user_id, session_idx
+        """,
+        # dataset_card: per-(lang, source) release profile; dup ratio
+        # from the md5 content digest
+        "dataset_card": f"""
+            WITH p AS (SELECT lang, source,
+                              cast(length(text) as bigint) AS n_chars,
+                              cast(CASE WHEN length(trim(text)) = 0
+                                   THEN 0 ELSE len(regexp_split_to_array(
+                                       trim(text), '\\s+')) END as bigint)
+                                  AS n_tokens,
+                              {_DUCK_HASH.format(
+                                  x=_DUCK_NORM.format(x='text'))}
+                                  AS digest
+                       FROM documents),
+            a AS (SELECT lang, source,
+                         cast(count(*) as bigint) AS n_docs,
+                         cast(sum(n_chars) as bigint) AS total_chars,
+                         cast(sum(n_tokens) as bigint) AS total_tokens,
+                         cast(count(DISTINCT digest) as bigint)
+                             AS n_unique_docs
+                  FROM p GROUP BY lang, source)
+            SELECT lang, source, n_docs, total_chars, total_tokens,
+                   n_unique_docs,
+                   round(1.0 - n_unique_docs
+                         / cast(n_docs as double), 6) AS dup_ratio,
+                   round(total_chars / cast(n_docs as double), 6)
+                       AS avg_doc_chars
+            FROM a
+        """,
         # interval_overlap: plain inequality join in DuckDB (tiny
         # inputs); the Spark side must produce the identical pair set
         # through its bucketized plan

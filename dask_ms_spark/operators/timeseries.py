@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["bucket_index", "resample_fill", "bucket_aggregate",
-           "merge_rollups", "windowed_ema"]
+           "merge_rollups", "windowed_ema", "sessionize"]
 
 #: Fixed epoch for bucket arithmetic.  A constant (rather than the
 #: stream's own minimum) keeps bucket ids stable across incremental
@@ -188,3 +188,32 @@ def windowed_ema(df: DataFrame, value_col: str = "value",
     return (df.withColumn("vals", vals)
             .withColumn("ema", F.round(nom / den, 6))
             .drop("vals"))
+
+
+def sessionize(events: DataFrame, ts_col: str = "ts",
+               by: str = "user_id", gap_seconds: int = 1800,
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """Batch gap-based sessionization: rows more than ``gap_seconds``
+    apart (per key) start a new session.  The batch complement of the
+    streaming ``sessionize_events`` (streaming/events.py) — same
+    semantics, replayable over history.
+
+    The classic two-window form: a lag-gap flag, then a running sum of
+    flags numbers the sessions — both windows share one partitioning
+    on ``by``, so the whole operator costs a single shuffle (plans
+    show one Exchange; the second window reuses the first's sort).
+    Ordering is made unique with ``order_tiebreak`` so session
+    numbering is deterministic under ties.
+
+    Adds ``session_idx`` (0-based per key) to the input rows.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(ts_col), F.col(order_tiebreak)))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = (Window.partitionBy(by)
+           .orderBy(F.col(ts_col), F.col(order_tiebreak))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn(
+        "session_idx", (F.sum(new_sess).over(run) - 1).cast("long"))

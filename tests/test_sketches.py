@@ -300,3 +300,39 @@ def test_windowed_ema_keys_isolated(spark):
                        window=4).collect()
     assert all(r.ema == pytest.approx(100.0 * r.user_id, abs=1e-6)
                for r in out)
+
+
+# ------------------------------------------------- batch sessionize
+
+def test_sessionize_gap_semantics(spark):
+    """Gaps > threshold split sessions; ties order by the tiebreak
+    column so numbering is deterministic."""
+    import datetime as dt
+
+    from dask_ms_spark.operators.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(user_id=1, event_id=1, ts=t0),
+        Row(user_id=1, event_id=2, ts=t0 + dt.timedelta(minutes=10)),
+        Row(user_id=1, event_id=3, ts=t0 + dt.timedelta(minutes=50)),
+        Row(user_id=1, event_id=4, ts=t0 + dt.timedelta(minutes=55)),
+        Row(user_id=2, event_id=5, ts=t0),
+    ]
+    out = {r.event_id: r.session_idx for r in sessionize(
+        spark.createDataFrame(rows), gap_seconds=1800).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows share one partitioning: exactly one Exchange."""
+    import datetime as dt
+
+    from dask_ms_spark.operators.timeseries import sessionize
+    from dask_ms_spark.plans import exchange_count
+
+    rows = [Row(user_id=i % 3, event_id=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+            for i in range(20)]
+    df = sessionize(spark.createDataFrame(rows))
+    assert exchange_count(df) == 1
