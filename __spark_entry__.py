@@ -2735,6 +2735,31 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_active_users_rolling(spark, sf_dir):
+    """Daily + trailing-7-day distinct active users.  Rolling COUNT
+    DISTINCT is not window-decomposable; the scale shape is: collapse
+    to distinct (day, user) FIRST (the only corpus-sized stage, one
+    partial-merged distinct), then explode each pair to the <=7 days
+    it can serve and re-distinct — all downstream work is bounded by
+    days x users, independent of event volume."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    day = F.to_date("ts")
+    du = ev.select(day.alias("day"), "user_id").distinct() \
+        .localCheckpoint(eager=False)
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau"))
+    served = (du.select(
+        F.explode(F.sequence(F.col("day"),
+                             F.date_add(F.col("day"), 6)))
+        .alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    # trailing windows only exist for days with actual activity
+    return (dau.join(served, "day")
+            .select(F.unix_date("day").alias("day_idx"), "dau", "wau"))
+
+
 def q_session_stats(spark, sf_dir):
     """Batch gap-based sessionization (operators/timeseries.py
     sessionize; 30-min gap) rolled up to per-session stats — the
@@ -2966,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ema": q_events_ema,
         "session_stats": q_session_stats,
         "dataset_card": q_dataset_card,
+        "active_users_rolling": q_active_users_rolling,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4349,6 +4375,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # active_users_rolling: rolling COUNT DISTINCT via the
+        # explode-to-served-days shape; day_idx = days since epoch
+        "active_users_rolling": """
+            WITH du AS (SELECT DISTINCT cast(ts as date) AS day,
+                               user_id FROM events),
+            dau AS (SELECT day, cast(count(DISTINCT user_id) as bigint)
+                           AS dau
+                    FROM du GROUP BY day),
+            served AS (SELECT DISTINCT day + cast(i as int) AS day,
+                              user_id
+                       FROM du, UNNEST(range(0, 7)) AS r(i)),
+            wau AS (SELECT day, cast(count(DISTINCT user_id) as bigint)
+                           AS wau
+                    FROM served GROUP BY day)
+            SELECT cast(date_diff('day', DATE '1970-01-01', dau.day)
+                        as int) AS day_idx,
+                   dau, wau
+            FROM dau JOIN wau USING (day)
+        """,
         # session_stats: lag-gap flag + running-sum numbering
         "session_stats": """
             WITH e AS (SELECT user_id, event_id, ts, value,
