@@ -2735,6 +2735,20 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio leg of the multimodal surface: the binary payload
+    interpreted as signed 8-bit PCM, summarised by a numpy kernel in
+    ``mapInPandas`` (llm/multimodal.py audio_features).  Every output
+    column is a pure function of the payload bytes, so the Arrow
+    kernel path is oracle-checked end-to-end — the same discipline as
+    ``multimodal_features``; the CJK documents exercise signedness
+    (UTF-8 lead bytes >= 0x80 map to negative samples)."""
+    from dask_ms_spark.llm.multimodal import audio_features, media_table
+
+    media = media_table(_t(spark, sf_dir, "documents"))
+    return audio_features(media)
+
+
 def q_active_users_rolling(spark, sf_dir):
     """Daily + trailing-7-day distinct active users.  Rolling COUNT
     DISTINCT is not window-decomposable; the scale shape is: collapse
@@ -2992,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "dataset_card": q_dataset_card,
         "active_users_rolling": q_active_users_rolling,
+        "multimodal_audio": q_multimodal_audio,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4375,6 +4390,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # multimodal_audio: int8-PCM interpretation of the utf-8
+        # payload bytes, reconstructed byte-by-byte from hex()
+        "multimodal_audio": """
+            WITH d AS (SELECT doc_id AS media_id,
+                              hex(encode(text)) AS hx,
+                              strlen(text) AS n
+                       FROM documents),
+            s AS (SELECT media_id, i,
+                         CASE WHEN b >= 128 THEN b - 256 ELSE b END AS s
+                  FROM (SELECT media_id, i,
+                               CAST(('0x' || substring(hx,
+                                    cast(2 * i - 1 as int), 2)) AS INT)
+                                   AS b
+                        FROM d, UNNEST(range(1, n + 1)) AS r(i)
+                        WHERE n > 0)),
+            nz AS (SELECT media_id, i, s FROM s WHERE s != 0),
+            flags AS (SELECT media_id,
+                             CASE WHEN (s < 0) !=
+                                  (lag(s) OVER (PARTITION BY media_id
+                                                ORDER BY i) < 0)
+                                  THEN 1 ELSE 0 END AS f
+                      FROM nz),
+            zc AS (SELECT media_id, cast(sum(f) as bigint) AS zc
+                   FROM flags GROUP BY media_id),
+            agg AS (SELECT media_id,
+                           cast(count(*) as bigint) AS n_samples,
+                           round(sqrt(cast(sum(s * s) as double)
+                                      / count(*)), 6) AS rms,
+                           cast(max(abs(s)) as int) AS peak,
+                           round(cast(sum(s) as double) / count(*), 6)
+                               AS dc_offset
+                    FROM s GROUP BY media_id)
+            SELECT d.media_id,
+                   coalesce(agg.n_samples, 0) AS n_samples,
+                   agg.rms, agg.peak,
+                   coalesce(zc.zc, 0) AS zero_crossings,
+                   agg.dc_offset
+            FROM d
+            LEFT JOIN agg ON agg.media_id = d.media_id
+            LEFT JOIN zc ON zc.media_id = d.media_id
+        """,
         # active_users_rolling: rolling COUNT DISTINCT via the
         # explode-to-served-days shape; day_idx = days since epoch
         "active_users_rolling": """

@@ -22,7 +22,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 __all__ = ["MEDIA_SCHEMA", "media_table", "binary_features",
-           "decode_image_features", "resize_images", "sample_video_frames"]
+           "decode_image_features", "resize_images", "sample_video_frames",
+           "audio_features"]
 
 # Canonical multimodal column group: payload + typed metadata.
 MEDIA_SCHEMA = StructType([
@@ -195,3 +196,49 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return (media.where(F.col("kind") == "video")
                  .select("media_id",
                          F.explode(frames).alias("frame_index")))
+
+
+_AUDIO_FEATURE_SCHEMA = ("media_id long, n_samples long, rms double, "
+                         "peak int, zero_crossings long, dc_offset double")
+
+
+def audio_features(media: DataFrame,
+                   payload_col: str = "payload") -> DataFrame:
+    """Waveform summary features over a binary payload interpreted as
+    signed 8-bit PCM — the audio leg of the multimodal surface.
+
+    Like :func:`binary_features`, every column is a pure function of
+    the payload bytes (no codec): sample count, RMS level, peak
+    absolute amplitude, zero-crossing count (the classic
+    voiced/unvoiced + noisiness signal), and DC offset.  A real
+    pipeline swaps the ``frombuffer`` line for an actual decoder; the
+    numpy kernel, Arrow batching, and schema contract stay identical.
+
+    RMS/DC are emitted rounded to 6 dp; both are ratios of exact
+    integer sums (int64 accumulation — overflow-safe to ~2^46
+    samples), so any engine mirroring the byte arithmetic agrees
+    bit-for-bit (IEEE division and sqrt are correctly rounded).
+    """
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                b = bytes(getattr(row, payload_col) or b"")
+                s = np.frombuffer(b, dtype=np.int8).astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    out.append((row.media_id, 0, None, None, 0, None))
+                    continue
+                rms = round(float(np.sqrt(float((s * s).sum()) / n)), 6)
+                dc = round(float(s.sum()) / n, 6)
+                nz = s[s != 0]
+                zc = int((np.signbit(nz[1:]) !=
+                          np.signbit(nz[:-1])).sum()) if len(nz) else 0
+                out.append((row.media_id, n, rms,
+                            int(np.abs(s).max()), zc, dc))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "n_samples", "rms", "peak",
+                "zero_crossings", "dc_offset"])
+
+    return (media.select("media_id", F.col(payload_col).alias("payload"))
+                 .mapInPandas(compute, schema=_AUDIO_FEATURE_SCHEMA))

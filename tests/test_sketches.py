@@ -336,3 +336,33 @@ def test_sessionize_single_shuffle(spark):
             for i in range(20)]
     df = sessionize(spark.createDataFrame(rows))
     assert exchange_count(df) == 1
+
+
+# ----------------------------------------------------- audio kernel
+
+def test_audio_features_hand_checked(spark):
+    """int8 PCM interpretation verified against hand-computed values,
+    including signedness (0xff -> -1, 0x81 -> -127) and the
+    nonzero-only zero-crossing rule."""
+    import math as _math
+
+    from pyspark.sql.types import (BinaryType, LongType, StructField,
+                                   StructType)
+
+    from dask_ms_spark.llm.multimodal import audio_features
+
+    schema = StructType([StructField("media_id", LongType()),
+                         StructField("payload", BinaryType())])
+    payload = bytes([0x01, 0xFF, 0x02, 0x00, 0x81])
+    df = spark.createDataFrame([(1, payload), (2, b"")], schema)
+    out = {r.media_id: r for r in audio_features(df).collect()}
+    r = out[1]
+    assert r.n_samples == 5
+    assert r.peak == 127
+    # samples: [1, -1, 2, 0, -127]; nonzero signs: +,-,+,- -> 3 flips
+    assert r.zero_crossings == 3
+    assert r.rms == pytest.approx(
+        _math.sqrt((1 + 1 + 4 + 0 + 127 * 127) / 5), abs=1e-6)
+    assert r.dc_offset == pytest.approx((1 - 1 + 2 + 0 - 127) / 5,
+                                        abs=1e-6)
+    assert out[2].n_samples == 0 and out[2].rms is None
