@@ -2716,9 +2716,11 @@ def q_dedup_semantic(spark, sf_dir):
 
 def q_dedup_substring(spark, sf_dir):
     """Character-window duplication profile (the distributed
-    approximation of suffix-array ExactSubstr dedup): any cross-doc
-    verbatim run >= 69 chars is guaranteed a shared 60-char window at
-    stride 10, independent of tokenisation."""
+    approximation of suffix-array ExactSubstr dedup): 60-char windows
+    at stride 10 — tokenisation-independent, catches aligned
+    duplication (whole-copy / prefix-anchored / block-aligned); at
+    stride 1 the detection guarantee is exact (see the operator
+    docstring; winnowing covers the position-robust sampled case)."""
     from dask_ms_spark.llm.corpus import substring_dedup
 
     return substring_dedup(_t(spark, sf_dir, "documents"),

@@ -341,11 +341,22 @@ def substring_dedup(docs: DataFrame, text_col: str = "text",
     distributed approximation of exact-substring dedup (Lee et al.,
     "Deduplicating Training Data Makes Language Models Better", 2022:
     suffix-array ExactSubstr).  A full distributed suffix array is a
-    poor fit for Spark; the standard approximation is fixed-width
-    character windows at a stride: any cross-document verbatim run of
-    >= window + stride - 1 chars is guaranteed to produce at least one
-    shared window, independent of tokenisation (which is what
-    word-n-gram boilerplate detection cannot promise).
+    poor fit for Spark; the approximation is fixed-width character
+    windows, independent of tokenisation (which is what word-n-gram
+    boilerplate detection cannot promise).
+
+    Detection contract — be precise about what the stride buys:
+    with ``stride=1`` every position is sampled, so ANY cross-document
+    verbatim run of >= ``window`` chars is guaranteed a shared window
+    (cost: ~len windows per doc).  With ``stride > 1`` both documents
+    sample start positions on their own stride grid, so a shared run
+    is detected only when its offsets in the two documents agree
+    modulo ``stride`` — which holds for whole-document copies,
+    prefix-anchored templates, and block-aligned boilerplate, but an
+    arbitrarily shifted run can be missed (probability ~1/stride per
+    run).  For position-robust *sampled* detection use winnowed
+    fingerprints (``functions/text.py`` winnowing), whose min-in-window
+    anchor is content-defined and alignment-free.
 
     Returns per doc: ``n_windows``, ``n_dup_windows`` (windows whose
     hash occurs in >= 2 distinct docs), ``dup_ratio``.

@@ -136,3 +136,51 @@ if HAVE_HYPOTHESIS:
             n, nd, mx = len(grams), len(c), max(c.values())
             want[i] = (n, nd, round(1.0 - nd / n, 6), round(mx / n, 6))
         assert got == want
+
+
+# ------------------------------------------------ round-5 operators
+
+if HAVE_HYPOTHESIS:
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                    min_size=1, max_size=120),
+           st.sampled_from([4, 16, 64]))
+    @settings(max_examples=8, deadline=None)
+    def test_kmv_exact_or_bounded(spark, vals, k):
+        """KMV is exact below the fill mark and within the analytic
+        error bound above it, for arbitrary value multisets."""
+        from pyspark.sql import Row
+
+        from dask_ms_spark.llm.sketches import kmv_distinct
+
+        truth = len(set(vals))
+        out = kmv_distinct(
+            spark.createDataFrame([Row(v=v) for v in vals]),
+            "v", k=k).collect()[0]
+        if truth < k:
+            assert out.est_distinct == truth
+        else:
+            assert abs(out.est_distinct - truth) / truth \
+                < 5.0 / math.sqrt(k)
+
+    @given(st.text(alphabet="xyz ", min_size=60, max_size=90),
+           st.text(alphabet="abc ", min_size=0, max_size=25),
+           st.text(alphabet="def ", min_size=0, max_size=25))
+    @settings(max_examples=8, deadline=None)
+    def test_substring_dedup_stride1_guarantee(spark, shared,
+                                               pre, suf):
+        """At stride=1 the contract is exact: ANY cross-doc verbatim
+        run >= window chars produces a shared window wherever it sits
+        in either document.  (At stride > 1 detection is
+        alignment-modulo-stride — hypothesis found the counterexample
+        that forced the docstring to say so.)"""
+        from pyspark.sql import Row
+
+        from dask_ms_spark.llm.corpus import substring_dedup
+
+        docs = [Row(doc_id=1, text=pre + shared + suf),
+                Row(doc_id=2, text="qq " + shared + " pp")]
+        out = {r.doc_id: r for r in substring_dedup(
+            spark.createDataFrame(docs),
+            window=60, stride=1).collect()}
+        assert out[1].n_dup_windows > 0
+        assert out[2].n_dup_windows > 0
