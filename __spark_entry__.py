@@ -2652,6 +2652,31 @@ def _similarity_topk_sql(k: int = 10) -> str:
     """
 
 
+def _substring_dedup_sql(window: int, stride: int) -> str:
+    """Mirror of llm.corpus.substring_dedup at (window, stride)."""
+    return f"""
+        WITH d AS (SELECT doc_id, text AS t,
+                          length(text) AS n FROM documents),
+        st AS (SELECT doc_id, t,
+                      CASE WHEN n <= {window} THEN [cast(1 as bigint)]
+                           ELSE range(1, n - {window} + 2, {stride}) END
+                      AS starts
+               FROM d),
+        w AS (SELECT DISTINCT doc_id,
+                     {_DUCK_HASH.format(
+                         x=f'substring(t, cast(s as int), {window})')}
+                     AS wh
+              FROM (SELECT doc_id, t, unnest(starts) AS s FROM st)),
+        ph AS (SELECT wh, count(*) AS nd FROM w GROUP BY wh)
+        SELECT doc_id, cast(count(*) as bigint) AS n_windows,
+               cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                    as bigint) AS n_dup_windows,
+               round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS dup_ratio
+        FROM w JOIN ph USING (wh) GROUP BY doc_id
+    """
+
+
 def _events_ema_sql(alpha: float = 0.8, window: int = 16) -> str:
     """Mirror of q_events_ema: identical weight literals (repr'd
     doubles — no runtime pow), identical frame, index-order weighted
@@ -2725,6 +2750,17 @@ def q_dedup_substring(spark, sf_dir):
 
     return substring_dedup(_t(spark, sf_dir, "documents"),
                            window=60, stride=10)
+
+
+def q_dedup_substring_exact(spark, sf_dir):
+    """The stride=1 regime of the character-window profile: every
+    position sampled, so ANY cross-doc verbatim run >= 60 chars is
+    guaranteed detected (the property-tested exact contract; the
+    strided query above is the cheaper aligned-only sampler)."""
+    from dask_ms_spark.llm.corpus import substring_dedup
+
+    return substring_dedup(_t(spark, sf_dir, "documents"),
+                           window=60, stride=1)
 
 
 def q_collocations_pmi(spark, sf_dir):
@@ -2999,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_kmv": q_cardinality_kmv,
         "dedup_semantic": q_dedup_semantic,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_exact": q_dedup_substring_exact,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
         "graph_triangles": q_graph_triangles,
@@ -4334,30 +4371,12 @@ def oracle_sql() -> dict[str, str]:
                    (p.max_sim IS NULL) AS keep, p.max_sim
             FROM m LEFT JOIN p ON m.id = p.id
         """,
-        # dedup_substring: 60-char windows at stride 10 (whole text
-        # when shorter); range() is stop-exclusive where sequence() is
-        # inclusive, hence the +2
-        "dedup_substring": f"""
-            WITH d AS (SELECT doc_id, text AS t,
-                              length(text) AS n FROM documents),
-            st AS (SELECT doc_id, t,
-                          CASE WHEN n <= 60 THEN [cast(1 as bigint)]
-                               ELSE range(1, n - 60 + 2, 10) END
-                          AS starts
-                   FROM d),
-            w AS (SELECT DISTINCT doc_id,
-                         {_DUCK_HASH.format(
-                             x='substring(t, cast(s as int), 60)')}
-                         AS wh
-                  FROM (SELECT doc_id, t, unnest(starts) AS s FROM st)),
-            ph AS (SELECT wh, count(*) AS nd FROM w GROUP BY wh)
-            SELECT doc_id, cast(count(*) as bigint) AS n_windows,
-                   cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
-                        as bigint) AS n_dup_windows,
-                   round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
-                         / count(*), 6) AS dup_ratio
-            FROM w JOIN ph USING (wh) GROUP BY doc_id
-        """,
+        # dedup_substring: 60-char windows (whole text when shorter);
+        # range() is stop-exclusive where sequence() is inclusive,
+        # hence the +2.  stride 10 = aligned sampler; stride 1 = the
+        # exact guarantee regime
+        "dedup_substring": _substring_dedup_sql(60, 10),
+        "dedup_substring_exact": _substring_dedup_sql(60, 1),
         # collocations_pmi: PMI evaluated with the exact association
         # order of llm/corpus.py collocations_pmi (bm25 ln-parity
         # precedent)
