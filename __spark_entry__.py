@@ -2773,6 +2773,32 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_incremental_join(spark, sf_dir):
+    """Append-only incremental join maintenance (operators/joins.py
+    append_join_delta): the rows ADDED to orders x lineitem by a
+    simulated 1997+ ingest batch, computed as dA.B + A.dB + dA.dB —
+    history never joins history, and the delta legs broadcast.
+    Rolled up per order priority with decimal-exact revenue."""
+    from dask_ms_spark.operators.joins import append_join_delta
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice",
+        "l_shipdate")
+    cut = "1997-01-01"
+    a_old = orders.where(F.col("o_orderdate") < cut).drop("o_orderdate")
+    a_new = orders.where(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    b_old = li.where(F.col("l_shipdate") < cut).drop("l_shipdate")
+    b_new = li.where(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    delta = append_join_delta(a_old, a_new, b_old, b_new, "o_orderkey")
+    return (delta.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_new_rows"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,2)")).cast("double"), 2)
+                  .alias("new_revenue")))
+
+
 def q_multimodal_audio(spark, sf_dir):
     """Audio leg of the multimodal surface: the binary payload
     interpreted as signed 8-bit PCM, summarised by a numpy kernel in
@@ -3046,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "active_users_rolling": q_active_users_rolling,
         "multimodal_audio": q_multimodal_audio,
+        "incremental_join": q_incremental_join,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4411,6 +4438,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # incremental_join: the same three-leg IVM union in SQL
+        "incremental_join": """
+            WITH ao AS (SELECT o_orderkey, o_orderpriority FROM orders
+                        WHERE o_orderdate < DATE '1997-01-01'),
+            ad AS (SELECT o_orderkey, o_orderpriority FROM orders
+                   WHERE o_orderdate >= DATE '1997-01-01'),
+            bo AS (SELECT l_orderkey AS o_orderkey, l_extendedprice
+                   FROM lineitem WHERE l_shipdate < DATE '1997-01-01'),
+            bd AS (SELECT l_orderkey AS o_orderkey, l_extendedprice
+                   FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'),
+            delta AS (
+                SELECT ad.o_orderpriority, bo.l_extendedprice
+                FROM ad JOIN bo USING (o_orderkey)
+                UNION ALL
+                SELECT ao.o_orderpriority, bd.l_extendedprice
+                FROM ao JOIN bd USING (o_orderkey)
+                UNION ALL
+                SELECT ad.o_orderpriority, bd.l_extendedprice
+                FROM ad JOIN bd USING (o_orderkey))
+            SELECT o_orderpriority,
+                   cast(count(*) as bigint) AS n_new_rows,
+                   round(cast(sum(cast(l_extendedprice
+                              as decimal(18,2))) as double), 2)
+                       AS new_revenue
+            FROM delta GROUP BY o_orderpriority
+        """,
         # multimodal_audio: int8-PCM interpretation of the utf-8
         # payload bytes, reconstructed byte-by-byte from hex()
         "multimodal_audio": """

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["broadcast_lookup", "star_join", "semi_filter", "anti_filter",
            "asof_join", "salted_join", "range_join",
-           "interval_overlap_join"]
+           "interval_overlap_join", "append_join_delta"]
 
 
 def broadcast_lookup(fact: DataFrame, dim: DataFrame, on: str | Sequence[str],
@@ -259,3 +259,32 @@ def salted_join(fact: DataFrame, build: DataFrame,
     build_s = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return fact_s.join(build_s, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def append_join_delta(a_old: DataFrame, a_delta: DataFrame,
+                      b_old: DataFrame, b_delta: DataFrame,
+                      on: str | Sequence[str],
+                      broadcast_deltas: bool = True) -> DataFrame:
+    """Incremental view maintenance for an append-only inner join:
+    the rows ADDED to ``A JOIN B`` when ``a_delta`` / ``b_delta`` are
+    appended, without re-joining the histories:
+
+        delta = (dA join B_old) + (A_old join dB) + (dA join dB)
+
+    The identity is exact for inserts (multiset semantics), which is
+    the continuous-ingest case; it is the join-side complement of the
+    aggregate maintenance in operators/timeseries.py (merge_rollups).
+
+    Scale shape: the two history tables are each scanned once and
+    joined only against a *delta* — with ``broadcast_deltas`` (the
+    default; a delta batch is small by construction) both heavy legs
+    are broadcast hash joins with ZERO shuffle of history, and the
+    delta-delta leg is negligible.  History never joins history.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    da = F.broadcast(a_delta) if broadcast_deltas else a_delta
+    db = F.broadcast(b_delta) if broadcast_deltas else b_delta
+    d1 = da.join(b_old, keys)
+    d2 = a_old.join(db, keys)
+    d3 = da.join(db, keys)
+    return d1.unionByName(d2).unionByName(d3)

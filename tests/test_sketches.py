@@ -366,3 +366,55 @@ def test_audio_features_hand_checked(spark):
     assert r.dc_offset == pytest.approx((1 - 1 + 2 + 0 - 127) / 5,
                                         abs=1e-6)
     assert out[2].n_samples == 0 and out[2].rms is None
+
+
+# ------------------------------------------------ incremental join
+
+def test_append_join_delta_identity(spark):
+    """join(A+dA, B+dB) == join(A,B) + delta, as multisets."""
+    from dask_ms_spark.operators.joins import append_join_delta
+
+    a_old = spark.createDataFrame([Row(k=1, a="x"), Row(k=2, a="y"),
+                                   Row(k=2, a="y2")])
+    a_new = spark.createDataFrame([Row(k=2, a="z"), Row(k=3, a="w")])
+    b_old = spark.createDataFrame([Row(k=1, b=10), Row(k=2, b=20)])
+    b_new = spark.createDataFrame([Row(k=2, b=30), Row(k=3, b=40),
+                                   Row(k=9, b=99)])
+
+    full = a_old.unionByName(a_new).join(
+        b_old.unionByName(b_new), "k")
+    base = a_old.join(b_old, "k")
+    delta = append_join_delta(a_old, a_new, b_old, b_new, "k")
+
+    def ms(df):
+        out = {}
+        for r in df.collect():
+            t = (r.k, r.a, r.b)
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    want = ms(full)
+    got = ms(base)
+    for t, c in ms(delta).items():
+        got[t] = got.get(t, 0) + c
+    assert got == want
+
+
+def test_append_join_delta_broadcasts_deltas(spark):
+    """Both history legs must be broadcast joins: history never
+    shuffles for a delta batch."""
+    from dask_ms_spark.operators.joins import append_join_delta
+    from dask_ms_spark.plans import plan_str
+
+    a_old = spark.range(1000).select(F.col("id").alias("k"),
+                                     F.lit("a").alias("a"))
+    b_old = spark.range(1000).select(F.col("id").alias("k"),
+                                     F.lit(1).alias("b"))
+    a_new = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit("n").alias("a"))
+    b_new = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit(2).alias("b"))
+    d = append_join_delta(a_old, a_new, b_old, b_new, "k")
+    plan = plan_str(d)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
