@@ -49,7 +49,8 @@ from ..operators.timeseries import (DEFAULT_ORIGIN, bucket_aggregate,
 from .events import normalize_ts
 
 __all__ = ["maintain_rollup", "committed_batch", "read_rollup",
-           "maintain_rollup_log", "read_rollup_log"]
+           "maintain_rollup_log", "read_rollup_log",
+           "maintain_join", "read_join_view"]
 
 
 def committed_batch(store: str) -> int | None:
@@ -273,6 +274,132 @@ def maintain_rollup_log(stream_df: DataFrame, store: str,
                         and d not in (new_base, old_base)):
                     shutil.rmtree(os.path.join(store, d),
                                   ignore_errors=True)
+
+    writer = stream_df.writeStream.foreachBatch(apply) \
+        .trigger(processingTime="0 seconds")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN view maintenance: the streaming form of
+# operators/joins.py append_join_delta.  Histories and the view are
+# append-only delta-dir logs (the LSM shape of maintain_rollup_log),
+# so per-batch cost is O(delta-join), never O(history rewrite).
+
+def _join_committed(store: str) -> int | None:
+    p = os.path.join(store, "COMMIT")
+    if not os.path.exists(p):
+        return None
+    return int(open(p).read().strip())
+
+
+def _join_commit(store: str, batch_id: int) -> None:
+    tmp = os.path.join(store, "COMMIT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, os.path.join(store, "COMMIT"))
+
+
+def _committed_dirs(store: str, prefix: str) -> list[str]:
+    committed = _join_committed(store)
+    if committed is None:
+        return []
+    out = []
+    for name in sorted(os.listdir(store)):
+        if name.startswith(prefix):
+            try:
+                i = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if i <= committed:
+                out.append(os.path.join(store, name))
+    return out
+
+
+def read_join_view(spark, store: str) -> DataFrame | None:
+    """The committed incremental join view: union of per-batch view
+    deltas (immutable dirs; the COMMIT pointer gates visibility)."""
+    dirs = _committed_dirs(store, "v_d")
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def maintain_join(stream_df: DataFrame, store: str, on,
+                  side_col: str = "side", a_side: str = "a",
+                  a_cols: list | None = None, b_cols: list | None = None,
+                  checkpoint: str | None = None):
+    """Maintain a materialized two-sided join view over a tagged
+    append stream: rows with ``side_col == a_side`` append to relation
+    A, the rest to B, and each micro-batch publishes exactly the join
+    rows the batch ADDS —
+
+        dV = dA join B_hist + A_hist join dB + dA join dB
+
+    (operators/joins.py append_join_delta: history never joins
+    history, deltas broadcast).  All three stores — A history, B
+    history, and the view — are append-only logs of immutable
+    per-batch dirs gated by one COMMIT pointer, so a replayed batch
+    overwrites its own dirs and re-commits: idempotent, exactly-once,
+    O(delta) history cost per batch.
+
+    ``on`` is the join key (or list); ``a_cols`` / ``b_cols`` project
+    each side (defaults: every non-side column).  Returns the
+    StreamingQuery; read the view with :func:`read_join_view`.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.joins import append_join_delta
+
+    keys = [on] if isinstance(on, str) else list(on)
+    os.makedirs(store, exist_ok=True)
+    ident_file = os.path.join(store, ".stream_identity")
+    ident = os.path.abspath(checkpoint) if checkpoint else None
+    if _join_committed(store) is not None:
+        recorded = (open(ident_file).read()
+                    if os.path.exists(ident_file) else None)
+        if ident is None or recorded != ident:
+            raise ValueError(
+                "store already holds state committed under checkpoint "
+                f"{recorded!r}; batch ids are per-checkpoint — resume "
+                "with the original checkpoint or start an empty store")
+    elif ident is not None:
+        with open(ident_file, "w") as fh:
+            fh.write(ident)
+
+    def hist(spark, prefix: str, schema) -> DataFrame:
+        dirs = _committed_dirs(store, prefix)
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        committed = _join_committed(store)
+        if committed is not None and batch_id <= committed:
+            return
+        spark = batch_df.sparkSession
+        da = batch_df.where(F.col(side_col) == a_side)
+        db = batch_df.where(F.col(side_col) != a_side)
+        da = da.select(*(a_cols or
+                         [c for c in da.columns if c != side_col]))
+        db = db.select(*(b_cols or
+                         [c for c in db.columns if c != side_col]))
+        # materialise the deltas: each feeds two join legs + its
+        # history append
+        da = da.localCheckpoint(eager=True)
+        db = db.localCheckpoint(eager=True)
+        a_hist = hist(spark, "a_d", da.schema)
+        b_hist = hist(spark, "b_d", db.schema)
+        dv = append_join_delta(a_hist, da, b_hist, db, keys)
+        dv.write.mode("overwrite").parquet(
+            os.path.join(store, f"v_d{batch_id}"))
+        da.write.mode("overwrite").parquet(
+            os.path.join(store, f"a_d{batch_id}"))
+        db.write.mode("overwrite").parquet(
+            os.path.join(store, f"b_d{batch_id}"))
+        _join_commit(store, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(apply) \
         .trigger(processingTime="0 seconds")

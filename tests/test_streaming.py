@@ -311,3 +311,60 @@ def test_streaming_rollup_log_with_compaction(spark, events_path,
     base, upto = _base_state(store)
     assert base is not None and upto >= 0
     assert len(_committed_deltas(store, upto)) < 8
+
+
+def test_streaming_join_maintenance(spark, events_path, events,
+                                    tmp_path):
+    """foreachBatch incremental join view: replay events as a tagged
+    two-sided stream (clicks = side A, purchases = side B, joined on
+    user_id), and the final committed view equals the batch join of
+    the full relations exactly — history never re-joined."""
+    import time
+
+    from dask_ms_spark.streaming.maintenance import (maintain_join,
+                                                     read_join_view)
+    from dask_ms_spark.streaming.replay import ParquetReplayDataSource
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    total = events.count()
+    store = str(tmp_path / "jview")
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", str(max(1, total // 4)))
+         .load(events_path))
+    s = s.where(F.col("event_type").isin("click", "purchase")) \
+         .select(F.when(F.col("event_type") == "click", "a")
+                 .otherwise("b").alias("side"),
+                 "user_id", "event_id")
+    q = maintain_join(s, store, on="user_id",
+                      a_cols=["user_id",
+                              F.col("event_id").alias("click_id")],
+                      b_cols=["user_id",
+                              F.col("event_id").alias("purchase_id")],
+                      checkpoint=str(tmp_path / "jckpt"))
+
+    clicks = events.where("event_type = 'click'") \
+        .select("user_id", F.col("event_id").alias("click_id"))
+    purchases = events.where("event_type = 'purchase'") \
+        .select("user_id", F.col("event_id").alias("purchase_id"))
+    want = clicks.join(purchases, "user_id").count()
+
+    try:
+        deadline = time.time() + 90
+        got = -1
+        while time.time() < deadline:
+            v = read_join_view(spark, store)
+            got = v.count() if v is not None else -1
+            if got == want:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert got == want and want > 0
+
+    # pair-level equality, not just counts
+    v = read_join_view(spark, store)
+    got_pairs = {(r.user_id, r.click_id, r.purchase_id)
+                 for r in v.collect()}
+    want_pairs = {(r.user_id, r.click_id, r.purchase_id)
+                  for r in clicks.join(purchases, "user_id").collect()}
+    assert got_pairs == want_pairs
