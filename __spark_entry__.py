@@ -2786,7 +2786,12 @@ def q_incremental_join(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice",
         "l_shipdate")
-    cut = "1997-01-01"
+    # the simulated ingest batch is the LAST 60 days relative to the
+    # data (a delta must be small for the broadcast legs to be the
+    # right plan; a fixed date would silently grow into a
+    # megabroadcast when the driver regenerates testdata)
+    cut = orders.agg(
+        F.date_sub(F.max("o_orderdate"), 60).alias("c")).first().c
     a_old = orders.where(F.col("o_orderdate") < cut).drop("o_orderdate")
     a_new = orders.where(F.col("o_orderdate") >= cut).drop("o_orderdate")
     b_old = li.where(F.col("l_shipdate") < cut).drop("l_shipdate")
@@ -4438,16 +4443,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
-        # incremental_join: the same three-leg IVM union in SQL
+        # incremental_join: the same three-leg IVM union in SQL;
+        # the cut is data-relative (max order date - 60 days), same
+        # derivation as the Spark side
         "incremental_join": """
-            WITH ao AS (SELECT o_orderkey, o_orderpriority FROM orders
-                        WHERE o_orderdate < DATE '1997-01-01'),
+            WITH cut AS (SELECT cast(max(o_orderdate) as date) - 60
+                             AS c FROM orders),
+            ao AS (SELECT o_orderkey, o_orderpriority FROM orders
+                   WHERE o_orderdate < (SELECT c FROM cut)),
             ad AS (SELECT o_orderkey, o_orderpriority FROM orders
-                   WHERE o_orderdate >= DATE '1997-01-01'),
+                   WHERE o_orderdate >= (SELECT c FROM cut)),
             bo AS (SELECT l_orderkey AS o_orderkey, l_extendedprice
-                   FROM lineitem WHERE l_shipdate < DATE '1997-01-01'),
+                   FROM lineitem
+                   WHERE l_shipdate < (SELECT c FROM cut)),
             bd AS (SELECT l_orderkey AS o_orderkey, l_extendedprice
-                   FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'),
+                   FROM lineitem
+                   WHERE l_shipdate >= (SELECT c FROM cut)),
             delta AS (
                 SELECT ad.o_orderpriority, bo.l_extendedprice
                 FROM ad JOIN bo USING (o_orderkey)
