@@ -418,3 +418,34 @@ def test_append_join_delta_broadcasts_deltas(spark):
     plan = plan_str(d)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+# -------------------------------------------------- constraint audit
+
+def test_constraint_audit_counts(spark):
+    from dask_ms_spark.operators.quality import (accepted_values,
+                                                 constraint_audit,
+                                                 foreign_key, in_range,
+                                                 not_null, unique)
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=5, tag="A"), Row(k=2, v=500, tag="A"),
+         Row(k=2, v=None, tag="X"), Row(k=None, v=3, tag="B")])
+    dim = spark.createDataFrame([Row(dk=1), Row(dk=2)])
+    out = {r.rule: r for r in constraint_audit(df, [
+        not_null("k"),
+        in_range("v", 0, 100),
+        accepted_values("tag", ["A", "B"]),
+        unique("k"),
+        foreign_key("k", dim, "dk"),
+    ]).collect()}
+    assert out["not_null(k)"].n_violations == 1
+    # NULL v passes in_range (pair with not_null to forbid)
+    assert out["in_range(v,0,100)"].n_violations == 1
+    assert out["accepted_values(tag,[A,B])"].n_violations == 1
+    # k=2 occurs twice -> both rows count as violations
+    assert out["unique(k)"].n_violations == 2
+    # NULL key rows are skipped by the FK check
+    assert out["foreign_key(k->dk)"].n_violations == 0
+    assert not out["unique(k)"].passed
+    assert out["foreign_key(k->dk)"].passed
