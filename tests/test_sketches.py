@@ -449,3 +449,40 @@ def test_constraint_audit_counts(spark):
     assert out["foreign_key(k->dk)"].n_violations == 0
     assert not out["unique(k)"].passed
     assert out["foreign_key(k->dk)"].passed
+
+
+# ----------------------------------------------------------- backfill
+
+def test_backfill_restart_skips_committed(spark, tmp_path):
+    """A failing partition stops the run; the restart skips committed
+    partitions (no recompute, no double rows) and completes the rest."""
+    from dask_ms_spark.operators.backfill import (backfill,
+                                                  completed_partitions,
+                                                  read_backfill)
+
+    store = str(tmp_path / "bf")
+    calls = []
+
+    def make_run(fail_on):
+        def run(s, part):
+            calls.append(part)
+            if part == fail_on:
+                raise RuntimeError("boom")
+            return s.range(3).select(
+                F.lit(part).alias("p"), F.col("id"))
+        return run
+
+    parts = ["d1", "d2", "d3"]
+    r1 = dict(backfill(spark, parts, make_run("d2"), store))
+    assert r1["d1"] == "done" and r1["d2"].startswith("failed")
+    assert "d3" not in r1  # stopped at first failure
+    assert completed_partitions(store) == {"d1"}
+
+    calls.clear()
+    r2 = dict(backfill(spark, parts, make_run(None), store))
+    assert r2 == {"d1": "skipped", "d2": "done", "d3": "done"}
+    assert calls == ["d2", "d3"]  # d1 not recomputed
+
+    out = read_backfill(spark, store)
+    got = sorted((r.p, r.id) for r in out.collect())
+    assert got == sorted((p, i) for p in parts for i in range(3))
