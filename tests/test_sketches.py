@@ -486,3 +486,31 @@ def test_backfill_restart_skips_committed(spark, tmp_path):
     out = read_backfill(spark, store)
     got = sorted((r.p, r.id) for r in out.collect())
     assert got == sorted((p, i) for p in parts for i in range(3))
+
+
+# ----------------------------------------------------- IVF index
+
+def test_ivf_index_build_query_and_pruning(spark, embeddings, tmp_path):
+    """Build-once/query-many IVF index: recall against brute force is
+    high, and the probed-cell filter reaches the parquet scan as a
+    partition filter (the layout, not a runtime filter, bounds read
+    amplification)."""
+    from dask_ms_spark.llm.similarity import (brute_force_topk,
+                                              build_ivf_index,
+                                              ivf_query_indexed)
+    from dask_ms_spark.plans import plan_str
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, num_cells=8)
+    queries = embeddings.where(F.col("vec_id") < 5)
+    got = ivf_query_indexed(spark, path, queries, k=5, nprobe=4)
+    plan = plan_str(got)
+    assert "PartitionFilters" in plan and "cell#" in plan.split(
+        "PartitionFilters")[1][:200]
+
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    want_pairs = {(r.query_id, r.neighbor_id)
+                  for r in brute_force_topk(embeddings, queries,
+                                            k=5).collect()}
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.5, recall
