@@ -2773,6 +2773,47 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_pipeline_funnel(spark, sf_dir):
+    """The whole curation pipeline as ONE declarative plan: Gopher
+    quality gate, exact content dedup, MinHash near-dedup — per-lang
+    survivor funnel (n_total -> n_quality -> +exact -> +near).  Each
+    stage's verdict computes independently over the corpus and the
+    funnel is the cumulative AND, so the stages share the single scan
+    and Catalyst interleaves them; this is the composability argument
+    for declaring curation as DataFrame algebra instead of chained
+    materialised passes."""
+    from dask_ms_spark.llm.corpus import quality_filter
+    from dask_ms_spark.llm.dedup import minhash_dedup, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_filter(docs).select("doc_id",
+                                    F.col("keep").alias("q_keep"))
+    ex = docs.select(
+        "doc_id",
+        portable_hash64(normalize_text(F.col("text"))).alias("dg"))
+    ex = ex.withColumn(
+        "ex_keep",
+        F.col("doc_id") == F.min("doc_id").over(
+            Window.partitionBy("dg"))).select("doc_id", "ex_keep")
+    mh = minhash_dedup(docs, num_hashes=16, num_bands=4, shingle_k=5,
+                       threshold=0.5) \
+        .select(F.col("drop_id").alias("doc_id"),
+                F.lit(False).alias("mh_keep"))
+    flags = (docs.select("doc_id", "lang")
+             .join(q, "doc_id").join(ex, "doc_id")
+             .join(mh, "doc_id", "left")
+             .withColumn("mh_keep",
+                         F.coalesce(F.col("mh_keep"), F.lit(True))))
+    b = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    return (flags.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                 b(F.col("q_keep")).alias("n_quality"),
+                 b(F.col("q_keep") & F.col("ex_keep"))
+                 .alias("n_quality_exact"),
+                 b(F.col("q_keep") & F.col("ex_keep")
+                   & F.col("mh_keep")).alias("n_survivors")))
+
+
 def q_constraint_audit(spark, sf_dir):
     """Declarative data-quality audit (operators/quality.py): nulls,
     ranges, accepted values, key uniqueness, referential integrity —
@@ -3104,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "incremental_join": q_incremental_join,
         "constraint_audit": q_constraint_audit,
+        "pipeline_funnel": q_pipeline_funnel,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -3157,7 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     h_norm_text = _DUCK_HASH.format(x=_DUCK_NORM.format(x="text"))
-    return {
+    out = {
         "projection": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    cast(l_shipdate as date) AS ship_date
@@ -4808,3 +4850,30 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY doc_id
         """,
     }
+    # pipeline_funnel composes the quality_filter and minhash-drop
+    # mirrors verbatim (same CTE text = bit-identical stage verdicts)
+    out["pipeline_funnel"] = f"""
+        WITH ql AS ({out['quality_filter']}),
+        ex AS (SELECT doc_id,
+                      doc_id = min(doc_id) OVER (
+                          PARTITION BY {_DUCK_HASH.format(
+                              x=_DUCK_NORM.format(x='text'))})
+                          AS ex_keep
+               FROM documents),
+        mh AS ({_minhash_drop_sql()})
+        SELECT d.lang, cast(count(*) as bigint) AS n_total,
+               cast(sum(CASE WHEN ql.keep THEN 1 ELSE 0 END) as bigint)
+                   AS n_quality,
+               cast(sum(CASE WHEN ql.keep AND ex.ex_keep
+                        THEN 1 ELSE 0 END) as bigint)
+                   AS n_quality_exact,
+               cast(sum(CASE WHEN ql.keep AND ex.ex_keep
+                             AND mh.drop_id IS NULL
+                        THEN 1 ELSE 0 END) as bigint) AS n_survivors
+        FROM documents d
+        JOIN ql ON ql.doc_id = d.doc_id
+        JOIN ex ON ex.doc_id = d.doc_id
+        LEFT JOIN mh ON mh.drop_id = d.doc_id
+        GROUP BY d.lang
+    """
+    return out

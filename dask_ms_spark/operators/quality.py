@@ -75,6 +75,7 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     """
     spark = df.sparkSession
     reports = []
+    n_total = None  # row count, computed at most once across rules
 
     row_rules = [r for r in rules if r["kind"] == "row"]
     if row_rules:
@@ -83,6 +84,7 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
                 for i, r in enumerate(row_rules)]
         counted = df.agg(F.count(F.lit(1)).cast("long").alias("n"),
                          *aggs).first()
+        n_total = counted["n"]
         for i, r in enumerate(row_rules):
             reports.append((r["rule"], counted["n"],
                             counted[f"v{i}"] or 0))
@@ -97,7 +99,9 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
                       .otherwise(0)).cast("long").alias("v")).first()
             reports.append((r["rule"], row["n"] or 0, row["v"] or 0))
         elif r["kind"] == "fk":
-            n = df.count()
+            if n_total is None:
+                n_total = df.count()
+            n = n_total
             bad = (df.select(F.col(r["col"]).alias("k"))
                    .where(F.col("k").isNotNull())
                    .join(F.broadcast(
