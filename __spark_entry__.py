@@ -2773,6 +2773,18 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_robust_stats(spark, sf_dir):
+    """Per-returnflag robust profile (functions/stats.py robust_stats):
+    exact median/quartiles/IQR/MAD + Tukey-fence outlier counts —
+    engine-exact because Spark's exact percentile and DuckDB's
+    quantile_cont implement the same interpolation (measured
+    bit-identical)."""
+    from dask_ms_spark.functions.stats import robust_stats
+
+    return robust_stats(_t(spark, sf_dir, "lineitem"),
+                        "l_extendedprice", ["l_returnflag"])
+
+
 def q_pipeline_funnel(spark, sf_dir):
     """The whole curation pipeline as ONE declarative plan: Gopher
     quality gate, exact content dedup, MinHash near-dedup — per-lang
@@ -3146,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join": q_incremental_join,
         "constraint_audit": q_constraint_audit,
         "pipeline_funnel": q_pipeline_funnel,
+        "robust_stats": q_robust_stats,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4511,6 +4524,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # robust_stats: exact-percentile parity (quantile_cont ==
+        # Spark percentile, measured bit-identical)
+        "robust_stats": """
+            WITH q AS (SELECT l_returnflag,
+                              quantile_cont(l_extendedprice, 0.5)
+                                  AS median,
+                              quantile_cont(l_extendedprice, 0.25) AS q1,
+                              quantile_cont(l_extendedprice, 0.75) AS q3
+                       FROM lineitem GROUP BY l_returnflag),
+            p2 AS (SELECT l.l_returnflag,
+                          quantile_cont(abs(l.l_extendedprice
+                                            - q.median), 0.5) AS mad,
+                          cast(sum(CASE WHEN
+                               l.l_extendedprice < q.q1
+                                   - 1.5 * (q.q3 - q.q1)
+                               OR l.l_extendedprice > q.q3
+                                   + 1.5 * (q.q3 - q.q1)
+                               THEN 1 ELSE 0 END) as bigint)
+                              AS n_outliers,
+                          cast(count(*) as bigint) AS n
+                   FROM lineitem l JOIN q USING (l_returnflag)
+                   GROUP BY l.l_returnflag)
+            SELECT q.l_returnflag, round(q.median, 6) AS median,
+                   round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+                   round(q.q3 - q.q1, 6) AS iqr,
+                   round(p2.mad, 6) AS mad, p2.n_outliers, p2.n
+            FROM q JOIN p2 USING (l_returnflag)
+        """,
         # constraint_audit: each rule as a UNION ALL leg with the
         # identical rule string
         "constraint_audit": """

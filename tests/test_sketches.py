@@ -514,3 +514,24 @@ def test_ivf_index_build_query_and_pruning(spark, embeddings, tmp_path):
                                             k=5).collect()}
     recall = len(got_pairs & want_pairs) / len(want_pairs)
     assert recall >= 0.5, recall
+
+
+# ------------------------------------------------------ robust stats
+
+def test_robust_stats_hand_checked(spark):
+    from dask_ms_spark.functions.stats import robust_stats
+
+    # group g: values 1..9 plus an outlier 100
+    rows = [Row(g="a", x=float(v)) for v in range(1, 10)] + \
+        [Row(g="a", x=100.0)]
+    out = robust_stats(spark.createDataFrame(rows), "x",
+                       ["g"]).collect()[0]
+    # 10 values: median = (5+6)/2, q1 = 3.25, q3 = 7.75 (linear interp)
+    assert out.median == pytest.approx(5.5)
+    assert out.q1 == pytest.approx(3.25)
+    assert out.q3 == pytest.approx(7.75)
+    assert out.iqr == pytest.approx(4.5)
+    # residuals vs 5.5: [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,94.5]
+    # sorted -> median = (2.5+2.5)/2
+    assert out.mad == pytest.approx(2.5)
+    assert out.n_outliers == 1 and out.n == 10
