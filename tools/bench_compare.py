@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Compare two bench JSON files with canary normalization.
+
+Raw per-query wall times on a shared host are dominated by external
+contention (measured this repo: uniform ~2-3x inflation with host load
+>4; SCALE.md "Measurement notes").  This tool divides out that noise:
+the ratio of the CANARY set (cheap, stable, code-untouched queries)
+between the two runs estimates the host-speed ratio, every per-query
+ratio is normalized by it, and only queries whose NORMALIZED ratio
+exceeds the threshold are flagged as real regressions.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [threshold=1.5]
+
+Accepts either the raw bench stdout line or the driver's BENCH_r*.json
+wrapper ({"parsed": {...}}).
+"""
+
+import json
+import statistics
+import sys
+
+CANARIES = ["tpch_q6", "tpch_q1", "dedup_exact", "projection",
+            "filter_pushdown"]
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        d = json.loads(text)  # pretty-printed driver wrapper
+    except json.JSONDecodeError:
+        # bench stdout: last parseable JSON line after progress bars
+        d = None
+        for line in reversed(text.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if d is None:
+            raise SystemExit(f"{path}: no JSON found")
+    if "parsed" in d:
+        d = d["parsed"]
+    return d["queries"]
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+    common = [q for q in new if q in old and old[q] > 0 and new[q] > 0]
+    canaries = [q for q in CANARIES if q in common]
+    if canaries:
+        host_ratio = statistics.median(new[q] / old[q] for q in canaries)
+    else:
+        host_ratio = 1.0
+    print(f"canaries: {canaries} -> host-speed ratio "
+          f"{host_ratio:.2f}x (new/old)")
+
+    rows = []
+    for q in common:
+        raw = new[q] / old[q]
+        norm = raw / host_ratio
+        rows.append((norm, raw, q))
+    rows.sort(reverse=True)
+
+    flagged = [r for r in rows if r[0] > threshold]
+    print(f"{len(common)} common queries; "
+          f"{len(flagged)} above {threshold:.2f}x normalized")
+    for norm, raw, q in flagged:
+        print(f"  REGRESSION? {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
+              f"(raw {raw:.2f}x, normalized {norm:.2f}x)")
+    improved = [r for r in rows if r[0] < 1 / threshold]
+    for norm, raw, q in sorted(improved):
+        print(f"  improved    {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
+              f"(normalized {norm:.2f}x)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
