@@ -2773,6 +2773,38 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_cdc_apply(spark, sf_dir):
+    """MERGE INTO as DataFrame algebra (operators/cdc.py apply_cdc):
+    a synthetic change feed (deletes %7, price updates %5, inserted
+    keys %13 shifted, overlapping keys resolved by highest seq) merged
+    into the orders snapshot; per-priority profile of the result.  The
+    snapshot sees one broadcast anti-join — it never shuffles."""
+    from dask_ms_spark.operators.cdc import apply_cdc
+
+    snap = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"))
+    k = F.col("o_orderkey")
+    deletes = snap.where(k % 7 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("decimal(18,2)").alias("o_totalprice"))
+    updates = snap.where(k % 5 == 0).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        "o_orderpriority",
+        (F.col("o_totalprice") + 1000).cast("decimal(18,2)")
+        .alias("o_totalprice"))
+    inserts = snap.where(k % 13 == 0).select(
+        (k + 3000000).alias("o_orderkey"), F.lit("I").alias("op"),
+        F.lit(1).alias("seq"), "o_orderpriority", "o_totalprice")
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = apply_cdc(snap, changes, "o_orderkey")
+    return (merged.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("o_totalprice").cast("double"), 2)
+                  .alias("total")))
+
+
 def q_robust_stats(spark, sf_dir):
     """Per-returnflag robust profile (functions/stats.py robust_stats):
     exact median/quartiles/IQR/MAD + Tukey-fence outlier counts —
@@ -3159,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_audit": q_constraint_audit,
         "pipeline_funnel": q_pipeline_funnel,
         "robust_stats": q_robust_stats,
+        "cdc_apply": q_cdc_apply,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4524,6 +4557,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # cdc_apply: highest-(seq, op) change wins per key; the
+        # same synthetic feed in SQL
+        "cdc_apply": """
+            WITH snap AS (SELECT o_orderkey, o_orderpriority,
+                                 cast(o_totalprice as decimal(18,2))
+                                     AS o_totalprice
+                          FROM orders),
+            ch AS (
+                SELECT o_orderkey, 'D' AS op, 1 AS seq,
+                       cast(NULL as varchar) AS o_orderpriority,
+                       cast(NULL as decimal(18,2)) AS o_totalprice
+                FROM snap WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, 'U', 2, o_orderpriority,
+                       cast(o_totalprice + 1000 as decimal(18,2))
+                FROM snap WHERE o_orderkey % 5 = 0
+                UNION ALL
+                SELECT o_orderkey + 3000000, 'I', 1, o_orderpriority,
+                       o_totalprice
+                FROM snap WHERE o_orderkey % 13 = 0),
+            latest AS (SELECT * FROM (
+                SELECT ch.*, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY seq DESC, op DESC) AS rn
+                FROM ch) WHERE rn = 1),
+            merged AS (
+                SELECT s.o_orderkey, s.o_orderpriority, s.o_totalprice
+                FROM snap s
+                WHERE NOT EXISTS (SELECT 1 FROM latest l
+                                  WHERE l.o_orderkey = s.o_orderkey)
+                UNION ALL
+                SELECT o_orderkey, o_orderpriority, o_totalprice
+                FROM latest WHERE op != 'D')
+            SELECT o_orderpriority, cast(count(*) as bigint) AS n,
+                   round(cast(sum(o_totalprice) as double), 2) AS total
+            FROM merged GROUP BY o_orderpriority
+        """,
         # robust_stats: exact-percentile parity (quantile_cont ==
         # Spark percentile, measured bit-identical)
         "robust_stats": """

@@ -535,3 +535,39 @@ def test_robust_stats_hand_checked(spark):
     # sorted -> median = (2.5+2.5)/2
     assert out.mad == pytest.approx(2.5)
     assert out.n_outliers == 1 and out.n == 10
+
+
+# ---------------------------------------------------------------- CDC
+
+def test_apply_cdc_semantics(spark):
+    """Insert/update/delete with seq ordering: highest seq wins; a
+    same-seq delete+upsert resolves to the upsert ('U' > 'D')."""
+    from dask_ms_spark.operators.cdc import apply_cdc
+
+    snap = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    changes = spark.createDataFrame([
+        Row(k=2, op="U", seq=1, v="b2"),
+        Row(k=2, op="U", seq=2, v="b3"),      # later seq wins
+        Row(k=3, op="D", seq=1, v=None),
+        Row(k=4, op="I", seq=1, v="d"),
+        Row(k=5, op="D", seq=1, v=None),      # delete-then-insert...
+        Row(k=5, op="I", seq=1, v="e"),       # ...same seq: upsert wins
+    ])
+    got = {r.k: r.v for r in apply_cdc(snap, changes, "k").collect()}
+    assert got == {1: "a", 2: "b3", 4: "d", 5: "e"}
+
+
+def test_apply_cdc_snapshot_never_shuffles(spark):
+    """The snapshot leg must join the changed-key set as a broadcast
+    anti-join: zero Exchange on the snapshot lineage."""
+    from dask_ms_spark.operators.cdc import apply_cdc
+    from dask_ms_spark.plans import plan_str
+
+    snap = spark.range(10000).select(F.col("id").alias("k"),
+                                     F.lit("x").alias("v"))
+    changes = spark.createDataFrame(
+        [Row(k=5, op="D", seq=1, v=None)],
+        "k long, op string, seq int, v string")
+    plan = plan_str(apply_cdc(snap, changes, "k"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
