@@ -2773,6 +2773,40 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 maintenance (operators/cdc.py
+    scd2_apply): customer segment changes at seq 10 (%4 keys) and seq
+    20 (%8 keys) folded into a versioned dimension — validity ranges
+    chain within the batch, open rows close, untouched keys pass
+    through one broadcast anti-join.  Per-segment version profile."""
+    from dask_ms_spark.operators.cdc import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    dim = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    k = F.col("c_custkey")
+    ch = (cust.where(k % 4 == 0)
+          .select("c_custkey", F.lit(10).alias("effective_seq"),
+                  F.concat("c_mktsegment", F.lit("_v2"))
+                  .alias("c_mktsegment"))
+          .unionByName(
+              cust.where(k % 8 == 0)
+              .select("c_custkey", F.lit(20).alias("effective_seq"),
+                      F.concat("c_mktsegment", F.lit("_v3"))
+                      .alias("c_mktsegment"))))
+    out = scd2_apply(dim, ch, "c_custkey")
+    return (out.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.col("is_current").cast("long")).cast("long")
+                  .alias("n_current"),
+                 F.sum(F.col("valid_to").isNotNull().cast("long"))
+                  .cast("long").alias("n_closed")))
+
+
 def q_cdc_apply(spark, sf_dir):
     """MERGE INTO as DataFrame algebra (operators/cdc.py apply_cdc):
     a synthetic change feed (deletes %7, price updates %5, inserted
@@ -3192,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel": q_pipeline_funnel,
         "robust_stats": q_robust_stats,
         "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4557,6 +4592,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # scd2_history: the same versioning algebra in SQL
+        "scd2_history": """
+            WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS a
+                          FROM customer),
+            ch AS (SELECT k, 10 AS s, a || '_v2' AS a
+                   FROM cust WHERE k % 4 = 0
+                   UNION ALL
+                   SELECT k, 20, a || '_v3' FROM cust WHERE k % 8 = 0),
+            inc AS (SELECT k, a, cast(s as bigint) AS vf,
+                           cast(lead(s) OVER (PARTITION BY k
+                                              ORDER BY s) as bigint)
+                               AS vt
+                    FROM ch),
+            first_new AS (SELECT k, min(vf) AS close_at
+                          FROM inc GROUP BY k),
+            merged AS (
+                SELECT c.k, c.a, cast(0 as bigint) AS vf,
+                       f.close_at AS vt
+                FROM cust c LEFT JOIN first_new f ON f.k = c.k
+                UNION ALL
+                SELECT k, a, vf, vt FROM inc)
+            SELECT a AS c_mktsegment,
+                   cast(count(*) as bigint) AS n_rows,
+                   cast(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)
+                        as bigint) AS n_current,
+                   cast(sum(CASE WHEN vt IS NOT NULL THEN 1 ELSE 0 END)
+                        as bigint) AS n_closed
+            FROM merged GROUP BY a
+        """,
         # cdc_apply: highest-(seq, op) change wins per key; the
         # same synthetic feed in SQL
         "cdc_apply": """

@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_cdc"]
+__all__ = ["apply_cdc", "scd2_apply"]
 
 
 def apply_cdc(snapshot: DataFrame, changes: DataFrame,
@@ -54,3 +54,58 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame,
         changed_keys = F.broadcast(changed_keys)
     untouched = snapshot.join(changed_keys, keys, "left_anti")
     return untouched.unionByName(upserts)
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame,
+               key_cols: str | Sequence[str],
+               effective_col: str = "effective_seq",
+               track_cols: Sequence[str] | None = None) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance: fold a batch of
+    new attribute versions into a history table that keeps EVERY
+    version with its validity range.
+
+    ``dim`` rows carry ``valid_from`` / ``valid_to`` (long sequence
+    numbers; open rows have ``valid_to = NULL``) and ``is_current``.
+    ``changes`` carries the key(s), ``effective_col`` (the sequence at
+    which the new version takes effect) and the tracked attribute
+    columns.  Per key, the incoming batch is sequence-ordered; each
+    new version closes the previous open row at its effective
+    sequence.  Unchanged keys pass through one broadcast anti-join —
+    like :func:`apply_cdc`, the big history table never shuffles.
+
+    A change identical to the key's current attribute values still
+    opens a new version (version collapsing is the caller's filter —
+    compare against the current row before calling when no-op churn
+    is common).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    track_cols = list(track_cols) if track_cols is not None else \
+        [c for c in changes.columns
+         if c not in set(keys) | {effective_col}]
+    base_cols = keys + track_cols + ["valid_from", "valid_to"]
+
+    # order incoming versions per key; chain validity ranges
+    incoming = (changes
+                .select(*keys, F.col(effective_col).cast("long")
+                        .alias("valid_from"), *track_cols)
+                .withColumn("valid_to",
+                            F.lead("valid_from").over(
+                                Window.partitionBy(*keys)
+                                .orderBy("valid_from"))))
+
+    hist = dim.select(*base_cols)
+    changed_keys = F.broadcast(incoming.select(*keys).distinct())
+    untouched = hist.join(changed_keys, keys, "left_anti")
+    # close each key's open row at the key's FIRST incoming version
+    first_new = F.broadcast(
+        incoming.groupBy(*keys)
+        .agg(F.min("valid_from").alias("__close_at")))
+    touched = (hist.join(first_new, keys)
+               .withColumn("valid_to",
+                           F.when(F.col("valid_to").isNull(),
+                                  F.col("__close_at"))
+                           .otherwise(F.col("valid_to")))
+               .drop("__close_at"))
+    out = (untouched.unionByName(touched.select(*base_cols))
+           .unionByName(incoming.select(*base_cols)))
+    return out.withColumn("is_current", F.col("valid_to").isNull())

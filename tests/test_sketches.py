@@ -571,3 +571,44 @@ def test_apply_cdc_snapshot_never_shuffles(spark):
         "k long, op string, seq int, v string")
     plan = plan_str(apply_cdc(snap, changes, "k"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# --------------------------------------------------------------- SCD2
+
+def test_scd2_apply_versions(spark):
+    """New versions close open rows; multi-version batches chain
+    ranges per key; unchanged keys pass through."""
+    from dask_ms_spark.operators.cdc import scd2_apply
+
+    dim = spark.createDataFrame(
+        [Row(k=1, attr="a0", valid_from=0, valid_to=None,
+             is_current=True),
+         Row(k=2, attr="b0", valid_from=0, valid_to=5,
+             is_current=False),
+         Row(k=2, attr="b1", valid_from=5, valid_to=None,
+             is_current=True),
+         Row(k=3, attr="c0", valid_from=0, valid_to=None,
+             is_current=True)],
+        "k long, attr string, valid_from long, valid_to long, "
+        "is_current boolean")
+    changes = spark.createDataFrame(
+        [Row(k=1, effective_seq=10, attr="a1"),
+         Row(k=2, effective_seq=10, attr="b2"),
+         Row(k=2, effective_seq=12, attr="b3"),   # two versions, one batch
+         Row(k=9, effective_seq=10, attr="z0")])  # brand-new key
+    out = scd2_apply(dim, changes, "k")
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    # k=1: old row closed at 10, new open row from 10
+    assert rows[(1, 0)].valid_to == 10 and not rows[(1, 0)].is_current
+    assert rows[(1, 10)].attr == "a1" and rows[(1, 10)].is_current
+    # k=2: closed-old untouched, open b1 closed at 10, b2 10->12, b3 open
+    assert rows[(2, 0)].valid_to == 5
+    assert rows[(2, 5)].valid_to == 10
+    assert rows[(2, 10)].attr == "b2" and rows[(2, 10)].valid_to == 12
+    assert rows[(2, 12)].attr == "b3" and rows[(2, 12)].is_current
+    # k=3 untouched; k=9 new open
+    assert rows[(3, 0)].is_current
+    assert rows[(9, 10)].attr == "z0" and rows[(9, 10)].is_current
+    # exactly one current row per live key
+    cur = [r for r in rows.values() if r.is_current]
+    assert sorted(r.k for r in cur) == [1, 2, 3, 9]
