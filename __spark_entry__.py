@@ -2773,6 +2773,26 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Rolling Tukey-fence anomaly detection per user
+    (operators/timeseries.py rolling_outliers): each click scored
+    against its own previous 32 values, quartiles via the exact
+    percentile frame aggregate (engine-exact parity with
+    quantile_cont).  Per-user summary of scored/flagged events."""
+    from dask_ms_spark.operators.timeseries import rolling_outliers
+
+    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+          .where("event_type = 'click'"))
+    scored = rolling_outliers(ev, window=32, k=1.5, min_history=8)
+    return (scored.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.col("is_anomaly").isNotNull().cast("long"))
+                  .cast("long").alias("n_scored"),
+                 F.sum(F.coalesce(F.col("is_anomaly").cast("long"),
+                                  F.lit(0))).cast("long")
+                  .alias("n_anomalies")))
+
+
 def q_scd2_history(spark, sf_dir):
     """Slowly-changing-dimension Type 2 maintenance (operators/cdc.py
     scd2_apply): customer segment changes at seq 10 (%4 keys) and seq
@@ -3227,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_stats": q_robust_stats,
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
+        "events_anomaly": q_events_anomaly,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4592,6 +4613,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # events_anomaly: identical frame quartiles in DuckDB
+        "events_anomaly": """
+            WITH c AS (SELECT user_id, event_id, ts, value
+                       FROM events WHERE event_type = 'click'),
+            s AS (SELECT user_id, value,
+                         quantile_cont(value, 0.25) OVER w AS q1,
+                         quantile_cont(value, 0.75) OVER w AS q3,
+                         count(value) OVER w AS nh
+                  FROM c
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 32 PRECEDING
+                                        AND 1 PRECEDING)),
+            f AS (SELECT user_id,
+                         CASE WHEN nh >= 8 THEN
+                              value < q1 - 1.5 * (q3 - q1)
+                              OR value > q3 + 1.5 * (q3 - q1)
+                         END AS is_anomaly
+                  FROM s)
+            SELECT user_id, cast(count(*) as bigint) AS n_events,
+                   cast(sum(CASE WHEN is_anomaly IS NOT NULL
+                            THEN 1 ELSE 0 END) as bigint) AS n_scored,
+                   cast(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END)
+                        as bigint) AS n_anomalies
+            FROM f GROUP BY user_id
+        """,
         # scd2_history: the same versioning algebra in SQL
         "scd2_history": """
             WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS a

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["bucket_index", "resample_fill", "bucket_aggregate",
-           "merge_rollups", "windowed_ema", "sessionize"]
+           "merge_rollups", "windowed_ema", "sessionize",
+           "rolling_outliers"]
 
 #: Fixed epoch for bucket arithmetic.  A constant (rather than the
 #: stream's own minimum) keeps bucket ids stable across incremental
@@ -217,3 +218,40 @@ def sessionize(events: DataFrame, ts_col: str = "ts",
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return events.withColumn(
         "session_idx", (F.sum(new_sess).over(run) - 1).cast("long"))
+
+
+def rolling_outliers(df: DataFrame, value_col: str = "value",
+                     order_cols: tuple = ("ts", "event_id"),
+                     by: str = "user_id", window: int = 32,
+                     k: float = 1.5,
+                     min_history: int = 8) -> DataFrame:
+    """Tukey-fence anomaly flags against each row's own trailing
+    history: a value is anomalous when it falls outside
+    ``[q1 - k*IQR, q3 + k*IQR]`` of the previous ``window`` rows per
+    key (current row excluded — the score must not see itself).
+
+    Quartiles use Spark's exact ``percentile`` as a frame aggregate
+    (measured bit-identical to DuckDB ``quantile_cont`` in both
+    grouped and windowed form), so flags are engine-exact; rows with
+    fewer than ``min_history`` predecessors are unscored (flag NULL)
+    rather than scored against a meaningless tiny frame.
+
+    One shuffle on ``by``; robust to heavy tails where a z-score
+    detector is hostage to its own outliers.
+    """
+    frame = (Window.partitionBy(by)
+             .orderBy(*[F.col(c) for c in order_cols])
+             .rowsBetween(-window, -1))
+    x = F.col(value_col).cast("double")
+    out = (df.withColumn("__q1", F.percentile(x, 0.25).over(frame))
+           .withColumn("__q3", F.percentile(x, 0.75).over(frame))
+           .withColumn("__nh", F.count(x).over(frame)))
+    iqr = F.col("__q3") - F.col("__q1")
+    lo = F.col("__q1") - k * iqr
+    hi = F.col("__q3") + k * iqr
+    return (out.withColumn(
+        "is_anomaly",
+        F.when(F.col("__nh") >= min_history, (x < lo) | (x > hi)))
+        .withColumn("fence_lo", F.round(lo, 6))
+        .withColumn("fence_hi", F.round(hi, 6))
+        .drop("__q1", "__q3", "__nh"))

@@ -612,3 +612,24 @@ def test_scd2_apply_versions(spark):
     # exactly one current row per live key
     cur = [r for r in rows.values() if r.is_current]
     assert sorted(r.k for r in cur) == [1, 2, 3, 9]
+
+
+# --------------------------------------------------- rolling outliers
+
+def test_rolling_outliers_flags_planted_spike(spark):
+    from dask_ms_spark.operators.timeseries import rolling_outliers
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1,
+            10.0, 500.0, 10.3]  # spike at index 9, scored from idx 8
+    rows = [Row(user_id=1, event_id=i, ts=i, value=v)
+            for i, v in enumerate(vals)]
+    out = {r.event_id: r for r in rolling_outliers(
+        spark.createDataFrame(rows), window=8, k=1.5,
+        min_history=8).collect()}
+    # first 8 rows unscored (insufficient history)
+    assert all(out[i].is_anomaly is None for i in range(8))
+    assert out[8].is_anomaly is False
+    assert out[9].is_anomaly is True          # the spike
+    # the row AFTER the spike: the spike inflates the frame's q3 but
+    # a normal value must still pass
+    assert out[10].is_anomaly is False
