@@ -25,7 +25,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = ["normalize_ts", "read_events", "read_events_stream",
            "windowed_counts", "sliding_value_stats", "correlate_events",
            "dedup_events", "sessionize", "run_stream_to_memory",
-           "stream_append_parquet"]
+           "stream_append_parquet",
+           "detect_anomalies_stream"]
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -332,3 +333,57 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     query.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+_ANOM_OUT_SCHEMA = ("user_id long, event_id long, value double, "
+                    "is_anomaly boolean")
+_ANOM_STATE_SCHEMA = "hist array<double>"
+
+
+def detect_anomalies_stream(events: DataFrame, window: int = 32,
+                            k: float = 1.5,
+                            min_history: int = 8) -> DataFrame:
+    """Streaming form of the batch Tukey-fence detector
+    (operators/timeseries.py rolling_outliers): per-user state holds a
+    ring buffer of the last ``window`` values; each arriving event is
+    scored against the buffer BEFORE being appended (the score must
+    not see itself), exactly mirroring the batch frame
+    ``[-window, -1]``.
+
+    The parity contract is tested end-to-end: replaying the events
+    table through this operator yields flag-for-flag the batch
+    operator's output (the source is per-key time-ordered; within a
+    micro-batch rows are sorted by (ts, event_id) — streaming cannot
+    reorder the past, so out-of-order sources need a watermark
+    upstream).  State is O(window) doubles per key — bounded,
+    checkpointable, and exactly the working set the batch window
+    carries per row.
+    """
+    import numpy as np
+
+    def fn(key, pdf_iter, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        pdfs = [p for p in pdf_iter if len(p)]
+        out = []
+        if pdfs:
+            rows = pd.concat(pdfs).sort_values(["ts", "event_id"])
+            for r in rows.itertuples(index=False):
+                v = float(r.value)
+                if len(hist) >= min_history:
+                    q1 = float(np.percentile(hist, 25))
+                    q3 = float(np.percentile(hist, 75))
+                    iqr = q3 - q1
+                    flag = bool(v < q1 - k * iqr or v > q3 + k * iqr)
+                else:
+                    flag = None
+                out.append((key[0], int(r.event_id), v, flag))
+                hist.append(v)
+                hist = hist[-window:]
+        state.update((hist,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id",
+                                         "value", "is_anomaly"])
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, _ANOM_OUT_SCHEMA,
+                                    _ANOM_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))

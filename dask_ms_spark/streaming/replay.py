@@ -93,6 +93,16 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
         return {"row": 0}
 
     def latestOffset(self) -> dict:
+        # Advances per call.  CONSEQUENCE (measured): drive paced
+        # replay streams with a processingTime trigger + polling
+        # (replay_to_memory) — under trigger(availableNow) Spark pins
+        # the stream end at its STARTUP probe of latestOffset and
+        # terminates after one window, silently dropping the tail of
+        # the table.  Anchoring the offset elsewhere doesn't fix it:
+        # commit() does not fire for every memory-sink batch, and
+        # partitions() executes in a separate planner process whose
+        # mutations never reach this instance (both variants measured
+        # stuck at one window).
         self._emitted = min(self.nrow,
                             self._emitted + self.rows_per_batch)
         return {"row": self._emitted}

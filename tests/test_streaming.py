@@ -368,3 +368,40 @@ def test_streaming_join_maintenance(spark, events_path, events,
     want_pairs = {(r.user_id, r.click_id, r.purchase_id)
                   for r in clicks.join(purchases, "user_id").collect()}
     assert got_pairs == want_pairs
+
+
+def test_streaming_anomaly_matches_batch(spark, events_path, events):
+    """Stream-batch parity: replaying the (time-ordered) events table
+    through the stateful detector reproduces the batch rolling
+    Tukey-fence flags event-for-event, across multiple micro-batches
+    (state carries the ring buffer over batch boundaries).  Paced
+    replay must be driven by polling (replay_to_memory) — under
+    availableNow the source's startup probe pins the stream end and
+    the table tail is silently dropped."""
+    from dask_ms_spark.operators.timeseries import rolling_outliers
+    from dask_ms_spark.streaming.events import (detect_anomalies_stream,
+                                                normalize_ts)
+    from dask_ms_spark.streaming.replay import (ParquetReplayDataSource,
+                                                replay_to_memory)
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    clicks = events.where("event_type = 'click'")
+    total = clicks.count()
+
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "300")
+         .load(events_path))
+    s = normalize_ts(s).where("event_type = 'click'") \
+        .select("user_id", "event_id", "ts", "value")
+    got_df = replay_to_memory(
+        detect_anomalies_stream(s, window=16, k=1.5, min_history=8),
+        "anomaly_stream", expect_rows=total)
+    got = {r.event_id: r.is_anomaly for r in got_df.collect()}
+    assert len(got) == total
+
+    want_df = rolling_outliers(clicks, window=16, k=1.5, min_history=8)
+    want = {r.event_id: r.is_anomaly for r in want_df.collect()}
+    assert got == want
+    # sanity: the comparison is not vacuous
+    assert sum(1 for v in want.values() if v) > 0
+    assert sum(1 for v in want.values() if v is None) > 0
