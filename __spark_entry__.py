@@ -3214,10 +3214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
         "resample_fill": q_resample_fill,
-        # -- positions 50+: 26 r3-stale + 37 never-checked entries
-        #    compete for 50 slots, so the 13 newest additions sit just
-        #    below the window (all verified by tools/check_oracle
-        #    locally at sf0.01) and lead round 6's window for their
+        # -- positions 50+: 26 r3-stale + 29 never-driver-checked
+        #    entries compete for 50 slots, so all session additions
+        #    sit just below the window (every one verified by
+        #    tools/check_oracle locally at sf0.01 — full-sweep logs in
+        #    the session record) and lead round 6's window for their
         #    first driver row --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
