@@ -2773,6 +2773,20 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language consistency audit: the confusion
+    matrix of the corpus's own `lang` labels against the stopword
+    language detector — mislabeled partitions (a top corpus-quality
+    failure mode) surface as heavy off-diagonal cells.  Composes the
+    oracled langid classifier; one scan, one vocabulary-bounded agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang",
+                        langid(F.col("text")).alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("is_match", F.col("lang") == F.col("pred_lang")))
+
+
 def q_events_anomaly(spark, sf_dir):
     """Rolling Tukey-fence anomaly detection per user
     (operators/timeseries.py rolling_outliers): each click scored
@@ -3249,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
         "events_anomaly": q_events_anomaly,
+        "lang_mismatch": q_lang_mismatch,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4614,6 +4629,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # lang_mismatch: confusion matrix over the langid mirror
+        "lang_mismatch": f"""
+            WITH p AS ({_langid_sql()})
+            SELECT lang, pred_lang, cast(count(*) as bigint) AS n,
+                   lang = pred_lang AS is_match
+            FROM p GROUP BY lang, pred_lang
+        """,
         # events_anomaly: identical frame quartiles in DuckDB
         "events_anomaly": """
             WITH c AS (SELECT user_id, event_id, ts, value

@@ -22,7 +22,7 @@ from ..dataset import Dataset, concat, partition_datasets
 from ..types import PARTITION_KEY
 
 __all__ = ["xds_from_parquet", "xds_to_parquet", "read_table",
-           "compact_parquet"]
+           "compact_parquet", "table_health"]
 
 
 def read_table(spark: SparkSession, path: str,
@@ -133,3 +133,56 @@ def _list_files(spark: SparkSession, store: str) -> list[str]:
     while it.hasNext():
         names.append(it.next().getPath().toString())
     return names
+
+
+def table_health(spark: SparkSession, store: str,
+                 target_file_bytes: int = 128 << 20) -> "DataFrame":
+    """Parquet-store health report: one row per data file (rows,
+    bytes, row groups, fraction of target size) plus the layout
+    verdicts a maintenance scheduler acts on — the advisor that tells
+    you when :func:`compact_parquet` is due.
+
+    Footer reads are DISTRIBUTED: file paths parallelize into tasks
+    and each executor opens only its own footers (pyarrow), so the
+    report scales to million-file stores where a driver-side loop
+    would take hours.  Listing stays driver-side (it is one namenode
+    call, not one per file).
+    """
+    from pyspark.sql import functions as F
+
+    import os as _os
+
+    if _os.path.isfile(store):
+        paths = [store]
+    else:
+        # normalise Hadoop file: URIs back to local paths for pyarrow
+        paths = [p[len("file:"):] if p.startswith("file:") else p
+                 for p in _list_files(spark, store)
+                 if p.endswith(".parquet")]
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(max(1, min(len(paths),
+                                spark.sparkContext.defaultParallelism)))
+
+    def footers(batches):
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = []
+            for p in b["path"]:
+                md = pq.ParquetFile(p).metadata
+                out.append((p, md.num_rows,
+                            os.path.getsize(p), md.num_row_groups))
+            yield pd.DataFrame(out, columns=["path", "n_rows",
+                                             "n_bytes", "n_row_groups"])
+
+    detail = pdf.mapInPandas(
+        footers, "path string, n_rows long, n_bytes long, "
+                 "n_row_groups long")
+    return detail.withColumn(
+        "fill_fraction",
+        F.round(F.col("n_bytes") / F.lit(float(target_file_bytes)), 4)) \
+        .withColumn("is_small", F.col("n_bytes")
+                    < F.lit(target_file_bytes // 4))

@@ -633,3 +633,25 @@ def test_rolling_outliers_flags_planted_spike(spark):
     # the row AFTER the spike: the spike inflates the frame's q3 but
     # a normal value must still pass
     assert out[10].is_anomaly is False
+
+
+# ------------------------------------------------------- table health
+
+def test_table_health_reports_small_files(spark, tmp_path):
+    from dask_ms_spark.sources.parquet import compact_parquet, table_health
+
+    store = str(tmp_path / "frag")
+    # fragmented write: many tiny files
+    spark.range(2000).repartition(20).write.parquet(store)
+    h = table_health(spark, store, target_file_bytes=1 << 20).collect()
+    assert len(h) == 20
+    assert sum(r.n_rows for r in h) == 2000
+    assert all(r.is_small for r in h)
+    assert all(r.n_row_groups >= 1 for r in h)
+
+    # compaction fixes the small-file count
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, store, out, target_files=2)
+    h2 = table_health(spark, out, target_file_bytes=1 << 20).collect()
+    assert len(h2) == n == 2
+    assert sum(r.n_rows for r in h2) == 2000
