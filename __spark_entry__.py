@@ -2773,6 +2773,28 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_quality_prune(spark, sf_dir):
+    """Score-percentile pruning — "drop the bottom quartile by
+    character entropy": the exact 25th-percentile threshold computes
+    in one aggregate, broadcasts back, and the verdict is a map-side
+    comparison (quantile_cont parity makes the cut engine-exact).
+    Per-lang kept/dropped counts plus the threshold applied."""
+    from dask_ms_spark.llm.corpus import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (docs.select("doc_id", "lang")
+              .join(char_entropy(docs).select("doc_id", "entropy_bits"),
+                    "doc_id"))
+    thr = F.broadcast(scored.agg(
+        F.percentile("entropy_bits", 0.25).alias("thr")))
+    return (scored.crossJoin(thr)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum((F.col("entropy_bits") >= F.col("thr"))
+                       .cast("long")).cast("long").alias("n_kept"),
+                 F.round(F.max("thr"), 6).alias("threshold")))
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Declared-vs-detected language consistency audit: the confusion
     matrix of the corpus's own `lang` labels against the stopword
@@ -3264,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "events_anomaly": q_events_anomaly,
         "lang_mismatch": q_lang_mismatch,
+        "quality_prune": q_quality_prune,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4629,6 +4652,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # quality_prune: entropy scores from the char_entropy mirror,
+        # exact-percentile threshold
+        "quality_prune": """
+            WITH d AS (SELECT doc_id, lower(text) AS t
+                       FROM documents WHERE length(lower(text)) > 0),
+            ch AS (SELECT doc_id, substring(t, cast(i as int), 1) AS c
+                   FROM d, UNNEST(range(1, length(t) + 1)) AS r(i)),
+            cnt AS (SELECT doc_id, c, count(*) AS cnt
+                    FROM ch GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(cnt) AS n_chars
+                    FROM cnt GROUP BY 1),
+            q AS (SELECT cnt.doc_id,
+                         cast(round(-(cnt / n_chars)
+                                    * log2(cnt / n_chars)
+                                    * 1048576.0) as bigint) AS ent_q
+                  FROM cnt JOIN tot USING (doc_id)),
+            e AS (SELECT doc_id,
+                         round(sum(ent_q) / 1048576.0, 6)
+                             AS entropy_bits
+                  FROM q GROUP BY doc_id),
+            s AS (SELECT dd.lang, e.entropy_bits
+                  FROM documents dd JOIN e USING (doc_id)),
+            t AS (SELECT quantile_cont(entropy_bits, 0.25) AS thr
+                  FROM s)
+            SELECT lang, cast(count(*) as bigint) AS n_docs,
+                   cast(sum(CASE WHEN entropy_bits >= t.thr
+                            THEN 1 ELSE 0 END) as bigint) AS n_kept,
+                   round(max(t.thr), 6) AS threshold
+            FROM s CROSS JOIN t GROUP BY lang
+        """,
         # lang_mismatch: confusion matrix over the langid mirror
         "lang_mismatch": f"""
             WITH p AS ({_langid_sql()})
