@@ -655,3 +655,41 @@ def test_table_health_reports_small_files(spark, tmp_path):
     h2 = table_health(spark, out, target_file_bytes=1 << 20).collect()
     assert len(h2) == n == 2
     assert sum(r.n_rows for r in h2) == 2000
+
+
+# ----------------------------------------------------- snapshot store
+
+def test_multi_table_snapshot_atomic_versions(spark, tmp_path):
+    from dask_ms_spark.operators.snapshot import (current_version,
+                                                  publish_snapshot,
+                                                  read_snapshot)
+
+    store = str(tmp_path / "snap")
+    v0 = publish_snapshot(
+        {"docs": spark.range(10).selectExpr("id", "'a' AS tag"),
+         "embs": spark.range(5)}, store)
+    assert v0 == 0 and current_version(store) == 0
+
+    # reader resolves version 0; a new publish must not disturb it
+    held = read_snapshot(spark, store, version=0)
+    v1 = publish_snapshot(
+        {"docs": spark.range(20).selectExpr("id", "'b' AS tag"),
+         "embs": spark.range(7)}, store)
+    assert v1 == 1 and current_version(store) == 1
+
+    cur = read_snapshot(spark, store)
+    assert cur["docs"].count() == 20 and cur["embs"].count() == 7
+    # consistency: both tables come from the SAME version
+    assert {r.tag for r in cur["docs"].select("tag").distinct()
+            .collect()} == {"b"}
+    assert held["docs"].count() == 10  # keep=2 retains v0
+
+    # pruning: publish twice more; v0 must be gone, CURRENT intact
+    publish_snapshot({"docs": spark.range(1), "embs": spark.range(1)},
+                     store)
+    publish_snapshot({"docs": spark.range(2), "embs": spark.range(2)},
+                     store)
+    import os
+    assert not os.path.isdir(os.path.join(store, "v0"))
+    assert not os.path.isdir(os.path.join(store, "v1"))
+    assert read_snapshot(spark, store)["docs"].count() == 2
