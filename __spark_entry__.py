@@ -2773,6 +2773,44 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted acceptance sampling (llm/sampling.py
+    sample_weighted): per-doc char-entropy as the quality weight, so
+    higher-entropy documents survive proportionally more often —
+    reproducible downsampling as a pure function of (id, weight).
+    Per-lang kept counts."""
+    from dask_ms_spark.llm.corpus import char_entropy
+    from dask_ms_spark.llm.sampling import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (docs.select("doc_id", "lang")
+              .join(char_entropy(docs)
+                    .select("doc_id", "entropy_bits"), "doc_id"))
+    kept = sample_weighted(scored, "doc_id", "entropy_bits",
+                           base_rate=0.6)
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .join(kept.groupBy("lang")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_kept")),
+                  "lang", "left")
+            .withColumn("n_kept", F.coalesce("n_kept", F.lit(0))))
+
+
+def q_sample_quota(spark, sf_dir):
+    """Per-source quota cap (llm/sampling.py sample_quota): at most 40
+    docs survive per source, selected by hash order — the deterministic
+    cap on any one domain's contribution.  Per-source before/after."""
+    from dask_ms_spark.llm.sampling import sample_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sample_quota(docs, "doc_id", "source", quota=40)
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .join(kept.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_kept")),
+                  "source"))
+
+
 def q_quality_prune(spark, sf_dir):
     """Score-percentile pruning — "drop the bottom quartile by
     character entropy": the exact 25th-percentile threshold computes
@@ -3287,6 +3325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "lang_mismatch": q_lang_mismatch,
         "quality_prune": q_quality_prune,
+        "sample_weighted": q_sample_weighted,
+        "sample_quota": q_sample_quota,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4652,6 +4692,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # sample_weighted: u(id) < rate * w / max(w), entropy weights
+        "sample_weighted": """
+            WITH d AS (SELECT doc_id, lower(text) AS t
+                       FROM documents WHERE length(lower(text)) > 0),
+            ch AS (SELECT doc_id, substring(t, cast(i as int), 1) AS c
+                   FROM d, UNNEST(range(1, length(t) + 1)) AS r(i)),
+            cnt AS (SELECT doc_id, c, count(*) AS cnt
+                    FROM ch GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(cnt) AS n_chars
+                    FROM cnt GROUP BY 1),
+            qq AS (SELECT cnt.doc_id,
+                          cast(round(-(cnt / n_chars)
+                                     * log2(cnt / n_chars)
+                                     * 1048576.0) as bigint) AS ent_q
+                   FROM cnt JOIN tot USING (doc_id)),
+            e AS (SELECT doc_id,
+                         round(sum(ent_q) / 1048576.0, 6)
+                             AS entropy_bits
+                  FROM qq GROUP BY doc_id),
+            s AS (SELECT dd.doc_id, dd.lang, e.entropy_bits
+                  FROM documents dd JOIN e USING (doc_id)),
+            mx AS (SELECT max(entropy_bits) AS wmax FROM s),
+            kept AS (SELECT s.lang FROM s CROSS JOIN mx
+                     WHERE CAST(('0x' || substring(
+                               md5(CAST(doc_id AS VARCHAR)
+                                   || 'weighted'), 1, 15)) AS BIGINT)
+                           / 1152921504606846976.0
+                           < least(1.0, 0.6 * entropy_bits / wmax))
+            SELECT s.lang, cast(count(*) as bigint) AS n_docs,
+                   coalesce(k.n_kept, 0) AS n_kept
+            FROM s
+            LEFT JOIN (SELECT lang, cast(count(*) as bigint) AS n_kept
+                       FROM kept GROUP BY lang) k USING (lang)
+            GROUP BY s.lang, k.n_kept
+        """,
+        # sample_quota: hash-ordered row_number cap per source
+        "sample_quota": """
+            WITH rk AS (SELECT source, doc_id,
+                               row_number() OVER (
+                                   PARTITION BY source
+                                   ORDER BY CAST(('0x' || substring(
+                                       md5(CAST(doc_id AS VARCHAR)
+                                           || 'quota'), 1, 15))
+                                       AS BIGINT), doc_id) AS rk
+                        FROM documents)
+            SELECT source, cast(count(*) as bigint) AS n_docs,
+                   cast(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END)
+                        as bigint) AS n_kept
+            FROM rk GROUP BY source
+        """,
         # quality_prune: entropy scores from the char_entropy mirror,
         # exact-percentile threshold
         "quality_prune": """

@@ -21,7 +21,8 @@ from ..functions.text import portable_hash64
 
 __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
            "stratified_sample", "negative_sampling",
-           "sample_to_mixture"]
+           "sample_to_mixture",
+           "sample_weighted", "sample_quota"]
 
 _BUCKETS = 1_000_000
 
@@ -242,3 +243,57 @@ def negative_sampling(df: DataFrame, id_col: str, k: int = 4,
                  F.pmod(raw + 1, F.col("_n_ids"))).otherwise(raw)
     return base.select(F.col(id_col), "neg_idx",
                        neg.cast("long").alias("neg_id"))
+
+
+def sample_weighted(df: DataFrame, id_col: str, weight_col: str,
+                    base_rate: float = 1.0,
+                    salt: str = "weighted") -> DataFrame:
+    """Deterministic weighted acceptance sampling: row i survives with
+    probability ``min(1, base_rate * w_i / max(w))`` — the standard
+    quality-weighted corpus downsampling ("keep good documents more
+    often") made reproducible: acceptance compares the row's md5
+    uniform u(id) against its own normalised weight, so the sample is
+    a pure function of (ids, weights), identical across engines and
+    re-runs, and composable with coordinated sampling via the salt.
+
+    One broadcast scalar (max weight), then a map-side filter that
+    composes into the scan — no shuffle of the corpus.
+    """
+    from ..functions.text import portable_hash64
+
+    from pyspark.sql import functions as F
+
+    mx = F.broadcast(df.agg(
+        F.max(F.col(weight_col).cast("double")).alias("__wmax")))
+    u = (portable_hash64(F.col(id_col), salt).cast("double")
+         / F.lit(float(1 << 60)))
+    return (df.crossJoin(mx)
+            .where(u < F.least(
+                F.lit(1.0),
+                F.lit(float(base_rate))
+                * F.col(weight_col).cast("double") / F.col("__wmax")))
+            .drop("__wmax"))
+
+
+def sample_quota(df: DataFrame, id_col: str, group_col: str,
+                 quota: int, salt: str = "quota") -> DataFrame:
+    """Per-group quota enforcement: at most ``quota`` rows survive per
+    group, chosen by md5-hash order — deterministic, unbiased within
+    the group, and stable under re-runs (the cap on any single
+    source's contribution that mixture balancing needs when a handful
+    of domains dominate a crawl).
+
+    One shuffle on the group key; the window rank is the standard
+    top-k-per-group shape (WindowGroupLimit pushes the cap below the
+    sort at scale).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import portable_hash64
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(portable_hash64(F.col(id_col), salt),
+                  F.col(id_col)))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= quota).drop("__rk"))

@@ -693,3 +693,38 @@ def test_multi_table_snapshot_atomic_versions(spark, tmp_path):
     assert not os.path.isdir(os.path.join(store, "v0"))
     assert not os.path.isdir(os.path.join(store, "v1"))
     assert read_snapshot(spark, store)["docs"].count() == 2
+
+
+# --------------------------------------------------- weighted sampling
+
+def test_sample_weighted_proportional_and_deterministic(spark):
+    from dask_ms_spark.llm.sampling import sample_weighted
+
+    rows = [Row(id=i, w=1.0 if i % 2 == 0 else 10.0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    k1 = sample_weighted(df, "id", "w", base_rate=1.0)
+    k2 = sample_weighted(df, "id", "w", base_rate=1.0)
+    got1 = {r.id for r in k1.collect()}
+    assert got1 == {r.id for r in k2.collect()}  # deterministic
+    # weight 10 rows keep at rate 1.0 (= w/max = 1); weight 1 at ~0.1
+    heavy = sum(1 for i in got1 if i % 2 == 1)
+    light = sum(1 for i in got1 if i % 2 == 0)
+    assert heavy == 1000
+    assert 50 <= light <= 200  # ~10% of 1000
+
+
+def test_sample_quota_caps_each_group(spark):
+    from dask_ms_spark.llm.sampling import sample_quota
+
+    rows = [Row(id=i, g=f"s{i % 3}") for i in range(100)]
+    out = sample_quota(spark.createDataFrame(rows), "id", "g",
+                       quota=10)
+    counts = {r.g: r.n for r in out.groupBy("g")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    # deterministic selection
+    a = {r.id for r in out.collect()}
+    b = {r.id for r in sample_quota(spark.createDataFrame(rows), "id",
+                                    "g", quota=10).collect()}
+    assert a == b
