@@ -2797,13 +2797,13 @@ def q_sample_weighted(spark, sf_dir):
 
 
 def q_sample_quota(spark, sf_dir):
-    """Per-source quota cap (llm/sampling.py sample_quota): at most 40
+    """Per-source quota cap (llm/sampling.py sample_quota): at most 15
     docs survive per source, selected by hash order — the deterministic
     cap on any one domain's contribution.  Per-source before/after."""
     from dask_ms_spark.llm.sampling import sample_quota
 
     docs = _t(spark, sf_dir, "documents")
-    kept = sample_quota(docs, "doc_id", "source", quota=40)
+    kept = sample_quota(docs, "doc_id", "source", quota=15)
     return (docs.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .join(kept.groupBy("source")
@@ -4738,7 +4738,7 @@ def oracle_sql() -> dict[str, str]:
                                        AS BIGINT), doc_id) AS rk
                         FROM documents)
             SELECT source, cast(count(*) as bigint) AS n_docs,
-                   cast(sum(CASE WHEN rk <= 40 THEN 1 ELSE 0 END)
+                   cast(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END)
                         as bigint) AS n_kept
             FROM rk GROUP BY source
         """,
