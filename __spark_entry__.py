@@ -2773,6 +2773,21 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Weekly seasonality profile: per (day-of-week, hour) event
+    counts and mean value (decimal-exact) — the telemetry heat-map a
+    capacity planner reads.  One scan, one partial-merged agg; the
+    output is bounded at 7 x 24 rows regardless of event volume."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return (ev.select(F.dayofweek("ts").alias("dow"),
+                      F.hour("ts").alias("hour"),
+                      F.col("value").cast("decimal(18,2)").alias("v"))
+            .groupBy("dow", "hour")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round((F.sum("v") / F.count(F.lit(1)))
+                         .cast("double"), 4).alias("v_mean")))
+
+
 def q_sample_weighted(spark, sf_dir):
     """Deterministic weighted acceptance sampling (llm/sampling.py
     sample_weighted): per-doc char-entropy as the quality weight, so
@@ -3327,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_prune": q_quality_prune,
         "sample_weighted": q_sample_weighted,
         "sample_quota": q_sample_quota,
+        "events_seasonality": q_events_seasonality,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4692,6 +4708,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # events_seasonality: Spark dayofweek is 1=Sunday; DuckDB
+        # dayofweek is 0=Sunday, hence the +1
+        "events_seasonality": """
+            SELECT cast(dayofweek(ts) + 1 as int) AS dow,
+                   cast(hour(ts) as int) AS hour,
+                   cast(count(*) as bigint) AS n_events,
+                   round(cast(sum(cast(value as decimal(18,2)))
+                              / count(*) as double), 4) AS v_mean
+            FROM events GROUP BY 1, 2
+        """,
         # sample_weighted: u(id) < rate * w / max(w), entropy weights
         "sample_weighted": """
             WITH d AS (SELECT doc_id, lower(text) AS t

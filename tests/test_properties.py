@@ -184,3 +184,48 @@ if HAVE_HYPOTHESIS:
             window=60, stride=1).collect()}
         assert out[1].n_dup_windows > 0
         assert out[2].n_dup_windows > 0
+
+
+if HAVE_HYPOTHESIS:
+    @given(st.lists(st.tuples(st.integers(0, 8),          # key
+                              st.sampled_from("IUD"),     # op
+                              st.integers(0, 5),          # seq
+                              st.integers(0, 99)),        # payload
+                    min_size=0, max_size=30))
+    @settings(max_examples=10, deadline=None)
+    def test_apply_cdc_matches_python_model(spark, changes):
+        """apply_cdc == a direct Python fold of the same rule (highest
+        (seq, op) wins per key; 'U'/'I' beat 'D' on ties) over random
+        change feeds against a fixed snapshot."""
+        from pyspark.sql import Row
+
+        from dask_ms_spark.operators.cdc import apply_cdc
+
+        snap_rows = [(k, k * 10) for k in range(5)]
+        model = dict(snap_rows)
+        # python model: winner per key by (seq, op) max — op order
+        # 'D' < 'I' < 'U' matches the string DESC tiebreak
+        winners = {}
+        for k, op, seq, v in changes:
+            cur = winners.get(k)
+            if cur is None or (seq, op) > (cur[0], cur[1]):
+                winners[k] = (seq, op, v)
+        for k, (seq, op, v) in winners.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+
+        snap = spark.createDataFrame(
+            [Row(k=k, v=v) for k, v in snap_rows], "k long, v long")
+        if changes:
+            ch = spark.createDataFrame(
+                [Row(k=k, op=op, seq=seq, v=v)
+                 for k, op, seq, v in changes],
+                "k long, op string, seq long, v long")
+        else:
+            ch = spark.createDataFrame([],
+                                       "k long, op string, seq long, "
+                                       "v long")
+        got = {r.k: r.v for r in apply_cdc(snap, ch, "k").collect()}
+        assert got == model
