@@ -2773,6 +2773,36 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_conversion_lag(spark, sf_dir):
+    """Signup-to-first-purchase conversion by weekly cohort: per
+    cohort, users, converters, and the exact median lag in seconds
+    (percentile parity) — the product-analytics staple.  Two bounded
+    aggs keyed on user, then a cohort rollup."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    su = (ev.where("event_type = 'signup'")
+          .groupBy("user_id")
+          .agg(F.min(F.unix_timestamp("ts")).alias("signup_ep")))
+    pu = (ev.where("event_type = 'purchase'")
+          .groupBy("user_id")
+          .agg(F.collect_list(F.unix_timestamp("ts"))
+               .alias("p_eps")))
+    j = (su.join(pu, "user_id", "left")
+         .select("user_id", "signup_ep",
+                 F.array_min(F.filter(
+                     F.coalesce("p_eps",
+                                F.array().cast("array<bigint>")),
+                     lambda t: t >= F.col("signup_ep")))
+                 .alias("first_purchase_ep")))
+    wk = (F.floor(F.col("signup_ep") / 604800)).cast("long")
+    lag = F.col("first_purchase_ep") - F.col("signup_ep")
+    return (j.select(wk.alias("cohort_week"), lag.alias("lag_s"))
+            .groupBy("cohort_week")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.count("lag_s").cast("long").alias("n_converted"),
+                 F.round(F.percentile("lag_s", 0.5), 1)
+                  .alias("median_lag_s")))
+
+
 def q_events_seasonality(spark, sf_dir):
     """Weekly seasonality profile: per (day-of-week, hour) event
     counts and mean value (decimal-exact) — the telemetry heat-map a
@@ -3343,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "sample_quota": q_sample_quota,
         "events_seasonality": q_events_seasonality,
+        "conversion_lag": q_conversion_lag,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4708,6 +4739,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # conversion_lag: same epoch arithmetic; min purchase at or
+        # after the first signup
+        "conversion_lag": """
+            WITH su AS (SELECT user_id,
+                               min(cast(floor(epoch(ts)) as bigint))
+                                   AS signup_ep
+                        FROM events WHERE event_type = 'signup'
+                        GROUP BY user_id),
+            fp AS (SELECT s.user_id, s.signup_ep,
+                          min(cast(floor(epoch(p.ts)) as bigint))
+                              AS first_purchase_ep
+                   FROM su s
+                   LEFT JOIN events p
+                     ON p.user_id = s.user_id
+                    AND p.event_type = 'purchase'
+                    AND cast(floor(epoch(p.ts)) as bigint)
+                        >= s.signup_ep
+                   GROUP BY s.user_id, s.signup_ep)
+            SELECT cast(floor(signup_ep / 604800) as bigint)
+                       AS cohort_week,
+                   cast(count(*) as bigint) AS n_users,
+                   cast(count(first_purchase_ep) as bigint)
+                       AS n_converted,
+                   round(quantile_cont(first_purchase_ep - signup_ep,
+                                       0.5), 1) AS median_lag_s
+            FROM fp GROUP BY 1
+        """,
         # events_seasonality: Spark dayofweek is 1=Sunday; DuckDB
         # dayofweek is 0=Sunday, hence the +1
         "events_seasonality": """
