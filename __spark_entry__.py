@@ -3333,12 +3333,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
         "resample_fill": q_resample_fill,
-        # -- positions 50+: 26 r3-stale + 29 never-driver-checked
-        #    entries compete for 50 slots, so all session additions
-        #    sit just below the window (every one verified by
-        #    tools/check_oracle locally at sf0.01 — full-sweep logs in
-        #    the session record) and lead round 6's window for their
-        #    first driver row --
+        # -- positions 50+: the 26 r3-stale entries above fill the
+        #    window with this round's 24 debuts; every session
+        #    addition below sits just under the window (each verified
+        #    by tools/check_oracle at sf0.01, full sweeps green) and
+        #    leads round 6's window for its first driver row --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
