@@ -2959,9 +2959,12 @@ def q_cdc_apply(spark, sf_dir):
     snapshot sees one broadcast anti-join — it never shuffles."""
     from dask_ms_spark.operators.cdc import apply_cdc
 
+    # snap feeds the three synthetic change legs AND the merge's
+    # pass-through side — materialise once (lineage-reuse rule)
     snap = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"))
+        F.col("o_totalprice").cast("decimal(18,2)")
+        .alias("o_totalprice")).localCheckpoint(eager=False)
     k = F.col("o_orderkey")
     deletes = snap.where(k % 7 == 0).select(
         "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
