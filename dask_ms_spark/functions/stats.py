@@ -183,10 +183,14 @@ def robust_stats(df, value_col: str, group_cols=None):
     group_cols = list(group_cols or [])
     base = df.select(*group_cols, F.col(value_col).cast("double")
                      .alias("x"))
+    # the quartile table is tiny but feeds both the residual scan and
+    # the final join — materialise it so its full-scan aggregate runs
+    # once, not once per consumer
     q = (base.groupBy(*group_cols)
          .agg(F.percentile("x", 0.5).alias("median"),
               F.percentile("x", 0.25).alias("q1"),
-              F.percentile("x", 0.75).alias("q3")))
+              F.percentile("x", 0.75).alias("q3"))
+         .localCheckpoint(eager=False))
     j = base.join(F.broadcast(q), group_cols) if group_cols \
         else base.crossJoin(F.broadcast(q))
     iqr = F.col("q3") - F.col("q1")
