@@ -33,7 +33,8 @@ from dask_ms_spark.dataset import concat, partition_datasets  # noqa: E402
 from dask_ms_spark.expressions import data_column_expr  # noqa: E402
 from dask_ms_spark.functions import complexf  # noqa: E402
 from dask_ms_spark.functions.text import (  # noqa: E402
-    STOPWORDS, langid, portable_hash64, quality_features, token_count)
+    STOPWORDS, langid, portable_hash64, quality_features, token_count,
+    tokens)
 from dask_ms_spark.functions.vector import cosine  # noqa: E402
 from dask_ms_spark.llm.dedup import (  # noqa: E402
     MINHASH_COEFFS, MINHASH_P, embedding_dup_pairs_gemm, exact_dedup,
@@ -2773,6 +2774,30 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law diagnostic: the log-log slope of token frequency vs
+    rank over the corpus vocabulary (natural prose fits ~ -1;
+    templated/synthetic text flattens).  Vocabulary-bounded: after the
+    (token) count merge everything operates on |vocab| rows, and the
+    fit is one native regr_slope/regr_intercept aggregate (the
+    grouped-OLS parity precedent).  Rank ties break on the token
+    string so the ranking is deterministic."""
+    toks = tokens(F.lower(F.col("text")))
+    freq = (_t(spark, sf_dir, "documents")
+            .select(F.explode(toks).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token"))))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.corr(ly, lx), 6).alias("loglog_corr"))
+
+
 def q_conversion_lag(spark, sf_dir):
     """Signup-to-first-purchase conversion by weekly cohort: per
     cohort, users, converters, and the exact median lag in seconds
@@ -3381,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "events_seasonality": q_events_seasonality,
         "conversion_lag": q_conversion_lag,
+        "zipf_fit": q_zipf_fit,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4746,6 +4772,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # zipf_fit: same deterministic ranking; DuckDB regr_* parity
+        # proven by the grouped-OLS oracle
+        "zipf_fit": """
+            WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                                   ELSE regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') END
+                              AS toks
+                       FROM documents),
+            f AS (SELECT token, count(*) AS freq
+                  FROM (SELECT unnest(toks) AS token FROM t)
+                  GROUP BY token),
+            r AS (SELECT freq,
+                         row_number() OVER (ORDER BY freq DESC, token)
+                             AS rank
+                  FROM f)
+            SELECT cast(count(*) as bigint) AS vocab_size,
+                   round(regr_slope(ln(cast(freq as double)),
+                                    ln(cast(rank as double))), 6)
+                       AS zipf_slope,
+                   round(regr_intercept(ln(cast(freq as double)),
+                                        ln(cast(rank as double))), 6)
+                       AS zipf_intercept,
+                   round(corr(ln(cast(freq as double)),
+                              ln(cast(rank as double))), 6)
+                       AS loglog_corr
+            FROM r
+        """,
         # conversion_lag: same epoch arithmetic; min purchase at or
         # after the first signup
         "conversion_lag": """
