@@ -2774,6 +2774,26 @@ def q_collocations_pmi(spark, sf_dir):
                             min_count=5, topk=50)
 
 
+def q_events_gap_stats(spark, sf_dir):
+    """Inter-event gap distribution: per (user, type) consecutive-event
+    lags (one window shuffle keyed on the user — never a global sort),
+    rolled up per type with exact median/p90 gaps (percentile parity).
+    The arrival-process profile behind session-gap and rate-limit
+    tuning."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id", "event_type")         .orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    gaps = (ev.withColumn("gap_s", ep - F.lag(ep).over(w))
+            .where(F.col("gap_s").isNotNull()))
+    return (gaps.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                 F.round(F.percentile("gap_s", 0.5), 1)
+                  .alias("median_gap_s"),
+                 F.round(F.percentile("gap_s", 0.9), 1)
+                  .alias("p90_gap_s"),
+                 F.max("gap_s").cast("long").alias("max_gap_s")))
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law diagnostic: the log-log slope of token frequency vs
     rank over the corpus vocabulary (natural prose fits ~ -1;
@@ -3407,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": q_events_seasonality,
         "conversion_lag": q_conversion_lag,
         "zipf_fit": q_zipf_fit,
+        "events_gap_stats": q_events_gap_stats,
         # -- tail: green in round 4, untouched (below the 50-entry
         #    driver window; their r4 rows carry the union coverage) --
         "events_correlate": q_events_correlate,
@@ -4772,6 +4793,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # events_ema: literal-weight bounded-frame EMA
         "events_ema": _events_ema_sql(),
+        # events_gap_stats: identical lag windows + quantile_cont
+        "events_gap_stats": """
+            WITH g AS (SELECT event_type,
+                              cast(floor(epoch(ts)) as bigint)
+                              - lag(cast(floor(epoch(ts)) as bigint))
+                                OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS gap_s
+                       FROM events)
+            SELECT event_type,
+                   cast(count(*) as bigint) AS n_gaps,
+                   round(quantile_cont(gap_s, 0.5), 1)
+                       AS median_gap_s,
+                   round(quantile_cont(gap_s, 0.9), 1) AS p90_gap_s,
+                   cast(max(gap_s) as bigint) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+        """,
         # zipf_fit: same deterministic ranking; DuckDB regr_* parity
         # proven by the grouped-OLS oracle
         "zipf_fit": """
