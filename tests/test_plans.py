@@ -370,3 +370,40 @@ def test_kmv_distinct_hash_only_shuffle(spark):
     plan = plan_str(df)
     ex, md5 = plan.find("Exchange"), plan.find("md5")
     assert ex != -1 and md5 != -1 and md5 > ex
+
+
+def test_scd2_history_never_shuffles(spark):
+    """The dimension history joins the changed-key set and the
+    close-at table as broadcasts — no Exchange on the history
+    lineage."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.cdc import scd2_apply
+
+    from dask_ms_spark.plans import plan_str
+
+    dim = spark.range(5000).selectExpr(
+        "id AS k", "'a' AS attr", "cast(0 as long) AS valid_from",
+        "cast(null as long) AS valid_to", "true AS is_current")
+    changes = spark.createDataFrame(
+        [Row(k=1, effective_seq=10, attr="b")])
+    plan = plan_str(scd2_apply(dim, changes, "k"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_constraint_audit_row_rules_single_scan(spark, lineitem):
+    """All row rules evaluate as conditional sums of ONE aggregate:
+    the report plan touches the table once per rule *kind*, not per
+    rule."""
+    from dask_ms_spark.operators.quality import (accepted_values,
+                                                 constraint_audit,
+                                                 in_range, not_null)
+
+    out = constraint_audit(lineitem, [
+        not_null("l_orderkey"), in_range("l_quantity", 1, 50),
+        accepted_values("l_returnflag", ["A", "N", "R"])])
+    rows = {r.rule: r for r in out.collect()}
+    assert len(rows) == 3
+    ns = {r.n_checked for r in rows.values()}
+    assert len(ns) == 1  # same single-scan count backs every row rule
