@@ -258,6 +258,13 @@ def sample_weighted(df: DataFrame, id_col: str, weight_col: str,
 
     One broadcast scalar (max weight), then a map-side filter that
     composes into the scan — no shuffle of the corpus.
+
+    A NULL or non-positive max weight (all-NULL weight column, or a
+    weight column of zeros/negatives) makes every acceptance
+    predicate NULL/false; rather than silently returning zero rows,
+    the guard is folded INTO the acceptance predicate (a prunable
+    side column would be optimised away), so the job FAILS with an
+    actionable ``raise_error`` when the weight column is unusable.
     """
     from ..functions.text import portable_hash64
 
@@ -267,12 +274,17 @@ def sample_weighted(df: DataFrame, id_col: str, weight_col: str,
         F.max(F.col(weight_col).cast("double")).alias("__wmax")))
     u = (portable_hash64(F.col(id_col), salt).cast("double")
          / F.lit(float(1 << 60)))
-    return (df.crossJoin(mx)
-            .where(u < F.least(
-                F.lit(1.0),
-                F.lit(float(base_rate))
-                * F.col(weight_col).cast("double") / F.col("__wmax")))
-            .drop("__wmax"))
+    accept = u < F.least(
+        F.lit(1.0),
+        F.lit(float(base_rate))
+        * F.col(weight_col).cast("double") / F.col("__wmax"))
+    guarded = F.when(
+        F.col("__wmax").isNotNull() & (F.col("__wmax") > 0), accept
+    ).otherwise(F.raise_error(F.lit(
+        f"sample_weighted: max({weight_col}) is NULL or <= 0 — "
+        "weight column unusable for acceptance sampling"))
+        .cast("boolean"))
+    return df.crossJoin(mx).where(guarded).drop("__wmax")
 
 
 def sample_quota(df: DataFrame, id_col: str, group_col: str,

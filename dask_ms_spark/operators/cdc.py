@@ -39,11 +39,19 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame,
     ``seq_col`` (monotone per key — commit LSN / batch id), plus
     exactly the snapshot's payload columns for upserts.  Per key the
     highest (seq, op) wins — the op tiebreak makes a same-seq
-    delete+upsert deterministic (upsert wins, 'U'/'I' > 'D').
+    delete+upsert deterministic (upsert wins, 'U'/'I' > 'D').  Two
+    changes that collide on (key, seq, op) but differ in payload are
+    a feed defect; rather than let the engine pick an arbitrary
+    winner, the window falls back to a total order over the payload
+    columns (descending), so the result is a pure function of the
+    feed's row SET — the repo-wide determinism discipline.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(),
-                                          F.col(op_col).desc())
+    payload = [c for c in changes.columns
+               if c not in set(keys) | {op_col, seq_col}]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in payload])
     latest = (changes.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") == 1).drop("__rn"))
     upserts = latest.where(F.col(op_col) != "D") \
@@ -59,7 +67,8 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame,
 def scd2_apply(dim: DataFrame, changes: DataFrame,
                key_cols: str | Sequence[str],
                effective_col: str = "effective_seq",
-               track_cols: Sequence[str] | None = None) -> DataFrame:
+               track_cols: Sequence[str] | None = None,
+               validate: bool = False) -> DataFrame:
     """Slowly-changing-dimension Type 2 maintenance: fold a batch of
     new attribute versions into a history table that keeps EVERY
     version with its validity range.
@@ -77,6 +86,17 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
     opens a new version (version collapsing is the caller's filter —
     compare against the current row before calling when no-op churn
     is common).
+
+    PRECONDITION (enforced when ``validate=True``): every incoming
+    ``effective_col`` must be strictly greater than the key's current
+    open ``valid_from`` — SCD2 folds are forward-only.  A
+    late-arriving version would close the open row at a sequence at
+    or before it opened, producing inverted (``valid_to <
+    valid_from``) or overlapping ranges; history *rewrites* are a
+    rebuild from the full change log, not a fold.  With
+    ``validate=True`` the plan carries a distributed ``assert_true``
+    on the joined (open-row, first-incoming) pairs, failing the job
+    on any violation instead of committing corrupt history.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     track_cols = list(track_cols) if track_cols is not None else \
@@ -100,11 +120,26 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
     first_new = F.broadcast(
         incoming.groupBy(*keys)
         .agg(F.min("valid_from").alias("__close_at")))
-    touched = (hist.join(first_new, keys)
-               .withColumn("valid_to",
-                           F.when(F.col("valid_to").isNull(),
-                                  F.col("__close_at"))
-                           .otherwise(F.col("valid_to")))
+    touched = hist.join(first_new, keys)
+    if validate:
+        # forward-only guard: the first incoming version of a key
+        # must postdate that key's open row.  Folded INTO the
+        # valid_to expression (a side assert column would be pruned
+        # by Catalyst); evaluated row-by-row in the executors, fails
+        # the job on breach — no driver action.
+        close_expr = (
+            F.when(F.col("valid_to").isNotNull(), F.col("valid_to"))
+            .when(F.col("__close_at") > F.col("valid_from"),
+                  F.col("__close_at"))
+            .otherwise(F.raise_error(F.lit(
+                "scd2_apply: late-arriving version (effective "
+                "sequence <= open row's valid_from)")).cast("long")))
+    else:
+        close_expr = F.when(F.col("valid_to").isNull(),
+                            F.col("__close_at")) \
+            .otherwise(F.col("valid_to"))
+    touched = (touched
+               .withColumn("valid_to", close_expr)
                .drop("__close_at"))
     out = (untouched.unionByName(touched.select(*base_cols))
            .unionByName(incoming.select(*base_cols)))

@@ -43,11 +43,23 @@ def publish_snapshot(tables: Mapping[str, DataFrame], store: str,
                      keep: int = 2) -> int:
     """Write every table, then commit them together; returns the new
     version number.  Re-running a failed publish overwrites its own
-    version dir — idempotent."""
+    version dir — idempotent.
+
+    Single-publisher assumption: version allocation is CURRENT+1 with
+    no lock, so concurrent publishers would claim the same version
+    dir — serialise publishes externally (the streaming maintenance
+    stores already do: one writer per store is the rename-commit
+    contract).  An empty ``tables`` mapping raises rather than
+    committing CURRENT to a version whose directory was never
+    created (which would break every subsequent read)."""
+    if not tables:
+        raise ValueError("publish_snapshot: empty tables mapping — "
+                         "refusing to commit a version with no data")
     os.makedirs(store, exist_ok=True)
     cur = current_version(store)
     version = 0 if cur is None else cur + 1
     vdir = os.path.join(store, f"v{version}")
+    os.makedirs(vdir, exist_ok=True)
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(vdir, name))
     tmp = os.path.join(store, ".CURRENT.tmp")

@@ -164,6 +164,17 @@ def windowed_ema(df: DataFrame, value_col: str = "value",
     bit-for-bit.  Ordering must be made unique via ``order_cols``
     (e.g. (ts, event_id)) or frame contents are engine-arbitrary.
 
+    NULL handling — observation-indexed decay: ``collect_list`` drops
+    NULL values, and the weight vector is aligned to the SURVIVING
+    list (``n = size(vals)``, last-``n`` weights), so NULL rows do
+    not advance the decay clock — the k-th most recent *observation*
+    always gets weight ``alpha^k``, never a stale slot's weight.
+    This is EMA over the observation sequence, not over row lags; a
+    NULL row's own ``ema`` is the EMA of its trailing observations.
+    Callers wanting row-lag decay (NULLs consume a slot) should
+    ``fill``/interpolate first (see :func:`resample_with_gap_fill`);
+    callers wanting NULL rows excluded entirely should pre-filter.
+
     One shuffle on ``by``; the frame is O(window) per row.
     """
     # weights[j] = alpha^(window-1-j): weights[window-1] = 1 (current

@@ -195,20 +195,23 @@ if HAVE_HYPOTHESIS:
     @settings(max_examples=10, deadline=None)
     def test_apply_cdc_matches_python_model(spark, changes):
         """apply_cdc == a direct Python fold of the same rule (highest
-        (seq, op) wins per key; 'U'/'I' beat 'D' on ties) over random
-        change feeds against a fixed snapshot."""
+        (seq, op, payload) wins per key; 'U'/'I' beat 'D' on ties,
+        and the payload-desc fallback makes even (key, seq, op)
+        collisions deterministic) over random change feeds against a
+        fixed snapshot."""
         from pyspark.sql import Row
 
         from dask_ms_spark.operators.cdc import apply_cdc
 
         snap_rows = [(k, k * 10) for k in range(5)]
         model = dict(snap_rows)
-        # python model: winner per key by (seq, op) max — op order
-        # 'D' < 'I' < 'U' matches the string DESC tiebreak
+        # python model: winner per key by (seq, op, payload) max — op
+        # order 'D' < 'I' < 'U' matches the string DESC tiebreak and
+        # the payload DESC fallback resolves full collisions
         winners = {}
         for k, op, seq, v in changes:
             cur = winners.get(k)
-            if cur is None or (seq, op) > (cur[0], cur[1]):
+            if cur is None or (seq, op, v) > cur:
                 winners[k] = (seq, op, v)
         for k, (seq, op, v) in winners.items():
             if op == "D":

@@ -728,3 +728,73 @@ def test_sample_quota_caps_each_group(spark):
     b = {r.id for r in sample_quota(spark.createDataFrame(rows), "id",
                                     "g", quota=10).collect()}
     assert a == b
+
+
+def test_sample_weighted_bad_weight_column_fails_loudly(spark):
+    """All-NULL or non-positive weights must raise, not silently
+    return zero rows (ADVICE r5)."""
+    import pytest
+    from dask_ms_spark.llm.sampling import sample_weighted
+
+    null_w = spark.createDataFrame(
+        [Row(id=i, w=None) for i in range(5)], "id long, w double")
+    with pytest.raises(Exception, match="unusable|ASSERT"):
+        sample_weighted(null_w, "id", "w").collect()
+
+    zero_w = spark.createDataFrame(
+        [Row(id=i, w=0.0) for i in range(5)], "id long, w double")
+    with pytest.raises(Exception, match="unusable|ASSERT"):
+        sample_weighted(zero_w, "id", "w").collect()
+
+
+def test_publish_snapshot_rejects_empty_tables(spark, tmp_path):
+    """Empty mapping must not commit CURRENT to a dirless version
+    (ADVICE r5)."""
+    import pytest
+    from dask_ms_spark.operators.snapshot import (current_version,
+                                                  publish_snapshot)
+
+    store = str(tmp_path / "snap_empty")
+    with pytest.raises(ValueError, match="empty tables"):
+        publish_snapshot({}, store)
+    assert current_version(store) is None
+
+
+def test_scd2_apply_validate_rejects_late_version(spark):
+    """validate=True fails the job when an incoming version's
+    effective sequence is <= the key's open valid_from (ADVICE r5);
+    forward-only folds still pass."""
+    import pytest
+    from dask_ms_spark.operators.cdc import scd2_apply
+
+    dim = spark.createDataFrame(
+        [Row(k=1, attr="a1", valid_from=10, valid_to=None,
+             is_current=True)],
+        "k long, attr string, valid_from long, valid_to long, "
+        "is_current boolean")
+    late = spark.createDataFrame([Row(k=1, effective_seq=5,
+                                      attr="stale")])
+    with pytest.raises(Exception, match="late-arriving|ASSERT"):
+        scd2_apply(dim, late, "k", validate=True).collect()
+
+    ok = spark.createDataFrame([Row(k=1, effective_seq=20,
+                                    attr="a2")])
+    rows = {(r.k, r.valid_from): r
+            for r in scd2_apply(dim, ok, "k", validate=True).collect()}
+    assert rows[(1, 10)].valid_to == 20
+    assert rows[(1, 20)].is_current
+
+
+def test_apply_cdc_payload_collision_deterministic(spark):
+    """Two changes colliding on (key, seq, op) with different
+    payloads resolve to the payload-desc winner — a total order, not
+    an engine-arbitrary pick (ADVICE r5)."""
+    from dask_ms_spark.operators.cdc import apply_cdc
+
+    snap = spark.createDataFrame([Row(k=1, v=0)], "k long, v long")
+    ch = spark.createDataFrame(
+        [Row(k=1, op="U", seq=3, v=7), Row(k=1, op="U", seq=3, v=9)],
+        "k long, op string, seq long, v long")
+    for _ in range(3):
+        got = {r.k: r.v for r in apply_cdc(snap, ch, "k").collect()}
+        assert got == {1: 9}
