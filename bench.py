@@ -5,6 +5,22 @@ ONE JSON line with per-query wall times.
 
 Execution is forced with a noop write (full JVM-side materialisation,
 no driver collect), so timings measure the engine, not result transfer.
+
+Output discipline (r5 post-mortem: Spark console-progress output pushed
+the metric line out of the driver's bounded tail capture, losing the
+round's only parseable record):
+  * ``spark.ui.showConsoleProgress`` is forced off for the session;
+  * the metric JSON is printed AFTER ``spark.stop()`` as the final
+    stdout line, flushed;
+  * the same JSON is additionally written to ``BENCH_local.json``
+    beside this script, so a bounded tail capture can never lose it.
+
+The metric line carries ``canary_ratio``: wall time of a fixed cheap
+triplet (tpch_q6, tpch_q1, dedup_exact — pure-scan, hash-agg and
+shuffle-dedup canaries) divided by their recorded uncontended
+steady-state total.  A ratio near 1 means the run was clean; >>1 means
+host contention inflated EVERY number this run and per-query spikes
+should be read against it (SCALE.md "contention canaries").
 """
 
 from __future__ import annotations
@@ -17,11 +33,21 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-# Headline set: the scans/joins/aggregations plus the corpus operators
-# that dominate real pipelines.  Kept in sync with __spark_entry__.
 # Headline set: every declared query (the full driver contract).
 # Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to restrict.
 HEADLINE: list[str] | None = None
+
+# Uncontended steady-state wall (sec, local[32], sf0.1) for the canary
+# triplet, measured round 4 (BENCH_r04.json, clean run) and confirmed
+# by judge re-timing in round 5.  Update only from a clean run.
+CANARY_STEADY = {"tpch_q6": 0.247, "tpch_q1": 1.044,
+                 "dedup_exact": 0.575}
+
+# Per-query wall budget (sec): queries exceeding it are LOGGED to
+# stderr and the run continues — a tripwire for suite-growth and
+# contention, not a gate.
+QUERY_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_BUDGET",
+                                    "15"))
 
 
 def main() -> int:
@@ -34,7 +60,11 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("dask-ms-spark-bench")
+    spark = get_spark("dask-ms-spark-bench", extra_conf={
+        # progress bars corrupt bounded stdout captures (see module
+        # docstring); the bench is non-interactive by definition
+        "spark.ui.showConsoleProgress": "false",
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
@@ -106,19 +136,36 @@ def main() -> int:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            if timings[name] > QUERY_BUDGET:
+                print(f"[bench] {name} over budget: "
+                      f"{timings[name]:.1f}s > {QUERY_BUDGET:.0f}s",
+                      file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
     total = round(time.time() - t_total0, 3)
 
-    print(json.dumps({
+    canary_meas = sum(timings.get(k, 0.0) for k in CANARY_STEADY
+                      if timings.get(k, -1.0) >= 0)
+    canary_ratio = (round(canary_meas / sum(CANARY_STEADY.values()), 3)
+                    if all(timings.get(k, -1.0) >= 0
+                           for k in CANARY_STEADY) else None)
+
+    metric = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+        "canary_ratio": canary_ratio,
+    }
+    line = json.dumps(metric)
+    # file artifact first: survives any stdout-capture truncation
+    with open(os.path.join(ROOT, "BENCH_local.json"), "w") as fh:
+        fh.write(line + "\n")
+    # stop Spark BEFORE printing so no JVM output can follow the line
     spark.stop()
+    print(line, flush=True)
     return 0 if all(v >= 0 for v in timings.values()) else 1
 
 
