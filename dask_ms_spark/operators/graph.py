@@ -316,13 +316,23 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
 
     Algorithm (the canonical two-join MapReduce shape, Suri & Vassilvitskii
     "Counting Triangles and the Curse of the Last Reducer", WWW'11):
-    canonicalise edges to (u < v) and distinct them; build wedges
-    (b, c) around each apex a by self-joining the edge set on its
-    lower endpoint; close each wedge with one more equi-join against
-    the edge set.  Every stage is an equi-join on node ids — no
-    cross product anywhere — and the wedge count is bounded by
-    sum(deg^2), which the candidate-pipeline bucket caps
-    (llm/dedup.py:_cap_buckets) already bound upstream.
+    canonicalise edges and distinct them; ORIENT every edge from its
+    lower-(degree, id) endpoint to its higher one; build wedges (b, c)
+    around each apex a by self-joining the oriented edge set on its
+    source; close each wedge with one more equi-join against the
+    oriented edges.  Every stage is an equi-join on node ids — no
+    cross product anywhere.
+
+    The degree orientation is the whole point of the paper (and the
+    100 TB story): each triangle is generated exactly once at its
+    LOWEST-degree vertex, so wedge volume is sum(out_deg^2) with
+    out-degrees skew-bounded to O(sqrt(m)) — a degree-d hub produces
+    ~0 wedges instead of d^2/2.  Measured on the 10x near-dup
+    candidate graph (SCALE.md "graph family at 10x"): orientation by
+    id alone lets one boilerplate hub own the last reducer; by
+    (degree, id) the wedge count collapses to the skew-free bound.
+    Results are identical either way — orientation only changes WHERE
+    each triangle is counted.
 
     Returns ``(id, degree, n_triangles, clustering_coeff)`` with
     coeff = 2*T / (d*(d-1)) rounded to 6 dp (0 when degree < 2).
@@ -333,20 +343,43 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
          .where(F.col("u") != F.col("v"))
          .distinct()
          .localCheckpoint(eager=False))
-    # wedges around apex a: edges (a,b), (a,c) with b < c
-    wedges = (e.alias("x").join(e.alias("y"),
-                                (F.col("x.u") == F.col("y.u"))
-                                & (F.col("x.v") < F.col("y.v")))
-              .select(F.col("x.u").alias("a"), F.col("x.v").alias("b"),
-                      F.col("y.v").alias("c")))
-    closed = wedges.join(
-        e.select(F.col("u").alias("b"), F.col("v").alias("c")),
-        ["b", "c"])
-    tri = (closed.select(F.explode(F.array("a", "b", "c")).alias("id"))
-           .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles")))
     deg = (e.select(F.col("u").alias("id"))
            .unionByName(e.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
+    # orient each edge low-(degree, id) -> high-(degree, id); carry
+    # the destination's order key so wedge pairs and closure edges
+    # compare without re-joining degrees
+    du = deg.select(F.col("id").alias("u"),
+                    F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"),
+                    F.col("degree").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du").alias("d"), F.col("u").alias("n")) \
+        < F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = (ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.struct(F.col("dv").alias("d"),
+                             F.col("v").alias("n")))
+         .otherwise(F.struct(F.col("du").alias("d"),
+                             F.col("u").alias("n"))).alias("tkey"))
+        .localCheckpoint(eager=False))
+    # wedges around apex a: oriented out-neighbours b, c with
+    # tkey(b) < tkey(c) — each triangle appears exactly once, at its
+    # lowest-(degree, id) vertex
+    wedges = (oriented.alias("x").join(
+        oriented.alias("y"),
+        (F.col("x.s") == F.col("y.s"))
+        & (F.col("x.tkey") < F.col("y.tkey")))
+        .select(F.col("x.s").alias("a"), F.col("x.t").alias("b"),
+                F.col("y.t").alias("c")))
+    # closure: the (b, c) edge is oriented b -> c because
+    # tkey(b) < tkey(c)
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("b"), F.col("t").alias("c")),
+        ["b", "c"])
+    tri = (closed.select(F.explode(F.array("a", "b", "c")).alias("id"))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles")))
     d = F.col("degree").cast("double")
     return (deg.join(tri, "id", "left")
             .select("id", F.col("degree").cast("long").alias("degree"),

@@ -599,3 +599,49 @@ def test_lsh_bucket_cap_keeps_unique_pairs(spark):
     assert expected <= got                 # every planted pair found
     clone_ids = set(range(30, did))
     assert not any(a in clone_ids and b in clone_ids for a, b in got)
+
+
+def test_decode_real_image_parity(spark):
+    """GATED: when PIL is importable, decode_image_features over a
+    real PNG must match numpy ground truth on the encoded raster, and
+    a NON-image payload must still take the deterministic fake path
+    (PIL's presence cannot change what undecodable payloads yield).
+    Skipped where PIL is absent — the byte-level oracle family
+    (binary_features) covers the Arrow plumbing there."""
+    import io
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.multimodal import (HAVE_PIL,
+                                              _decode_image_stub,
+                                              decode_image_features)
+
+    if not HAVE_PIL:
+        pytest.skip("PIL not installed in this environment")
+    from PIL import Image
+
+    raster = (np.arange(24 * 16, dtype=np.uint8) % 251).reshape(24, 16)
+    buf = io.BytesIO()
+    Image.fromarray(raster, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    rows = [Row(media_id=1, kind="image", mime="image/png", width=16,
+                height=24, n_frames=1, payload=bytearray(png)),
+            Row(media_id=2, kind="image", mime=None, width=4,
+                height=4, n_frames=1, payload=bytearray(b"not an image"))]
+    media = spark.createDataFrame(rows)
+    got = {r.media_id: r for r in decode_image_features(media).collect()}
+
+    assert got[1].n_px == raster.size
+    assert got[1].mean_px == pytest.approx(float(raster.mean()))
+    assert got[1].std_px == pytest.approx(float(raster.std()))
+
+    # undecodable payload: identical to the no-PIL deterministic fake
+    fake = _decode_image_stub(b"not an image", 4, 4)
+    seed = int.from_bytes(b"not an i", "big")
+    expect = ((np.arange(16, dtype=np.uint64) + seed) % 251) \
+        .astype(np.uint8).reshape(4, 4)
+    assert (fake == expect).all()
+    assert got[2].mean_px == pytest.approx(float(expect.mean()))

@@ -798,3 +798,19 @@ def test_apply_cdc_payload_collision_deterministic(spark):
     for _ in range(3):
         got = {r.k: r.v for r in apply_cdc(snap, ch, "k").collect()}
         assert got == {1: 9}
+
+
+def test_triangle_count_hub_skew_graph(spark):
+    """Star hub (degree 100) + one closing edge: exactly one triangle,
+    counted once per member.  With degree-(Suri-Vassilvitskii)
+    orientation the hub generates ~zero wedges — the curse-of-the-
+    last-reducer shape this operator must survive at scale."""
+    from dask_ms_spark.operators.graph import triangle_count
+
+    edges = [Row(id_a=0, id_b=i) for i in range(1, 101)]
+    edges.append(Row(id_a=1, id_b=2))
+    out = {r.id: r for r in triangle_count(
+        spark.createDataFrame(edges)).collect()}
+    assert out[0].n_triangles == 1 and out[0].degree == 100
+    assert out[1].n_triangles == 1 and out[2].n_triangles == 1
+    assert all(out[i].n_triangles == 0 for i in range(3, 101))

@@ -797,3 +797,69 @@ def test_jsonl_roundtrip_and_dispatch(spark, tmp_path):
     back = spark.read.parquet(pq)
     assert back.count() == docs.count()
     assert "lang" not in back.columns
+
+
+def _s3_jars_present() -> bool:
+    """True when Spark's JVM can actually speak s3a:// — the
+    hadoop-aws filesystem plus an AWS SDK jar."""
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    have_fs = glob.glob(os.path.join(jars, "hadoop-aws-*.jar"))
+    have_sdk = (glob.glob(os.path.join(jars, "aws-java-sdk*.jar"))
+                + glob.glob(os.path.join(jars, "bundle-*.jar")))
+    return bool(have_fs and have_sdk)
+
+
+try:
+    from moto.server import ThreadedMotoServer
+
+    HAVE_MOTO = True
+except Exception:  # pragma: no cover
+    ThreadedMotoServer = None
+    HAVE_MOTO = False
+
+
+@pytest.mark.skipif(
+    not (HAVE_MOTO and _s3_jars_present()),
+    reason="s3 round trip needs moto plus hadoop-aws/aws-sdk jars "
+           "(jars absent in the build sandbox; storage_options "
+           "plumb-through is covered by the viewfs end-to-end test)")
+def test_s3_round_trip_via_moto(spark, nation):
+    """S10 full S3-protocol leg: write a dataset to a moto-served
+    bucket through xds_to_storage_table and read it back, with
+    credentials + endpoint riding fsspec-style storage_options only.
+    Complements test_storage_options_reach_scan_non_file_scheme,
+    which proves the same conf plumb-through without needing the
+    (externally downloaded) s3a jars."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.storage import (xds_from_storage_table,
+                                               xds_to_storage_table)
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        import boto3
+
+        boto3.client(
+            "s3", endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1").create_bucket(Bucket="dms-test")
+
+        opts = {"key": "testing", "secret": "testing",
+                "client_kwargs": {"endpoint_url": endpoint},
+                "use_ssl": False, "path_style": True}
+        xds_to_storage_table([Dataset(nation, {})],
+                             "s3://dms-test/nation_store",
+                             storage_options=opts)
+        dss = xds_from_storage_table(spark,
+                                     "s3://dms-test/nation_store",
+                                     storage_options=opts)
+        assert sum(d.df.count() for d in dss) == nation.count()
+    finally:
+        server.stop()
