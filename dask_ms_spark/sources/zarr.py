@@ -373,13 +373,21 @@ def _cell_slab(cell_shape: list[int],
 def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
                       n_valid: int, slab: list | None) -> "np.ndarray":
     """Assemble one row-chunk of a column from its cell-chunk files,
-    reading ONLY the cell chunks that intersect ``slab`` (the
-    reference's blc:trc hyperslab read, daskms/reads.py:58-75, at
-    zarr's natural chunk granularity — the chunk is the storage I/O
-    unit, so pruning whole chunks IS the byte reduction).
+    reading ONLY the cell chunks that intersect ``slab`` AND, within
+    each needed chunk file, only the pages the hyperslab touches (the
+    reference's blc:trc read, daskms/reads.py:58-75): files are
+    ``np.memmap``-ed with the chunk's C-order shape and indexed by
+    the slab directly, so an interior slab faults in just the
+    overlapping pages instead of materialising the whole chunk — the
+    sub-chunk byte reduction on top of round 5's whole-chunk pruning.
+    A trailing partial row chunk likewise touches only its
+    ``n_valid`` rows' pages.
 
     zarr v2 layout: chunk key ``"{ci}.{j}.{k}..."``, every file padded
-    to the full chunk shape; valid extents trimmed after read.
+    to the full chunk shape; valid extents trimmed via the memmap
+    index.  (Compressed stores can't do this — they take the
+    zarr-package path in ``_read_group``; a compressed chunk is an
+    indivisible I/O unit by construction.)
     """
     cell_shape = list(z["shape"][1:])
     cell_chunks = list(z["chunks"][1:])
@@ -388,9 +396,9 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
     if slab is None:
         slab = [(0, d) for d in cell_shape]
     if not cell_shape:                      # 1-d array: single file
-        raw = np.fromfile(os.path.join(group_dir, col, str(ci)),
-                          dtype=dtype)
-        return raw[:n_valid]
+        mm = np.memmap(os.path.join(group_dir, col, str(ci)),
+                       dtype=dtype, mode="r", shape=(row_chunk,))
+        return np.array(mm[:n_valid])
     out_shape = [n_valid] + [b - a for a, b in slab]
     buf = np.empty(out_shape, dtype=dtype)
     ranges = [range(a // ch, (b - 1) // ch + 1)
@@ -399,16 +407,16 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
 
     for coord in product(*ranges):
         key = ".".join([str(ci)] + [str(j) for j in coord])
-        raw = np.fromfile(os.path.join(group_dir, col, key),
-                          dtype=dtype)
-        chunk = raw.reshape([row_chunk] + cell_chunks)
+        mm = np.memmap(os.path.join(group_dir, col, key), dtype=dtype,
+                       mode="r", shape=tuple([row_chunk] + cell_chunks))
         src: list[slice] = [slice(0, n_valid)]
         dst: list[slice] = [slice(0, n_valid)]
         for (a, b), ch, j in zip(slab, cell_chunks, coord):
             g0, g1 = max(a, j * ch), min(b, (j + 1) * ch)
             src.append(slice(g0 - j * ch, g1 - j * ch))
             dst.append(slice(g0 - a, g1 - a))
-        buf[tuple(dst)] = chunk[tuple(src)]
+        buf[tuple(dst)] = mm[tuple(src)]
+        del mm
     return buf.reshape(n_valid, -1) if len(cell_shape) > 1 else buf
 
 

@@ -293,3 +293,69 @@ def test_zarr_cell_chunked_write_then_pruned_read(spark, tmp_path):
     with pytest.raises(ValueError, match="non-tensor"):
         xds_to_zarr([Dataset(df, {})], str(tmp_path / "bad"),
                     cell_chunks={"v": 2})
+
+
+def test_read_cell_chunks_memmap_subchunk_slab(tmp_path):
+    """Sub-chunk hyperslab reads (round 6): _read_cell_chunks memmaps
+    each needed chunk file and indexes the slab directly — an interior
+    slab never materialises the whole chunk (np.fromfile is
+    monkeypatch-poisoned to prove the full-file path is gone), and a
+    trailing partial row chunk touches only its valid rows."""
+    import numpy as np
+
+    from dask_ms_spark.sources import zarr as zmod
+
+    row_chunk, w, cc = 10, 8, 4
+    data = (np.arange(row_chunk * w, dtype=np.float64)
+            .reshape(row_chunk, w))
+    gdir = tmp_path / "g"
+    (gdir / "X").mkdir(parents=True)
+    for j in range(w // cc):
+        (gdir / "X" / f"0.{j}").write_bytes(
+            np.ascontiguousarray(data[:, j * cc:(j + 1) * cc])
+            .tobytes())
+    z = {"shape": [row_chunk, w], "chunks": [row_chunk, cc],
+         "dtype": "<f8"}
+
+    real_fromfile = np.fromfile
+    np.fromfile = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("full-file np.fromfile on the slab path"))
+    try:
+        # interior slab inside the first cell chunk
+        got = zmod._read_cell_chunks(str(gdir), "X", z, 0, 10,
+                                     [(1, 3)])
+        assert np.array_equal(got, data[:, 1:3])
+        # slab straddling both cell chunks
+        got = zmod._read_cell_chunks(str(gdir), "X", z, 0, 10,
+                                     [(2, 6)])
+        assert np.array_equal(got, data[:, 2:6])
+        # trailing partial row chunk: only 7 valid rows
+        got = zmod._read_cell_chunks(str(gdir), "X", z, 0, 7,
+                                     [(5, 8)])
+        assert np.array_equal(got, data[:7, 5:8])
+        # unsliced read still correct through the memmap path
+        got = zmod._read_cell_chunks(str(gdir), "X", z, 0, 10, None)
+        assert np.array_equal(got, data)
+    finally:
+        np.fromfile = real_fromfile
+
+
+def test_zarr_subchunk_slab_end_to_end(spark, tmp_path):
+    """Chunk-INTERIOR slab through the full read path: slice (1, 3)
+    lives inside the single 6-wide cell chunk, so no file pruning
+    applies — the memmap slab indexing must still return exactly the
+    requested columns for every row chunk including the partial
+    last one."""
+    import numpy as np
+
+    store = str(tmp_path / "interior")
+    df = spark.range(25).selectExpr(
+        f"id as {ROWID}",
+        "array(id*1.0D, id*2.0D, id*3.0D, id*4.0D, id*5.0D, id*6.0D) "
+        "as vec")
+    xds_to_zarr([Dataset(df, {})], store, row_chunk=10)
+    (ds,) = xds_from_zarr(spark, store, slices={"vec": (slice(1, 3),)})
+    got = {r[ROWID]: list(r.vec) for r in ds.df.collect()}
+    assert len(got) == 25
+    for i in (0, 9, 10, 24):
+        assert got[i] == [i * 2.0, i * 3.0]
