@@ -3313,6 +3313,60 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters (llm/sketches.py cms_sketch /
+    cms_estimate): a 4x1024 mergeable frequency sketch over token
+    occurrences built in ONE scan (map-side explode x depth, reduce
+    side bounded by depth*width cells), then the exact top-20 tokens
+    probed against the broadcast sketch.  The one-sided guarantee
+    (cms_est >= exact_freq, overcount = collision mass only) is
+    checked value-for-value by the oracle, which rebuilds the
+    identical md5-hashed sketch in SQL."""
+    from dask_ms_spark.llm.sketches import cms_estimate, cms_sketch
+
+    toks = (_t(spark, sf_dir, "documents")
+            .select(F.explode(tokens(F.lower(F.col("text"))))
+                    .alias("token"))
+            .localCheckpoint(eager=False))  # feeds sketch AND top-k
+    sk = cms_sketch(toks, "token", width=1024, depth=4)
+    exact = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_freq")))
+    top = exact.orderBy(F.col("exact_freq").desc(), "token").limit(20)
+    return (cms_estimate(sk, top, "token", width=1024, depth=4)
+            .select("token", "exact_freq",
+                    F.col("cms_est").cast("long").alias("cms_est")))
+
+
+def _cms_hh_sql(width: int = 1024, depth: int = 4, k: int = 20) -> str:
+    """Mirror of q_heavy_hitters_cms: identical md5 bucket hashes,
+    cell sums grouped over the full vocabulary, min-over-rows probe
+    of the exact top-k."""
+    h = _DUCK_HASH.format(
+        x="(token || 'cms:' || cast(d as varchar))")
+    return f"""
+        WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                               ELSE regexp_split_to_array(
+                                   trim(lower(text)), '\\s+') END
+                          AS toks
+                   FROM documents),
+        w AS (SELECT unnest(toks) AS token FROM t),
+        f AS (SELECT token, count(*) AS freq FROM w GROUP BY token),
+        dd AS (SELECT unnest(range({depth})) AS d),
+        cells AS (SELECT d, {h} % {width} AS bucket,
+                         sum(freq) AS cnt
+                  FROM f CROSS JOIN dd GROUP BY 1, 2),
+        top AS (SELECT token, freq FROM f
+                ORDER BY freq DESC, token LIMIT {k}),
+        probe AS (SELECT top.token, top.freq, dd.d,
+                         {h} % {width} AS bucket
+                  FROM top CROSS JOIN dd)
+        SELECT p.token, cast(p.freq as bigint) AS exact_freq,
+               cast(min(coalesce(c.cnt, 0)) as bigint) AS cms_est
+        FROM probe p LEFT JOIN cells c USING (d, bucket)
+        GROUP BY 1, 2
+    """
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor) scratch dir for queries that drive
     a WRITE-side operator end-to-end: wiped at call start so results
@@ -3591,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_roundtrip": q_snapshot_roundtrip,
         "backfill_restart": q_backfill_restart,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4105,6 +4160,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(DISTINCT user_id) as bigint) AS n_users
             FROM events GROUP BY 1, 2
         """,
+        "heavy_hitters_cms": _cms_hh_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

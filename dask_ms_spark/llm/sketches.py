@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from dask_ms_spark.functions.text import portable_hash64
 
-__all__ = ["kmv_distinct", "kmv_overlap", "HASH_SPACE"]
+__all__ = ["kmv_distinct", "kmv_overlap", "HASH_SPACE",
+           "cms_sketch", "cms_merge", "cms_estimate"]
 
 # portable_hash64 yields 15 hex digits -> [0, 2^60)
 HASH_SPACE = float(1 << 60)
@@ -148,3 +149,75 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
                      .alias("est_b"),
                     F.round(union_est).cast("long").alias("est_union"),
                     ja.alias("jaccard")))
+
+
+def cms_sketch(df: DataFrame, value_col: str, width: int = 1024,
+               depth: int = 4, weight_col: str | None = None,
+               salt: str = "cms") -> DataFrame:
+    """Build a count-min sketch of ``value_col``: ``depth`` hash rows
+    of ``width`` buckets, returned as one DataFrame row per non-empty
+    cell ``(d, bucket, cnt)`` — the frequency-counting complement of
+    the KMV cardinality sketch, with the same portability discipline:
+    bucket hashes are md5-derived (``portable_hash64`` with a per-row
+    salt), so any engine mirroring the arithmetic builds the
+    bit-identical sketch.
+
+    Scale shape: ONE scan; each input row map-side explodes into
+    ``depth`` (d, bucket) pairs, and partial aggregation collapses
+    them before the exchange — the reduce side is bounded by
+    ``depth * width`` cells regardless of corpus size, which is also
+    what makes sketches mergeable (:func:`cms_merge`: cell-wise sum)
+    across corpus shards, releases, or stream batches without
+    re-touching data.  ``weight_col`` counts weighted occurrences
+    (e.g. token counts) instead of rows.
+    """
+    w = (F.lit(1).cast("long") if weight_col is None
+         else F.col(weight_col).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 F.pmod(portable_hash64(F.col(value_col),
+                                        f"{salt}:{d}"),
+                        F.lit(width)).cast("long").alias("bucket"))
+        for d in range(depth)])
+    return (df.select(F.explode(cells).alias("c"), w.alias("w"))
+            .groupBy(F.col("c.d").alias("d"),
+                     F.col("c.bucket").alias("bucket"))
+            .agg(F.sum("w").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (width, depth,
+    salt): cell-wise sum — the merged sketch equals the sketch of the
+    concatenated inputs exactly."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
+                 width: int = 1024, depth: int = 4,
+                 salt: str = "cms") -> DataFrame:
+    """Point-estimate the frequency of every row of ``items`` from a
+    count-min sketch: est = min over hash rows of the item's cell
+    count (0 when a cell is absent).  One-sided error — the estimate
+    never undercounts, and overcounts by collision mass only
+    (E[err] <= total_weight / width per row, min over rows).
+
+    The sketch is broadcast (bounded by depth * width cells), so
+    estimating any number of items is a map-side join — the shape
+    that lets a 100 TB corpus's token frequencies be probed from a
+    kilobyte-scale artifact."""
+    probes = items.select(
+        "*", F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     F.pmod(portable_hash64(F.col(value_col),
+                                            f"{salt}:{d}"),
+                            F.lit(width)).cast("long").alias("bucket"))
+            for d in range(depth)])).alias("c")) \
+        .select(*items.columns, F.col("c.d").alias("d"),
+                F.col("c.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (joined.groupBy(*items.columns)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))

@@ -814,3 +814,48 @@ def test_triangle_count_hub_skew_graph(spark):
     assert out[0].n_triangles == 1 and out[0].degree == 100
     assert out[1].n_triangles == 1 and out[2].n_triangles == 1
     assert all(out[i].n_triangles == 0 for i in range(3, 101))
+
+
+# ------------------------------------------------------ count-min
+
+def test_cms_never_undercounts_and_merge_equals_whole(spark):
+    """CMS one-sided error: est >= exact for every item; merging the
+    sketches of two halves equals the sketch of the whole (cell-wise
+    identical), so estimates agree too."""
+    from dask_ms_spark.llm.sketches import (cms_estimate, cms_merge,
+                                            cms_sketch)
+
+    rows = [Row(tok=f"t{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    exact = {r.tok: r.n for r in df.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    items = df.select("tok").distinct()
+
+    sk = cms_sketch(df, "tok", width=256, depth=4)
+    est = {r.tok: r.cms_est for r in
+           cms_estimate(sk, items, "tok", width=256, depth=4)
+           .collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    # 37 distinct over 256*4 cells: collisions unlikely -> mostly exact
+    assert sum(est[t] == exact[t] for t in exact) >= 30
+
+    half_a = spark.createDataFrame(rows[:1000])
+    half_b = spark.createDataFrame(rows[1000:])
+    merged = cms_merge(cms_sketch(half_a, "tok", width=256, depth=4),
+                       cms_sketch(half_b, "tok", width=256, depth=4))
+    whole = {(r.d, r.bucket): r.cnt for r in sk.collect()}
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+
+
+def test_cms_weighted_counts(spark):
+    from dask_ms_spark.llm.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([Row(tok="a", w=5), Row(tok="a", w=2),
+                                Row(tok="b", w=7)])
+    sk = cms_sketch(df, "tok", width=64, depth=3, weight_col="w")
+    est = {r.tok: r.cms_est for r in cms_estimate(
+        sk, df.select("tok").distinct(), "tok", width=64, depth=3)
+        .collect()}
+    assert est["a"] >= 7 and est["b"] >= 7
