@@ -3686,7 +3686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "unpivot": q_unpivot,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding": q_dedup_embedding,
+        # dedup_embedding (exact all-pairs GEMM baseline) DEMOTED in
+        # round 6 per the r5 verdict: redundant beside the bucketed
+        # production variant below; its r5 driver row is green and
+        # the query+oracle live on in demoted_queries()/
+        # demoted_oracle_sql(), swept by tools/check_oracle.py and a
+        # pytest guard — zero coverage loss, one less bench query
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "text_bpe": q_text_bpe,
         "text_winnow": q_text_winnow,
@@ -4129,7 +4134,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        "dedup_embedding": _embedding_dup_sql(),
         "dedup_embedding_bucketed": _embedding_bucketed_sql(),
         "dedup_simhash": _simhash_sql(),
         "similarity_topk": _similarity_topk_sql(),
@@ -5730,3 +5734,25 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.lang
     """
     return out
+
+
+def demoted_queries() -> dict[str, Callable[[SparkSession, str],
+                                            DataFrame]]:
+    """Queries demoted from the driver registry (still supported
+    library surface): each had a green driver CORRECTNESS row when
+    demoted, is redundant beside a production variant that remains
+    registered, and keeps its oracle below — swept by
+    tools/check_oracle.py and guarded by pytest so the code path
+    cannot rot.  Demotions exist to bound the bench sweep's
+    wall-clock as the registry grows (r5 verdict item 3)."""
+    return {
+        # exact all-pairs GEMM baseline; production variant:
+        # dedup_embedding_bucketed (r5 row green when demoted)
+        "dedup_embedding": q_dedup_embedding,
+    }
+
+
+def demoted_oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_embedding": _embedding_dup_sql(),
+    }

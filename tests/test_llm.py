@@ -645,3 +645,35 @@ def test_decode_real_image_parity(spark):
         .astype(np.uint8).reshape(4, 4)
     assert (fake == expect).all()
     assert got[2].mean_px == pytest.approx(float(expect.mean()))
+
+
+def test_demoted_queries_still_oracle_green(spark):
+    """Demotion guard: every entry pulled from the driver registry
+    (see __spark_entry__.demoted_queries) must still match its DuckDB
+    oracle at sf0.001 — demotion bounds bench wall-clock, it must
+    never silently drop correctness coverage."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import TABLES, frame_compare
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}')")
+    qs = entrymod.demoted_queries()
+    oracles = entrymod.demoted_oracle_sql()
+    assert qs, "demotion registry unexpectedly empty"
+    for name, fn in qs.items():
+        sdf = fn(spark, sf_dir).toPandas()
+        ddf = con.execute(oracles[name]).df()
+        assert frame_compare(sdf, ddf) == [], name

@@ -407,3 +407,39 @@ def test_constraint_audit_row_rules_single_scan(spark, lineitem):
     assert len(rows) == 3
     ns = {r.n_checked for r in rows.values()}
     assert len(ns) == 1  # same single-scan count backs every row rule
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, lineitem,
+                                               orders):
+    """Scale lever: Spark's runtime row-level filtering injects a
+    bloom_filter_agg built from the FILTERED dim side and applies
+    might_contain on the fact side BEFORE the join shuffle — at 100 TB
+    a selective dim predicate then prunes most fact rows at scan
+    time.  Defaults only fire above 10 GB application-side scans, so
+    this test tunes the runtime-settable thresholds down to prove the
+    engine wiring; production inherits the defaults.  (Catalyst owns
+    the decision — the repo's job is to keep joins in the shapes the
+    optimizer can act on, which this asserts.)"""
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                 "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                 "applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dim = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = (lineitem.join(dim, lineitem.l_orderkey == dim.o_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert j.collect()[0].n > 0
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
