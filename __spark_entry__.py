@@ -3367,6 +3367,46 @@ def _cms_hh_sql(width: int = 1024, depth: int = 4, k: int = 20) -> str:
     """
 
 
+def q_tensor_chan_avg(spark, sf_dir):
+    """Flag-aware channel averaging of a tensor column
+    (functions/vector.py masked_bin_average): bin-8 averages over the
+    unmasked elements of each embedding vector, all in Catalyst
+    higher-order functions — the MS DATA/FLAG channel-averaging shape
+    with zero Python exchange.  Bin values are quantised to micro
+    units (NULL bins sentinel -999999999) and CSV-joined so the
+    driver's pandas canon can hash them."""
+    from dask_ms_spark.functions.vector import masked_bin_average
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mask = F.transform(vec, lambda x: x > 0)
+    binned = masked_bin_average(vec, mask, 8)
+    q = F.transform(binned, lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"),
+        F.lit(-999999999)).cast("string"))
+    return embs.select("vec_id", F.array_join(q, ",").alias("chan_avg_q"))
+
+
+_CHAN_AVG_KEPT = ("list_filter(list_slice(vec, b * 8 + 1, b * 8 + 8), "
+                  "x -> x > 0)")
+_CHAN_AVG_SQL = f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform(
+               range(0, cast(ceil(len(vec) / 8.0) as int)),
+               b -> CASE WHEN len({_CHAN_AVG_KEPT}) > 0
+                    THEN cast(cast(round(
+                        (list_sum({_CHAN_AVG_KEPT})
+                         / len({_CHAN_AVG_KEPT})) * 1000000)
+                        as bigint) as varchar)
+                    ELSE '-999999999' END), ',') AS chan_avg_q
+    FROM v
+"""
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor) scratch dir for queries that drive
     a WRITE-side operator end-to-end: wiped at call start so results
@@ -3646,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_restart": q_backfill_restart,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tensor_chan_avg": q_tensor_chan_avg,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4165,6 +4206,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "heavy_hitters_cms": _cms_hh_sql(),
+        "tensor_chan_avg": _CHAN_AVG_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine", "l2_distance", "normalize"]
+__all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
+           "masked_bin_average", "weighted_bin_average"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -40,3 +41,59 @@ def normalize(a: Column) -> Column:
     """Unit-normalise (zero vectors pass through)."""
     n = norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def masked_bin_average(vec: Column, mask: Column,
+                       bin_size: int) -> Column:
+    """Flag-aware bin (channel) averaging of a tensor column: average
+    each consecutive run of ``bin_size`` elements over the elements
+    whose ``mask`` entry is true; a bin with no unmasked element
+    yields NULL.  Output length = ceil(len/bin_size).
+
+    This is the MS channel-averaging shape (reference users run it in
+    numpy per chunk; here it is a pure Catalyst higher-order-function
+    expression, so it composes into the scan with no Python
+    exchange): DATA-style columns average only unflagged samples, and
+    the same expression with a time-window grouping upstream is
+    time-and-channel averaging.  For interleaved complex columns
+    (types.complex_array_type) apply it to the re/im planes
+    separately — the mean of a complex sample set is the pair of
+    plane means.
+
+    Determinism: per-bin sums are left-to-right ``aggregate`` folds
+    over the array order, so results are engine-portable (the DuckDB
+    oracle mirrors the same fold).
+    """
+    nbins = F.ceil(F.size(vec) / F.lit(bin_size)).cast("int")
+    def bin_avg(b):
+        start = b * bin_size + 1          # slice() is 1-based
+        vals = F.slice(vec, start, bin_size)
+        kept = F.zip_with(vals, F.slice(mask, start, bin_size),
+                          lambda v, m: F.when(m, v)
+                          .otherwise(F.lit(None)))
+        s = F.aggregate(kept, F.lit(0.0),
+                        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)))
+        n = F.aggregate(kept, F.lit(0),
+                        lambda acc, x: acc
+                        + F.when(x.isNotNull(), 1).otherwise(0))
+        return F.when(n > 0, s / n).otherwise(F.lit(None))
+    return F.transform(F.sequence(F.lit(0), nbins - 1),
+                       lambda b: bin_avg(b))
+
+
+def weighted_bin_average(vec: Column, weights: Column,
+                         bin_size: int) -> Column:
+    """Weight-aware variant of :func:`masked_bin_average`: per-bin
+    sum(w*v)/sum(w) over ``bin_size`` runs; zero total weight yields
+    NULL.  The WEIGHT_SPECTRUM-style reduction."""
+    nbins = F.ceil(F.size(vec) / F.lit(bin_size)).cast("int")
+    def bin_avg(b):
+        start = b * bin_size + 1
+        vals = F.slice(vec, start, bin_size)
+        ws = F.slice(weights, start, bin_size)
+        wv = F.zip_with(vals, ws, lambda v, w: v * w)
+        s = F.aggregate(wv, F.lit(0.0), lambda acc, x: acc + x)
+        tw = F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(tw > 0, s / tw).otherwise(F.lit(None))
+    return F.transform(F.sequence(F.lit(0), nbins - 1),
+                       lambda b: bin_avg(b))

@@ -306,3 +306,40 @@ def test_bigram_repetition_hand_computed(spark):
     r2 = rows[2]
     assert (r2.n_grams, r2.n_distinct) == (3, 3)
     assert r2.dup_ratio == 0.0
+
+
+def test_masked_bin_average_matches_numpy(spark):
+    """Channel averaging vs a numpy oracle, incl. an all-masked bin
+    (NULL) and a trailing partial bin."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.vector import (masked_bin_average,
+                                                weighted_bin_average)
+
+    rng = [float(x) for x in range(10)]          # 10 elems, bin 4
+    mask = [True, False, True, True,             # bin0: avg(0,2,3)
+            False, False, False, False,          # bin1: all masked
+            True, True]                          # bin2 (partial)
+    df = spark.createDataFrame(
+        [Row(vec=rng, m=mask)],
+        "vec array<double>, m array<boolean>")
+    out = df.select(masked_bin_average(F.col("vec"), F.col("m"), 4)
+                    .alias("b")).collect()[0].b
+    assert out[0] == (0.0 + 2.0 + 3.0) / 3
+    assert out[1] is None
+    assert out[2] == 8.5
+
+    w = [1.0, 0.0, 1.0, 2.0, 0.0, 0.0, 0.0, 0.0, 3.0, 1.0]
+    got = df.select(weighted_bin_average(
+        F.col("vec"), F.array(*[F.lit(x) for x in w]), 4)
+        .alias("b")).collect()[0].b
+    assert got[0] == (0.0 * 1 + 2.0 * 1 + 3.0 * 2) / 4
+    assert got[1] is None
+    assert got[2] == (8.0 * 3 + 9.0 * 1) / 4
+
+    # stays JVM-side: no Python exchange in the plan
+    plan = df.select(masked_bin_average(F.col("vec"), F.col("m"), 4)
+                     .alias("b"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
