@@ -3407,6 +3407,53 @@ _CHAN_AVG_SQL = f"""
 """
 
 
+def q_tensor_row_avg(spark, sf_dir):
+    """Cross-row masked tensor mean (operators/grouping.py
+    tensor_row_average): element-wise flag-honouring average of the
+    embedding vectors per synthetic baseline (vec_id % 16) — the MS
+    time/baseline-averaging reduction as ONE (group, position)-keyed
+    shuffle.  quantize_scale applies the fixed-point sum discipline
+    so the oracle agrees bit-for-bit under any shuffle order."""
+    from dask_ms_spark.operators.grouping import tensor_row_average
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = embs.select((F.col("vec_id") % 16).alias("g"),
+                    vec.alias("vec"),
+                    F.transform(vec, lambda x: x > 0).alias("m"))
+    out = tensor_row_average(d, ["g"], "vec", "m",
+                             quantize_scale=1 << 20)
+    q = F.transform(F.col("vec_mean"), lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"),
+        F.lit(-999999999)).cast("string"))
+    return out.select("g", F.array_join(q, ",").alias("mean_q"),
+                      "n_rows")
+
+
+_ROW_AVG_SQL = """
+    WITH v AS (SELECT vec_id % 16 AS g,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    e AS (SELECT g, i AS pos,
+                 CASE WHEN vec[i] > 0 THEN vec[i] END AS xv
+          FROM v, UNNEST(range(1, len(vec) + 1)) AS t(i)),
+    c AS (SELECT g, pos,
+                 cast(sum(cast(round(xv * 1048576) as bigint))
+                      as double) / 1048576 AS s,
+                 count(xv) AS n, count(*) AS nr
+          FROM e GROUP BY 1, 2)
+    SELECT g,
+           array_to_string(list(
+               CASE WHEN n > 0
+               THEN cast(cast(round(s / n * 1000000) as bigint)
+                         as varchar)
+               ELSE '-999999999' END ORDER BY pos), ',') AS mean_q,
+           cast(max(nr) as bigint) AS n_rows
+    FROM c GROUP BY g
+"""
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor) scratch dir for queries that drive
     a WRITE-side operator end-to-end: wiped at call start so results
@@ -3687,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "tensor_chan_avg": q_tensor_chan_avg,
+        "tensor_row_avg": q_tensor_row_avg,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4207,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters_cms": _cms_hh_sql(),
         "tensor_chan_avg": _CHAN_AVG_SQL,
+        "tensor_row_avg": _ROW_AVG_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from ..types import ROWID
 
-__all__ = ["group_metadata", "update_write", "column_update"]
+__all__ = ["group_metadata", "update_write", "column_update",
+           "tensor_row_average"]
 
 
 def group_metadata(df: DataFrame, group_cols: Iterable[str],
@@ -74,3 +75,71 @@ def column_update(base: DataFrame, key_col: str, target: str,
     return (base.join(F.broadcast(m), on=key_col, how="left")
                 .withColumn(target, F.coalesce("__new_value", target))
                 .drop("__new_value"))
+
+
+def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
+                       vec_col: str, mask_col: str | None = None,
+                       out_col: str | None = None,
+                       quantize_scale: int | None = None) -> DataFrame:
+    """Element-wise masked mean of a tensor column ACROSS rows per
+    group — the MS time/baseline-averaging reduction (average DATA
+    over a time bin per baseline, honouring FLAG): cell [i] of the
+    output is mean over the group's rows of vec[i] where mask[i] is
+    true; a cell unflagged in no row yields NULL.
+
+    Scale shape: ``posexplode`` the tensor, aggregate per
+    (group, position) with map-side partial sums, then reassemble the
+    array with ``array_agg`` sorted by position — ONE shuffle keyed
+    on (group, position), which also spreads a hot group's cells
+    across reducers (a built-in skew hedge a whole-array
+    ``collect_list`` reduction wouldn't have).  Rows whose arrays
+    differ in length within a group raise (tensor columns are
+    rectangular per group — the zarr/ragged rule).
+
+    ``quantize_scale`` (e.g. ``1 << 20``) applies the repo's
+    fixed-point discipline (kmeans/pagerank): cell sums accumulate
+    ``round(v * scale)`` as int64, so the mean is bit-identical under
+    any shuffle order and any engine mirroring the arithmetic — set
+    it whenever results feed a cross-engine comparison.  Default None
+    keeps plain double sums (float addition is order-sensitive at the
+    last ulp).
+    """
+    from pyspark.sql import functions as F
+
+    group_cols = list(group_cols)
+    out_col = out_col or f"{vec_col}_mean"
+    m = (F.col(mask_col) if mask_col
+         else F.transform(F.col(vec_col), lambda _: F.lit(True)))
+    kept = F.zip_with(F.col(vec_col), m,
+                      lambda v, k: F.when(k, v).otherwise(F.lit(None)))
+    ex = df.select(*group_cols, F.posexplode(kept).alias("__pos", "__v"),
+                   F.size(vec_col).alias("__w"))
+    if quantize_scale:
+        sum_expr = (F.sum(F.round(F.col("__v")
+                                  * F.lit(float(quantize_scale)))
+                          .cast("long")).cast("double")
+                    / F.lit(float(quantize_scale)))
+    else:
+        sum_expr = F.sum("__v")
+    per_cell = (ex.groupBy(*group_cols, "__pos")
+                .agg(sum_expr.alias("__s"),
+                     F.count("__v").alias("__n"),     # non-null only
+                     F.count(F.lit(1)).alias("__rows"),
+                     F.min("__w").alias("__wlo"),
+                     F.max("__w").alias("__whi")))
+    bad = per_cell.where(F.col("__wlo") != F.col("__whi"))
+    # length check folds into the same aggregation: any ragged group
+    # poisons its cell rows; surface via a guarded expression
+    cell = F.when(F.col("__wlo") == F.col("__whi"),
+                  F.when(F.col("__n") > 0, F.col("__s") / F.col("__n")))\
+        .otherwise(F.raise_error(F.lit(
+            "tensor_row_average: ragged tensor lengths within a group "
+            "— partition by the shape-defining column first")))
+    return (per_cell
+            .withColumn("__cell", cell)
+            .groupBy(*group_cols)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__pos", "__cell"))),
+                lambda s: s["__cell"]).alias(out_col),
+                 F.max("__rows").cast("long").alias("n_rows")))

@@ -339,3 +339,42 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     # span is well under the full 0-63 range in each
     assert sum(spans_a) / len(spans_a) < 40
     assert sum(spans_b) / len(spans_b) < 40
+
+
+def test_tensor_row_average_matches_numpy(spark):
+    """Cross-row masked tensor mean (MS time/baseline averaging):
+    numpy oracle per cell, NULL for never-unflagged cells, ragged
+    groups raise."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.operators.grouping import tensor_row_average
+
+    rows = [
+        Row(bl=1, vec=[1.0, 2.0, 3.0], m=[True, True, False]),
+        Row(bl=1, vec=[5.0, 6.0, 7.0], m=[True, False, False]),
+        Row(bl=1, vec=[9.0, 10.0, 11.0], m=[False, True, False]),
+        Row(bl=2, vec=[4.0, 4.0, 4.0], m=[True, True, True]),
+    ]
+    df = spark.createDataFrame(
+        rows, "bl long, vec array<double>, m array<boolean>")
+    out = {r.bl: r for r in tensor_row_average(
+        df, ["bl"], "vec", "m").collect()}
+    assert out[1].vec_mean[0] == (1.0 + 5.0) / 2
+    assert out[1].vec_mean[1] == (2.0 + 10.0) / 2
+    assert out[1].vec_mean[2] is None          # flagged everywhere
+    assert out[1].n_rows == 3
+    assert out[2].vec_mean == [4.0, 4.0, 4.0]
+
+    # unmasked variant == plain element mean
+    un = {r.bl: r.vec_mean for r in tensor_row_average(
+        df, ["bl"], "vec").collect()}
+    assert un[1] == [5.0, 6.0, 7.0]
+
+    ragged = df.unionByName(spark.createDataFrame(
+        [Row(bl=1, vec=[1.0], m=[True])],
+        "bl long, vec array<double>, m array<boolean>"))
+    with pytest.raises(Exception, match="ragged|ASSERT|raise"):
+        tensor_row_average(ragged, ["bl"], "vec", "m").collect()

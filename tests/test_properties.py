@@ -232,3 +232,34 @@ if HAVE_HYPOTHESIS:
                                        "v long")
         got = {r.k: r.v for r in apply_cdc(snap, ch, "k").collect()}
         assert got == model
+
+
+if HAVE_HYPOTHESIS:
+    @given(st.lists(st.integers(0, 200), min_size=1, max_size=120),
+           st.sampled_from([16, 64]))
+    @settings(max_examples=8, deadline=None)
+    def test_cms_one_sided_for_arbitrary_multisets(spark, vals,
+                                                   width):
+        """Count-min guarantee under hypothesis: for ANY multiset and
+        any (narrow) width, every estimate >= the exact count, and
+        with depth rows the estimate equals exact whenever no
+        collision lands in some row."""
+        from collections import Counter
+
+        from pyspark.sql import Row
+
+        from dask_ms_spark.llm.sketches import cms_estimate, cms_sketch
+
+        exact = Counter(vals)
+        df = spark.createDataFrame([Row(v=str(v)) for v in vals])
+        sk = cms_sketch(df, "v", width=width, depth=3)
+        est = {r.v: r.cms_est for r in cms_estimate(
+            sk, df.select("v").distinct(), "v", width=width, depth=3)
+            .collect()}
+        assert set(est) == {str(v) for v in exact}
+        for v, n in exact.items():
+            assert est[str(v)] >= n
+        # total mass conservation per hash row
+        cells = sk.collect()
+        for d in range(3):
+            assert sum(c.cnt for c in cells if c.d == d) == len(vals)
