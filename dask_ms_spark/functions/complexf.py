@@ -17,8 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale",
-           "c_abs", "c_abs2", "c_real", "c_imag", "c_sum"]
+__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask"]
 
 
 def c_make(re: Column, im: Column) -> Column:
@@ -101,3 +100,20 @@ def c_sum(a: Column) -> Column:
     re = F.aggregate(c_real(a), F.lit(0.0), lambda acc, x: acc + x)
     im = F.aggregate(c_imag(a), F.lit(0.0), lambda acc, x: acc + x)
     return F.array(re, im)
+
+
+def c_expand_mask(mask: Column) -> Column:
+    """Expand a per-complex-sample boolean mask to the interleaved
+    re/im layout (each flag duplicated for its sample's two planes) —
+    the glue for POSITION-ALIGNED reductions over interleaved complex
+    columns: ``operators.grouping.tensor_row_average`` with the
+    expanded mask computes the complex mean across rows directly,
+    because every interleaved position averages independently.
+
+    NOT for within-row bin averaging: a contiguous bin over the
+    interleaved array would mix re and im planes into one mean.  For
+    channel averaging, reduce the planes separately and re-interleave
+    — ``c_make(masked_bin_average(c_real(z), m, bin),
+    masked_bin_average(c_imag(z), m, bin))``.
+    """
+    return F.flatten(F.transform(mask, lambda m: F.array(m, m)))

@@ -343,3 +343,40 @@ def test_masked_bin_average_matches_numpy(spark):
                      .alias("b"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_complex_masked_reductions(spark):
+    """Interleaved complex columns ride the real tensor reductions:
+    c_expand_mask aligns flags to planes for CROSS-ROW averaging
+    (tensor_row_average), and plane-wise masked_bin_average +
+    c_make is the within-row channel-averaging spelling."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.complexf import (c_expand_mask,
+                                                  c_imag, c_make,
+                                                  c_real)
+    from dask_ms_spark.functions.vector import masked_bin_average
+    from dask_ms_spark.operators.grouping import tensor_row_average
+
+    # samples per row: 2 complex values; row 2's first sample flagged
+    df = spark.createDataFrame(
+        [Row(bl=1, re=[1.0, 3.0], im=[2.0, 4.0], m=[True, True]),
+         Row(bl=1, re=[9.0, 5.0], im=[9.0, 6.0], m=[False, True])],
+        "bl long, re array<double>, im array<double>, "
+        "m array<boolean>")
+    d = df.select("bl", c_make(F.col("re"), F.col("im")).alias("z"),
+                  c_expand_mask(F.col("m")).alias("zm"))
+    assert d.collect()[0].zm == [True, True, True, True]
+
+    # cross-row complex mean: position-aligned, expanded mask is exact
+    out = tensor_row_average(d, ["bl"], "z", "zm").collect()[0].z_mean
+    # sample0: only row1 unflagged -> (1+2j); sample1: mean of
+    # (3+4j),(5+6j) -> (4+5j); interleaved
+    assert out == [1.0, 2.0, 4.0, 5.0]
+
+    # within-row channel average: plane-wise bins re-interleaved
+    one = df.where("bl = 1").limit(1).select(
+        c_make(masked_bin_average(F.col("re"), F.col("m"), 2),
+               masked_bin_average(F.col("im"), F.col("m"), 2))
+        .alias("zb")).collect()[0].zb
+    assert one == [2.0, 3.0]   # mean of (1+2j),(3+4j)
