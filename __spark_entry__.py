@@ -3721,9 +3721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         # ==== driver window ends here (position 50) ====
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
-        #    store, restartable backfill, persistent IVF index), each
-        #    verified via tools/check_oracle at sf0.01; they join the
-        #    r6-session-debut block at the FRONT of round 7's window.
+        #    store, restartable backfill, persistent IVF index; CMS
+        #    heavy hitters; MS-style tensor channel/row averaging),
+        #    each verified via tools/check_oracle at sf0.01; they join
+        #    the r6-session-debut block at the FRONT of round 7's
+        #    window.
         #    maintain_rollup_log deliberately has NO registry row: it
         #    is a streaming foreachBatch writer with filesystem side
         #    effects (no read-only SQL spelling); its replay /

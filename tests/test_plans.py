@@ -443,3 +443,34 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, lineitem,
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_tensor_row_average_two_exchanges(spark):
+    """The cross-row tensor mean must stay at its designed shuffle
+    budget: one Exchange keyed (group, position), one keyed (group)
+    for reassembly — a rewrite that collects whole arrays per group
+    (collect_list of arrays) would lose the hot-group cell spreading
+    AND typically add exchanges."""
+    from dask_ms_spark.operators.grouping import tensor_row_average
+    from dask_ms_spark.plans import assert_max_exchanges
+
+    df = spark.range(100).selectExpr(
+        "id % 7 as g",
+        "array(cast(id as double), cast(id + 1 as double)) as vec",
+        "array(true, id % 2 = 0) as m")
+    out = tensor_row_average(df, ["g"], "vec", "m")
+    assert_max_exchanges(out, 2)
+
+
+def test_cms_sketch_single_exchange_bounded_reduce(spark):
+    """CMS build: explode x depth is map-side; exactly one Exchange
+    (the (d, bucket) aggregation) with partial aggregation below it —
+    the reduce side is depth*width cells regardless of input size."""
+    from dask_ms_spark.llm.sketches import cms_sketch
+    from dask_ms_spark.plans import assert_max_exchanges, plan_str
+
+    df = spark.range(1000).selectExpr("cast(id % 50 as string) as v")
+    sk = cms_sketch(df, "v", width=128, depth=4)
+    assert_max_exchanges(sk, 1)
+    p = plan_str(sk)
+    assert "partial" in p.lower()      # map-side combine present
