@@ -189,7 +189,8 @@ def xds_from_storage_table(spark: SparkSession, url: str,
                            group_cols: Iterable[str] = (),
                            index_cols: Iterable[str] = (),
                            where: str | None = None,
-                           storage_options: dict | None = None
+                           storage_options: dict | None = None,
+                           taql_where: str | None = None
                            ) -> list[Dataset]:
     """Format-dispatched read (reference daskms/dask_ms.py:341-380).
 
@@ -197,7 +198,17 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     ..., "endpoint_url": ...}`` for s3) are mapped onto the Hadoop
     configuration before the scan — the Spark analogue of the
     reference's fsspec plumb-through (daskms/fsspec_store.py:17-48).
+
+    ``taql_where`` accepts the reference's TAQL predicate string
+    (daskms/dask_ms.py:236-241) and translates the supported subset
+    to Spark SQL (taql.py) — an existing ``taql_where=`` call site
+    keeps working verbatim; combined with ``where`` via AND.
     """
+    if taql_where:
+        from ..taql import taql_where_to_sql
+
+        translated = taql_where_to_sql(taql_where)
+        where = f"({where}) AND ({translated})" if where else translated
     store = TableStore.parse(url, storage_options)
     if store.storage_options:
         store.apply(spark)

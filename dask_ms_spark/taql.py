@@ -1,0 +1,152 @@
+"""TAQL ``taql_where`` → Spark SQL translation (migration aid).
+
+The reference's row filter is a TAQL boolean expression evaluated by
+casacore before any column I/O (``taql_where=`` in
+``xds_from_table``, daskms/dask_ms.py:236-241; daskms/ordering.py:
+68-71, 180-183).  Most TAQL predicates users write — column
+comparisons, boolean algebra, IN-lists, array element/slice access,
+``SUMSQR`` — are expressible in Spark SQL, where Catalyst gives the
+same "filter before I/O" property via parquet predicate pushdown
+(P2).  This module translates the common subset mechanically so an
+existing ``taql_where`` string keeps working:
+
+    ``ANTENNA1 != ANTENNA2 && FIELD_ID IN [0,2]``
+        → ``ANTENNA1 != ANTENNA2 AND FIELD_ID IN (0,2)``
+    ``SUMSQR(UVW[:2]) < 1e6``
+        → ``aggregate(slice(UVW, 1, 2), CAST(0 AS DOUBLE),
+                      (__a, __v) -> __a + __v * __v) < 1e6``
+    ``!FLAG_ROW``  → ``NOT FLAG_ROW``
+    ``UVW[0]``     → ``element_at(UVW, 1)``        (TAQL is 0-based)
+    ``UVW[1:3]``   → ``slice(UVW, 2, 2)``          (end-exclusive)
+
+Supported subset (raise otherwise so nothing silently mistranslates):
+``&& || !`` and word-form AND/OR/NOT, comparison and arithmetic
+operators, parenthesised expressions, IN ``[...]`` lists of literals,
+0-based integer element access and ``[a:b]``/``[:b]``/``[a:]``
+slices on array columns, and the array reductions ``SUMSQR``/
+``SUMSQUARE``, ``SUM``, ``MIN``/``MAX``/``MEAN`` over array
+arguments are left for Spark's own functions when names coincide.
+NOT covered (translate by hand): TAQL date/time/unit literals
+(``datetime()``, ``10:30:00``), interval syntax ``[a=:=b]``,
+``~=`` near-equality, mscal derived columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["taql_where_to_sql"]
+
+_TOKEN = re.compile(r"""
+    \s*(
+        '[^']*'            |   # string literal
+        "[^"]*"            |   # string literal
+        \d+\.\d*(?:[eE][+-]?\d+)? |
+        \.\d+(?:[eE][+-]?\d+)?    |
+        \d+(?:[eE][+-]?\d+)?      |
+        [A-Za-z_][A-Za-z_0-9]*    |
+        &&|\|\||==|!=|>=|<=|~=|<|>|=|
+        [()\[\],:+\-*/%!]
+    )""", re.VERBOSE)
+
+
+def _tokenize(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            raise ValueError(
+                f"taql_where_to_sql: cannot tokenise {s[pos:pos+20]!r} "
+                "(unsupported TAQL syntax — translate this predicate "
+                "by hand; see module docstring for the subset)")
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _match_bracket(toks: list[str], i: int, open_b: str,
+                   close_b: str) -> int:
+    """Index of the bracket matching ``toks[i]``."""
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j] == open_b:
+            depth += 1
+        elif toks[j] == close_b:
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced {open_b!r} in taql_where expression")
+
+
+_SUM_SQR = ("aggregate({x}, CAST(0 AS DOUBLE), "
+            "(__a, __v) -> __a + __v * __v)")
+
+
+def _emit(toks: list[str]) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        up = t.upper()
+        if t == "&&":
+            out.append("AND")
+        elif t == "||":
+            out.append("OR")
+        elif t == "!":
+            out.append("NOT")
+        elif t == "~=":
+            raise ValueError(
+                "taql_where_to_sql: '~=' near-equality has no direct "
+                "Spark form — spell the tolerance explicitly, e.g. "
+                "abs(a - b) < 1e-5")
+        elif up in ("SUMSQR", "SUMSQUARE") and i + 1 < n \
+                and toks[i + 1] == "(":
+            j = _match_bracket(toks, i + 1, "(", ")")
+            inner = _emit(toks[i + 2:j])
+            out.append(_SUM_SQR.format(x=inner))
+            i = j
+        elif up == "IN" and i + 1 < n and toks[i + 1] == "[":
+            j = _match_bracket(toks, i + 1, "[", "]")
+            inner = _emit(toks[i + 2:j])
+            out.append(f"IN ({inner})")
+            i = j
+        elif t == "[" and out and (re.match(r"^[A-Za-z_]", out[-1])
+                                   or out[-1].endswith(")")):
+            # array element / slice on the preceding operand
+            j = _match_bracket(toks, i, "[", "]")
+            body = toks[i + 1:j]
+            base = out.pop()
+            if ":" in body:
+                k = body.index(":")
+                lo = _emit(body[:k]) if k > 0 else "0"
+                hi = _emit(body[k + 1:]) if k + 1 < len(body) else None
+                if hi is None:
+                    out.append(f"slice({base}, ({lo}) + 1, "
+                               f"size({base}) - ({lo}))")
+                else:
+                    out.append(f"slice({base}, ({lo}) + 1, "
+                               f"({hi}) - ({lo}))")
+            else:
+                idx = _emit(body)
+                out.append(f"element_at({base}, ({idx}) + 1)")
+            i = j
+        else:
+            out.append(t)
+        i += 1
+    return " ".join(out)
+
+
+def taql_where_to_sql(expr: str) -> str:
+    """Translate a TAQL boolean expression (the supported subset — see
+    module docstring) to an equivalent Spark SQL predicate string.
+    Raises ``ValueError`` on syntax outside the subset rather than
+    guessing."""
+    if not expr or not expr.strip():
+        return expr
+    out = _emit(_tokenize(expr))
+    if "[" in out or "]" in out:
+        raise ValueError(
+            "taql_where_to_sql: '[' outside an IN-list or array "
+            f"index position in {expr!r} — unsupported TAQL syntax")
+    return out
