@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--group-columns", default="")
     conv.add_argument("--index-columns", default="")
     conv.add_argument("--where", default=None, help="row filter expression")
+    conv.add_argument("--taql-where", default=None,
+                      help="TAQL row filter (reference syntax; "
+                      "translated, see dask_ms_spark.taql)")
     conv.add_argument("--format", default="parquet",
                       choices=["parquet", "casa", "zarr"])
     conv.add_argument("--subtables", default="",
@@ -69,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
             exclude_columns=_csv(args.exclude),
             group_cols=_csv(args.group_columns),
             index_cols=_csv(args.index_columns),
-            where=args.where, output_format=args.format)
+            where=args.where, output_format=args.format,
+            taql_where=args.taql_where)
         return 0
 
     if args.command == "fragments":

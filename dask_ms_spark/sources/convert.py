@@ -29,16 +29,20 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
                   index_cols: Iterable[str] = (),
                   where: str | None = None,
                   output_format: str | None = None,
-                  mode: str = "overwrite") -> None:
+                  mode: str = "overwrite",
+                  taql_where: str | None = None) -> None:
     """Convert one table between formats (daskms/apps/convert.py:224-280).
 
     ``exclude_columns`` mirrors the CLI's ``--exclude``
     (daskms/apps/convert.py:237-240); ``group_cols`` become Hive
     partition dirs on parquet output (G3 partition-key round trip).
+    ``taql_where`` takes the reference CLI's TAQL predicate verbatim
+    (daskms/apps/convert.py convert(..., taql_where, ...)) via the
+    taql.py translation.
     """
     datasets = xds_from_storage_table(
         spark, input_url, group_cols=group_cols,
-        index_cols=index_cols, where=where)
+        index_cols=index_cols, where=where, taql_where=taql_where)
     exclude = set(exclude_columns)
     if exclude:
         datasets = [ds.select(*[c for c in ds.columns if c not in exclude])

@@ -74,3 +74,25 @@ def test_taql_where_through_storage_read(spark, tmp_path):
     want = sum(1 for r in rows
                if r.SCAN < 3 and r.ANTENNA1 != r.ANTENNA2)
     assert got == want > 0
+
+
+def test_convert_cli_taql_where(spark, tmp_path, monkeypatch):
+    """Reference CLI parity: dask-ms convert --taql-where filters the
+    converted output through the TAQL translation."""
+    from dask_ms_spark import apps
+
+    rows = [Row(ANTENNA1=a, ANTENNA2=(a + 1) % 3, SPW=a % 2)
+            for a in range(30)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows).write.parquet(src)
+
+    # reuse the live test session instead of building a second one
+    monkeypatch.setattr("dask_ms_spark.session.get_spark",
+                        lambda *a, **k: spark)
+    out = str(tmp_path / "out")
+    apps.main(["convert", src, out,
+               "--taql-where", "SPW IN [1] && ANTENNA1 != ANTENNA2"])
+    got = spark.read.parquet(out)
+    want = sum(1 for r in rows
+               if r.SPW == 1 and r.ANTENNA1 != r.ANTENNA2)
+    assert got.count() == want > 0
