@@ -207,7 +207,8 @@ def xds_from_casa(spark: SparkSession, path: str,
                   where: str | None = None,
                   table_factory: Callable | None = None,
                   row_chunk: int = DEFAULT_CASA_ROW_CHUNK,
-                  slices: dict | None = None) -> list[Dataset]:
+                  slices: dict | None = None,
+                  taql_where: str | None = None) -> list[Dataset]:
     """Read a CASA table into Datasets via distributed chunked getcol
     (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
     per-chunk getter kernels of daskms/reads.py:40-189).
@@ -225,6 +226,14 @@ def xds_from_casa(spark: SparkSession, path: str,
     column read at one channel, an I/O reduction of the full
     channel-count factor, not a post-read projection.
     """
+    if taql_where:
+        # reference call sites pass TAQL (daskms/dask_ms.py:236-241);
+        # here the same filter becomes a Catalyst predicate over the
+        # distributed scan — semantics preserved, engine swapped
+        from ..taql import taql_where_to_sql
+
+        translated = taql_where_to_sql(taql_where)
+        where = f"({where}) AND ({translated})" if where else translated
     if table_factory is None:
         _require_casacore()
         table_factory = _casacore_factory

@@ -96,3 +96,21 @@ def test_convert_cli_taql_where(spark, tmp_path, monkeypatch):
     want = sum(1 for r in rows
                if r.SPW == 1 and r.ANTENNA1 != r.ANTENNA2)
     assert got.count() == want > 0
+
+
+def test_taql_where_on_casa_read(spark):
+    """The reference's highest-traffic call shape —
+    xds_from_ms(..., taql_where=...) — works through the CASA seam:
+    translated predicate filters the distributed chunked read."""
+    from tests.test_sources import FakeCasaTable
+    from dask_ms_spark.sources.casa import xds_from_casa
+
+    cols = FakeCasaTable("/fake/ms").COLS
+    dss = xds_from_casa(spark, "/fake/ms",
+                        table_factory=FakeCasaTable, row_chunk=10,
+                        taql_where="FIELD_ID IN [0,2] && UVW[0] > 0.5")
+    got = sum(d.df.count() for d in dss)
+    want = sum(1 for i in range(FakeCasaTable.N)
+               if cols["FIELD_ID"][i] in (0, 2)
+               and cols["UVW"][i][0] > 0.5)
+    assert got == want > 0
