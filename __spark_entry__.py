@@ -3535,6 +3535,67 @@ def _edit_distance_sql(n: int = 5, num_hashes: int = 16,
     """
 
 
+_PR_FREQS = [1.4e9 + 2.0e6 * k for k in range(32)]
+_PR_L, _PR_M = 0.01, -0.02
+
+
+def q_phase_rotate(spark, sf_dir):
+    """Visibility rephasing (functions/complexf.py phase_rotate): the
+    measurement-equation geometric-delay phasor applied per channel to
+    a synthetic 32-channel complex DATA column (embedding halves as
+    re/im planes, uvw derived from vec_id) — one codegen'd projection,
+    no shuffle, no Python.  Rotated samples quantised to micro units
+    for the hash compare."""
+    from dask_ms_spark.functions.complexf import c_make, phase_rotate
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = embs.select(
+        "vec_id",
+        c_make(F.slice(vec, 1, 32), F.slice(vec, 33, 32)).alias("z"),
+        ((F.col("vec_id") % 97) * 10.0 - 480).alias("u"),
+        ((F.col("vec_id") % 89) * 12.0 - 520).alias("v"),
+        ((F.col("vec_id") % 31) * 3.0 - 45).alias("w"))
+    rot = phase_rotate(F.col("z"), F.col("u"), F.col("v"), F.col("w"),
+                       _PR_L, _PR_M, _PR_FREQS)
+    q = F.transform(rot, lambda x: F.round(x * 1e6).cast("long")
+                    .cast("string"))
+    return d.select("vec_id", F.array_join(q, ",").alias("rot_q"))
+
+
+def _phase_rotate_sql() -> str:
+    import math as _math
+
+    n = _math.sqrt(1.0 - _PR_L * _PR_L - _PR_M * _PR_M)
+    freqs = "[" + ", ".join(repr(f) for f in _PR_FREQS) + "]"
+    c = 299792458.0
+    return f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> cast(x as double)) AS e,
+                          (vec_id % 97) * 10.0 - 480 AS u,
+                          (vec_id % 89) * 12.0 - 520 AS vv,
+                          (vec_id % 31) * 3.0 - 45 AS w
+                   FROM embeddings),
+        b AS (SELECT vec_id, e,
+                     (-2 * pi()) * (u * {_PR_L} + vv * ({_PR_M})
+                                    + w * ({n - 1.0!r})) / {c!r}
+                     AS base
+              FROM v)
+        SELECT vec_id,
+               array_to_string(flatten(list_transform(
+                   range(1, 33),
+                   k -> [cast(cast(round((e[k] * cos(base * ({freqs})[k])
+                              - e[32+k] * sin(base * ({freqs})[k]))
+                             * 1000000) as bigint) as varchar),
+                         cast(cast(round((e[k] * sin(base * ({freqs})[k])
+                              + e[32+k] * cos(base * ({freqs})[k]))
+                             * 1000000) as bigint) as varchar)])), ',')
+               AS rot_q
+        FROM b
+    """
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor) scratch dir for queries that drive
     a WRITE-side operator end-to-end: wiped at call start so results
@@ -3819,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_chan_avg": q_tensor_chan_avg,
         "tensor_row_avg": q_tensor_row_avg,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "phase_rotate": q_phase_rotate,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4341,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "tensor_chan_avg": _CHAN_AVG_SQL,
         "tensor_row_avg": _ROW_AVG_SQL,
         "dedup_edit_distance": _edit_distance_sql(),
+        "phase_rotate": _phase_rotate_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -14,10 +14,12 @@ vectorized numpy kernels (daskms/reads.py:40-56).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask"]
+__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask", "phase_rotate", "LIGHT_SPEED"]
 
 
 def c_make(re: Column, im: Column) -> Column:
@@ -117,3 +119,35 @@ def c_expand_mask(mask: Column) -> Column:
     masked_bin_average(c_imag(z), m, bin))``.
     """
     return F.flatten(F.transform(mask, lambda m: F.array(m, m)))
+
+
+LIGHT_SPEED = 299792458.0
+
+
+def phase_rotate(data: Column, u: Column, v: Column, w: Column,
+                 l: float, m: float, freqs_hz: list[float]) -> Column:
+    """Rephase complex visibilities to a new phase centre (the
+    chgcentre / rotate-to-source primitive): multiply each channel
+    sample by ``exp(-2*pi*i * (u*l + v*m + w*(n-1)) * f_k / c)`` with
+    ``n = sqrt(1 - l^2 - m^2)`` — the geometric delay term of the
+    measurement equation.
+
+    ``data`` is an interleaved complex array of ``len(freqs_hz)``
+    channels (types.py stride-2 convention); ``u``/``v``/``w`` are
+    per-row metre columns; ``l``/``m`` the target direction cosines
+    (driver-side constants, like the reference's numpy users pass).
+    The per-channel phasor is built with JVM ``cos``/``sin`` over a
+    per-row base angle times literal frequencies, then one
+    :func:`c_mul` — the whole rotation is a single codegen'd
+    projection: no shuffle, no Python, composes into the scan.
+    Amplitude is preserved exactly (|phasor| = 1 up to rounding),
+    which is the standard self-check.
+    """
+    n = math.sqrt(1.0 - l * l - m * m)
+    base = (F.lit(-2.0 * math.pi) *
+            (u * F.lit(float(l)) + v * F.lit(float(m))
+             + w * F.lit(n - 1.0)) / F.lit(LIGHT_SPEED))
+    phasor = F.flatten(F.transform(
+        F.array(*[F.lit(float(f)) for f in freqs_hz]),
+        lambda f: F.array(F.cos(base * f), F.sin(base * f))))
+    return c_mul(data, phasor)
