@@ -425,3 +425,41 @@ def test_phase_rotate_matches_numpy(spark):
         F.col("z"), F.col("u"), F.col("v"), F.col("w"), l, m, freqs)
         .alias("rot"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_apply_gains_matches_numpy_and_broadcasts(spark):
+    """applycal: G_p * V * conj(G_q) per channel vs a numpy oracle;
+    both gain attachments must be broadcast joins (the fact table
+    never shuffles)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.complexf import apply_gains
+    from dask_ms_spark.plans import plan_str
+
+    gains = {0: [1.0, 0.0, 0.5, 0.5], 1: [0.0, 1.0, 2.0, 0.0],
+             2: [1.0, -1.0, 0.0, -0.5]}
+    vis_rows = [Row(ANTENNA1=0, ANTENNA2=1,
+                    DATA=[1.0, 2.0, 3.0, -1.0]),
+                Row(ANTENNA1=1, ANTENNA2=2,
+                    DATA=[0.5, 0.0, -2.0, 1.0])]
+    vis = spark.createDataFrame(
+        vis_rows, "ANTENNA1 long, ANTENNA2 long, DATA array<double>")
+    gdf = spark.createDataFrame(
+        [Row(antenna=a, gain=g) for a, g in gains.items()],
+        "antenna long, gain array<double>")
+
+    out = apply_gains(vis, gdf)
+    for r in out.collect():
+        v = np.array(r.DATA).reshape(-1, 2)
+        v = v[:, 0] + 1j * v[:, 1]
+        gp = np.array(gains[r.ANTENNA1]).reshape(-1, 2)
+        gq = np.array(gains[r.ANTENNA2]).reshape(-1, 2)
+        want = (gp[:, 0] + 1j * gp[:, 1]) * v \
+            * np.conj(gq[:, 0] + 1j * gq[:, 1])
+        got = np.array(r.DATA_corrected).reshape(-1, 2)
+        assert np.allclose(got[:, 0] + 1j * got[:, 1], want)
+
+    p = plan_str(out)   # AQE prints initial+final plans: count >= 2
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
