@@ -50,7 +50,8 @@ from .events import normalize_ts
 
 __all__ = ["maintain_rollup", "committed_batch", "read_rollup",
            "maintain_rollup_log", "read_rollup_log",
-           "maintain_join", "read_join_view"]
+           "maintain_join", "read_join_view",
+           "maintain_mergeable", "read_mergeable"]
 
 
 def committed_batch(store: str) -> int | None:
@@ -400,6 +401,110 @@ def maintain_join(stream_df: DataFrame, store: str, on,
         db.write.mode("overwrite").parquet(
             os.path.join(store, f"b_d{batch_id}"))
         _join_commit(store, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(apply) \
+        .trigger(processingTime="0 seconds")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Generic mergeable-aggregate maintenance: the LSM delta-log above,
+# parameterised over ANY aggregate with an exact merge — CMS / KMV
+# sketches (llm/sketches.py), rollups, or user tables satisfying
+# merge(build(A), build(B)) == build(A ∪ B) for disjoint A, B.
+
+
+def read_mergeable(spark, store: str, merge) -> DataFrame | None:
+    """Committed state of a generic delta-log store: ``merge`` over
+    the base snapshot plus every committed delta above its fold
+    point.  ``merge(*frames) -> DataFrame`` must be the aggregate's
+    exact combiner (e.g. ``llm.sketches.cms_merge``)."""
+    base_name, upto = _base_state(store)
+    deltas = _committed_deltas(store, upto)
+    frames = []
+    if base_name is not None:
+        frames.append(spark.read.parquet(os.path.join(store, base_name)))
+    frames.extend(spark.read.parquet(p) for _, p in deltas)
+    if not frames:
+        return None
+    return merge(*frames)
+
+
+def maintain_mergeable(stream_df: DataFrame, store: str, build, merge,
+                       compact_every: int = 10,
+                       checkpoint: str | None = None):
+    """LSM maintenance for any mergeable aggregate: per micro-batch,
+    ``build(batch_df)`` produces the delta table (O(delta) work),
+    committed by one atomic directory rename; readers
+    :func:`read_mergeable` with the matching ``merge``; every
+    ``compact_every`` committed deltas the batch folds base+deltas
+    into a new base snapshot (same lag-one pruning discipline as
+    :func:`maintain_rollup_log`, which is this function specialised
+    to time-bucket rollups).
+
+    The flagship use is keeping corpus sketches current on a stream:
+    ``build=lambda b: cms_sketch(b, "token")`` with
+    ``merge=cms_merge`` maintains exact-merge token frequencies —
+    per-batch cost bounded by depth*width cells, never a corpus
+    re-read.  Replay-idempotent and checkpoint-identity-guarded
+    exactly like the rollup log.
+    """
+    os.makedirs(os.path.join(store, "delta"), exist_ok=True)
+    ident_file = os.path.join(store, ".stream_identity")
+    ident = os.path.abspath(checkpoint) if checkpoint else None
+    has_state = (_base_state(store)[0] is not None
+                 or bool(_committed_deltas(store, -1)))
+    if has_state:
+        recorded = (open(ident_file).read()
+                    if os.path.exists(ident_file) else None)
+        if ident is None or recorded != ident:
+            raise ValueError(
+                "store already holds state committed under checkpoint "
+                f"{recorded!r}; batch ids are per-checkpoint — resume "
+                "with the original checkpoint or start an empty store")
+    elif ident is not None:
+        with open(ident_file, "w") as fh:
+            fh.write(ident)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        _, upto = _base_state(store)
+        if batch_id <= upto:
+            return  # already folded into the base snapshot
+        delta = build(batch_df)
+        staging = os.path.join(store, "delta", f".tmp-{batch_id}")
+        final = os.path.join(store, "delta", f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)     # replayed batch: replace its delta
+        os.replace(staging, final)   # atomic commit
+
+        committed = _committed_deltas(store, upto)
+        if len(committed) >= compact_every:
+            spark = batch_df.sparkSession
+            old_base, old_upto = _base_state(store)
+            frames = ([spark.read.parquet(os.path.join(store, old_base))]
+                      if old_base else [])
+            frames += [spark.read.parquet(p) for _, p in committed]
+            folded_to = committed[-1][0]
+            new_base = f"base-v{folded_to}"
+            merge(*frames).write.mode("overwrite").parquet(
+                os.path.join(store, new_base))
+            tmp = os.path.join(store, ".BASE.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(f"{new_base} {folded_to}")
+            os.replace(tmp, os.path.join(store, "BASE"))
+            for b, p in _committed_deltas(store, -1):
+                if b <= old_upto:
+                    shutil.rmtree(p, ignore_errors=True)
+            for d in os.listdir(store):
+                if (d.startswith("base-v")
+                        and d not in (new_base, old_base)):
+                    shutil.rmtree(os.path.join(store, d),
+                                  ignore_errors=True)
 
     writer = stream_df.writeStream.foreachBatch(apply) \
         .trigger(processingTime="0 seconds")

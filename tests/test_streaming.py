@@ -405,3 +405,60 @@ def test_streaming_anomaly_matches_batch(spark, events_path, events):
     # sanity: the comparison is not vacuous
     assert sum(1 for v in want.values() if v) > 0
     assert sum(1 for v in want.values() if v is None) > 0
+
+
+def test_streaming_cms_maintenance(spark, tmp_path):
+    """Generic mergeable-aggregate maintenance over a stream: a CMS
+    token-frequency sketch maintained per micro-batch (O(delta) cells)
+    with compaction; the final merged sketch is CELL-IDENTICAL to the
+    batch sketch of the whole corpus — the mergeability law checked
+    end-to-end through replay and the LSM store."""
+    import time
+
+    from dask_ms_spark.llm.sketches import cms_merge, cms_sketch
+    from dask_ms_spark.streaming.maintenance import (_base_state,
+                                                     maintain_mergeable,
+                                                     read_mergeable)
+    from dask_ms_spark.streaming.replay import ParquetReplayDataSource
+
+    import glob
+
+    rows = [(i, f"tok{i % 23}") for i in range(600)]
+    src_dir = str(tmp_path / "toks")
+    spark.createDataFrame(rows, "id long, token string") \
+        .repartition(1).write.parquet(src_dir)
+    # the replay source reads ONE parquet file (row-count offsets)
+    (src_path,) = glob.glob(src_dir + "/part-*.parquet")
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "60").load(src_path))
+    store = str(tmp_path / "cms_store")
+    q = maintain_mergeable(
+        s, store,
+        build=lambda b: cms_sketch(b, "token", width=64, depth=3),
+        merge=cms_merge, compact_every=4,
+        checkpoint=str(tmp_path / "ck"))
+    try:
+        want_total = 3 * 600          # depth * rows
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                r = read_mergeable(spark, store, cms_merge)
+                if r is not None and \
+                        r.agg(F.sum("cnt")).first()[0] == want_total:
+                    break
+            except Exception:
+                pass   # racing a compaction prune: retry
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = {(r.d, r.bucket): r.cnt for r in
+           read_mergeable(spark, store, cms_merge).collect()}
+    whole = {(r.d, r.bucket): r.cnt for r in cms_sketch(
+        spark.read.parquet(src_dir), "token", width=64, depth=3)
+        .collect()}
+    assert got == whole and len(whole) > 0
+    base, upto = _base_state(store)
+    assert base is not None and upto >= 0   # compaction ran
