@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from dask_ms_spark.functions.text import portable_hash64
 
 __all__ = ["kmv_distinct", "kmv_overlap", "HASH_SPACE",
-           "cms_sketch", "cms_merge", "cms_estimate"]
+           "cms_sketch", "cms_merge", "cms_estimate",
+           "kmv_state", "kmv_merge_states", "kmv_estimate_state"]
 
 # portable_hash64 yields 15 hex digits -> [0, 2^60)
 HASH_SPACE = float(1 << 60)
@@ -221,3 +222,44 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
     return (joined.groupBy(*items.columns)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("cms_est")))
+
+
+def kmv_state(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """Mergeable KMV sketch STATE: the k smallest distinct portable
+    hashes of ``value_col`` as rows ``(h)`` — the explicit state form
+    of :func:`kmv_distinct` for stores and streams.  Merging states
+    (:func:`kmv_merge_states`) is exact: the k smallest of a union is
+    a pure function of the per-part k-smallest sets, which is what
+    lets :func:`~dask_ms_spark.streaming.maintenance.
+    maintain_mergeable` keep a distinct-count sketch current per
+    micro-batch at O(k) state."""
+    w = Window.orderBy("h")
+    return (df.select(portable_hash64(F.col(value_col)).alias("h"))
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def kmv_merge_states(*states: DataFrame, k: int = 256) -> DataFrame:
+    """Exact KMV state merge: distinct union, keep the k smallest."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    w = Window.orderBy("h")
+    return (u.distinct().withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def kmv_estimate_state(state: DataFrame, k: int = 256) -> DataFrame:
+    """Cardinality estimate from a KMV state: exact below fill
+    (n < k), else the classic ``(k - 1) / u_k`` estimator — identical
+    arithmetic to :func:`kmv_distinct`, so a maintained state and a
+    one-shot sketch of the same data agree bit-for-bit."""
+    agg = state.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.max("h").alias("mx"))
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("mx").cast("double")
+                               / F.lit(HASH_SPACE)))
+    return agg.select("n_kept",
+                      F.round(est).cast("long").alias("est_distinct"))

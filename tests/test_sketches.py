@@ -859,3 +859,28 @@ def test_cms_weighted_counts(spark):
         sk, df.select("tok").distinct(), "tok", width=64, depth=3)
         .collect()}
     assert est["a"] >= 7 and est["b"] >= 7
+
+
+def test_kmv_state_merge_equals_whole_and_estimates_agree(spark):
+    """KMV state: merging half-corpus states == whole-corpus state
+    row-for-row, and the state estimator equals kmv_distinct's on the
+    same data (maintained-vs-one-shot parity)."""
+    from dask_ms_spark.llm.sketches import (kmv_distinct,
+                                            kmv_estimate_state,
+                                            kmv_merge_states, kmv_state)
+
+    rows = [Row(v=f"item{i % 400}") for i in range(3000)]
+    df = spark.createDataFrame(rows)
+    k = 64
+    whole = sorted(r.h for r in kmv_state(df, "v", k=k).collect())
+    merged = sorted(r.h for r in kmv_merge_states(
+        kmv_state(spark.createDataFrame(rows[:1500]), "v", k=k),
+        kmv_state(spark.createDataFrame(rows[1500:]), "v", k=k),
+        k=k).collect())
+    assert merged == whole and len(whole) == k
+
+    est_state = kmv_estimate_state(
+        kmv_state(df, "v", k=k), k=k).collect()[0]
+    est_direct = kmv_distinct(df, "v", k=k).collect()[0]
+    assert est_state.est_distinct == est_direct.est_distinct
+    assert est_state.n_kept == est_direct.n_kept
