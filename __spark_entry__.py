@@ -3596,6 +3596,87 @@ def _phase_rotate_sql() -> str:
     """
 
 
+# abscissae quantised to the 2^-20 dyadic grid: their full
+# fixed-point decimal literals are EXACT in DuckDB's literal->DECIMAL
+# ->DOUBLE parse path (a raw repr(double) literal double-rounds there
+# — measured: 14/64 values off by 1 ulp, amplified through the
+# cancellation-prone OLS denominator), and F.lit ships the identical
+# bits on the Spark side.
+_SI_LOGX = [round(__import__("math").log(f) * (1 << 20)) / (1 << 20)
+            for f in (_PR_FREQS[:32] + _PR_FREQS[:32])]
+
+
+def q_spectral_index(spark, sf_dir):
+    """Per-row spectral-index fit (functions/vector.py log_log_fit
+    via precomputed log-abscissae): log-log OLS of embedding channel
+    amplitudes against the fixed frequency comb — flux ~ freq^alpha
+    per source, one codegen'd expression, no explode/shuffle.
+    Negative/zero channels excluded (the flagged-channel
+    analogue)."""
+    from dask_ms_spark.functions.vector import log_log_fit
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fit = log_log_fit(vec, _SI_LOGX, xs_are_logs=True)
+    return embs.select(
+        "vec_id",
+        F.round(fit["alpha"], 6).alias("alpha"),
+        F.round(fit["intercept"], 6).alias("intercept"),
+        fit["n_used"].alias("n_used"))
+
+
+def _spectral_index_sql() -> str:
+    import math as _math
+
+    del _math
+    # exact 2^-20-grid decimals, cast to DOUBLE[] once (the cast of
+    # an exactly-representable value is exact; leaving them DECIMAL
+    # would overflow scale in the x*x products)
+    lx = ("CAST([" + ", ".join("%.20f" % x for x in _SI_LOGX)
+          + "] AS DOUBLE[])")
+    return f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> cast(x as double)) AS e
+                   FROM embeddings),
+        p AS (SELECT vec_id,
+                     list_filter(
+                         list_transform(range(1, len(e) + 1),
+                             i -> CASE WHEN e[i] > 0 THEN
+                                  {{'y': ln(e[i]), 'x': ({lx})[i]}}
+                                  END),
+                         s -> s IS NOT NULL) AS kept
+              FROM v),
+        s AS (SELECT vec_id, len(kept) AS n,
+                     -- list_reduce over a 0.0-prepended list == the
+                     -- Spark aggregate() LEFT fold bit-for-bit
+                     -- (list_sum uses a different summation order)
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(kept, s -> s.x)),
+                         (a, b) -> a + b) AS sx,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(kept, s -> s.y)),
+                         (a, b) -> a + b) AS sy,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(kept, s -> s.x * s.x)),
+                         (a, b) -> a + b) AS sxx,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(kept, s -> s.x * s.y)),
+                         (a, b) -> a + b) AS sxy
+              FROM p)
+        SELECT vec_id,
+               round(CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+                     THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     END, 6) AS alpha,
+               round(CASE WHEN n >= 2 AND n * sxx - sx * sx != 0
+                     THEN (sy - ((n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx)) * sx) / n
+                     END, 6) AS intercept,
+               cast(n as bigint) AS n_used
+        FROM s
+    """
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor) scratch dir for queries that drive
     a WRITE-side operator end-to-end: wiped at call start so results
@@ -3881,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_row_avg": q_tensor_row_avg,
         "dedup_edit_distance": q_dedup_edit_distance,
         "phase_rotate": q_phase_rotate,
+        "spectral_index": q_spectral_index,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4404,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "tensor_row_avg": _ROW_AVG_SQL,
         "dedup_edit_distance": _edit_distance_sql(),
         "phase_rotate": _phase_rotate_sql(),
+        "spectral_index": _spectral_index_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

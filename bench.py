@@ -118,8 +118,26 @@ def main() -> int:
 
     jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
 
+    def canary_probe() -> float:
+        """Wall of the fixed canary triplet right now / its recorded
+        steady-state — run OUTSIDE the timed loop at start/mid/end so
+        a contention BURST during the run is visible even when the
+        in-suite canary queries happened to dodge it."""
+        t0 = time.time()
+        for cname in CANARY_STEADY:
+            queries[cname](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        return round((time.time() - t0)
+                     / sum(CANARY_STEADY.values()), 3)
+
+    probes = {"start": canary_probe()}
+
     t_total0 = time.time()
     for i, name in enumerate(names):
+        if i == len(names) // 2:
+            t_pause = time.time()
+            probes["mid"] = canary_probe()
+            t_total0 += time.time() - t_pause   # probe isn't suite time
         fn = queries[name]
         # isolate queries: persisted frames from earlier queries would
         # otherwise hold executor memory and skew later timings
@@ -144,6 +162,7 @@ def main() -> int:
             timings[name] = -1.0
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
     total = round(time.time() - t_total0, 3)
+    probes["end"] = canary_probe()
 
     canary_meas = sum(timings.get(k, 0.0) for k in CANARY_STEADY
                       if timings.get(k, -1.0) >= 0)
@@ -158,6 +177,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "canary_ratio": canary_ratio,
+        "canary_probes": probes,
     }
     line = json.dumps(metric)
     # file artifact first: survives any stdout-capture truncation

@@ -13,7 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
-           "masked_bin_average", "weighted_bin_average"]
+           "masked_bin_average", "weighted_bin_average", "log_log_fit"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -97,3 +97,46 @@ def weighted_bin_average(vec: Column, weights: Column,
         return F.when(tw > 0, s / tw).otherwise(F.lit(None))
     return F.transform(F.sequence(F.lit(0), nbins - 1),
                        lambda b: bin_avg(b))
+
+
+def log_log_fit(vec: Column, xs: list[float],
+                xs_are_logs: bool = False) -> Column:
+    """Per-row log-log least-squares fit of an array column against
+    fixed abscissae — the spectral-index estimator (flux ~ freq^alpha
+    => ln v = alpha * ln x + c) and any other per-cell power-law fit,
+    as ONE codegen'd expression: no explode, no shuffle, no Python.
+
+    ``xs`` are driver-side constants (channel frequencies), so their
+    log moments fold to literals; only the y-side sums run per row,
+    as left-to-right ``aggregate`` folds (engine-portable order).
+    Elements <= 0 are excluded from the fit (log undefined) — the
+    flagged-channel analogue; rows with fewer than 2 usable elements
+    yield NULL.  ``xs_are_logs=True`` takes pre-computed (e.g.
+    dyadic-quantised, for cross-engine literal parity) log-abscissae
+    verbatim.  Returns ``struct(alpha, intercept, n_used)``.
+    """
+    import math
+
+    lx = ([float(x) for x in xs] if xs_are_logs
+          else [math.log(float(x)) for x in xs])
+    lx_arr = F.array(*[F.lit(v) for v in lx])
+    pair = F.zip_with(vec, lx_arr,
+                      lambda v, x: F.when(v > 0, F.struct(
+                          F.log(v).alias("y"), x.alias("x")))
+                      .otherwise(F.lit(None)))
+    kept = F.filter(pair, lambda p: p.isNotNull())
+    n = F.size(kept)
+    sx = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["x"])
+    sy = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["y"])
+    sxx = F.aggregate(kept, F.lit(0.0),
+                      lambda a, p: a + p["x"] * p["x"])
+    sxy = F.aggregate(kept, F.lit(0.0),
+                      lambda a, p: a + p["x"] * p["y"])
+    denom = n * sxx - sx * sx
+    alpha = F.when((n >= 2) & (denom != 0),
+                   (n * sxy - sx * sy) / denom)
+    intercept = F.when((n >= 2) & (denom != 0),
+                       (sy - alpha * sx) / n)
+    return F.struct(alpha.alias("alpha"),
+                    intercept.alias("intercept"),
+                    n.cast("long").alias("n_used"))

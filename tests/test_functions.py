@@ -463,3 +463,41 @@ def test_apply_gains_matches_numpy_and_broadcasts(spark):
     p = plan_str(out)   # AQE prints initial+final plans: count >= 2
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_log_log_fit_matches_numpy(spark):
+    """Spectral-index fit vs numpy.polyfit on log-log axes; zero/
+    negative channels excluded; degenerate rows yield NULL."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.vector import log_log_fit
+
+    xs = [1.0e9, 1.2e9, 1.5e9, 2.0e9, 3.0e9]
+    alpha_true, s0 = -0.7, 5.0
+    flux = [s0 * (x / 1e9) ** alpha_true for x in xs]
+    flux_holes = list(flux)
+    flux_holes[2] = 0.0                      # flagged channel
+    rows = [Row(v=flux), Row(v=flux_holes), Row(v=[1.0, 0.0, 0.0,
+                                                   0.0, 0.0])]
+    df = spark.createDataFrame(rows, "v array<double>")
+    out = df.select(log_log_fit(F.col("v"), xs).alias("f")).collect()
+
+    got = out[0].f
+    lx = np.log(xs)
+    ly = np.log(flux)
+    slope, inter = np.polyfit(lx, ly, 1)
+    assert got.n_used == 5
+    assert abs(got.alpha - slope) < 1e-9
+    assert abs(got.intercept - inter) < 1e-9
+    assert abs(got.alpha - alpha_true) < 1e-9   # exact power law
+
+    holes = out[1].f
+    kx, ky = np.delete(lx, 2), np.log(np.delete(np.array(flux), 2))
+    s2, i2 = np.polyfit(kx, ky, 1)
+    assert holes.n_used == 4 and abs(holes.alpha - s2) < 1e-9
+
+    degen = out[2].f                         # one usable point
+    assert degen.n_used == 1 and degen.alpha is None
