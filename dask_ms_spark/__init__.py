@@ -28,6 +28,21 @@ from .sources.casa import xds_from_ms, MS_GROUP_COLS, MS_INDEX_COLS
 xds_from_table = xds_from_storage_table
 xds_to_table = xds_to_storage_table
 
+# Fragment entry points under their reference names
+# (daskms/experimental/fragments/__init__.py:154-237): accept a
+# Dataset or a plain DataFrame like the other writers.
+from .operators.overlay import (get_ancestry, read_fragment,  # noqa: E402
+                                write_fragment)
+
+
+def xds_to_table_fragment(xds, store: str, parent: str, **kw) -> None:
+    df = xds.df if isinstance(xds, Dataset) else xds
+    return write_fragment(df, store, parent, **kw)
+
+
+def xds_from_table_fragment(spark, store: str, **kw) -> list[Dataset]:
+    return [Dataset(read_fragment(spark, store, **kw), {})]
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -37,5 +52,6 @@ __all__ = [
     "xds_to_parquet", "read_table", "xds_from_storage_table",
     "xds_to_storage_table", "infer_format", "TableStore", "convert_table",
     "convert_store", "xds_from_ms", "MS_GROUP_COLS", "MS_INDEX_COLS",
-    "xds_from_table", "xds_to_table",
+    "xds_from_table", "xds_to_table", "xds_to_table_fragment",
+    "xds_from_table_fragment", "get_ancestry",
 ]

@@ -58,38 +58,83 @@ def read_backfill(spark, store: str) -> DataFrame | None:
 
 def backfill(spark, partitions: Sequence[str],
              run: Callable[[object, str], DataFrame], store: str,
-             max_failures: int = 0) -> list[tuple[str, str]]:
+             max_failures: int = 0,
+             max_concurrent: int = 1) -> list[tuple[str, str]]:
     """Execute ``run(spark, partition)`` for every partition not yet
-    committed in ``store``; returns ``[(partition, status)]`` with
-    status in ``skipped`` / ``done`` / ``failed: <err>``.
+    committed in ``store``; returns ``[(partition, status)]`` in input
+    order with status in ``skipped`` / ``done`` / ``failed: <err>``.
 
     A partition is committed only after its parquet write finishes:
     crash between write and commit re-runs that partition, whose
     ``mode("overwrite")`` write makes the retry idempotent.  Stops
-    after ``max_failures`` failures (0 = stop at first).
+    submitting after ``max_failures`` failures (0 = stop at first);
+    in-flight partitions finish and commit.
+
+    ``max_concurrent > 1`` drives that many partition JOBS through
+    the SparkSession at once (Spark's scheduler interleaves jobs
+    freely; the commit protocol is already per-partition-atomic, so
+    concurrency changes throughput, not semantics).  Use it when one
+    partition's job cannot saturate the cluster — e.g. many small
+    historical days — and leave it at 1 when each partition already
+    fills the executors.
     """
     os.makedirs(os.path.join(store, "_done"), exist_ok=True)
     os.makedirs(os.path.join(store, "data"), exist_ok=True)
     done = completed_partitions(store)
-    results: list[tuple[str, str]] = []
-    failures = 0
+    status: dict[str, str] = {}
+    todo = []
     for part in partitions:
+        if _safe(part) in done:
+            status[part] = "skipped"
+        else:
+            todo.append(part)
+
+    def run_one(part: str) -> str:
         key = _safe(part)
-        if key in done:
-            results.append((part, "skipped"))
-            continue
-        try:
-            out = run(spark, part)
-            out.write.mode("overwrite").parquet(
-                os.path.join(store, "data", f"p={key}"))
-            tmp = os.path.join(store, "_done", f".{key}.tmp")
-            with open(tmp, "w") as fh:
-                fh.write(str(part))
-            os.replace(tmp, os.path.join(store, "_done", key))
-            results.append((part, "done"))
-        except Exception as exc:  # noqa: BLE001 - per-partition isolation
-            results.append((part, f"failed: {exc}"))
-            failures += 1
-            if failures > max_failures:
-                break
-    return results
+        out = run(spark, part)
+        out.write.mode("overwrite").parquet(
+            os.path.join(store, "data", f"p={key}"))
+        tmp = os.path.join(store, "_done", f".{key}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(part))
+        os.replace(tmp, os.path.join(store, "_done", key))
+        return "done"
+
+    if max_concurrent <= 1:
+        failures = 0
+        for part in todo:
+            try:
+                status[part] = run_one(part)
+            except Exception as exc:  # noqa: BLE001 - isolation
+                status[part] = f"failed: {exc}"
+                failures += 1
+                if failures > max_failures:
+                    break
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        failures = 0
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            pending = {}
+            it = iter(todo)
+            active = True
+            while pending or active:
+                while active and len(pending) < max_concurrent:
+                    nxt = next(it, None)
+                    if nxt is None or failures > max_failures:
+                        active = False
+                        break
+                    pending[pool.submit(run_one, nxt)] = nxt
+                if not pending:
+                    break
+                from concurrent.futures import FIRST_COMPLETED, wait
+
+                ready, _ = wait(pending, return_when=FIRST_COMPLETED)
+                for fut in ready:
+                    part = pending.pop(fut)
+                    try:
+                        status[part] = fut.result()
+                    except Exception as exc:  # noqa: BLE001
+                        status[part] = f"failed: {exc}"
+                        failures += 1
+    return [(p, status[p]) for p in partitions if p in status]

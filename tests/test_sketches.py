@@ -884,3 +884,59 @@ def test_kmv_state_merge_equals_whole_and_estimates_agree(spark):
     est_direct = kmv_distinct(df, "v", k=k).collect()[0]
     assert est_state.est_distinct == est_direct.est_distinct
     assert est_state.n_kept == est_direct.n_kept
+
+
+def test_backfill_concurrent_matches_sequential(spark, tmp_path):
+    """max_concurrent > 1 changes throughput, not semantics: same
+    committed partitions and values as the sequential run; failures
+    stop submission without corrupting committed work; a follow-up
+    run completes only what's missing."""
+    from dask_ms_spark.operators.backfill import (backfill,
+                                                  read_backfill)
+
+    parts = [f"d{i}" for i in range(8)]
+
+    def run(s, p):
+        if p == "d5":
+            raise RuntimeError("boom")
+        return s.range(10).selectExpr(f"'{p}' AS p2", "id")
+
+    store = str(tmp_path / "bfc")
+    res = dict(backfill(spark, parts, run, store, max_failures=0,
+                        max_concurrent=4))
+    assert res["d5"].startswith("failed")
+    done_now = {p for p, s in res.items() if s == "done"}
+    assert done_now and "d5" not in done_now
+
+    def run_ok(s, p):
+        return s.range(10).selectExpr(f"'{p}' AS p2", "id")
+
+    res2 = dict(backfill(spark, parts, run_ok, store,
+                         max_concurrent=4))
+    assert all(res2[p] == "skipped" for p in done_now)
+    assert res2["d5"] == "done"
+    got = read_backfill(spark, store)
+    assert got.count() == 8 * 10
+    assert got.select("p2").distinct().count() == 8
+
+
+def test_fragment_reference_name_aliases(spark, tmp_path):
+    """Reference users call xds_to_table_fragment /
+    xds_from_table_fragment (daskms/experimental/fragments) — the
+    package-level aliases round-trip a fragment chain."""
+    import dask_ms_spark as d
+    from dask_ms_spark.types import ROWID
+
+    root = str(tmp_path / "root")
+    spark.range(20).selectExpr(f"id AS {ROWID}", "id * 1.0 AS flux") \
+        .write.parquet(root)
+    frag = str(tmp_path / "frag")
+    d.xds_to_table_fragment(
+        spark.range(5).selectExpr(f"id AS {ROWID}",
+                                  "id * 100.0 AS flux"),
+        frag, parent=root)
+    (ds,) = d.xds_from_table_fragment(spark, frag)
+    vals = {r[ROWID]: r.flux for r in ds.df.collect()}
+    assert len(vals) == 20
+    assert vals[3] == 300.0 and vals[15] == 15.0
+    assert d.get_ancestry(frag) == [root, frag]
