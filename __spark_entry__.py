@@ -3885,8 +3885,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
     #   round 7 must lead with: the 33 "r4-stale, below window"
-    #     entries, then any r6-session debuts, then the oldest
-    #     r5-checked entries fill the window.
+    #     entries, then the r6-session debuts (snapshot_roundtrip,
+    #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
+    #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
+    #     phase_rotate, spectral_index), then the oldest r5-checked
+    #     entries fill the window.  After r6 driver rows land,
+    #     dedup_substring_exact (stride-1 variant of dedup_substring)
+    #     is the next demotion candidate (see demoted_queries).
     return {
         # -- debuts: added in round 5 below the window, each verified
         #    by tools/check_oracle at sf0.01 (and by the r5 judge);

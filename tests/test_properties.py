@@ -263,3 +263,41 @@ if HAVE_HYPOTHESIS:
         cells = sk.collect()
         for d in range(3):
             assert sum(c.cnt for c in cells if c.d == d) == len(vals)
+
+
+if HAVE_HYPOTHESIS:
+    @given(st.lists(st.tuples(st.floats(-100, 100),
+                              st.booleans()),
+                    min_size=1, max_size=40),
+           st.sampled_from([1, 3, 4, 7]))
+    @settings(max_examples=8, deadline=None)
+    def test_masked_bin_average_matches_python(spark, cells, bin_size):
+        """Flag-aware channel averaging == a direct Python fold for
+        arbitrary value/mask arrays and bin sizes (incl. partial
+        trailing bins and all-masked bins)."""
+        from pyspark.sql import Row
+
+        from pyspark.sql import functions as F
+
+        from dask_ms_spark.functions.vector import masked_bin_average
+
+        vals = [v for v, _ in cells]
+        mask = [m for _, m in cells]
+        df = spark.createDataFrame(
+            [Row(v=vals, m=mask)],
+            "v array<double>, m array<boolean>")
+        got = df.select(masked_bin_average(
+            F.col("v"), F.col("m"), bin_size).alias("b")) \
+            .collect()[0].b
+
+        want = []
+        for lo in range(0, len(vals), bin_size):
+            kept = [v for v, m in zip(vals[lo:lo + bin_size],
+                                      mask[lo:lo + bin_size]) if m]
+            want.append(sum(kept) / len(kept) if kept else None)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            if w is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(w, rel=1e-12, abs=1e-12)
