@@ -108,6 +108,11 @@ def _emit(toks: list[str]) -> str:
             i = j
         elif up == "IN" and i + 1 < n and toks[i + 1] == "[":
             j = _match_bracket(toks, i + 1, "[", "]")
+            if ":" in toks[i + 2:j]:
+                raise ValueError(
+                    "taql_where_to_sql: range-form IN sets "
+                    "([a:b]) are not supported — enumerate the "
+                    "values or use comparison predicates")
             inner = _emit(toks[i + 2:j])
             out.append(f"IN ({inner})")
             i = j
@@ -117,6 +122,11 @@ def _emit(toks: list[str]) -> str:
             j = _match_bracket(toks, i, "[", "]")
             body = toks[i + 1:j]
             base = out.pop()
+            if body.count(":") > 1:
+                raise ValueError(
+                    "taql_where_to_sql: strided slices ([a:b:c]) "
+                    "are not supported — materialise the stride "
+                    "with element_at/filter by hand")
             if ":" in body:
                 k = body.index(":")
                 lo = _emit(body[:k]) if k > 0 else "0"

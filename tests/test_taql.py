@@ -22,6 +22,10 @@ def test_translation_strings():
 def test_unsupported_syntax_raises():
     with pytest.raises(ValueError, match="near-equality"):
         taql_where_to_sql("a ~= b")
+    with pytest.raises(ValueError, match="strided"):
+        taql_where_to_sql("UVW[0:4:2] = UVW[0:2]")
+    with pytest.raises(ValueError, match="range-form"):
+        taql_where_to_sql("FIELD_ID IN [0:3]")
     with pytest.raises(ValueError, match="unsupported|unbalanced"):
         taql_where_to_sql("a > 5 [")
     with pytest.raises(ValueError, match="tokenise"):
