@@ -4,10 +4,12 @@ The reference reads/writes zarr groups ``{table}_{i}`` per partition
 with chunk-aligned getters/setters
 (daskms/experimental/zarr/__init__.py:129-157, :209-217, :270-364,
 :380-528).  This module implements the same store layout as a **zarr
-v2 directory store with uncompressed chunks** using numpy only, so the
-round trip runs (and is tested) without the zarr package; stores it
-writes are standard zarr v2 (``compressor: null``) and open unchanged
-with ``zarr.open_group`` when the package is present.
+v2 directory store** using numpy + stdlib only, so the round trip
+runs (and is tested) without the zarr package: uncompressed chunks
+(``compressor: null``) plus the stdlib-codable codecs
+``{"id": "zlib"}`` / ``{"id": "gzip"}``; stores it writes are
+standard zarr v2 and open unchanged with ``zarr.open_group`` when
+the package is present.
 
 Execution model — the part the reference does with dask, re-expressed
 Spark-side:
@@ -23,9 +25,10 @@ Spark-side:
   ``zarr_getter`` (daskms/experimental/zarr/__init__.py:367-372).  No
   full-table driver materialisation on any path.
 
-Compressed third-party stores are read through the zarr package when
-installed (still chunk-at-a-time on executors); without it they raise
-with the parquet conversion path as the remedy.
+Third-party stores with other codecs (blosc, ...) or filters are
+read through the zarr package when installed (still chunk-at-a-time
+on executors); without it they raise with the parquet conversion
+path as the remedy.
 """
 
 from __future__ import annotations
@@ -142,15 +145,27 @@ def _column_plan(df: DataFrame, max_strlen: dict[str, int],
 
 def _write_group(df: DataFrame, group_dir: str, attrs: dict,
                  row_chunk: int,
-                 cell_chunks: dict | None = None) -> int:
+                 cell_chunks: dict | None = None,
+                 compressor: dict | None = None) -> int:
     """Write one dataset as one zarr group; returns rows written.
 
     ``cell_chunks`` maps a tensor column to a chunk size along its
     cell (width) axis; the column's chunk files become
     ``{ci}.{j}`` slabs so sliced readers (:func:`_read_cell_chunks`)
     can prune whole files.  Default: one cell chunk (``{ci}.0``).
+
+    ``compressor`` (zarr v2 codec dict) supports the stdlib-codable
+    codecs: ``{"id": "zlib", "level": N}`` (numcodecs raw-zlib) and
+    ``{"id": "gzip", "level": N}`` — compressed stores round-trip
+    with no zarr package on either side, and any standard zarr v2
+    reader opens them.
     """
     cell_chunks = dict(cell_chunks or {})
+    if compressor is not None:
+        if compressor.get("id") not in ("zlib", "gzip"):
+            raise NotImplementedError(
+                f"compressor {compressor!r}: only the stdlib codecs "
+                "zlib/gzip are supported without the zarr package")
     if ROWID not in df.columns:
         from ..operators.ordering import attach_rowid
 
@@ -222,7 +237,7 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
             "shape": [nrow] if w is None else [nrow, w],
             "chunks": [row_chunk] if w is None else [row_chunk, cc],
             "dtype": spec["dtype"],
-            "compressor": None,
+            "compressor": dict(compressor) if compressor else None,
             "fill_value": _fill_value(spec["dtype"]),
             "order": "C",
             "filters": None,
@@ -236,6 +251,18 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
     # distributed chunk-aligned writes: one task per row chunk
     cols = list(plan)
     specs = {c: dict(plan[c]) for c in cols}
+    codec_id = compressor.get("id") if compressor else None
+    codec_level = int(compressor.get("level", 6)) if compressor else 0
+
+    def encode(payload: bytes) -> bytes:
+        if codec_id is None:
+            return payload
+        import gzip as _gz
+        import zlib as _zl
+
+        if codec_id == "gzip":
+            return _gz.compress(payload, compresslevel=codec_level)
+        return _zl.compress(payload, codec_level)
     chunked = df.withColumn("__chunk",
                             (F.col(ROWID) / F.lit(row_chunk))
                             .cast("long"))
@@ -259,7 +286,8 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
                 tmp = os.path.join(group_dir, col,
                                    f".{key}.tmp{os.getpid()}")
                 with open(tmp, "wb") as fh:
-                    fh.write(np.ascontiguousarray(full).tobytes())
+                    fh.write(encode(
+                        np.ascontiguousarray(full).tobytes()))
                 os.replace(tmp, os.path.join(group_dir, col, key))
             else:
                 arr = np.stack([np.asarray(v, dtype=dt)
@@ -276,7 +304,8 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
                     tmp = os.path.join(group_dir, col,
                                        f".{key}.tmp{os.getpid()}")
                     with open(tmp, "wb") as fh:
-                        fh.write(np.ascontiguousarray(part).tobytes())
+                        fh.write(encode(
+                            np.ascontiguousarray(part).tobytes()))
                     os.replace(tmp, os.path.join(group_dir, col, key))
         return pd.DataFrame({"chunk": [ci], "rows": [n]})
 
@@ -292,7 +321,8 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
 def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
                 table: str = "MAIN",
                 row_chunk: int = DEFAULT_ROW_CHUNK,
-                cell_chunks: dict | None = None) -> list[int]:
+                cell_chunks: dict | None = None,
+                compressor: dict | None = None) -> list[int]:
     """Write datasets to a zarr store, one group ``{table}_{i}`` per
     dataset (reference ``xds_to_zarr``,
     daskms/experimental/zarr/__init__.py:270-364; group naming
@@ -323,7 +353,8 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
                 attrs[k] = str(v)
         counts.append(_write_group(ds.df, os.path.join(store,
                                                        f"{table}_{i}"),
-                                   attrs, row_chunk, cell_chunks))
+                                   attrs, row_chunk, cell_chunks,
+                                   compressor))
     return counts
 
 
@@ -385,20 +416,36 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
 
     zarr v2 layout: chunk key ``"{ci}.{j}.{k}..."``, every file padded
     to the full chunk shape; valid extents trimmed via the memmap
-    index.  (Compressed stores can't do this — they take the
-    zarr-package path in ``_read_group``; a compressed chunk is an
-    indivisible I/O unit by construction.)
+    index.  zlib/gzip-codec chunks are handled natively with stdlib
+    decompression (a compressed chunk is an indivisible I/O unit, so
+    the slab applies AFTER decode — whole-file pruning still holds);
+    other codecs (blosc, ...) take the zarr-package path in
+    ``_read_group``.
     """
     cell_shape = list(z["shape"][1:])
     cell_chunks = list(z["chunks"][1:])
     dtype = np.dtype(z["dtype"])
     row_chunk = z["chunks"][0]
+    codec = (z.get("compressor") or {}).get("id") \
+        if isinstance(z.get("compressor"), dict) else None
+
+    def load(path: str, shape: tuple):
+        if codec is None:
+            return np.memmap(path, dtype=dtype, mode="r", shape=shape)
+        import zlib
+
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        # numcodecs "zlib" = raw zlib stream; "gzip" = gzip-framed
+        data = zlib.decompress(raw, 47 if codec == "gzip" else 15)
+        return np.frombuffer(data, dtype=dtype).reshape(shape)
+
     if slab is None:
         slab = [(0, d) for d in cell_shape]
     if not cell_shape:                      # 1-d array: single file
-        mm = np.memmap(os.path.join(group_dir, col, str(ci)),
-                       dtype=dtype, mode="r", shape=(row_chunk,))
-        return np.array(mm[:n_valid])
+        arr = load(os.path.join(group_dir, col, str(ci)),
+                   (row_chunk,))
+        return np.array(arr[:n_valid])
     out_shape = [n_valid] + [b - a for a, b in slab]
     buf = np.empty(out_shape, dtype=dtype)
     ranges = [range(a // ch, (b - 1) // ch + 1)
@@ -407,16 +454,16 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
 
     for coord in product(*ranges):
         key = ".".join([str(ci)] + [str(j) for j in coord])
-        mm = np.memmap(os.path.join(group_dir, col, key), dtype=dtype,
-                       mode="r", shape=tuple([row_chunk] + cell_chunks))
+        arr = load(os.path.join(group_dir, col, key),
+                   tuple([row_chunk] + cell_chunks))
         src: list[slice] = [slice(0, n_valid)]
         dst: list[slice] = [slice(0, n_valid)]
         for (a, b), ch, j in zip(slab, cell_chunks, coord):
             g0, g1 = max(a, j * ch), min(b, (j + 1) * ch)
             src.append(slice(g0 - j * ch, g1 - j * ch))
             dst.append(slice(g0 - a, g1 - a))
-        buf[tuple(dst)] = mm[tuple(src)]
-        del mm
+        buf[tuple(dst)] = arr[tuple(src)]
+        del arr
     return buf.reshape(n_valid, -1) if len(cell_shape) > 1 else buf
 
 
@@ -453,14 +500,23 @@ def _read_group(spark: SparkSession, group_dir: str,
                 "columns only")
         slabs[c] = _cell_slab(arrays[c]["shape"][1:], tuple(sl))
 
-    compressed = [c for c, z in arrays.items()
-                  if z.get("compressor") is not None
-                  or z.get("filters") not in (None, [])]
+    def _native(z: dict) -> bool:
+        comp = z.get("compressor")
+        if z.get("filters") not in (None, []):
+            return False
+        if comp is None:
+            return True
+        # stdlib-decodable codecs: numcodecs zlib (raw stream) and
+        # gzip (framed) — read without the zarr package
+        return isinstance(comp, dict) and comp.get("id") in ("zlib",
+                                                             "gzip")
+
+    compressed = [c for c, z in arrays.items() if not _native(z)]
     if compressed and not HAVE_ZARR:
         raise NotImplementedError(
-            f"store {group_dir} has compressed/filtered arrays "
-            f"({compressed[:3]}...) and zarr is not installed; install "
-            "zarr or convert the store to parquet")
+            f"store {group_dir} has arrays with non-native codecs/"
+            f"filters ({compressed[:3]}...) and zarr is not installed; "
+            "install zarr or convert the store to parquet")
 
     shapes = {c: z["shape"] for c, z in arrays.items()}
     nrows = {s[0] for s in shapes.values()}
