@@ -261,7 +261,8 @@ def xds_from_storage_table(spark: SparkSession, url: str,
 def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
                          partition_cols: Iterable[str] | None = None,
                          mode: str = "overwrite",
-                         storage_options: dict | None = None) -> None:
+                         storage_options: dict | None = None,
+                         compressor: dict | None = None) -> None:
     """Format-dispatched write (reference daskms/dask_ms.py:383-439).
 
     ``fmt=None`` infers from the url the same way the READ side does
@@ -296,4 +297,5 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
         return writer.json(store.path)
     if fmt == "casa":
         return casa.xds_to_casa(datasets, store.path)
-    return zarr.xds_to_zarr(datasets, store.path)
+    return zarr.xds_to_zarr(datasets, store.path,
+                            compressor=compressor)
