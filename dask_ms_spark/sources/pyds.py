@@ -90,13 +90,20 @@ def _load_arrays(group_dir: str, columns: list[str] | None) -> dict:
         arrays = {c: arrays[c] for c in columns}
     if not arrays:
         raise ValueError(f"no zarr arrays under {group_dir}")
-    compressed = [c for c, z in arrays.items()
-                  if z.get("compressor") is not None
-                  or z.get("filters") not in (None, [])]
+    def _native(z: dict) -> bool:
+        comp = z.get("compressor")
+        if z.get("filters") not in (None, []):
+            return False
+        # _read_cell_chunks decodes zlib/gzip codecs with stdlib
+        return comp is None or (isinstance(comp, dict)
+                                and comp.get("id") in ("zlib", "gzip"))
+
+    compressed = [c for c, z in arrays.items() if not _native(z)]
     if compressed:
         raise NotImplementedError(
-            f"compressed arrays {compressed[:3]} need the zarr package "
-            "path (xds_from_zarr) or parquet conversion")
+            f"arrays {compressed[:3]} use non-native codecs/filters — "
+            "use the zarr package path (xds_from_zarr) or parquet "
+            "conversion")
     return arrays
 
 

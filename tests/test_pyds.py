@@ -139,3 +139,18 @@ def test_format_casa_without_casacore_raises(spark):
     register_python_sources(spark)
     with _pytest.raises(Exception, match="casacore|convert"):
         spark.read.format("casa").load("/no/such/table").collect()
+
+
+def test_format_zarr_reads_zlib_compressed(spark, tmp_path):
+    """The DataSource leg inherits the stdlib codec support: a
+    zlib-compressed store reads through spark.read.format('zarr')."""
+    df = spark.range(500).select(
+        F.col("id").alias("ROWID"), (F.col("id") * 3.0).alias("V"))
+    path = str(tmp_path / "c.zarr")
+    xds_to_zarr(df, path, row_chunk=128,
+                compressor={"id": "zlib", "level": 5})
+    register_python_sources(spark)
+    r = spark.read.format("zarr").load(path)
+    assert r.count() == 500
+    got = {x.ROWID: x.V for x in r.where("ROWID IN (0, 499)").collect()}
+    assert got == {0: 0.0, 499: 1497.0}

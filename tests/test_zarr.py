@@ -429,3 +429,26 @@ def test_zarr_gzip_codec_read(spark, tmp_path):
     (ds,) = dss
     assert [r.x for r in ds.df.orderBy(ROWID).collect()] == \
         [float(i) for i in range(8)]
+
+
+def test_zarr_package_interop_compressed(spark, tmp_path):
+    """GATED: where the zarr package exists, it must open our
+    zlib-compressed store unchanged (standard v2 on disk).  Skipped
+    in this sandbox (zarr not installed); the stdlib decode path is
+    exercised unconditionally above."""
+    import pytest
+
+    from dask_ms_spark.sources.zarr import HAVE_ZARR
+
+    if not HAVE_ZARR:
+        pytest.skip("zarr package not installed")
+    import numpy as np
+    import zarr as _z
+
+    store = str(tmp_path / "interop")
+    df = spark.range(30).selectExpr(f"id as {ROWID}",
+                                    "cast(id as double) as v")
+    xds_to_zarr([Dataset(df, {})], store, row_chunk=16,
+                compressor={"id": "zlib", "level": 4})
+    g = _z.open_group(os.path.join(store, "MAIN_0"), mode="r")
+    assert np.allclose(g["v"][:], np.arange(30, dtype="<f8"))
