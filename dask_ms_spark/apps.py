@@ -21,6 +21,17 @@ import argparse
 import sys
 
 
+def _parse_codec(spec: str | None) -> dict | None:
+    """--zarr-compressor id[:level] -> zarr v2 codec dict."""
+    if not spec:
+        return None
+    cid, _, lvl = spec.partition(":")
+    out = {"id": cid}
+    if lvl:
+        out["level"] = int(lvl)
+    return out
+
+
 def _csv(value: str | None) -> list[str]:
     return [v for v in (value or "").split(",") if v]
 
@@ -40,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--taql-where", default=None,
                       help="TAQL row filter (reference syntax; "
                       "translated, see dask_ms_spark.taql)")
+    conv.add_argument("--zarr-compressor", default=None,
+                      help="codec for zarr output as id[:level], "
+                      "e.g. zlib:6 or gzip:4 (stdlib codecs)")
     conv.add_argument("--format", default="parquet",
                       choices=["parquet", "casa", "zarr"])
     conv.add_argument("--subtables", default="",
@@ -73,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
             group_cols=_csv(args.group_columns),
             index_cols=_csv(args.index_columns),
             where=args.where, output_format=args.format,
-            taql_where=args.taql_where)
+            taql_where=args.taql_where,
+            compressor=_parse_codec(args.zarr_compressor))
         return 0
 
     if args.command == "fragments":

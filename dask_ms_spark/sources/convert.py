@@ -30,7 +30,8 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
                   where: str | None = None,
                   output_format: str | None = None,
                   mode: str = "overwrite",
-                  taql_where: str | None = None) -> None:
+                  taql_where: str | None = None,
+                  compressor: dict | None = None) -> None:
     """Convert one table between formats (daskms/apps/convert.py:224-280).
 
     ``exclude_columns`` mirrors the CLI's ``--exclude``
@@ -47,7 +48,8 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
     if exclude:
         datasets = [ds.select(*[c for c in ds.columns if c not in exclude])
                     for ds in datasets]
-    xds_to_storage_table(datasets, output_url, fmt=output_format, mode=mode)
+    xds_to_storage_table(datasets, output_url, fmt=output_format,
+                         mode=mode, compressor=compressor)
 
 
 def convert_store(spark: SparkSession, input_url: str, output_url: str,
@@ -62,7 +64,8 @@ def convert_store(spark: SparkSession, input_url: str, output_url: str,
         # Subtables are small dimension tables: no grouping, no filter.
         datasets = xds_from_storage_table(spark, sub_in)
         xds_to_storage_table(datasets, sub_out,
-                             fmt=kw.get("output_format"))
+                             fmt=kw.get("output_format"),
+                             compressor=kw.get("compressor"))
 
 
 def probe(path: str) -> str:

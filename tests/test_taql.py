@@ -118,3 +118,29 @@ def test_taql_where_on_casa_read(spark):
                if cols["FIELD_ID"][i] in (0, 2)
                and cols["UVW"][i][0] > 0.5)
     assert got == want > 0
+
+
+def test_convert_cli_zarr_compressor(spark, tmp_path, monkeypatch):
+    """dask-ms convert --format zarr --zarr-compressor zlib:6 writes
+    a compressed store that round-trips."""
+    import json as _json
+    import os
+
+    from dask_ms_spark import apps
+    from dask_ms_spark.sources.zarr import xds_from_zarr
+
+    src = str(tmp_path / "src2")
+    spark.range(40).selectExpr(
+        "id AS A", "cast(id * 2.0 AS double) AS B") \
+        .write.parquet(src)
+    monkeypatch.setattr("dask_ms_spark.session.get_spark",
+                        lambda *a, **k: spark)
+    out = str(tmp_path / "out2")
+    apps.main(["convert", src, out, "--format", "zarr",
+               "--zarr-compressor", "zlib:6"])
+    meta = _json.load(open(os.path.join(out, "MAIN_0", "A",
+                                        ".zarray")))
+    assert meta["compressor"] == {"id": "zlib", "level": 6}
+    (ds,) = xds_from_zarr(spark, out)
+    assert ds.df.count() == 40
+    assert {r.B for r in ds.df.where("A = 7").collect()} == {14.0}
