@@ -10,6 +10,9 @@ Usage::
     python -m dask_ms_spark.apps fragments ancestry STORE
     python -m dask_ms_spark.apps fragments rebase STORE NEW_PARENT
     python -m dask_ms_spark.apps katdal-import URL OUT
+    python -m dask_ms_spark.apps curate DOCS OUT [--min-words N]
+        [--near-dup-threshold T] [--max-bucket-size B]
+        [--splits train:0.9,val:0.05,test:0.05]
 
 Each command is a thin driver over the library; the heavy lifting runs
 on the cluster through the same code paths the API exposes.
@@ -73,6 +76,19 @@ def main(argv: list[str] | None = None) -> int:
     kat.add_argument("url")
     kat.add_argument("output")
 
+    cur = sub.add_parser(
+        "curate",
+        help="training-corpus curation: quality gate -> exact dedup "
+             "-> near-dup drop -> deterministic split, written as "
+             "split-partitioned parquet plus a dataset card")
+    cur.add_argument("input", help="documents table (parquet/jsonl) "
+                     "with doc_id + text columns")
+    cur.add_argument("output")
+    cur.add_argument("--min-words", type=int, default=20)
+    cur.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cur.add_argument("--max-bucket-size", type=int, default=500)
+    cur.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
+
     args = parser.parse_args(argv)
 
     if args.command == "convert":
@@ -101,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
         rebase_fragment(args.store, args.new_parent)
         return 0
 
+    if args.command == "curate":
+        return _curate(args)
+
     if args.command == "katdal-import":
         from .session import get_spark
         from .sources.katdal import katdal_import
@@ -110,6 +129,74 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     return 2
+
+
+def _curate(args) -> int:
+    """The standard pre-training curation funnel as ONE driver
+    program over the library operators — every stage is the same
+    declarative plan the oracled queries use (quality_filter,
+    exact_dedup, minhash_dedup with bucket caps, deterministic_split),
+    so the funnel scales exactly as SCALE.md documents for each
+    stage.  Writes split-partitioned parquet plus ``_card.json``
+    (underscore-prefixed so Spark's file index skips it)
+    (per-split/lang volumes and the stage-by-stage funnel)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .llm.corpus import quality_filter
+    from .llm.dedup import exact_dedup, minhash_dedup
+    from .llm.sampling import deterministic_split
+    from .session import get_spark
+    from .sources.storage import xds_from_storage_table
+
+    weights = {}
+    for part in args.splits.split(","):
+        name, _, w = part.partition(":")
+        weights[name.strip()] = float(w)
+
+    spark = get_spark("dask-ms-spark-curate")
+    (ds,) = xds_from_storage_table(spark, args.input)
+    docs = ds.df
+    n_input = docs.count()
+
+    ql = quality_filter(docs, min_words=args.min_words)
+    kept = docs.join(ql.where("keep").select("doc_id"), "doc_id")
+    # exact dedup: survivors are each group's keep_id
+    keep_ids = exact_dedup(kept).select(
+        F.col("keep_id").alias("doc_id"))
+    kept = kept.join(keep_ids, "doc_id", "left_semi")
+    n_quality_exact = kept.count()
+    n_quality = None  # folded into the exact stage count (one pass)
+
+    drops = minhash_dedup(kept, threshold=args.near_dup_threshold,
+                          max_bucket_size=args.max_bucket_size)         .select(F.col("drop_id").alias("doc_id"))
+    kept = kept.join(drops, "doc_id", "left_anti")
+    final = deterministic_split(kept, "doc_id", weights)
+    final.write.mode("overwrite").partitionBy("split")         .parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    n_out = out.count()
+    by = ["split"] + (["lang"] if "lang" in out.columns else [])
+    card = {
+        "funnel": {"input": n_input,
+                   "after_quality_and_exact_dedup": n_quality_exact,
+                   "after_near_dup": n_out},
+        "splits": [r.asDict() for r in
+                   out.groupBy(*by)
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum(F.length("text")).alias("n_chars"))
+                   .orderBy(*by).collect()],
+        "params": {"min_words": args.min_words,
+                   "near_dup_threshold": args.near_dup_threshold,
+                   "max_bucket_size": args.max_bucket_size,
+                   "splits": weights},
+    }
+    with open(os.path.join(args.output, "_card.json"), "w") as fh:
+        json.dump(card, fh, indent=2, sort_keys=True)
+    print(json.dumps(card["funnel"]))
+    return 0
 
 
 if __name__ == "__main__":

@@ -144,3 +144,34 @@ def test_convert_cli_zarr_compressor(spark, tmp_path, monkeypatch):
     (ds,) = xds_from_zarr(spark, out)
     assert ds.df.count() == 40
     assert {r.B for r in ds.df.where("A = 7").collect()} == {14.0}
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """dask-ms-spark curate: the full funnel over the real sf0.001
+    documents table — counts strictly decrease through the stages,
+    output is split-partitioned, card.json records the funnel."""
+    import json
+    import os
+
+    from dask_ms_spark import apps
+
+    monkeypatch.setattr("dask_ms_spark.session.get_spark",
+                        lambda *a, **k: spark)
+    out = str(tmp_path / "corpus")
+    rc = apps.main(["curate", "/root/testdata/sf0.001/documents.parquet",
+                    out, "--min-words", "5",
+                    "--near-dup-threshold", "0.7"])
+    assert rc == 0
+    card = json.load(open(os.path.join(out, "_card.json")))
+    f = card["funnel"]
+    assert f["input"] == 500
+    assert 0 < f["after_near_dup"] <= \
+        f["after_quality_and_exact_dedup"] <= f["input"]
+    assert {r["split"] for r in card["splits"]} <= \
+        {"train", "val", "test"}
+    back = spark.read.parquet(out)
+    assert back.count() == f["after_near_dup"]
+    assert "split" in back.columns
+    # funnel summary printed as the last stdout line
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == f
