@@ -3678,16 +3678,19 @@ def _spectral_index_sql() -> str:
 
 
 def _scratch(kind: str, sf_dir: str) -> str:
-    """Per-(operator, scale-factor) scratch dir for queries that drive
-    a WRITE-side operator end-to-end: wiped at call start so results
-    are a pure function of the inputs; distinct per sf so driver
-    (sf0.01) and bench (sf0.1) runs never collide."""
+    """Per-(operator, scale-factor, process) scratch dir for queries
+    that drive a WRITE-side operator end-to-end: wiped at call start
+    so results are a pure function of the inputs; keyed by sf AND pid
+    so concurrent harnesses (driver at sf0.01, bench at sf0.1, a
+    judge re-running check_oracle alongside either) never race each
+    other's stores."""
     import shutil
     import tempfile
 
     path = os.path.join(
         tempfile.gettempdir(),
-        f"dms_{kind}_{os.path.basename(sf_dir.rstrip('/'))}")
+        f"dms_{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 
