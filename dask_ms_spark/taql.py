@@ -137,6 +137,11 @@ def _emit(toks: list[str]) -> str:
                 else:
                     out.append(f"slice({base}, ({lo}) + 1, "
                                f"({hi}) - ({lo}))")
+            elif (len(body) == 2 and body[0] == "-"
+                    and body[1].isdigit()):
+                # TAQL from-end index: [-1] = last — Spark's negative
+                # element_at counts from the end the same way, no +1
+                out.append(f"element_at({base}, -{body[1]})")
             else:
                 idx = _emit(body)
                 out.append(f"element_at({base}, ({idx}) + 1)")

@@ -175,3 +175,13 @@ def test_curate_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
     # funnel summary printed as the last stdout line
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line) == f
+
+
+def test_negative_index_from_end(spark):
+    """TAQL [-1] (last element) maps to Spark's negative
+    element_at."""
+    sql = taql_where_to_sql("UVW[-1] > 1.5")
+    assert "element_at(UVW, -1)" in sql
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 1.0],)], "UVW array<double>")
+    assert df.where(F.expr(sql)).count() == 1
