@@ -150,7 +150,15 @@ def phase_rotate(data: Column, u: Column, v: Column, w: Column,
     phasor = F.flatten(F.transform(
         F.array(*[F.lit(float(f)) for f in freqs_hz]),
         lambda f: F.array(F.cos(base * f), F.sin(base * f))))
-    return c_mul(data, phasor)
+    # channel-count guard folded into the expression: a row whose
+    # DATA width disagrees with the frequency comb would otherwise
+    # silently emit NULL samples past the shorter array
+    nf = len(freqs_hz)
+    checked = F.when(F.size(data) == 2 * nf, data).otherwise(
+        F.raise_error(F.lit(
+            f"phase_rotate: DATA has size(data)/2 channels but "
+            f"{nf} frequencies were supplied")))
+    return c_mul(checked, phasor)
 
 
 def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
@@ -176,7 +184,12 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
     gq = F.broadcast(gains.select(
         F.col(antenna_col).alias(ant2_col),
         F.col(gain_col).alias("__gq")))
-    corrected = c_mul(c_mul(F.col("__gp"), F.col(data_col)),
+    checked = F.when(
+        (F.size("__gp") == F.size(F.col(data_col)))
+        & (F.size("__gq") == F.size(F.col(data_col))),
+        F.col(data_col)).otherwise(F.raise_error(F.lit(
+            "apply_gains: gain channel count disagrees with DATA")))
+    corrected = c_mul(c_mul(F.col("__gp"), checked),
                       c_conj(F.col("__gq")))
     return (vis.join(gp, ant1_col).join(gq, ant2_col)
             .withColumn(out_col, corrected)

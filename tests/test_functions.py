@@ -501,3 +501,31 @@ def test_log_log_fit_matches_numpy(spark):
 
     degen = out[2].f                         # one usable point
     assert degen.n_used == 1 and degen.alpha is None
+
+
+def test_phase_rotate_and_gains_width_guards(spark):
+    """Channel-count mismatches fail loudly instead of emitting
+    silent NULL samples."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.complexf import (apply_gains,
+                                                  phase_rotate)
+
+    df = spark.createDataFrame(
+        [Row(u=1.0, v=1.0, w=1.0, z=[1.0, 2.0])],
+        "u double, v double, w double, z array<double>")
+    with pytest.raises(Exception, match="channels|frequencies"):
+        df.select(phase_rotate(F.col("z"), F.col("u"), F.col("v"),
+                               F.col("w"), 0.01, 0.01,
+                               [1e9, 2e9])).collect()
+
+    vis = spark.createDataFrame(
+        [Row(ANTENNA1=0, ANTENNA2=1, DATA=[1.0, 2.0, 3.0, 4.0])],
+        "ANTENNA1 long, ANTENNA2 long, DATA array<double>")
+    gains = spark.createDataFrame(
+        [Row(antenna=0, gain=[1.0, 0.0]),
+         Row(antenna=1, gain=[1.0, 0.0])],
+        "antenna long, gain array<double>")
+    with pytest.raises(Exception, match="channel count"):
+        apply_gains(vis, gains).collect()
