@@ -64,7 +64,10 @@ def masked_bin_average(vec: Column, mask: Column,
     over the array order, so results are engine-portable (the DuckDB
     oracle mirrors the same fold).
     """
+    if bin_size < 1:
+        raise ValueError(f"bin_size must be >= 1, got {bin_size}")
     nbins = F.ceil(F.size(vec) / F.lit(bin_size)).cast("int")
+
     def bin_avg(b):
         start = b * bin_size + 1          # slice() is 1-based
         vals = F.slice(vec, start, bin_size)
@@ -86,7 +89,10 @@ def weighted_bin_average(vec: Column, weights: Column,
     """Weight-aware variant of :func:`masked_bin_average`: per-bin
     sum(w*v)/sum(w) over ``bin_size`` runs; zero total weight yields
     NULL.  The WEIGHT_SPECTRUM-style reduction."""
+    if bin_size < 1:
+        raise ValueError(f"bin_size must be >= 1, got {bin_size}")
     nbins = F.ceil(F.size(vec) / F.lit(bin_size)).cast("int")
+
     def bin_avg(b):
         start = b * bin_size + 1
         vals = F.slice(vec, start, bin_size)
@@ -117,6 +123,8 @@ def log_log_fit(vec: Column, xs: list[float],
     """
     import math
 
+    if len(xs) < 2:
+        raise ValueError("log_log_fit needs at least 2 abscissae")
     lx = ([float(x) for x in xs] if xs_are_logs
           else [math.log(float(x)) for x in xs])
     lx_arr = F.array(*[F.lit(v) for v in lx])

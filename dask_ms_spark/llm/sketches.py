@@ -172,6 +172,9 @@ def cms_sketch(df: DataFrame, value_col: str, width: int = 1024,
     re-touching data.  ``weight_col`` counts weighted occurrences
     (e.g. token counts) instead of rows.
     """
+    if width < 1 or depth < 1:
+        raise ValueError(
+            f"cms_sketch needs width/depth >= 1, got {width}/{depth}")
     w = (F.lit(1).cast("long") if weight_col is None
          else F.col(weight_col).cast("long"))
     cells = F.array(*[
@@ -233,6 +236,8 @@ def kmv_state(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     lets :func:`~dask_ms_spark.streaming.maintenance.
     maintain_mergeable` keep a distinct-count sketch current per
     micro-batch at O(k) state."""
+    if k < 1:
+        raise ValueError(f"kmv_state needs k >= 1, got {k}")
     w = Window.orderBy("h")
     return (df.select(portable_hash64(F.col(value_col)).alias("h"))
             .distinct()
