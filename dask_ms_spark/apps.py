@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--near-dup-threshold", type=float, default=0.8)
     cur.add_argument("--max-bucket-size", type=int, default=500)
     cur.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
+    cur.add_argument("--decontaminate", default=None, metavar="EVAL",
+                     help="eval corpus (parquet/jsonl with doc_id + "
+                     "text); training docs sharing >= --contamination"
+                     "-fraction of their shingles with it are dropped")
+    cur.add_argument("--contamination-fraction", type=float,
+                     default=0.2)
 
     args = parser.parse_args(argv)
 
@@ -173,21 +179,37 @@ def _curate(args) -> int:
     drops = minhash_dedup(kept, threshold=args.near_dup_threshold,
                           max_bucket_size=args.max_bucket_size)         .select(F.col("drop_id").alias("doc_id"))
     kept = kept.join(drops, "doc_id", "left_anti")
+    n_contaminated = 0
+    if args.decontaminate:
+        from .llm.contamination import contamination_report
+
+        (ev,) = xds_from_storage_table(spark, args.decontaminate)
+        bad = (contamination_report(kept, ev.df)
+               .where(F.col("contamination")
+                      >= args.contamination_fraction)
+               .select("doc_id"))
+        n_contaminated = bad.count()
+        kept = kept.join(bad, "doc_id", "left_anti")
     final = deterministic_split(kept, "doc_id", weights)
     final.write.mode("overwrite").partitionBy("split")         .parquet(args.output)
 
-    out = spark.read.parquet(args.output)
-    n_out = out.count()
-    by = ["split"] + (["lang"] if "lang" in out.columns else [])
+    n_out = final.count()
+    if n_out:
+        out = spark.read.parquet(args.output)
+        by = ["split"] + (["lang"] if "lang" in out.columns else [])
+        split_rows = [r.asDict() for r in
+                      out.groupBy(*by)
+                      .agg(F.count(F.lit(1)).alias("n_docs"),
+                           F.sum(F.length("text")).alias("n_chars"))
+                      .orderBy(*by).collect()]
+    else:
+        split_rows = []   # everything dropped: no partition dirs
     card = {
         "funnel": {"input": n_input,
                    "after_quality_and_exact_dedup": n_quality_exact,
-                   "after_near_dup": n_out},
-        "splits": [r.asDict() for r in
-                   out.groupBy(*by)
-                   .agg(F.count(F.lit(1)).alias("n_docs"),
-                        F.sum(F.length("text")).alias("n_chars"))
-                   .orderBy(*by).collect()],
+                   "n_contaminated_dropped": n_contaminated,
+                   "final": n_out},
+        "splits": split_rows,
         "params": {"min_words": args.min_words,
                    "near_dup_threshold": args.near_dup_threshold,
                    "max_bucket_size": args.max_bucket_size,

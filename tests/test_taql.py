@@ -165,16 +165,31 @@ def test_curate_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
     card = json.load(open(os.path.join(out, "_card.json")))
     f = card["funnel"]
     assert f["input"] == 500
-    assert 0 < f["after_near_dup"] <= \
+    assert 0 < f["final"] <= \
         f["after_quality_and_exact_dedup"] <= f["input"]
     assert {r["split"] for r in card["splits"]} <= \
         {"train", "val", "test"}
     back = spark.read.parquet(out)
-    assert back.count() == f["after_near_dup"]
+    assert back.count() == f["final"]
     assert "split" in back.columns
     # funnel summary printed as the last stdout line
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line) == f
+
+    # decontamination stage: use the corpus itself as the eval set —
+    # every surviving doc is fully contaminated and must drop
+    out2 = str(tmp_path / "decon")
+    rc = apps.main(["curate",
+                    "/root/testdata/sf0.001/documents.parquet", out2,
+                    "--min-words", "5",
+                    "--decontaminate",
+                    "/root/testdata/sf0.001/documents.parquet",
+                    "--contamination-fraction", "0.99"])
+    assert rc == 0
+    card2 = json.load(open(os.path.join(out2, "_card.json")))
+    assert card2["funnel"]["n_contaminated_dropped"] > 0
+    assert card2["funnel"]["final"] == 0 or \
+        card2["funnel"]["final"] < card["funnel"]["final"]
 
 
 def test_negative_index_from_end(spark):
