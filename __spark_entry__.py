@@ -3677,6 +3677,43 @@ def _spectral_index_sql() -> str:
     """
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles (functions/stats.py
+    weighted_quantiles): quantity-weighted price percentiles per
+    return flag — the smallest value whose cumulative weight reaches
+    q * total (an order statistic, not an interpolation, so results
+    are engine-exact).  One window + one aggregation, single shuffle
+    on the group."""
+    from dask_ms_spark.functions.stats import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tb"))
+    return weighted_quantiles(li, "l_extendedprice", "l_quantity",
+                              qs=(0.25, 0.5, 0.75, 0.9),
+                              group_cols="l_returnflag",
+                              tiebreak_col="tb")
+
+
+_WQ_SQL = """
+    WITH c AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                      cast(l_quantity as double) AS w,
+                      l_orderkey * 8 + l_linenumber AS tb
+               FROM lineitem),
+    cw AS (SELECT g, v,
+                  sum(w) OVER (PARTITION BY g ORDER BY v, tb
+                               ROWS UNBOUNDED PRECEDING) AS cwv,
+                  sum(w) OVER (PARTITION BY g) AS tw
+           FROM c)
+    SELECT g AS l_returnflag,
+           min(CASE WHEN cwv >= 0.25 * tw THEN v END) AS q25,
+           min(CASE WHEN cwv >= 0.5 * tw THEN v END) AS q50,
+           min(CASE WHEN cwv >= 0.75 * tw THEN v END) AS q75,
+           min(CASE WHEN cwv >= 0.9 * tw THEN v END) AS q90
+    FROM cw GROUP BY g
+"""
+
+
 def _scratch(kind: str, sf_dir: str) -> str:
     """Per-(operator, scale-factor, process) scratch dir for queries
     that drive a WRITE-side operator end-to-end: wiped at call start
@@ -3891,7 +3928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     entries, then the r6-session debuts (snapshot_roundtrip,
     #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
-    #     phase_rotate, spectral_index), then the oldest r5-checked
+    #     phase_rotate, spectral_index, weighted_quantiles), then
+    #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
     #     is the next demotion candidate (see demoted_queries).
@@ -3971,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "phase_rotate": q_phase_rotate,
         "spectral_index": q_spectral_index,
+        "weighted_quantiles": q_weighted_quantiles,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4495,6 +4534,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit_distance": _edit_distance_sql(),
         "phase_rotate": _phase_rotate_sql(),
         "spectral_index": _spectral_index_sql(),
+        "weighted_quantiles": _WQ_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

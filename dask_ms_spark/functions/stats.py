@@ -16,11 +16,14 @@ aggregates to ~1e-12 relative, far below oracle rounding.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_ols", "profile_table", "robust_stats"]
+__all__ = ["grouped_ols", "profile_table", "robust_stats",
+           "weighted_quantiles"]
 
 _OLS_SCHEMA = ("{keys}, n_events long, slope double, intercept double")
 
@@ -209,3 +212,44 @@ def robust_stats(df, value_col: str, group_cols=None):
         F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
         F.round(iqr, 6).alias("iqr"),
         F.round("mad", 6).alias("mad"), "n_outliers", "n")
+
+
+def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
+                       qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+                       group_cols: list[str] | str | None = None,
+                       tiebreak_col: str | None = None) -> DataFrame:
+    """Exact weighted quantiles: the smallest value whose cumulative
+    weight reaches ``q * total_weight`` (the weighted lower-quantile
+    definition) — the corpus-weighting staple (token-weighted length
+    percentiles, quality-weighted score cuts) that
+    ``percentile``/``quantile_cont`` cannot express.
+
+    Plan shape: ONE window (cumulative weight over values sorted
+    within each group) + one aggregation — a single shuffle keyed on
+    the group.  Determinism: the window order is (value, tiebreak) so
+    equal values accumulate in a fixed order; results are engine-
+    portable because the quantile is an ORDER statistic (a selected
+    input value, not an interpolation), so float summation noise in
+    the cumulative weight can only matter when a boundary lands
+    exactly between equal-value runs — and the <= comparison then
+    still selects the same value.
+    """
+    from pyspark.sql import Window
+
+    groups = ([group_cols] if isinstance(group_cols, str)
+              else list(group_cols or []))
+    order = [F.col("__v")] + \
+        ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*groups).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy(*groups)
+    cum = (df.select(*groups, F.col(value_col).alias("__v"),
+                     F.col(weight_col).cast("double").alias("__w"),
+                     *([F.col(tiebreak_col)] if tiebreak_col else []))
+           .withColumn("__cw", F.sum("__w").over(w))
+           .withColumn("__tw", F.sum("__w").over(tot)))
+    aggs = [
+        F.min(F.when(F.col("__cw") >= F.lit(float(q)) * F.col("__tw"),
+                     F.col("__v"))).alias(f"q{int(q * 100)}")
+        for q in qs]
+    return cum.groupBy(*groups).agg(*aggs)

@@ -241,3 +241,39 @@ def test_corpus_diff_statuses(spark):
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added"}
+
+
+def test_weighted_quantiles_matches_python(spark):
+    """Weighted lower quantile vs a Python model, grouped and
+    ungrouped; degenerate all-one-weight case equals the plain order
+    statistic."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.stats import weighted_quantiles
+
+    rows = [Row(g="a", v=float(v), w=float(w), i=i)
+            for i, (v, w) in enumerate(
+                [(10, 1), (20, 3), (30, 1), (40, 5)])]
+    rows += [Row(g="b", v=float(v), w=1.0, i=10 + v)
+             for v in range(1, 11)]
+    df = spark.createDataFrame(rows)
+
+    out = {r.g: r for r in weighted_quantiles(
+        df, "v", "w", qs=(0.5, 0.9), group_cols="g",
+        tiebreak_col="i").collect()}
+
+    def model(pairs, q):
+        total = sum(w for _, w in pairs)
+        acc = 0.0
+        for v, w in sorted(pairs):
+            acc += w
+            if acc >= q * total:
+                return v
+        return pairs[-1][0]
+
+    a = [(10, 1), (20, 3), (30, 1), (40, 5)]
+    assert out["a"].q50 == model(a, 0.5)
+    assert out["a"].q90 == model(a, 0.9)
+    b = [(float(v), 1.0) for v in range(1, 11)]
+    assert out["b"].q50 == model(b, 0.5) == 5.0
+    assert out["b"].q90 == model(b, 0.9) == 9.0
