@@ -208,7 +208,8 @@ def xds_from_casa(spark: SparkSession, path: str,
                   table_factory: Callable | None = None,
                   row_chunk: int = DEFAULT_CASA_ROW_CHUNK,
                   slices: dict | None = None,
-                  taql_where: str | None = None) -> list[Dataset]:
+                  taql_where: str | None = None,
+                  chunks: dict | None = None) -> list[Dataset]:
     """Read a CASA table into Datasets via distributed chunked getcol
     (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
     per-chunk getter kernels of daskms/reads.py:40-189).
@@ -226,6 +227,19 @@ def xds_from_casa(spark: SparkSession, path: str,
     column read at one channel, an I/O reduction of the full
     channel-count factor, not a post-read projection.
     """
+    if chunks:
+        # reference-compat: xds_from_table(..., chunks={"row": N})
+        # (daskms/dask_ms.py:128-294).  Only the row axis maps to a
+        # scan split here; cell-axis chunking is parquet/zarr layout
+        # territory (convert with cell_chunks=), so unknown keys
+        # raise rather than silently ignoring a user's intent.
+        extra = set(chunks) - {"row"}
+        if extra:
+            raise ValueError(
+                f"chunks keys {sorted(extra)} unsupported: only 'row' "
+                "maps to a Spark scan split; re-chunk cell axes at "
+                "write time (cell_chunks=/getcolslice slices=)")
+        row_chunk = int(chunks["row"])
     if taql_where:
         # reference call sites pass TAQL (daskms/dask_ms.py:236-241);
         # here the same filter becomes a Catalyst predicate over the

@@ -200,3 +200,20 @@ def test_negative_index_from_end(spark):
     df = spark.createDataFrame(
         [([1.0, 2.0],), ([1.0, 1.0],)], "UVW array<double>")
     assert df.where(F.expr(sql)).count() == 1
+
+
+def test_reference_chunks_kwarg(spark):
+    """xds_from_ms(..., chunks={'row': N}) — the reference's standard
+    call shape — maps to the scan's row chunking; unknown axes raise
+    instead of being ignored."""
+    import pytest
+
+    from tests.test_sources import FakeCasaTable
+    from dask_ms_spark.sources.casa import xds_from_casa
+
+    dss = xds_from_casa(spark, "/fake/ms", table_factory=FakeCasaTable,
+                        chunks={"row": 10})
+    assert sum(d.df.count() for d in dss) == FakeCasaTable.N
+    with pytest.raises(ValueError, match="only 'row'"):
+        xds_from_casa(spark, "/fake/ms", table_factory=FakeCasaTable,
+                      chunks={"row": 10, "chan": 4})
