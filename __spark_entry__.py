@@ -3906,6 +3906,123 @@ def _ivf_indexed_sql(k: int = 10, num_cells: int = 8, nprobe: int = 4,
     """
 
 
+def q_bda_average(spark, sf_dir):
+    """Baseline-dependent averaging (operators/bda.py bda_average):
+    adaptive time binning — bin width scales inversely with the
+    baseline's uv-distance (ratt-ru/xova's reduction, built on the
+    reference's group machinery, as ONE declarative plan).  Synthetic
+    MS framing over embeddings: baseline = vec_id % 16, uv-distance
+    grows with baseline id, time = vec_id; DATA = embedding, FLAG =
+    non-positive cells, WEIGHT = 1 + vec_id % 3.  Fixed-point sums
+    (quantize_scale) make every averaged cell engine-portable; arrays
+    are quantised to micro units and CSV-joined for the hash."""
+    from dask_ms_spark.operators.bda import bda_average
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = embs.select(
+        (F.col("vec_id") % 16).alias("b"),
+        ((F.col("vec_id") % 16 + 1).cast("double") * 100.0).alias("uv"),
+        F.col("vec_id").cast("double").alias("t"),
+        (F.lit(1.0) + (F.col("vec_id") % 3).cast("double")).alias("w"),
+        vec.alias("data"),
+        F.transform(vec, lambda x: x <= 0).alias("fl"))
+    out = bda_average(d, "t", ["b"], "uv", base_interval=4.0,
+                      ref_uvdist=800.0, max_factor=8,
+                      data_col="data", flag_col="fl", weight_col="w",
+                      quantize_scale=1 << 20)
+    q = F.transform(F.col("data_mean"), lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"), F.lit(-999999999)).cast("string"))
+    return out.select(
+        "b", "bin", "factor",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("time_centroid") * 1e6).cast("long").alias("tc_q"),
+        F.round(F.col("weight_sum") * 1e6).cast("long").alias("wsum_q"),
+        F.array_join(q, ",").alias("data_q"),
+        F.array_join(F.transform(F.col("flag"),
+                     lambda fl: F.when(fl, "1").otherwise("0")), ",")
+         .alias("flag_csv"))
+
+
+_BDA_SQL = """
+    WITH v AS (SELECT vec_id % 16 AS b,
+                      cast(vec_id as double) AS t,
+                      1.0 + cast(vec_id % 3 as double) AS w,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    p AS (SELECT *, cast(greatest(1, least(
+                 cast(floor(800.0 / (cast(b + 1 as double) * 100.0))
+                      as bigint), 8)) as int) AS factor
+          FROM v),
+    k AS (SELECT *, cast(floor(t / (4.0 * factor)) as bigint) AS bin
+          FROM p),
+    s AS (SELECT b, bin, min(factor) AS factor, count(*) AS n_rows,
+                 cast(sum(cast(round(t * 1048576) as bigint)) as double)
+                     / 1048576 / count(*) AS tc,
+                 sum(w) AS wsum
+          FROM k GROUP BY 1, 2),
+    e AS (SELECT b, bin, i AS pos,
+                 CASE WHEN NOT (vec[i] <= 0) THEN vec[i] END AS xv
+          FROM k, UNNEST(range(1, len(vec) + 1)) AS u(i)),
+    c AS (SELECT b, bin, pos,
+                 cast(sum(cast(round(xv * 1048576) as bigint)) as double)
+                     / 1048576 AS sm,
+                 count(xv) AS n
+          FROM e GROUP BY 1, 2, 3),
+    d AS (SELECT b, bin,
+                 array_to_string(list(
+                     CASE WHEN n > 0
+                     THEN cast(cast(round(sm / n * 1000000) as bigint)
+                               as varchar)
+                     ELSE '-999999999' END ORDER BY pos), ',') AS data_q,
+                 array_to_string(list(
+                     CASE WHEN n > 0 THEN '0' ELSE '1' END
+                     ORDER BY pos), ',') AS flag_csv
+          FROM c GROUP BY 1, 2)
+    SELECT s.b, s.bin, s.factor, cast(s.n_rows as bigint) AS n_rows,
+           cast(round(s.tc * 1000000) as bigint) AS tc_q,
+           cast(round(s.wsum * 1000000) as bigint) AS wsum_q,
+           d.data_q, d.flag_csv
+    FROM s JOIN d USING (b, bin)
+"""
+
+
+def q_flag_summary(spark, sf_dir):
+    """Flag-occupancy QA (operators/bda.py flag_summary): the
+    `flagstats` staple — per-baseline visibility/flagged counts with
+    the per-row fold map-side (no explode; the only exchange is the
+    group partial-sum)."""
+    from dask_ms_spark.operators.bda import flag_summary
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = embs.select((F.col("vec_id") % 16).alias("b"),
+                    F.transform(vec, lambda x: x <= 0).alias("fl"))
+    out = flag_summary(d, ["b"], "fl")
+    return out.select(
+        "b", F.col("n_rows").cast("long").alias("n_rows"),
+        "n_vis", "n_flagged",
+        F.round(F.col("flag_frac") * 1e6).cast("long").alias("frac_q"))
+
+
+_FLAG_SUMMARY_SQL = """
+    WITH v AS (SELECT vec_id % 16 AS b,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    r AS (SELECT b, len(vec) AS nv,
+                 len(list_filter(vec, x -> x <= 0)) AS nf
+          FROM v)
+    SELECT b, cast(count(*) as bigint) AS n_rows,
+           cast(sum(nv) as bigint) AS n_vis,
+           cast(sum(nf) as bigint) AS n_flagged,
+           cast(round(cast(sum(nf) as double) / sum(nv) * 1000000)
+                as bigint) AS frac_q
+    FROM r GROUP BY b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -3928,7 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     entries, then the r6-session debuts (snapshot_roundtrip,
     #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
-    #     phase_rotate, spectral_index, weighted_quantiles), then
+    #     phase_rotate, spectral_index, weighted_quantiles,
+    #     bda_average, flag_summary), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4010,6 +4128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_rotate": q_phase_rotate,
         "spectral_index": q_spectral_index,
         "weighted_quantiles": q_weighted_quantiles,
+        "bda_average": q_bda_average,
+        "flag_summary": q_flag_summary,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4535,6 +4655,8 @@ def oracle_sql() -> dict[str, str]:
         "phase_rotate": _phase_rotate_sql(),
         "spectral_index": _spectral_index_sql(),
         "weighted_quantiles": _WQ_SQL,
+        "bda_average": _BDA_SQL,
+        "flag_summary": _FLAG_SUMMARY_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -1,0 +1,156 @@
+"""Baseline-dependent averaging (BDA) for Measurement-Set-shaped data.
+
+BDA is the canonical MS downstream reduction the reference's grouping
+machinery exists to feed: rows are binned in time per baseline, with a
+bin width that SHRINKS as the baseline gets longer (long baselines
+decorrelate faster, so they tolerate less averaging).  The reference
+ecosystem's BDA tool (ratt-ru/xova) is built directly on dask-ms'
+group/order substrate (reference: daskms/ordering.py:1-120 group
+partitioning, daskms/reads.py:58-75 chunked column reads); here the
+whole reduction is ONE declarative Spark plan.
+
+Scale shape
+-----------
+* The averaging factor is pure row-local arithmetic on the baseline's
+  uv-distance — no lookup table, no shuffle, no driver round trip.
+* The tensor (DATA/FLAG) reduction reuses
+  :func:`~dask_ms_spark.operators.grouping.tensor_row_average`'s
+  (group, position)-keyed aggregation: payload cells shuffle exactly
+  once, and a hot baseline's cells spread across reducers.
+* The scalar reduction (TIME centroid, weight sum, row count) is a
+  second aggregation over the SAME leading keys, so AQE plans both
+  sides of the final join with co-partitioned exchanges; the join
+  itself carries only (group-key, small-scalar) rows.
+* ``quantize_scale`` applies the repo's fixed-point discipline so the
+  averaged cells are bit-identical under any shuffle order and
+  engine-portable for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from .grouping import tensor_row_average
+
+__all__ = ["bda_factor", "bda_average", "flag_summary"]
+
+
+def bda_factor(uvdist, ref_uvdist: float, max_factor: int = 16):
+    """Averaging factor for a baseline: ``clamp(floor(ref/uv), 1, max)``.
+
+    ``ref_uvdist`` is the uv-distance that gets NO extra averaging
+    (factor 1); a baseline half that length may average 2x longer, etc.
+    Autocorrelations (uv = 0) and anything shorter than
+    ``ref_uvdist / max_factor`` cap at ``max_factor``.  Negative or
+    NULL uv-distances are a data error and raise at execution time
+    rather than silently averaging everything into one bin.
+    """
+    if ref_uvdist <= 0:
+        raise ValueError(f"bda_factor: ref_uvdist must be > 0, "
+                         f"got {ref_uvdist}")
+    if max_factor < 1:
+        raise ValueError(f"bda_factor: max_factor must be >= 1, "
+                         f"got {max_factor}")
+    uv = F.when(uvdist.isNull() | (uvdist < 0), F.raise_error(F.lit(
+        "bda_factor: uv-distance is NULL or negative"))).otherwise(uvdist)
+    raw = F.floor(F.lit(float(ref_uvdist)) / uv)
+    return (F.when(uv == 0, F.lit(max_factor))
+             .otherwise(F.greatest(F.lit(1),
+                                   F.least(raw, F.lit(max_factor))))
+             .cast("int"))
+
+
+def bda_average(df: DataFrame, time_col: str,
+                baseline_cols: Iterable[str], uvdist_col: str,
+                base_interval: float, ref_uvdist: float,
+                max_factor: int = 16,
+                data_col: str | None = None,
+                flag_col: str | None = None,
+                weight_col: str | None = None,
+                time_origin: float = 0.0,
+                quantize_scale: int | None = None) -> DataFrame:
+    """Average rows per (baseline, adaptive time bin).
+
+    Bin width is ``base_interval * bda_factor(uvdist)``; row ``r``
+    lands in bin ``floor((time - time_origin) / width)``.  Outputs per
+    group: the baseline columns, ``bin``, ``factor``,
+    ``time_centroid`` (mean of kept rows' time), ``n_rows``, and —
+    when ``data_col`` is given — ``data_mean`` (element-wise mean over
+    rows where ``flag_col`` is false; a cell flagged in EVERY row
+    yields NULL) plus ``flag`` (bool array, true where the mean is
+    NULL) and, when ``weight_col`` is given, ``weight_sum``.
+
+    ``time_origin`` keeps binning pure row-local arithmetic; deriving
+    it from ``min(time)`` would need a 1-row broadcast aggregate — do
+    that outside if required (it composes: pass the collected min).
+    MS FLAG convention: ``flag_col`` true means BAD; the mean keeps
+    unflagged cells.
+    """
+    if base_interval <= 0:
+        raise ValueError(f"bda_average: base_interval must be > 0, "
+                         f"got {base_interval}")
+    baseline_cols = list(baseline_cols)
+    factor = bda_factor(F.col(uvdist_col).cast("double"),
+                        ref_uvdist, max_factor)
+    width = F.lit(float(base_interval)) * factor.cast("double")
+    t = F.col(time_col).cast("double")
+    b = F.floor((t - F.lit(float(time_origin))) / width).cast("long")
+    keyed = df.withColumn("__factor", factor).withColumn("__bin", b)
+    keys = [*baseline_cols, "__bin"]
+
+    if quantize_scale:
+        qs = float(quantize_scale)
+        t_sum = (F.sum(F.round(t * F.lit(qs)).cast("long")).cast("double")
+                 / F.lit(qs))
+    else:
+        t_sum = F.sum(t)
+    aggs = [(t_sum / F.count(F.lit(1))).alias("time_centroid"),
+            F.min("__factor").alias("factor"),
+            F.count(F.lit(1)).alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(F.sum(F.col(weight_col).cast("double"))
+                    .alias("weight_sum"))
+    scalars = keyed.groupBy(*keys).agg(*aggs)
+
+    if data_col is None:
+        return scalars.withColumnRenamed("__bin", "bin")
+
+    if flag_col is not None:
+        mask = F.transform(F.col(flag_col), lambda fl: ~fl)
+    else:
+        mask = F.transform(F.col(data_col), lambda _: F.lit(True))
+    tens = tensor_row_average(
+        keyed.withColumn("__mask", mask), keys, data_col, "__mask",
+        out_col="data_mean", quantize_scale=quantize_scale) \
+        .drop("n_rows")
+    out = (scalars.join(tens, on=keys)
+           .withColumn("flag", F.transform(F.col("data_mean"),
+                                           lambda v: v.isNull())))
+    return out.withColumnRenamed("__bin", "bin")
+
+
+def flag_summary(df: DataFrame, group_cols: Iterable[str],
+                 flag_col: str) -> DataFrame:
+    """Per-group flag-occupancy QA summary (the `flagstats` staple run
+    after any MS flagging pass): visibility count, flagged count and
+    flagged fraction per group.
+
+    The per-row flagged count folds map-side with ``F.aggregate`` over
+    the bool array — no explode, no payload shuffle; the only exchange
+    is the final (group)-keyed partial-sum aggregation.
+    """
+    group_cols = list(group_cols)
+    per_row_flagged = F.aggregate(
+        F.col(flag_col), F.lit(0).cast("long"),
+        lambda acc, fl: acc + F.when(fl, 1).otherwise(0).cast("long"))
+    return (df.select(*group_cols,
+                      F.size(flag_col).cast("long").alias("__nv"),
+                      per_row_flagged.alias("__nf"))
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("__nv").alias("n_vis"),
+                 F.sum("__nf").alias("n_flagged"))
+            .withColumn("flag_frac",
+                        F.col("n_flagged") / F.col("n_vis")))

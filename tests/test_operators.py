@@ -378,3 +378,103 @@ def test_tensor_row_average_matches_numpy(spark):
         "bl long, vec array<double>, m array<boolean>"))
     with pytest.raises(Exception, match="ragged|ASSERT|raise"):
         tensor_row_average(ragged, ["bl"], "vec", "m").collect()
+
+
+def test_bda_factor_clamps(spark):
+    """Averaging factor: floor(ref/uv) clamped to [1, max]; uv=0
+    (autocorrelation) caps; NULL/negative uv raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.operators.bda import bda_factor
+
+    df = spark.createDataFrame(
+        [(0.0,), (40.0,), (100.0,), (350.0,), (800.0,), (5000.0,)],
+        "uv double")
+    out = [r.f for r in df.select(bda_factor(
+        F.col("uv"), ref_uvdist=800.0, max_factor=8).alias("f"))
+        .collect()]
+    assert out == [8, 8, 8, 2, 1, 1]
+
+    bad = spark.createDataFrame([(-1.0,)], "uv double")
+    with pytest.raises(Exception, match="negative|NULL"):
+        bad.select(bda_factor(F.col("uv"), 800.0).alias("f")).collect()
+    with pytest.raises(ValueError, match="ref_uvdist"):
+        bda_factor(F.col("uv"), 0.0)
+    with pytest.raises(ValueError, match="max_factor"):
+        bda_factor(F.col("uv"), 10.0, max_factor=0)
+
+
+def test_bda_average_matches_python_model(spark):
+    """BDA: long baseline keeps fine bins, short baseline averages
+    more rows per bin; DATA means honour FLAG (true = bad); TIME
+    centroid and weight sums match a per-bin python model."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.bda import bda_average
+
+    # two baselines: bl 1 short (uv 100 -> factor 8, width 16s),
+    # bl 2 long (uv 800 -> factor 1, width 2s); 8 rows each, 2s apart
+    rows = []
+    for bl, uv in ((1, 100.0), (2, 800.0)):
+        for i in range(8):
+            rows.append(Row(
+                bl=bl, uv=uv, time=2.0 * i, w=1.0 + (i % 2),
+                data=[float(bl * 10 + i), float(i)],
+                flag=[i % 4 == 0, False]))
+    df = spark.createDataFrame(
+        rows, "bl long, uv double, time double, w double, "
+              "data array<double>, flag array<boolean>")
+    out = bda_average(df, "time", ["bl"], "uv",
+                      base_interval=2.0, ref_uvdist=800.0, max_factor=8,
+                      data_col="data", flag_col="flag", weight_col="w")
+    got = {(r.bl, r.bin): r for r in out.collect()}
+
+    # short baseline: all 8 rows in one 16s bin
+    r1 = got[(1, 0)]
+    assert r1.n_rows == 8 and r1.factor == 8
+    assert r1.time_centroid == sum(2.0 * i for i in range(8)) / 8
+    assert r1.weight_sum == sum(1.0 + (i % 2) for i in range(8))
+    # element 0: rows i=0,4 flagged -> mean over i in {1,2,3,5,6,7}
+    keep = [i for i in range(8) if i % 4 != 0]
+    assert r1.data_mean[0] == sum(10.0 + i for i in keep) / len(keep)
+    assert r1.data_mean[1] == sum(range(8)) / 8
+    assert r1.flag == [False, False]
+
+    # long baseline: one row per 2s bin, 8 bins
+    bins2 = [k for k in got if k[0] == 2]
+    assert len(bins2) == 8
+    r2 = got[(2, 0)]          # its single row i=0 is flagged at elem 0
+    assert r2.n_rows == 1 and r2.factor == 1
+    assert r2.data_mean[0] is None and r2.flag[0] is True
+    assert r2.data_mean[1] == 0.0 and r2.flag[1] is False
+
+    # scalar-only spelling (no data column)
+    slim = bda_average(df, "time", ["bl"], "uv",
+                       base_interval=2.0, ref_uvdist=800.0,
+                       max_factor=8)
+    assert {c for c in slim.columns} == {
+        "bl", "bin", "time_centroid", "factor", "n_rows"}
+    assert slim.count() == 9
+
+
+def test_flag_summary(spark):
+    """flagstats QA: per-group visibility/flagged counts without any
+    explode (map-side fold, single group exchange)."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.bda import flag_summary
+
+    df = spark.createDataFrame([
+        Row(bl=1, flag=[True, False, True]),
+        Row(bl=1, flag=[False, False, False]),
+        Row(bl=2, flag=[True, True, True]),
+    ], "bl long, flag array<boolean>")
+    got = {r.bl: r for r in flag_summary(df, ["bl"], "flag").collect()}
+    assert got[1].n_vis == 6 and got[1].n_flagged == 2
+    assert got[1].flag_frac == 2 / 6
+    assert got[2].flag_frac == 1.0
+    # no Generate (explode) node in the plan
+    plan = flag_summary(df, ["bl"], "flag") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
