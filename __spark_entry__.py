@@ -4023,6 +4023,62 @@ _FLAG_SUMMARY_SQL = """
 """
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (llm/similarity.py pq_topk): corpus
+    vectors collapse to 8 codebook codes (the 32x scan-compression
+    move that makes exhaustive asymmetric-distance search affordable
+    at 100 TB), queries score via broadcast per-query lookup tables.
+    Distances are order-free fixed-point int64 sums, so ranking is
+    engine-exact and the oracle mirrors the argmin/LUT arithmetic
+    term by term."""
+    from dask_ms_spark.llm.similarity import pq_topk
+
+    embs = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = embs.where("vec_id < 5")
+    return pq_topk(embs, queries, dim=64, k=10, num_sub=8,
+                   num_codes=8) \
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "approx_d")
+
+
+_ANN_PQ_SQL = """
+    WITH v AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    sv AS (SELECT id, m, list_slice(vec, m * 8 + 1, m * 8 + 8) AS sv
+           FROM v, UNNEST(range(8)) AS t(m)),
+    cb AS (SELECT m, cast(id as int) AS k, sv AS cv
+           FROM sv WHERE id < 8),
+    dist AS (SELECT s.id, s.m, c.k,
+                    list_sum(list_transform(range(1, 9),
+                        i -> cast(round((s.sv[i] - c.cv[i])
+                                        * (s.sv[i] - c.cv[i])
+                                        * 1048576) as bigint))) AS d
+             FROM sv s JOIN cb c USING (m)),
+    enc AS (SELECT id, m, k AS code FROM (
+                SELECT id, m, k, row_number() OVER (
+                    PARTITION BY id, m ORDER BY d, k) AS rn
+                FROM dist)
+            WHERE rn = 1),
+    lut AS (SELECT id AS qid, m, k, d AS pd FROM dist WHERE id < 5),
+    scored AS (SELECT l.qid AS query_id, e.id AS neighbor_id,
+                      cast(sum(l.pd) as bigint) AS approx_d
+               FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.code
+               WHERE l.qid != e.id
+               GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, approx_d,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY approx_d,
+                                                  neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cast(rank as bigint) AS rank,
+           approx_d
+    FROM ranked WHERE rank <= 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4046,7 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
     #     phase_rotate, spectral_index, weighted_quantiles,
-    #     bda_average, flag_summary), then
+    #     bda_average, flag_summary, ann_pq), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4130,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "bda_average": q_bda_average,
         "flag_summary": q_flag_summary,
+        "ann_pq": q_ann_pq,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4657,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_quantiles": _WQ_SQL,
         "bda_average": _BDA_SQL,
         "flag_summary": _FLAG_SUMMARY_SQL,
+        "ann_pq": _ANN_PQ_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -28,7 +28,8 @@ from ..functions.vector import cosine, dot
 __all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk",
            "build_ivf_index", "ivf_query_indexed",
            "ivf_assign", "ivf_topk", "random_projection",
-           "projection_coefficients"]
+           "projection_coefficients",
+           "pq_codebooks", "pq_encode", "pq_topk"]
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -316,3 +317,150 @@ def ivf_query_indexed(spark, path: str, queries: DataFrame, k: int = 10,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+def _l2sq_fixed(a: Column, b: Column, scale: int) -> Column:
+    """Squared L2 distance in fixed point: each squared term is
+    quantised to ``round(t * scale)`` int64 BEFORE summing, so the
+    total is independent of accumulation order and bit-identical in
+    any engine that mirrors the per-term arithmetic (the repo's
+    kmeans/pagerank discipline, applied per element)."""
+    terms = F.zip_with(a, b, lambda x, y: F.round(
+        (x - y) * (x - y) * F.lit(float(scale))).cast("long"))
+    return F.aggregate(terms, F.lit(0).cast("long"),
+                       lambda acc, t: acc + t)
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                num_sub: int) -> DataFrame:
+    """(id, m, sv): the m-th contiguous ``dim/num_sub``-slice of each
+    vector — pure map-side explode of a tiny index sequence."""
+    sub = dim // num_sub
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(num_sub - 1))).alias("m"),
+                      F.col(vec_col).alias("v"))
+            .select("id", "m",
+                    F.slice(F.col("v"), F.col("m") * sub + 1,
+                            sub).alias("sv")))
+
+
+def pq_codebooks(corpus: DataFrame, dim: int, num_sub: int = 8,
+                 num_codes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks: ``num_sub`` subspaces ×
+    ``num_codes`` centroids, where centroid ``k`` of subspace ``m`` is
+    the m-th subvector of the corpus vector with id ``k``
+    (deterministic, engine-portable; production would k-means each
+    subspace — the downstream plan shape is identical).  Returns
+    (m, k, cv) — num_sub × num_codes rows, always broadcast-sized.
+    """
+    if dim % num_sub:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by "
+                         f"num_sub {num_sub}")
+    seed = corpus.where(F.col(id_col) < num_codes)
+    return _subvectors(seed, id_col, vec_col, dim, num_sub) \
+        .select("m", F.col("id").cast("int").alias("k"),
+                F.col("sv").alias("cv"))
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, dim: int,
+              num_sub: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              scale: int = 1 << 20) -> DataFrame:
+    """Encode each vector to ``num_sub`` small codes: per subspace,
+    the nearest codebook centroid by fixed-point squared L2 (ties
+    break to the smallest code id).
+
+    This is THE PQ scale move: a 64-float vector becomes num_sub
+    bytes — a 100 TB embedding corpus scans as ~3 TB of codes.  The
+    codebook join is broadcast (map-side); the argmin folds into a
+    (id, m)-keyed min of a (distance, code) struct and codes
+    re-assemble with an (id)-keyed sort-free array build — two
+    exchanges of id+small-int rows, the payload vectors never
+    shuffle.  Returns (id, codes array<int>).
+    """
+    sv = _subvectors(corpus, id_col, vec_col, dim, num_sub)
+    scored = (sv.join(F.broadcast(codebooks), on="m")
+              .select("id", "m", "k",
+                      _l2sq_fixed(F.col("sv"), F.col("cv"),
+                                  scale).alias("d")))
+    best = (scored.groupBy("id", "m")
+            .agg(F.min(F.struct("d", "k")).getField("k").alias("code")))
+    return (best.groupBy("id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"]).alias("codes")))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+            k: int = 10, num_sub: int = 8, num_codes: int = 8,
+            rerank: int = 0,
+            corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+            query_id: str = "vec_id", query_vec: str = "embedding",
+            scale: int = 1 << 20) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors quantised to
+    ``num_sub`` codes, queries score against codes via a per-query
+    lookup table (LUT[m][k] = fixed-point l2² between the query's m-th
+    subvector and centroid k), approx distance = Σ_m LUT[m][codes[m]].
+
+    Plan shape at scale: the LUT build touches only the (small) query
+    set; scoring is a map-side broadcast cross of the CODES table —
+    num_sub ints per corpus row instead of ``dim`` floats, the
+    asymmetric-distance scan that makes exhaustive search affordable
+    at 100 TB (pair it with IVF cells to go sub-linear).  All
+    distances are order-free int64 sums, so ranking is deterministic
+    and engine-exact.
+
+    ``rerank > 0``: re-score the top-``rerank`` PQ candidates per
+    query with EXACT cosine over the raw vectors (an id-keyed join
+    back to the corpus — candidates shuffle as ids only) and emit the
+    exact-cosine top-k of those.  Returns (query_id, neighbor_id,
+    rank, approx_d [, cos_sim]).
+    """
+    cbs = pq_codebooks(corpus, dim, num_sub, num_codes,
+                       corpus_id, corpus_vec)
+    codes = pq_encode(corpus, cbs, dim, num_sub, corpus_id,
+                      corpus_vec, scale)
+    qsv = _subvectors(queries, query_id, query_vec, dim, num_sub)
+    pd_rows = (qsv.join(F.broadcast(cbs), on="m")
+               .select(F.col("id").alias("query_id"), "m", "k",
+                       _l2sq_fixed(F.col("sv"), F.col("cv"),
+                                   scale).alias("pd")))
+    lut_m = (pd_rows.groupBy("query_id", "m")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("k", "pd"))),
+                 lambda s: s["pd"]).alias("lrow")))
+    lut = (lut_m.groupBy("query_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("m", "lrow"))),
+               lambda s: s["lrow"]).alias("lut")))
+    scored = (codes.withColumnRenamed("id", "neighbor_id")
+              .crossJoin(F.broadcast(lut))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.aggregate(
+                          F.zip_with("codes", "lut",
+                                     lambda c, row: F.element_at(
+                                         row, c.cast("int") + 1)),
+                          F.lit(0).cast("long"),
+                          lambda acc, t: acc + t).alias("approx_d")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.where(F.col("rank") <= k)
+    cand = ranked.where(F.col("rank") <= rerank).drop("rank")
+    qv = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                       F.col(corpus_vec).alias("cvec"))
+    exact = (cand.join(F.broadcast(qv), on="query_id")
+             .join(cv, on="neighbor_id")
+             .select("query_id", "neighbor_id", "approx_d",
+                     cosine(F.col("qvec"), F.col("cvec"))
+                     .alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+                 .where(F.col("rank") <= k))

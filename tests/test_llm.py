@@ -707,3 +707,92 @@ def test_edit_distance_pairs_planted(spark):
         spark.createDataFrame(rows), max_edits=1, max_ratio=0.3,
         lsh_threshold=0.3).collect()  # same candidates, capped verify
     assert not none
+
+
+def test_pq_encode_codes_shape(spark):
+    """PQ encoding: every vector gets num_sub codes in [0, num_codes);
+    the codebook seed vectors encode to their own code in every
+    subspace (distance 0 to themselves)."""
+    from dask_ms_spark.llm.similarity import pq_codebooks, pq_encode
+
+    rng = np.random.RandomState(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.randn(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows)
+    cbs = pq_codebooks(df, dim=16, num_sub=4, num_codes=8)
+    assert cbs.count() == 4 * 8
+    codes = {r.id: r.codes for r in
+             pq_encode(df, cbs, dim=16, num_sub=4).collect()}
+    assert len(codes) == 40
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+    for sid in range(8):          # seed vectors self-encode
+        assert codes[sid] == [sid] * 4
+
+
+def test_pq_topk_clustered_recall_and_rerank(spark):
+    """PQ asymmetric-distance top-k on planted clusters: decent
+    recall from codes alone, and exact-cosine rerank of a wider
+    candidate set strictly improves (or matches) recall; reranked
+    scores equal the true cosine."""
+    from dask_ms_spark.llm.similarity import pq_topk
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 16, 8, 10
+    centers = rng.randn(n_clusters, dim)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    queries = df.where("vec_id % 10 = 0")
+    k = per - 1
+    exact = brute_force_topk(df, queries, k=k).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(res):
+        sets = {}
+        for r in res:
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(exact_sets[q] & sets.get(q, set()))
+                   / len(exact_sets[q]) for q in exact_sets) \
+            / len(exact_sets)
+
+    plain = pq_topk(df, queries, dim=dim, k=k, num_sub=4,
+                    num_codes=16).collect()
+    r_plain = recall(plain)
+    assert r_plain >= 0.5        # codes-only, 4 bytes per vector
+
+    rer = pq_topk(df, queries, dim=dim, k=k, num_sub=4, num_codes=16,
+                  rerank=3 * k).collect()
+    r_rer = recall(rer)
+    assert r_rer >= max(r_plain, 0.8)
+    # reranked cos_sim is the true cosine
+    true_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in rer:
+        key = (r.query_id, r.neighbor_id)
+        if key in true_cos:
+            assert r.cos_sim == pytest.approx(true_cos[key], abs=1e-9)
+
+
+def test_pq_distances_deterministic(spark):
+    """Fixed-point PQ distances are identical across repeated runs and
+    partitionings (order-free int sums)."""
+    from dask_ms_spark.llm.similarity import pq_topk
+
+    rng = np.random.RandomState(3)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.randn(16)])
+            for i in range(30)]
+    df1 = spark.createDataFrame(rows)
+    df8 = spark.createDataFrame(rows).repartition(8)
+    q = df1.where("vec_id < 3")
+    a = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
+               for r in pq_topk(df1, q, dim=16, k=5, num_sub=4).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
+               for r in pq_topk(df8, q, dim=16, k=5, num_sub=4).collect())
+    assert a == b
