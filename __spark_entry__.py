@@ -1773,6 +1773,75 @@ def q_resample_fill(spark, sf_dir):
                       F.round("v_filled", 6).alias("v_filled"), "is_gap")
 
 
+def q_resample_interp(spark, sf_dir):
+    """Gap interpolation (operators/timeseries.py interpolate_linear)
+    layered on the resample grid: NULL buckets take the linear blend
+    of the nearest observations on either side (no extrapolation past
+    the ends), computed in two frames over ONE per-key window sort."""
+    from dask_ms_spark.operators.timeseries import (interpolate_linear,
+                                                    resample_fill)
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    out = interpolate_linear(resample_fill(ev, step_seconds=21600),
+                             ["user_id"], "bucket", "v_avg")
+    return out.select(
+        "user_id", "bucket", "n_events", "is_gap",
+        F.coalesce(F.round(F.col("v_interp") * 1e6).cast("long"),
+                   F.lit(-999999999)).alias("interp_q"))
+
+
+_RESAMPLE_INTERP_SQL = """
+    WITH agg AS (
+        SELECT user_id AS key,
+               CAST(floor(date_diff('second',
+                        TIMESTAMP '2024-01-01 00:00:00', ts)
+                    / 21600) AS BIGINT) AS bucket,
+               count(*) AS n_events,
+               round(avg(value), 6) AS v_avg
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2),
+    rng AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+            FROM agg GROUP BY key),
+    grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket
+             FROM rng),
+    j AS (SELECT g.key, g.bucket,
+                 coalesce(a.n_events, 0) AS n_events,
+                 a.n_events IS NULL AS is_gap, a.v_avg
+          FROM grid g LEFT JOIN agg a
+            ON g.key = a.key AND g.bucket = a.bucket),
+    x AS (SELECT key, bucket, n_events, is_gap, v_avg,
+                 last_value(v_avg IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                 last_value(CASE WHEN v_avg IS NOT NULL
+                            THEN cast(bucket as double) END
+                            IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pb,
+                 first_value(v_avg IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                 first_value(CASE WHEN v_avg IS NOT NULL
+                             THEN cast(bucket as double) END
+                             IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nb
+          FROM j)
+    SELECT key AS user_id, bucket, n_events, is_gap,
+           coalesce(cast(round((CASE
+               WHEN v_avg IS NOT NULL THEN cast(v_avg as double)
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (cast(bucket as double) - pb)
+                    / (nb - pb)
+               END) * 1000000) as bigint), -999999999) AS interp_q
+    FROM x
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Training-data chunking: overlapping 120-char windows at stride
     90, then per-document chunk statistics (count, boundary checksum)
@@ -4102,7 +4171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
     #     phase_rotate, spectral_index, weighted_quantiles,
-    #     bda_average, flag_summary, ann_pq), then
+    #     bda_average, flag_summary, ann_pq, resample_interp), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4187,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bda_average": q_bda_average,
         "flag_summary": q_flag_summary,
         "ann_pq": q_ann_pq,
+        "resample_interp": q_resample_interp,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4715,6 +4785,7 @@ def oracle_sql() -> dict[str, str]:
         "bda_average": _BDA_SQL,
         "flag_summary": _FLAG_SUMMARY_SQL,
         "ann_pq": _ANN_PQ_SQL,
+        "resample_interp": _RESAMPLE_INTERP_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

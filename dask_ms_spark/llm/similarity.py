@@ -29,7 +29,8 @@ __all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk",
            "build_ivf_index", "ivf_query_indexed",
            "ivf_assign", "ivf_topk", "random_projection",
            "projection_coefficients",
-           "pq_codebooks", "pq_encode", "pq_topk"]
+           "pq_codebooks", "pq_encode", "pq_topk",
+           "build_pq_index", "pq_query_indexed"]
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -464,3 +465,67 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (exact.withColumn("rank", F.row_number().over(w2))
                  .where(F.col("rank") <= k))
+
+
+def build_pq_index(embs: DataFrame, path: str, dim: int,
+                   num_sub: int = 8, num_codes: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1 << 20) -> None:
+    """Persist a PQ index: codebooks plus the encoded corpus.
+
+    Build once, query many — the O(n) encode (the cost that shows in
+    the 10x ANN stress, SCALE.md) runs at index time; queries then
+    scan ``num_sub`` ints per corpus row instead of ``dim`` floats,
+    the 32x read-amplification drop that is PQ's whole point at
+    100 TB.  Layout: ``path/codebooks`` (m, k, cv), ``path/codes``
+    (id, codes).  Compose with IVF cells (partitionBy a cell column
+    before encode) to make the scan sub-linear as well as compressed.
+    """
+    import os
+
+    cbs = pq_codebooks(embs, dim, num_sub, num_codes, id_col, vec_col)
+    cbs.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    codes = pq_encode(embs, cbs, dim, num_sub, id_col, vec_col, scale)
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def pq_query_indexed(spark, path: str, queries: DataFrame, dim: int,
+                     k: int = 10, num_sub: int = 8,
+                     query_id: str = "vec_id",
+                     query_vec: str = "embedding",
+                     scale: int = 1 << 20) -> DataFrame:
+    """Asymmetric-distance top-k over a persisted PQ index: the only
+    corpus read is the codes table (``num_sub`` small ints per row);
+    raw vectors are never touched.  The per-query LUT build scores
+    the query set against the stored codebooks map-side."""
+    import os
+
+    cbs = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qsv = _subvectors(queries, query_id, query_vec, dim, num_sub)
+    pd_rows = (qsv.join(F.broadcast(cbs), on="m")
+               .select(F.col("id").alias("query_id"), "m", "k",
+                       _l2sq_fixed(F.col("sv"), F.col("cv"),
+                                   scale).alias("pd")))
+    lut_m = (pd_rows.groupBy("query_id", "m")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("k", "pd"))),
+                 lambda s: s["pd"]).alias("lrow")))
+    lut = (lut_m.groupBy("query_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("m", "lrow"))),
+               lambda s: s["lrow"]).alias("lut")))
+    scored = (codes.withColumnRenamed("id", "neighbor_id")
+              .crossJoin(F.broadcast(lut))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.aggregate(
+                          F.zip_with("codes", "lut",
+                                     lambda c, row: F.element_at(
+                                         row, c.cast("int") + 1)),
+                          F.lit(0).cast("long"),
+                          lambda acc, t: acc + t).alias("approx_d")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))

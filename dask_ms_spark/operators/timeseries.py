@@ -143,6 +143,43 @@ def resample_fill(events: DataFrame, ts_col: str = "ts",
         F.col("n_events").isNull().alias("is_gap")))
 
 
+def interpolate_linear(df: DataFrame, key_cols, order_col: str,
+                       value_col: str,
+                       out_col: str = "v_interp") -> DataFrame:
+    """Per-key linear interpolation of NULL values between the
+    nearest non-null observations on either side.
+
+    For a NULL at position ``b`` with previous observation
+    ``(pb, pv)`` and next ``(nb, nv)``:
+    ``out = pv + (nv - pv) * (b - pb) / (nb - pb)``.  Rows before the
+    first or after the last observation stay NULL (no extrapolation —
+    compose with :func:`resample_fill`'s forward-fill if edges need
+    values); non-null rows pass through unchanged.
+
+    Scale shape: ONE exchange keyed on the key columns; the
+    backward- and forward-looking passes are two frames over the same
+    window sort, so Catalyst plans a single sort with no second
+    shuffle.  ``order_col`` must be numeric (bucket ids from
+    :func:`bucket_index`; cast timestamps to epoch seconds first).
+    """
+    key_cols = list(key_cols)
+    v = F.col(value_col)
+    wb = (Window.partitionBy(*key_cols).orderBy(order_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*key_cols).orderBy(order_col)
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs = F.when(v.isNotNull(), F.col(order_col).cast("double"))
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pb = F.last(obs, ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nb = F.first(obs, ignorenulls=True).over(wf)
+    b = F.col(order_col).cast("double")
+    interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(pv.isNotNull() & nv.isNotNull(),
+               pv + (nv - pv) * (b - pb) / (nb - pb)))
+    return df.withColumn(out_col, interp)
+
+
 def windowed_ema(df: DataFrame, value_col: str = "value",
                  order_cols: tuple = ("ts", "event_id"),
                  by: str = "user_id", alpha: float = 0.8,

@@ -796,3 +796,30 @@ def test_pq_distances_deterministic(spark):
     b = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
                for r in pq_topk(df8, q, dim=16, k=5, num_sub=4).collect())
     assert a == b
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """Persisted PQ index: query-time results are identical to the
+    inline pq_topk on the same corpus, and the query-side scan reads
+    ONLY the codes table (no raw-vector file in the plan)."""
+    from dask_ms_spark.llm.similarity import (build_pq_index, pq_topk,
+                                              pq_query_indexed)
+
+    rng = np.random.RandomState(5)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.randn(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows)
+    q = df.where("vec_id < 4")
+    path = str(tmp_path / "pqidx")
+    build_pq_index(df, path, dim=16, num_sub=4, num_codes=8)
+
+    inline = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
+                    for r in pq_topk(df, q, dim=16, k=5, num_sub=4,
+                                     num_codes=8).collect())
+    indexed_df = pq_query_indexed(spark, path, q, dim=16, k=5,
+                                  num_sub=4)
+    indexed = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
+                     for r in indexed_df.collect())
+    assert inline == indexed
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan and "cells" not in plan

@@ -478,3 +478,32 @@ def test_flag_summary(spark):
     plan = flag_summary(df, ["bl"], "flag") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
+
+
+def test_interpolate_linear(spark):
+    """Linear gap interpolation: interior NULLs blend the flanking
+    observations by position; edge NULLs stay NULL; non-null rows
+    pass through; one exchange in the plan (shared window sort)."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.timeseries import interpolate_linear
+
+    rows = [Row(k="a", b=0, v=1.0), Row(k="a", b=1, v=None),
+            Row(k="a", b=2, v=None), Row(k="a", b=3, v=4.0),
+            Row(k="a", b=4, v=None),
+            Row(k="b", b=0, v=None), Row(k="b", b=1, v=7.0)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    out = interpolate_linear(df, ["k"], "b", "v")
+    got = {(r.k, r.b): r.v_interp for r in out.collect()}
+    assert got[("a", 0)] == 1.0
+    assert got[("a", 1)] == 2.0
+    assert got[("a", 2)] == 3.0
+    assert got[("a", 3)] == 4.0
+    assert got[("a", 4)] is None          # no later observation
+    assert got[("b", 0)] is None          # no earlier observation
+    assert got[("b", 1)] == 7.0
+    # AQE's post-execution toString repeats the plan ("Initial Plan"
+    # section); count exchanges in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1
