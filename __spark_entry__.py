@@ -4148,6 +4148,60 @@ _ANN_PQ_SQL = """
 """
 
 
+def q_crossmatch(spark, sf_dir):
+    """Sky-catalog cross-match (operators/crossmatch.py
+    crossmatch_sky, the Zones algorithm): dec stripes + ra blocks
+    make the candidate join cell-local (never all-pairs); exact
+    haversine filters candidates, so the result EQUALS the oracle's
+    brute-force cross join.  Catalogs are synthesized deterministically
+    from vec_id (golden-angle ra walk, dec folded into [-60, 60]);
+    the B catalog is a perturbed subset so pairs straddle the match
+    radius both ways."""
+    from dask_ms_spark.operators.crossmatch import crossmatch_sky
+
+    embs = _t(spark, sf_dir, "embeddings")
+    a = embs.select(
+        F.col("vec_id").alias("id"),
+        ((F.col("vec_id") * 137.508) % 360.0).alias("ra"),
+        (((F.col("vec_id") * 7.919) % 120.0) - 60.0).alias("dec"))
+    b0 = embs.where("vec_id % 3 = 0")
+    b = b0.select(
+        (F.col("vec_id") + 100000).alias("id"),
+        ((((F.col("vec_id") * 137.508) % 360.0) + 360.0
+          + 0.2 * ((F.col("vec_id") % 5) - 2) / 2) % 360.0).alias("ra"),
+        ((((F.col("vec_id") * 7.919) % 120.0) - 60.0)
+         + 0.2 * ((F.col("vec_id") % 3) - 1) / 2).alias("dec"))
+    out = crossmatch_sky(a, b, 0.25, max_abs_dec=61.0)
+    return out.select(
+        "left_id", "right_id",
+        F.round(F.col("sep_deg") * 1e6).cast("long").alias("sep_q"))
+
+
+_CROSSMATCH_SQL = """
+    WITH a AS (SELECT vec_id AS left_id,
+                      fmod(vec_id * 137.508, 360.0) AS ra,
+                      fmod(vec_id * 7.919, 120.0) - 60.0 AS dec
+               FROM embeddings),
+    b AS (SELECT vec_id + 100000 AS right_id,
+                 fmod(fmod(vec_id * 137.508, 360.0) + 360.0
+                      + 0.2 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
+                 (fmod(vec_id * 7.919, 120.0) - 60.0)
+                     + 0.2 * ((vec_id % 3) - 1) / 2 AS dec
+          FROM embeddings WHERE vec_id % 3 = 0),
+    pairs AS (SELECT left_id, right_id,
+                     degrees(2 * asin(sqrt(
+                         sin(radians(b.dec - a.dec) / 2)
+                         * sin(radians(b.dec - a.dec) / 2)
+                         + cos(radians(a.dec)) * cos(radians(b.dec))
+                         * sin(radians(b.ra - a.ra) / 2)
+                         * sin(radians(b.ra - a.ra) / 2)))) AS sep
+              FROM a CROSS JOIN b)
+    SELECT left_id, right_id,
+           cast(round(sep * 1000000) as bigint) AS sep_q
+    FROM pairs WHERE sep <= 0.25
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4171,7 +4225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
     #     phase_rotate, spectral_index, weighted_quantiles,
-    #     bda_average, flag_summary, ann_pq, resample_interp), then
+    #     bda_average, flag_summary, ann_pq, resample_interp,
+    #     crossmatch), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4257,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_summary": q_flag_summary,
         "ann_pq": q_ann_pq,
         "resample_interp": q_resample_interp,
+        "crossmatch": q_crossmatch,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4786,6 +4842,7 @@ def oracle_sql() -> dict[str, str]:
         "flag_summary": _FLAG_SUMMARY_SQL,
         "ann_pq": _ANN_PQ_SQL,
         "resample_interp": _RESAMPLE_INTERP_SQL,
+        "crossmatch": _CROSSMATCH_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -507,3 +507,66 @@ def test_interpolate_linear(spark):
     plan = out._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1
+
+
+def test_crossmatch_sky_matches_allpairs(spark):
+    """Zones cross-match equals the exact all-pairs answer (the
+    bucketing is pure pruning), including ra wrap-around at 0/360;
+    nearest mode keeps the closest match; polar rows raise."""
+    import math
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.crossmatch import crossmatch_sky
+
+    rng = np.random.RandomState(13)
+    # clustered sources straddling the ra wrap and a range of decs
+    base = [(float(ra % 360.0), float(dec)) for ra, dec in zip(
+        np.concatenate([rng.uniform(-2, 2, 30) % 360,
+                        rng.uniform(0, 360, 40)]),
+        rng.uniform(-60, 60, 70))]
+    left = [Row(id=i, ra=ra, dec=dec)
+            for i, (ra, dec) in enumerate(base)]
+    # right = perturbed copies (some inside, some outside the radius)
+    right = [Row(id=1000 + i,
+                 ra=float((ra + 0.3 * ((i % 5) - 2) / 3) % 360.0),
+                 dec=float(dec + 0.3 * ((i % 3) - 1) / 3))
+             for i, (ra, dec) in enumerate(base)]
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    radius = 0.25
+
+    def sep(p, q):
+        ra1, dec1, ra2, dec2 = map(math.radians,
+                                   (p[0], p[1], q[0], q[1]))
+        a = (math.sin((dec2 - dec1) / 2) ** 2
+             + math.cos(dec1) * math.cos(dec2)
+             * math.sin((ra2 - ra1) / 2) ** 2)
+        return math.degrees(2 * math.asin(math.sqrt(a)))
+
+    want = {(i, 1000 + j)
+            for i, p in enumerate(base)
+            for j, q in enumerate(
+                [(r.ra, r.dec) for r in right])
+            if sep(p, q) <= radius}
+    got = crossmatch_sky(ldf, rdf, radius, max_abs_dec=61.0)
+    got_pairs = {(r.left_id, r.right_id) for r in got.collect()}
+    assert got_pairs == want and len(want) > 30
+
+    near = crossmatch_sky(ldf, rdf, radius, max_abs_dec=61.0,
+                          nearest=True).collect()
+    assert len(near) == len({p[0] for p in want})
+    by_left = {}
+    for (i, j) in want:
+        d = sep(base[i], (right[j - 1000].ra, right[j - 1000].dec))
+        cur = by_left.get(i)
+        if cur is None or (d, j) < cur:
+            by_left[i] = (d, j)
+    for r in near:
+        assert r.right_id == by_left[r.left_id][1]
+
+    polar = spark.createDataFrame([Row(id=0, ra=10.0, dec=75.0)])
+    with pytest.raises(Exception, match="max_abs_dec"):
+        crossmatch_sky(polar, rdf, radius, max_abs_dec=61.0).collect()
