@@ -95,6 +95,28 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--contamination-fraction", type=float,
                      default=0.2)
 
+    bda = sub.add_parser(
+        "bda",
+        help="baseline-dependent averaging: adaptive time bins per "
+             "baseline (bin width shrinks with uv-distance), DATA "
+             "averaged flag-aware, written as parquet "
+             "(the ratt-ru/xova reduction as one Spark plan)")
+    bda.add_argument("input", help="MS-shaped parquet table")
+    bda.add_argument("output")
+    bda.add_argument("--time-col", default="TIME")
+    bda.add_argument("--baseline-cols", default="ANTENNA1,ANTENNA2")
+    bda.add_argument("--uvdist-col", default="UVDIST")
+    bda.add_argument("--data-col", default=None)
+    bda.add_argument("--flag-col", default=None)
+    bda.add_argument("--weight-col", default=None)
+    bda.add_argument("--base-interval", type=float, required=True,
+                     help="shortest-baseline bin width, seconds")
+    bda.add_argument("--ref-uvdist", type=float, required=True,
+                     help="uv-distance that gets factor 1 (no extra "
+                     "averaging)")
+    bda.add_argument("--max-factor", type=int, default=16)
+    bda.add_argument("--time-origin", type=float, default=0.0)
+
     args = parser.parse_args(argv)
 
     if args.command == "convert":
@@ -125,6 +147,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "curate":
         return _curate(args)
+
+    if args.command == "bda":
+        from .operators.bda import bda_average
+        from .session import get_spark
+
+        spark = get_spark("dask-ms-spark-bda")
+        df = spark.read.parquet(args.input)
+        out = bda_average(
+            df, args.time_col, _csv(args.baseline_cols),
+            args.uvdist_col, args.base_interval, args.ref_uvdist,
+            max_factor=args.max_factor, data_col=args.data_col,
+            flag_col=args.flag_col, weight_col=args.weight_col,
+            time_origin=args.time_origin)
+        out.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = df.count(), out.count()
+        print(f"bda: {n_in} rows -> {n_out} bins "
+              f"({n_in / max(n_out, 1):.2f}x compression)")
+        return 0
 
     if args.command == "katdal-import":
         from .session import get_spark

@@ -217,3 +217,45 @@ def test_reference_chunks_kwarg(spark):
     with pytest.raises(ValueError, match="only 'row'"):
         xds_from_casa(spark, "/fake/ms", table_factory=FakeCasaTable,
                       chunks={"row": 10, "chan": 4})
+
+
+def test_bda_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """dask-ms-spark bda: MS-shaped parquet in, averaged bins out —
+    short baselines compress harder than long ones, flags honoured."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark import apps
+
+    monkeypatch.setattr("dask_ms_spark.session.get_spark",
+                        lambda *a, **k: spark)
+    rows = []
+    for bl, uv in ((1, 50.0), (2, 800.0)):
+        for i in range(16):
+            rows.append(Row(ANTENNA1=0, ANTENNA2=bl, UVDIST=uv,
+                            TIME=2.0 * i,
+                            DATA=[float(i), float(bl)],
+                            FLAG=[i % 2 == 0, False],
+                            WEIGHT=1.0))
+    src = str(tmp_path / "ms")
+    spark.createDataFrame(
+        rows, "ANTENNA1 long, ANTENNA2 long, UVDIST double, "
+              "TIME double, DATA array<double>, FLAG array<boolean>, "
+              "WEIGHT double").write.parquet(src)
+    out = str(tmp_path / "bda")
+    rc = apps.main(["bda", src, out, "--base-interval", "2",
+                    "--ref-uvdist", "800", "--max-factor", "16",
+                    "--data-col", "DATA", "--flag-col", "FLAG",
+                    "--weight-col", "WEIGHT"])
+    assert rc == 0
+    assert "compression" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    per_bl = {r.ANTENNA2: r.n for r in got.groupBy("ANTENNA2")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_bl[1] == 1         # uv 50 -> factor 16 -> one 32s bin
+    assert per_bl[2] == 16        # uv 800 -> factor 1 -> 2s bins
+    short = got.where("ANTENNA2 = 1").collect()[0]
+    assert short.n_rows == 16 and short.weight_sum == 16.0
+    # element 0: odd i survive the flag -> mean of 1,3,...,15 = 8
+    assert short.data_mean[0] == 8.0 and short.flag == [False, False]
