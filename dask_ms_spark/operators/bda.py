@@ -69,6 +69,7 @@ def bda_average(df: DataFrame, time_col: str,
                 data_col: str | None = None,
                 flag_col: str | None = None,
                 weight_col: str | None = None,
+                weight_data: bool = False,
                 time_origin: float = 0.0,
                 quantize_scale: int | None = None) -> DataFrame:
     """Average rows per (baseline, adaptive time bin).
@@ -87,6 +88,13 @@ def bda_average(df: DataFrame, time_col: str,
     that outside if required (it composes: pass the collected min).
     MS FLAG convention: ``flag_col`` true means BAD; the mean keeps
     unflagged cells.
+
+    ``weight_data=True`` (requires ``weight_col``) makes the tensor
+    mean WEIGHT-weighted — ``sum(w * v) / sum(w)`` over unflagged
+    cells, the MS averaging semantic when rows carry per-row WEIGHT —
+    instead of the unweighted arithmetic mean.  The per-cell plan is
+    identical: the weighted sums ride the same (group, position)
+    shuffle.
     """
     if base_interval <= 0:
         raise ValueError(f"bda_average: base_interval must be > 0, "
@@ -117,13 +125,17 @@ def bda_average(df: DataFrame, time_col: str,
     if data_col is None:
         return scalars.withColumnRenamed("__bin", "bin")
 
+    if weight_data and weight_col is None:
+        raise ValueError("bda_average: weight_data=True requires "
+                         "weight_col")
     if flag_col is not None:
         mask = F.transform(F.col(flag_col), lambda fl: ~fl)
     else:
         mask = F.transform(F.col(data_col), lambda _: F.lit(True))
     tens = tensor_row_average(
         keyed.withColumn("__mask", mask), keys, data_col, "__mask",
-        out_col="data_mean", quantize_scale=quantize_scale) \
+        out_col="data_mean", quantize_scale=quantize_scale,
+        weight_col=(weight_col if weight_data else None)) \
         .drop("n_rows")
     out = (scalars.join(tens, on=keys)
            .withColumn("flag", F.transform(F.col("data_mean"),

@@ -80,7 +80,8 @@ def column_update(base: DataFrame, key_col: str, target: str,
 def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
                        vec_col: str, mask_col: str | None = None,
                        out_col: str | None = None,
-                       quantize_scale: int | None = None) -> DataFrame:
+                       quantize_scale: int | None = None,
+                       weight_col: str | None = None) -> DataFrame:
     """Element-wise masked mean of a tensor column ACROSS rows per
     group — the MS time/baseline-averaging reduction (average DATA
     over a time bin per baseline, honouring FLAG): cell [i] of the
@@ -103,6 +104,12 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
     it whenever results feed a cross-engine comparison.  Default None
     keeps plain double sums (float addition is order-sensitive at the
     last ulp).
+
+    ``weight_col`` names a per-row scalar weight: cells become the
+    WEIGHT-weighted mean ``sum(w * v) / sum(w)`` over unflagged
+    samples (the MS semantic when rows carry WEIGHT) — same plan,
+    the weighted sums ride the identical (group, position) shuffle;
+    a cell whose unflagged weights sum to zero yields NULL.
     """
     from pyspark.sql import functions as F
 
@@ -112,17 +119,29 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
          else F.transform(F.col(vec_col), lambda _: F.lit(True)))
     kept = F.zip_with(F.col(vec_col), m,
                       lambda v, k: F.when(k, v).otherwise(F.lit(None)))
-    ex = df.select(*group_cols, F.posexplode(kept).alias("__pos", "__v"),
+    wcols = ([F.col(weight_col).cast("double").alias("__rw")]
+             if weight_col else [])
+    ex = df.select(*group_cols, *wcols,
+                   F.posexplode(kept).alias("__pos", "__v"),
                    F.size(vec_col).alias("__w"))
+    v = (F.col("__v") * F.col("__rw")) if weight_col else F.col("__v")
     if quantize_scale:
-        sum_expr = (F.sum(F.round(F.col("__v")
-                                  * F.lit(float(quantize_scale)))
-                          .cast("long")).cast("double")
-                    / F.lit(float(quantize_scale)))
+        qs = F.lit(float(quantize_scale))
+
+        def qsum(c):
+            return F.sum(F.round(c * qs).cast("long")).cast("double") / qs
+        sum_expr = qsum(v)
+        den_expr = (qsum(F.when(F.col("__v").isNotNull(),
+                                F.col("__rw"))) if weight_col
+                    else F.count("__v").cast("double"))
     else:
-        sum_expr = F.sum("__v")
+        sum_expr = F.sum(v)
+        den_expr = (F.sum(F.when(F.col("__v").isNotNull(),
+                                 F.col("__rw"))) if weight_col
+                    else F.count("__v").cast("double"))
     per_cell = (ex.groupBy(*group_cols, "__pos")
                 .agg(sum_expr.alias("__s"),
+                     den_expr.alias("__d"),
                      F.count("__v").alias("__n"),     # non-null only
                      F.count(F.lit(1)).alias("__rows"),
                      F.min("__w").alias("__wlo"),
@@ -131,7 +150,8 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
     # length check folds into the same aggregation: any ragged group
     # poisons its cell rows; surface via a guarded expression
     cell = F.when(F.col("__wlo") == F.col("__whi"),
-                  F.when(F.col("__n") > 0, F.col("__s") / F.col("__n")))\
+                  F.when((F.col("__n") > 0) & (F.col("__d") != 0),
+                         F.col("__s") / F.col("__d")))\
         .otherwise(F.raise_error(F.lit(
             "tensor_row_average: ragged tensor lengths within a group "
             "— partition by the shape-defining column first")))

@@ -570,3 +570,51 @@ def test_crossmatch_sky_matches_allpairs(spark):
     polar = spark.createDataFrame([Row(id=0, ra=10.0, dec=75.0)])
     with pytest.raises(Exception, match="max_abs_dec"):
         crossmatch_sky(polar, rdf, radius, max_abs_dec=61.0).collect()
+
+
+def test_bda_weighted_data_mean(spark):
+    """weight_data=True: cells carry the WEIGHT-weighted mean
+    sum(w*v)/sum(w) over unflagged samples; zero total weight yields
+    NULL; the unweighted spelling is the w=const special case."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.bda import bda_average
+
+    rows = [
+        Row(bl=1, uv=800.0, time=0.0, w=1.0,
+            data=[10.0, 0.0], flag=[False, False]),
+        Row(bl=1, uv=800.0, time=1.0, w=3.0,
+            data=[20.0, 0.0], flag=[False, True]),
+        Row(bl=1, uv=800.0, time=1.5, w=0.0,
+            data=[99.0, 5.0], flag=[False, True]),
+    ]
+    df = spark.createDataFrame(
+        rows, "bl long, uv double, time double, w double, "
+              "data array<double>, flag array<boolean>")
+    out = bda_average(df, "time", ["bl"], "uv", base_interval=4.0,
+                      ref_uvdist=800.0, data_col="data",
+                      flag_col="flag", weight_col="w",
+                      weight_data=True).collect()[0]
+    # elem 0: (1*10 + 3*20 + 0*99) / (1+3+0) = 17.5
+    assert out.data_mean[0] == 17.5
+    # elem 1: only row 0 unflagged -> 1*0 / 1 = 0
+    assert out.data_mean[1] == 0.0
+    assert out.weight_sum == 4.0
+
+    # all contributing weights zero -> NULL cell, flagged
+    z = spark.createDataFrame(
+        [Row(bl=1, uv=800.0, time=0.0, w=0.0,
+             data=[1.0], flag=[False])],
+        "bl long, uv double, time double, w double, "
+        "data array<double>, flag array<boolean>")
+    rz = bda_average(z, "time", ["bl"], "uv", base_interval=4.0,
+                     ref_uvdist=800.0, data_col="data",
+                     flag_col="flag", weight_col="w",
+                     weight_data=True).collect()[0]
+    assert rz.data_mean[0] is None and rz.flag[0] is True
+
+    with pytest.raises(ValueError, match="weight_col"):
+        bda_average(df, "time", ["bl"], "uv", base_interval=4.0,
+                    ref_uvdist=800.0, data_col="data",
+                    weight_data=True)
