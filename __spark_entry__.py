@@ -4202,6 +4202,67 @@ _CROSSMATCH_SQL = """
 """
 
 
+def q_rfi_flag(spark, sf_dir):
+    """RFI flagging (operators/rfi.py rfi_flag): per-(baseline,
+    channel) rolling robust z-score — deviation from the rolling
+    median beyond k * 1.4826 * MAD flags the sample; pre-flagged
+    cells persist and are excluded from every statistic.  All three
+    statistics are window aggregates over ONE (baseline, channel)
+    exchange.  The threshold constant crosses to the oracle as its
+    exact integer ratio (dyadic-literal rule)."""
+    from dask_ms_spark.operators.rfi import rfi_flag
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select((F.col("vec_id") % 8).alias("b"),
+                    F.col("vec_id").alias("t"),
+                    F.col("embedding").alias("data"),
+                    F.transform(F.col("embedding"),
+                                lambda x: x <= -1.5).alias("fl"))
+    out = rfi_flag(d, "t", ["b"], "data", "fl", window=3, k=4.0)
+    return out.select(
+        "b", F.col("t").alias("vec_id"), "n_flagged_new",
+        F.array_join(F.transform(F.col("flag_rfi"),
+                     lambda fl: F.when(fl, "1").otherwise("0")), ",")
+         .alias("flag_csv"))
+
+
+def _rfi_flag_sql() -> str:
+    num, den = (4.0 * 1.4826).as_integer_ratio()
+    return f"""
+    WITH v AS (SELECT vec_id % 8 AS b, vec_id AS t,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    e AS (SELECT b, t, i - 1 AS pos,
+                 CASE WHEN NOT (vec[i] <= -1.5) THEN vec[i] END AS x
+          FROM v, UNNEST(range(1, len(vec) + 1)) AS u(i)),
+    st AS (SELECT b, t, pos, x,
+                  quantile_cont(x, 0.5) OVER (PARTITION BY b, pos)
+                      AS med
+           FROM e),
+    st2 AS (SELECT *, quantile_cont(abs(x - med), 0.5) OVER (
+                    PARTITION BY b, pos) AS mad,
+                  quantile_cont(x, 0.5) OVER (
+                    PARTITION BY b, pos ORDER BY t
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS rmed
+            FROM st),
+    fl AS (SELECT b, t, pos,
+                  (x IS NULL) OR (x IS NOT NULL AND rmed IS NOT NULL
+                      AND abs(x - rmed)
+                          > (CAST({num} AS DOUBLE) / {den}) * mad) AS f,
+                  CASE WHEN x IS NOT NULL AND rmed IS NOT NULL
+                       AND abs(x - rmed)
+                           > (CAST({num} AS DOUBLE) / {den}) * mad
+                       THEN 1 ELSE 0 END AS nw
+           FROM st2)
+    SELECT b, t AS vec_id,
+           cast(sum(nw) as bigint) AS n_flagged_new,
+           array_to_string(list(CASE WHEN f THEN '1' ELSE '0' END
+                                ORDER BY pos), ',') AS flag_csv
+    FROM fl GROUP BY b, t
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4226,7 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
     #     phase_rotate, spectral_index, weighted_quantiles,
     #     bda_average, flag_summary, ann_pq, resample_interp,
-    #     crossmatch), then
+    #     crossmatch, rfi_flag), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4313,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "resample_interp": q_resample_interp,
         "crossmatch": q_crossmatch,
+        "rfi_flag": q_rfi_flag,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4843,6 +4905,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _ANN_PQ_SQL,
         "resample_interp": _RESAMPLE_INTERP_SQL,
         "crossmatch": _CROSSMATCH_SQL,
+        "rfi_flag": _rfi_flag_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

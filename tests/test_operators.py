@@ -618,3 +618,48 @@ def test_bda_weighted_data_mean(spark):
         bda_average(df, "time", ["bl"], "uv", base_interval=4.0,
                     ref_uvdist=800.0, data_col="data",
                     weight_data=True)
+
+
+def test_rfi_flag_detects_spikes(spark):
+    """RFI flagging: planted spikes on a drifting baseline are
+    flagged, the drift itself is not (rolling median removes trend),
+    pre-flagged samples stay flagged and are excluded from the
+    statistics; plan carries the stats on ONE (baseline, channel)
+    exchange."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.rfi import rfi_flag
+
+    rows = []
+    for t in range(64):
+        drift = 0.1 * t                     # slow trend: must survive
+        x0 = drift + (50.0 if t in (10, 40) else 0.0)   # RFI spikes
+        x1 = (t % 4) * 0.5                  # benign ripple
+        rows.append(Row(bl=1, t=float(t),
+                        data=[x0, x1],
+                        flag=[False, t == 5]))
+    df = spark.createDataFrame(
+        rows, "bl long, t double, data array<double>, "
+              "flag array<boolean>")
+    out = rfi_flag(df, "t", ["bl"], "data", "flag",
+                   window=4, k=6.0)
+    got = {r.t: r for r in out.collect()}
+    assert len(got) == 64
+    # spikes flagged, their neighbours not
+    assert got[10.0].flag_rfi[0] is True
+    assert got[40.0].flag_rfi[0] is True
+    assert got[11.0].flag_rfi[0] is False
+    assert got[9.0].flag_rfi[0] is False
+    # the drift alone never flags channel 0 elsewhere
+    others = [got[float(t)].flag_rfi[0] for t in range(64)
+              if t not in (10, 40)]
+    assert not any(others)
+    # channel 1 ripple stays within k * 1.4826 * MAD: never flagged
+    # except the pre-flag, which persists and counts as not-new
+    assert got[5.0].flag_rfi[1] is True
+    assert sum(r.flag_rfi[1] for r in got.values()) == 1
+    assert sum(r.n_flagged_new for r in got.values()) == 2
+    # one exchange feeds all three window stats
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 2     # stats + reassembly
