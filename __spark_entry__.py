@@ -4263,6 +4263,93 @@ def _rfi_flag_sql() -> str:
     """
 
 
+def q_gain_solve(spark, sf_dir):
+    """Antenna-gain solve (operators/calibration.py gain_solve): two
+    damped antsol iterations over synthetic visibilities
+    V_pq = G_p conj(G_q) scaled per row; per-iteration sums are
+    int64-quantised, so the oracle mirrors every multiply/add in the
+    same order and matches bit-for-bit.  The gain table is broadcast-
+    joined onto the edge list each iteration — per-antenna state never
+    shuffles the visibility set."""
+    from dask_ms_spark.operators.calibration import gain_solve
+
+    embs = _t(spark, sf_dir, "embeddings")
+    p = (F.col("vec_id") % 8).cast("double")
+    q = ((F.col("vec_id") / 8).cast("long") % 8).cast("double")
+    ap, bp = 1.0 + 0.05 * p, 0.02 * p
+    aq, bq = 1.0 + 0.05 * q, 0.02 * q
+    s = 1.0 + 0.001 * (F.col("vec_id") % 7).cast("double")
+    d = embs.select(
+        (F.col("vec_id") % 8).alias("antenna1"),
+        ((F.col("vec_id") / 8).cast("long") % 8).alias("antenna2"),
+        F.array(s * (ap * aq + bp * bq),
+                s * (bp * aq - ap * bq)).alias("vis")) \
+        .where(F.col("antenna1") < F.col("antenna2"))
+    out = gain_solve(d, iters=2, damping=0.5)
+    return out.select(
+        "antenna",
+        F.round(F.element_at("gain", 1) * 1e6).cast("long")
+         .alias("gre_q"),
+        F.round(F.element_at("gain", 2) * 1e6).cast("long")
+         .alias("gim_q"))
+
+
+_GAIN_SOLVE_SQL = """
+    WITH base AS (
+        SELECT vec_id % 8 AS a1, (vec_id // 8) % 8 AS a2,
+               1.0 + 0.05 * cast(vec_id % 8 as double) AS ap,
+               0.02 * cast(vec_id % 8 as double) AS bp,
+               1.0 + 0.05 * cast((vec_id // 8) % 8 as double) AS aq,
+               0.02 * cast((vec_id // 8) % 8 as double) AS bq,
+               1.0 + 0.001 * cast(vec_id % 7 as double) AS s
+        FROM embeddings),
+    vis AS (SELECT a1, a2,
+                   s * (ap * aq + bp * bq) AS vre,
+                   s * (bp * aq - ap * bq) AS vim
+            FROM base WHERE a1 < a2),
+    edges AS (SELECT a1 AS p, a2 AS q, vre, vim FROM vis
+              UNION ALL
+              SELECT a2 AS p, a1 AS q, vre, -vim AS vim FROM vis),
+    -- iteration 1: g0 = (1, 0) for every antenna, so num = V and
+    -- den = 1 per edge; quantised sums mirror _qsum exactly
+    it1 AS (SELECT p AS antenna,
+                   cast(sum(cast(round((vre * 1.0 - vim * 0.0)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sre,
+                   cast(sum(cast(round((vre * 0.0 + vim * 1.0)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sim,
+                   cast(sum(cast(round((1.0 * 1.0 + 0.0 * 0.0)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sd
+            FROM edges GROUP BY p),
+    g1 AS (SELECT antenna,
+                  0.5 * 1.0 + (0.5 * sre) / sd AS gre,
+                  0.5 * 0.0 + (0.5 * sim) / sd AS gim
+           FROM it1),
+    it2 AS (SELECT e.p AS antenna,
+                   cast(sum(cast(round((e.vre * g.gre - e.vim * g.gim)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sre,
+                   cast(sum(cast(round((e.vre * g.gim + e.vim * g.gre)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sim,
+                   cast(sum(cast(round((g.gre * g.gre + g.gim * g.gim)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sd
+            FROM edges e JOIN g1 g ON g.antenna = e.q
+            GROUP BY e.p),
+    g2 AS (SELECT i.antenna,
+                  0.5 * g.gre + (0.5 * i.sre) / i.sd AS gre,
+                  0.5 * g.gim + (0.5 * i.sim) / i.sd AS gim
+           FROM it2 i JOIN g1 g ON g.antenna = i.antenna)
+    SELECT antenna,
+           cast(round(gre * 1000000) as bigint) AS gre_q,
+           cast(round(gim * 1000000) as bigint) AS gim_q
+    FROM g2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4287,7 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
     #     phase_rotate, spectral_index, weighted_quantiles,
     #     bda_average, flag_summary, ann_pq, resample_interp,
-    #     crossmatch, rfi_flag), then
+    #     crossmatch, rfi_flag, gain_solve), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4375,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "crossmatch": q_crossmatch,
         "rfi_flag": q_rfi_flag,
+        "gain_solve": q_gain_solve,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4906,6 +4994,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_interp": _RESAMPLE_INTERP_SQL,
         "crossmatch": _CROSSMATCH_SQL,
         "rfi_flag": _rfi_flag_sql(),
+        "gain_solve": _GAIN_SOLVE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -1,0 +1,98 @@
+"""Antenna-gain calibration solve — the "antsol" fixed-point
+iteration that produces the gain tables ``functions/complexf.py
+apply_gains`` consumes (reference context: dask-ms feeds calibration
+packages exactly these per-baseline DATA chunks,
+daskms/reads.py:58-75; the solve itself is the downstream kernel).
+
+Model: ``V_pq = g_p * conj(g_q) * M_pq`` with a unit point-source
+model (M = 1).  Each iteration estimates
+
+    g_p  <-  sum_q V_pq * g_q  /  sum_q |g_q|^2
+
+(over both edge directions, ``V_qp = conj(V_pq)``), then applies a
+damped update ``g <- (1 - damping) * g + damping * g_new`` — the
+classic stabilised antsol step.
+
+Scale shape: the gain table is per-ANTENNA (dozens to thousands of
+rows — always broadcast-sized), so each iteration is a broadcast join
+of gains onto the edge list plus ONE antenna-keyed aggregation of the
+visibility-sized edge set; ``iters`` is a small constant.  Sums are
+int64-quantised (the kmeans/pagerank fixed-point discipline), so the
+solve is bit-deterministic under any shuffle order and mirrors
+engine-exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["gain_solve"]
+
+
+def _qsum(c, scale: float):
+    return (F.sum(F.round(c * F.lit(scale)).cast("long")).cast("double")
+            / F.lit(scale))
+
+
+def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
+               ant2_col: str = "antenna2", vis_col: str = "vis",
+               iters: int = 2, damping: float = 0.5,
+               quantize_scale: int = 1 << 20) -> DataFrame:
+    """Solve per-antenna complex gains from baseline visibilities.
+
+    ``vis_col`` is an interleaved complex scalar ``[re, im]`` (one
+    correlation, one channel — average first with
+    :func:`~dask_ms_spark.operators.bda.bda_average` /
+    ``masked_bin_average`` for multi-channel data).  Multiple rows per
+    baseline are fine: they all enter the per-antenna sums.  Rows
+    with ``ant1 == ant2`` (autocorrelations) are excluded — they
+    carry no cross-gain information in this model.
+
+    Returns (antenna, gain) with ``gain = [re, im]``.  The overall
+    phase is unconstrained (the usual gauge freedom); reference the
+    phases to one antenna downstream if absolute phase matters.
+    """
+    if iters < 1:
+        raise ValueError(f"gain_solve: iters must be >= 1, got {iters}")
+    if not 0 < damping <= 1:
+        raise ValueError(f"gain_solve: damping must be in (0, 1], "
+                         f"got {damping}")
+    qs = float(quantize_scale)
+    p, q = F.col(ant1_col), F.col(ant2_col)
+    vre = F.element_at(F.col(vis_col), 1).cast("double")
+    vim = F.element_at(F.col(vis_col), 2).cast("double")
+    fwd = vis.where(p != q).select(p.alias("p"), q.alias("q"),
+                                   vre.alias("vre"), vim.alias("vim"))
+    rev = vis.where(p != q).select(q.alias("p"), p.alias("q"),
+                                   vre.alias("vre"),
+                                   (-vim).alias("vim"))
+    edges = fwd.unionByName(rev)
+
+    gains = (edges.select(F.col("p").alias("antenna")).distinct()
+             .select("antenna", F.lit(1.0).alias("gre"),
+                     F.lit(0.0).alias("gim")))
+    d = float(damping)
+    for _ in range(iters):
+        j = edges.join(F.broadcast(gains.select(
+            F.col("antenna").alias("q"), F.col("gre").alias("qre"),
+            F.col("gim").alias("qim"))), on="q")
+        num_re = F.col("vre") * F.col("qre") - F.col("vim") * F.col("qim")
+        num_im = F.col("vre") * F.col("qim") + F.col("vim") * F.col("qre")
+        den = F.col("qre") * F.col("qre") + F.col("qim") * F.col("qim")
+        est = (j.groupBy(F.col("p").alias("antenna"))
+               .agg(_qsum(num_re, qs).alias("sre"),
+                    _qsum(num_im, qs).alias("sim"),
+                    _qsum(den, qs).alias("sd")))
+        gains = (gains.join(est, on="antenna")
+                 .select("antenna",
+                         (F.lit(1 - d) * F.col("gre")
+                          + F.lit(d) * F.col("sre") / F.col("sd"))
+                         .alias("gre"),
+                         (F.lit(1 - d) * F.col("gim")
+                          + F.lit(d) * F.col("sim") / F.col("sd"))
+                         .alias("gim")))
+        # the gain table is tiny; checkpointing truncates the lineage
+        # so each iteration's plan stays iteration-sized
+        gains = gains.localCheckpoint(eager=False)
+    return gains.select("antenna",
+                        F.array("gre", "gim").alias("gain"))

@@ -663,3 +663,39 @@ def test_rfi_flag_detects_spikes(spark):
     plan = out._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 2     # stats + reassembly
+
+
+def test_gain_solve_recovers_true_gains(spark):
+    """antsol on noiseless V_pq = g_p conj(g_q): iterating converges
+    toward the true gains up to the global phase gauge — check the
+    gauge-invariant products g_p conj(g_q) instead of raw gains;
+    autocorrelations are ignored; parameter validation raises."""
+    import cmath
+
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import gain_solve
+
+    true_g = {a: complex(1 + 0.1 * (a % 3), 0.05 * a) for a in range(6)}
+    rows = []
+    for p_ in range(6):
+        for q_ in range(p_, 6):       # include an autocorrelation row
+            v = true_g[p_] * true_g[q_].conjugate()
+            rows.append(Row(antenna1=p_, antenna2=q_,
+                            vis=[v.real, v.imag]))
+    df = spark.createDataFrame(
+        rows, "antenna1 long, antenna2 long, vis array<double>")
+    out = {r.antenna: complex(r.gain[0], r.gain[1])
+           for r in gain_solve(df, iters=32, damping=0.9).collect()}
+    assert set(out) == set(range(6))
+    for p_ in range(6):
+        for q_ in range(p_ + 1, 6):
+            got = out[p_] * out[q_].conjugate()
+            want = true_g[p_] * true_g[q_].conjugate()
+            assert cmath.isclose(got, want, rel_tol=1e-3), (p_, q_)
+
+    with pytest.raises(ValueError, match="iters"):
+        gain_solve(df, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        gain_solve(df, damping=0.0)
