@@ -4350,6 +4350,111 @@ _GAIN_SOLVE_SQL = """
 """
 
 
+def q_channel_regrid(spark, sf_dir):
+    """Doppler-frame channel regrid (functions/vector.py
+    channel_regrid): per-row fractional shift via linear
+    interpolation, pure higher-order functions — zero shuffle, zero
+    Python; out-of-grid channels NULL."""
+    from dask_ms_spark.functions.vector import channel_regrid
+
+    embs = _t(spark, sf_dir, "embeddings")
+    shift = (F.col("vec_id") % 5).cast("double") * 0.5 - 1.0
+    out = channel_regrid(F.col("embedding"), shift, 64)
+    q = F.transform(out, lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"),
+        F.lit(-999999999)).cast("string"))
+    return embs.select("vec_id", F.array_join(q, ",").alias("regrid_q"))
+
+
+_CHANNEL_REGRID_SQL = """
+    WITH v AS (SELECT vec_id,
+                      cast(vec_id % 5 as double) * 0.5 - 1.0 AS shift,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform(range(0, 64), i -> CASE
+               WHEN cast(i as double) + shift >= 0
+                AND cast(i as double) + shift
+                    <= cast(len(vec) - 1 as double)
+               THEN cast(cast(round(
+                   ((1.0 - (cast(i as double) + shift
+                            - cast(floor(cast(i as double) + shift)
+                                   as double)))
+                    * vec[cast(floor(cast(i as double) + shift)
+                               as int) + 1]
+                    + (cast(i as double) + shift
+                       - cast(floor(cast(i as double) + shift)
+                              as double))
+                    * vec[least(cast(floor(cast(i as double) + shift)
+                                    as int) + 2, len(vec))])
+                   * 1000000) as bigint) as varchar)
+               ELSE '-999999999' END), ',') AS regrid_q
+    FROM v
+"""
+
+
+def q_spectral_moments(spark, sf_dir):
+    """Spectral moments (functions/vector.py spectral_moments):
+    per-row intensity-weighted mean channel and dispersion over
+    unmasked cells — map-side folds, no explode.  The oracle mirrors
+    the left-to-right fold via list_reduce (the list_sum order
+    divergence rule, SCALE.md)."""
+    from dask_ms_spark.functions.vector import spectral_moments
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mask = F.transform(vec, lambda x: x > 0)
+    s = spectral_moments(vec, mask)
+    return embs.select(
+        "vec_id",
+        F.round(s["mom0"] * 1e6).cast("long").alias("mom0_q"),
+        F.coalesce(F.round(s["mom1"] * 1e6).cast("long"),
+                   F.lit(-999999999)).alias("mom1_q"),
+        F.coalesce(F.round(s["mom2"] * 1e6).cast("long"),
+                   F.lit(-999999999)).alias("mom2_q"))
+
+
+_SPECTRAL_MOMENTS_SQL = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                          CASE WHEN cast(x as double) > 0
+                               THEN cast(x as double) END) AS vv,
+                      len(embedding) AS n
+               FROM embeddings),
+    s0 AS (SELECT vec_id, vv, n,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(vv, x -> coalesce(x, 0.0))),
+                      (a, b) -> a + b) AS mom0,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, n + 1), i ->
+                          coalesce(vv[i] * cast(i - 1 as double),
+                                   0.0))),
+                      (a, b) -> a + b) AS sx
+           FROM v),
+    s1 AS (SELECT vec_id, vv, n, mom0,
+                  CASE WHEN mom0 > 0 THEN sx / mom0 END AS mom1
+           FROM s0),
+    s2 AS (SELECT vec_id, mom0, mom1,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(range(1, n + 1), i ->
+                          coalesce(vv[i]
+                              * (cast(i - 1 as double) - mom1)
+                              * (cast(i - 1 as double) - mom1),
+                              0.0))),
+                      (a, b) -> a + b) AS sxx
+           FROM s1)
+    SELECT vec_id,
+           cast(round(mom0 * 1000000) as bigint) AS mom0_q,
+           coalesce(cast(round(mom1 * 1000000) as bigint),
+                    -999999999) AS mom1_q,
+           coalesce(cast(round(CASE WHEN mom0 > 0
+                               THEN sqrt(sxx / mom0) END * 1000000)
+                         as bigint), -999999999) AS mom2_q
+    FROM s2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4374,7 +4479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
     #     phase_rotate, spectral_index, weighted_quantiles,
     #     bda_average, flag_summary, ann_pq, resample_interp,
-    #     crossmatch, rfi_flag, gain_solve), then
+    #     crossmatch, rfi_flag, gain_solve, channel_regrid,
+    #     spectral_moments), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4463,6 +4569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmatch": q_crossmatch,
         "rfi_flag": q_rfi_flag,
         "gain_solve": q_gain_solve,
+        "channel_regrid": q_channel_regrid,
+        "spectral_moments": q_spectral_moments,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -4995,6 +5103,8 @@ def oracle_sql() -> dict[str, str]:
         "crossmatch": _CROSSMATCH_SQL,
         "rfi_flag": _rfi_flag_sql(),
         "gain_solve": _GAIN_SOLVE_SQL,
+        "channel_regrid": _CHANNEL_REGRID_SQL,
+        "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

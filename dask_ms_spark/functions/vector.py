@@ -13,7 +13,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
-           "masked_bin_average", "weighted_bin_average", "log_log_fit"]
+           "masked_bin_average", "weighted_bin_average", "log_log_fit",
+           "channel_regrid", "spectral_moments"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -148,3 +149,63 @@ def log_log_fit(vec: Column, xs: list[float],
     return F.struct(alpha.alias("alpha"),
                     intercept.alias("intercept"),
                     n.cast("long").alias("n_used"))
+
+
+def channel_regrid(vec: Column, shift: Column, n_out: int) -> Column:
+    """Resample a spectrum onto a shifted channel grid by linear
+    interpolation: ``out[i] = lerp(vec, i + shift)`` for a (possibly
+    fractional, per-row) ``shift`` — the Doppler/velocity-frame
+    regridding kernel (each row's spectrum moves by its own topo->bary
+    offset).  Output channels that fall outside the input grid are
+    NULL, not extrapolated.
+
+    Pure Catalyst higher-order functions: zero Python, zero shuffle —
+    at 100 TB this is a map over the scan.  The reference's analogue
+    is per-chunk numpy interp in user code (SURVEY §2.7).
+    """
+    src = F.transform(vec, lambda x: x.cast("double"))
+    pos = F.transform(F.sequence(F.lit(0), F.lit(n_out - 1)),
+                      lambda i: i.cast("double") + shift.cast("double"))
+    n_in = F.size(vec)
+
+    def lerp(p):
+        lo = F.floor(p).cast("int")
+        frac = p - lo.cast("double")
+        vlo = F.element_at(src, lo + 1)
+        vhi = F.element_at(src, F.least(lo + F.lit(2), n_in))
+        inside = (p >= 0) & (p <= (n_in - 1).cast("double"))
+        return F.when(inside,
+                      (F.lit(1.0) - frac) * vlo + frac * vhi)
+
+    return F.transform(pos, lerp)
+
+
+def spectral_moments(vec: Column, mask: Column | None = None) -> Column:
+    """Per-row spectral moments over channel index x = 0..n-1:
+    ``mom0 = sum(v)``, ``mom1 = sum(v*x)/mom0`` (intensity-weighted
+    mean channel), ``mom2 = sqrt(sum(v*(x-mom1)^2)/mom0)`` (dispersion)
+    — the spectral-line analysis triple, masked cells excluded.
+
+    Returns a struct (mom0, mom1, mom2); mom1/mom2 are NULL when the
+    weight sum is <= 0 (moments of non-positive total flux are
+    undefined).  Map-side folds only — no explode, no shuffle.
+    """
+    v = (F.zip_with(vec, mask, lambda x, m: F.when(m, x.cast("double")))
+         if mask is not None
+         else F.transform(vec, lambda x: x.cast("double")))
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def fsum(arr):
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda a, x: a + F.coalesce(x, F.lit(0.0)))
+
+    mom0 = fsum(v)
+    sx = fsum(F.zip_with(v, idx,
+                         lambda x, i: x * i.cast("double")))
+    mom1 = F.when(mom0 > 0, sx / mom0)
+    sxx = fsum(F.zip_with(v, idx,
+                          lambda x, i: x * (i.cast("double") - mom1)
+                          * (i.cast("double") - mom1)))
+    mom2 = F.when(mom0 > 0, F.sqrt(sxx / mom0))
+    return F.struct(mom0.alias("mom0"), mom1.alias("mom1"),
+                    mom2.alias("mom2"))

@@ -529,3 +529,61 @@ def test_phase_rotate_and_gains_width_guards(spark):
         "antenna long, gain array<double>")
     with pytest.raises(Exception, match="channel count"):
         apply_gains(vis, gains).collect()
+
+
+def test_channel_regrid_matches_numpy(spark):
+    """Fractional-shift linear regrid == numpy interp on the interior;
+    out-of-range output channels are NULL; integer shift is an exact
+    slice."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.vector import channel_regrid
+
+    rng = np.random.RandomState(2)
+    vec = [float(x) for x in rng.randn(16)]
+    rows = [Row(i=0, shift=0.0), Row(i=1, shift=2.0),
+            Row(i=2, shift=0.25), Row(i=3, shift=-1.5),
+            Row(i=4, shift=14.5)]
+    df = spark.createDataFrame(rows).select(
+        "i", "shift", F.lit(vec).alias("v"))
+    out = {r.i: r.o for r in df.select(
+        "i", channel_regrid(F.col("v"), F.col("shift"), 16)
+        .alias("o")).collect()}
+    assert out[0] == vec                       # identity
+    assert out[1][:14] == vec[2:]              # integer shift
+    assert out[1][14] is None and out[1][15] is None
+    src = np.array(vec)
+    for j in range(15):                        # fractional interior
+        want = 0.75 * src[j] + 0.25 * src[j + 1]
+        assert abs(out[2][j] - want) < 1e-12
+    assert out[3][0] is None                   # before the grid
+    assert abs(out[3][2] - (0.5 * src[0] + 0.5 * src[1])) < 1e-12
+    assert out[4][0] is not None and out[4][1] is None  # tail clamp
+
+
+def test_spectral_moments_matches_numpy(spark):
+    """Moments == numpy intensity-weighted stats; masked cells
+    excluded; non-positive total flux yields NULL mom1/mom2."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.vector import spectral_moments
+
+    v = [0.0, 1.0, 3.0, 2.0, 0.0, 1.0]
+    m = [True, True, True, True, True, False]
+    df = spark.createDataFrame([Row(x=1)])
+    got = df.select(spectral_moments(
+        F.lit(v), F.lit(m)).alias("s")).collect()[0].s
+    vv = np.array(v[:5])
+    idx = np.arange(5)
+    mom0 = vv.sum()
+    mom1 = (vv * idx).sum() / mom0
+    mom2 = np.sqrt((vv * (idx - mom1) ** 2).sum() / mom0)
+    assert abs(got.mom0 - mom0) < 1e-12
+    assert abs(got.mom1 - mom1) < 1e-12
+    assert abs(got.mom2 - mom2) < 1e-12
+
+    zero = df.select(spectral_moments(
+        F.lit([0.0, -1.0])).alias("s")).collect()[0].s
+    assert zero.mom1 is None and zero.mom2 is None
