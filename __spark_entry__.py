@@ -4455,6 +4455,53 @@ _SPECTRAL_MOMENTS_SQL = """
 """
 
 
+def q_imaging_weights(spark, sf_dir):
+    """Briggs robust imaging weights (operators/imaging.py
+    imaging_weights): per-row uv-cell occupancy via a window count
+    (one exchange, no join-back), global normalisation as a 1-row
+    broadcast aggregate; the 5*10^-R constant crosses to the oracle
+    as its exact integer ratio."""
+    from dask_ms_spark.operators.imaging import imaging_weights
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        "vec_id",
+        ((F.col("vec_id") * 13.7) % 40.0 - 20.0).alias("u"),
+        ((F.col("vec_id") * 7.3) % 40.0 - 20.0).alias("v"),
+        (1.0 + (F.col("vec_id") % 3).cast("double")).alias("w"))
+    out = imaging_weights(d, "u", "v", 4.0, "w", mode="briggs",
+                          robust=0.5)
+    return out.select(
+        "vec_id", F.col("n_cell").cast("long").alias("n_cell"),
+        F.round(F.col("imaging_weight") * 1e6).cast("long")
+         .alias("iw_q"))
+
+
+def _imaging_weights_sql() -> str:
+    num, den = ((5.0 * 10.0 ** -0.5) ** 2).as_integer_ratio()
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      fmod(vec_id * 13.7, 40.0) - 20.0 AS u,
+                      fmod(vec_id * 7.3, 40.0) - 20.0 AS vv,
+                      1.0 + cast(vec_id % 3 as double) AS w
+               FROM embeddings),
+    c AS (SELECT *, cast(floor(u / 4.0) as bigint) AS cu,
+                 cast(floor(vv / 4.0) as bigint) AS cv
+          FROM v),
+    n AS (SELECT *, count(*) OVER (PARTITION BY cu, cv) AS n_cell
+          FROM c),
+    cs AS (SELECT cu, cv, count(*) AS nk, sum(w) AS wk
+           FROM c GROUP BY 1, 2),
+    g AS (SELECT cast(sum(nk * nk) as double) / sum(wk) AS mean_n
+          FROM cs)
+    SELECT vec_id, cast(n_cell as bigint) AS n_cell,
+           cast(round(w / (1.0 + n_cell
+                           * ((CAST({num} AS DOUBLE) / {den})
+                              / mean_n)) * 1000000) as bigint) AS iw_q
+    FROM n CROSS JOIN g
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4480,7 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     phase_rotate, spectral_index, weighted_quantiles,
     #     bda_average, flag_summary, ann_pq, resample_interp,
     #     crossmatch, rfi_flag, gain_solve, channel_regrid,
-    #     spectral_moments), then
+    #     spectral_moments, imaging_weights), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4571,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gain_solve": q_gain_solve,
         "channel_regrid": q_channel_regrid,
         "spectral_moments": q_spectral_moments,
+        "imaging_weights": q_imaging_weights,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5105,6 +5153,7 @@ def oracle_sql() -> dict[str, str]:
         "gain_solve": _GAIN_SOLVE_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
+        "imaging_weights": _imaging_weights_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -1,0 +1,81 @@
+"""Imaging-weight computation — the uv-plane density weighting every
+imager applies before gridding (natural / uniform / Briggs robust;
+Briggs 1995, "High Fidelity Deconvolution of Moderately Resolved
+Sources", ch. 3 — public).  dask-ms hands imagers exactly these
+per-row UVW + WEIGHT chunks (reference: daskms/reads.py:58-75); the
+weighting itself is the downstream kernel, here as one declarative
+plan.
+
+Semantics (matching the standard imager definitions):
+
+* natural: ``w' = w`` (pass-through; the baseline).
+* uniform: ``w' = w / N_cell`` — each occupied uv cell contributes
+  equally, killing the dense-core bias at full resolution cost.
+* briggs(R): ``w' = w / (1 + N_cell * f2)`` with
+  ``f2 = (5 * 10^-R)^2 / (sum_cells N_k^2 / sum_i w_i)`` — the robust
+  interpolation between natural (R >> 0) and uniform (R << 0).
+
+Scale shape: the cell occupancy ``N_cell`` is a window count over the
+(cell_u, cell_v) partition — ONE exchange of (row-key, cell) pairs,
+no join back.  The Briggs normalisation is a 1-row global aggregate
+broadcast onto the stream (the repo's scalar-broadcast pattern); at
+100 TB both are a scan plus tiny shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["imaging_weights"]
+
+
+def imaging_weights(df: DataFrame, u_col: str, v_col: str,
+                    cell_size: float, weight_col: str | None = None,
+                    mode: str = "uniform",
+                    robust: float = 0.0) -> DataFrame:
+    """Append ``n_cell`` and ``imaging_weight`` per row.
+
+    ``cell_size`` is the uv-grid cell in the same units as
+    ``u_col``/``v_col`` (wavelengths).  Conjugate baselines: grid the
+    (u, v) you carry — fold ``(-u, -v)`` onto ``(u, v)`` upstream if
+    your convention stores both halves.  ``weight_col`` defaults to
+    unit weights.
+    """
+    if cell_size <= 0:
+        raise ValueError(f"imaging_weights: cell_size must be > 0, "
+                         f"got {cell_size}")
+    if mode not in ("natural", "uniform", "briggs"):
+        raise ValueError(f"imaging_weights: unknown mode {mode!r}")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    cu = F.floor(F.col(u_col).cast("double") / F.lit(float(cell_size)))
+    cv = F.floor(F.col(v_col).cast("double") / F.lit(float(cell_size)))
+    d = df.withColumn("__cu", cu).withColumn("__cv", cv) \
+          .withColumn("__w", w)
+    win = (Window.partitionBy("__cu", "__cv")
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+    d = d.withColumn("n_cell", F.count(F.lit(1)).over(win))
+    if mode == "natural":
+        out = d.withColumn("imaging_weight", F.col("__w"))
+    elif mode == "uniform":
+        out = d.withColumn("imaging_weight",
+                           F.col("__w") / F.col("n_cell"))
+    else:
+        # per-cell stats once per cell (first row of each cell), then
+        # ONE global 1-row aggregate broadcast back onto the stream
+        cell_stats = (d.groupBy("__cu", "__cv")
+                      .agg(F.count(F.lit(1)).alias("__nk"),
+                           F.sum("__w").alias("__wk")))
+        g = cell_stats.agg(
+            (F.sum(F.col("__nk") * F.col("__nk")).cast("double")
+             / F.sum("__wk")).alias("__meanN"))
+        # 5 * 10^-R squared, computed once in Python (one double
+        # constant crosses into the plan — dyadic-literal rule)
+        s2 = float((5.0 * 10.0 ** (-float(robust))) ** 2)
+        out = (d.crossJoin(F.broadcast(g))
+               .withColumn("imaging_weight",
+                           F.col("__w")
+                           / (F.lit(1.0) + F.col("n_cell")
+                              * (F.lit(s2) / F.col("__meanN")))))
+    return out.drop("__cu", "__cv", "__w")

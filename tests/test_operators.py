@@ -699,3 +699,60 @@ def test_gain_solve_recovers_true_gains(spark):
         gain_solve(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         gain_solve(df, damping=0.0)
+
+
+def test_imaging_weights_modes(spark):
+    """uv-density weighting: uniform equalises occupied cells, Briggs
+    interpolates between natural (R >> 0) and uniform (R << 0);
+    python model checked cell by cell."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.imaging import imaging_weights
+
+    # 3 cells: 4 rows in a dense cell, 1 each in two sparse cells
+    rows = [Row(u=0.1, v=0.1, w=2.0), Row(u=0.4, v=0.2, w=1.0),
+            Row(u=0.2, v=0.3, w=1.0), Row(u=0.3, v=0.4, w=1.0),
+            Row(u=5.1, v=0.1, w=1.0), Row(u=-3.2, v=2.5, w=3.0)]
+    df = spark.createDataFrame(rows, "u double, v double, w double")
+
+    nat = imaging_weights(df, "u", "v", 1.0, "w", mode="natural")
+    assert {r.imaging_weight for r in nat.collect()} == {2.0, 1.0, 3.0}
+
+    uni = {(r.u, r.v): r for r in imaging_weights(
+        df, "u", "v", 1.0, "w", mode="uniform").collect()}
+    assert uni[(0.1, 0.1)].n_cell == 4
+    assert uni[(0.1, 0.1)].imaging_weight == 2.0 / 4
+    assert uni[(5.1, 0.1)].imaging_weight == 1.0
+    assert uni[(-3.2, 2.5)].n_cell == 1
+
+    # python model for briggs
+    def briggs(robust):
+        cells = {(0, 0): (4, 5.0), (5, 0): (1, 1.0), (-4, 2): (1, 3.0)}
+        mean_n = sum(n * n for n, _ in cells.values()) \
+            / sum(wk for _, wk in cells.values())
+        s2 = (5.0 * 10.0 ** (-robust)) ** 2
+        return {c: 1.0 + n * (s2 / mean_n)
+                for c, (n, _) in cells.items()}
+
+    for robust in (-2.0, 0.0, 2.0):
+        den = briggs(robust)
+        got = {(r.u, r.v): r.imaging_weight for r in imaging_weights(
+            df, "u", "v", 1.0, "w", mode="briggs",
+            robust=robust).collect()}
+        assert abs(got[(0.1, 0.1)] - 2.0 / den[(0, 0)]) < 1e-12
+        assert abs(got[(-3.2, 2.5)] - 3.0 / den[(-4, 2)]) < 1e-12
+    # R >> 0 approaches natural, R << 0 approaches uniform
+    hi = {(r.u, r.v): r.imaging_weight for r in imaging_weights(
+        df, "u", "v", 1.0, "w", mode="briggs", robust=4.0).collect()}
+    assert abs(hi[(0.1, 0.1)] - 2.0) < 1e-2
+    # R << 0 is PROPORTIONAL to uniform (overall scale 1/f2):
+    # compare the dense/sparse ratio, not absolute values
+    lo = {(r.u, r.v): r.imaging_weight for r in imaging_weights(
+        df, "u", "v", 1.0, "w", mode="briggs", robust=-4.0).collect()}
+    assert abs(lo[(0.1, 0.1)] / lo[(5.1, 0.1)] - 0.5) < 1e-2
+
+    with pytest.raises(ValueError, match="cell_size"):
+        imaging_weights(df, "u", "v", 0.0)
+    with pytest.raises(ValueError, match="mode"):
+        imaging_weights(df, "u", "v", 1.0, mode="superuniform")
