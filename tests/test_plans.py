@@ -474,3 +474,68 @@ def test_cms_sketch_single_exchange_bounded_reduce(spark):
     assert_max_exchanges(sk, 1)
     p = plan_str(sk)
     assert "partial" in p.lower()      # map-side combine present
+
+
+def test_bda_average_exchange_budget(spark):
+    """BDA: tensor cells shuffle once keyed (baseline, bin, position),
+    scalars once keyed (baseline, bin), reassembly once, plus the
+    scalar<->tensor join over the same keys — payload arrays must
+    never ride a wider plan than that."""
+    from dask_ms_spark.operators.bda import bda_average
+    from dask_ms_spark.plans import assert_max_exchanges
+
+    df = spark.range(200).selectExpr(
+        "id % 4 as bl", "cast((id % 4 + 1) * 100 as double) as uv",
+        "cast(id as double) as t",
+        "array(cast(id as double), cast(id + 1 as double)) as data",
+        "array(false, id % 3 = 0) as fl", "1.0 as w")
+    out = bda_average(df, "t", ["bl"], "uv", 4.0, 400.0,
+                      data_col="data", flag_col="fl", weight_col="w")
+    assert_max_exchanges(out, 4)
+
+
+def test_pq_scoring_broadcasts_lut(spark):
+    """PQ: both the codebook join (encode) and the LUT join (scoring)
+    must broadcast the small side — the corpus codes table is the only
+    big relation and it never shuffles for scoring."""
+    from dask_ms_spark.llm.similarity import pq_topk
+    from dask_ms_spark.plans import plan_str
+
+    df = spark.range(64).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 16), i -> cast(id * i as double)) "
+        "as embedding")
+    out = pq_topk(df, df.where("vec_id < 4"), dim=16, k=5, num_sub=4)
+    p = plan_str(out)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_imaging_weights_single_pass(spark):
+    """Uniform weighting: one window exchange, no join back; the
+    Briggs path adds only the 1-row broadcast normalisation."""
+    from dask_ms_spark.operators.imaging import imaging_weights
+    from dask_ms_spark.plans import assert_max_exchanges, plan_str
+
+    df = spark.range(100).selectExpr(
+        "cast(id % 13 as double) as u", "cast(id % 7 as double) as v")
+    uni = imaging_weights(df, "u", "v", 2.0, mode="uniform")
+    assert_max_exchanges(uni, 1)
+    br = imaging_weights(df, "u", "v", 2.0, mode="briggs")
+    assert "SortMergeJoin" not in plan_str(br)
+
+
+def test_crossmatch_join_is_cell_keyed(spark):
+    """Zones cross-match: the candidate join must key on (zone, blk)
+    — an all-pairs (cartesian/broadcast-nested-loop) plan would mean
+    the bucketing fell out of the plan."""
+    from dask_ms_spark.operators.crossmatch import crossmatch_sky
+    from dask_ms_spark.plans import plan_str
+
+    cat = spark.range(500).selectExpr(
+        "id", "cast(id % 360 as double) as ra",
+        "cast(id % 100 - 50 as double) as dec")
+    out = crossmatch_sky(cat, cat, 0.5, max_abs_dec=55.0)
+    p = plan_str(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
