@@ -26,13 +26,16 @@ from dask_ms_spark.operators.crossmatch import (  # noqa: E402
 
 
 def catalog(spark, n, id_off=0, perturb=False):
-    ids = spark.range(n).select((F.col("id") + id_off).alias("id"))
+    # coordinates derive from the BASE id, so the offset catalog is a
+    # perturbed copy of the same sky, not a different walk
+    base = spark.range(n)
     ra = (F.col("id") * 137.508) % 360.0
     dec = ((F.col("id") * 7.919) % 120.0) - 60.0
     if perturb:
         ra = (ra + 360.0 + 0.2 * ((F.col("id") % 5) - 2) / 2) % 360.0
         dec = dec + 0.2 * ((F.col("id") % 3) - 1) / 2
-    return ids.select("id", ra.alias("ra"), dec.alias("dec"))
+    return base.select((F.col("id") + id_off).alias("id"),
+                       ra.alias("ra"), dec.alias("dec"))
 
 
 def timed(label, make_df, reps=2):
