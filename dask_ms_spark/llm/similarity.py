@@ -456,8 +456,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                         F.col(query_vec).alias("qvec"))
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"),
                        F.col(corpus_vec).alias("cvec"))
-    exact = (cand.join(F.broadcast(qv), on="query_id")
-             .join(cv, on="neighbor_id")
+    # candidates are |queries| * rerank rows — broadcast THEM against
+    # the corpus so the raw-vector table never shuffles for rerank
+    exact = (cv.join(F.broadcast(cand.join(F.broadcast(qv),
+                                           on="query_id")),
+                     on="neighbor_id")
              .select("query_id", "neighbor_id", "approx_d",
                      cosine(F.col("qvec"), F.col("cvec"))
                      .alias("cos_sim")))
