@@ -160,7 +160,9 @@ def interpolate_linear(df: DataFrame, key_cols, order_col: str,
     backward- and forward-looking passes are two frames over the same
     window sort, so Catalyst plans a single sort with no second
     shuffle.  ``order_col`` must be numeric (bucket ids from
-    :func:`bucket_index`; cast timestamps to epoch seconds first).
+    :func:`bucket_index`; cast timestamps to epoch seconds first) and
+    unique per key — duplicate positions would make the flanking-
+    observation frames order-dependent.
     """
     key_cols = list(key_cols)
     v = F.col(value_col)
