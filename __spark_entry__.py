@@ -4502,6 +4502,37 @@ def _imaging_weights_sql() -> str:
     """
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-balanced mixture sampling (llm/sampling.py
+    sample_temperature, the mT5 rebalancing): per-source char mass
+    moves toward the alpha=0.5 share by pure downsampling — sqrt
+    spelling is IEEE-exact cross-engine, the rarest source keeps
+    rate 1, membership is the coordinated hash filter."""
+    from dask_ms_spark.llm.sampling import sample_temperature
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_temperature(docs, "doc_id", "source", alpha=0.5,
+                             count_col="n_chars")
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+_SAMPLE_TEMPERATURE_SQL = """
+    WITH stats AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n
+                   FROM documents GROUP BY source),
+    r AS (SELECT source, sqrt(n) / n AS ratio FROM stats),
+    m AS (SELECT max(ratio) AS rmax FROM r),
+    rates AS (SELECT source, ratio / rmax AS rate
+              FROM r CROSS JOIN m)
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN rates t ON d.source = t.source
+    WHERE cast(('0x' || substring(md5(cast(doc_id as varchar)
+                                      || 'temperature'), 1, 15))
+               as bigint) % 1000000
+          < CAST(floor(t.rate * 1000000) AS BIGINT)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4527,7 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     phase_rotate, spectral_index, weighted_quantiles,
     #     bda_average, flag_summary, ann_pq, resample_interp,
     #     crossmatch, rfi_flag, gain_solve, channel_regrid,
-    #     spectral_moments, imaging_weights), then
+    #     spectral_moments, imaging_weights, sample_temperature), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4619,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_regrid": q_channel_regrid,
         "spectral_moments": q_spectral_moments,
         "imaging_weights": q_imaging_weights,
+        "sample_temperature": q_sample_temperature,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5154,6 +5186,7 @@ def oracle_sql() -> dict[str, str]:
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),
+        "sample_temperature": _SAMPLE_TEMPERATURE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import portable_hash64
 
 __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
+           "sample_temperature",
            "stratified_sample", "negative_sampling",
            "sample_to_mixture",
            "sample_weighted", "sample_quota"]
@@ -309,3 +310,45 @@ def sample_quota(df: DataFrame, id_col: str, group_col: str,
                   F.col(id_col)))
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= quota).drop("__rk"))
+
+
+def sample_temperature(df: DataFrame, id_col: str, stratum_col: str,
+                       alpha: float = 0.5, count_col: str | None = None,
+                       salt: str = "temperature") -> DataFrame:
+    """Temperature-balanced mixture sampling (the mT5/multilingual
+    rebalancing): downsample each stratum so its share moves from its
+    natural share ``p_s = n_s / N`` toward the temperature-adjusted
+    ``q_s ∝ n_s^alpha`` — ``alpha = 1`` keeps the natural mixture,
+    ``alpha -> 0`` approaches uniform across strata.
+
+    Pure downsampling: keep-rate ``r_s ∝ n_s^(alpha-1)`` normalised so
+    the largest rate is exactly 1 (the rarest stratum is kept whole,
+    nothing is ever upsampled).  ``count_col`` weighs strata by a
+    token/char column instead of row counts.
+
+    Scale shape: one partial-merged aggregate for the per-stratum
+    totals, a |strata|-row max, broadcast back, then a row-local
+    coordinated hash filter (same ``hash_bucket`` discipline as every
+    sampler here — shrinking alpha yields nested-ish, reproducible
+    samples).  ``alpha = 0.5`` spells the power as ``sqrt``, which is
+    IEEE-exact in every engine (pow is only ~1 ulp portable).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n = (F.sum(F.col(count_col).cast("double")) if count_col
+         else F.count(F.lit(1)).cast("double"))
+    stats = df.groupBy(stratum_col).agg(n.alias("__n"))
+    powed = (F.sqrt(F.col("__n")) if alpha == 0.5
+             else F.pow(F.col("__n"), F.lit(float(alpha))))
+    ratios = stats.select(stratum_col,
+                          (powed / F.col("__n")).alias("__ratio"))
+    mx = ratios.agg(F.max("__ratio").alias("__rmax"))
+    rates = (ratios.crossJoin(F.broadcast(mx))
+             .select(stratum_col,
+                     (F.col("__ratio") / F.col("__rmax"))
+                     .alias("__rate")))
+    cut = F.floor(F.col("__rate") * F.lit(_BUCKETS)).cast("bigint")
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    return (df.join(F.broadcast(rates), stratum_col)
+              .where(bucket < cut)
+              .drop("__rate"))

@@ -823,3 +823,34 @@ def test_pq_index_roundtrip(spark, tmp_path):
     assert inline == indexed
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "codes" in plan and "cells" not in plan
+
+
+def test_sample_temperature_rebalances(spark):
+    """Temperature sampling: the rarest stratum is kept whole, the
+    dominant stratum downsamples toward the alpha-adjusted share;
+    alpha=1 keeps everything; determinism across runs; validation."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.sampling import sample_temperature
+
+    rows = [Row(doc_id=i, src="big" if i < 900 else "small")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows)
+
+    out = sample_temperature(df, "doc_id", "src", alpha=0.5)
+    by = {r.src: r.n for r in out.groupBy("src").count()
+          .withColumnRenamed("count", "n").collect()}
+    assert by["small"] == 100                 # rarest kept whole
+    # big keeps ~ (900^0.5/900)/(100^0.5/100) = sqrt(100/900) = 1/3
+    assert abs(by["big"] / 900 - 1 / 3) < 0.05
+    # deterministic: same rows on re-run
+    again = sample_temperature(df, "doc_id", "src", alpha=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+    full = sample_temperature(df, "doc_id", "src", alpha=1.0)
+    assert full.count() == 1000               # natural mixture intact
+
+    with pytest.raises(ValueError, match="alpha"):
+        sample_temperature(df, "doc_id", "src", alpha=0.0)
