@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
+           "learn_bpe_merges",
            "word_shingles", "quality_features", "langid_scores", "langid",
            "fingerprint", "with_fingerprint", "STOPWORDS",
            "BPE_TOKEN_PATTERN", "bpe_tokens", "bpe_token_count",
@@ -256,3 +257,67 @@ def bigram_repetition(df: DataFrame, text_col: str = "text",
          .alias("dup_ratio"),
         F.round(F.col("max_cnt") / F.col("n_grams"), 6)
          .alias("max_gram_frac"))
+
+
+def learn_bpe_merges(df: DataFrame, text_col: str = "text",
+                     k: int = 8) -> list[tuple]:
+    """Learn the first ``k`` BPE merges over the corpus vocabulary —
+    the tokenizer-TRAINING step (Sennrich et al. 2016, public): per
+    iteration, count adjacent symbol pairs over word TYPES weighted by
+    frequency, merge the most frequent pair (ties break
+    lexicographically), rewrite the vocabulary, repeat.
+
+    Returns ``[(rank, left, right, pair_count), ...]``.
+
+    Scale shape: the working set is the word-TYPE table (vocabulary-
+    bounded, like ``vocab_topk`` — millions of rows at 100 TB, not
+    trillions), built from the corpus with one explode+agg.  Each
+    iteration is one pair-count aggregation over that table plus a
+    1-row driver argmax (the same constant-rounds driver coordination
+    as k-means centroids); the merge rewrite is a map-side array fold
+    (greedy leftmost-first, the BPE application rule).  ``k`` is a
+    small constant, so total cost is k vocabulary-sized aggregates.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"learn_bpe_merges: k must be >= 1, got {k}")
+    words = (df.select(F.explode(F.split(F.trim(F.lower(
+        F.col(text_col))), r"\s+")).alias("w"))
+        .where(F.length("w") > 0))
+    types = (words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.split("w", "").alias("toks"), "freq")
+             .localCheckpoint(eager=False))
+
+    merges: list[tuple] = []
+    for rank in range(k):
+        n = F.size("toks")
+        pairs = types.where(n >= 2).select(
+            "freq",
+            F.explode(F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+            .alias("p"))
+        top = (pairs.groupBy("p.a", "p.b")
+               .agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((rank, a, b, int(cnt)))
+        merged = a + b
+        fold = F.aggregate(
+            "toks", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(x))))
+        types = types.select(fold.alias("toks"), "freq") \
+            .localCheckpoint(eager=False)
+    return merges

@@ -587,3 +587,55 @@ def test_spectral_moments_matches_numpy(spark):
     zero = df.select(spectral_moments(
         F.lit([0.0, -1.0])).alias("s")).collect()[0].s
     assert zero.mom1 is None and zero.mom2 is None
+
+
+def test_learn_bpe_merges_matches_python(spark):
+    """BPE merge learning == a pure-python reference implementation
+    (type-frequency pair counts, lexicographic tie-break, greedy
+    leftmost-first rewrite)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.text import learn_bpe_merges
+
+    texts = ["low low low lower lowest",
+             "new newer newest low news",
+             "widow window widow"]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+
+    def python_bpe(texts, k):
+        freq = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                freq[w] += 1
+        vocab = {tuple(w): n for w, n in freq.items()}
+        out = []
+        for rank in range(k):
+            pc = Counter()
+            for toks, n in vocab.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += n
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, cnt))
+            merged = a + b
+            newv = {}
+            for toks, n in vocab.items():
+                acc = []
+                for x in toks:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = merged
+                    else:
+                        acc.append(x)
+                newv[tuple(acc)] = newv.get(tuple(acc), 0) + n
+            vocab = newv
+        return out
+
+    want = python_bpe(texts, 6)
+    got = learn_bpe_merges(df, k=6)
+    assert got == want
+    # sanity: (o, w) rides low/lower/lowest/widow/window (count 9)
+    assert got[0][1:3] == ("o", "w")
