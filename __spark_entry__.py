@@ -4629,7 +4629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    is a streaming foreachBatch writer with filesystem side
         #    effects (no read-only SQL spelling); its replay /
         #    compaction / restart semantics are pytest-driven
-        #    (tests/test_streaming.py) --
+        #    (tests/test_streaming.py).  learn_bpe_merges likewise
+        #    has no row: each iteration's merge pair is a
+        #    data-dependent driver argmax (k-means-style
+        #    coordination) that a static SQL mirror cannot express;
+        #    pytest-driven against a pure-python BPE reference
+        #    (tests/test_functions.py) --
         "snapshot_roundtrip": q_snapshot_roundtrip,
         "backfill_restart": q_backfill_restart,
         "ann_ivf_indexed": q_ann_ivf_indexed,
