@@ -4533,6 +4533,58 @@ _SAMPLE_TEMPERATURE_SQL = """
 """
 
 
+def q_crossmatch_nearest(spark, sf_dir):
+    """Nearest-match variant of the Zones cross-match: each left
+    source keeps only its closest counterpart within the radius (ties
+    by right id) — the source-association spelling."""
+    from dask_ms_spark.operators.crossmatch import crossmatch_sky
+
+    embs = _t(spark, sf_dir, "embeddings")
+    a = embs.select(
+        F.col("vec_id").alias("id"),
+        ((F.col("vec_id") * 137.508) % 360.0).alias("ra"),
+        (((F.col("vec_id") * 7.919) % 120.0) - 60.0).alias("dec"))
+    b0 = embs.where("vec_id % 3 = 0")
+    b = b0.select(
+        (F.col("vec_id") + 100000).alias("id"),
+        ((((F.col("vec_id") * 137.508) % 360.0) + 360.0
+          + 0.2 * ((F.col("vec_id") % 5) - 2) / 2) % 360.0).alias("ra"),
+        ((((F.col("vec_id") * 7.919) % 120.0) - 60.0)
+         + 0.2 * ((F.col("vec_id") % 3) - 1) / 2).alias("dec"))
+    out = crossmatch_sky(a, b, 0.25, max_abs_dec=61.0, nearest=True)
+    return out.select(
+        "left_id", "right_id",
+        F.round(F.col("sep_deg") * 1e6).cast("long").alias("sep_q"))
+
+
+_CROSSMATCH_NEAREST_SQL = """
+    WITH a AS (SELECT vec_id AS left_id,
+                      fmod(vec_id * 137.508, 360.0) AS ra,
+                      fmod(vec_id * 7.919, 120.0) - 60.0 AS dec
+               FROM embeddings),
+    b AS (SELECT vec_id + 100000 AS right_id,
+                 fmod(fmod(vec_id * 137.508, 360.0) + 360.0
+                      + 0.2 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
+                 (fmod(vec_id * 7.919, 120.0) - 60.0)
+                     + 0.2 * ((vec_id % 3) - 1) / 2 AS dec
+          FROM embeddings WHERE vec_id % 3 = 0),
+    pairs AS (SELECT left_id, right_id,
+                     degrees(2 * asin(sqrt(
+                         sin(radians(b.dec - a.dec) / 2)
+                         * sin(radians(b.dec - a.dec) / 2)
+                         + cos(radians(a.dec)) * cos(radians(b.dec))
+                         * sin(radians(b.ra - a.ra) / 2)
+                         * sin(radians(b.ra - a.ra) / 2)))) AS sep
+              FROM a CROSS JOIN b),
+    hits AS (SELECT *, row_number() OVER (
+                 PARTITION BY left_id ORDER BY sep, right_id) AS rn
+             FROM pairs WHERE sep <= 0.25)
+    SELECT left_id, right_id,
+           cast(round(sep * 1000000) as bigint) AS sep_q
+    FROM hits WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4558,7 +4610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     phase_rotate, spectral_index, weighted_quantiles,
     #     bda_average, flag_summary, ann_pq, resample_interp,
     #     crossmatch, rfi_flag, gain_solve, channel_regrid,
-    #     spectral_moments, imaging_weights, sample_temperature), then
+    #     spectral_moments, imaging_weights, sample_temperature,
+    #     crossmatch_nearest), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4656,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_moments": q_spectral_moments,
         "imaging_weights": q_imaging_weights,
         "sample_temperature": q_sample_temperature,
+        "crossmatch_nearest": q_crossmatch_nearest,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5192,6 +5246,7 @@ def oracle_sql() -> dict[str, str]:
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),
         "sample_temperature": _SAMPLE_TEMPERATURE_SQL,
+        "crossmatch_nearest": _CROSSMATCH_NEAREST_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
-           "learn_bpe_merges",
+           "learn_bpe_merges", "apply_bpe_merges",
            "word_shingles", "quality_features", "langid_scores", "langid",
            "fingerprint", "with_fingerprint", "STOPWORDS",
            "BPE_TOKEN_PATTERN", "bpe_tokens", "bpe_token_count",
@@ -321,3 +321,41 @@ def learn_bpe_merges(df: DataFrame, text_col: str = "text",
         types = types.select(fold.alias("toks"), "freq") \
             .localCheckpoint(eager=False)
     return merges
+
+
+def apply_bpe_merges(text: Column, merges: list[tuple]) -> Column:
+    """Tokenize ``text`` words with a learned merge list (the
+    APPLICATION half of :func:`learn_bpe_merges`): split to
+    characters, then apply each merge in rank order as a greedy
+    leftmost-first array fold.  Merges are literals baked into the
+    plan, so tokenization is pure map-side codegen — the 100 TB
+    tokenize pass needs no state, no joins, no Python.
+
+    Returns ``array<array<string>>`` — per word, its BPE symbols.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.filter(F.split(F.trim(F.lower(text)), r"\s+"),
+                     lambda w: F.length(w) > 0)
+
+    def merge_fold(a, b):
+        merged = a + b
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(merged)))) \
+                .otherwise(F.concat(acc, F.array(x)))
+        return step
+
+    def tokenize(w):
+        toks = F.split(w, "")
+        for _, a, b, _cnt in merges:
+            toks = F.aggregate(toks, F.array().cast("array<string>"),
+                               merge_fold(a, b))
+        return toks
+
+    return F.transform(words, tokenize)

@@ -639,3 +639,36 @@ def test_learn_bpe_merges_matches_python(spark):
     assert got == want
     # sanity: (o, w) rides low/lower/lowest/widow/window (count 9)
     assert got[0][1:3] == ("o", "w")
+
+
+def test_apply_bpe_merges_roundtrip(spark):
+    """Learn merges, apply them: every learned pair is actually
+    merged in the tokenized output, and re-deriving pair counts from
+    the tokenized corpus shows the merged symbols in use."""
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.text import (apply_bpe_merges,
+                                              learn_bpe_merges)
+
+    texts = ["low low low lower lowest",
+             "new newer newest low news"]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    merges = learn_bpe_merges(df, k=4)
+    out = df.select(apply_bpe_merges(F.col("text"), merges)
+                    .alias("toks")).collect()
+    flat = [sym for r in out for word in r.toks for sym in word]
+    merged_syms = {a + b for _, a, b, _c in merges}
+    # every multi-char output symbol must be a learned merge result,
+    # and at least one merge actually fired
+    multi = {x for x in flat if len(x) > 1}
+    assert multi and multi <= merged_syms
+    # no adjacent pair in the output equals a learned merge (greedy
+    # application leaves no un-merged occurrence of a learned pair
+    # whose parts are both still single symbols)
+    for r in out:
+        for word in r.toks:
+            for x, y in zip(word, word[1:]):
+                assert (x, y) not in {(a, b) for _, a, b, _c in merges}
+    # longest word reconstructs to its original characters
+    joined = ["".join(w) for r in out for w in r.toks]
+    assert "lowest" in joined or "low" in joined
