@@ -4585,6 +4585,77 @@ _CROSSMATCH_NEAREST_SQL = """
 """
 
 
+def q_bda_weighted(spark, sf_dir):
+    """WEIGHT-weighted BDA (operators/bda.py bda_average with
+    weight_data=True): cells carry sum(w*v)/sum(w) over unflagged
+    samples — the MS WEIGHT semantic; numerator and denominator both
+    ride the fixed-point discipline, so the oracle mirrors them
+    term-exactly."""
+    from dask_ms_spark.operators.bda import bda_average
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = embs.select(
+        (F.col("vec_id") % 16).alias("b"),
+        ((F.col("vec_id") % 16 + 1).cast("double") * 100.0).alias("uv"),
+        F.col("vec_id").cast("double").alias("t"),
+        (F.lit(1.0) + (F.col("vec_id") % 3).cast("double")).alias("w"),
+        vec.alias("data"),
+        F.transform(vec, lambda x: x <= 0).alias("fl"))
+    out = bda_average(d, "t", ["b"], "uv", base_interval=4.0,
+                      ref_uvdist=800.0, max_factor=8,
+                      data_col="data", flag_col="fl", weight_col="w",
+                      weight_data=True, quantize_scale=1 << 20)
+    q = F.transform(F.col("data_mean"), lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"), F.lit(-999999999)).cast("string"))
+    return out.select(
+        "b", "bin", "factor",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("weight_sum") * 1e6).cast("long").alias("wsum_q"),
+        F.array_join(q, ",").alias("data_q"))
+
+
+_BDA_WEIGHTED_SQL = """
+    WITH v AS (SELECT vec_id % 16 AS b,
+                      cast(vec_id as double) AS t,
+                      1.0 + cast(vec_id % 3 as double) AS w,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    p AS (SELECT *, cast(greatest(1, least(
+                 cast(floor(800.0 / (cast(b + 1 as double) * 100.0))
+                      as bigint), 8)) as int) AS factor
+          FROM v),
+    k AS (SELECT *, cast(floor(t / (4.0 * factor)) as bigint) AS bin
+          FROM p),
+    s AS (SELECT b, bin, min(factor) AS factor, count(*) AS n_rows,
+                 sum(w) AS wsum
+          FROM k GROUP BY 1, 2),
+    e AS (SELECT b, bin, w, i AS pos,
+                 CASE WHEN NOT (vec[i] <= 0) THEN vec[i] END AS xv
+          FROM k, UNNEST(range(1, len(vec) + 1)) AS u(i)),
+    c AS (SELECT b, bin, pos,
+                 cast(sum(cast(round(xv * w * 1048576) as bigint))
+                      as double) / 1048576 AS sm,
+                 cast(sum(CASE WHEN xv IS NOT NULL THEN
+                          cast(round(w * 1048576) as bigint) END)
+                      as double) / 1048576 AS dw,
+                 count(xv) AS n
+          FROM e GROUP BY 1, 2, 3),
+    d AS (SELECT b, bin,
+                 array_to_string(list(
+                     CASE WHEN n > 0 AND dw != 0
+                     THEN cast(cast(round(sm / dw * 1000000) as bigint)
+                               as varchar)
+                     ELSE '-999999999' END ORDER BY pos), ',') AS data_q
+          FROM c GROUP BY 1, 2)
+    SELECT s.b, s.bin, s.factor, cast(s.n_rows as bigint) AS n_rows,
+           cast(round(s.wsum * 1000000) as bigint) AS wsum_q,
+           d.data_q
+    FROM s JOIN d USING (b, bin)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4611,7 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     bda_average, flag_summary, ann_pq, resample_interp,
     #     crossmatch, rfi_flag, gain_solve, channel_regrid,
     #     spectral_moments, imaging_weights, sample_temperature,
-    #     crossmatch_nearest), then
+    #     crossmatch_nearest, bda_weighted), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4710,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imaging_weights": q_imaging_weights,
         "sample_temperature": q_sample_temperature,
         "crossmatch_nearest": q_crossmatch_nearest,
+        "bda_weighted": q_bda_weighted,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5247,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
         "imaging_weights": _imaging_weights_sql(),
         "sample_temperature": _SAMPLE_TEMPERATURE_SQL,
         "crossmatch_nearest": _CROSSMATCH_NEAREST_SQL,
+        "bda_weighted": _BDA_WEIGHTED_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -70,6 +70,15 @@ def crossmatch_sky(left: DataFrame, right: DataFrame,
         raise ValueError("crossmatch_sky: max_abs_dec + radius_deg "
                          "must stay below the pole (90 deg); polar "
                          "caps need a dedicated cap scan")
+    # Zone height carries a relative safety margin: two points whose
+    # FLOAT separation passes `sep <= radius` can sit a hair more
+    # than `radius` apart in exact dec (rounding in the haversine),
+    # and with height == radius exactly, boundary-sitting points that
+    # far apart land TWO zones apart (found by the hypothesis
+    # all-pairs property test: dec 0.5 vs -2e-308 at radius 0.5).
+    # 1e-9 relative is >> any double rounding at these magnitudes and
+    # << a zone, so pruning stays tight.
+    height = radius_deg * (1.0 + 1e-9)
     width = radius_deg / math.cos(math.radians(max_abs_dec + radius_deg))
     n_blocks = max(1, int(math.ceil(360.0 / width)))
 
@@ -82,7 +91,7 @@ def crossmatch_sky(left: DataFrame, right: DataFrame,
             .otherwise(dec)
 
     def zone_of(dec):
-        return (F.floor(dec_guarded(dec) / F.lit(float(radius_deg)))
+        return (F.floor(dec_guarded(dec) / F.lit(float(height)))
                 .cast("long"))
 
     def block_of(ra):

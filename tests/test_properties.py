@@ -307,3 +307,39 @@ if HAVE_HYPOTHESIS:
                 assert g is None
             else:
                 assert g == pytest.approx(w, rel=1e-12, abs=1e-12)
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(coords=st.lists(
+        st.tuples(st.floats(0, 359.999), st.floats(-58, 58)),
+        min_size=2, max_size=24),
+        radius=st.sampled_from([0.1, 0.5, 2.0]))
+    @settings(max_examples=8, deadline=None)
+    def test_crossmatch_equals_brute_force(spark, coords, radius):
+        """PROPERTY: the Zones cross-match returns EXACTLY the
+        all-pairs result for arbitrary catalogs and radii — the
+        bucketing (including ra wrap and dec striping) is pure
+        pruning, never lossy."""
+        import math
+
+        from dask_ms_spark.operators.crossmatch import crossmatch_sky
+
+        rows = [(i, float(ra), float(dec))
+                for i, (ra, dec) in enumerate(coords)]
+        df = spark.createDataFrame(rows, "id long, ra double, dec double")
+        got = {(r.left_id, r.right_id)
+               for r in crossmatch_sky(df, df, radius,
+                                       max_abs_dec=59.0).collect()}
+
+        def sep(p, q):
+            ra1, dec1 = math.radians(p[1]), math.radians(p[2])
+            ra2, dec2 = math.radians(q[1]), math.radians(q[2])
+            a = (math.sin((dec2 - dec1) / 2) ** 2
+                 + math.cos(dec1) * math.cos(dec2)
+                 * math.sin((ra2 - ra1) / 2) ** 2)
+            return math.degrees(2 * math.asin(math.sqrt(min(a, 1.0))))
+
+        want = {(p[0], q[0]) for p in rows for q in rows
+                if sep(p, q) <= radius}
+        assert got == want
