@@ -4656,6 +4656,75 @@ _BDA_WEIGHTED_SQL = """
 """
 
 
+def q_sigma_clip(spark, sf_dir):
+    """Iterative sigma clipping (operators/rfi.py sigma_clip): robust
+    per-baseline mean/std with outliers beyond 2.5 sigma excluded over
+    two rounds; quantised accumulators make every iteration
+    engine-exact, and the oracle replays both rounds as CTEs."""
+    from dask_ms_spark.operators.rfi import sigma_clip
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select((F.col("vec_id") % 8).alias("b"),
+                    F.explode(F.col("embedding").cast("array<double>"))
+                    .alias("x"))
+    out = sigma_clip(d, "x", ["b"], k=2.5, iters=2)
+    return out.select(
+        "b",
+        F.round(F.col("clip_mean") * 1e6).cast("long").alias("mean_q"),
+        F.round(F.col("clip_std") * 1e6).cast("long").alias("std_q"),
+        "n_kept", F.col("n_in").cast("long").alias("n_in"))
+
+
+_SIGMA_CLIP_SQL = """
+    WITH d AS (SELECT vec_id % 8 AS b, cast(x as double) AS x
+               FROM embeddings, UNNEST(embedding) AS u(x)),
+    n0 AS (SELECT b, count(*) AS n_in FROM d GROUP BY b),
+    s1 AS (SELECT b,
+                  cast(sum(cast(round(x * 1048576) as bigint))
+                       as double) / 1048576 AS s,
+                  cast(sum(cast(round((x * x) * 1048576) as bigint))
+                       as double) / 1048576 AS ss,
+                  count(*) AS n
+           FROM d GROUP BY b),
+    b1 AS (SELECT b, s / n AS m,
+                  sqrt(greatest(CASE WHEN n > 1
+                       THEN (ss - s * s / n) / (n - 1)
+                       ELSE 0.0 END, 0.0)) AS sd
+           FROM s1),
+    d1 AS (SELECT d.b, d.x FROM d JOIN b1 USING (b)
+           WHERE b1.sd = 0 OR abs(d.x - b1.m) <= 2.5 * b1.sd),
+    s2 AS (SELECT b,
+                  cast(sum(cast(round(x * 1048576) as bigint))
+                       as double) / 1048576 AS s,
+                  cast(sum(cast(round((x * x) * 1048576) as bigint))
+                       as double) / 1048576 AS ss,
+                  count(*) AS n
+           FROM d1 GROUP BY b),
+    b2 AS (SELECT b, s / n AS m,
+                  sqrt(greatest(CASE WHEN n > 1
+                       THEN (ss - s * s / n) / (n - 1)
+                       ELSE 0.0 END, 0.0)) AS sd
+           FROM s2),
+    d2 AS (SELECT d1.b, d1.x FROM d1 JOIN b2 USING (b)
+           WHERE b2.sd = 0 OR abs(d1.x - b2.m) <= 2.5 * b2.sd),
+    fin AS (SELECT b,
+                   cast(sum(cast(round(x * 1048576) as bigint))
+                        as double) / 1048576 AS s,
+                   cast(sum(cast(round((x * x) * 1048576) as bigint))
+                        as double) / 1048576 AS ss,
+                   count(*) AS n_kept
+            FROM d2 GROUP BY b)
+    SELECT f.b,
+           cast(round((s / n_kept) * 1000000) as bigint) AS mean_q,
+           cast(round(sqrt(greatest(CASE WHEN n_kept > 1
+                THEN (ss - s * s / n_kept) / (n_kept - 1)
+                ELSE 0.0 END, 0.0)) * 1000000) as bigint) AS std_q,
+           cast(n_kept as bigint) AS n_kept,
+           cast(n0.n_in as bigint) AS n_in
+    FROM fin f JOIN n0 USING (b)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4682,7 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     bda_average, flag_summary, ann_pq, resample_interp,
     #     crossmatch, rfi_flag, gain_solve, channel_regrid,
     #     spectral_moments, imaging_weights, sample_temperature,
-    #     crossmatch_nearest, bda_weighted), then
+    #     crossmatch_nearest, bda_weighted, sigma_clip), then
     #     the oldest r5-checked
     #     entries fill the window.  After r6 driver rows land,
     #     dedup_substring_exact (stride-1 variant of dedup_substring)
@@ -4782,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "crossmatch_nearest": q_crossmatch_nearest,
         "bda_weighted": q_bda_weighted,
+        "sigma_clip": q_sigma_clip,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5320,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature": _SAMPLE_TEMPERATURE_SQL,
         "crossmatch_nearest": _CROSSMATCH_NEAREST_SQL,
         "bda_weighted": _BDA_WEIGHTED_SQL,
+        "sigma_clip": _SIGMA_CLIP_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -26,7 +26,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rfi_flag"]
+__all__ = ["rfi_flag", "sigma_clip"]
 
 
 def rfi_flag(df: DataFrame, time_col: str,
@@ -79,3 +79,87 @@ def rfi_flag(df: DataFrame, time_col: str,
                  lambda s: s["__fl"]).alias("flag_rfi"),
                  F.sum("__new").alias("n_flagged_new")))
     return out.withColumnRenamed("__t", time_col)
+
+
+def sigma_clip(df: DataFrame, value_col: str,
+               group_cols: Iterable[str] = (),
+               k: float = 3.0, iters: int = 2,
+               quantize_scale: int | None = 1 << 20) -> DataFrame:
+    """Iterative sigma clipping per group — the classic robust
+    mean/std estimate (clip samples beyond ``k`` standard deviations,
+    re-estimate, repeat ``iters`` times).  Returns per group:
+    ``clip_mean``, ``clip_std`` (sample std), ``n_kept``, ``n_in``.
+
+    Each iteration is ONE partial-merged aggregate over the (already
+    filtered) stream plus a broadcast join of the tiny per-group
+    bounds back onto it — no window, no sort; at 100 TB that is
+    ``iters`` scans (or one scan feeding cached intermediate at the
+    planner's discretion) with group-keyed map-side combine.
+
+    ``quantize_scale`` applies the fixed-point discipline to the sum
+    and sum-of-squares accumulators, making the estimate
+    shuffle-order-free and engine-exact (the registry oracle mirrors
+    each iteration's arithmetic).  Size it so
+    ``n_group * max(x^2) * scale < 2^63`` — the sum-of-squares
+    accumulator is an int64 (pick a smaller scale, or pre-scale the
+    values, for large-magnitude columns); pass ``None`` for plain
+    double sums when cross-engine bit-equality is not needed.
+    Groups where the std collapses to zero stop clipping (every
+    remaining sample is kept).
+    """
+    if iters < 1:
+        raise ValueError(f"sigma_clip: iters must be >= 1, got {iters}")
+    if k <= 0:
+        raise ValueError(f"sigma_clip: k must be > 0, got {k}")
+    group_cols = list(group_cols)
+    x = F.col(value_col).cast("double")
+    cur = df.select(*group_cols, x.alias("__x"))
+    n_in = cur.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_in"))
+
+    if quantize_scale:
+        qs = F.lit(float(quantize_scale))
+
+        def ssum(c):
+            return (F.sum(F.round(c * qs).cast("long")).cast("double")
+                    / qs)
+    else:
+        def ssum(c):
+            return F.sum(c)
+
+    stats = None
+    for _ in range(iters):
+        stats = (cur.groupBy(*group_cols)
+                 .agg(ssum(F.col("__x")).alias("__s"),
+                      ssum(F.col("__x") * F.col("__x")).alias("__ss"),
+                      F.count(F.lit(1)).alias("__n")))
+        mean = F.col("__s") / F.col("__n")
+        var = F.when(F.col("__n") > 1,
+                     (F.col("__ss") - F.col("__s") * F.col("__s")
+                      / F.col("__n")) / (F.col("__n") - 1)) \
+            .otherwise(F.lit(0.0))
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        bounds = stats.select(*group_cols, mean.alias("__m"),
+                              std.alias("__sd"))
+        joined = (cur.join(F.broadcast(bounds), on=group_cols)
+                  if group_cols else cur.crossJoin(F.broadcast(bounds)))
+        cur = (joined.where((F.col("__sd") == 0)
+                            | (F.abs(F.col("__x") - F.col("__m"))
+                               <= F.lit(float(k)) * F.col("__sd")))
+               .select(*group_cols, "__x"))
+
+    final = (cur.groupBy(*group_cols)
+             .agg(ssum(F.col("__x")).alias("__s"),
+                  ssum(F.col("__x") * F.col("__x")).alias("__ss"),
+                  F.count(F.lit(1)).alias("n_kept")))
+    mean = F.col("__s") / F.col("n_kept")
+    var = F.when(F.col("n_kept") > 1,
+                 (F.col("__ss") - F.col("__s") * F.col("__s")
+                  / F.col("n_kept")) / (F.col("n_kept") - 1)) \
+        .otherwise(F.lit(0.0))
+    out = final.select(*group_cols, mean.alias("clip_mean"),
+                       F.sqrt(F.greatest(var, F.lit(0.0)))
+                       .alias("clip_std"),
+                       F.col("n_kept").cast("long").alias("n_kept"))
+    return (out.join(n_in, on=group_cols) if group_cols
+            else out.crossJoin(F.broadcast(n_in)))

@@ -756,3 +756,52 @@ def test_imaging_weights_modes(spark):
         imaging_weights(df, "u", "v", 0.0)
     with pytest.raises(ValueError, match="mode"):
         imaging_weights(df, "u", "v", 1.0, mode="superuniform")
+
+
+def test_sigma_clip_matches_python(spark):
+    """Sigma clipping: planted outliers are excluded from the robust
+    mean/std, the python model agrees iteration for iteration, and a
+    constant group (std 0) keeps everything."""
+    import math
+
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.rfi import sigma_clip
+
+    vals = [10.0 + 0.1 * (i % 7) for i in range(40)] + [500.0, -400.0]
+    rows = [Row(g="a", x=v) for v in vals] \
+        + [Row(g="b", x=7.0) for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r.g: r for r in sigma_clip(
+        df, "x", ["g"], k=3.0, iters=2,
+        quantize_scale=None).collect()}
+
+    def model(xs, k, iters):
+        cur = list(xs)
+        for _ in range(iters):
+            n = len(cur)
+            m = sum(cur) / n
+            var = (sum(v * v for v in cur) - sum(cur) ** 2 / n) \
+                / (n - 1) if n > 1 else 0.0
+            sd = math.sqrt(max(var, 0.0))
+            if sd == 0:
+                break
+            cur = [v for v in cur if abs(v - m) <= k * sd]
+        n = len(cur)
+        m = sum(cur) / n
+        var = (sum(v * v for v in cur) - sum(cur) ** 2 / n) \
+            / (n - 1) if n > 1 else 0.0
+        return m, math.sqrt(max(var, 0.0)), n
+
+    m, sd, nk = model(vals, 3.0, 2)
+    assert got["a"].n_in == 42 and got["a"].n_kept == nk
+    assert got["a"].clip_mean == pytest.approx(m, rel=1e-12)
+    assert got["a"].clip_std == pytest.approx(sd, rel=1e-12)
+    assert nk == 40                       # both outliers clipped
+    assert got["b"].n_kept == 5 and got["b"].clip_std == 0.0
+
+    with pytest.raises(ValueError, match="iters"):
+        sigma_clip(df, "x", ["g"], iters=0)
+    with pytest.raises(ValueError, match="k must"):
+        sigma_clip(df, "x", ["g"], k=0.0)
