@@ -4743,19 +4743,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 must lead with: the 33 "r4-stale, below window"
-    #     entries, then the r6-session debuts (snapshot_roundtrip,
-    #     backfill_restart, ann_ivf_indexed, heavy_hitters_cms,
-    #     tensor_chan_avg, tensor_row_avg, dedup_edit_distance,
-    #     phase_rotate, spectral_index, weighted_quantiles,
-    #     bda_average, flag_summary, ann_pq, resample_interp,
-    #     crossmatch, rfi_flag, gain_solve, channel_regrid,
-    #     spectral_moments, imaging_weights, sample_temperature,
-    #     crossmatch_nearest, bda_weighted, sigma_clip), then
-    #     the oldest r5-checked
-    #     entries fill the window.  After r6 driver rows land,
-    #     dedup_substring_exact (stride-1 variant of dedup_substring)
-    #     is the next demotion candidate (see demoted_queries).
+    #   round 7 (57 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 24
+    #     r6-session debuts getting their FIRST driver rows
+    #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
+    #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
+    #     dedup_edit_distance, phase_rotate, spectral_index,
+    #     weighted_quantiles, bda_average, flag_summary, ann_pq,
+    #     resample_interp, crossmatch, rfi_flag, gain_solve,
+    #     channel_regrid, spectral_moments, imaging_weights,
+    #     sample_temperature, crossmatch_nearest, bda_weighted,
+    #     sigma_clip), then the 26 OLDEST of the 33 "r4-stale, below
+    #     window" entries; the remaining 7 r4-stale lead round 8,
+    #     followed by the oldest r5-checked entries.  After r6 driver
+    #     rows land, dedup_substring_exact (stride-1 variant of
+    #     dedup_substring) is the next demotion candidate (see
+    #     demoted_queries).
     return {
         # -- debuts: added in round 5 below the window, each verified
         #    by tools/check_oracle at sf0.01 (and by the r5 judge);
