@@ -343,3 +343,60 @@ if HAVE_HYPOTHESIS:
         want = {(p[0], q[0]) for p in rows for q in rows
                 if sep(p, q) <= radius}
         assert got == want
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(rows=st.lists(
+        st.tuples(st.integers(0, 2),          # baseline
+                  st.integers(0, 30),         # time
+                  st.integers(-5, 5),         # data[0]
+                  st.integers(-5, 5),         # data[1]
+                  st.booleans(),              # flag[0]
+                  st.integers(1, 3)),         # weight
+        min_size=1, max_size=40))
+    @settings(max_examples=8, deadline=None)
+    def test_bda_average_matches_python_model(spark, rows):
+        """PROPERTY: bda_average == an exact python model on
+        integer-valued inputs (sums stay exact in double, so equality
+        is exact, not approximate) — bins, factors, flag semantics,
+        weighted means, weight sums."""
+        from dask_ms_spark.operators.bda import bda_average
+
+        data = [(bl, float((bl + 1) * 100), float(t),
+                 [float(d0), float(d1)], [f0, False], float(w))
+                for bl, t, d0, d1, f0, w in rows]
+        df = spark.createDataFrame(
+            data, "bl long, uv double, time double, "
+                  "data array<double>, flag array<boolean>, w double")
+        out = {(r.bl, r.bin): r for r in bda_average(
+            df, "time", ["bl"], "uv", base_interval=4.0,
+            ref_uvdist=300.0, max_factor=4, data_col="data",
+            flag_col="flag", weight_col="w",
+            weight_data=True).collect()}
+
+        # python model
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for bl, uv, t, d, fl, w in data:
+            factor = max(1, min(int(300.0 // uv), 4))
+            b = int(t // (4.0 * factor))
+            groups[(bl, b, factor)].append((t, d, fl, w))
+        assert len(out) == len(groups)
+        for (bl, b, factor), members in groups.items():
+            r = out[(bl, b)]
+            assert r.factor == factor
+            assert r.n_rows == len(members)
+            assert r.time_centroid == \
+                sum(t for t, *_ in members) / len(members)
+            assert r.weight_sum == sum(w for *_, w in members)
+            for i in range(2):
+                num = sum(w * d[i] for t, d, fl, w in members
+                          if not fl[i])
+                den = sum(w for t, d, fl, w in members if not fl[i])
+                if den > 0:
+                    assert r.data_mean[i] == num / den
+                    assert r.flag[i] is False
+                else:
+                    assert r.data_mean[i] is None
+                    assert r.flag[i] is True
