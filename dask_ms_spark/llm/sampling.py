@@ -337,7 +337,16 @@ def sample_temperature(df: DataFrame, id_col: str, stratum_col: str,
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     n = (F.sum(F.col(count_col).cast("double")) if count_col
          else F.count(F.lit(1)).cast("double"))
-    stats = df.groupBy(stratum_col).agg(n.alias("__n"))
+    stats = df.groupBy(stratum_col).agg(n.alias("__raw"))
+    # a stratum whose mass is NULL or <= 0 would turn its rate into
+    # NaN and silently poison the max-normalisation (the
+    # sample_weighted rule): surface the bad column instead
+    stats = stats.select(stratum_col, F.when(
+        F.col("__raw").isNull() | (F.col("__raw") <= 0),
+        F.raise_error(F.lit(
+            "sample_temperature: stratum mass is NULL or <= 0 — "
+            "check count_col"))).otherwise(F.col("__raw"))
+        .alias("__n"))
     powed = (F.sqrt(F.col("__n")) if alpha == 0.5
              else F.pow(F.col("__n"), F.lit(float(alpha))))
     ratios = stats.select(stratum_col,

@@ -854,3 +854,18 @@ def test_sample_temperature_rebalances(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         sample_temperature(df, "doc_id", "src", alpha=0.0)
+
+
+def test_sample_temperature_rejects_bad_mass(spark):
+    """A stratum whose mass is <= 0 raises instead of silently
+    poisoning the rate normalisation with NaN."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.sampling import sample_temperature
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, src="a", n=0.0), Row(doc_id=1, src="b", n=5.0)])
+    with pytest.raises(Exception, match="mass"):
+        sample_temperature(df, "doc_id", "src", alpha=0.5,
+                           count_col="n").collect()
