@@ -4725,6 +4725,85 @@ _SIGMA_CLIP_SQL = """
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (llm/similarity.py ivfpq_topk): inverted-
+    file cells bound WHICH rows are touched (sub-linear), PQ codes
+    bound HOW MUCH each touched row costs (32x smaller) — FAISS's
+    default layout as one declarative plan.  The oracle chains the
+    ann_ivf cell-assignment mirror with the ann_pq encode/LUT mirror."""
+    from dask_ms_spark.llm.similarity import ivfpq_topk
+
+    embs = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = embs.where("vec_id < 5")
+    return ivfpq_topk(embs, queries, dim=64, k=10, num_cells=16,
+                      nprobe=4, num_sub=8, num_codes=8) \
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "approx_d")
+
+
+_ANN_IVFPQ_SQL = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> cast(x as double)) AS vec
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, vec AS cvec FROM v
+             WHERE vec_id < 16),
+    aff AS (SELECT v.vec_id, v.vec, c.cent_id,
+                   list_dot_product(v.vec, c.cvec)
+                   / (sqrt(list_dot_product(v.vec, v.vec))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS aff
+            FROM v, cent c),
+    cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY aff DESC, cent_id ASC) AS pr
+                    FROM aff)
+              WHERE pr = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id AS cell
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY aff DESC, cent_id ASC) AS pr
+                     FROM aff WHERE vec_id < 5)
+               WHERE pr <= 4),
+    sv AS (SELECT vec_id AS id, m,
+                  list_slice(vec, m * 8 + 1, m * 8 + 8) AS sv
+           FROM v, UNNEST(range(8)) AS t(m)),
+    cb AS (SELECT m, cast(id as int) AS k, sv AS cv
+           FROM sv WHERE id < 8),
+    dist AS (SELECT s.id, s.m, c.k,
+                    list_sum(list_transform(range(1, 9),
+                        i -> cast(round((s.sv[i] - c.cv[i])
+                                        * (s.sv[i] - c.cv[i])
+                                        * 1048576) as bigint))) AS d
+             FROM sv s JOIN cb c USING (m)),
+    enc AS (SELECT id, m, k AS code FROM (
+                SELECT id, m, k, row_number() OVER (
+                    PARTITION BY id, m ORDER BY d, k) AS rn
+                FROM dist)
+            WHERE rn = 1),
+    lut AS (SELECT id AS qid, m, k, d AS pd FROM dist WHERE id < 5),
+    cand AS (SELECT p.query_id, c.neighbor_id
+             FROM probes p JOIN cells c ON p.cell = c.cell
+             WHERE p.query_id != c.neighbor_id),
+    scored AS (SELECT cd.query_id, cd.neighbor_id,
+                      cast(sum(l.pd) as bigint) AS approx_d
+               FROM cand cd
+               JOIN enc e ON e.id = cd.neighbor_id
+               JOIN lut l ON l.qid = cd.query_id AND l.m = e.m
+                          AND l.k = e.code
+               GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, approx_d,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY approx_d,
+                                                  neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cast(rank as bigint) AS rank,
+           approx_d
+    FROM ranked WHERE rank <= 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4743,8 +4822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (57 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 24
+    #   round 7 (58 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 25
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -4753,8 +4832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     resample_interp, crossmatch, rfi_flag, gain_solve,
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
-    #     sigma_clip), then the 26 OLDEST of the 33 "r4-stale, below
-    #     window" entries; the remaining 7 r4-stale lead round 8,
+    #     sigma_clip, ann_ivfpq), then the 25 OLDEST of the 33
+    #     "r4-stale, below window" entries; the remaining 8 r4-stale
+    #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
     #     rows land, dedup_substring_exact (stride-1 variant of
     #     dedup_substring) is the next demotion candidate (see
@@ -4855,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmatch_nearest": q_crossmatch_nearest,
         "bda_weighted": q_bda_weighted,
         "sigma_clip": q_sigma_clip,
+        "ann_ivfpq": q_ann_ivfpq,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5394,6 +5475,7 @@ def oracle_sql() -> dict[str, str]:
         "crossmatch_nearest": _CROSSMATCH_NEAREST_SQL,
         "bda_weighted": _BDA_WEIGHTED_SQL,
         "sigma_clip": _SIGMA_CLIP_SQL,
+        "ann_ivfpq": _ANN_IVFPQ_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

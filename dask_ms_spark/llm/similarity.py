@@ -30,7 +30,7 @@ __all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk",
            "ivf_assign", "ivf_topk", "random_projection",
            "projection_coefficients",
            "pq_codebooks", "pq_encode", "pq_topk",
-           "build_pq_index", "pq_query_indexed"]
+           "build_pq_index", "pq_query_indexed", "ivfpq_topk"]
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -532,3 +532,87 @@ def pq_query_indexed(spark, path: str, queries: DataFrame, dim: int,
         F.col("approx_d").asc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+               k: int = 10, num_cells: int = 16, nprobe: int = 4,
+               num_sub: int = 8, num_codes: int = 8, rerank: int = 0,
+               corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+               query_id: str = "vec_id", query_vec: str = "embedding",
+               scale: int = 1 << 20) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN architecture (FAISS's default
+    layout, re-expressed as a declarative plan) — inverted-file cells
+    make the scan SUB-LINEAR (only ``nprobe/num_cells`` of the corpus
+    is touched per query batch), product quantization makes every
+    touched row 32x SMALLER (codes, not vectors).
+
+    Corpus rows are assigned to their nearest cell (cosine, ties by
+    cell id) and PQ-encoded once; queries probe ``nprobe`` cells and
+    score candidates via broadcast per-query LUTs over the codes.
+    Each neighbour lives in exactly one cell, so candidate pairs are
+    unique by construction — no dedup stage.  ``rerank`` re-scores
+    the top candidates with exact cosine (id-broadcast join, as in
+    :func:`pq_topk`).  Production persists the cell-partitioned codes
+    with :func:`build_ivf_index`-style layout so probes prune by
+    directory; here assignment and encode run inline.
+    """
+    cents = (corpus.where(F.col(corpus_id) < num_cells)
+             .select(F.col(corpus_id).alias("cent_id"),
+                     F.col(corpus_vec).alias("cvec")))
+    cells = ivf_assign(corpus, cents, corpus_id, corpus_vec,
+                       nprobe=1) \
+        .select(F.col("id").alias("neighbor_id"), "cell")
+    cbs = pq_codebooks(corpus, dim, num_sub, num_codes,
+                       corpus_id, corpus_vec)
+    codes = pq_encode(corpus, cbs, dim, num_sub, corpus_id,
+                      corpus_vec, scale) \
+        .withColumnRenamed("id", "neighbor_id")
+    cellcodes = cells.join(codes, on="neighbor_id")
+
+    probes = ivf_assign(queries, cents, query_id, query_vec,
+                        nprobe=nprobe) \
+        .select(F.col("id").alias("query_id"), "cell")
+    qsv = _subvectors(queries, query_id, query_vec, dim, num_sub)
+    pd_rows = (qsv.join(F.broadcast(cbs), on="m")
+               .select(F.col("id").alias("query_id"), "m", "k",
+                       _l2sq_fixed(F.col("sv"), F.col("cv"),
+                                   scale).alias("pd")))
+    lut = (pd_rows.groupBy("query_id", "m")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("k", "pd"))),
+               lambda s: s["pd"]).alias("lrow"))
+           .groupBy("query_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("m", "lrow"))),
+               lambda s: s["lrow"]).alias("lut")))
+    probelut = probes.join(F.broadcast(lut), on="query_id")
+
+    scored = (cellcodes.join(F.broadcast(probelut), on="cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.aggregate(
+                          F.zip_with("codes", "lut",
+                                     lambda c, row: F.element_at(
+                                         row, c.cast("int") + 1)),
+                          F.lit(0).cast("long"),
+                          lambda acc, t: acc + t).alias("approx_d")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.where(F.col("rank") <= k)
+    cand = ranked.where(F.col("rank") <= rerank).drop("rank")
+    qv = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                       F.col(corpus_vec).alias("cvec2"))
+    exact = (cv.join(F.broadcast(cand.join(F.broadcast(qv),
+                                           on="query_id")),
+                     on="neighbor_id")
+             .select("query_id", "neighbor_id", "approx_d",
+                     cosine(F.col("qvec"), F.col("cvec2"))
+                     .alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+                 .where(F.col("rank") <= k))

@@ -869,3 +869,37 @@ def test_sample_temperature_rejects_bad_mass(spark):
     with pytest.raises(Exception, match="mass"):
         sample_temperature(df, "doc_id", "src", alpha=0.5,
                            count_col="n").collect()
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """IVF-PQ with nprobe == num_cells probes every cell, so the
+    candidate set is the whole corpus and the ranking must equal
+    plain PQ exactly; with fewer probes it returns a subset ranking
+    with decent recall on clustered data."""
+    from dask_ms_spark.llm.similarity import ivfpq_topk, pq_topk
+
+    rng = np.random.RandomState(17)
+    dim, n_clusters, per = 16, 4, 12
+    centers = rng.randn(n_clusters, dim)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows)
+    q = df.where("vec_id % 12 = 0")
+
+    full = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
+                  for r in ivfpq_topk(df, q, dim=dim, k=5,
+                                      num_cells=4, nprobe=4,
+                                      num_sub=4, num_codes=8).collect())
+    plain = sorted((r.query_id, r.neighbor_id, r.approx_d, r.rank)
+                   for r in pq_topk(df, q, dim=dim, k=5, num_sub=4,
+                                    num_codes=8).collect())
+    assert full == plain
+
+    sub = ivfpq_topk(df, q, dim=dim, k=5, num_cells=4, nprobe=2,
+                     num_sub=4, num_codes=8, rerank=15).collect()
+    assert len(sub) > 0 and all(hasattr(r, "cos_sim") for r in sub)
