@@ -4804,6 +4804,39 @@ _ANN_IVFPQ_SQL = """
 """
 
 
+def q_curriculum(spark, sf_dir):
+    """Curriculum ordering (llm/sampling.py curriculum_order): docs
+    staged by score quartile (exact percentiles, 1-row broadcast),
+    deterministically shuffled within stage by the coordinated hash —
+    emits SORT KEYS (stage, pos), not a global rank, so the plan has
+    no single-partition window."""
+    from dask_ms_spark.llm.sampling import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curriculum_order(docs, "doc_id", "n_chars", n_stages=4)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("stage").cast("long").alias("stage"),
+                      F.col("pos").cast("long").alias("pos"))
+
+
+_CURRICULUM_SQL = """
+    WITH th AS (SELECT quantile_cont(cast(n_chars as double),
+                                     [0.25, 0.5, 0.75]) AS t
+                FROM documents),
+    d AS (SELECT doc_id, cast(n_chars as double) AS score
+          FROM documents)
+    SELECT doc_id,
+           cast(3 - ((CASE WHEN score >= t[1] THEN 1 ELSE 0 END)
+                     + (CASE WHEN score >= t[2] THEN 1 ELSE 0 END)
+                     + (CASE WHEN score >= t[3] THEN 1 ELSE 0 END))
+                as bigint) AS stage,
+           cast(('0x' || substring(md5(cast(doc_id as varchar)
+                                       || 'curriculum'), 1, 15))
+                as bigint) % 1000000 AS pos
+    FROM d CROSS JOIN th
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4822,8 +4855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (58 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 25
+    #   round 7 (59 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 26
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -4832,8 +4865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     resample_interp, crossmatch, rfi_flag, gain_solve,
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
-    #     sigma_clip, ann_ivfpq), then the 25 OLDEST of the 33
-    #     "r4-stale, below window" entries; the remaining 8 r4-stale
+    #     sigma_clip, ann_ivfpq, curriculum), then the 24 OLDEST of
+    #     the 33
+    #     "r4-stale, below window" entries; the remaining 9 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
     #     rows land, dedup_substring_exact (stride-1 variant of
@@ -4936,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bda_weighted": q_bda_weighted,
         "sigma_clip": q_sigma_clip,
         "ann_ivfpq": q_ann_ivfpq,
+        "curriculum": q_curriculum,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5476,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
         "bda_weighted": _BDA_WEIGHTED_SQL,
         "sigma_clip": _SIGMA_CLIP_SQL,
         "ann_ivfpq": _ANN_IVFPQ_SQL,
+        "curriculum": _CURRICULUM_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import portable_hash64
 
 __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
-           "sample_temperature",
+           "sample_temperature", "curriculum_order",
            "stratified_sample", "negative_sampling",
            "sample_to_mixture",
            "sample_weighted", "sample_quota"]
@@ -361,3 +361,40 @@ def sample_temperature(df: DataFrame, id_col: str, stratum_col: str,
     return (df.join(F.broadcast(rates), stratum_col)
               .where(bucket < cut)
               .drop("__rate"))
+
+
+def curriculum_order(df: DataFrame, id_col: str, score_col: str,
+                     n_stages: int = 4,
+                     salt: str = "curriculum") -> DataFrame:
+    """Curriculum training order: rows are staged by score quantile
+    (stage 0 = highest-scoring quarter first) and deterministically
+    shuffled WITHIN each stage by the coordinated hash — the standard
+    easy-to-hard data ordering, reproducible across runs and engines.
+
+    Returns ``(id, score, stage, pos)`` where ``(stage, pos, id)`` is
+    the total training order.  ``pos`` is the coordinated hash bucket:
+    consumers ORDER BY (stage, pos, id) at write time
+    (``sortWithinPartitions`` after repartitioning by stage range) —
+    the operator emits SORT KEYS, not a global rank, so nothing here
+    needs a single-partition window at 100 TB.  Stage thresholds are
+    exact score percentiles (one 1-row broadcast aggregate).
+    """
+    if n_stages < 2:
+        raise ValueError(f"curriculum_order: n_stages must be >= 2, "
+                         f"got {n_stages}")
+    score = F.col(score_col).cast("double")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    th = df.agg(F.percentile(score, F.array(
+        *[F.lit(q) for q in qs])).alias("__th"))
+    d = df.select(F.col(id_col).alias("id"), score.alias("score")) \
+        .crossJoin(F.broadcast(th))
+    # stage 0 = top scores: count thresholds at or above the score
+    stage = F.aggregate(
+        F.col("__th"), F.lit(0),
+        lambda acc, t: acc + F.when(F.col("score") >= t, 1)
+        .otherwise(0))
+    return (d.select("id", "score",
+                     (F.lit(n_stages - 1) - stage).cast("int")
+                     .alias("stage"),
+                     hash_bucket(F.col("id"), _BUCKETS, salt)
+                     .alias("pos")))

@@ -903,3 +903,32 @@ def test_ivfpq_full_probe_equals_pq(spark):
     sub = ivfpq_topk(df, q, dim=dim, k=5, num_cells=4, nprobe=2,
                      num_sub=4, num_codes=8, rerank=15).collect()
     assert len(sub) > 0 and all(hasattr(r, "cos_sim") for r in sub)
+
+
+def test_curriculum_order_stages(spark):
+    """Curriculum staging: stage 0 holds the top score quartile,
+    stages are contiguous in score, (stage, pos, id) is a total
+    deterministic order, and re-runs agree."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.sampling import curriculum_order
+
+    rows = [Row(doc_id=i, score=float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = curriculum_order(df, "doc_id", "score", n_stages=4)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 100
+    # scores 75..99 -> stage 0; 50..74 -> 1; 25..49 -> 2; 0..24 -> 3
+    for i in range(100):
+        assert got[i].stage == 3 - i // 25, i
+    # deterministic across runs
+    again = {r.id: (r.stage, r.pos) for r in curriculum_order(
+        df, "doc_id", "score", n_stages=4).collect()}
+    assert again == {i: (r.stage, r.pos) for i, r in got.items()}
+    # total order has no duplicate keys
+    keys = [(r.stage, r.pos, r.id) for r in got.values()]
+    assert len(set(keys)) == 100
+
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "doc_id", "score", n_stages=1)
