@@ -452,3 +452,39 @@ def test_zarr_package_interop_compressed(spark, tmp_path):
                 compressor={"id": "zlib", "level": 4})
     g = _z.open_group(os.path.join(store, "MAIN_0"), mode="r")
     assert np.allclose(g["v"][:], np.arange(30, dtype="<f8"))
+
+
+def test_zarr_to_bda_pipeline(spark, tmp_path):
+    """Integration: MS-shaped rows written to a zarr store, read back
+    through the zarr source, reduced with baseline-dependent
+    averaging — the reference user's store -> read -> downstream-
+    kernel chain end to end on this engine."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.operators.bda import bda_average
+    from dask_ms_spark.sources.zarr import xds_from_zarr, xds_to_zarr
+
+    rows = []
+    rowid = 0
+    for bl, uv in ((1, 100.0), (2, 800.0)):
+        for i in range(8):
+            rows.append((rowid, bl, uv, 2.0 * i,
+                         [float(bl * 10 + i), float(i)],
+                         [i % 4 == 0, False]))
+            rowid += 1
+    src = spark.createDataFrame(
+        rows, "ROWID bigint, bl bigint, uv double, time double, "
+              "data array<double>, flag array<boolean>")
+    store = str(tmp_path / "ms_store")
+    assert xds_to_zarr(src, store, row_chunk=6) == [16]
+
+    (back,) = xds_from_zarr(spark, store)
+    out = bda_average(back.df, "time", ["bl"], "uv",
+                      base_interval=2.0, ref_uvdist=800.0,
+                      max_factor=8, data_col="data", flag_col="flag")
+    got = {(r.bl, r.bin): r for r in out.collect()}
+    r1 = got[(1, 0)]                  # short baseline: one 16s bin
+    assert r1.n_rows == 8 and r1.factor == 8
+    keep = [i for i in range(8) if i % 4 != 0]
+    assert r1.data_mean[0] == sum(10.0 + i for i in keep) / len(keep)
+    assert len([k for k in got if k[0] == 2]) == 8   # long: 2s bins
