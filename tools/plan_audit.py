@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Physical-plan audit over the whole query registry.
+
+For every ``queries()`` entry (and demoted variants), plans the query
+at a small scale factor (planning only — nothing executes unless the
+query builds driver-side state) and scans the plan string for
+anti-patterns:
+
+  * ``CartesianProduct``          — an unkeyed join of two big sides;
+  * ``BatchEvalPython``           — a row-at-a-time Python UDF in the
+                                    hot path (Arrow paths show up as
+                                    ArrowEvalPython / MapInPandas /
+                                    FlatMapGroupsInPandas and are
+                                    allowed);
+  * exchange count                — shuffles per query (informational);
+  * broadcast-nested-loop joins   — allowed only when one side is a
+                                    broadcast of a bounded relation
+                                    (the scalar/LUT/probe patterns);
+                                    reported so a reviewer can check.
+
+Output: one line per query plus a summary; exit 1 if a hard
+anti-pattern (CartesianProduct / BatchEvalPython) appears.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+HARD = ("CartesianProduct", "BatchEvalPython")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = {**entrymod.queries(),
+               **getattr(entrymod, "demoted_queries", dict)()}
+    bad = []
+    rows = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            rows.append((name, f"PLAN ERROR: {str(exc)[:120]}"))
+            bad.append(name)
+            continue
+        flags = [p for p in HARD if p in plan]
+        nexch = plan.count("Exchange ")
+        nbnl = plan.count("BroadcastNestedLoopJoin")
+        note = (f"exchanges={nexch}"
+                + (f" bnl={nbnl}" if nbnl else "")
+                + (f" !!{'/'.join(flags)}" if flags else ""))
+        rows.append((name, note))
+        if flags:
+            bad.append(name)
+        spark.catalog.clearCache()
+
+    width = max(len(n) for n, _ in rows)
+    for name, note in rows:
+        print(f"{name:<{width}}  {note}")
+    print(f"\n{len(rows)} queries audited; "
+          f"{len(bad)} with hard anti-patterns"
+          + (f": {sorted(bad)}" if bad else ""))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
