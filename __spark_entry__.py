@@ -4837,6 +4837,40 @@ _CURRICULUM_SQL = """
 """
 
 
+def q_stokes_convert(spark, sf_dir):
+    """Polarization conversion (functions/complexf.py
+    stokes_from_corrs): 4 interleaved complex correlations -> Stokes
+    [I, Q, U, V], pure per-row codegen arithmetic — zero shuffles;
+    the first 8 embedding elements stand in for the correlation
+    vector."""
+    from dask_ms_spark.functions.complexf import stokes_from_corrs
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vis = F.slice(F.transform(F.col("embedding"),
+                              lambda x: x.cast("double")), 1, 8)
+    s = stokes_from_corrs(vis, basis="linear")
+    q = F.transform(s, lambda x: F.round(x * 1e6).cast("long")
+                    .cast("string"))
+    return embs.select("vec_id", F.array_join(q, ",").alias("stokes_q"))
+
+
+_STOKES_SQL = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding[1:8],
+                                     x -> cast(x as double)) AS c
+               FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform(
+               [(c[1] + c[7]) * 0.5, (c[2] + c[8]) * 0.5,
+                (c[1] - c[7]) * 0.5, (c[2] - c[8]) * 0.5,
+                (c[3] + c[5]) * 0.5, (c[4] + c[6]) * 0.5,
+                (c[4] - c[6]) * 0.5, (c[5] - c[3]) * 0.5],
+               x -> cast(cast(round(x * 1000000) as bigint)
+                         as varchar)), ',') AS stokes_q
+    FROM v
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4855,8 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (59 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 26
+    #   round 7 (60 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 27
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -4865,9 +4899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     resample_interp, crossmatch, rfi_flag, gain_solve,
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
-    #     sigma_clip, ann_ivfpq, curriculum), then the 24 OLDEST of
-    #     the 33
-    #     "r4-stale, below window" entries; the remaining 9 r4-stale
+    #     sigma_clip, ann_ivfpq, curriculum, stokes_convert), then
+    #     the 23 OLDEST of the 33
+    #     "r4-stale, below window" entries; the remaining 10 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
     #     rows land, dedup_substring_exact (stride-1 variant of
@@ -4971,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_clip": q_sigma_clip,
         "ann_ivfpq": q_ann_ivfpq,
         "curriculum": q_curriculum,
+        "stokes_convert": q_stokes_convert,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5512,6 +5547,7 @@ def oracle_sql() -> dict[str, str]:
         "sigma_clip": _SIGMA_CLIP_SQL,
         "ann_ivfpq": _ANN_IVFPQ_SQL,
         "curriculum": _CURRICULUM_SQL,
+        "stokes_convert": _STOKES_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

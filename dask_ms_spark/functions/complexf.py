@@ -19,7 +19,7 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask", "phase_rotate", "LIGHT_SPEED", "apply_gains"]
+__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask", "phase_rotate", "LIGHT_SPEED", "apply_gains", "stokes_from_corrs", "corrs_from_stokes"]
 
 
 def c_make(re: Column, im: Column) -> Column:
@@ -194,3 +194,76 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
     return (vis.join(gp, ant1_col).join(gq, ant2_col)
             .withColumn(out_col, corrected)
             .drop("__gp", "__gq"))
+
+
+def _corr_pair(vis: Column, idx: int) -> tuple[Column, Column]:
+    """(re, im) of correlation ``idx`` in a 4-correlation interleaved
+    complex array [c0_re, c0_im, c1_re, c1_im, ...]."""
+    return (F.element_at(vis, 2 * idx + 1),
+            F.element_at(vis, 2 * idx + 2))
+
+
+def stokes_from_corrs(vis: Column, basis: str = "linear") -> Column:
+    """Correlation products -> Stokes parameters, per row: the
+    polarization transform every MS consumer applies before imaging
+    (Hamaker-Bregman-Sault Measurement Equation convention, public).
+
+    ``vis`` is a 4-correlation interleaved complex array —
+    ``[XX, XY, YX, YY]`` for ``basis='linear'``,
+    ``[RR, RL, LR, LL]`` for ``basis='circular'`` — and the result is
+    ``[I, Q, U, V]`` in the same layout.  Linear feeds:
+    I=(XX+YY)/2, Q=(XX-YY)/2, U=(XY+YX)/2, V=(XY-YX)/(2i); circular:
+    I=(RR+LL)/2, V=(RR-LL)/2, Q=(RL+LR)/2, U=(RL-LR)/(2i).
+
+    Pure per-row arithmetic in codegen — composes into the scan with
+    zero shuffles; :func:`corrs_from_stokes` is the exact inverse
+    (roundtrip identity property-tested).  Rows with other than 4
+    correlations raise.
+    """
+    if basis not in ("linear", "circular"):
+        raise ValueError(f"stokes_from_corrs: unknown basis {basis!r}")
+    v = F.when(F.size(vis) == 8, vis).otherwise(F.raise_error(F.lit(
+        "stokes_from_corrs: expected 4 interleaved complex "
+        "correlations (8 floats)")))
+    a_re, a_im = _corr_pair(v, 0)      # XX or RR
+    b_re, b_im = _corr_pair(v, 1)      # XY or RL
+    c_re, c_im = _corr_pair(v, 2)      # YX or LR
+    d_re, d_im = _corr_pair(v, 3)      # YY or LL
+    half = F.lit(0.5)
+    i_re, i_im = (a_re + d_re) * half, (a_im + d_im) * half
+    # (z1 - z2) / (2i) = ((im1 - im2) + i(re2 - re1)) / 2
+    sum_bc = ((b_re + c_re) * half, (b_im + c_im) * half)
+    dif_bc = ((b_im - c_im) * half, (c_re - b_re) * half)
+    dif_ad = ((a_re - d_re) * half, (a_im - d_im) * half)
+    if basis == "linear":
+        q, u, vv = dif_ad, sum_bc, dif_bc
+    else:
+        q, u, vv = sum_bc, dif_bc, dif_ad
+    return F.array(i_re, i_im, q[0], q[1], u[0], u[1], vv[0], vv[1])
+
+
+def corrs_from_stokes(stokes: Column, basis: str = "linear") -> Column:
+    """Stokes -> correlation products (exact inverse of
+    :func:`stokes_from_corrs`): linear XX=I+Q, YY=I-Q, XY=U+iV,
+    YX=U-iV; circular RR=I+V, LL=I-V, RL=Q+iU, LR=Q-iU."""
+    if basis not in ("linear", "circular"):
+        raise ValueError(f"corrs_from_stokes: unknown basis {basis!r}")
+    s = F.when(F.size(stokes) == 8, stokes).otherwise(
+        F.raise_error(F.lit(
+            "corrs_from_stokes: expected [I, Q, U, V] interleaved "
+            "(8 floats)")))
+    i_re, i_im = _corr_pair(s, 0)
+    q_re, q_im = _corr_pair(s, 1)
+    u_re, u_im = _corr_pair(s, 2)
+    v_re, v_im = _corr_pair(s, 3)
+    if basis == "linear":
+        # XX=I+Q, XY=U+iV, YX=U-iV, YY=I-Q  (iV = (-v_im, v_re))
+        return F.array(i_re + q_re, i_im + q_im,
+                       u_re - v_im, u_im + v_re,
+                       u_re + v_im, u_im - v_re,
+                       i_re - q_re, i_im - q_im)
+    # RR=I+V, RL=Q+iU, LR=Q-iU, LL=I-V
+    return F.array(i_re + v_re, i_im + v_im,
+                   q_re - u_im, q_im + u_re,
+                   q_re + u_im, q_im - u_re,
+                   i_re - v_re, i_im - v_im)

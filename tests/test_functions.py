@@ -672,3 +672,43 @@ def test_apply_bpe_merges_roundtrip(spark):
     # longest word reconstructs to its original characters
     joined = ["".join(w) for r in out for w in r.toks]
     assert "lowest" in joined or "low" in joined
+
+
+def test_stokes_conversion_roundtrip(spark):
+    """Stokes <-> correlations: known vectors (unpolarized, purely
+    Q-polarized) map correctly in both bases, and
+    corrs_from_stokes(stokes_from_corrs(v)) == v exactly for
+    arbitrary dyadic inputs (the /2 then *2-via-sums chain is exact
+    in binary floating point)."""
+    import pytest
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.complexf import (corrs_from_stokes,
+                                                  stokes_from_corrs)
+
+    # unpolarized: XX = YY = 1, XY = YX = 0 -> I=1, Q=U=V=0
+    unpol = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    # circularly polarized in linear basis: XY = i/2, YX = -i/2 -> V=1/2
+    circ = [0.0, 0.0, 0.0, 0.5, 0.0, -0.5, 0.0, 0.0]
+    df = spark.createDataFrame([Row(v=unpol), Row(v=circ)])
+    got = [r.s for r in df.select(stokes_from_corrs(
+        F.col("v")).alias("s")).collect()]
+    assert got[0] == [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # V = (XY - YX)/(2i) = (i/2 - (-i/2))/(2i) = 1/2
+    assert got[1] == [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5, 0.0]
+
+    # roundtrip identity on dyadic-valued vectors, both bases
+    vecs = [[float(x) / 4 for x in range(8)],
+            [1.0, -2.0, 0.25, 8.0, -0.5, 3.0, 4.0, -1.75]]
+    rdf = spark.createDataFrame([Row(v=v) for v in vecs])
+    for basis in ("linear", "circular"):
+        back = [r.b for r in rdf.select(corrs_from_stokes(
+            stokes_from_corrs(F.col("v"), basis), basis)
+            .alias("b")).collect()]
+        assert back == vecs, basis
+
+    bad = spark.createDataFrame([Row(v=[1.0, 2.0])])
+    with pytest.raises(Exception, match="interleaved"):
+        bad.select(stokes_from_corrs(F.col("v")).alias("s")).collect()
+    with pytest.raises(ValueError, match="basis"):
+        stokes_from_corrs(F.col("v"), basis="weird")
