@@ -65,6 +65,12 @@ def _arrow_to_spark(t) -> DataType:
         return TimestampType()
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return StringType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # tensor columns (DATA/FLAG/WEIGHT_SPECTRUM): element type
+        # maps recursively, so nested lists work too
+        from pyspark.sql.types import ArrayType
+
+        return ArrayType(_arrow_to_spark(t.value_type))
     raise NotImplementedError(f"unsupported replay column type {t}")
 
 

@@ -462,3 +462,66 @@ def test_streaming_cms_maintenance(spark, tmp_path):
     assert got == whole and len(whole) > 0
     base, upto = _base_state(store)
     assert base is not None and upto >= 0   # compaction ran
+
+
+def test_streaming_flag_occupancy_maintenance(spark, tmp_path):
+    """Continuous MS QA: per-baseline flag-occupancy counts maintained
+    over a replayed visibility stream via the generic mergeable
+    upkeep — counts are associative, so the merged state equals the
+    batch flag_summary of the whole table exactly."""
+    import glob
+    import time
+
+    from dask_ms_spark.operators.bda import flag_summary
+    from dask_ms_spark.streaming.maintenance import (maintain_mergeable,
+                                                     read_mergeable)
+    from dask_ms_spark.streaming.replay import ParquetReplayDataSource
+
+    rows = [(i, i % 6, [i % 2 == 0, i % 3 == 0, False])
+            for i in range(480)]
+    src_dir = str(tmp_path / "vis")
+    spark.createDataFrame(
+        rows, "row_id long, bl long, flag array<boolean>") \
+        .repartition(1).write.parquet(src_dir)
+    (src_path,) = glob.glob(src_dir + "/part-*.parquet")
+
+    def build(b):
+        return flag_summary(b, ["bl"], "flag").drop("flag_frac")
+
+    def merge(*frames):
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return (u.groupBy("bl")
+                .agg(F.sum("n_rows").alias("n_rows"),
+                     F.sum("n_vis").alias("n_vis"),
+                     F.sum("n_flagged").alias("n_flagged")))
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "100").load(src_path))
+    store = str(tmp_path / "flag_store")
+    q = maintain_mergeable(s, store, build=build, merge=merge,
+                           compact_every=3,
+                           checkpoint=str(tmp_path / "ck"))
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                r = read_mergeable(spark, store, merge)
+                if r is not None and \
+                        r.agg(F.sum("n_rows")).first()[0] == 480:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = {r.bl: (r.n_rows, r.n_vis, r.n_flagged)
+           for r in read_mergeable(spark, store, merge).collect()}
+    want = {r.bl: (r.n_rows, r.n_vis, r.n_flagged)
+            for r in flag_summary(spark.read.parquet(src_dir),
+                                  ["bl"], "flag")
+            .drop("flag_frac").collect()}
+    assert got == want and len(want) == 6
