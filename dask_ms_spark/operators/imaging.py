@@ -50,21 +50,22 @@ def imaging_weights(df: DataFrame, u_col: str, v_col: str,
          else F.lit(1.0))
     cu = F.floor(F.col(u_col).cast("double") / F.lit(float(cell_size)))
     cv = F.floor(F.col(v_col).cast("double") / F.lit(float(cell_size)))
-    d = df.withColumn("__cu", cu).withColumn("__cv", cv) \
-          .withColumn("__w", w)
+    base = df.withColumn("__cu", cu).withColumn("__cv", cv) \
+             .withColumn("__w", w)
     win = (Window.partitionBy("__cu", "__cv")
            .rowsBetween(Window.unboundedPreceding,
                         Window.unboundedFollowing))
-    d = d.withColumn("n_cell", F.count(F.lit(1)).over(win))
+    d = base.withColumn("n_cell", F.count(F.lit(1)).over(win))
     if mode == "natural":
         out = d.withColumn("imaging_weight", F.col("__w"))
     elif mode == "uniform":
         out = d.withColumn("imaging_weight",
                            F.col("__w") / F.col("n_cell"))
     else:
-        # per-cell stats once per cell (first row of each cell), then
-        # ONE global 1-row aggregate broadcast back onto the stream
-        cell_stats = (d.groupBy("__cu", "__cv")
+        # per-cell stats aggregate from the PRE-window frame so the
+        # normalisation branch never pays the window sort, then ONE
+        # global 1-row aggregate broadcast back onto the stream
+        cell_stats = (base.groupBy("__cu", "__cv")
                       .agg(F.count(F.lit(1)).alias("__nk"),
                            F.sum("__w").alias("__wk")))
         g = cell_stats.agg(
