@@ -19,7 +19,7 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask", "phase_rotate", "LIGHT_SPEED", "apply_gains", "stokes_from_corrs", "corrs_from_stokes"]
+__all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask", "phase_rotate", "LIGHT_SPEED", "apply_gains", "stokes_from_corrs", "corrs_from_stokes", "apply_gains_timevar"]
 
 
 def c_make(re: Column, im: Column) -> Column:
@@ -267,3 +267,48 @@ def corrs_from_stokes(stokes: Column, basis: str = "linear") -> Column:
                    q_re - u_im, q_im + u_re,
                    q_re + u_im, q_im - u_re,
                    i_re - v_re, i_im - v_im)
+
+
+def apply_gains_timevar(vis, gains, ant1_col: str = "antenna1",
+                        ant2_col: str = "antenna2",
+                        data_col: str = "vis",
+                        time_col: str = "time",
+                        antenna_col: str = "antenna",
+                        gain_col: str = "gain",
+                        sol_time_col: str = "sol_time",
+                        tolerance: float | None = None,
+                        out_col: str | None = None):
+    """Apply TIME-VARYING antenna gains: each visibility row picks the
+    latest gain solution at-or-before its timestamp per antenna (the
+    solution-interval semantics of a calibration table), then
+    ``corrected = G_p(t) * V * conj(G_q(t))``.
+
+    Composition of two as-of joins (:func:`~dask_ms_spark.operators.
+    joins.asof_join` — union+window, no pair blow-up) with the
+    diagonal complex correction; rows with no solution inside
+    ``tolerance`` get NULL corrected values (flag them downstream).
+    The gain table is per-(antenna, interval) — small next to DATA —
+    but unlike :func:`apply_gains` the match is temporal, so the plan
+    shuffles the FACT table once per as-of join on the antenna key:
+    at 100 TB prefer pre-bucketing DATA by (antenna1) or densifying
+    solutions to one broadcastable row per (antenna, time-bucket) and
+    using a plain broadcast join.
+    """
+    from ..operators.joins import asof_join
+
+    out_col = out_col or f"{data_col}_corrected"
+    gp = gains.select(F.col(antenna_col).alias(ant1_col),
+                      F.col(sol_time_col).alias(time_col),
+                      F.col(gain_col).alias("__gp"))
+    gq = gains.select(F.col(antenna_col).alias(ant2_col),
+                      F.col(sol_time_col).alias(time_col),
+                      F.col(gain_col).alias("__gq"))
+    j = asof_join(vis, gp, on=time_col, by=ant1_col,
+                  right_cols=["__gp"], tolerance=tolerance)
+    j = asof_join(j, gq, on=time_col, by=ant2_col,
+                  right_cols=["__gq"], tolerance=tolerance)
+    corrected = F.when(
+        F.col("__gp").isNotNull() & F.col("__gq").isNotNull(),
+        c_mul(c_mul(F.col("__gp"), F.col(data_col)),
+              c_conj(F.col("__gq"))))
+    return j.withColumn(out_col, corrected).drop("__gp", "__gq")

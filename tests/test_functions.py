@@ -712,3 +712,38 @@ def test_stokes_conversion_roundtrip(spark):
         bad.select(stokes_from_corrs(F.col("v")).alias("s")).collect()
     with pytest.raises(ValueError, match="basis"):
         stokes_from_corrs(F.col("v"), basis="weird")
+
+
+def test_apply_gains_timevar(spark):
+    """Solution-interval gain application: each row picks the latest
+    at-or-before solution per antenna; a mid-stream solution change
+    applies only to later rows; rows before any solution (or beyond
+    tolerance) come back NULL."""
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.complexf import apply_gains_timevar
+
+    vis = spark.createDataFrame([
+        Row(antenna1=0, antenna2=1, time=5.0, vis=[1.0, 0.0]),
+        Row(antenna1=0, antenna2=1, time=15.0, vis=[1.0, 0.0]),
+        Row(antenna1=0, antenna2=1, time=0.5, vis=[1.0, 0.0]),
+    ], "antenna1 long, antenna2 long, time double, vis array<double>")
+    gains = spark.createDataFrame([
+        Row(antenna=0, sol_time=1.0, gain=[2.0, 0.0]),
+        Row(antenna=0, sol_time=10.0, gain=[3.0, 0.0]),
+        Row(antenna=1, sol_time=1.0, gain=[0.0, 1.0]),   # i
+    ], "antenna long, sol_time double, gain array<double>")
+    out = {r.time: r.vis_corrected for r in apply_gains_timevar(
+        vis, gains).collect()}
+    # t=5: G0=2, G1=i -> 2 * 1 * conj(i) = 2 * (-i) = [0, -2]
+    assert out[5.0] == [0.0, -2.0]
+    # t=15: G0=3 -> [0, -3]
+    assert out[15.0] == [0.0, -3.0]
+    # t=0.5: before any solution -> NULL
+    assert out[0.5] is None
+
+    # tolerance 4.5: t=5 matches (sol at 1, 4 back) but t=15 does
+    # not (sol at 10, 5 back)
+    tol = {r.time: r.vis_corrected for r in apply_gains_timevar(
+        vis, gains, tolerance=4.5).collect()}
+    assert tol[5.0] is not None and tol[15.0] is None
