@@ -70,6 +70,7 @@ def bda_average(df: DataFrame, time_col: str,
                 flag_col: str | None = None,
                 weight_col: str | None = None,
                 weight_data: bool = False,
+                weight_spectrum_col: str | None = None,
                 time_origin: float = 0.0,
                 quantize_scale: int | None = None) -> DataFrame:
     """Average rows per (baseline, adaptive time bin).
@@ -94,7 +95,9 @@ def bda_average(df: DataFrame, time_col: str,
     cells, the MS averaging semantic when rows carry per-row WEIGHT —
     instead of the unweighted arithmetic mean.  The per-cell plan is
     identical: the weighted sums ride the same (group, position)
-    shuffle.
+    shuffle.  ``weight_spectrum_col`` weighs each CELL by that row's
+    per-channel weight array instead (the MS WEIGHT_SPECTRUM
+    semantic; overrides ``weight_data``).
     """
     if base_interval <= 0:
         raise ValueError(f"bda_average: base_interval must be > 0, "
@@ -125,18 +128,22 @@ def bda_average(df: DataFrame, time_col: str,
     if data_col is None:
         return scalars.withColumnRenamed("__bin", "bin")
 
-    if weight_data and weight_col is None:
+    if weight_data and weight_col is None and weight_spectrum_col is None:
         raise ValueError("bda_average: weight_data=True requires "
                          "weight_col")
     if flag_col is not None:
         mask = F.transform(F.col(flag_col), lambda fl: ~fl)
     else:
         mask = F.transform(F.col(data_col), lambda _: F.lit(True))
+    if weight_spectrum_col is not None:
+        wkw = dict(weight_col=weight_spectrum_col,
+                   weight_is_spectrum=True)
+    else:
+        wkw = dict(weight_col=(weight_col if weight_data else None))
     tens = tensor_row_average(
         keyed.withColumn("__mask", mask), keys, data_col, "__mask",
         out_col="data_mean", quantize_scale=quantize_scale,
-        weight_col=(weight_col if weight_data else None)) \
-        .drop("n_rows")
+        **wkw).drop("n_rows")
     out = (scalars.join(tens, on=keys)
            .withColumn("flag", F.transform(F.col("data_mean"),
                                            lambda v: v.isNull())))

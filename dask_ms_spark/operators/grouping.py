@@ -81,7 +81,8 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
                        vec_col: str, mask_col: str | None = None,
                        out_col: str | None = None,
                        quantize_scale: int | None = None,
-                       weight_col: str | None = None) -> DataFrame:
+                       weight_col: str | None = None,
+                       weight_is_spectrum: bool = False) -> DataFrame:
     """Element-wise masked mean of a tensor column ACROSS rows per
     group — the MS time/baseline-averaging reduction (average DATA
     over a time bin per baseline, honouring FLAG): cell [i] of the
@@ -110,6 +111,10 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
     samples (the MS semantic when rows carry WEIGHT) — same plan,
     the weighted sums ride the identical (group, position) shuffle;
     a cell whose unflagged weights sum to zero yields NULL.
+    ``weight_is_spectrum=True`` reads ``weight_col`` as a PER-CELL
+    weight array instead (the MS WEIGHT_SPECTRUM column — must match
+    the tensor length): cell [i] weighs sample i of each row by that
+    row's w[i].
     """
     from pyspark.sql import functions as F
 
@@ -119,11 +124,22 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
          else F.transform(F.col(vec_col), lambda _: F.lit(True)))
     kept = F.zip_with(F.col(vec_col), m,
                       lambda v, k: F.when(k, v).otherwise(F.lit(None)))
-    wcols = ([F.col(weight_col).cast("double").alias("__rw")]
-             if weight_col else [])
-    ex = df.select(*group_cols, *wcols,
-                   F.posexplode(kept).alias("__pos", "__v"),
-                   F.size(vec_col).alias("__w"))
+    if weight_col and weight_is_spectrum:
+        pair = F.arrays_zip(kept.alias("v"),
+                            F.col(weight_col).alias("w"))
+        ex = df.select(*group_cols,
+                       F.posexplode(pair).alias("__pos", "__z"),
+                       F.size(vec_col).alias("__w")) \
+               .select(*group_cols, "__pos",
+                       F.col("__z.v").alias("__v"),
+                       F.col("__z.w").cast("double").alias("__rw"),
+                       "__w")
+    else:
+        wcols = ([F.col(weight_col).cast("double").alias("__rw")]
+                 if weight_col else [])
+        ex = df.select(*group_cols, *wcols,
+                       F.posexplode(kept).alias("__pos", "__v"),
+                       F.size(vec_col).alias("__w"))
     v = (F.col("__v") * F.col("__rw")) if weight_col else F.col("__v")
     if quantize_scale:
         qs = F.lit(float(quantize_scale))

@@ -805,3 +805,64 @@ def test_sigma_clip_matches_python(spark):
         sigma_clip(df, "x", ["g"], iters=0)
     with pytest.raises(ValueError, match="k must"):
         sigma_clip(df, "x", ["g"], k=0.0)
+
+
+def test_tensor_row_average_weight_spectrum(spark):
+    """WEIGHT_SPECTRUM semantics: each cell weighs sample i by that
+    row's w[i]; zero cell-weight yields NULL; scalar-weight rows
+    replicated as constant arrays give identical results."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.grouping import tensor_row_average
+
+    rows = [
+        Row(g=1, v=[10.0, 4.0], m=[True, True], ws=[1.0, 0.0], w=2.0),
+        Row(g=1, v=[20.0, 6.0], m=[True, True], ws=[3.0, 2.0], w=2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "g long, v array<double>, m array<boolean>, "
+              "ws array<double>, w double")
+    out = tensor_row_average(df, ["g"], "v", "m", weight_col="ws",
+                             weight_is_spectrum=True).collect()[0]
+    # cell 0: (1*10 + 3*20) / 4 = 17.5 ; cell 1: (0*4 + 2*6)/2 = 6
+    assert out.v_mean == [17.5, 6.0]
+
+    # all-zero weights in a cell -> NULL
+    z = spark.createDataFrame(
+        [Row(g=1, v=[5.0], m=[True], ws=[0.0])],
+        "g long, v array<double>, m array<boolean>, ws array<double>")
+    assert tensor_row_average(z, ["g"], "v", "m", weight_col="ws",
+                              weight_is_spectrum=True) \
+        .collect()[0].v_mean == [None]
+
+    # constant spectrum == scalar weight
+    const = df.selectExpr("g", "v", "m",
+                          "array(w, w) as ws", "w")
+    a = tensor_row_average(const, ["g"], "v", "m", weight_col="ws",
+                           weight_is_spectrum=True).collect()[0].v_mean
+    b = tensor_row_average(df, ["g"], "v", "m",
+                           weight_col="w").collect()[0].v_mean
+    assert a == b
+
+
+def test_bda_weight_spectrum(spark):
+    """BDA with WEIGHT_SPECTRUM: per-cell weighted means ride the
+    same plan; scalar path still available."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.bda import bda_average
+
+    rows = [Row(bl=1, uv=800.0, time=0.0, w=1.0,
+                data=[10.0], flag=[False], ws=[1.0]),
+            Row(bl=1, uv=800.0, time=1.0, w=1.0,
+                data=[20.0], flag=[False], ws=[3.0])]
+    df = spark.createDataFrame(
+        rows, "bl long, uv double, time double, w double, "
+              "data array<double>, flag array<boolean>, "
+              "ws array<double>")
+    out = bda_average(df, "time", ["bl"], "uv", base_interval=4.0,
+                      ref_uvdist=800.0, data_col="data",
+                      flag_col="flag", weight_col="w",
+                      weight_spectrum_col="ws").collect()[0]
+    assert out.data_mean == [(10.0 + 60.0) / 4]
+    assert out.weight_sum == 2.0
