@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
            "masked_bin_average", "weighted_bin_average", "log_log_fit",
-           "channel_regrid", "spectral_moments"]
+           "channel_regrid", "spectral_moments", "masked_bin_average_dyn"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -209,3 +209,33 @@ def spectral_moments(vec: Column, mask: Column | None = None) -> Column:
     mom2 = F.when(mom0 > 0, F.sqrt(sxx / mom0))
     return F.struct(mom0.alias("mom0"), mom1.alias("mom1"),
                     mom2.alias("mom2"))
+
+
+def masked_bin_average_dyn(vec: Column, mask: Column,
+                           bin_size: Column) -> Column:
+    """:func:`masked_bin_average` with a PER-ROW bin size (a Column):
+    the joint time+channel BDA shape, where a short baseline's rows
+    average more channels than a long baseline's.  Same fold
+    semantics: per-bin mean over unmasked elements, empty bins NULL,
+    output length ``ceil(len / bin_size)`` (per row — compose with a
+    rectangular-per-group partitioning before cross-row reductions).
+    """
+    bs = bin_size.cast("int")
+    guarded = F.when(bs >= 1, bs).otherwise(F.raise_error(F.lit(
+        "masked_bin_average_dyn: bin_size must be >= 1")))
+    nbins = F.ceil(F.size(vec) / guarded.cast("double")).cast("int")
+
+    def bin_avg(b):
+        start = b * guarded + 1
+        vals = F.slice(vec, start, guarded)
+        kept = F.zip_with(vals, F.slice(mask, start, guarded),
+                          lambda v, m: F.when(m, v)
+                          .otherwise(F.lit(None)))
+        s = F.aggregate(kept, F.lit(0.0),
+                        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)))
+        n = F.aggregate(kept, F.lit(0),
+                        lambda acc, x: acc
+                        + F.when(x.isNotNull(), 1).otherwise(0))
+        return F.when(n > 0, s / n).otherwise(F.lit(None))
+    return F.transform(F.sequence(F.lit(0), nbins - 1),
+                       lambda b: bin_avg(b))

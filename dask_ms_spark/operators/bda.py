@@ -71,6 +71,7 @@ def bda_average(df: DataFrame, time_col: str,
                 weight_col: str | None = None,
                 weight_data: bool = False,
                 weight_spectrum_col: str | None = None,
+                chan_average: bool = False,
                 time_origin: float = 0.0,
                 quantize_scale: int | None = None) -> DataFrame:
     """Average rows per (baseline, adaptive time bin).
@@ -147,6 +148,17 @@ def bda_average(df: DataFrame, time_col: str,
     out = (scalars.join(tens, on=keys)
            .withColumn("flag", F.transform(F.col("data_mean"),
                                            lambda v: v.isNull())))
+    if chan_average:
+        from ..functions.vector import masked_bin_average_dyn
+
+        cmean = masked_bin_average_dyn(
+            F.col("data_mean"),
+            F.transform(F.col("data_mean"), lambda v: v.isNotNull()),
+            F.col("factor"))
+        out = (out.withColumn("data_chan_mean", cmean)
+               .withColumn("flag_chan",
+                           F.transform(F.col("data_chan_mean"),
+                                       lambda v: v.isNull())))
     return out.withColumnRenamed("__bin", "bin")
 
 

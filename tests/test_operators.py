@@ -866,3 +866,42 @@ def test_bda_weight_spectrum(spark):
                       weight_spectrum_col="ws").collect()[0]
     assert out.data_mean == [(10.0 + 60.0) / 4]
     assert out.weight_sum == 2.0
+
+
+def test_bda_chan_average_xova_shape(spark):
+    """Joint time+channel BDA: a factor-4 baseline's 4-channel
+    spectrum collapses to one channel (mean of unflagged cells);
+    a factor-1 baseline keeps full resolution; all-flagged bins stay
+    flagged after channel averaging."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.bda import bda_average
+
+    rows = []
+    for bl, uv in ((1, 100.0), (2, 400.0)):
+        for i in range(4):
+            rows.append(Row(
+                bl=bl, uv=uv, time=float(i),
+                data=[float(i), float(i + 10), float(i + 20),
+                      float(i + 30)],
+                flag=[False, False, bl == 1, False]))
+    df = spark.createDataFrame(
+        rows, "bl long, uv double, time double, "
+              "data array<double>, flag array<boolean>")
+    out = {r.bl: r for r in bda_average(
+        df, "time", ["bl"], "uv", base_interval=4.0, ref_uvdist=400.0,
+        max_factor=4, data_col="data", flag_col="flag",
+        chan_average=True).collect()}
+
+    r1 = out[1]                       # uv 100 -> factor 4
+    assert r1.factor == 4 and len(r1.data_chan_mean) == 1
+    # time means per channel: [1.5, 11.5, None(flagged), 31.5];
+    # channel bin of 4 -> mean of the 3 unflagged = 14.833...
+    want = (1.5 + 11.5 + 31.5) / 3
+    assert abs(r1.data_chan_mean[0] - want) < 1e-12
+    assert r1.flag_chan == [False]
+    assert len(r1.data_mean) == 4     # full resolution retained
+
+    r2 = out[2]                       # uv 400 -> factor 1
+    assert r2.factor == 1 and len(r2.data_chan_mean) == 4
+    assert r2.data_chan_mean == r2.data_mean
