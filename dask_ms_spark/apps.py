@@ -116,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
                      "averaging)")
     bda.add_argument("--max-factor", type=int, default=16)
     bda.add_argument("--time-origin", type=float, default=0.0)
+    bda.add_argument("--weight-spectrum-col", default=None)
+    bda.add_argument("--chan-average", action="store_true",
+                     help="also channel-average each bin by its "
+                     "factor (the full xova shape)")
 
     args = parser.parse_args(argv)
 
@@ -159,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
             args.uvdist_col, args.base_interval, args.ref_uvdist,
             max_factor=args.max_factor, data_col=args.data_col,
             flag_col=args.flag_col, weight_col=args.weight_col,
+            weight_spectrum_col=args.weight_spectrum_col,
+            chan_average=args.chan_average,
             time_origin=args.time_origin)
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = df.count(), out.count()
