@@ -4978,7 +4978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    data-dependent driver argmax (k-means-style
         #    coordination) that a static SQL mirror cannot express;
         #    pytest-driven against a pure-python BPE reference
-        #    (tests/test_functions.py) --
+        #    (tests/test_functions.py).  delay_fit/unwrap_phases:
+        #    the sequential unwrap fold state is equally
+        #    SQL-inexpressible; numpy.unwrap/polyfit oracle in
+        #    tests/test_operators.py --
         "snapshot_roundtrip": q_snapshot_roundtrip,
         "backfill_restart": q_backfill_restart,
         "ann_ivf_indexed": q_ann_ivf_indexed,

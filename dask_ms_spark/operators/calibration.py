@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["gain_solve"]
+__all__ = ["gain_solve", "delay_fit", "unwrap_phases"]
 
 
 def _qsum(c, scale: float):
@@ -96,3 +96,77 @@ def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
         gains = gains.localCheckpoint(eager=False)
     return gains.select("antenna",
                         F.array("gre", "gim").alias("gain"))
+
+
+def unwrap_phases(phases):
+    """Unwrap a phase array (numpy.unwrap semantics): each element is
+    shifted by the multiple of 2*pi that keeps it within pi of its
+    unwrapped predecessor — a left-to-right ``aggregate`` fold whose
+    state is (unwrapped-so-far, previous value), entirely JVM-side."""
+    import math
+
+    two_pi = F.lit(2.0 * math.pi)
+    init = F.struct(
+        F.array().cast("array<double>").alias("arr"),
+        F.lit(None).cast("double").alias("prev"))
+
+    def step(acc, p):
+        w = F.when(acc["prev"].isNull(), p).otherwise(
+            p - two_pi * F.round((p - acc["prev"]) / two_pi))
+        return F.struct(
+            F.concat(acc["arr"], F.array(w)).alias("arr"),
+            w.alias("prev"))
+
+    return F.aggregate(phases, init, step, lambda acc: acc["arr"])
+
+
+def delay_fit(df: DataFrame, vis_col: str, freqs_hz: list,
+              out_col: str = "delay_fit") -> DataFrame:
+    """Per-row delay (fringe) fit: the least-squares slope of the
+    UNWRAPPED visibility phase across frequency — the calibration
+    step after :func:`gain_solve` (a residual delay tau makes phase
+    climb linearly as 2*pi*f*tau; fitting and removing it is
+    "fringe fitting lite").
+
+    ``vis_col`` is interleaved complex per channel (2*len(freqs_hz)
+    doubles); frequencies are driver constants, so their moments fold
+    to literals and the whole fit — atan2 phases, fold-based unwrap,
+    least-squares sums — is ONE map-side codegen expression: no
+    explode, no shuffle, no Python.  Returns a struct
+    ``(delay_s, phase0, n_chan)`` with ``delay_s = slope / (2*pi)``
+    (seconds for Hz inputs) and ``phase0`` the fitted intercept at
+    f=0.  Rows whose channel count disagrees with ``freqs_hz`` raise.
+
+    Pytest-only oracle (numpy.unwrap + polyfit): the sequential
+    unwrap state makes a static SQL mirror inexpressible, same class
+    as learn_bpe_merges.
+    """
+    import math
+
+    n = len(freqs_hz)
+    if n < 2:
+        raise ValueError("delay_fit: need at least 2 channels")
+    v = F.when(F.size(vis_col) == 2 * n, F.col(vis_col)) \
+        .otherwise(F.raise_error(F.lit(
+            "delay_fit: vis length disagrees with freqs_hz")))
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    phases = F.transform(idx, lambda i: F.atan2(
+        F.element_at(v, 2 * i + 2), F.element_at(v, 2 * i + 1)))
+    w = unwrap_phases(phases)
+
+    xs = [float(f) for f in freqs_hz]
+    sx = float(sum(xs))
+    sxx = float(sum(x * x for x in xs))
+    x_arr = F.array(*[F.lit(x) for x in xs])
+    sy = F.aggregate(w, F.lit(0.0), lambda a, y: a + y)
+    sxy = F.aggregate(F.zip_with(w, x_arr, lambda y, x: y * x),
+                      F.lit(0.0), lambda a, t: a + t)
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        raise ValueError("delay_fit: degenerate (constant) freqs_hz")
+    slope = (F.lit(float(n)) * sxy - F.lit(sx) * sy) / F.lit(denom)
+    phase0 = (sy - slope * F.lit(sx)) / F.lit(float(n))
+    return df.withColumn(out_col, F.struct(
+        (slope / F.lit(2.0 * math.pi)).alias("delay_s"),
+        phase0.alias("phase0"),
+        F.lit(n).cast("long").alias("n_chan")))

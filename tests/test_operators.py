@@ -905,3 +905,50 @@ def test_bda_chan_average_xova_shape(spark):
     r2 = out[2]                       # uv 400 -> factor 1
     assert r2.factor == 1 and len(r2.data_chan_mean) == 4
     assert r2.data_chan_mean == r2.data_mean
+
+
+def test_delay_fit_recovers_planted_delay(spark):
+    """Fringe fit: vis = exp(2*pi*i*(f*tau + phi0)) recovers tau and
+    phi0 to numerical precision even when raw phases wrap many times;
+    unwrap matches numpy.unwrap; channel-count mismatch raises."""
+    import math
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.operators.calibration import (delay_fit,
+                                                     unwrap_phases)
+
+    freqs = [1.0e9 + 1.0e6 * i for i in range(32)]
+    cases = [(5.0e-9, 0.3), (-2.3e-9, -1.1), (0.0, 0.5)]
+    rows = []
+    for tau, phi0 in cases:
+        vis = []
+        for f in freqs:
+            ph = 2 * math.pi * f * tau + phi0
+            vis += [math.cos(ph), math.sin(ph)]
+        rows.append(Row(tau=tau, phi0=phi0, vis=vis))
+    df = spark.createDataFrame(rows, "tau double, phi0 double, "
+                                     "vis array<double>")
+    got = delay_fit(df, "vis", freqs).collect()
+    for r in got:
+        assert r.delay_fit.delay_s == pytest.approx(r.tau,
+                                                    abs=1e-15)
+        # phase0 is the intercept mod 2*pi relative to the unwrap
+        # branch of channel 0; compare on the circle
+        dphi = (r.delay_fit.phase0 - r.phi0) % (2 * math.pi)
+        assert min(dphi, 2 * math.pi - dphi) < 1e-9
+        assert r.delay_fit.n_chan == 32
+
+    # unwrap parity with numpy on a wrapping ramp
+    raw = [float(((0.7 * i + 0.1) + math.pi) % (2 * math.pi)
+                 - math.pi) for i in range(20)]
+    w = spark.createDataFrame([Row(p=raw)]).select(
+        unwrap_phases(F.col("p")).alias("w")).collect()[0].w
+    np_w = np.unwrap(np.array(raw))
+    assert np.allclose(w, np_w, atol=1e-12)
+
+    bad = spark.createDataFrame([Row(vis=[1.0, 0.0])])
+    with pytest.raises(Exception, match="disagrees"):
+        delay_fit(bad, "vis", freqs).collect()
