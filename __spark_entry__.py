@@ -4871,6 +4871,62 @@ _STOKES_SQL = """
 """
 
 
+def q_closure_phase(spark, sf_dir):
+    """Closure phases (operators/calibration.py closure_phases): the
+    gain-independent triangle diagnostic arg(V_pq V_qr conj(V_pr));
+    baselines are a dimension-sized relation, so all three join legs
+    broadcast.  Synthetic per-baseline phases theta(p, q) make every
+    triangle's closure theta_pq + theta_qr - theta_pr, which the
+    oracle mirrors arithmetic-exactly."""
+    from dask_ms_spark.operators.calibration import closure_phases
+
+    embs = _t(spark, sf_dir, "embeddings")
+    base = embs.select((F.col("vec_id") % 8).alias("antenna1"),
+                       ((F.col("vec_id") / 8).cast("long") % 8)
+                       .alias("antenna2")).distinct() \
+        .where(F.col("antenna1") < F.col("antenna2"))
+    p = F.col("antenna1").cast("double")
+    q = F.col("antenna2").cast("double")
+    th = 0.1 * (p + q) + 0.05 * (p - q)
+    d = base.select("antenna1", "antenna2",
+                    F.array(F.cos(th), F.sin(th)).alias("vis"))
+    out = closure_phases(d)
+    return out.select(
+        "p", "q", "r",
+        F.round(F.col("closure_phase") * 1e6).cast("long")
+         .alias("cp_q"))
+
+
+_CLOSURE_SQL = """
+    WITH base AS (SELECT DISTINCT vec_id % 8 AS p,
+                                  (vec_id // 8) % 8 AS q
+                  FROM embeddings),
+    pairs AS (SELECT p, q,
+                     cos(0.1 * (cast(p as double) + cast(q as double))
+                         + 0.05 * (cast(p as double)
+                                   - cast(q as double))) AS re,
+                     sin(0.1 * (cast(p as double) + cast(q as double))
+                         + 0.05 * (cast(p as double)
+                                   - cast(q as double))) AS im
+              FROM base WHERE p < q),
+    tri AS (SELECT a.p, a.q, b.q AS r,
+                   a.re AS re1, a.im AS im1,
+                   b.re AS re2, b.im AS im2,
+                   c.re AS re3, c.im AS im3
+            FROM pairs a
+            JOIN pairs b ON b.p = a.q
+            JOIN pairs c ON c.p = a.p AND c.q = b.q)
+    SELECT p, q, r,
+           cast(round(atan2(
+               (re1 * im2 + im1 * re2) * re3
+                   - (re1 * re2 - im1 * im2) * im3,
+               (re1 * re2 - im1 * im2) * re3
+                   + (re1 * im2 + im1 * re2) * im3) * 1000000)
+                as bigint) AS cp_q
+    FROM tri
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4889,8 +4945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (60 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 27
+    #   round 7 (61 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 28
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -4899,9 +4955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     resample_interp, crossmatch, rfi_flag, gain_solve,
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
-    #     sigma_clip, ann_ivfpq, curriculum, stokes_convert), then
-    #     the 23 OLDEST of the 33
-    #     "r4-stale, below window" entries; the remaining 10 r4-stale
+    #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
+    #     closure_phase), then the 22 OLDEST of the 33
+    #     "r4-stale, below window" entries; the remaining 11 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
     #     rows land, dedup_substring_exact (stride-1 variant of
@@ -5009,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "curriculum": q_curriculum,
         "stokes_convert": q_stokes_convert,
+        "closure_phase": q_closure_phase,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5551,6 +5608,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _ANN_IVFPQ_SQL,
         "curriculum": _CURRICULUM_SQL,
         "stokes_convert": _STOKES_SQL,
+        "closure_phase": _CLOSURE_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["gain_solve", "delay_fit", "unwrap_phases"]
+__all__ = ["gain_solve", "delay_fit", "unwrap_phases",
+           "closure_phases"]
 
 
 def _qsum(c, scale: float):
@@ -170,3 +171,47 @@ def delay_fit(df: DataFrame, vis_col: str, freqs_hz: list,
         (slope / F.lit(2.0 * math.pi)).alias("delay_s"),
         phase0.alias("phase0"),
         F.lit(n).cast("long").alias("n_chan")))
+
+
+def closure_phases(vis: DataFrame, ant1_col: str = "antenna1",
+                   ant2_col: str = "antenna2",
+                   vis_col: str = "vis") -> DataFrame:
+    """Closure phase per antenna triangle:
+    ``arg(V_pq * V_qr * conj(V_pr))`` for every p < q < r — the
+    classic gain-INDEPENDENT interferometry diagnostic (antenna gain
+    phases cancel around the triangle, so a non-zero closure phase is
+    a real instrumental/sky signature, not calibration error).
+
+    Input: one row per baseline (p < q) with ``vis_col = [re, im]``
+    (pre-average multiple samples per baseline first).  The join
+    graph is baseline x baseline x baseline keyed on the SHARED
+    antenna — baselines number O(n_antennas^2) (a dimension table
+    next to the visibility fact table at any scale), so all three
+    legs broadcast and the triangle enumeration never shuffles a
+    fact-sized relation.  Returns (p, q, r, closure_phase) in
+    radians, one row per triangle.
+    """
+    b = vis.select(F.col(ant1_col).alias("p"),
+                   F.col(ant2_col).alias("q"),
+                   F.element_at(F.col(vis_col), 1).cast("double")
+                   .alias("re"),
+                   F.element_at(F.col(vis_col), 2).cast("double")
+                   .alias("im")) \
+        .where(F.col("p") < F.col("q"))
+    pq = b.select(F.col("p"), F.col("q"),
+                  F.col("re").alias("re1"), F.col("im").alias("im1"))
+    qr = b.select(F.col("p").alias("q"), F.col("q").alias("r"),
+                  F.col("re").alias("re2"), F.col("im").alias("im2"))
+    pr = b.select(F.col("p").alias("p2"), F.col("q").alias("r2"),
+                  F.col("re").alias("re3"), F.col("im").alias("im3"))
+    tri = (pq.join(F.broadcast(qr), on="q")
+           .join(F.broadcast(pr),
+                 (F.col("p") == F.col("p2"))
+                 & (F.col("r") == F.col("r2"))))
+    # (V1 * V2) * conj(V3)
+    ab_re = F.col("re1") * F.col("re2") - F.col("im1") * F.col("im2")
+    ab_im = F.col("re1") * F.col("im2") + F.col("im1") * F.col("re2")
+    c_re = ab_re * F.col("re3") + ab_im * F.col("im3")
+    c_im = ab_im * F.col("re3") - ab_re * F.col("im3")
+    return tri.select("p", "q", "r",
+                      F.atan2(c_im, c_re).alias("closure_phase"))

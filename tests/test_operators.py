@@ -952,3 +952,37 @@ def test_delay_fit_recovers_planted_delay(spark):
     bad = spark.createDataFrame([Row(vis=[1.0, 0.0])])
     with pytest.raises(Exception, match="disagrees"):
         delay_fit(bad, "vis", freqs).collect()
+
+
+def test_closure_phases_gain_independent(spark):
+    """Closure phases cancel antenna gains exactly: applying
+    arbitrary per-antenna phase gains to V_pq = g_p conj(g_q) S
+    leaves every triangle's closure phase equal to the source's own
+    (zero for a point source); triangle count = C(n, 3)."""
+    import cmath
+    import math
+
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import closure_phases
+
+    n = 6
+    gains = {a: cmath.exp(1j * (0.7 * a * a - 1.2 * a)) * (1 + 0.1 * a)
+             for a in range(n)}
+    src = cmath.exp(1j * 0.4)          # point source, phase 0.4
+    rows = []
+    for p_ in range(n):
+        for q_ in range(p_ + 1, n):
+            v = gains[p_] * gains[q_].conjugate() * src
+            rows.append(Row(antenna1=p_, antenna2=q_,
+                            vis=[v.real, v.imag]))
+    df = spark.createDataFrame(
+        rows, "antenna1 long, antenna2 long, vis array<double>")
+    got = closure_phases(df).collect()
+    assert len(got) == math.comb(n, 3)
+    # closure of g_p conj(g_q) S triangles: the gains cancel and the
+    # source phases combine as 0.4 + 0.4 - 0.4 = 0.4
+    for r in got:
+        assert r.closure_phase == pytest.approx(0.4, abs=1e-12)
+        assert r.p < r.q < r.r
