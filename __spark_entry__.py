@@ -4927,6 +4927,121 @@ _CLOSURE_SQL = """
 """
 
 
+def q_hanning(spark, sf_dir):
+    """Hanning spectral smoothing (functions/vector.py
+    hanning_smooth): [0.25, 0.5, 0.25] channel convolution with
+    flag-aware weight renormalisation, pure map over the scan."""
+    from dask_ms_spark.functions.vector import hanning_smooth
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: F.when(
+        ~(x.cast("double") <= -1.5), x.cast("double")))
+    out = hanning_smooth(vec)
+    q = F.transform(out, lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"),
+        F.lit(-999999999)).cast("string"))
+    return embs.select("vec_id", F.array_join(q, ",").alias("sm_q"))
+
+
+_HANNING_SQL = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                          CASE WHEN NOT (cast(x as double) <= -1.5)
+                               THEN cast(x as double) END) AS vv,
+                      len(embedding) AS n
+               FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, n + 1), i ->
+               CASE WHEN vv[i] IS NOT NULL THEN cast(cast(round(
+                   ((coalesce(vv[i], 0.0) * 0.5
+                     + coalesce(CASE WHEN i > 1 THEN vv[i - 1] END,
+                                0.0) * 0.25
+                     + coalesce(CASE WHEN i < n THEN vv[i + 1] END,
+                                0.0) * 0.25)
+                    / ((CASE WHEN vv[i] IS NOT NULL
+                        THEN 0.5 ELSE 0.0 END)
+                       + (CASE WHEN i > 1 AND vv[i - 1] IS NOT NULL
+                          THEN 0.25 ELSE 0.0 END)
+                       + (CASE WHEN i < n AND vv[i + 1] IS NOT NULL
+                          THEN 0.25 ELSE 0.0 END)))
+                   * 1000000) as bigint) as varchar)
+               ELSE '-999999999' END), ',') AS sm_q
+    FROM v
+"""
+
+
+def q_uvcontsub(spark, sf_dir):
+    """Continuum subtraction (functions/vector.py uvcontsub): per-row
+    linear fit over unmasked channels, subtracted in place — the
+    uvlin pass; folds mirror via list_reduce in the oracle."""
+    from dask_ms_spark.functions.vector import uvcontsub
+
+    embs = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mask = F.transform(vec, lambda x: ~(x <= -1.5))
+    out = uvcontsub(vec, mask)
+    q = F.transform(out, lambda x: F.coalesce(
+        F.round(x * 1e6).cast("long"),
+        F.lit(-999999999)).cast("string"))
+    return embs.select("vec_id", F.array_join(q, ",").alias("sub_q"))
+
+
+_UVCONTSUB_SQL = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x ->
+                          CASE WHEN NOT (cast(x as double) <= -1.5)
+                               THEN cast(x as double) END) AS vv,
+                      len(embedding) AS n
+               FROM embeddings),
+    k AS (SELECT vec_id, vv, n,
+                 list_filter(list_transform(range(1, n + 1), i ->
+                     CASE WHEN vv[i] IS NOT NULL THEN struct_pack(
+                         y := vv[i],
+                         x := cast(i - 1 as double)) END),
+                     p -> p IS NOT NULL) AS kept
+          FROM v),
+    s AS (SELECT vec_id, vv, n,
+                 cast(len(kept) as double) AS kn,
+                 len(kept) AS ki,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(kept, p -> p.x)),
+                     (a, b) -> a + b) AS sx,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(kept, p -> p.y)),
+                     (a, b) -> a + b) AS sy,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(kept, p -> p.x * p.x)),
+                     (a, b) -> a + b) AS sxx,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(kept, p -> p.x * p.y)),
+                     (a, b) -> a + b) AS sxy
+          FROM k),
+    f AS (SELECT vec_id, vv, n, ki,
+                 CASE WHEN kn * sxx - sx * sx != 0
+                      THEN (kn * sxy - sx * sy)
+                           / (kn * sxx - sx * sx)
+                      ELSE 0.0 END AS slope,
+                 sx, sy, kn
+          FROM s),
+    g AS (SELECT vec_id, vv, n, ki, slope,
+                 CASE WHEN kn > 0 THEN (sy - slope * sx) / kn
+                      ELSE 0.0 END AS icept
+          FROM f)
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, n + 1), i ->
+               CASE WHEN ki >= 2 AND vv[i] IS NOT NULL
+               THEN cast(cast(round(
+                   (vv[i] - (icept + slope
+                             * cast(i - 1 as double)))
+                   * 1000000) as bigint) as varchar)
+               WHEN vv[i] IS NOT NULL
+               THEN cast(cast(round(vv[i] * 1000000) as bigint)
+                         as varchar)
+               ELSE '-999999999' END), ',') AS sub_q
+    FROM g
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -4945,8 +5060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (61 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 28
+    #   round 7 (63 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 30
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -4956,8 +5071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
-    #     closure_phase), then the 22 OLDEST of the 33
-    #     "r4-stale, below window" entries; the remaining 11 r4-stale
+    #     closure_phase, hanning, uvcontsub), then the 20 OLDEST
+    #     of the 33
+    #     "r4-stale, below window" entries; the remaining 13 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
     #     rows land, dedup_substring_exact (stride-1 variant of
@@ -5066,6 +5182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "stokes_convert": q_stokes_convert,
         "closure_phase": q_closure_phase,
+        "hanning": q_hanning,
+        "uvcontsub": q_uvcontsub,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5609,6 +5727,8 @@ def oracle_sql() -> dict[str, str]:
         "curriculum": _CURRICULUM_SQL,
         "stokes_convert": _STOKES_SQL,
         "closure_phase": _CLOSURE_SQL,
+        "hanning": _HANNING_SQL,
+        "uvcontsub": _UVCONTSUB_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
            "masked_bin_average", "weighted_bin_average", "log_log_fit",
-           "channel_regrid", "spectral_moments", "masked_bin_average_dyn"]
+           "channel_regrid", "spectral_moments", "masked_bin_average_dyn",
+           "hanning_smooth", "uvcontsub"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -239,3 +240,73 @@ def masked_bin_average_dyn(vec: Column, mask: Column,
         return F.when(n > 0, s / n).otherwise(F.lit(None))
     return F.transform(F.sequence(F.lit(0), nbins - 1),
                        lambda b: bin_avg(b))
+
+
+def hanning_smooth(vec: Column) -> Column:
+    """Hanning channel smoothing: ``out[i] = 0.25*v[i-1] + 0.5*v[i]
+    + 0.25*v[i+1]`` with edge channels averaging over the available
+    neighbours (weights renormalised) — the standard MS spectral
+    smoothing pass against Gibbs ringing, as a pure map over the
+    scan.  NULL (flagged) cells stay NULL and are excluded from their
+    neighbours' averages (weights renormalise over present cells).
+    """
+    n = F.size(vec)
+
+    def cell(i):
+        c = F.element_at(vec, i + 1)
+        lo = F.when(i > 0, F.element_at(vec, i))
+        hi = F.when(i < n - 1, F.element_at(vec, i + 2))
+        wsum = (F.when(c.isNotNull(), F.lit(0.5)).otherwise(F.lit(0.0))
+                + F.when(lo.isNotNull(), F.lit(0.25))
+                .otherwise(F.lit(0.0))
+                + F.when(hi.isNotNull(), F.lit(0.25))
+                .otherwise(F.lit(0.0)))
+        s = (F.coalesce(c, F.lit(0.0)) * 0.5
+             + F.coalesce(lo, F.lit(0.0)) * 0.25
+             + F.coalesce(hi, F.lit(0.0)) * 0.25)
+        return F.when(c.isNotNull(), s / wsum)
+
+    return F.transform(F.sequence(F.lit(0), n - 1), cell)
+
+
+def uvcontsub(vec: Column, mask: Column | None = None) -> Column:
+    """Continuum subtraction (the `uvlin` pass): per row, fit a
+    straight line over channel index to the unmasked cells and
+    subtract it — what remains is the line signal.  Fit sums are
+    left-to-right folds (engine-portable); masked cells pass through
+    as NULL; rows with fewer than 2 unmasked cells return the input
+    unchanged (nothing to fit).  Zero shuffles — composes into the
+    scan like every kernel in this module.
+    """
+    v = (F.zip_with(vec, mask, lambda x, m: F.when(m, x.cast("double")))
+         if mask is not None
+         else F.transform(vec, lambda x: x.cast("double")))
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    pair = F.zip_with(v, idx,
+                      lambda x, i: F.when(x.isNotNull(), F.struct(
+                          x.alias("y"), i.cast("double").alias("x"))))
+    kept = F.filter(pair, lambda p: p.isNotNull())
+    n = F.size(kept).cast("double")
+    sx = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["x"])
+    sy = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["y"])
+    sxx = F.aggregate(kept, F.lit(0.0),
+                      lambda a, p: a + p["x"] * p["x"])
+    sxy = F.aggregate(kept, F.lit(0.0),
+                      lambda a, p: a + p["x"] * p["y"])
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom) \
+        .otherwise(F.lit(0.0))
+    icept = F.when(n > 0, (sy - slope * sx) / n).otherwise(F.lit(0.0))
+    fit_ok = F.size(kept) >= 2
+    # bind the fit ONCE per row: without this, every output channel
+    # re-expands the four fold sums inside slope/icept — a 64x
+    # expression blow-up that showed up as ~20 s of codegen+eval on
+    # 500 rows (measured; 1-element transform caps it at one eval)
+    params = F.array(F.struct(slope.alias("sl"), icept.alias("ic"),
+                              fit_ok.alias("ok")))
+    return F.element_at(F.transform(params, lambda prm: F.zip_with(
+        v, idx,
+        lambda x, i: F.when(
+            prm["ok"] & x.isNotNull(),
+            x - (prm["ic"] + prm["sl"] * i.cast("double")))
+        .otherwise(x))), 1)

@@ -747,3 +747,62 @@ def test_apply_gains_timevar(spark):
     tol = {r.time: r.vis_corrected for r in apply_gains_timevar(
         vis, gains, tolerance=4.5).collect()}
     assert tol[5.0] is not None and tol[15.0] is None
+
+
+def test_hanning_smooth(spark):
+    """Hanning: interior cells get [0.25, 0.5, 0.25]; edges
+    renormalise over present neighbours; NULL cells stay NULL and
+    drop out of neighbours' weights."""
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.vector import hanning_smooth
+
+    df = spark.createDataFrame([Row(v=[4.0, 8.0, 12.0, 16.0])])
+    out = df.select(hanning_smooth(F.col("v")).alias("o")) \
+        .collect()[0].o
+    assert out[1] == 0.25 * 4 + 0.5 * 8 + 0.25 * 12
+    assert out[2] == 0.25 * 8 + 0.5 * 12 + 0.25 * 16
+    # edge: (0.5*4 + 0.25*8) / 0.75
+    assert abs(out[0] - (0.5 * 4 + 0.25 * 8) / 0.75) < 1e-12
+    assert abs(out[3] - (0.5 * 16 + 0.25 * 12) / 0.75) < 1e-12
+
+    dfn = spark.createDataFrame([Row(v=[4.0, None, 12.0])],
+                                "v array<double>")
+    o = dfn.select(hanning_smooth(F.col("v")).alias("o")).collect()[0].o
+    assert o[1] is None
+    assert abs(o[0] - 4.0) < 1e-12          # lone neighbour null
+    assert abs(o[2] - 12.0) < 1e-12
+
+
+def test_uvcontsub_removes_linear_continuum(spark):
+    """uvlin: a linear continuum plus a narrow line leaves (almost)
+    only the line after subtraction; a purely linear spectrum
+    subtracts to ~zero; masked cells stay NULL; 1-cell rows pass
+    through."""
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.vector import uvcontsub
+
+    n = 32
+    cont = [2.0 + 0.5 * i for i in range(n)]
+    line = [0.0] * n
+    line[12] = 5.0
+    spec = [c + l for c, l in zip(cont, line)]
+    mask = [True] * n
+    mask[12] = False          # fit excludes the line channel
+    df = spark.createDataFrame([Row(v=spec, m=mask)])
+    out = df.select(uvcontsub(F.col("v"), F.col("m")).alias("o")) \
+        .collect()[0].o
+    assert out[12] is None                  # masked passes as NULL
+    for i in range(n):
+        if i != 12:
+            assert abs(out[i]) < 1e-9       # continuum gone
+
+    pure = df.select(uvcontsub(F.col("v")).alias("o")).collect()[0].o
+    # unmasked: line channel pollutes the fit slightly but the line
+    # remains dominant
+    assert pure[12] > 4.0
+
+    short = spark.createDataFrame([Row(v=[7.0])])
+    assert short.select(uvcontsub(F.col("v")).alias("o")) \
+        .collect()[0].o == [7.0]
