@@ -5042,6 +5042,54 @@ _UVCONTSUB_SQL = """
 """
 
 
+def q_predict_vis(spark, sf_dir):
+    """Point-source visibility prediction (operators/calibration.py
+    predict_vis): the gridless forward model — source terms bake in
+    as literals, accumulation order fixed, pure map over the scan."""
+    from dask_ms_spark.operators.calibration import predict_vis
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        "vec_id",
+        ((F.col("vec_id") * 13.7) % 400.0 - 200.0).alias("u"),
+        ((F.col("vec_id") * 7.3) % 400.0 - 200.0).alias("v"))
+    out = predict_vis(d, "u", "v",
+                      [(2.0, 1e-3, -2e-3), (1.0, -3e-3, 1.5e-3)])
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("model_vis", 1) * 1e6).cast("long")
+         .alias("re_q"),
+        F.round(F.element_at("model_vis", 2) * 1e6).cast("long")
+         .alias("im_q"))
+
+
+def _predict_vis_sql() -> str:
+    import math
+
+    tp = 2.0 * math.pi
+    # emit the 2*pi constant as its exact integer ratio
+    num, den = tp.as_integer_ratio()
+    c = f"(CAST({num} AS DOUBLE) / {den})"
+    return f"""
+    WITH d AS (SELECT vec_id,
+                      fmod(vec_id * 13.7, 400.0) - 200.0 AS u,
+                      fmod(vec_id * 7.3, 400.0) - 200.0 AS v
+               FROM embeddings)
+    SELECT vec_id,
+           cast(round((0.0 + 2.0 * cos({c} * (u * 0.001
+                                              + v * (-0.002)))
+                       + 1.0 * cos({c} * (u * (-0.003)
+                                          + v * 0.0015)))
+                      * 1000000) as bigint) AS re_q,
+           cast(round((0.0 + 2.0 * sin({c} * (u * 0.001
+                                              + v * (-0.002)))
+                       + 1.0 * sin({c} * (u * (-0.003)
+                                          + v * 0.0015)))
+                      * 1000000) as bigint) AS im_q
+    FROM d
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -5060,8 +5108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (63 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 30
+    #   round 7 (64 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 31
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -5071,9 +5119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
-    #     closure_phase, hanning, uvcontsub), then the 20 OLDEST
-    #     of the 33
-    #     "r4-stale, below window" entries; the remaining 13 r4-stale
+    #     closure_phase, hanning, uvcontsub, predict_vis), then
+    #     the 19 OLDEST of the 33
+    #     "r4-stale, below window" entries; the remaining 14 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
     #     rows land, dedup_substring_exact (stride-1 variant of
@@ -5184,6 +5232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_phase": q_closure_phase,
         "hanning": q_hanning,
         "uvcontsub": q_uvcontsub,
+        "predict_vis": q_predict_vis,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5729,6 +5778,7 @@ def oracle_sql() -> dict[str, str]:
         "closure_phase": _CLOSURE_SQL,
         "hanning": _HANNING_SQL,
         "uvcontsub": _UVCONTSUB_SQL,
+        "predict_vis": _predict_vis_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

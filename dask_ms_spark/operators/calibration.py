@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gain_solve", "delay_fit", "unwrap_phases",
-           "closure_phases"]
+           "closure_phases", "predict_vis"]
 
 
 def _qsum(c, scale: float):
@@ -215,3 +215,34 @@ def closure_phases(vis: DataFrame, ant1_col: str = "antenna1",
     c_im = ab_im * F.col("re3") - ab_re * F.col("im3")
     return tri.select("p", "q", "r",
                       F.atan2(c_im, c_re).alias("closure_phase"))
+
+
+def predict_vis(df: DataFrame, u_col: str, v_col: str,
+                sources: list, out_col: str = "model_vis") -> DataFrame:
+    """Predict model visibilities for a point-source list: the
+    gridless forward model ``V(u, v) = sum_k flux_k *
+    exp(2*pi*i*(u*l_k + v*m_k))`` — what a calibration loop compares
+    DATA against (the M in the measurement equation).
+
+    ``sources`` is a driver-side list of ``(flux, l, m)`` with (l, m)
+    the direction cosines in the same units that make ``u*l``
+    dimensionless (u, v in wavelengths; l, m in radians for small
+    fields).  Sources bake into the plan as literals, so prediction
+    is a pure map over the scan — zero shuffles, and the per-source
+    terms accumulate in a fixed order (engine-portable).  Returns
+    ``out_col = [re, im]``.
+    """
+    import math
+
+    if not sources:
+        raise ValueError("predict_vis: empty source list")
+    u = F.col(u_col).cast("double")
+    v = F.col(v_col).cast("double")
+    two_pi = 2.0 * math.pi
+    re, im = F.lit(0.0), F.lit(0.0)
+    for flux, l, m in sources:
+        ph = F.lit(two_pi) * (u * F.lit(float(l))
+                              + v * F.lit(float(m)))
+        re = re + F.lit(float(flux)) * F.cos(ph)
+        im = im + F.lit(float(flux)) * F.sin(ph)
+    return df.withColumn(out_col, F.array(re, im))

@@ -986,3 +986,70 @@ def test_closure_phases_gain_independent(spark):
     for r in got:
         assert r.closure_phase == pytest.approx(0.4, abs=1e-12)
         assert r.p < r.q < r.r
+
+
+def test_selfcal_roundtrip(spark):
+    """The full self-calibration loop: predict model visibilities for
+    a source list, corrupt them with planted antenna gains, SOLVE the
+    gains back (model-divided antsol), and verify the corrected
+    visibilities match the model up to the phase gauge — the
+    measurement-equation cycle end to end."""
+    import cmath
+    import math
+
+    import pytest
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.operators.calibration import (gain_solve,
+                                                     predict_vis)
+
+    # a 2-source sky and a 6-antenna array with synthetic uv per
+    # baseline
+    sources = [(2.0, 1e-3, -2e-3), (1.0, -3e-3, 1.5e-3)]
+    n = 6
+    rows = [Row(antenna1=p_, antenna2=q_,
+                u=float(50 * (q_ - p_) + 7 * p_),
+                v=float(30 * (q_ - p_) - 5 * q_))
+            for p_ in range(n) for q_ in range(p_ + 1, n)]
+    bl = spark.createDataFrame(rows)
+    model = predict_vis(bl, "u", "v", sources)
+
+    # corrupt with planted gains
+    g = {a: cmath.exp(1j * (0.4 * a - 0.1 * a * a)) * (1 + 0.07 * a)
+         for a in range(n)}
+    mrows = model.collect()
+    crows = []
+    for r in mrows:
+        mv = complex(r.model_vis[0], r.model_vis[1])
+        cv = g[r.antenna1] * g[r.antenna2].conjugate() * mv
+        crows.append(Row(antenna1=r.antenna1, antenna2=r.antenna2,
+                         u=r.u, v=r.v,
+                         model=[mv.real, mv.imag],
+                         vis=[cv.real, cv.imag]))
+    corrupted = spark.createDataFrame(crows)
+
+    # model-divided antsol: solving on V/M isolates the gains
+    mdiv = corrupted.withColumn("m2",
+                                F.element_at("model", 1)
+                                * F.element_at("model", 1)
+                                + F.element_at("model", 2)
+                                * F.element_at("model", 2)) \
+        .withColumn("vis", F.array(
+            (F.element_at("vis", 1) * F.element_at("model", 1)
+             + F.element_at("vis", 2) * F.element_at("model", 2))
+            / F.col("m2"),
+            (F.element_at("vis", 2) * F.element_at("model", 1)
+             - F.element_at("vis", 1) * F.element_at("model", 2))
+            / F.col("m2")))
+    solved = {r.antenna: complex(r.gain[0], r.gain[1])
+              for r in gain_solve(mdiv, iters=48,
+                                  damping=0.9).collect()}
+
+    # gauge-invariant check: corrected visibilities == model
+    for r in crows:
+        cv = complex(r.vis[0], r.vis[1])
+        mv = complex(r.model[0], r.model[1])
+        corr = cv / (solved[r.antenna1]
+                     * solved[r.antenna2].conjugate())
+        assert cmath.isclose(corr, mv, rel_tol=5e-3), \
+            (r.antenna1, r.antenna2)
