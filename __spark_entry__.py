@@ -5090,6 +5090,73 @@ def _predict_vis_sql() -> str:
     """
 
 
+def q_grid_vis(spark, sf_dir):
+    """Visibility gridding (operators/imaging.py grid_visibilities):
+    predict -> quantise per row -> scatter onto a 64x64 uv grid with
+    the hermitian fold.  The groupBy key space is bounded by npix^2,
+    so map-side partial aggregation makes the exchange carry grid
+    cells, not visibilities; per-row int64 quantisation BEFORE the
+    cell sum keeps the reduction shuffle-order deterministic."""
+    from dask_ms_spark.operators.calibration import predict_vis
+    from dask_ms_spark.operators.imaging import grid_visibilities
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        "vec_id",
+        ((F.col("vec_id") * 13.7) % 64.0 - 32.0).alias("u"),
+        ((F.col("vec_id") * 7.3) % 64.0 - 32.0).alias("v"))
+    vis = predict_vis(d, "u", "v",
+                      [(2.0, 1e-3, -2e-3), (1.0, -3e-3, 1.5e-3)])
+    q = vis.select(
+        "u", "v",
+        F.round(F.element_at("model_vis", 1) * 1e6).alias("re"),
+        F.round(F.element_at("model_vis", 2) * 1e6).alias("im"))
+    g = grid_visibilities(q, "u", "v", "re", "im", cell_size=1.0,
+                          npix=64, hermitian=True)
+    return g.select(
+        F.col("iu").cast("long").alias("iu"),
+        F.col("iv").cast("long").alias("iv"),
+        F.col("vis_re").cast("long").alias("re_q"),
+        F.col("vis_im").cast("long").alias("im_q"),
+        F.col("n_vis").cast("long").alias("n_vis"))
+
+
+def _grid_vis_sql() -> str:
+    import math
+
+    num, den = (2.0 * math.pi).as_integer_ratio()
+    c = f"(CAST({num} AS DOUBLE) / {den})"
+    return f"""
+    WITH d AS (SELECT fmod(vec_id * 13.7, 64.0) - 32.0 AS u,
+                      fmod(vec_id * 7.3, 64.0) - 32.0 AS v
+               FROM embeddings),
+    p AS (SELECT u, v,
+                 round((2.0 * cos({c} * (u * 0.001 + v * (-0.002)))
+                        + 1.0 * cos({c} * (u * (-0.003)
+                                           + v * 0.0015))) * 1000000)
+                     AS re,
+                 round((2.0 * sin({c} * (u * 0.001 + v * (-0.002)))
+                        + 1.0 * sin({c} * (u * (-0.003)
+                                           + v * 0.0015))) * 1000000)
+                     AS im
+          FROM d),
+    h AS (SELECT u, v, re, im FROM p
+          UNION ALL
+          SELECT -u, -v, re, -im FROM p),
+    cells AS (SELECT cast(floor(u / 1.0) as bigint) + 32 AS iu,
+                     cast(floor(v / 1.0) as bigint) + 32 AS iv,
+                     re, im
+              FROM h)
+    SELECT iu, iv,
+           cast(sum(re) as bigint) AS re_q,
+           cast(sum(im) as bigint) AS im_q,
+           count(*) AS n_vis
+    FROM cells
+    WHERE iu >= 0 AND iu < 64 AND iv >= 0 AND iv < 64
+    GROUP BY 1, 2
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -5108,8 +5175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (64 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 31
+    #   round 7 (65 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 32
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -5119,8 +5186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     channel_regrid, spectral_moments, imaging_weights,
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
-    #     closure_phase, hanning, uvcontsub, predict_vis), then
-    #     the 19 OLDEST of the 33
+    #     closure_phase, hanning, uvcontsub, predict_vis,
+    #     grid_vis), then the 18 OLDEST of the 33
     #     "r4-stale, below window" entries; the remaining 14 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
@@ -5233,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hanning": q_hanning,
         "uvcontsub": q_uvcontsub,
         "predict_vis": q_predict_vis,
+        "grid_vis": q_grid_vis,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5779,6 +5847,7 @@ def oracle_sql() -> dict[str, str]:
         "hanning": _HANNING_SQL,
         "uvcontsub": _UVCONTSUB_SQL,
         "predict_vis": _predict_vis_sql(),
+        "grid_vis": _grid_vis_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

@@ -1053,3 +1053,99 @@ def test_selfcal_roundtrip(spark):
                      * solved[r.antenna2].conjugate())
         assert cmath.isclose(corr, mv, rel_tol=5e-3), \
             (r.antenna1, r.antenna2)
+
+
+def test_grid_visibilities_cells(spark):
+    """Cell assignment, hermitian fold, weighted sums, and the
+    outside-grid clip checked against hand-computed cells."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.imaging import grid_visibilities
+
+    rows = [
+        Row(u=0.2, v=0.7, re=1.0, im=2.0, w=2.0),   # cell (4, 4)
+        Row(u=0.9, v=0.1, re=3.0, im=-1.0, w=1.0),  # cell (4, 4)
+        Row(u=-1.5, v=2.2, re=1.0, im=1.0, w=1.0),  # cell (2, 6)
+        Row(u=9.0, v=0.0, re=5.0, im=5.0, w=1.0),   # clipped (iu=13>7)
+    ]
+    df = spark.createDataFrame(
+        rows, "u double, v double, re double, im double, w double")
+
+    g = {(r.iu, r.iv): r for r in grid_visibilities(
+        df, "u", "v", "re", "im", cell_size=1.0, npix=8,
+        weight_col="w", hermitian=False).collect()}
+    assert set(g) == {(4, 4), (2, 6)}
+    assert g[(4, 4)].vis_re == 2.0 * 1.0 + 1.0 * 3.0
+    assert g[(4, 4)].vis_im == 2.0 * 2.0 + 1.0 * -1.0
+    assert g[(4, 4)].wsum == 3.0
+    assert g[(4, 4)].n_vis == 2
+
+    # hermitian fold adds the conjugate at (-u, -v): u=0.2 -> -0.2
+    # -> cell floor(-0.2)+4 = 3
+    gh = {(r.iu, r.iv): r for r in grid_visibilities(
+        df, "u", "v", "re", "im", cell_size=1.0, npix=8,
+        weight_col="w", hermitian=True).collect()}
+    assert (3, 3) in gh          # conjugate of the (4, 4) samples
+    assert gh[(3, 3)].vis_im == -(2.0 * 2.0 + 1.0 * -1.0)
+    assert gh[(3, 3)].vis_re == gh[(4, 4)].vis_re
+    # the clipped sample's conjugate (-9, 0) is also outside
+    assert all(0 <= iu < 8 and 0 <= iv < 8 for iu, iv in gh)
+
+    with pytest.raises(ValueError, match="cell_size"):
+        grid_visibilities(df, "u", "v", "re", "im", 0.0, 8)
+    with pytest.raises(ValueError, match="npix"):
+        grid_visibilities(df, "u", "v", "re", "im", 1.0, 7)
+
+
+def test_dirty_image_point_source_roundtrip(spark):
+    """predict_vis -> grid_visibilities -> dirty_image recovers a
+    point source: with u, v on exact cell centres and (l, m) on the
+    FFT lattice the gridded FFT equals the direct DFT, so the image
+    is checked pixel-for-pixel against a closed-form numpy model and
+    the source peaks at its own flux."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import predict_vis
+    from dask_ms_spark.operators.imaging import (dirty_image,
+                                                 grid_visibilities,
+                                                 psf_image)
+
+    npix, cell = 32, 1.0
+    half = npix // 2
+    flux, p, q = 2.0, 3, -5          # (l, m) = (p, q) / (npix * cell)
+    l, m = p / (npix * cell), q / (npix * cell)
+    rng = np.random.RandomState(7)
+    ku = rng.randint(-12, 13, size=40)
+    kv = rng.randint(-12, 13, size=40)
+    df = spark.createDataFrame(
+        [Row(u=float(a), v=float(b)) for a, b in zip(ku, kv)],
+        "u double, v double")
+    vis = predict_vis(df, "u", "v", [(flux, l, m)])
+    grid = grid_visibilities(
+        vis.select("u", "v",
+                   vis.model_vis[0].alias("re"),
+                   vis.model_vis[1].alias("im")),
+        "u", "v", "re", "im", cell_size=cell, npix=npix,
+        hermitian=True)
+    img = dirty_image(grid, npix)
+    assert img.shape == (npix, npix)
+
+    # closed-form model: img[y, x] = Re[(1/W) sum_j V_j
+    #   e^{2 pi i (ku_j (x + half) + kv_j (y + half)) / N}] over both
+    # hermitian halves (the exact expansion of
+    # fftshift . ifft2 . ifftshift on integer-lattice samples)
+    model = np.zeros((npix, npix))
+    xs = np.arange(npix)
+    ex = np.exp(2j * np.pi * np.outer(ku, xs + half) / npix)
+    ey = np.exp(2j * np.pi * np.outer(kv, xs + half) / npix)
+    vmod = flux * np.exp(2j * np.pi * (ku * l + kv * m))
+    both = (ey[:, :, None] * ex[:, None, :] * vmod[:, None, None])
+    model = (both + both.conj()).sum(axis=0).real / (2 * len(ku))
+    assert np.allclose(img, model, atol=1e-9)
+    assert abs(img.max() - flux) < 1e-9
+
+    # PSF: unit response, peak-normalised to 1 at its maximum
+    psf = psf_image(grid, npix)
+    assert abs(psf.max() - 1.0) < 1e-12
