@@ -5157,6 +5157,63 @@ def _grid_vis_sql() -> str:
     """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance weighting (llm/dsir.py): hashed-unigram
+    importance of every document against the src1 target slice.
+    Two bucket-bounded aggregates + one broadcast log-ratio join;
+    per-bucket ratios are int64-quantised BEFORE the per-doc sum so
+    the reduction is shuffle-order deterministic."""
+    from dask_ms_spark.llm.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src1")
+    w = dsir_weights(docs, target, n_buckets=8192, smoothing=1.0)
+    return w.select(
+        F.col("id").alias("doc_id"), "n_tokens",
+        F.round(F.col("log_weight") * 1e6).cast("long").alias("lw_q"))
+
+
+_DSIR_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                              ELSE regexp_split_to_array(
+                                  trim(lower(text)), '\\s+') END) AS tok
+        FROM documents),
+    occ AS (SELECT doc_id,
+                   cast(('0x' || substring(md5(tok), 1, 15)) as bigint)
+                       % 8192 AS bucket
+            FROM tok),
+    ttok AS (
+        SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(
+                          trim(lower(text)), '\\s+') END) AS tok
+        FROM documents WHERE source = 'src1'),
+    tocc AS (SELECT cast(('0x' || substring(md5(tok), 1, 15)) as bigint)
+                        % 8192 AS bucket
+             FROM ttok),
+    rc AS (SELECT bucket, count(*) AS c_raw FROM occ GROUP BY 1),
+    tc AS (SELECT bucket, count(*) AS c_tgt FROM tocc GROUP BY 1),
+    tot AS (SELECT (SELECT sum(c_raw) FROM rc) AS n_raw,
+                   (SELECT sum(c_tgt) FROM tc) AS n_tgt),
+    lam AS (SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+                   round((ln((coalesce(c_tgt, 0) + 1.0)
+                             / (n_tgt + 8192.0))
+                          - ln((coalesce(c_raw, 0) + 1.0)
+                               / (n_raw + 8192.0))) * 1000000)
+                       AS lam_q
+            FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+            CROSS JOIN tot),
+    sc AS (SELECT occ.doc_id, count(*) AS n_tokens,
+                  sum(lam_q) AS lw
+           FROM occ JOIN lam USING (bucket) GROUP BY 1)
+    SELECT d.doc_id,
+           cast(coalesce(n_tokens, 0) as bigint) AS n_tokens,
+           cast(coalesce(lw, 0) as bigint) AS lw_q
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN sc USING (doc_id)
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -5175,8 +5232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (65 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 32
+    #   round 7 (66 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 33
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -5187,7 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
     #     closure_phase, hanning, uvcontsub, predict_vis,
-    #     grid_vis), then the 18 OLDEST of the 33
+    #     grid_vis, dsir_select), then the 17 OLDEST of the 33
     #     "r4-stale, below window" entries; the remaining 14 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
@@ -5301,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uvcontsub": q_uvcontsub,
         "predict_vis": q_predict_vis,
         "grid_vis": q_grid_vis,
+        "dsir_select": q_dsir_select,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5848,6 +5906,7 @@ def oracle_sql() -> dict[str, str]:
         "uvcontsub": _UVCONTSUB_SQL,
         "predict_vis": _predict_vis_sql(),
         "grid_vis": _grid_vis_sql(),
+        "dsir_select": _DSIR_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

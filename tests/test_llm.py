@@ -932,3 +932,79 @@ def test_curriculum_order_stages(spark):
 
     with pytest.raises(ValueError, match="n_stages"):
         curriculum_order(df, "doc_id", "score", n_stages=1)
+
+
+def test_dsir_weights_match_python_model(spark):
+    """DSIR importance scores checked against an exact python model
+    (same md5 bucket hash, same add-s estimates, same 1e-6
+    fixed-point quantisation), including the zero-token document."""
+    import hashlib
+    import math
+
+    from dask_ms_spark.llm.dsir import dsir_resample, dsir_weights
+
+    raw_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "quantum field theory lecture notes"),
+        (3, "the dog sat on the log"),
+        (4, "field notes on quantum systems"),
+        (5, ""),                       # zero tokens -> kept at 0
+    ]
+    tgt_rows = [
+        (100, "quantum theory of fields"),
+        (101, "notes on quantum field dynamics"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    B, s, Q = 64, 1.0, 1_000_000
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    def counts(rows):
+        c = {}
+        for _, text in rows:
+            for t in text.lower().split():
+                c[bucket(t)] = c.get(bucket(t), 0) + 1
+        return c
+
+    rc, tc = counts(raw_rows), counts(tgt_rows)
+    R, T = sum(rc.values()), sum(tc.values())
+
+    def lam_q(b):
+        return round((math.log((tc.get(b, 0) + s) / (T + s * B))
+                      - math.log((rc.get(b, 0) + s) / (R + s * B)))
+                     * Q)
+
+    want = {}
+    for did, text in raw_rows:
+        toks = text.lower().split()
+        want[did] = (len(toks),
+                     sum(lam_q(bucket(t)) for t in toks) / Q)
+
+    got = {r.id: (r.n_tokens, r.log_weight)
+           for r in dsir_weights(raw, tgt, n_buckets=B).collect()}
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert abs(got[did][1] - want[did][1]) < 1e-9, did
+    assert got[5] == (0, 0.0)
+
+    # full deterministic ranking equals the python model's: the
+    # zero-token doc sits at exactly 0, the quantum/field docs
+    # outrank the cat/dog docs among the non-empty ones
+    model_order = [d for d, _ in sorted(
+        want.items(), key=lambda kv: (-kv[1][1], kv[0]))]
+    order = [r.id for r in dsir_resample(raw, tgt, 5,
+                                         n_buckets=B).collect()]
+    assert order == model_order
+    assert order.index(2) < order.index(1) < order.index(3)
+    assert order.index(4) < order.index(1)
+
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(raw, tgt, smoothing=0.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(raw, tgt, n_buckets=0)
+    with pytest.raises(ValueError, match="n must be"):
+        dsir_resample(raw, tgt, 0)
