@@ -5157,6 +5157,78 @@ def _grid_vis_sql() -> str:
     """
 
 
+def q_grid_wstack(spark, sf_dir):
+    """W-stacked gridding (operators/imaging.py
+    grid_visibilities_wstack): the wide-field path — visibilities
+    bin to w-planes with floor(w/step + 0.5) (engine-portable, no
+    round()), then per-plane bounded grid aggregation; the w-term
+    enters prediction as a literal-baked n-1 constant."""
+    from dask_ms_spark.operators.calibration import predict_vis
+    from dask_ms_spark.operators.imaging import (
+        grid_visibilities_wstack)
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        "vec_id",
+        ((F.col("vec_id") * 13.7) % 64.0 - 32.0).alias("u"),
+        ((F.col("vec_id") * 7.3) % 64.0 - 32.0).alias("v"),
+        ((F.col("vec_id") * 3.1) % 40.0 - 20.0).alias("w"))
+    vis = predict_vis(d, "u", "v", [(2.0, 0.05, -0.08)], w_col="w")
+    q = vis.select(
+        "u", "v", "w",
+        F.round(F.element_at("model_vis", 1) * 1e6).alias("re"),
+        F.round(F.element_at("model_vis", 2) * 1e6).alias("im"))
+    g = grid_visibilities_wstack(q, "u", "v", "w", "re", "im",
+                                 cell_size=1.0, npix=64, w_step=4.0,
+                                 hermitian=True)
+    return g.select(
+        F.col("iw").cast("long").alias("iw"),
+        F.col("iu").cast("long").alias("iu"),
+        F.col("iv").cast("long").alias("iv"),
+        F.col("vis_re").cast("long").alias("re_q"),
+        F.col("vis_im").cast("long").alias("im_q"),
+        F.col("n_vis").cast("long").alias("n_vis"))
+
+
+def _grid_wstack_sql() -> str:
+    import math
+
+    num, den = (2.0 * math.pi).as_integer_ratio()
+    c = f"(CAST({num} AS DOUBLE) / {den})"
+    n1 = math.sqrt(1.0 - 0.05 ** 2 - (-0.08) ** 2) - 1.0
+    n1n, n1d = n1.as_integer_ratio()
+    n1s = f"(CAST({n1n} AS DOUBLE) / {n1d})"
+    return f"""
+    WITH d AS (SELECT fmod(vec_id * 13.7, 64.0) - 32.0 AS u,
+                      fmod(vec_id * 7.3, 64.0) - 32.0 AS v,
+                      fmod(vec_id * 3.1, 40.0) - 20.0 AS w
+               FROM embeddings),
+    p AS (SELECT u, v, w,
+                 round(2.0 * cos({c} * (u * 0.05 + v * (-0.08)
+                                        + w * {n1s})) * 1000000)
+                     AS re,
+                 round(2.0 * sin({c} * (u * 0.05 + v * (-0.08)
+                                        + w * {n1s})) * 1000000)
+                     AS im
+          FROM d),
+    h AS (SELECT u, v, w, re, im FROM p
+          UNION ALL
+          SELECT -u, -v, -w, re, -im FROM p),
+    cells AS (SELECT cast(floor(w / 4.0 + 0.5) as bigint) AS iw,
+                     cast(floor(u / 1.0) as bigint) + 32 AS iu,
+                     cast(floor(v / 1.0) as bigint) + 32 AS iv,
+                     re, im
+              FROM h)
+    SELECT iw, iu, iv,
+           cast(sum(re) as bigint) AS re_q,
+           cast(sum(im) as bigint) AS im_q,
+           count(*) AS n_vis
+    FROM cells
+    WHERE iu >= 0 AND iu < 64 AND iv >= 0 AND iv < 64
+    GROUP BY 1, 2, 3
+    """
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance weighting (llm/dsir.py): hashed-unigram
     importance of every document against the src1 target slice.
@@ -5232,8 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (66 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 33
+    #   round 7 (67 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 34
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -5244,7 +5316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
     #     closure_phase, hanning, uvcontsub, predict_vis,
-    #     grid_vis, dsir_select), then the 17 OLDEST of the 33
+    #     grid_vis, dsir_select, grid_wstack), then the 16 OLDEST
+    #     of the 33
     #     "r4-stale, below window" entries; the remaining 14 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
@@ -5359,6 +5432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_vis": q_predict_vis,
         "grid_vis": q_grid_vis,
         "dsir_select": q_dsir_select,
+        "grid_wstack": q_grid_wstack,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5907,6 +5981,7 @@ def oracle_sql() -> dict[str, str]:
         "predict_vis": _predict_vis_sql(),
         "grid_vis": _grid_vis_sql(),
         "dsir_select": _DSIR_SQL,
+        "grid_wstack": _grid_wstack_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

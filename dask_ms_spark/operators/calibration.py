@@ -218,7 +218,8 @@ def closure_phases(vis: DataFrame, ant1_col: str = "antenna1",
 
 
 def predict_vis(df: DataFrame, u_col: str, v_col: str,
-                sources: list, out_col: str = "model_vis") -> DataFrame:
+                sources: list, out_col: str = "model_vis",
+                w_col: str | None = None) -> DataFrame:
     """Predict model visibilities for a point-source list: the
     gridless forward model ``V(u, v) = sum_k flux_k *
     exp(2*pi*i*(u*l_k + v*m_k))`` — what a calibration loop compares
@@ -231,6 +232,12 @@ def predict_vis(df: DataFrame, u_col: str, v_col: str,
     is a pure map over the scan — zero shuffles, and the per-source
     terms accumulate in a fixed order (engine-portable).  Returns
     ``out_col = [re, im]``.
+
+    ``w_col`` enables the wide-field w-term: the phase gains
+    ``w * (n_k - 1)`` with ``n_k = sqrt(1 - l_k^2 - m_k^2)`` — the
+    exact non-coplanar measurement equation (Cornwell et al. 2008,
+    w-projection; public).  ``n_k`` is computed driver-side per
+    source, so the w path stays a pure literal-baked map.
     """
     import math
 
@@ -238,11 +245,15 @@ def predict_vis(df: DataFrame, u_col: str, v_col: str,
         raise ValueError("predict_vis: empty source list")
     u = F.col(u_col).cast("double")
     v = F.col(v_col).cast("double")
+    w = F.col(w_col).cast("double") if w_col else None
     two_pi = 2.0 * math.pi
     re, im = F.lit(0.0), F.lit(0.0)
     for flux, l, m in sources:
-        ph = F.lit(two_pi) * (u * F.lit(float(l))
-                              + v * F.lit(float(m)))
+        ph = u * F.lit(float(l)) + v * F.lit(float(m))
+        if w is not None:
+            n1 = math.sqrt(1.0 - float(l) ** 2 - float(m) ** 2) - 1.0
+            ph = ph + w * F.lit(n1)
+        ph = F.lit(two_pi) * ph
         re = re + F.lit(float(flux)) * F.cos(ph)
         im = im + F.lit(float(flux)) * F.sin(ph)
     return df.withColumn(out_col, F.array(re, im))
