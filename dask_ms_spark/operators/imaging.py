@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["imaging_weights", "grid_visibilities", "dirty_image",
            "psf_image", "grid_visibilities_wstack",
-           "dirty_image_wstack"]
+           "dirty_image_wstack", "hogbom_clean"]
 
 
 def imaging_weights(df: DataFrame, u_col: str, v_col: str,
@@ -310,3 +310,65 @@ def dirty_image_wstack(grid_df: DataFrame, npix: int,
         img = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(g)))
         acc += img * np.exp(-2j * np.pi * (iw * w_step) * n1)
     return (acc.real * (npix * npix) / (wtot or 1.0)).astype(np.float64)
+
+
+def hogbom_clean(dirty, psf, gain: float = 0.1,
+                 threshold: float = 0.0, max_iter: int = 200):
+    """Hogbom CLEAN deconvolution (Hogbom 1974 — public): iterative
+    peak-find / shifted-PSF-subtract on the dirty image, the
+    classical closing step of the grid -> FFT -> deconvolve imaging
+    chain.
+
+    Pure numpy on the npix^2-bounded images produced by
+    ``dirty_image`` / ``psf_image`` — by the bounded-aggregate
+    contract this is driver-side work on data whose size is fixed by
+    the grid, never by the visibility volume; the distributed plan
+    ends at the gridder.  Returns ``(components, residual)`` where
+    ``components`` is a list of ``(y, x, flux)`` CLEAN components
+    (repeat hits on one pixel are merged) and ``residual`` is the
+    remaining dirty image.
+
+    Stops when the absolute peak drops to ``threshold``, after
+    ``max_iter`` minor cycles, or — the divergence guard — when the
+    residual peak grows past 1.5x the best peak achieved (degenerate
+    uv coverage can put PSF grating lobes at ~1, where naive CLEAN
+    amplifies instead of converging; transient few-percent wiggles
+    from sidelobe interplay are normal and pass through).
+    ``psf`` must be peak-normalised (``psf_image`` output);
+    subtraction uses the overlapping window of the PSF shifted to
+    the peak.
+    """
+    import numpy as np
+
+    if not (0.0 < gain <= 1.0):
+        raise ValueError(f"hogbom_clean: gain must be in (0, 1], "
+                         f"got {gain}")
+    if max_iter <= 0:
+        raise ValueError(f"hogbom_clean: max_iter must be > 0, "
+                         f"got {max_iter}")
+    res = np.array(dirty, dtype=np.float64, copy=True)
+    psf = np.asarray(psf, dtype=np.float64)
+    if res.shape != psf.shape:
+        raise ValueError(f"hogbom_clean: dirty {res.shape} and psf "
+                         f"{psf.shape} shapes differ")
+    npy, npx = res.shape
+    cy, cx = np.unravel_index(psf.argmax(), psf.shape)
+    comps: dict = {}
+    best_peak = float("inf")
+    for _ in range(max_iter):
+        iy, ix = np.unravel_index(np.abs(res).argmax(), res.shape)
+        peak = res[iy, ix]
+        if abs(peak) <= threshold or abs(peak) > 1.5 * best_peak:
+            break
+        best_peak = min(best_peak, abs(peak))
+        frac = gain * peak
+        comps[(iy, ix)] = comps.get((iy, ix), 0.0) + frac
+        # overlap window of the PSF translated so (cy, cx) -> (iy, ix)
+        dy, dx = iy - cy, ix - cx
+        y0, y1 = max(0, dy), min(npy, npy + dy)
+        x0, x1 = max(0, dx), min(npx, npx + dx)
+        res[y0:y1, x0:x1] -= frac * psf[y0 - dy:y1 - dy,
+                                        x0 - dx:x1 - dx]
+    components = [(y, x, flux)
+                  for (y, x), flux in sorted(comps.items())]
+    return components, res

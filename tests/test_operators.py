@@ -1200,3 +1200,57 @@ def test_wstack_recovers_wide_field_source(spark):
     # conjugate-plane pairing: plane indices come in +/- pairs
     planes = {int(r.iw) for r in wg.select("iw").distinct().collect()}
     assert planes == {-iw for iw in planes}
+
+
+def test_hogbom_clean_recovers_sources(spark):
+    """Full imaging chain: predict two point sources -> grid ->
+    dirty + psf -> Hogbom CLEAN.  With partial uv coverage the PSF
+    has real sidelobes; CLEAN must still localise both sources to
+    their exact pixels and recover the flux ratio, and the residual
+    must drop well below the weaker source."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import predict_vis
+    from dask_ms_spark.operators.imaging import (dirty_image,
+                                                 grid_visibilities,
+                                                 hogbom_clean,
+                                                 psf_image)
+
+    npix, cell = 32, 1.0
+    half = npix // 2
+    srcs = [(2.0, 3 / 32, -5 / 32), (1.0, -6 / 32, 2 / 32)]
+    rng = np.random.RandomState(3)
+    ku = rng.randint(-15, 16, size=120)
+    kv = rng.randint(-15, 16, size=120)
+    df = spark.createDataFrame(
+        [Row(u=float(a), v=float(b)) for a, b in zip(ku, kv)],
+        "u double, v double")
+    vis = predict_vis(df, "u", "v", srcs)
+    grid = grid_visibilities(
+        vis.select("u", "v", vis.model_vis[0].alias("re"),
+                   vis.model_vis[1].alias("im")),
+        "u", "v", "re", "im", cell_size=cell, npix=npix)
+    dirty = dirty_image(grid, npix)
+    psf = psf_image(grid, npix)
+
+    comps, res = hogbom_clean(dirty, psf, gain=0.2,
+                              threshold=0.05, max_iter=500)
+    # aggregate component flux within 1px of each true position
+    def flux_near(y, x):
+        return sum(f for (cy, cx, f) in comps
+                   if abs(cy - y) <= 1 and abs(cx - x) <= 1)
+
+    f1 = flux_near(half + 5, half - 3)    # (y, x) = (half-q, half-p)
+    f2 = flux_near(half - 2, half + 6)
+    assert abs(f1 - 2.0) < 0.25
+    assert abs(f2 - 1.0) < 0.25
+    assert np.abs(res).max() < 0.4 * 1.0
+    # residual energy strictly below the dirty image's
+    assert np.abs(res).max() < np.abs(dirty).max()
+
+    import pytest
+    with pytest.raises(ValueError, match="gain"):
+        hogbom_clean(dirty, psf, gain=0.0)
+    with pytest.raises(ValueError, match="shapes"):
+        hogbom_clean(dirty, psf[:16, :16])
