@@ -5157,6 +5157,57 @@ def _grid_vis_sql() -> str:
     """
 
 
+def q_uvw_compute(spark, sf_dir):
+    """UVW geometry (operators/calibration.py uvw_from_baseline):
+    the Thompson-Moran-Swenson baseline rotation as a pure map —
+    declination terms bake in as literals, zero exchanges."""
+    from dask_ms_spark.operators.calibration import uvw_from_baseline
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        "vec_id",
+        ((F.col("vec_id") * 17.3) % 1000.0 - 500.0).alias("bx"),
+        ((F.col("vec_id") * 11.9) % 1000.0 - 500.0).alias("by"),
+        ((F.col("vec_id") * 5.7) % 200.0 - 100.0).alias("bz"),
+        ((F.col("vec_id") * 0.013) % 6.0 - 3.0).alias("ha"))
+    out = uvw_from_baseline(d, "bx", "by", "bz", "ha", dec=0.7,
+                            wavelength=0.25)
+    return out.select(
+        "vec_id",
+        F.round(F.col("u") * 1e6).cast("long").alias("u_q"),
+        F.round(F.col("v") * 1e6).cast("long").alias("v_q"),
+        F.round(F.col("w") * 1e6).cast("long").alias("w_q"))
+
+
+def _uvw_sql() -> str:
+    import math
+
+    parts = {}
+    for name, val in (("sd", math.sin(0.7)), ("cd", math.cos(0.7)),
+                      ("inv", 1.0 / 0.25)):
+        n, dn = val.as_integer_ratio()
+        parts[name] = f"(CAST({n} AS DOUBLE) / {dn})"
+    sd, cd, inv = parts["sd"], parts["cd"], parts["inv"]
+    return f"""
+    WITH d AS (SELECT vec_id,
+                      fmod(vec_id * 17.3, 1000.0) - 500.0 AS bx,
+                      fmod(vec_id * 11.9, 1000.0) - 500.0 AS by,
+                      fmod(vec_id * 5.7, 200.0) - 100.0 AS bz,
+                      fmod(vec_id * 0.013, 6.0) - 3.0 AS ha
+               FROM embeddings)
+    SELECT vec_id,
+           cast(round((sin(ha) * bx + cos(ha) * by) * {inv}
+                      * 1000000) as bigint) AS u_q,
+           cast(round((-{sd} * cos(ha) * bx + {sd} * sin(ha) * by
+                       + {cd} * bz) * {inv} * 1000000) as bigint)
+               AS v_q,
+           cast(round(({cd} * cos(ha) * bx - {cd} * sin(ha) * by
+                       + {sd} * bz) * {inv} * 1000000) as bigint)
+               AS w_q
+    FROM d
+    """
+
+
 def q_grid_wstack(spark, sf_dir):
     """W-stacked gridding (operators/imaging.py
     grid_visibilities_wstack): the wide-field path — visibilities
@@ -5304,8 +5355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (67 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 34
+    #   round 7 (68 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 35
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -5316,8 +5367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
     #     closure_phase, hanning, uvcontsub, predict_vis,
-    #     grid_vis, dsir_select, grid_wstack), then the 16 OLDEST
-    #     of the 33
+    #     grid_vis, dsir_select, grid_wstack, uvw_compute), then
+    #     the 15 OLDEST of the 33
     #     "r4-stale, below window" entries; the remaining 14 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
@@ -5433,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_vis": q_grid_vis,
         "dsir_select": q_dsir_select,
         "grid_wstack": q_grid_wstack,
+        "uvw_compute": q_uvw_compute,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -5982,6 +6034,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_vis": _grid_vis_sql(),
         "dsir_select": _DSIR_SQL,
         "grid_wstack": _grid_wstack_sql(),
+        "uvw_compute": _uvw_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

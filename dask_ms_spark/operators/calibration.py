@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gain_solve", "delay_fit", "unwrap_phases",
-           "closure_phases", "predict_vis"]
+           "closure_phases", "predict_vis", "uvw_from_baseline"]
 
 
 def _qsum(c, scale: float):
@@ -257,3 +257,42 @@ def predict_vis(df: DataFrame, u_col: str, v_col: str,
         re = re + F.lit(float(flux)) * F.cos(ph)
         im = im + F.lit(float(flux)) * F.sin(ph)
     return df.withColumn(out_col, F.array(re, im))
+
+
+def uvw_from_baseline(df: DataFrame, bx_col: str, by_col: str,
+                      bz_col: str, ha_col: str, dec: float,
+                      wavelength: float = 1.0) -> DataFrame:
+    """Synthesis-array geometry: rotate equatorial baseline vectors
+    (bx, by, bz) into (u, v, w) for a phase centre at declination
+    ``dec`` (radians) and per-row hour angle ``ha_col`` (radians) —
+    the standard transform (Thompson, Moran & Swenson eq. 4.1;
+    public), what casacore's MSDerivedValues computes for the UVW
+    column the reference reads (daskms/reads.py:58-75):
+
+        u =  sin(H) bx + cos(H) by
+        v = -sin(d) cos(H) bx + sin(d) sin(H) by + cos(d) bz
+        w =  cos(d) cos(H) bx - cos(d) sin(H) by + sin(d) bz
+
+    divided by ``wavelength`` to express u, v, w in wavelengths.
+    Pure map over the scan — the declination terms bake in as
+    literals, zero shuffles.
+    """
+    import math
+
+    if wavelength <= 0:
+        raise ValueError(f"uvw_from_baseline: wavelength must be "
+                         f"> 0, got {wavelength}")
+    sd, cd = math.sin(float(dec)), math.cos(float(dec))
+    bx = F.col(bx_col).cast("double")
+    by = F.col(by_col).cast("double")
+    bz = F.col(bz_col).cast("double")
+    sh, ch = F.sin(F.col(ha_col).cast("double")), \
+        F.cos(F.col(ha_col).cast("double"))
+    inv = F.lit(1.0 / float(wavelength))
+    return df.withColumns({
+        "u": (sh * bx + ch * by) * inv,
+        "v": (F.lit(-sd) * ch * bx + F.lit(sd) * sh * by
+              + F.lit(cd) * bz) * inv,
+        "w": (F.lit(cd) * ch * bx - F.lit(cd) * sh * by
+              + F.lit(sd) * bz) * inv,
+    })

@@ -1254,3 +1254,42 @@ def test_hogbom_clean_recovers_sources(spark):
         hogbom_clean(dirty, psf, gain=0.0)
     with pytest.raises(ValueError, match="shapes"):
         hogbom_clean(dirty, psf[:16, :16])
+
+
+def test_uvw_from_baseline_model(spark):
+    """UVW rotation checked against the numpy model; rotation
+    invariant |(u,v,w)| == |b| / wavelength holds row by row."""
+    import math
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import uvw_from_baseline
+
+    rng = np.random.RandomState(5)
+    rows = [Row(bx=float(a), by=float(b), bz=float(c), ha=float(h))
+            for a, b, c, h in zip(rng.uniform(-500, 500, 20),
+                                  rng.uniform(-500, 500, 20),
+                                  rng.uniform(-100, 100, 20),
+                                  rng.uniform(-math.pi, math.pi, 20))]
+    df = spark.createDataFrame(
+        rows, "bx double, by double, bz double, ha double")
+    dec, lam = 0.7, 0.21
+    out = uvw_from_baseline(df, "bx", "by", "bz", "ha", dec,
+                            wavelength=lam).collect()
+    sd, cd = math.sin(dec), math.cos(dec)
+    for r in out:
+        sh, ch = math.sin(r.ha), math.cos(r.ha)
+        assert abs(r.u - (sh * r.bx + ch * r.by) / lam) < 1e-9
+        assert abs(r.v - (-sd * ch * r.bx + sd * sh * r.by
+                          + cd * r.bz) / lam) < 1e-9
+        assert abs(r.w - (cd * ch * r.bx - cd * sh * r.by
+                          + sd * r.bz) / lam) < 1e-9
+        norm = math.sqrt(r.u ** 2 + r.v ** 2 + r.w ** 2)
+        bl = math.sqrt(r.bx ** 2 + r.by ** 2 + r.bz ** 2) / lam
+        assert abs(norm - bl) < 1e-6
+
+    with pytest.raises(ValueError, match="wavelength"):
+        uvw_from_baseline(df, "bx", "by", "bz", "ha", dec,
+                          wavelength=0.0)
