@@ -5157,6 +5157,98 @@ def _grid_vis_sql() -> str:
     """
 
 
+def _classifier_feats(docs):
+    nz = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (F.length(F.regexp_replace("text", "[^0-9]", ""))
+         .cast("double") / nz).alias("x2"),
+        (F.length(F.regexp_replace("text", "[^ ]", ""))
+         .cast("double") / nz).alias("x3"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Distributed logistic-regression quality classifier
+    (llm/classifier.py): 2 full-batch GD steps — weights bake into
+    each iteration as literals, gradients are ONE 1-row aggregate of
+    int64-quantised contributions (bit-deterministic under any
+    shuffle order), then a pure map-side scoring pass.  The oracle
+    replays both iterations in SQL, gain_solve-style."""
+    from dask_ms_spark.llm.classifier import (logistic_score,
+                                              logistic_train)
+
+    feats = _classifier_feats(_t(spark, sf_dir, "documents"))
+    w = logistic_train(feats, ["x1", "x2", "x3"], "y", iters=2,
+                       lr=1.0)
+    out = logistic_score(feats, ["x1", "x2", "x3"], w)
+    return out.select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_q"),
+        (F.col("score") > 0.5).alias("pred_en"))
+
+
+_QUALITY_CLASSIFIER_SQL = """
+    WITH feats AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               cast(n_chars as double) / 1000.0 AS x1,
+               cast(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    as double)
+                   / greatest(length(text), 1) AS x2,
+               cast(length(regexp_replace(text, '[^ ]', '', 'g'))
+                    as double)
+                   / greatest(length(text), 1) AS x3
+        FROM documents),
+    -- iteration 1 from w = 0: sigma(0) = 0.5 exactly
+    it1 AS (SELECT count(*) AS n,
+                   sum(cast(round((y - 0.5) * 1048576.0) as bigint))
+                       AS g0,
+                   sum(cast(round((y - 0.5) * x1 * 1048576.0)
+                            as bigint)) AS g1,
+                   sum(cast(round((y - 0.5) * x2 * 1048576.0)
+                            as bigint)) AS g2,
+                   sum(cast(round((y - 0.5) * x3 * 1048576.0)
+                            as bigint)) AS g3
+            FROM feats),
+    w1 AS (SELECT n,
+                  (g0 / 1048576.0) / n AS w0,
+                  (g1 / 1048576.0) / n AS w1,
+                  (g2 / 1048576.0) / n AS w2,
+                  (g3 / 1048576.0) / n AS w3
+           FROM it1),
+    p2 AS (SELECT f.*, w1.*,
+                  1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2
+                                     + w3 * x3))) AS p
+           FROM feats f CROSS JOIN w1),
+    it2 AS (SELECT any_value(n) AS n,
+                   any_value(w0) AS w0, any_value(w1) AS w1,
+                   any_value(w2) AS w2, any_value(w3) AS w3,
+                   sum(cast(round((y - p) * 1048576.0) as bigint))
+                       AS g0,
+                   sum(cast(round((y - p) * x1 * 1048576.0)
+                            as bigint)) AS g1,
+                   sum(cast(round((y - p) * x2 * 1048576.0)
+                            as bigint)) AS g2,
+                   sum(cast(round((y - p) * x3 * 1048576.0)
+                            as bigint)) AS g3
+            FROM p2),
+    w2f AS (SELECT w0 + (g0 / 1048576.0) / n AS w0,
+                   w1 + (g1 / 1048576.0) / n AS w1,
+                   w2 + (g2 / 1048576.0) / n AS w2,
+                   w3 + (g3 / 1048576.0) / n AS w3
+            FROM it2)
+    SELECT f.doc_id,
+           cast(round(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2
+                                         + w3 * x3))) * 1000000)
+                as bigint) AS score_q,
+           1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2
+                              + w3 * x3))) > 0.5 AS pred_en
+    FROM feats f CROSS JOIN w2f
+    """
+
+
 def q_uvw_compute(spark, sf_dir):
     """UVW geometry (operators/calibration.py uvw_from_baseline):
     the Thompson-Moran-Swenson baseline rotation as a pure map —
@@ -5355,8 +5447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round 5 window: the 50 now in the "last driver row r5" block
     #   round 6 window (this one): the 37 r5-session debuts (their
     #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (68 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 35
+    #   round 7 (69 candidates > 50 slots, so never-driver-checked
+    #     debuts take precedence over re-checks): lead with the 36
     #     r6-session debuts getting their FIRST driver rows
     #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
     #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
@@ -5367,8 +5459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     sample_temperature, crossmatch_nearest, bda_weighted,
     #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
     #     closure_phase, hanning, uvcontsub, predict_vis,
-    #     grid_vis, dsir_select, grid_wstack, uvw_compute), then
-    #     the 15 OLDEST of the 33
+    #     grid_vis, dsir_select, grid_wstack, uvw_compute,
+    #     quality_classifier), then the 14 OLDEST of the 33
     #     "r4-stale, below window" entries; the remaining 14 r4-stale
     #     lead round 8,
     #     followed by the oldest r5-checked entries.  After r6 driver
@@ -5485,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "grid_wstack": q_grid_wstack,
         "uvw_compute": q_uvw_compute,
+        "quality_classifier": q_quality_classifier,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -6035,6 +6128,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SQL,
         "grid_wstack": _grid_wstack_sql(),
         "uvw_compute": _uvw_sql(),
+        "quality_classifier": _QUALITY_CLASSIFIER_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

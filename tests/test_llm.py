@@ -1008,3 +1008,55 @@ def test_dsir_weights_match_python_model(spark):
         dsir_weights(raw, tgt, n_buckets=0)
     with pytest.raises(ValueError, match="n must be"):
         dsir_resample(raw, tgt, 0)
+
+
+def test_logistic_train_matches_python_model(spark):
+    """Logistic GD checked against an exact python replica (same
+    quantisation, same update order), and the learned boundary
+    separates a linearly separable toy set."""
+    import math
+
+    from dask_ms_spark.llm.classifier import (logistic_score,
+                                              logistic_train)
+
+    rows = [(float(i), 1.0 if i >= 5 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    Q = float(1 << 20)
+
+    def model(iters, lr):
+        w = [0.0, 0.0]
+        data = rows
+        for _ in range(iters):
+            n = len(data)
+            g = [0, 0]
+            for x, y in data:
+                p = 1.0 / (1.0 + math.exp(-(w[0] + w[1] * x)))
+                r = y - p
+
+                # half-away-from-zero like Spark's F.round on doubles
+                def rnd(v):
+                    return int(math.copysign(
+                        math.floor(abs(v) + 0.5), v))
+
+                g[0] += rnd(r * Q)
+                g[1] += rnd(r * x * Q)
+            w = [wj + lr * (gj / Q) / n for wj, gj in zip(w, g)]
+        return w
+
+    for iters, lr in ((1, 1.0), (3, 0.7)):
+        got = logistic_train(df, ["x"], "y", iters=iters, lr=lr)
+        want = model(iters, lr)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), \
+            (iters, got, want)
+
+    w = logistic_train(df, ["x"], "y", iters=20, lr=1.0)
+    scored = {r.x: r.score for r in
+              logistic_score(df, ["x"], w).collect()}
+    assert all(scored[x] > 0.5 for x in (7.0, 8.0, 9.0))
+    assert all(scored[x] < 0.5 for x in (0.0, 1.0, 2.0))
+
+    with pytest.raises(ValueError, match="iters"):
+        logistic_train(df, ["x"], "y", iters=0)
+    with pytest.raises(ValueError, match="weights"):
+        logistic_score(df, ["x"], [0.1, 0.2, 0.3])
