@@ -87,7 +87,8 @@ def imaging_weights(df: DataFrame, u_col: str, v_col: str,
 def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
                       re_col: str, im_col: str, cell_size: float,
                       npix: int, weight_col: str | None = None,
-                      hermitian: bool = True) -> DataFrame:
+                      hermitian: bool = True,
+                      group_cols: list | None = None) -> DataFrame:
     """Nearest-cell visibility gridding: scatter weighted (re, im)
     onto an ``npix x npix`` uv grid — the step between dask-ms's
     per-row UVW/DATA chunks (reference: daskms/reads.py:58-75) and
@@ -110,6 +111,11 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
 
     Returns (iu, iv, vis_re, vis_im, wsum, n_vis) — the weighted
     cell sums, total cell weight, and occupancy.
+
+    ``group_cols`` grids each group (FIELD_ID, SPW, polarization...)
+    independently — one multi-field plan whose aggregate key space
+    is ``n_groups * npix^2``; groups are the natural mosaic
+    parallelism axis, each feeding its own downstream FFT.
     """
     if cell_size <= 0:
         raise ValueError(f"grid_visibilities: cell_size must be > 0, "
@@ -117,6 +123,7 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
     if npix <= 0 or npix % 2:
         raise ValueError(f"grid_visibilities: npix must be positive "
                          f"and even, got {npix}")
+    gcols = list(group_cols or ())
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
     half = npix // 2
@@ -124,17 +131,19 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
     v = F.col(v_col).cast("double")
     re = F.col(re_col).cast("double")
     im = F.col(im_col).cast("double")
-    base = df.select(u.alias("__u"), v.alias("__v"),
+    base = df.select(*gcols, u.alias("__u"), v.alias("__v"),
                      re.alias("__re"), im.alias("__im"),
                      w.alias("__w"))
     if hermitian:
-        conj = base.select((-F.col("__u")).alias("__u"),
+        conj = base.select(*gcols,
+                           (-F.col("__u")).alias("__u"),
                            (-F.col("__v")).alias("__v"),
                            F.col("__re").alias("__re"),
                            (-F.col("__im")).alias("__im"),
                            F.col("__w").alias("__w"))
         base = base.unionByName(conj)
     cells = base.select(
+        *gcols,
         (F.floor(F.col("__u") / F.lit(float(cell_size)))
          + F.lit(half)).alias("iu"),
         (F.floor(F.col("__v") / F.lit(float(cell_size)))
@@ -142,7 +151,7 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
         "__re", "__im", "__w") \
         .where((F.col("iu") >= 0) & (F.col("iu") < npix)
                & (F.col("iv") >= 0) & (F.col("iv") < npix))
-    return cells.groupBy("iu", "iv").agg(
+    return cells.groupBy(*gcols, "iu", "iv").agg(
         F.sum(F.col("__w") * F.col("__re")).alias("vis_re"),
         F.sum(F.col("__w") * F.col("__im")).alias("vis_im"),
         F.sum("__w").alias("wsum"),

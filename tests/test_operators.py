@@ -1293,3 +1293,30 @@ def test_uvw_from_baseline_model(spark):
     with pytest.raises(ValueError, match="wavelength"):
         uvw_from_baseline(df, "bx", "by", "bz", "ha", dec,
                           wavelength=0.0)
+
+
+def test_grid_visibilities_group_cols(spark):
+    """Multi-field gridding: group_cols grids each field in ONE plan,
+    cell-identical to gridding the fields separately."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.imaging import grid_visibilities
+
+    rows = [Row(field=f, u=float(u), v=float(v),
+                re=float(f + 1), im=float(u - v))
+            for f in (0, 1) for u in range(-3, 4) for v in range(-3, 4)]
+    df = spark.createDataFrame(
+        rows, "field int, u double, v double, re double, im double")
+    combined = {(r.field, r.iu, r.iv): (r.vis_re, r.vis_im, r.n_vis)
+                for r in grid_visibilities(
+                    df, "u", "v", "re", "im", cell_size=2.0, npix=8,
+                    group_cols=["field"]).collect()}
+    for f in (0, 1):
+        solo = {(f, r.iu, r.iv): (r.vis_re, r.vis_im, r.n_vis)
+                for r in grid_visibilities(
+                    df.where(F.col("field") == f), "u", "v", "re",
+                    "im", cell_size=2.0, npix=8).collect()}
+        for k, v in solo.items():
+            assert combined[k] == v
+    assert len(combined) == 2 * len(
+        {k[1:] for k in combined if k[0] == 0})

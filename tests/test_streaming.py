@@ -525,3 +525,68 @@ def test_streaming_flag_occupancy_maintenance(spark, tmp_path):
                                   ["bl"], "flag")
             .drop("flag_frac").collect()}
     assert got == want and len(want) == 6
+
+
+def test_streaming_grid_maintenance(spark, tmp_path):
+    """Streaming imaging: the uv grid is a mergeable aggregate, so
+    maintain_mergeable keeps a live grid over a visibility stream
+    (O(npix^2) delta per batch); the final merged grid is
+    CELL-IDENTICAL to the batch gridding of the whole table
+    (integer-valued re/im make every sum exact)."""
+    import glob
+    import time
+    from functools import reduce
+
+    from dask_ms_spark.operators.imaging import grid_visibilities
+    from dask_ms_spark.streaming.maintenance import (maintain_mergeable,
+                                                     read_mergeable)
+    from dask_ms_spark.streaming.replay import ParquetReplayDataSource
+
+    rows = [(float((i * 7) % 16 - 8), float((i * 5) % 16 - 8),
+             float((i % 9) - 4), float((i % 7) - 3))
+            for i in range(400)]
+    src_dir = str(tmp_path / "vis")
+    spark.createDataFrame(
+        rows, "u double, v double, re double, im double") \
+        .repartition(1).write.parquet(src_dir)
+    (src_path,) = glob.glob(src_dir + "/part-*.parquet")
+
+    def build(b):
+        return grid_visibilities(b, "u", "v", "re", "im",
+                                 cell_size=1.0, npix=16)
+
+    def merge(*frames):
+        allf = reduce(lambda a, b: a.unionByName(b), frames)
+        return allf.groupBy("iu", "iv").agg(
+            F.sum("vis_re").alias("vis_re"),
+            F.sum("vis_im").alias("vis_im"),
+            F.sum("wsum").alias("wsum"),
+            F.sum("n_vis").alias("n_vis"))
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "50").load(src_path))
+    store = str(tmp_path / "grid_store")
+    q = maintain_mergeable(s, store, build=build, merge=merge,
+                           compact_every=3,
+                           checkpoint=str(tmp_path / "ck"))
+    try:
+        want_n = 2 * 400              # hermitian fold doubles rows
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                r = read_mergeable(spark, store, merge)
+                if r is not None and \
+                        r.agg(F.sum("n_vis")).first()[0] == want_n:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = {(r.iu, r.iv): (r.vis_re, r.vis_im, r.wsum, r.n_vis)
+           for r in read_mergeable(spark, store, merge).collect()}
+    whole = {(r.iu, r.iv): (r.vis_re, r.vis_im, r.wsum, r.n_vis)
+             for r in build(spark.read.parquet(src_dir)).collect()}
+    assert got == whole and len(whole) > 0
