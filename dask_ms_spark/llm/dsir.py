@@ -65,9 +65,20 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame,
     if smoothing <= 0:
         raise ValueError(f"dsir: smoothing must be > 0 (the estimator "
                          f"must cover unseen buckets), got {smoothing}")
+    occ = _bucketed_tokens(raw, text_col, id_col, n_buckets)
+    return _log_ratio_table(occ, target, text_col, id_col,
+                            n_buckets, smoothing)
+
+
+def _log_ratio_table(raw_occ: DataFrame, target: DataFrame,
+                     text_col: str, id_col: str, n_buckets: int,
+                     smoothing: float) -> DataFrame:
+    """Build the (bucket, lam_q) table from an already-exploded
+    raw (id, bucket) frame — lets callers that ALSO need the
+    per-occurrence frame (dsir_weights) tokenize the corpus once."""
     s = float(smoothing)
-    rc = (_bucketed_tokens(raw, text_col, id_col, n_buckets)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw")))
+    rc = (raw_occ.groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("c_raw")))
     tc = (_bucketed_tokens(target, text_col, id_col, n_buckets)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
     r_tot = rc.agg(F.sum("c_raw").alias("n_raw"))
@@ -103,9 +114,18 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     ``log_weight = 0`` (a no-evidence document is neither promoted
     nor demoted).
     """
-    lam = dsir_log_ratios(raw, target, text_col, id_col,
-                          n_buckets, smoothing)
-    occ = _bucketed_tokens(raw, text_col, id_col, n_buckets)
+    if n_buckets <= 0:
+        raise ValueError(f"dsir: n_buckets must be > 0, got {n_buckets}")
+    if smoothing <= 0:
+        raise ValueError(f"dsir: smoothing must be > 0 (the estimator "
+                         f"must cover unseen buckets), got {smoothing}")
+    # tokenize the raw corpus ONCE: the exploded (id, bucket) frame
+    # feeds both the distribution estimate and the per-doc scoring
+    # join (the repo's measured lineage-reuse rule)
+    occ = _bucketed_tokens(raw, text_col, id_col, n_buckets) \
+        .localCheckpoint(eager=False)
+    lam = _log_ratio_table(occ, target, text_col, id_col,
+                           n_buckets, smoothing)
     scored = (occ.join(F.broadcast(lam), "bucket")
               .groupBy("id")
               .agg(F.count(F.lit(1)).alias("n_tokens"),
