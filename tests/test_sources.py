@@ -926,3 +926,55 @@ def test_casa_scan_to_ms_kernels(spark):
         data[rows0, 0, 0].astype(np.complex128))))
     got0 = next(r for r in f0 if r.bin == 0)
     assert abs(got0.data_mean[0] - want) < 1e-6
+
+
+def test_manifest_prunes_files(spark, tmp_path):
+    """Footer-statistics data skipping: a range-laid-out table builds
+    a per-file min/max manifest (footer-only reads via mapInPandas);
+    a narrow range query reads a strict subset of files and returns
+    exactly what the full scan + filter returns."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.sources.manifest import (build_manifest,
+                                                prune_files,
+                                                read_pruned)
+
+    path = str(tmp_path / "ranged")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("payload"))
+    # range layout: each of the 8 files holds a narrow k interval
+    df.repartitionByRange(8, "k").write.parquet(path)
+    n_files = len(glob.glob(path + "/*.parquet"))
+    assert n_files == 8
+
+    man = build_manifest(spark, path, ["k"])
+    rows = man.collect()
+    assert len(rows) == n_files
+    assert all(r.num_rows > 0 and r.null_count == 0 for r in rows)
+
+    kept = prune_files(man, "k", 2000, 2400)
+    assert 0 < len(kept) < n_files          # real skipping happened
+
+    got = read_pruned(spark, man, "k", 2000, 2400)
+    want = spark.read.parquet(path).where(F.col("k").between(2000, 2400))
+    assert sorted(r.k for r in got.collect()) == \
+        sorted(r.k for r in want.collect())
+    # the pruned scan's file index holds exactly the kept files
+    assert got.inputFiles() and \
+        {os.path.basename(f) for f in got.inputFiles()} == \
+        {os.path.basename(f) for f in kept}
+
+    # disjoint range -> zero files, empty result, schema preserved
+    empty = read_pruned(spark, man, "k", 50000, 60000)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "payload"]
+
+    import pytest
+    with pytest.raises(ValueError, match="column"):
+        build_manifest(spark, path, [])
+    # executor-side guard surfaces as a PythonException wrapper
+    with pytest.raises(Exception, match="absent"):
+        build_manifest(spark, path, ["nope"]).collect()
