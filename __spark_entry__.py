@@ -5157,6 +5157,77 @@ def _grid_vis_sql() -> str:
     """
 
 
+def q_sumthreshold(spark, sf_dir):
+    """SumThreshold RFI flagging (operators/rfi.py
+    sumthreshold_flag): the AOFlagger combinatorial threshold — a
+    whole pass stack (M = 1, 2, 4 with flagged-sample substitution)
+    over ONE (group, order) exchange.  All constants dyadic
+    (rho = 2) so every window sum is exact in both engines."""
+    from dask_ms_spark.operators.rfi import sumthreshold_flag
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        "vec_id",
+        (F.col("vec_id") % 4).alias("g"),
+        F.when(F.col("vec_id") % 37 == 3, 5.0)
+         .when((F.col("vec_id") % 37).between(10, 17), 0.375)
+         .otherwise(0.0).alias("x"))
+    out = sumthreshold_flag(d, "vec_id", ["g"], "x", chi1=1.0,
+                            rho=2.0, windows=(1, 2, 4))
+    return out.select("vec_id", "g", "x", "st_flag")
+
+
+_SUMTHRESHOLD_SQL = """
+    WITH d AS (SELECT vec_id, vec_id % 4 AS g,
+                      CASE WHEN vec_id % 37 = 3 THEN 5.0
+                           WHEN vec_id % 37 BETWEEN 10 AND 17
+                               THEN 0.375
+                           ELSE 0.0 END AS x
+               FROM embeddings),
+    p1 AS (SELECT *,
+                  coalesce(bool_or(ex) OVER
+                      (PARTITION BY g ORDER BY vec_id
+                       ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+                      false) AS f
+           FROM (SELECT *, x > 1.0 AS ex FROM d)),
+    -- pass M=2, chi = 0.5: flagged samples enter at the threshold
+    p2b AS (SELECT *,
+                   CASE WHEN f THEN 0.5 ELSE x END AS used
+            FROM p1),
+    p2e AS (SELECT *,
+                   (count(*) OVER w2 = 2
+                    AND sum(used) OVER w2 > 1.0) AS ex2
+            FROM p2b
+            WINDOW w2 AS (PARTITION BY g ORDER BY vec_id
+                          ROWS BETWEEN CURRENT ROW
+                          AND 1 FOLLOWING)),
+    p2 AS (SELECT *,
+                  f OR coalesce(bool_or(ex2) OVER
+                      (PARTITION BY g ORDER BY vec_id
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+                      false) AS f2
+           FROM p2e),
+    -- pass M=4, chi = 0.25
+    p4b AS (SELECT *,
+                   CASE WHEN f2 THEN 0.25 ELSE x END AS used4
+            FROM p2),
+    p4e AS (SELECT *,
+                   (count(*) OVER w4 = 4
+                    AND sum(used4) OVER w4 > 1.0) AS ex4
+            FROM p4b
+            WINDOW w4 AS (PARTITION BY g ORDER BY vec_id
+                          ROWS BETWEEN CURRENT ROW
+                          AND 3 FOLLOWING)),
+    p4 AS (SELECT *,
+                  f2 OR coalesce(bool_or(ex4) OVER
+                      (PARTITION BY g ORDER BY vec_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                      false) AS f4
+           FROM p4e)
+    SELECT vec_id, g, x, f4 AS st_flag FROM p4
+    """
+
+
 def _classifier_feats(docs):
     nz = F.greatest(F.length("text"), F.lit(1)).cast("double")
     return docs.select(
@@ -5578,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_wstack": q_grid_wstack,
         "uvw_compute": q_uvw_compute,
         "quality_classifier": q_quality_classifier,
+        "sumthreshold": q_sumthreshold,
         # -- last driver row r4, below window: these 33 lead round
         #    7's window --
         "tpch_q7": q_tpch_q7,
@@ -6129,6 +6201,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_wstack": _grid_wstack_sql(),
         "uvw_compute": _uvw_sql(),
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,
+        "sumthreshold": _SUMTHRESHOLD_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "text_bpe": _bpe_sql(),
         "text_winnow": _winnow_sql(),

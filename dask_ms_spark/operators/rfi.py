@@ -26,7 +26,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rfi_flag", "sigma_clip"]
+__all__ = ["rfi_flag", "sigma_clip", "sumthreshold_flag"]
 
 
 def rfi_flag(df: DataFrame, time_col: str,
@@ -163,3 +163,68 @@ def sigma_clip(df: DataFrame, value_col: str,
                        F.col("n_kept").cast("long").alias("n_kept"))
     return (out.join(n_in, on=group_cols) if group_cols
             else out.crossJoin(F.broadcast(n_in)))
+
+
+def sumthreshold_flag(df: DataFrame, order_col: str,
+                      group_cols: Iterable[str], value_col: str,
+                      chi1: float, rho: float = 1.5,
+                      windows: Iterable[int] = (1, 2, 4),
+                      flag_col: str | None = None) -> DataFrame:
+    """SumThreshold RFI detection (Offringa et al. 2010, the
+    AOFlagger combinatorial thresholding — public): a run of ``M``
+    consecutive samples is flagged when its SUM exceeds
+    ``M * chi_M`` with ``chi_M = chi1 / rho^log2(M)`` — wide weak
+    interference that never crosses the single-sample threshold
+    still trips the wider windows.  Samples already flagged by an
+    earlier (narrower) pass enter later window sums AT the threshold
+    value (the standard substitution that stops one hot sample from
+    dragging its neighbours in).
+
+    One direction per call (order ``order_col`` within
+    ``group_cols`` — time direction for (baseline, channel) groups;
+    run a second call ordered by channel for the frequency
+    direction, as AOFlagger iterates).  ``order_col`` must be unique
+    per group (same contract as :func:`rfi_flag`).
+
+    Scale shape: each window size adds two FIXED row-frame window
+    functions (forward run-sum + backward hit-spread) over the SAME
+    (group, order) sort — Catalyst reuses one exchange + sort for
+    the whole pass stack, so the plan is a single shuffle however
+    many windows run.  Entirely JVM-side expressions.
+
+    Returns the input columns plus ``st_flag`` (boolean).
+    """
+    import math
+
+    group_cols = list(group_cols)
+    ws = list(windows)
+    if not ws or any(m < 1 for m in ws):
+        raise ValueError(f"sumthreshold_flag: windows must be >= 1, "
+                         f"got {ws}")
+    if sorted(ws) != ws:
+        raise ValueError("sumthreshold_flag: windows must ascend "
+                         "(narrow passes substitute into wide ones)")
+    if chi1 <= 0 or rho <= 0:
+        raise ValueError("sumthreshold_flag: chi1 and rho must be > 0")
+
+    out = df.withColumn(
+        "st_flag",
+        F.col(flag_col) if flag_col else F.lit(False))
+    base = Window.partitionBy(*group_cols).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    for m in ws:
+        chi = float(chi1) / float(rho) ** math.log2(m)
+        used = F.when(F.col("st_flag"), F.lit(chi)).otherwise(v)
+        fwd = base.rowsBetween(0, m - 1)
+        bwd = base.rowsBetween(-(m - 1), 0)
+        run_sum = F.sum(used).over(fwd)
+        run_n = F.count(used).over(fwd)
+        exceed = (run_n == m) & (run_sum > F.lit(chi * m))
+        out = (out.withColumn("__exceed", exceed)
+               .withColumn(
+                   "st_flag",
+                   F.col("st_flag")
+                   | F.coalesce(F.max("__exceed").over(bwd),
+                                F.lit(False)))
+               .drop("__exceed"))
+    return out

@@ -1320,3 +1320,63 @@ def test_grid_visibilities_group_cols(spark):
             assert combined[k] == v
     assert len(combined) == 2 * len(
         {k[1:] for k in combined if k[0] == 0})
+
+
+def test_sumthreshold_matches_python_model(spark):
+    """SumThreshold checked against an exact python replica, and the
+    algorithmic win demonstrated: a broad plateau below the
+    single-sample threshold is caught by the wider windows."""
+    import math
+
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.rfi import sumthreshold_flag
+
+    # noise floor 0.0, single hot spike at t=3 (above chi1), broad
+    # weak plateau t=10..17 at 0.6 * chi1 (below chi1, above chi_4)
+    chi1, rho = 1.0, 1.5
+    vals = [0.0] * 30
+    vals[3] = 5.0
+    for t in range(10, 18):
+        vals[t] = 0.6
+    rows = [Row(b=0, t=t, x=float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "b int, t int, x double")
+
+    def model(values, windows):
+        flags = [False] * len(values)
+        for m in windows:
+            chi = chi1 / rho ** math.log2(m)
+            used = [chi if f else v for v, f in zip(values, flags)]
+            exceed = [sum(used[j:j + m]) > chi * m
+                      if j + m <= len(used) else False
+                      for j in range(len(used))]
+            flags = [f or any(exceed[max(0, i - m + 1):i + 1])
+                     for i, f in enumerate(flags)]
+        return flags
+
+    for windows in ((1,), (1, 2), (1, 2, 4), (1, 2, 4, 8)):
+        got = {r.t: r.st_flag for r in sumthreshold_flag(
+            df, "t", ["b"], "x", chi1, rho, windows).collect()}
+        want = dict(enumerate(model(vals, windows)))
+        assert got == want, windows
+
+    # single-sample pass alone misses the plateau; the stack catches it
+    got1 = {r.t: r.st_flag for r in sumthreshold_flag(
+        df, "t", ["b"], "x", chi1, rho, (1,)).collect()}
+    got4 = {r.t: r.st_flag for r in sumthreshold_flag(
+        df, "t", ["b"], "x", chi1, rho, (1, 2, 4)).collect()}
+    assert not any(got1[t] for t in range(10, 18))
+    assert all(got4[t] for t in range(11, 17))
+    assert got1[3] and got4[3]
+
+    # the whole pass stack shares ONE exchange
+    plan = sumthreshold_flag(df, "t", ["b"], "x", chi1, rho,
+                             (1, 2, 4))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2   # input round-robin + sort
+
+    with pytest.raises(ValueError, match="ascend"):
+        sumthreshold_flag(df, "t", ["b"], "x", chi1, rho, (4, 2))
+    with pytest.raises(ValueError, match="chi1"):
+        sumthreshold_flag(df, "t", ["b"], "x", 0.0)
