@@ -23,7 +23,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 
 __all__ = ["MEDIA_SCHEMA", "media_table", "binary_features",
            "decode_image_features", "resize_images", "sample_video_frames",
-           "audio_features"]
+           "audio_features", "image_dhash", "image_neardup_pairs"]
 
 # Canonical multimodal column group: payload + typed metadata.
 MEDIA_SCHEMA = StructType([
@@ -254,3 +254,121 @@ def audio_features(media: DataFrame,
 
     return (media.select("media_id", F.col(payload_col).alias("payload"))
                  .mapInPandas(compute, schema=_AUDIO_FEATURE_SCHEMA))
+
+
+def image_dhash(media: DataFrame, rows: int = 7, cols: int = 9) -> DataFrame:
+    """Perceptual difference hash (dHash) per image: decode, sample a
+    ``rows x (cols+1)`` luminance grid (nearest-neighbour — the
+    integer index map ``y = (r*h)//rows``, reproducible in any
+    engine), then one bit per horizontally adjacent pair
+    (``grid[r,c] < grid[r,c+1]``).  Visually similar images differ in
+    few bits, so near-duplicate detection becomes small-Hamming-
+    distance search over a 63-bit integer — the image-side analogue
+    of :func:`~dask_ms_spark.llm.dedup.with_simhash`.
+
+    ``rows * cols`` must be <= 63 so the hash fits a signed bigint
+    without touching the sign bit (default 7x9 = exactly 63).  The
+    decode step is the import-gated kernel shared with
+    :func:`decode_image_features` (real PIL when present, the
+    deterministic payload-seeded fake otherwise); everything after
+    decode is exact integer arithmetic, so the hash is engine-
+    mirrorable for stub payloads.
+
+    Scale shape: payloads cross into Python once per Arrow batch and
+    the output is (media_id, dhash) — 16 bytes/row; all downstream
+    dedup stages shuffle hashes, never pixels.
+    """
+    if rows < 1 or cols < 1 or rows * cols > 63:
+        raise ValueError(f"image_dhash: rows*cols must be in [1, 63] "
+                         f"to fit a signed bigint, got {rows}x{cols}")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                h, w = int(row.height or 1), int(row.width or 1)
+                px = _decode_image_stub(row.payload or b"", w, h)
+                if px.ndim == 3:  # RGB(A) from a real decode
+                    px = px[..., :3].mean(axis=2)
+                ys = (np.arange(rows) * px.shape[0]) // rows
+                xs = (np.arange(cols + 1) * px.shape[1]) // (cols + 1)
+                grid = px[np.ix_(ys, xs)].astype(np.int64)
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
+                weights = (np.int64(1)
+                           << np.arange(rows * cols, dtype=np.int64))
+                out.append((row.media_id,
+                            int((bits.reshape(-1) * weights).sum())))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return (media.select("media_id", "width", "height", "payload")
+                 .mapInPandas(compute, schema="media_id long, dhash long"))
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
+                        rows: int = 7, cols: int = 9) -> DataFrame:
+    """Near-duplicate image pairs: dHash + Hamming-band LSH join with
+    PROVABLY exact recall.
+
+    The 63-bit hash splits into ``max_hamming + 1`` bands; by
+    pigeonhole, any pair within ``max_hamming`` differing bits agrees
+    exactly on at least one band, so the band-bucket equi-join loses
+    nothing — unlike probabilistic MinHash banding, this candidate
+    set is a superset of the answer by construction.  Survivors are
+    verified with ``bit_count(a XOR b) <= max_hamming`` JVM-side.
+
+    A pair agreeing on several bands would surface once per band; the
+    duplicate-elimination is a *predicate*, not a distinct stage: the
+    pair is kept only where the joined band index equals the FIRST
+    agreeing band (computable from the two hashes in hand), so no
+    extra exchange is spent deduplicating candidates — the
+    ``interval_overlap_join`` canonical-first-bucket discipline.
+
+    Scale: only (media_id, dhash) shuffles; band buckets bound the
+    join the way LSH bucket caps bound the text family.  Skewed
+    buckets (e.g. flat-image hash 0) are subject to the same
+    ``max_bucket_size`` mitigation if a corpus needs it.
+    """
+    nbits = rows * cols
+    nbands = max_hamming + 1
+    if nbands > nbits:
+        raise ValueError("image_neardup_pairs: max_hamming + 1 bands "
+                         f"need <= {nbits} bits, got {max_hamming}")
+    base = nbits // nbands          # band j gets base (+1 for the
+    extra = nbits % nbands          # first `extra` bands) bits
+    starts, widths = [], []
+    s = 0
+    for j in range(nbands):
+        w = base + (1 if j < extra else 0)
+        starts.append(s)
+        widths.append(w)
+        s += w
+
+    sigs = image_dhash(media, rows, cols)
+
+    def band_val(col, j):
+        mask = F.lit((1 << widths[j]) - 1).cast("long")
+        return F.shiftright(col, starts[j]).bitwiseAND(mask)
+
+    bands = sigs.select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("h"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     band_val(F.col("dhash"), j).alias("val"))
+            for j in range(nbands)])).alias("b")
+    ).select("id", "h", F.col("b.band").alias("band"),
+             F.col("b.val").alias("val"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    joined = a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                           F.col("a.val") == F.col("b.val"),
+                           F.col("a.id") < F.col("b.id")])
+    x = F.col("a.h").bitwiseXOR(F.col("b.h"))
+    # first band where the two hashes agree (xor band == 0)
+    first = F.lit(nbands)
+    for j in range(nbands - 1, -1, -1):
+        first = F.when(band_val(x, j) == 0, F.lit(j)).otherwise(first)
+    return (joined.where((F.bit_count(x) <= max_hamming)
+                         & (F.col("a.band") == first))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.bit_count(x).cast("int").alias("hamming")))
