@@ -4488,16 +4488,17 @@ def _imaging_weights_sql() -> str:
     c AS (SELECT *, cast(floor(u / 4.0) as bigint) AS cu,
                  cast(floor(vv / 4.0) as bigint) AS cv
           FROM v),
-    n AS (SELECT *, count(*) OVER (PARTITION BY cu, cv) AS n_cell
+    n AS (SELECT *, count(*) OVER (PARTITION BY cu, cv) AS n_cell,
+                 sum(w) OVER (PARTITION BY cu, cv) AS wk_row
           FROM c),
-    cs AS (SELECT cu, cv, count(*) AS nk, sum(w) AS wk
+    cs AS (SELECT cu, cv, sum(w) AS wk
            FROM c GROUP BY 1, 2),
-    g AS (SELECT cast(sum(nk * nk) as double) / sum(wk) AS mean_n
+    g AS (SELECT cast(sum(wk * wk) as double) / sum(wk) AS mean_w
           FROM cs)
     SELECT vec_id, cast(n_cell as bigint) AS n_cell,
-           cast(round(w / (1.0 + n_cell
+           cast(round(w / (1.0 + wk_row
                            * ((CAST({num} AS DOUBLE) / {den})
-                              / mean_n)) * 1000000) as bigint) AS iw_q
+                              / mean_w)) * 1000000) as bigint) AS iw_q
     FROM n CROSS JOIN g
     """
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .grouping import tensor_row_average
 
@@ -73,7 +73,8 @@ def bda_average(df: DataFrame, time_col: str,
                 weight_spectrum_col: str | None = None,
                 chan_average: bool = False,
                 time_origin: float = 0.0,
-                quantize_scale: int | None = None) -> DataFrame:
+                quantize_scale: int | None = None,
+                per_baseline_uvdist: bool = False) -> DataFrame:
     """Average rows per (baseline, adaptive time bin).
 
     Bin width is ``base_interval * bda_factor(uvdist)``; row ``r``
@@ -99,13 +100,28 @@ def bda_average(df: DataFrame, time_col: str,
     shuffle.  ``weight_spectrum_col`` weighs each CELL by that row's
     per-channel weight array instead (the MS WEIGHT_SPECTRUM
     semantic; overrides ``weight_data``).
+
+    With the default ``per_baseline_uvdist=False`` the factor is pure
+    row-local arithmetic on THAT ROW's uv-distance — which assumes
+    uvdist is (near-)constant per baseline over the averaged span.  In
+    a real MS uvdist drifts with time (earth rotation), so rows of one
+    baseline can carry different factors — and hence different bin
+    widths — while sharing the same (baseline, bin) key, mixing rows
+    binned under incompatible widths.  ``per_baseline_uvdist=True``
+    instead derives ONE representative uv-distance per baseline (the
+    baseline's mean uvdist, a window aggregate over the same keys the
+    group-by shuffles on) so every row of a baseline bins under the
+    same width; this adds one window exchange co-partitioned with the
+    aggregation.
     """
     if base_interval <= 0:
         raise ValueError(f"bda_average: base_interval must be > 0, "
                          f"got {base_interval}")
     baseline_cols = list(baseline_cols)
-    factor = bda_factor(F.col(uvdist_col).cast("double"),
-                        ref_uvdist, max_factor)
+    uv = F.col(uvdist_col).cast("double")
+    if per_baseline_uvdist:
+        uv = F.avg(uv).over(Window.partitionBy(*baseline_cols))
+    factor = bda_factor(uv, ref_uvdist, max_factor)
     width = F.lit(float(base_interval)) * factor.cast("double")
     t = F.col(time_col).cast("double")
     b = F.floor((t - F.lit(float(time_origin))) / width).cast("long")

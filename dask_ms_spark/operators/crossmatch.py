@@ -79,8 +79,15 @@ def crossmatch_sky(left: DataFrame, right: DataFrame,
     # 1e-9 relative is >> any double rounding at these magnitudes and
     # << a zone, so pruning stays tight.
     height = radius_deg * (1.0 + 1e-9)
-    width = radius_deg / math.cos(math.radians(max_abs_dec + radius_deg))
-    n_blocks = max(1, int(math.ceil(360.0 / width)))
+    # Block width gets the same relative margin as zone height, and
+    # n_blocks uses FLOOR so the realised width 360/n_blocks is at
+    # least the worst-case RA separation.  ceil would make blocks
+    # NARROWER than required (e.g. radius=1, max_abs_dec=0.5: worst
+    # dRA 1.0000381 deg vs 360/360 = 1.0 deg exactly), silently
+    # dropping a pair that lands two blocks apart.
+    width = (radius_deg / math.cos(math.radians(max_abs_dec + radius_deg))
+             * (1.0 + 1e-9))
+    n_blocks = max(1, int(math.floor(360.0 / width)))
 
     def dec_guarded(dec):
         # folded into the zone expression so column pruning can never

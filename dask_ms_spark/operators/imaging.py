@@ -64,23 +64,29 @@ def imaging_weights(df: DataFrame, u_col: str, v_col: str,
         out = d.withColumn("imaging_weight",
                            F.col("__w") / F.col("n_cell"))
     else:
-        # per-cell stats aggregate from the PRE-window frame so the
-        # normalisation branch never pays the window sort, then ONE
-        # global 1-row aggregate broadcast back onto the stream
+        # Briggs 1995 / CASA define BOTH the normalisation and the
+        # denominator via the gridded WEIGHT sums W_k = sum_i w_i per
+        # cell, not row counts: f2 = (5*10^-R)^2 / (sum_k W_k^2 /
+        # sum_i w_i) and weight = w / (1 + W_k * f2).  Counts only
+        # coincide with W_k under unit weights.  Per-cell stats
+        # aggregate from the PRE-window frame so the normalisation
+        # branch never pays the window sort, then ONE global 1-row
+        # aggregate broadcast back onto the stream.
         cell_stats = (base.groupBy("__cu", "__cv")
-                      .agg(F.count(F.lit(1)).alias("__nk"),
-                           F.sum("__w").alias("__wk")))
+                      .agg(F.sum("__w").alias("__wk")))
         g = cell_stats.agg(
-            (F.sum(F.col("__nk") * F.col("__nk")).cast("double")
-             / F.sum("__wk")).alias("__meanN"))
+            (F.sum(F.col("__wk") * F.col("__wk")).cast("double")
+             / F.sum("__wk")).alias("__meanW"))
         # 5 * 10^-R squared, computed once in Python (one double
         # constant crosses into the plan — dyadic-literal rule)
         s2 = float((5.0 * 10.0 ** (-float(robust))) ** 2)
-        out = (d.crossJoin(F.broadcast(g))
+        out = (d.withColumn("__Wk", F.sum("__w").over(win))
+               .crossJoin(F.broadcast(g))
                .withColumn("imaging_weight",
                            F.col("__w")
-                           / (F.lit(1.0) + F.col("n_cell")
-                              * (F.lit(s2) / F.col("__meanN")))))
+                           / (F.lit(1.0) + F.col("__Wk")
+                              * (F.lit(s2) / F.col("__meanW"))))
+               .drop("__Wk"))
     return out.drop("__cu", "__cv", "__w")
 
 

@@ -32,7 +32,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = ["build_manifest", "prune_files", "read_pruned"]
 
 _SCHEMA = ("file string, column string, min_value string, "
-           "max_value string, null_count long, num_rows long")
+           "max_value string, min_long long, max_long long, "
+           "null_count long, num_rows long")
+
+# String statistics can be writer-truncated with no pyarrow-visible
+# exactness flag (parquet's is_{min,max}_value_exact isn't surfaced);
+# 64 bytes is the common truncation boundary, so a stat that long is
+# indistinguishable from a truncated one — treat it as missing (never
+# prune on possibly-inexact evidence).
+_TRUNCATION_BOUNDARY = 64
 
 
 def _list_parquet_files(path: str) -> list:
@@ -55,9 +63,14 @@ def build_manifest(spark: SparkSession, path: str,
     """Footer-statistics manifest for ``columns`` over every parquet
     file under ``path``: one row per (file, column) with the
     file-level min/max (across row groups), null count, and row
-    count.  Values are carried as strings (parquet logical-type
-    min/max stringify losslessly for ints, floats, strings, dates) —
-    :func:`prune_files` re-casts against the queried bounds.
+    count.  Values are carried as strings (python float/str repr
+    round-trips losslessly) PLUS typed ``min_long``/``max_long``
+    columns for integer statistics — int64 above 2^53 would lose
+    precision in a str→double round trip and could prune a file that
+    actually contains matching rows; :func:`prune_files` compares
+    integer bounds as longs.  String statistics at or beyond the
+    64-byte truncation boundary are recorded as missing (writers may
+    truncate them and pyarrow exposes no exactness flag).
 
     Distributed footer reads: the FILE LIST is parallelized and each
     task opens only metadata (O(KB) per file), so manifesting a
@@ -94,12 +107,21 @@ def build_manifest(spark: SparkSession, path: str,
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
                         nulls += st.null_count or 0
+                    if (isinstance(mn, (str, bytes))
+                            and (len(mn) >= _TRUNCATION_BOUNDARY
+                                 or len(mx) >= _TRUNCATION_BOUNDARY)):
+                        mn = mx = None  # possibly truncated: no claim
+                    is_int = (isinstance(mn, int)
+                              and not isinstance(mn, bool))
                     out.append((f, c,
                                 None if mn is None else str(mn),
                                 None if mx is None else str(mx),
+                                mn if is_int else None,
+                                mx if is_int else None,
                                 nulls, md.num_rows))
             yield pd.DataFrame(out, columns=[
                 "file", "column", "min_value", "max_value",
+                "min_long", "max_long",
                 "null_count", "num_rows"])
 
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
@@ -114,11 +136,25 @@ def prune_files(manifest: DataFrame, column: str, lo, hi) -> list:
     filter runs as one tiny Spark job and returns the path list for
     the pruned read."""
     m = manifest.where(F.col("column") == column)
-    cast = "double" if isinstance(lo, (int, float)) else "string"
-    mn = F.col("min_value").cast(cast)
-    mx = F.col("max_value").cast(cast)
-    keep = (F.col("min_value").isNull()
-            | ((mx >= F.lit(lo)) & (mn <= F.lit(hi))))
+    if (isinstance(lo, int) and isinstance(hi, int)
+            and not isinstance(lo, bool) and not isinstance(hi, bool)):
+        # exact int64 compare on the typed columns (str→double would
+        # lose precision above 2^53 and could prune a matching file);
+        # float-column stats have no min_long and fall back to the
+        # lossless double repr path
+        overlap_long = ((F.col("max_long") >= F.lit(lo))
+                        & (F.col("min_long") <= F.lit(hi)))
+        mn_d = F.col("min_value").cast("double")
+        mx_d = F.col("max_value").cast("double")
+        overlap = F.when(F.col("min_long").isNotNull(), overlap_long) \
+                   .otherwise((mx_d >= F.lit(float(lo)))
+                              & (mn_d <= F.lit(float(hi))))
+    else:
+        cast = "double" if isinstance(lo, (int, float)) else "string"
+        mn = F.col("min_value").cast(cast)
+        mx = F.col("max_value").cast(cast)
+        overlap = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+    keep = F.col("min_value").isNull() | overlap
     return [r.file for r in
             m.where(keep).select("file").distinct().collect()]
 

@@ -726,14 +726,16 @@ def test_imaging_weights_modes(spark):
     assert uni[(5.1, 0.1)].imaging_weight == 1.0
     assert uni[(-3.2, 2.5)].n_cell == 1
 
-    # python model for briggs
+    # python model for briggs (Briggs 1995 / CASA: both the
+    # normalisation and the denominator use gridded weight sums W_k,
+    # not row counts)
     def briggs(robust):
         cells = {(0, 0): (4, 5.0), (5, 0): (1, 1.0), (-4, 2): (1, 3.0)}
-        mean_n = sum(n * n for n, _ in cells.values()) \
+        mean_w = sum(wk * wk for _, wk in cells.values()) \
             / sum(wk for _, wk in cells.values())
         s2 = (5.0 * 10.0 ** (-robust)) ** 2
-        return {c: 1.0 + n * (s2 / mean_n)
-                for c, (n, _) in cells.items()}
+        return {c: 1.0 + wk * (s2 / mean_w)
+                for c, (_, wk) in cells.items()}
 
     for robust in (-2.0, 0.0, 2.0):
         den = briggs(robust)
@@ -746,11 +748,11 @@ def test_imaging_weights_modes(spark):
     hi = {(r.u, r.v): r.imaging_weight for r in imaging_weights(
         df, "u", "v", 1.0, "w", mode="briggs", robust=4.0).collect()}
     assert abs(hi[(0.1, 0.1)] - 2.0) < 1e-2
-    # R << 0 is PROPORTIONAL to uniform (overall scale 1/f2):
-    # compare the dense/sparse ratio, not absolute values
+    # R << 0 is PROPORTIONAL to weight-normalised uniform w/W_k
+    # (overall scale 1/f2): dense cell 2/5 vs sparse 1/1 → 0.4
     lo = {(r.u, r.v): r.imaging_weight for r in imaging_weights(
         df, "u", "v", 1.0, "w", mode="briggs", robust=-4.0).collect()}
-    assert abs(lo[(0.1, 0.1)] / lo[(5.1, 0.1)] - 0.5) < 1e-2
+    assert abs(lo[(0.1, 0.1)] / lo[(5.1, 0.1)] - 0.4) < 1e-2
 
     with pytest.raises(ValueError, match="cell_size"):
         imaging_weights(df, "u", "v", 0.0)
