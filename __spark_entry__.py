@@ -5513,94 +5513,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver validates the FIRST 50 entries only.
-    # ROTATION LEDGER (at 133+ entries a 50-row window needs a
-    # 3-round union; keep this exact):
-    #   round 4 window: the 46 now in the "last driver row r4" blocks
-    #   round 5 window: the 50 now in the "last driver row r5" block
-    #   round 6 window (this one): the 37 r5-session debuts (their
-    #     FIRST driver rows) + the 13 oldest r4-stale entries
-    #   round 7 (69 candidates > 50 slots, so never-driver-checked
-    #     debuts take precedence over re-checks): lead with the 36
-    #     r6-session debuts getting their FIRST driver rows
-    #     (snapshot_roundtrip, backfill_restart, ann_ivf_indexed,
-    #     heavy_hitters_cms, tensor_chan_avg, tensor_row_avg,
-    #     dedup_edit_distance, phase_rotate, spectral_index,
-    #     weighted_quantiles, bda_average, flag_summary, ann_pq,
-    #     resample_interp, crossmatch, rfi_flag, gain_solve,
-    #     channel_regrid, spectral_moments, imaging_weights,
-    #     sample_temperature, crossmatch_nearest, bda_weighted,
-    #     sigma_clip, ann_ivfpq, curriculum, stokes_convert,
-    #     closure_phase, hanning, uvcontsub, predict_vis,
-    #     grid_vis, dsir_select, grid_wstack, uvw_compute,
-    #     quality_classifier), then the 14 OLDEST of the 33
-    #     "r4-stale, below window" entries; the remaining 14 r4-stale
-    #     lead round 8,
-    #     followed by the oldest r5-checked entries.  After r6 driver
-    #     rows land, dedup_substring_exact (stride-1 variant of
-    #     dedup_substring) is the next demotion candidate (see
-    #     demoted_queries).
+    # ROTATION LEDGER (at 169 entries a 50-row window needs a 4-round
+    # union; keep this exact):
+    #   round 5 window: the 49 now in the "last driver row r5" block
+    #   round 6 window: the 37 r5-session debuts + 13 oldest r4-stale
+    #     (now the two "last driver row r6" blocks)
+    #   round 7 window (this one): the 37 r6-session debuts getting
+    #     their FIRST driver rows (snapshot_roundtrip ...
+    #     sumthreshold) + the 13 OLDEST of the 33 "last driver row
+    #     r4" entries (tpch_q7 ... distinct_agg)
+    #   round 8: any r7-session debuts first, then the remaining 20
+    #     r4-stale (set_ops ... quantiles), then the oldest
+    #     r5-checked entries.
     return {
-        # -- debuts: added in round 5 below the window, each verified
-        #    by tools/check_oracle at sf0.01 (and by the r5 judge);
-        #    first driver rows happen this round --
-        "doc_chunks": q_doc_chunks,
-        "pii_redact": q_pii_redact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_lsh_capped": q_dedup_lsh_capped,
-        "sample_mixture": q_sample_mixture,
-        "rollup_merge": q_rollup_merge,
-        "zorder_layout": q_zorder_layout,
-        "corpus_diff": q_corpus_diff,
-        "cardinality_kmv": q_cardinality_kmv,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_substring": q_dedup_substring,
-        "dedup_substring_exact": q_dedup_substring_exact,
-        "collocations_pmi": q_collocations_pmi,
-        "char_entropy": q_char_entropy,
-        "graph_triangles": q_graph_triangles,
-        "corpus_overlap_kmv": q_corpus_overlap_kmv,
-        "interval_overlap": q_interval_overlap,
-        "events_ema": q_events_ema,
-        "session_stats": q_session_stats,
-        "dataset_card": q_dataset_card,
-        "active_users_rolling": q_active_users_rolling,
-        "multimodal_audio": q_multimodal_audio,
-        "incremental_join": q_incremental_join,
-        "constraint_audit": q_constraint_audit,
-        "pipeline_funnel": q_pipeline_funnel,
-        "robust_stats": q_robust_stats,
-        "cdc_apply": q_cdc_apply,
-        "scd2_history": q_scd2_history,
-        "events_anomaly": q_events_anomaly,
-        "lang_mismatch": q_lang_mismatch,
-        "quality_prune": q_quality_prune,
-        "sample_weighted": q_sample_weighted,
-        "sample_quota": q_sample_quota,
-        "events_seasonality": q_events_seasonality,
-        "conversion_lag": q_conversion_lag,
-        "zipf_fit": q_zipf_fit,
-        "events_gap_stats": q_events_gap_stats,
-        # -- last driver row r4, oldest 13: re-checked this round --
-        "events_correlate": q_events_correlate,
-        "star_join": q_star_join,
-        "rollup": q_rollup,
-        "events_windowed": q_events_windowed,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_props": q_events_props,
-        "events_dedup": q_events_dedup,
-        "corpus_mixture": q_corpus_mixture,
-        "text_repetition": q_text_repetition,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        # ==== driver window ends here (position 50) ====
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
-        #    heavy hitters; MS-style tensor channel/row averaging),
-        #    each verified via tools/check_oracle at sf0.01; they join
-        #    the r6-session-debut block at the FRONT of round 7's
-        #    window.
+        #    heavy hitters; MS-style tensor channel/row averaging;
+        #    MS kernels, imaging chain, ANN PQ/IVFPQ, DSIR,
+        #    calibration), each verified via tools/check_oracle at
+        #    sf0.01 and by the r6 judge; FIRST driver rows this round.
         #    maintain_rollup_log deliberately has NO registry row: it
         #    is a streaming foreachBatch writer with filesystem side
         #    effects (no read-only SQL spelling); its replay /
@@ -5651,8 +5582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uvw_compute": q_uvw_compute,
         "quality_classifier": q_quality_classifier,
         "sumthreshold": q_sumthreshold,
-        # -- last driver row r4, below window: these 33 lead round
-        #    7's window --
+        # -- last driver row r4, oldest 13: re-checked this round --
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -5666,6 +5596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "distinct_agg": q_distinct_agg,
+        # ==== driver window ends here (position 50) ====
+        # -- last driver row r4, below window: these 20 lead round 8
+        #    (after any r7-session debuts) --
         "set_ops": q_set_ops,
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
@@ -5686,6 +5619,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "cube": q_cube,
         "quantiles": q_quantiles,
+        # -- last driver row r6 (the r5-session debuts; first driver
+        #    rows landed in CORRECTNESS_r06, all green) --
+        "doc_chunks": q_doc_chunks,
+        "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_lsh_capped": q_dedup_lsh_capped,
+        "sample_mixture": q_sample_mixture,
+        "rollup_merge": q_rollup_merge,
+        "zorder_layout": q_zorder_layout,
+        "corpus_diff": q_corpus_diff,
+        "cardinality_kmv": q_cardinality_kmv,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substring": q_dedup_substring,
+        "dedup_substring_exact": q_dedup_substring_exact,
+        "collocations_pmi": q_collocations_pmi,
+        "char_entropy": q_char_entropy,
+        "graph_triangles": q_graph_triangles,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "interval_overlap": q_interval_overlap,
+        "events_ema": q_events_ema,
+        "session_stats": q_session_stats,
+        "dataset_card": q_dataset_card,
+        "active_users_rolling": q_active_users_rolling,
+        "multimodal_audio": q_multimodal_audio,
+        "incremental_join": q_incremental_join,
+        "constraint_audit": q_constraint_audit,
+        "pipeline_funnel": q_pipeline_funnel,
+        "robust_stats": q_robust_stats,
+        "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
+        "events_anomaly": q_events_anomaly,
+        "lang_mismatch": q_lang_mismatch,
+        "quality_prune": q_quality_prune,
+        "sample_weighted": q_sample_weighted,
+        "sample_quota": q_sample_quota,
+        "events_seasonality": q_events_seasonality,
+        "conversion_lag": q_conversion_lag,
+        "zipf_fit": q_zipf_fit,
+        "events_gap_stats": q_events_gap_stats,
+        # -- last driver row r6 (r4-stale re-checks from the r6
+        #    window) --
+        "events_correlate": q_events_correlate,
+        "star_join": q_star_join,
+        "rollup": q_rollup,
+        "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_props": q_events_props,
+        "events_dedup": q_events_dedup,
+        "corpus_mixture": q_corpus_mixture,
+        "text_repetition": q_text_repetition,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
         # -- last driver row r5 (the full round-5 window, untouched
         #    bodies; their r5 rows carry the union coverage) --
         "pivot": q_pivot,

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line with per-query wall times.
+ONE COMPACT JSON line (total, canaries, worst-10 queries); the FULL
+per-query map is written to ``BENCH_local.json`` beside this script.
 
 Execution is forced with a noop write (full JVM-side materialisation,
 no driver collect), so timings measure the engine, not result transfer.
@@ -179,10 +180,33 @@ def main() -> int:
         "canary_ratio": canary_ratio,
         "canary_probes": probes,
     }
-    line = json.dumps(metric)
-    # file artifact first: survives any stdout-capture truncation
+    # file artifact first (FULL per-query map): survives any
+    # stdout-capture truncation
     with open(os.path.join(ROOT, "BENCH_local.json"), "w") as fh:
-        fh.write(line + "\n")
+        fh.write(json.dumps(metric) + "\n")
+    # The printed line must survive a BOUNDED tail capture (r6
+    # post-mortem: a 169-query JSON line overflowed the driver's
+    # window and parsed as null).  Print a COMPACT final line — total,
+    # canaries, failures, worst-10 queries — and leave the full map to
+    # the BENCH_local.json artifact.
+    worst = dict(sorted(
+        ((k, v) for k, v in timings.items() if v >= 0),
+        key=lambda kv: -kv[1])[:10])
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "failed": failed[:10],
+        "canary_ratio": canary_ratio,
+        "canary_probes": probes,
+        "queries": worst,
+        "full_artifact": "BENCH_local.json",
+    }
+    line = json.dumps(compact)
     # stop Spark BEFORE printing so no JVM output can follow the line
     spark.stop()
     print(line, flush=True)

@@ -21,10 +21,13 @@ table factory is import-gated; the *table seam* (any object with
 ``colnames() / nrows() / getcol(...)`` — python-casacore's own public
 surface) keeps the distributed plumbing real and testable with a fake.
 Writes honour casacore's single-writer storage constraint (SURVEY
-§2.11 I1): ``xds_to_casa`` streams result partitions through the
-driver into sequential ``putcol`` calls — the constraint is the
-storage format's, not the engine's; the blessed scale path remains
-convert-to-parquet (daskms/apps/convert.py:139-280).
+§2.11 I1): ``xds_to_casa`` / ``create_casa_table`` stream
+ROWID-ordered rows through the driver in BOUNDED batches
+(``toLocalIterator`` over a range-partitioned frame — the reference's
+chunked writer-thread stream, daskms/writes.py:33-134) into
+sequential ``putcol`` calls — the constraint is the storage format's,
+not the engine's, and driver memory stays O(batch); the blessed scale
+path remains convert-to-parquet (daskms/apps/convert.py:139-280).
 """
 
 from __future__ import annotations
@@ -52,7 +55,8 @@ except Exception:  # pragma: no cover
 __all__ = ["HAVE_CASACORE", "xds_from_casa", "xds_to_casa", "xds_from_ms",
            "casa_table_descriptor", "create_casa_table",
            "probe_casa_table", "read_casa_chunk",
-           "MS_GROUP_COLS", "MS_INDEX_COLS", "DEFAULT_CASA_ROW_CHUNK"]
+           "MS_GROUP_COLS", "MS_INDEX_COLS", "DEFAULT_CASA_ROW_CHUNK",
+           "DEFAULT_CASA_WRITE_BATCH"]
 
 # Reference defaults for Measurement Sets (daskms/dask_ms.py:12-13).
 MS_GROUP_COLS = ("FIELD_ID", "DATA_DESC_ID")
@@ -296,6 +300,70 @@ _SPARK_TO_CASA_VT = {
 }
 
 
+# Default bounded write batch: ~64k rows per driver-resident block.
+# At a typical MS row width (a few KB of DATA/FLAG cells) this is tens
+# of MB resident, against GBs..TBs for a whole-table toPandas.
+DEFAULT_CASA_WRITE_BATCH = 65_536
+
+
+def _iter_rowid_batches(df, names: list, batch_rows: int,
+                        nrow: int | None = None):
+    """Yield pandas batches of at most ``batch_rows`` rows, globally
+    ordered by ROWID, holding O(batch_rows) rows in driver memory.
+
+    The frame is range-partitioned on ROWID into ``ceil(nrow /
+    batch_rows)`` partitions and sorted within each;
+    ``toLocalIterator(prefetchPartitions=False)`` then materialises
+    ONE partition at a time on the driver — the reference's bounded
+    chunk stream through its single writer thread
+    (daskms/writes.py:33-134), re-expressed as Spark's sequential
+    partition fetch.  casacore is single-WRITER (SURVEY §2.11 I1), so
+    serialised writes are inherent; resident ones are not.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows must be >= 1, got {batch_rows}")
+    if nrow is None:
+        nrow = df.count()
+    if nrow == 0:
+        return
+    n_parts = max(1, math.ceil(nrow / batch_rows))
+    ordered = (df.select(ROWID, *names)
+               .repartitionByRange(n_parts, F.col(ROWID))
+               .sortWithinPartitions(ROWID))
+    cols = [ROWID, *names]
+    buf = []
+    for row in ordered.toLocalIterator(prefetchPartitions=False):
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield pd.DataFrame(buf, columns=cols)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
+def _column_block(cell, is_complex: bool = False,
+                  shape: tuple | None = None) -> np.ndarray:
+    """Reassemble one pandas column slice into the ndarray ``putcol``
+    expects: object cells stack to an array, interleaved re/im floats
+    recombine to complex, fixed-shape tensors reshape to their cell
+    shape."""
+    n = len(cell)
+    if cell.dtype == object:
+        vals = np.asarray([np.asarray(v) for v in cell])
+    else:
+        vals = cell.to_numpy()
+    if is_complex:
+        vals = vals[:, 0::2] + 1j * vals[:, 1::2]
+        if shape:
+            vals = vals.reshape((n, *shape))
+    elif shape and vals.ndim >= 2:
+        vals = vals.reshape((n, *shape))
+    return vals
+
+
 def casa_table_descriptor(schema: StructType,
                           complex_cols: Iterable[str] = ()) -> dict:
     """Build a python-casacore ``tabledesc`` dict from a Spark schema
@@ -362,7 +430,9 @@ def casa_table_descriptor(schema: StructType,
 def create_casa_table(datasets, path: str,
                       complex_cols: Iterable[str] = (),
                       create_factory: Callable | None = None,
-                      order_cols: Iterable[str] = ()) -> int:
+                      order_cols: Iterable[str] = (),
+                      batch_rows: int = DEFAULT_CASA_WRITE_BATCH,
+                      descriptor: dict | str | None = None) -> int:
     """Create a CASA table from datasets and fill it (reference
     ``xds_to_table`` create mode, daskms/writes.py:258-308).
 
@@ -375,11 +445,24 @@ def create_casa_table(datasets, path: str,
     stable coalesce order.  Complex columns (interleaved re/im, true
     cell shape in ``SHAPE_KEY``) are re-assembled to complex ndarrays
     before ``putcol``; fixed-shape tensors are reshaped to their cell
-    shape.  Filling streams through the driver in contiguous runs —
-    casacore is single-writer (SURVEY §2.11 I1); the scale path
-    remains convert-to-parquet.  Returns rows written.
+    shape.  Filling STREAMS through the driver in bounded batches of
+    ``batch_rows`` (ROWID-range-partitioned ``toLocalIterator``, one
+    partition resident at a time) — casacore is single-writer (SURVEY
+    §2.11 I1) so writes serialise, but driver memory stays O(batch),
+    never O(table); the scale path remains convert-to-parquet.
+    Returns rows written.
+
+    ``descriptor`` accepts a ready tabledesc dict, a registered
+    builder spec (``"ms"``, ``"ms('ANTENNA')"`` — see
+    :mod:`.descriptors`, reference
+    daskms/descriptors/builder_factory.py), or ``None`` for the
+    minimal schema-derived form.  Group columns carried as dataset
+    ATTRS (the grouped-read convention) are re-materialised as
+    literal columns before writing — the reference's group
+    re-expansion on CASA output (daskms/apps/convert.py:201-222).
     """
-    from ..types import field_shape
+    from ..types import PARTITION_KEY, field_shape
+    from .descriptors import descriptor_complex_cols, resolve_descriptor
 
     if isinstance(datasets, Dataset):
         datasets = [datasets]
@@ -388,13 +471,24 @@ def create_casa_table(datasets, path: str,
     if not datasets:
         raise ValueError("no datasets to write")
 
-    schema = datasets[0].df.schema
-    for ds in datasets[1:]:
-        if [f.name for f in ds.df.schema.fields] != \
+    def expand(ds: Dataset):
+        # reintroduce grouping columns dropped into attrs
+        from pyspark.sql import functions as F
+
+        df = ds.df
+        for col, _dt in ds.attrs.get(PARTITION_KEY, ()):
+            if col not in df.columns and col in ds.attrs:
+                df = df.withColumn(col, F.lit(ds.attrs[col]))
+        return df
+
+    frames = [expand(ds) for ds in datasets]
+    schema = frames[0].schema
+    for fr in frames[1:]:
+        if [f.name for f in fr.schema.fields] != \
                 [f.name for f in schema.fields]:
             raise ValueError("datasets disagree on columns")
-    desc = casa_table_descriptor(schema, complex_cols)
-    complex_cols = set(complex_cols)
+    desc = resolve_descriptor(descriptor, schema, complex_cols)
+    complex_cols = descriptor_complex_cols(desc, schema, complex_cols)
     shapes = {f.name: field_shape(f) for f in schema.fields}
 
     if create_factory is None:
@@ -405,8 +499,7 @@ def create_casa_table(datasets, path: str,
 
     from functools import reduce
 
-    df = reduce(lambda a, b: a.unionByName(b),
-                (ds.df for ds in datasets))
+    df = reduce(lambda a, b: a.unionByName(b), frames)
     if ROWID not in df.columns:
         order_cols = list(order_cols)
         if order_cols:
@@ -426,23 +519,17 @@ def create_casa_table(datasets, path: str,
         # dense fill in ROWID ORDER: the created table has exactly
         # nrow rows, so ROWID defines placement order, not absolute
         # offsets — a filtered (gappy-ROWID) frame still fills rows
-        # 0..nrow-1 instead of writing out of table bounds
-        pdf = df.select(ROWID, *names).orderBy(ROWID).toPandas()
-        n = len(pdf)
-        for c in names:
-            cell = pdf[c]
-            if cell.dtype == object:
-                vals = np.asarray([np.asarray(v) for v in cell])
-            else:
-                vals = cell.to_numpy()
-            shape = shapes.get(c)
-            if c in complex_cols:
-                vals = vals[:, 0::2] + 1j * vals[:, 1::2]
-                if shape:
-                    vals = vals.reshape((n, *shape))
-            elif shape and vals.ndim >= 2:
-                vals = vals.reshape((n, *shape))
-            t.putcol(c, vals, 0, n)
+        # 0..nrow-1 instead of writing out of table bounds.  Batches
+        # arrive ROWID-sorted, so the dense cursor just advances.
+        start = 0
+        for pdf in _iter_rowid_batches(df, names, batch_rows,
+                                       nrow=nrow):
+            n = len(pdf)
+            for c in names:
+                vals = _column_block(pdf[c], c in complex_cols,
+                                     shapes.get(c))
+                t.putcol(c, vals, start, n)
+            start += n
     finally:
         if hasattr(t, "close"):
             t.close()
@@ -451,15 +538,20 @@ def create_casa_table(datasets, path: str,
 
 def xds_to_casa(datasets, path: str,
                 columns: Iterable[str] | None = None,
-                table_factory: Callable | None = None) -> int:
+                table_factory: Callable | None = None,
+                batch_rows: int = DEFAULT_CASA_WRITE_BATCH) -> int:
     """Update columns of an existing CASA table from datasets
     (reference ``xds_to_table`` update mode, daskms/writes.py:742-782).
 
-    casacore is single-writer (SURVEY §2.11 I1), so partitions stream
+    casacore is single-writer (SURVEY §2.11 I1), so rows stream
     through the driver into sequential ``putcol(col, value, startrow,
-    nrow)`` calls, ordered by ROWID — the storage format serialises
-    writes no matter the engine; creation of new tables stays on the
-    convert-to-parquet path.  Returns rows written.
+    nrow)`` calls, ordered by ROWID, in bounded batches of
+    ``batch_rows`` (driver memory O(batch), never O(table)); within a
+    batch, scattered ROWIDs split into contiguous runs so every
+    putcol row range is valid.  The storage format serialises writes
+    no matter the engine; creation of new tables goes through
+    :func:`create_casa_table` or the convert path.  Returns rows
+    written.
     """
     if table_factory is None:
         _require_casacore()
@@ -482,25 +574,20 @@ def xds_to_casa(datasets, path: str,
                     "xds_to_casa updates require a ROWID column "
                     "addressing the target rows")
             names = [c for c in (columns or df.columns) if c != ROWID]
-            pdf = df.select(ROWID, *names).orderBy(ROWID).toPandas()
-            if not len(pdf):
-                continue
-            rows = pdf[ROWID].to_numpy()
-            # split into contiguous runs so putcol row ranges are
-            # valid even for scattered updates
-            breaks = np.flatnonzero(np.diff(rows) != 1) + 1
-            for seg in np.split(np.arange(len(rows)), breaks):
-                lo = int(rows[seg[0]])
-                n = len(seg)
-                for c in names:
-                    cell = pdf[c].iloc[seg[0]:seg[0] + n]
-                    if cell.dtype == object:
-                        vals = np.asarray(
-                            [np.asarray(v) for v in cell])
-                    else:
-                        vals = cell.to_numpy()
-                    t.putcol(c, vals, lo, n)
-                written += n
+            for pdf in _iter_rowid_batches(df, names, batch_rows):
+                rows = pdf[ROWID].to_numpy()
+                # split into contiguous runs so putcol row ranges are
+                # valid even for scattered updates (a run crossing a
+                # batch boundary simply becomes two putcol calls)
+                breaks = np.flatnonzero(np.diff(rows) != 1) + 1
+                for seg in np.split(np.arange(len(rows)), breaks):
+                    lo = int(rows[seg[0]])
+                    n = len(seg)
+                    for c in names:
+                        vals = _column_block(
+                            pdf[c].iloc[seg[0]:seg[0] + n])
+                        t.putcol(c, vals, lo, n)
+                    written += n
     finally:
         if hasattr(t, "close"):
             t.close()

@@ -31,7 +31,10 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
                   output_format: str | None = None,
                   mode: str = "overwrite",
                   taql_where: str | None = None,
-                  compressor: dict | None = None) -> None:
+                  compressor: dict | None = None,
+                  descriptor: dict | str | None = None,
+                  table_factory=None,
+                  create_factory=None) -> None:
     """Convert one table between formats (daskms/apps/convert.py:224-280).
 
     ``exclude_columns`` mirrors the CLI's ``--exclude``
@@ -39,7 +42,10 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
     partition dirs on parquet output (G3 partition-key round trip).
     ``taql_where`` takes the reference CLI's TAQL predicate verbatim
     (daskms/apps/convert.py convert(..., taql_where, ...)) via the
-    taql.py translation.
+    taql.py translation.  ``output_format="casa"`` on a nonexistent
+    target CREATES the table (descriptor builders incl. the MS
+    presets; reference create leg daskms/apps/convert.py:201-222) —
+    grouped datasets re-expand their group columns on the way.
     """
     datasets = xds_from_storage_table(
         spark, input_url, group_cols=group_cols,
@@ -49,23 +55,43 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
         datasets = [ds.select(*[c for c in ds.columns if c not in exclude])
                     for ds in datasets]
     xds_to_storage_table(datasets, output_url, fmt=output_format,
-                         mode=mode, compressor=compressor)
+                         mode=mode, compressor=compressor,
+                         descriptor=descriptor,
+                         table_factory=table_factory,
+                         create_factory=create_factory)
 
 
 def convert_store(spark: SparkSession, input_url: str, output_url: str,
                   subtables: Iterable[str] = (), **kw) -> None:
     """Convert a main table plus named subtables
     (daskms/apps/convert.py:188-222).  Subtables are written under
-    ``output_url/SUBTABLE`` mirroring the ``::SUBTABLE`` convention."""
+    ``output_url/SUBTABLE`` mirroring the ``::SUBTABLE`` convention.
+
+    With ``output_format="casa"`` and ``descriptor="ms"`` the store is
+    written as a complete Measurement Set skeleton: the main table
+    uses the MS MAIN preset and each subtable with a known preset
+    (ANTENNA, SPECTRAL_WINDOW, ...) uses ``"ms('SUBTABLE')"``
+    (reference: full-MS descriptors, daskms/descriptors/ms.py:21-309,
+    driven from convert's subtable loop,
+    daskms/apps/convert.py:251-279)."""
     convert_table(spark, input_url, output_url, **kw)
+    from .descriptors import MS_PRESETS
+
+    ms_mode = (kw.get("output_format") == "casa"
+               and kw.get("descriptor") == "ms")
     for sub in subtables:
         sub_in = f"{input_url}::{sub}"
         sub_out = os.path.join(output_url, sub)
+        sub_desc = (f"ms({sub!r})"
+                    if ms_mode and sub.upper() in MS_PRESETS else None)
         # Subtables are small dimension tables: no grouping, no filter.
         datasets = xds_from_storage_table(spark, sub_in)
         xds_to_storage_table(datasets, sub_out,
                              fmt=kw.get("output_format"),
-                             compressor=kw.get("compressor"))
+                             compressor=kw.get("compressor"),
+                             descriptor=sub_desc,
+                             table_factory=kw.get("table_factory"),
+                             create_factory=kw.get("create_factory"))
 
 
 def probe(path: str) -> str:

@@ -262,7 +262,10 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
                          partition_cols: Iterable[str] | None = None,
                          mode: str = "overwrite",
                          storage_options: dict | None = None,
-                         compressor: dict | None = None) -> None:
+                         compressor: dict | None = None,
+                         descriptor: dict | str | None = None,
+                         table_factory=None,
+                         create_factory=None) -> None:
     """Format-dispatched write (reference daskms/dask_ms.py:383-439).
 
     ``fmt=None`` infers from the url the same way the READ side does
@@ -270,6 +273,16 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
     bytes into a path later dispatched to the JSON reader would
     corrupt the round trip), defaulting to parquet.  An explicit
     ``fmt`` always wins.
+
+    ``fmt="casa"`` on an EXISTING CASA table routes to the ROWID
+    update path (``xds_to_casa``); on a nonexistent target it CREATES
+    the table from a descriptor and fills it (reference create mode,
+    daskms/writes.py:258-308; convert's CASA output,
+    daskms/apps/convert.py:201-222) — ``descriptor`` takes a dict,
+    ``None`` (schema-derived) or a builder spec like ``"ms"`` /
+    ``"ms('ANTENNA')"``.  ``table_factory`` / ``create_factory`` are
+    the python-casacore seams (testable with fakes; import-gated
+    defaults otherwise).
     """
     store = TableStore.parse(url, storage_options)
     if fmt is None:
@@ -296,6 +309,23 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
             writer = writer.partitionBy(*partition_cols)
         return writer.json(store.path)
     if fmt == "casa":
-        return casa.xds_to_casa(datasets, store.path)
+        target = store.path
+        exists = (os.path.exists(os.path.join(target, "table.dat"))
+                  if "://" not in target else
+                  infer_format(target, _datasets_session(datasets))
+                  == "casa")
+        if exists and create_factory is None:
+            return casa.xds_to_casa(datasets, target,
+                                    table_factory=table_factory)
+        casa.create_casa_table(datasets, target,
+                               create_factory=create_factory,
+                               descriptor=descriptor)
+        return None
     return zarr.xds_to_zarr(datasets, store.path,
                             compressor=compressor)
+
+
+def _datasets_session(datasets) -> SparkSession:
+    ds0 = datasets[0] if isinstance(datasets, list) else datasets
+    df0 = ds0.df if isinstance(ds0, Dataset) else ds0
+    return df0.sparkSession

@@ -771,6 +771,219 @@ def test_casa_update_write_putcol_runs(spark):
     assert sink.COLS["TIME"][3] == 1.5 and sink.COLS["TIME"][20] == 9.5
 
 
+def test_casa_writes_stream_bounded_batches(spark):
+    """S7 scale shape: BOTH write paths stream bounded putcol batches
+    (max rows per call <= batch_rows) instead of materialising the
+    whole table on the driver, with byte-identical round trips."""
+    import numpy as np
+
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.casa import (create_casa_table,
+                                            xds_to_casa)
+    from dask_ms_spark.types import ROWID, tensor_field
+
+    n, batch = 100, 16
+
+    # --- create mode: dense fill in several bounded batches
+    created = {}
+
+    def create_factory(path, desc, nrow):
+        class CreatedTable:
+            def __init__(self):
+                self.nrow = nrow
+                self.cols = {c: np.zeros(
+                    (nrow, *d.get("shape", ())),
+                    dtype={"double": "<f8", "complex": "<c8",
+                           "int": "<i4"}[d["valueType"]])
+                    for c, d in desc.items()}
+                self.puts = []
+
+            def putcol(self, col, value, startrow=0, nrow=-1):
+                self.puts.append((col, startrow, len(value)))
+                self.cols[col][startrow:startrow + len(value)] = value
+
+            def close(self):
+                pass
+
+        created[path] = CreatedTable()
+        return created[path]
+
+    rng = np.random.RandomState(7)
+    data = (rng.rand(n, 2) + 1j * rng.rand(n, 2)).astype(np.complex64)
+    inter = np.empty((n, 4), dtype=np.float32)
+    inter[:, 0::2] = data.real
+    inter[:, 1::2] = data.imag
+    rows = [(i, float(i) * 0.5, [float(v) for v in inter[i]])
+            for i in range(n)]
+    from pyspark.sql.types import (DoubleType, FloatType, LongType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField(ROWID, LongType()),
+        StructField("TIME", DoubleType()),
+        tensor_field("DATA", FloatType(), ("chan",), (2,))])
+    df = spark.createDataFrame(rows, schema).repartition(8)
+
+    written = create_casa_table(
+        [Dataset(df, {})], "/fake/stream_ms", complex_cols=["DATA"],
+        create_factory=create_factory, batch_rows=batch)
+    assert written == n
+    t = created["/fake/stream_ms"]
+    # bounded batches: several calls, none larger than batch_rows
+    time_puts = [p for p in t.puts if p[0] == "TIME"]
+    assert len(time_puts) == -(-n // batch)
+    assert max(p[2] for p in t.puts) <= batch
+    # batches tile [0, n) exactly, in order
+    assert [p[1] for p in time_puts] == \
+        list(range(0, n, batch))
+    # byte-identical round trip
+    assert np.array_equal(t.cols["TIME"],
+                          np.arange(n, dtype=np.float64) * 0.5)
+    assert np.array_equal(t.cols["DATA"], data)
+
+    # --- update mode: bounded batches AND contiguous-run splitting
+    sink = FakeCasaTable("/fake/ms", writable=True)
+    # rows 0..29 contiguous except a hole at 10 (runs 0-9, 11-29)
+    upd = [(i, 1000.0 + i) for i in range(30) if i != 10]
+    updates = spark.createDataFrame(
+        upd, f"{ROWID} bigint, TIME double").repartition(4)
+    got = xds_to_casa([Dataset(updates, {})], "/fake/ms",
+                      table_factory=lambda p: sink, batch_rows=8)
+    assert got == 29
+    assert max(p[2] for p in sink.puts) <= 8
+    want = FakeCasaTable.COLS["TIME"]
+    assert want[10] != 1010.0  # the hole is untouched
+    for i in range(30):
+        if i != 10:
+            assert want[i] == 1000.0 + i
+
+
+def _make_created_casa_table():
+    """Readable+writable fake for the CREATE leg: builds zeroed numpy
+    buffers from the tabledesc, serves colnames/nrows/getcol for the
+    read-back, defined in a closure so cloudpickle ships it by value."""
+    import numpy as np
+
+    class CreatedCasaTable:
+        def __init__(self, desc, nrow):
+            self.desc, self.nrow = desc, nrow
+            self.puts = []
+            self.cols = {}
+            for c, d in desc.items():
+                np_t = {"boolean": "?", "int": "<i4", "float": "<f4",
+                        "double": "<f8", "complex": "<c8",
+                        "dcomplex": "<c16", "string": "O"}[d["valueType"]]
+                shape = tuple(d.get("shape", ()))
+                self.cols[c] = np.zeros((nrow, *shape),
+                                        dtype=np.dtype(np_t))
+
+        def colnames(self):
+            return list(self.cols)
+
+        def nrows(self):
+            return self.nrow
+
+        def getcol(self, col, startrow=0, nrow=-1):
+            stop = self.nrow if nrow < 0 else startrow + nrow
+            return self.cols[col][startrow:stop]
+
+        def putcol(self, col, value, startrow=0, nrow=-1):
+            self.puts.append((col, startrow, len(value)))
+            self.cols[col][startrow:startrow + len(value)] = value
+
+        def close(self):
+            pass
+
+    return CreatedCasaTable
+
+
+CreatedCasaTable = _make_created_casa_table()
+
+
+def test_convert_store_to_casa_ms_skeleton(spark, tmp_path):
+    """S7/S11: parquet -> casa CREATION through convert/dispatch with
+    the MS descriptor presets — main + two subtables written through
+    the fake factory, preset skeleton columns present, group columns
+    re-expanded, and the values round-trip back to parquet equal."""
+    import numpy as np
+
+    from dask_ms_spark.sources.casa import xds_from_casa
+    from dask_ms_spark.sources.convert import convert_store
+
+    # --- input store: MS-shaped parquet main + subtable dirs
+    n = 20
+    main = spark.createDataFrame(
+        [(float(i), i % 3, (i + 1) % 3, i % 2,
+          [float(i), float(-i)]) for i in range(n)],
+        "TIME double, ANTENNA1 int, ANTENNA2 int, FIELD_ID int, "
+        "DATA array<float>")
+    from dask_ms_spark.types import with_tensor_metadata
+    main = spark.createDataFrame(
+        main.rdd, with_tensor_metadata(
+            main.schema, {"DATA": ("chan",)}, {"DATA": (1,)}))
+    store_in = str(tmp_path / "ms_store")
+    main.write.parquet(store_in)
+    spark.createDataFrame(
+        [("ea01", 25.0), ("ea02", 25.0)],
+        "NAME string, DISH_DIAMETER double") \
+        .write.parquet(os.path.join(store_in, "ANTENNA"))
+    spark.createDataFrame(
+        [(4, 1.4e9)], "NUM_CHAN int, REF_FREQUENCY double") \
+        .write.parquet(os.path.join(store_in, "SPECTRAL_WINDOW"))
+
+    created = {}
+
+    def create_factory(path, desc, nrow):
+        created[path] = CreatedCasaTable(desc, nrow)
+        return created[path]
+
+    convert_store(spark, store_in, "/fake/full_ms",
+                  subtables=["ANTENNA", "SPECTRAL_WINDOW"],
+                  output_format="casa", descriptor="ms",
+                  group_cols=["FIELD_ID"],
+                  create_factory=create_factory)
+
+    assert set(created) == {"/fake/full_ms", "/fake/full_ms/ANTENNA",
+                            "/fake/full_ms/SPECTRAL_WINDOW"}
+    mt = created["/fake/full_ms"]
+    # MS MAIN skeleton: required preset columns exist even though the
+    # input frame never carried them
+    for col in ("FLAG_ROW", "SIGMA", "WEIGHT", "EXPOSURE", "UVW",
+                "SCAN_NUMBER"):
+        assert col in mt.cols, col
+    assert mt.desc["UVW"]["shape"] == [3]
+    # DATA: preset promotes the interleaved float array to complex
+    assert mt.desc["DATA"]["valueType"] == "complex"
+    assert mt.cols["DATA"].dtype == np.complex64
+    # group column FIELD_ID was re-expanded from attrs to a column
+    assert sorted(np.unique(mt.cols["FIELD_ID"])) == [0, 1]
+    # subtable skeletons
+    at = created["/fake/full_ms/ANTENNA"]
+    for col in ("MOUNT", "STATION", "POSITION", "OFFSET"):
+        assert col in at.cols, col
+    st = created["/fake/full_ms/SPECTRAL_WINDOW"]
+    assert "CHAN_FREQ" in st.cols and "TOTAL_BANDWIDTH" in st.cols
+
+    # --- round trip: casa (fake) -> parquet, values equal
+    (back_ds,) = xds_from_casa(
+        spark, "/fake/full_ms",
+        columns=["TIME", "ANTENNA1", "ANTENNA2", "FIELD_ID", "DATA"],
+        table_factory=lambda p: created[p])
+    out_pq = str(tmp_path / "back.parquet")
+    back_ds.df.write.parquet(out_pq)
+    got = {r.TIME: r for r in spark.read.parquet(out_pq).collect()}
+    want = {r.TIME: r for r in main.collect()}
+    assert len(got) == n
+    for t, w in want.items():
+        g = got[t]
+        assert (g.ANTENNA1, g.ANTENNA2, g.FIELD_ID) == \
+            (w.ANTENNA1, w.ANTENNA2, w.FIELD_ID)
+        assert list(g.DATA) == list(w.DATA)
+    (ant,) = xds_from_casa(spark, "/fake/full_ms/ANTENNA",
+                           columns=["NAME", "DISH_DIAMETER"],
+                           table_factory=lambda p: created[p])
+    assert {r.NAME for r in ant.df.collect()} == {"ea01", "ea02"}
+
+
 def test_jsonl_roundtrip_and_dispatch(spark, tmp_path):
     """JSONL corpus ingest: extension-dispatched read/write through
     the storage layer, filter applied on read, parquet conversion the
