@@ -5513,17 +5513,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver validates the FIRST 50 entries only.
-    # ROTATION LEDGER (at 169 entries a 50-row window needs a 4-round
-    # union; keep this exact):
+    # ROTATION LEDGER (a 50-row window over a 165+ registry needs a
+    # 4-round union; keep this exact):
     #   round 5 window: the 49 now in the "last driver row r5" block
     #   round 6 window: the 37 r5-session debuts + 13 oldest r4-stale
     #     (now the two "last driver row r6" blocks)
-    #   round 7 window (this one): the 37 r6-session debuts getting
+    #   round 7 window (this one): the 34 r6-session debuts getting
     #     their FIRST driver rows (snapshot_roundtrip ...
-    #     sumthreshold) + the 13 OLDEST of the 33 "last driver row
-    #     r4" entries (tpch_q7 ... distinct_agg)
-    #   round 8: any r7-session debuts first, then the remaining 20
-    #     r4-stale (set_ops ... quantiles), then the oldest
+    #     sumthreshold; bda_average/grid_vis/crossmatch were demoted
+    #     to the check_oracle-swept demoted_queries block, see r6
+    #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
+    #     entries (tpch_q7 ... filter_pushdown)
+    #   round 8: any r7-session debuts first, then the remaining 17
+    #     r4-stale (expr_arithmetic ... quantiles), then the oldest
     #     r5-checked entries.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
@@ -5555,11 +5557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_rotate": q_phase_rotate,
         "spectral_index": q_spectral_index,
         "weighted_quantiles": q_weighted_quantiles,
-        "bda_average": q_bda_average,
         "flag_summary": q_flag_summary,
         "ann_pq": q_ann_pq,
         "resample_interp": q_resample_interp,
-        "crossmatch": q_crossmatch,
         "rfi_flag": q_rfi_flag,
         "gain_solve": q_gain_solve,
         "channel_regrid": q_channel_regrid,
@@ -5576,13 +5576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hanning": q_hanning,
         "uvcontsub": q_uvcontsub,
         "predict_vis": q_predict_vis,
-        "grid_vis": q_grid_vis,
         "dsir_select": q_dsir_select,
         "grid_wstack": q_grid_wstack,
         "uvw_compute": q_uvw_compute,
         "quality_classifier": q_quality_classifier,
         "sumthreshold": q_sumthreshold,
-        # -- last driver row r4, oldest 13: re-checked this round --
+        # -- last driver row r4, oldest 16: re-checked this round --
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -5596,12 +5595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "distinct_agg": q_distinct_agg,
-        # ==== driver window ends here (position 50) ====
-        # -- last driver row r4, below window: these 20 lead round 8
-        #    (after any r7-session debuts) --
         "set_ops": q_set_ops,
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
+        # ==== driver window ends here (position 50) ====
+        # -- last driver row r4, below window: these 17 lead round 8
+        #    (after any r7-session debuts) --
         "expr_arithmetic": q_expr_arithmetic,
         "group_partition": q_group_partition,
         "sorted_read": q_sorted_read,
@@ -5632,7 +5631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_kmv": q_cardinality_kmv,
         "dedup_semantic": q_dedup_semantic,
         "dedup_substring": q_dedup_substring,
-        "dedup_substring_exact": q_dedup_substring_exact,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
         "graph_triangles": q_graph_triangles,
@@ -6163,11 +6161,9 @@ def oracle_sql() -> dict[str, str]:
         "phase_rotate": _phase_rotate_sql(),
         "spectral_index": _spectral_index_sql(),
         "weighted_quantiles": _WQ_SQL,
-        "bda_average": _BDA_SQL,
         "flag_summary": _FLAG_SUMMARY_SQL,
         "ann_pq": _ANN_PQ_SQL,
         "resample_interp": _RESAMPLE_INTERP_SQL,
-        "crossmatch": _CROSSMATCH_SQL,
         "rfi_flag": _rfi_flag_sql(),
         "gain_solve": _GAIN_SOLVE_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
@@ -6184,7 +6180,6 @@ def oracle_sql() -> dict[str, str]:
         "hanning": _HANNING_SQL,
         "uvcontsub": _UVCONTSUB_SQL,
         "predict_vis": _predict_vis_sql(),
-        "grid_vis": _grid_vis_sql(),
         "dsir_select": _DSIR_SQL,
         "grid_wstack": _grid_wstack_sql(),
         "uvw_compute": _uvw_sql(),
@@ -7071,7 +7066,6 @@ def oracle_sql() -> dict[str, str]:
         # hence the +2.  stride 10 = aligned sampler; stride 1 = the
         # exact guarantee regime
         "dedup_substring": _substring_dedup_sql(60, 10),
-        "dedup_substring_exact": _substring_dedup_sql(60, 1),
         # collocations_pmi: PMI evaluated with the exact association
         # order of llm/corpus.py collocations_pmi (bm25 ln-parity
         # precedent)
@@ -7774,10 +7768,32 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         # exact all-pairs GEMM baseline; production variant:
         # dedup_embedding_bucketed (r5 row green when demoted)
         "dedup_embedding": q_dedup_embedding,
+        # -- round-7 demotions (r6 verdict item 8: bound suite
+        #    growth).  Each is the redundant half of a pair whose
+        #    production variant remains registered; verification
+        #    status when demoted: dedup_substring_exact had a green
+        #    r6 DRIVER row; bda_average / grid_vis / crossmatch were
+        #    r6-JUDGE-verified green (check_oracle sweep) and remain
+        #    swept here every round --
+        # stride-1 exact-guarantee variant; production:
+        # dedup_substring (aligned stride-10 sampler)
+        "dedup_substring_exact": q_dedup_substring_exact,
+        # unweighted mean baseline; production: bda_weighted
+        # (WEIGHT/WEIGHT_SPECTRUM MS semantics)
+        "bda_average": q_bda_average,
+        # single-plane gridder; production: grid_wstack (w-stacked)
+        "grid_vis": q_grid_vis,
+        # all-pairs-within-radius; production: crossmatch_nearest
+        # (same zones join + per-row argmin)
+        "crossmatch": q_crossmatch,
     }
 
 
 def demoted_oracle_sql() -> dict[str, str]:
     return {
         "dedup_embedding": _embedding_dup_sql(),
+        "dedup_substring_exact": _substring_dedup_sql(60, 1),
+        "bda_average": _BDA_SQL,
+        "grid_vis": _grid_vis_sql(),
+        "crossmatch": _CROSSMATCH_SQL,
     }

@@ -21,33 +21,50 @@ existing ``taql_where`` string keeps working:
 
 Supported subset (raise otherwise so nothing silently mistranslates):
 ``&& || !`` and word-form AND/OR/NOT, comparison and arithmetic
-operators, parenthesised expressions, IN ``[...]`` lists of literals,
+operators, parenthesised (derived) expressions, IN ``[...]`` lists of
+literals and ``NOT IN``, ``BETWEEN a AND b`` / ``NOT BETWEEN``,
+SQL-style ``LIKE`` (passes through — TAQL LIKE follows SQL), TAQL
+pattern matching ``~ p/glob/`` (glob → LIKE), ``~ m/regex/``
+(→ RLIKE), ``~ f/literal/`` (exact) and the negations ``!~ ...``,
 0-based integer element access and ``[a:b]``/``[:b]``/``[a:]``
-slices on array columns, and the array reductions ``SUMSQR``/
-``SUMSQUARE``, ``SUM``, ``MIN``/``MAX``/``MEAN`` over array
-arguments are left for Spark's own functions when names coincide.
-NOT covered (translate by hand): TAQL date/time/unit literals
-(``datetime()``, ``10:30:00``), interval syntax ``[a=:=b]``,
-``~=`` near-equality, mscal derived columns.
+slices on array columns, the array reductions ``SUMSQR``/
+``SUMSQUARE`` (``SUM``/``MIN``/``MAX``/``MEAN`` over array arguments
+are left for Spark's own functions when names coincide), and the
+date/time helpers ``DATETIME('YYYY/MM/DD[/hh:mm:ss]')`` /
+``MJD('...')``: because MS TIME columns carry Modified-Julian-Date
+SECONDS (the casacore epoch convention the reference's tables use),
+``DATETIME(...)`` folds to the MJD-seconds double constant and
+``MJD(...)`` to MJD days — the same comparisons casacore performs
+after its unit conversion, now constant-folded at translation time.
+NOT covered (translate by hand): bare date/time literals
+(``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
+unit quantities, interval syntax ``[a=:=b]``, ``~=`` near-equality,
+mscal derived columns.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 
 __all__ = ["taql_where_to_sql"]
 
 _TOKEN = re.compile(r"""
     \s*(
+        [pmf]/[^/]*/       |   # TAQL pattern literal p// m// f//
         '[^']*'            |   # string literal
         "[^"]*"            |   # string literal
         \d+\.\d*(?:[eE][+-]?\d+)? |
         \.\d+(?:[eE][+-]?\d+)?    |
         \d+(?:[eE][+-]?\d+)?      |
         [A-Za-z_][A-Za-z_0-9]*    |
-        &&|\|\||==|!=|>=|<=|~=|<|>|=|
-        [()\[\],:+\-*/%!]
+        &&|\|\||==|!=|>=|<=|~=|!~|<|>|=|
+        [()\[\],:+\-*/%!~]
     )""", re.VERBOSE)
+
+# bare TAQL date literals would tokenise as integer DIVISION and
+# silently mistranslate (2016/01/01 == 2016); refuse them up front
+_BARE_DATE = re.compile(r"\b\d{4}[/-]\d{1,2}[/-]\d{1,2}\b(?![\d'])")
 
 
 def _tokenize(s: str) -> list[str]:
@@ -81,6 +98,60 @@ def _match_bracket(toks: list[str], i: int, open_b: str,
 _SUM_SQR = ("aggregate({x}, CAST(0 AS DOUBLE), "
             "(__a, __v) -> __a + __v * __v)")
 
+# casacore epoch: MJD 0 = 1858-11-17 00:00 UTC
+_MJD_EPOCH = _dt.datetime(1858, 11, 17)
+
+_DT_FORM = re.compile(
+    r"^(\d{4})[/-](\d{1,2})[/-](\d{1,2})"
+    r"(?:[/T ](\d{1,2}):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?$")
+
+
+def _taql_datetime_seconds(lit: str) -> float:
+    """Parse a TAQL/ISO date(-time) string literal to MJD seconds."""
+    txt = lit.strip().strip("'\"")
+    m = _DT_FORM.match(txt)
+    if not m:
+        raise ValueError(
+            f"taql_where_to_sql: cannot parse date/time {txt!r} — "
+            "expected 'YYYY/MM/DD[/hh:mm[:ss[.f]]]' (or ISO '-'/'T' "
+            "separators)")
+    base = _dt.datetime(int(m.group(1)), int(m.group(2)),
+                        int(m.group(3)), int(m.group(4) or 0),
+                        int(m.group(5) or 0))
+    return ((base - _MJD_EPOCH).total_seconds()
+            + float(m.group(6) or 0.0))
+
+
+def _glob_to_like(pat: str) -> str:
+    """TAQL p// glob -> SQL LIKE pattern: * -> %, ? -> _, with SQL
+    wildcard characters in the glob escaped."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _emit_pattern_match(base: str, pat_tok: str, negate: bool) -> str:
+    """``base ~ p/glob/`` / ``m/regex/`` / ``f/literal/`` -> Spark SQL
+    (TAQL pattern operators, casacore Note 199; the reference gets
+    them free from casacore)."""
+    kind, body = pat_tok[0], pat_tok[2:-1]
+    esc = body.replace("'", "''")
+    if kind == "p":
+        sql = f"{base} LIKE '{_glob_to_like(esc)}'"
+    elif kind == "m":
+        sql = f"{base} RLIKE '{esc}'"
+    else:  # f: full literal match
+        sql = f"{base} = '{esc}'"
+    return f"NOT ( {sql} )" if negate else sql
+
 
 def _emit(toks: list[str]) -> str:
     out: list[str] = []
@@ -100,6 +171,30 @@ def _emit(toks: list[str]) -> str:
                 "taql_where_to_sql: '~=' near-equality has no direct "
                 "Spark form — spell the tolerance explicitly, e.g. "
                 "abs(a - b) < 1e-5")
+        elif t in ("~", "!~"):
+            if not out:
+                raise ValueError(
+                    "taql_where_to_sql: pattern operator with no "
+                    "left operand")
+            if i + 1 >= n or not re.match(r"^[pmf]/", toks[i + 1]):
+                raise ValueError(
+                    "taql_where_to_sql: '~' must be followed by a "
+                    "p//, m// or f// pattern literal")
+            out.append(_emit_pattern_match(out.pop(), toks[i + 1],
+                                           t == "!~"))
+            i += 1
+        elif up in ("DATETIME", "MJD") and i + 1 < n \
+                and toks[i + 1] == "(":
+            j = _match_bracket(toks, i + 1, "(", ")")
+            body = toks[i + 2:j]
+            if len(body) != 1 or not body[0][:1] in ("'", '"'):
+                raise ValueError(
+                    f"taql_where_to_sql: {up}() takes one string "
+                    "literal, e.g. DATETIME('2016/01/01/12:00:00')")
+            secs = _taql_datetime_seconds(body[0])
+            out.append(repr(secs if up == "DATETIME"
+                            else secs / 86400.0))
+            i = j
         elif up in ("SUMSQR", "SUMSQUARE") and i + 1 < n \
                 and toks[i + 1] == "(":
             j = _match_bracket(toks, i + 1, "(", ")")
@@ -159,8 +254,15 @@ def taql_where_to_sql(expr: str) -> str:
     guessing."""
     if not expr or not expr.strip():
         return expr
+    unquoted = re.sub(r"'[^']*'|\"[^\"]*\"", "", expr)
+    if _BARE_DATE.search(unquoted):
+        raise ValueError(
+            "taql_where_to_sql: bare date literal — it would parse "
+            "as integer division; write DATETIME('YYYY/MM/DD') "
+            "(folds to MJD seconds) or MJD('...') (days)")
     out = _emit(_tokenize(expr))
-    if "[" in out or "]" in out:
+    bare = re.sub(r"'[^']*'|\"[^\"]*\"", "", out)
+    if "[" in bare or "]" in bare:
         raise ValueError(
             "taql_where_to_sql: '[' outside an IN-list or array "
             f"index position in {expr!r} — unsupported TAQL syntax")

@@ -19,6 +19,62 @@ def test_translation_strings():
         taql_where_to_sql("SUMSQR(UVW[:2]) < 1e6")
 
 
+def test_translation_widened_tier():
+    """Round-7 grammar tier: BETWEEN, NOT IN, LIKE passthrough, TAQL
+    pattern operators, date/time helper folding (reference WHERE
+    fragments, daskms/tests/test_ordering.py:32-117 style)."""
+    assert taql_where_to_sql("TIME BETWEEN 100 AND 200") == \
+        "TIME BETWEEN 100 AND 200"
+    assert taql_where_to_sql("FIELD_ID NOT IN [1, 3]") == \
+        "FIELD_ID NOT IN (1 , 3)"
+    assert taql_where_to_sql("NAME LIKE '3c%'") == "NAME LIKE '3c%'"
+    # p// glob: * -> %, ? -> _, SQL wildcards escaped
+    assert taql_where_to_sql("NAME ~ p/3c*_?/") == \
+        "NAME LIKE '3c%\\__'"
+    assert taql_where_to_sql("NAME ~ m/^ea[0-9]+$/") == \
+        "NAME RLIKE '^ea[0-9]+$'"
+    assert taql_where_to_sql("NAME ~ f/ea01/") == "NAME = 'ea01'"
+    assert taql_where_to_sql("NAME !~ p/3c*/") == \
+        "NOT ( NAME LIKE '3c%' )"
+    # datetime folds to MJD seconds (casacore epoch 1858-11-17);
+    # 2000-01-01 00:00 UTC is MJD 51544
+    sql = taql_where_to_sql("TIME > DATETIME('2000/01/01')")
+    assert sql == f"TIME > {51544 * 86400.0!r}"
+    assert taql_where_to_sql("T < MJD('2000-01-01')") == \
+        "T < 51544.0"
+    half = 51544 * 86400.0 + 12 * 3600 + 30 * 60 + 1.5
+    assert taql_where_to_sql(
+        "TIME <= DATETIME('2000/01/01/12:30:01.5')") == \
+        f"TIME <= {half!r}"
+
+
+def test_widened_tier_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="bare date"):
+        taql_where_to_sql("TIME > 2016/01/01")
+    with pytest.raises(ValueError, match="pattern literal"):
+        taql_where_to_sql("NAME ~ 'x'")
+    with pytest.raises(ValueError, match="one string literal"):
+        taql_where_to_sql("TIME > DATETIME(2016)")
+    with pytest.raises(ValueError, match="cannot parse"):
+        taql_where_to_sql("TIME > DATETIME('16/1')")
+
+
+def test_widened_tier_executes(spark):
+    """Pattern + BETWEEN predicates run on Spark and agree with a
+    python model."""
+    rows = [Row(NAME=n, T=float(t)) for t, n in enumerate(
+        ["3c286", "3c48", "ea01", "ea02", "j1331+305"])]
+    df = spark.createDataFrame(rows)
+    assert df.where(F.expr(taql_where_to_sql(
+        "NAME ~ p/3c*/"))).count() == 2
+    assert df.where(F.expr(taql_where_to_sql(
+        "NAME !~ m/^ea/"))).count() == 3
+    assert df.where(F.expr(taql_where_to_sql(
+        "T BETWEEN 1 AND 3 && NAME NOT IN ['ea02']"))).count() == 2
+
+
 def test_unsupported_syntax_raises():
     with pytest.raises(ValueError, match="near-equality"):
         taql_where_to_sql("a ~= b")
