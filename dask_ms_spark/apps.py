@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--taql-where", default=None,
                       help="TAQL row filter (reference syntax; "
                       "translated, see dask_ms_spark.taql)")
+    conv.add_argument("--zarr-max-chunk-mem", type=int, default=None,
+                      help="byte budget per zarr chunk file: "
+                      "row/cell chunking derived automatically "
+                      "(rechunk_by_size)")
     conv.add_argument("--zarr-compressor", default=None,
                       help="codec for zarr output as id[:level], "
                       "e.g. zlib:6 or gzip:4 (stdlib codecs)")
@@ -136,7 +140,8 @@ def main(argv: list[str] | None = None) -> int:
             index_cols=_csv(args.index_columns),
             where=args.where, output_format=args.format,
             taql_where=args.taql_where,
-            compressor=_parse_codec(args.zarr_compressor))
+            compressor=_parse_codec(args.zarr_compressor),
+            max_chunk_mem=args.zarr_max_chunk_mem)
         return 0
 
     if args.command == "fragments":

@@ -34,7 +34,8 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
                   compressor: dict | None = None,
                   descriptor: dict | str | None = None,
                   table_factory=None,
-                  create_factory=None) -> None:
+                  create_factory=None,
+                  max_chunk_mem: int | None = None) -> None:
     """Convert one table between formats (daskms/apps/convert.py:224-280).
 
     ``exclude_columns`` mirrors the CLI's ``--exclude``
@@ -58,7 +59,8 @@ def convert_table(spark: SparkSession, input_url: str, output_url: str,
                          mode=mode, compressor=compressor,
                          descriptor=descriptor,
                          table_factory=table_factory,
-                         create_factory=create_factory)
+                         create_factory=create_factory,
+                         max_chunk_mem=max_chunk_mem)
 
 
 def convert_store(spark: SparkSession, input_url: str, output_url: str,
@@ -91,7 +93,8 @@ def convert_store(spark: SparkSession, input_url: str, output_url: str,
                              compressor=kw.get("compressor"),
                              descriptor=sub_desc,
                              table_factory=kw.get("table_factory"),
-                             create_factory=kw.get("create_factory"))
+                             create_factory=kw.get("create_factory"),
+                             max_chunk_mem=kw.get("max_chunk_mem"))
 
 
 def probe(path: str) -> str:

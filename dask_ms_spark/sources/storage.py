@@ -265,7 +265,8 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
                          compressor: dict | None = None,
                          descriptor: dict | str | None = None,
                          table_factory=None,
-                         create_factory=None) -> None:
+                         create_factory=None,
+                         max_chunk_mem: int | None = None) -> None:
     """Format-dispatched write (reference daskms/dask_ms.py:383-439).
 
     ``fmt=None`` infers from the url the same way the READ side does
@@ -322,7 +323,8 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
                                descriptor=descriptor)
         return None
     return zarr.xds_to_zarr(datasets, store.path,
-                            compressor=compressor)
+                            compressor=compressor,
+                            max_chunk_mem=max_chunk_mem)
 
 
 def _datasets_session(datasets) -> SparkSession:

@@ -56,7 +56,99 @@ except Exception:  # pragma: no cover
     _zarr = None
     HAVE_ZARR = False
 
-__all__ = ["HAVE_ZARR", "xds_from_zarr", "xds_to_zarr"]
+__all__ = ["HAVE_ZARR", "xds_from_zarr", "xds_to_zarr",
+           "rechunk_by_size"]
+
+# element byte widths for the budget calculation (strings measured
+# per store: zarr v2 fixed-width unicode is 4 bytes/char)
+_ELEM_BYTES = {"boolean": 1, "tinyint": 1, "smallint": 2, "int": 4,
+               "bigint": 8, "float": 4, "double": 8}
+
+
+def rechunk_by_size(df: DataFrame, max_chunk_mem: int = 2 ** 27,
+                    unchunked_cols: Iterable[str] = ()
+                    ) -> tuple[int, dict]:
+    """Derive ``(row_chunk, cell_chunks)`` so every chunk file this
+    writer emits stays under ``max_chunk_mem`` bytes — the byte-budget
+    default that prevents 2 GiB-class chunk mistakes (reference
+    ``rechunk_by_size``, daskms/experimental/utils.py:126-218; same
+    contract, re-expressed for this writer's (row, flat-cell) chunk
+    grid).
+
+    One metadata-only aggregation measures array cell widths and max
+    string lengths (data never hits the driver).  The row chunk is
+    shared across columns (zarr rows are co-chunked so groups stay
+    slab-aligned): it is the largest row count that keeps every
+    non-splittable column's block under budget; array columns whose
+    block still exceeds the budget at that row chunk get a
+    ``cell_chunks`` entry splitting the cell axis.  ``unchunked_cols``
+    opts columns out of cell splitting (they then bound the row chunk
+    instead; a single cell larger than the budget raises).
+    """
+    if max_chunk_mem < 1:
+        raise ValueError(f"max_chunk_mem must be >= 1, "
+                         f"got {max_chunk_mem}")
+    unchunked = set(unchunked_cols)
+    fields = [f for f in df.schema.fields if f.name != ROWID]
+    aggs = []
+    for f in fields:
+        if isinstance(f.dataType, ArrayType):
+            aggs.append(F.max(F.size(f.name)).alias(f"__w_{f.name}"))
+            if isinstance(f.dataType.elementType, StringType):
+                aggs.append(F.max(F.array_max(F.transform(
+                    F.col(f.name), F.length))).alias(f"__sl_{f.name}"))
+        elif isinstance(f.dataType, StringType):
+            aggs.append(F.max(F.length(f.name)).alias(f"__sl_{f.name}"))
+    meta = df.agg(*aggs).first() if aggs else {}
+
+    def itemsize(f) -> int:
+        t = (f.dataType.elementType if isinstance(f.dataType, ArrayType)
+             else f.dataType)
+        s = t.simpleString()
+        if s == "string":
+            return 4 * max(1, int(meta[f"__sl_{f.name}"] or 1))
+        if s == "timestamp":
+            return 8
+        if s not in _ELEM_BYTES:
+            raise ValueError(f"rechunk_by_size: unsupported element "
+                             f"type {s!r} for column {f.name}")
+        return _ELEM_BYTES[s]
+
+    row_bound = None
+    widths, sizes = {}, {}
+    for f in fields:
+        isz = itemsize(f)
+        w = (max(1, int(meta[f"__w_{f.name}"] or 1))
+             if isinstance(f.dataType, ArrayType) else 1)
+        widths[f.name], sizes[f.name] = w, isz
+        splittable = (isinstance(f.dataType, ArrayType)
+                      and f.name not in unchunked)
+        if w * isz > max_chunk_mem:
+            # one row exceeds the budget: only a cell split can help
+            if not splittable:
+                raise ValueError(
+                    f"rechunk_by_size: one row of column {f.name!r} "
+                    f"is {w * isz} bytes, over the {max_chunk_mem}-"
+                    "byte budget, and the column is not cell-"
+                    "splittable — raise the budget or allow splitting")
+            bound = max(1, max_chunk_mem // isz)
+        else:
+            # whole cells preferred: splits only happen when a single
+            # row cannot fit (slab-aligned reads stay cheap)
+            bound = max_chunk_mem // (w * isz)
+        row_bound = bound if row_bound is None else min(row_bound,
+                                                        bound)
+    row_chunk = max(1, row_bound if row_bound is not None
+                    else max_chunk_mem)
+    cell_chunks = {}
+    for f in fields:
+        w, isz = widths[f.name], sizes[f.name]
+        if (isinstance(f.dataType, ArrayType)
+                and f.name not in unchunked
+                and row_chunk * w * isz > max_chunk_mem):
+            cell_chunks[f.name] = max(1, max_chunk_mem
+                                      // (row_chunk * isz))
+    return row_chunk, cell_chunks
 
 DEFAULT_ROW_CHUNK = 10_000  # reference default chunking (daskms/reads.py:33)
 
@@ -322,7 +414,8 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
                 table: str = "MAIN",
                 row_chunk: int = DEFAULT_ROW_CHUNK,
                 cell_chunks: dict | None = None,
-                compressor: dict | None = None) -> list[int]:
+                compressor: dict | None = None,
+                max_chunk_mem: int | None = None) -> list[int]:
     """Write datasets to a zarr store, one group ``{table}_{i}`` per
     dataset (reference ``xds_to_zarr``,
     daskms/experimental/zarr/__init__.py:270-364; group naming
@@ -334,6 +427,11 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
     sliced reads (``xds_from_zarr(..., slices=...)``) prune whole
     files — choose it to match the dominant read slab (e.g. channel
     blocks of a DATA column).
+
+    ``max_chunk_mem`` (bytes) switches to the byte-budget default:
+    ``row_chunk``/``cell_chunks`` are DERIVED per dataset via
+    :func:`rechunk_by_size` so no chunk file exceeds the budget
+    (explicit ``row_chunk``/``cell_chunks`` are ignored when set).
     """
     if isinstance(datasets, DataFrame):
         datasets = [Dataset(datasets, {})]
@@ -343,6 +441,9 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
     _write_json(os.path.join(store, ".zgroup"), {"zarr_format": 2})
     counts = []
     for i, ds in enumerate(datasets):
+        if max_chunk_mem is not None:
+            row_chunk, cell_chunks = rechunk_by_size(ds.df,
+                                                     max_chunk_mem)
         attrs = {}
         for k, v in ds.attrs.items():
             if k == PARTITION_KEY:

@@ -488,3 +488,55 @@ def test_zarr_to_bda_pipeline(spark, tmp_path):
     keep = [i for i in range(8) if i % 4 != 0]
     assert r1.data_mean[0] == sum(10.0 + i for i in keep) / len(keep)
     assert len([k for k in got if k[0] == 2]) == 8   # long: 2s bins
+
+
+def test_rechunk_by_size_budget_respected(spark, tmp_path):
+    """S8 byte-budget default (reference rechunk_by_size,
+    daskms/experimental/utils.py:126-218): derived chunking keeps
+    every chunk file under budget, splits wide cells, and the store
+    round-trips value-identical."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.sources.zarr import (rechunk_by_size,
+                                            xds_from_zarr, xds_to_zarr)
+    from dask_ms_spark.types import ROWID
+
+    # 200 rows x 256-double cells = 2048 B/row
+    df = spark.range(200).select(
+        F.col("id").alias(ROWID),
+        F.col("id").cast("double").alias("T"),
+        F.expr("transform(sequence(1, 256), "
+               "i -> cast(id * 1000 + i as double))").alias("DATA"))
+
+    # budget 16 KiB: row_chunk bounded by DATA (2048 B/row -> 8 rows)
+    rc, cc = rechunk_by_size(df, max_chunk_mem=16384)
+    assert rc == 8 and cc == {}
+
+    # budget 1 KiB: one DATA row (2048 B) busts it -> cell split
+    rc2, cc2 = rechunk_by_size(df, max_chunk_mem=1024)
+    assert rc2 * 8 <= 1024                        # T chunks fit
+    assert "DATA" in cc2
+    assert rc2 * cc2["DATA"] * 8 <= 1024          # DATA chunks fit
+
+    # unchunkable wide cell raises rather than busting the budget
+    with pytest.raises(ValueError, match="not cell-splittable"):
+        rechunk_by_size(df, max_chunk_mem=1024,
+                        unchunked_cols=["DATA"])
+
+    # write with the budget: every chunk FILE on disk is under it,
+    # and the store round-trips
+    store = str(tmp_path / "budgeted.zarr")
+    xds_to_zarr(df, store, max_chunk_mem=4096)
+    over = [(p, os.path.getsize(os.path.join(r, p)))
+            for r, _d, files in os.walk(store) for p in files
+            if not p.startswith(".")
+            and os.path.getsize(os.path.join(r, p)) > 4096]
+    assert over == [], f"chunk files over budget: {over}"
+    (back,) = xds_from_zarr(spark, store)
+    got = {r[ROWID]: r for r in back.df.collect()}
+    assert len(got) == 200
+    assert got[7].DATA[:3] == [7001.0, 7002.0, 7003.0]
+    assert got[199].T == 199.0
