@@ -4294,16 +4294,19 @@ def q_gain_solve(spark, sf_dir):
          .alias("gim_q"))
 
 
-_GAIN_SOLVE_SQL = """
+# shared CTE chain: synthetic V_pq = G_p conj(G_q) visibilities and
+# the two quantised antsol iterations; the gain_solve oracle projects
+# g2, the applycal oracle applies g2 back onto vis
+_GAIN_CTES = """
     WITH base AS (
-        SELECT vec_id % 8 AS a1, (vec_id // 8) % 8 AS a2,
+        SELECT vec_id, vec_id % 8 AS a1, (vec_id // 8) % 8 AS a2,
                1.0 + 0.05 * cast(vec_id % 8 as double) AS ap,
                0.02 * cast(vec_id % 8 as double) AS bp,
                1.0 + 0.05 * cast((vec_id // 8) % 8 as double) AS aq,
                0.02 * cast((vec_id // 8) % 8 as double) AS bq,
                1.0 + 0.001 * cast(vec_id % 7 as double) AS s
         FROM embeddings),
-    vis AS (SELECT a1, a2,
+    vis AS (SELECT vec_id, a1, a2,
                    s * (ap * aq + bp * bq) AS vre,
                    s * (bp * aq - ap * bq) AS vim
             FROM base WHERE a1 < a2),
@@ -4343,10 +4346,158 @@ _GAIN_SOLVE_SQL = """
                   0.5 * g.gre + (0.5 * i.sre) / i.sd AS gre,
                   0.5 * g.gim + (0.5 * i.sim) / i.sd AS gim
            FROM it2 i JOIN g1 g ON g.antenna = i.antenna)
+"""
+
+_GAIN_SOLVE_SQL = _GAIN_CTES + """
     SELECT antenna,
            cast(round(gre * 1000000) as bigint) AS gre_q,
            cast(round(gim * 1000000) as bigint) AS gim_q
     FROM g2
+"""
+
+
+def q_applycal(spark, sf_dir):
+    """applycal — solve then CORRECT (functions/complexf.py
+    apply_gains mode='correct' on gain_solve's solutions): the
+    visibilities are divided by G_p conj(G_q), spelled V * conj(g) /
+    |g|^2 so the whole correction is one codegen'd projection; both
+    gain attachments are broadcast joins (the fact table never
+    shuffles — the applycal contract at 100 TB of DATA)."""
+    from dask_ms_spark.functions.complexf import apply_gains
+    from dask_ms_spark.operators.calibration import gain_solve
+
+    embs = _t(spark, sf_dir, "embeddings")
+    p = (F.col("vec_id") % 8).cast("double")
+    q = ((F.col("vec_id") / 8).cast("long") % 8).cast("double")
+    ap, bp = 1.0 + 0.05 * p, 0.02 * p
+    aq, bq = 1.0 + 0.05 * q, 0.02 * q
+    s = 1.0 + 0.001 * (F.col("vec_id") % 7).cast("double")
+    d = embs.select(
+        "vec_id",
+        (F.col("vec_id") % 8).alias("antenna1"),
+        ((F.col("vec_id") / 8).cast("long") % 8).alias("antenna2"),
+        F.array(s * (ap * aq + bp * bq),
+                s * (bp * aq - ap * bq)).alias("vis")) \
+        .where(F.col("antenna1") < F.col("antenna2"))
+    gains = gain_solve(d, vis_col="vis", iters=2, damping=0.5)
+    out = apply_gains(d, gains, ant1_col="antenna1",
+                      ant2_col="antenna2", data_col="vis",
+                      mode="correct")
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("vis_corrected", 1) * F.lit(1e6))
+         .cast("long").alias("cre_q"),
+        F.round(F.element_at("vis_corrected", 2) * F.lit(1e6))
+         .cast("long").alias("cim_q"))
+
+
+_APPLYCAL_SQL = _GAIN_CTES + """
+    , gp AS (SELECT v.vec_id, v.vre, v.vim,
+                    p.gre * q.gre + p.gim * q.gim AS pr,
+                    p.gim * q.gre - p.gre * q.gim AS pi
+             FROM vis v JOIN g2 p ON p.antenna = v.a1
+                        JOIN g2 q ON q.antenna = v.a2)
+    SELECT vec_id,
+           cast(round((vre * pr + vim * pi) / (pr * pr + pi * pi)
+                      * 1000000.0) as bigint) AS cre_q,
+           cast(round((vim * pr - vre * pi) / (pr * pr + pi * pi)
+                      * 1000000.0) as bigint) AS cim_q
+    FROM gp
+"""
+
+
+def q_flag_grow(spark, sf_dir):
+    """Morphological flag dilation (operators/rfi.py flag_grow, the
+    CASA flagdata growtime/growfreq pass): separable rectangle
+    dilation as two window maxima over one posexplode — keyed
+    exchanges only, no joins, no driver round trips."""
+    from dask_ms_spark.operators.rfi import flag_grow
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        (F.col("vec_id") % 4).alias("b"),
+        F.col("vec_id").alias("t"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") > F.lit(0.35))
+         .alias("flag"))
+    out = flag_grow(d, "t", ["b"], "flag",
+                    time_radius=2, chan_radius=1)
+    return out.select(
+        "b", F.col("t").alias("vec_id"),
+        F.col("n_grown").cast("long").alias("n_grown"),
+        F.array_join(F.transform(
+            "flag_grown",
+            lambda f: F.when(f, F.lit("1")).otherwise(F.lit("0"))),
+            ",").alias("flag_csv"))
+
+
+_FLAG_GROW_SQL = """
+    WITH v AS (SELECT vec_id % 4 AS b, vec_id AS t,
+                      list_transform(embedding,
+                                     x -> cast(x as double) > 0.35)
+                      AS fl
+               FROM embeddings),
+    e AS (SELECT b, t, i - 1 AS pos, fl[i] AS f
+          FROM v, UNNEST(range(1, len(fl) + 1)) AS u(i)),
+    gt AS (SELECT *, max(CASE WHEN f THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY b, pos ORDER BY t
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ft
+           FROM e),
+    gc AS (SELECT *, max(ft) OVER (
+                 PARTITION BY b, t ORDER BY pos
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1 AS fc
+           FROM gt)
+    SELECT b, t AS vec_id,
+           cast(sum(CASE WHEN fc AND NOT f THEN 1 ELSE 0 END)
+                as bigint) AS n_grown,
+           array_to_string(list(CASE WHEN fc THEN '1' ELSE '0' END
+                                ORDER BY pos), ',') AS flag_csv
+    FROM gc GROUP BY b, t
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (llm/corpus.py ngram_novelty):
+    fraction of a doc's distinct word trigrams appearing in no other
+    document — grams shuffle as 8-byte md5-derived hashes, never
+    strings; one explode, one df aggregation, one hash-keyed join
+    back, one doc-keyed aggregation."""
+    from dask_ms_spark.llm.corpus import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, n=3)
+    return out.select(
+        "doc_id", F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round(F.col("novelty") * 1e6).cast("long").alias("novelty_q"))
+
+
+def _ngram_novelty_sql() -> str:
+    gram = "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]"
+    h = _DUCK_HASH.format(x=gram)
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE regexp_split_to_array(
+                               trim(lower(text)), '\\s+') END AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, len(w) - 2), i -> {h}))
+                 AS grams
+          FROM t WHERE len(w) >= 3),
+    e AS (SELECT doc_id, unnest(grams) AS g FROM g),
+    dfq AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+    sc AS (SELECT doc_id, cast(count(*) as bigint) AS n_distinct,
+                  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                       as bigint) AS n_novel
+           FROM e JOIN dfq USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(sc.n_distinct, 0) AS n_distinct,
+           coalesce(sc.n_novel, 0) AS n_novel,
+           cast(round(cast(sc.n_novel as double) / sc.n_distinct
+                      * 1000000.0) as bigint) AS novelty_q
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
@@ -5599,8 +5750,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
         # ==== driver window ends here (position 50) ====
-        # -- last driver row r4, below window: these 17 lead round 8
-        #    (after any r7-session debuts) --
+        # -- r7-session debuts, below window: verified via
+        #    tools/check_oracle at sf0.01 this session; they lead
+        #    round 8's window --
+        "applycal": q_applycal,
+        "flag_grow": q_flag_grow,
+        "ngram_novelty": q_ngram_novelty,
+        # -- last driver row r4, below window: these 17 follow the
+        #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
         "group_partition": q_group_partition,
         "sorted_read": q_sorted_read,
@@ -6166,6 +6323,9 @@ def oracle_sql() -> dict[str, str]:
         "resample_interp": _RESAMPLE_INTERP_SQL,
         "rfi_flag": _rfi_flag_sql(),
         "gain_solve": _GAIN_SOLVE_SQL,
+        "applycal": _APPLYCAL_SQL,
+        "flag_grow": _FLAG_GROW_SQL,
+        "ngram_novelty": _ngram_novelty_sql(),
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -164,9 +164,16 @@ def phase_rotate(data: Column, u: Column, v: Column, w: Column,
 def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
                 ant2_col: str = "ANTENNA2", data_col: str = "DATA",
                 antenna_col: str = "antenna", gain_col: str = "gain",
-                out_col: str | None = None):
-    """Apply diagonal antenna gains to visibilities (the applycal
-    primitive): ``corrected = G_p * V_pq * conj(G_q)`` per channel.
+                out_col: str | None = None, mode: str = "corrupt"):
+    """Apply diagonal antenna gains to visibilities per channel.
+
+    ``mode="corrupt"`` multiplies the model INTO the gains (the
+    forward measurement equation): ``V' = G_p * V_pq * conj(G_q)``.
+    ``mode="correct"`` is the applycal direction — divide the
+    observed data by the gains: ``V' = V_pq / (G_p * conj(G_q))``,
+    spelled as multiplication by the conjugate over the squared
+    magnitude so the whole correction stays in codegen (rows whose
+    gain product has zero magnitude raise rather than emitting Inf).
 
     ``gains`` is a per-antenna table with ``gain_col`` an interleaved
     complex array matching the DATA channel count (a solution
@@ -177,6 +184,8 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
     DATA this is the difference between a free map-side pass and an
     impossible repartition).
     """
+    if mode not in ("corrupt", "correct"):
+        raise ValueError(f"apply_gains: unknown mode {mode!r}")
     out_col = out_col or f"{data_col}_corrected"
     gp = F.broadcast(gains.select(
         F.col(antenna_col).alias(ant1_col),
@@ -189,8 +198,19 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
         & (F.size("__gq") == F.size(F.col(data_col))),
         F.col(data_col)).otherwise(F.raise_error(F.lit(
             "apply_gains: gain channel count disagrees with DATA")))
-    corrected = c_mul(c_mul(F.col("__gp"), checked),
-                      c_conj(F.col("__gq")))
+    gprod = c_mul(F.col("__gp"), c_conj(F.col("__gq")))
+    if mode == "corrupt":
+        corrected = c_mul(gprod, checked)
+    else:
+        # V / g = V * conj(g) / |g|^2, channel-wise; |g|^2 expanded
+        # to interleaved layout so the divide is one zip_with
+        mag2 = c_expand_mask(c_abs2(gprod))
+        mag2 = F.transform(mag2, lambda m: F.when(
+            m > 0, m).otherwise(F.raise_error(F.lit(
+                "apply_gains: zero-magnitude gain product — cannot "
+                "correct; flag the antenna instead"))))
+        corrected = F.zip_with(c_mul(checked, c_conj(gprod)), mag2,
+                               lambda v, m: v / m)
     return (vis.join(gp, ant1_col).join(gq, ant2_col)
             .withColumn(out_col, corrected)
             .drop("__gp", "__gq"))

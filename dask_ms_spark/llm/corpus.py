@@ -21,7 +21,67 @@ from ..session import ensure_parallelism
 __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
            "lm_perplexity", "chunk_documents", "corpus_diff",
-           "substring_dedup", "collocations_pmi", "char_entropy"]
+           "substring_dedup", "collocations_pmi", "char_entropy",
+           "ngram_novelty"]
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  reference: DataFrame | None = None) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in NO other document — high for
+    original text, low for templated/duplicated/memorised content.
+    The complement of the boilerplate signal: where
+    :func:`phrase_boilerplate` surfaces the corpus's most-repeated
+    phrases, this scores each document by how much of it is repeated
+    anywhere.  With ``reference`` given, novelty is measured against
+    that corpus instead (e.g. "how much of this batch is new vs the
+    training set" — the dataset-curation freshness check).
+
+    Scale shape: one explode produces distinct (doc, gram-hash) pairs
+    (grams shuffle as 8-byte md5-derived hashes, never strings — the
+    dedup-family discipline); gram document-frequency is one keyed
+    aggregation; the join back is gram-hash-keyed; the final
+    aggregation is doc-keyed.  No driver round trips, no collects.
+    Returns ``(id_col, n_distinct, n_novel, novelty)``; documents
+    with fewer than ``n`` tokens have no n-grams and report novelty
+    NULL over 0 grams.
+    """
+    if n < 1:
+        raise ValueError(f"ngram_novelty: n must be >= 1, got {n}")
+
+    def doc_grams(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: portable_hash64(F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)])))
+        return (frame.where(F.size(toks) >= n)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(grams)).alias("g")))
+
+    mine = doc_grams(docs)
+    if reference is None:
+        # a gram is novel when its document frequency is exactly 1
+        # (it lives only in this document)
+        df_ = mine.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        novel = F.col("__df") == 1
+        joined = mine.join(df_, "g")
+    else:
+        ref = doc_grams(reference).select("g").distinct() \
+            .withColumn("__seen", F.lit(True))
+        novel = F.col("__seen").isNull()
+        joined = mine.join(ref, "g", "left")
+    scored = (joined.groupBy(F.col("id").alias(id_col))
+              .agg(F.count(F.lit(1)).alias("n_distinct"),
+                   F.sum(novel.cast("long")).alias("n_novel")))
+    base = docs.select(F.col(id_col))
+    return (base.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                    (F.col("n_novel") / F.col("n_distinct"))
+                    .alias("novelty")))
 
 
 def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,

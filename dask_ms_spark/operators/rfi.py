@@ -26,7 +26,56 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["rfi_flag", "sigma_clip", "sumthreshold_flag"]
+__all__ = ["rfi_flag", "sigma_clip", "sumthreshold_flag", "flag_grow"]
+
+
+def flag_grow(df: DataFrame, time_col: str,
+              baseline_cols: Iterable[str], flag_col: str,
+              time_radius: int = 1, chan_radius: int = 1,
+              out_col: str = "flag_grown") -> DataFrame:
+    """Morphological flag dilation — the "extend/grow flags" pass MS
+    pipelines run after any detector (RFI edges leak into adjacent
+    samples below the detection threshold; aoflagger/tricolour and
+    CASA's flagdata growtime/growfreq do exactly this on the same
+    per-baseline FLAG chunks dask-ms serves, daskms/reads.py:58-75).
+
+    A cell becomes flagged when ANY flagged cell lies within
+    ``time_radius`` rows (same baseline, time-ordered) and
+    ``chan_radius`` channel positions — dilation by a rectangular
+    structuring element, computed SEPARABLY (grow over time, then
+    over channel), which is exactly the rectangle dilation at two
+    1-d passes' cost.
+
+    Scale shape: positions explode once; the two passes are window
+    maxima over (baseline, pos)-by-time and (baseline, time)-by-pos —
+    keyed exchanges with no joins and no driver round trips, the
+    rfi_flag layout.  ``time_col`` must be unique per baseline (the
+    MS row grid).  Returns baseline cols, time, ``out_col`` (grown
+    bool array) and ``n_grown`` (newly flagged cells per row).
+    """
+    if time_radius < 0 or chan_radius < 0:
+        raise ValueError("flag_grow: radii must be >= 0, got "
+                         f"({time_radius}, {chan_radius})")
+    baseline_cols = list(baseline_cols)
+    ex = df.select(*baseline_cols,
+                   F.col(time_col).alias("__t"),
+                   F.posexplode(F.col(flag_col)).alias("__pos", "__f"))
+    w_t = (Window.partitionBy(*baseline_cols, "__pos").orderBy("__t")
+           .rowsBetween(-time_radius, time_radius))
+    w_c = (Window.partitionBy(*baseline_cols, "__t").orderBy("__pos")
+           .rowsBetween(-chan_radius, chan_radius))
+    grown = (ex.withColumn("__ft", F.max(F.col("__f").cast("int"))
+                           .over(w_t))
+             .withColumn("__fc", F.max("__ft").over(w_c) == 1))
+    return (grown
+            .withColumn("__new", (F.col("__fc") & ~F.col("__f"))
+                        .cast("long"))
+            .groupBy(*baseline_cols, "__t")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__fc"))),
+                lambda s: s["__fc"]).alias(out_col),
+                F.sum("__new").alias("n_grown"))
+            .withColumnRenamed("__t", time_col))
 
 
 def rfi_flag(df: DataFrame, time_col: str,

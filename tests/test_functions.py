@@ -464,6 +464,26 @@ def test_apply_gains_matches_numpy_and_broadcasts(spark):
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
+    # correct mode inverts corrupt mode exactly: corrupt -> correct
+    # round-trips the original DATA (the applycal direction)
+    back = apply_gains(
+        out.select("ANTENNA1", "ANTENNA2",
+                   F.col("DATA_corrected").alias("DATA"),
+                   F.col("DATA").alias("ORIG")),
+        gdf, mode="correct")
+    for r in back.collect():
+        assert np.allclose(r.DATA_corrected, r.ORIG)
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        apply_gains(vis, gdf, mode="invert")
+    # zero-magnitude gain product raises at execution
+    zg = spark.createDataFrame(
+        [Row(antenna=a, gain=[0.0, 0.0, 1.0, 0.0])
+         for a in (0, 1, 2)], "antenna long, gain array<double>")
+    with pytest.raises(Exception, match="zero-magnitude"):
+        apply_gains(vis, zg, mode="correct").collect()
+
 
 def test_log_log_fit_matches_numpy(spark):
     """Spectral-index fit vs numpy.polyfit on log-log axes; zero/

@@ -1060,3 +1060,59 @@ def test_logistic_train_matches_python_model(spark):
         logistic_train(df, ["x"], "y", iters=0)
     with pytest.raises(ValueError, match="weights"):
         logistic_score(df, ["x"], [0.1, 0.2, 0.3])
+
+
+def test_ngram_novelty_matches_python(spark):
+    """Per-doc novelty vs a python set model: duplicated docs score
+    0, unique docs 1, the mixed doc in between; reference-corpus mode
+    scores against the other frame."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.corpus import ngram_novelty
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (2, "entirely original sentence about spark physics here"),
+        (3, "the quick brown fox went somewhere entirely new today"),
+        (4, "hi"),                                   # < n tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_novelty(df, n=3).collect()}
+
+    # python model
+    def grams(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    from collections import Counter
+    dfreq = Counter()
+    per = {i: grams(t) for i, t in docs}
+    for gs in per.values():
+        for g in gs:
+            dfreq[g] += 1
+    for i, t in docs:
+        gs = per[i]
+        if not gs:
+            assert out[i].n_distinct == 0 and out[i].novelty is None
+            continue
+        novel = sum(1 for g in gs if dfreq[g] == 1)
+        assert out[i].n_distinct == len(gs)
+        assert out[i].n_novel == novel
+        assert abs(out[i].novelty - novel / len(gs)) < 1e-12
+    assert out[0].novelty == 0.0 and out[1].novelty == 0.0
+    assert out[2].novelty == 1.0
+    assert 0.0 < out[3].novelty < 1.0
+
+    # reference mode: doc 3 vs corpus {0} — shared prefix grams seen
+    ref = spark.createDataFrame(docs[:1], "doc_id long, text string")
+    r3 = {r.doc_id: r for r in ngram_novelty(
+        df.where("doc_id = 3"), n=3, reference=ref).collect()}[3]
+    shared = sum(1 for g in per[3] if g in per[0])
+    assert r3.n_novel == len(per[3]) - shared
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_novelty(df, n=0)

@@ -1382,3 +1382,50 @@ def test_sumthreshold_matches_python_model(spark):
         sumthreshold_flag(df, "t", ["b"], "x", chi1, rho, (4, 2))
     with pytest.raises(ValueError, match="chi1"):
         sumthreshold_flag(df, "t", ["b"], "x", 0.0)
+
+
+def test_flag_grow_matches_python_dilation(spark):
+    """Separable rectangle dilation vs a direct python model over a
+    (time, channel) grid with planted flags; radii 0 = identity."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.rfi import flag_grow
+
+    nt, nc = 10, 8
+    rng = np.random.RandomState(5)
+    flags = rng.rand(nt, nc) < 0.12
+    flags[4, 3] = True
+    rows = [Row(t=float(t), a1=1, a2=2,
+                flag=[bool(v) for v in flags[t]])
+            for t in range(nt)]
+    df = spark.createDataFrame(
+        rows, "t double, a1 int, a2 int, flag array<boolean>")
+
+    for tr, cr in ((1, 1), (2, 0), (0, 3)):
+        out = {r.t: r for r in flag_grow(
+            df, "t", ["a1", "a2"], "flag",
+            time_radius=tr, chan_radius=cr).collect()}
+        want = np.zeros_like(flags)
+        for t in range(nt):
+            for c in range(nc):
+                t0, t1 = max(0, t - tr), min(nt, t + tr + 1)
+                c0, c1 = max(0, c - cr), min(nc, c + cr + 1)
+                want[t, c] = flags[t0:t1, c0:c1].any()
+        for t in range(nt):
+            assert list(out[float(t)].flag_grown) == \
+                [bool(v) for v in want[t]], (tr, cr, t)
+            assert out[float(t)].n_grown == \
+                int(want[t].sum() - flags[t].sum())
+
+    # radius 0 in both dims is the identity
+    ident = {r.t: r for r in flag_grow(
+        df, "t", ["a1", "a2"], "flag", 0, 0).collect()}
+    for t in range(nt):
+        assert list(ident[float(t)].flag_grown) == \
+            [bool(v) for v in flags[t]]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="radii"):
+        flag_grow(df, "t", ["a1", "a2"], "flag", -1, 0)
