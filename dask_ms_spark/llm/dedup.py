@@ -38,7 +38,7 @@ __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
            "embedding_dup_pairs", "embedding_dup_pairs_gemm",
            "embedding_dup_pairs_bucketed", "incremental_dedup",
-           "edit_distance_pairs"]
+           "edit_distance_pairs", "containment_pairs"]
 
 
 def normalize_text(text: Column) -> Column:
@@ -448,6 +448,84 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     jac = (inter / union).alias("jaccard")
     return (joined.select("id_a", "id_b", jac)
                   .where(F.col("jaccard") >= threshold))
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      threshold: float = 0.9,
+                      max_doc_freq: int = 50,
+                      min_matches: int = 3) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs — the quote/subset
+    detector: ``C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``.
+
+    A snippet pasted into a much larger document has containment ~1
+    but LOW Jaccard (for size ratio ``r = |A|/|B|`` and containment
+    ``t``, ``J = t·r / (1 + r − t·r)``), so the resemblance pipeline
+    (:func:`lsh_jaccard_pairs`) structurally misses it — measured: a
+    90-char quote inside a 1000-char page sits at J ≈ 0.09, where
+    even 8×2 banding collides in under 6% of cases.  MinHash
+    estimates RESEMBLANCE; containment needs its own candidate
+    stage.
+
+    Candidates here come from a document-frequency-CAPPED inverted
+    index: postings on the shingle hashes, shingles appearing in more
+    than ``max_doc_freq`` documents dropped (boilerplate — its pairs
+    are resemblance territory), pairs sharing at least
+    ``min_matches`` surviving shingles proceed to the EXACT verify on
+    the full shingle-hash sets.  Deterministic end to end (portable
+    hashes, integer df cap), so any mirror engine derives the
+    identical pair set.
+
+    Scale shape: the posting self-join fans out at most
+    ``max_doc_freq²`` pairs per shingle — the cap is the load bound,
+    exactly like ``max_bucket_size`` in the LSH family; the verify
+    joins touch only surviving candidates.  Documented recall bound:
+    a snippet whose EVERY shingle is boilerplate (df > cap) yields no
+    candidates — by then it is boilerplate itself
+    (``phrase_boilerplate``'s territory).
+
+    Returns ``(id_a, id_b, cont_a_in_b, cont_b_in_a, containment)``
+    with ``containment = max(both directions) >= threshold``; values
+    rounded to 6 decimals (engine-mirrorable).
+    """
+    if max_doc_freq < 2:
+        raise ValueError("containment_pairs: max_doc_freq must be "
+                         f">= 2, got {max_doc_freq}")
+    shingles = char_ngrams(normalize_text(F.col(text_col)), n)
+    hset_tbl = (ensure_parallelism(docs)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(shingles).alias("s"))
+                .select("id", (portable_hash64(F.col("s"))
+                               % F.lit(MINHASH_P)).alias("h"))
+                .groupBy("id").agg(F.collect_set("h").alias("hset"))
+                .persist())
+    postings = hset_tbl.select("id", F.explode("hset").alias("h"))
+    rare = (postings.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_doc_freq)
+            .select("h"))
+    capped = postings.join(rare, "h")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (a.join(b, on="h")
+             .where(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("__shared"))
+             .where(F.col("__shared") >= min_matches)
+             .select("id_a", "id_b"))
+    joined = (cand
+              .join(hset_tbl.select(F.col("id").alias("id_a"),
+                                    F.col("hset").alias("ha")), "id_a")
+              .join(hset_tbl.select(F.col("id").alias("id_b"),
+                                    F.col("hset").alias("hb")), "id_b"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    out = joined.select(
+        "id_a", "id_b",
+        F.round(inter / F.size("ha"), 6).alias("cont_a_in_b"),
+        F.round(inter / F.size("hb"), 6).alias("cont_b_in_a"))
+    return (out.withColumn("containment",
+                           F.greatest("cont_a_in_b", "cont_b_in_a"))
+               .where(F.col("containment") >= threshold))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",

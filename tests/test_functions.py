@@ -826,3 +826,60 @@ def test_uvcontsub_removes_linear_continuum(spark):
     short = spark.createDataFrame([Row(v=[7.0])])
     assert short.select(uvcontsub(F.col("v")).alias("o")) \
         .collect()[0].o == [7.0]
+
+
+def test_mscal_derived_columns_match_python(spark):
+    """HA/PA/elevation vs a direct python model (USNO GMST short
+    form); elevation at the pole and the zenith sanity-checked."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.mscal import (elevation_deg,
+                                               gmst_hours,
+                                               hour_angle_deg,
+                                               parallactic_angle_deg)
+
+    lon, lat = 21.443, -30.712           # MeerKAT site (public)
+    rows = [Row(t=5.02e9 + i * 7919.0, ra=(i * 37.0) % 360.0,
+                dec=-60.0 + (i * 13.0) % 110.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "t double, ra double, dec double")
+    out = df.select(
+        "t", "ra", "dec",
+        gmst_hours(F.col("t")).alias("gmst"),
+        hour_angle_deg(F.col("t"), F.lit(lon), F.col("ra")).alias("ha"),
+        parallactic_angle_deg(F.col("t"), F.lit(lon), F.lit(lat),
+                              F.col("ra"), F.col("dec")).alias("pa"),
+        elevation_deg(F.col("t"), F.lit(lon), F.lit(lat),
+                      F.col("ra"), F.col("dec")).alias("el")).collect()
+
+    for r in out:
+        d = r.t / 86400.0 - 51544.5
+        gmst = (18.697374558 + 24.06570982441908 * d) % 24.0
+        assert abs(r.gmst - gmst) < 1e-9
+        ha = ((gmst * 15.0 + lon - r.ra) % 360.0 + 360.0) % 360.0
+        if ha > 180.0:
+            ha -= 360.0
+        assert abs(r.ha - ha) < 1e-9
+        har, latr, decr = (math.radians(ha), math.radians(lat),
+                           math.radians(r.dec))
+        pa = math.degrees(math.atan2(
+            math.sin(har),
+            math.tan(latr) * math.cos(decr)
+            - math.sin(decr) * math.cos(har)))
+        assert abs(r.pa - pa) < 1e-9
+        el = math.degrees(math.asin(
+            math.sin(latr) * math.sin(decr)
+            + math.cos(latr) * math.cos(decr) * math.cos(har)))
+        assert abs(r.el - el) < 1e-9
+        assert -24.0 < r.gmst < 24.0 and -180.0 < r.ha <= 180.0
+
+    # a source at the south celestial pole sits at elevation |lat|
+    # from a southern site, at any time
+    pole = spark.createDataFrame(
+        [Row(t=5.02e9 + i * 1e5) for i in range(5)], "t double")
+    els = pole.select(elevation_deg(
+        F.col("t"), F.lit(lon), F.lit(lat), F.lit(0.0),
+        F.lit(-90.0)).alias("el")).collect()
+    for r in els:
+        assert abs(r.el - abs(lat)) < 1e-9

@@ -1116,3 +1116,44 @@ def test_ngram_novelty_matches_python(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         ngram_novelty(df, n=0)
+
+
+def test_containment_pairs_finds_quotes(spark):
+    """Asymmetric containment: a snippet pasted into a much larger
+    doc is found at high containment despite low Jaccard (which the
+    resemblance threshold would miss); containment values match a
+    python shingle-set model."""
+    from dask_ms_spark.llm.dedup import (containment_pairs,
+                                         lsh_jaccard_pairs,
+                                         normalize_text)
+
+    snippet = ("the five boxing wizards jump quickly over the lazy "
+               "riverbank while autumn leaves fall")
+    filler = " ".join(f"unique filler word{i} segment{i * 7}"
+                      for i in range(40))
+    big = filler[:len(filler) // 2] + " " + snippet + " " \
+        + filler[len(filler) // 2:]
+    docs = [(0, snippet), (1, big),
+            (2, "completely unrelated text about spark physics")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = containment_pairs(df, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    assert r.cont_a_in_b > 0.95          # snippet ⊂ big
+    assert r.cont_b_in_a < 0.5           # big ⊄ snippet
+
+    # python model of the exact containment on shingle sets
+    def shingles(t):
+        s = " ".join(t.lower().split())
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    sa, sb = shingles(docs[0][1]), shingles(docs[1][1])
+    want = len(sa & sb) / len(sa)
+    assert abs(r.cont_a_in_b - want) < 2e-3  # hash collisions mod P
+
+    # the same pair is BELOW a resemblance threshold: jaccard ~ r·t
+    jac = lsh_jaccard_pairs(df, threshold=0.5,
+                            prefilter_margin=0.5).collect()
+    assert all((p.id_a, p.id_b) != (0, 1) for p in jac)
