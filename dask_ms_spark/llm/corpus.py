@@ -22,7 +22,65 @@ __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
            "lm_perplexity", "chunk_documents", "corpus_diff",
            "substring_dedup", "collocations_pmi", "char_entropy",
-           "ngram_novelty"]
+           "ngram_novelty", "dedup_paragraphs"]
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n",
+                     min_chars: int = 1) -> DataFrame:
+    """CCNet-style paragraph-level deduplication: drop every
+    paragraph that already occurred earlier in the corpus (first
+    occurrence wins, ordered by (doc, position)), rebuild each
+    document from its surviving paragraphs.
+
+    The crawl-cleaning pass resemblance dedup does not cover: two
+    pages sharing one boilerplate paragraph are NOT near-dups, yet
+    the repeated paragraph must go exactly once into training data
+    (Wenzek et al., CCNet, 2020 — public).  Normalisation for the
+    duplicate test is the dedup-family ``normalize_text`` (original
+    paragraph text is what survives).
+
+    Scale shape: paragraphs explode once with their position; the
+    first-occurrence choice is ONE window rank over the paragraph
+    HASH (8-byte md5-derived keys shuffle, paragraph text rides only
+    to the rebuild); the rebuild is one doc-keyed aggregation.
+    Returns ``(id_col, text, n_paragraphs, n_kept)`` — ``text``
+    rebuilt with ``sep``, empty docs (all paragraphs duplicated)
+    keep an empty string.  ``min_chars`` skips sub-threshold
+    paragraphs from the dedup test (kept verbatim: whitespace
+    fragments should not collide corpus-wide).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import portable_hash64
+    from .dedup import normalize_text
+
+    import re as _re
+
+    paras = (docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col),
+                             _re.escape(sep), -1))
+         .alias("pos", "para")))
+    h = F.when(F.length(normalize_text(F.col("para"))) >= min_chars,
+               portable_hash64(normalize_text(F.col("para"))))
+    hashed = paras.withColumn("__h", h)
+    w = Window.partitionBy("__h").orderBy("id", "pos")
+    kept = (hashed.withColumn(
+        "__rn", F.when(F.col("__h").isNull(), F.lit(1))
+                 .otherwise(F.row_number().over(w)))
+        .withColumn("__keep", F.col("__rn") == 1))
+    return (kept.groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_paragraphs"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.concat_ws(sep, F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         "pos", "__keep", "para"))),
+                     lambda s: F.when(s["__keep"], s["para"])))
+                 .alias("__joined"))
+            .select(id_col,
+                    F.col("__joined").alias("text"),
+                    "n_paragraphs", "n_kept"))
 
 
 def ngram_novelty(docs: DataFrame, text_col: str = "text",

@@ -1157,3 +1157,37 @@ def test_containment_pairs_finds_quotes(spark):
     jac = lsh_jaccard_pairs(df, threshold=0.5,
                             prefilter_margin=0.5).collect()
     assert all((p.id_a, p.id_b) != (0, 1) for p in jac)
+
+
+def test_dedup_paragraphs_ccnet(spark):
+    """CCNet paragraph dedup: the first occurrence of a repeated
+    paragraph (by (doc, position) order) survives, later copies are
+    removed, documents rebuild in original paragraph order, and
+    whitespace-normalised variants collide."""
+    from dask_ms_spark.llm.corpus import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (0, f"alpha one\n\n{boiler}\n\nbeta two"),
+        (1, f"{boiler}\n\ngamma three"),          # boiler dup -> drop
+        (2, "gamma  three\n\ndelta four"),        # ws-variant of doc1's
+        (3, f"{boiler.upper()}\n\nepsilon"),      # case-variant -> dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+
+    assert out[0].text == docs[0][1]              # all first occurrences
+    assert out[0].n_paragraphs == 3 and out[0].n_kept == 3
+    assert out[1].text == "gamma three"
+    assert out[1].n_kept == 1
+    # doc2's "gamma  three" normalises equal to doc1's "gamma three",
+    # which came earlier -> dropped
+    assert out[2].text == "delta four"
+    assert out[3].text == "epsilon"
+
+    # a doc that is ALL duplicates rebuilds to the empty string
+    df2 = spark.createDataFrame(
+        [(0, "x\n\ny"), (1, "x\n\ny")], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in dedup_paragraphs(df2).collect()}
+    assert out2[0].text == "x\n\ny"
+    assert out2[1].text == "" and out2[1].n_kept == 0

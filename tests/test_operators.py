@@ -1429,3 +1429,62 @@ def test_flag_grow_matches_python_dilation(spark):
 
     with pytest.raises(ValueError, match="radii"):
         flag_grow(df, "t", ["a1", "a2"], "flag", -1, 0)
+
+
+def test_flagversions_save_restore_diff(spark, tmp_path):
+    """flagmanager workflow: save FLAG before an aggressive pass,
+    restore it after, list/delete bookkeeping, diff counts changed
+    cells — restore is a lazy overlay, saved flags win by ROWID."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.operators.flagversions import (
+        delete_flagversion, diff_flagversions, list_flagversions,
+        restore_flagversion, save_flagversion)
+    from dask_ms_spark.types import ROWID
+
+    store = str(tmp_path / "ms.flagversions")
+    n = 20
+    base = spark.range(n).select(
+        F.col("id").alias(ROWID),
+        F.col("id").cast("double").alias("TIME"),
+        F.expr("transform(sequence(0, 3), c -> id % 7 = c)")
+         .alias("FLAG"))
+    save_flagversion(base, store, "before_rfi", comment="pre-pass")
+
+    # "aggressive pass": flag everything on even rows
+    flagged = base.withColumn(
+        "FLAG", F.when(F.col(ROWID) % 2 == 0,
+                       F.expr("array(true, true, true, true)"))
+                 .otherwise(F.col("FLAG")))
+    save_flagversion(flagged, store, "after_rfi")
+
+    names = [m["name"] for m in list_flagversions(store)]
+    assert names == ["after_rfi", "before_rfi"]
+    assert list_flagversions(store)[1]["comment"] == "pre-pass"
+
+    # restore onto the flagged frame brings the original flags back
+    restored = restore_flagversion(spark, flagged, store, "before_rfi")
+    want = {r[ROWID]: r.FLAG for r in base.collect()}
+    for r in restored.collect():
+        assert r.FLAG == want[r[ROWID]], r[ROWID]
+        assert r.TIME == float(r[ROWID])     # non-flag columns intact
+
+    d = {r[ROWID]: r for r in diff_flagversions(
+        spark, store, "before_rfi", "after_rfi").collect()}
+    for i in range(n):
+        if i % 2 == 0:
+            assert d[i].n_changed == (4 if i % 7 > 3 else 3)
+            assert d[i].n_flagged_b == 4
+        else:
+            assert d[i].n_changed == 0
+
+    delete_flagversion(store, "after_rfi")
+    assert [m["name"] for m in list_flagversions(store)] == \
+        ["before_rfi"]
+    with pytest.raises(ValueError, match="no flagversion"):
+        restore_flagversion(spark, flagged, store, "after_rfi")
+    with pytest.raises(ValueError, match="invalid flagversion"):
+        save_flagversion(base, store, "../evil")
+    with pytest.raises(ValueError, match="absent"):
+        save_flagversion(base.drop("FLAG"), store, "x")
