@@ -4430,6 +4430,95 @@ _APPLYCAL_SQL = _GAIN_CTES + """
 """
 
 
+def q_sample_unimax(spark, sf_dir):
+    """UniMax mixture sampling (llm/sampling.py sample_unimax):
+    capped waterfilling computed declaratively on the |groups|-row
+    stats table (closed form of the paper's iterative allocation),
+    upsampling materialised as epoch copies with the partial epoch
+    on the coordinated hash filter."""
+    from dask_ms_spark.llm.sampling import sample_unimax
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_unimax(docs, "doc_id", "source", budget=200000.0,
+                        max_epochs=1.4, count_col="n_chars")
+    return out.select("doc_id", "source",
+                      F.col("epoch").cast("int").alias("epoch"))
+
+
+def _sample_unimax_sql(budget: float = 200000.0,
+                       max_epochs: float = 1.4) -> str:
+    bucket = (_DUCK_HASH.format(
+        x="cast(doc_id as varchar) || 'unimax'") + " % 1000000")
+    return f"""
+    WITH stats AS (SELECT source, cast(sum(n_chars) as double) AS s
+                   FROM documents GROUP BY source),
+    caps AS (SELECT source, s, s * {max_epochs!r} AS c FROM stats),
+    o AS (SELECT *,
+                 row_number() OVER (ORDER BY c, source) AS j,
+                 count(*) OVER () AS k,
+                 coalesce(sum(c) OVER (ORDER BY c, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0.0) AS sprev,
+                 coalesce(lag(c) OVER (ORDER BY c, source), 0.0)
+                     AS cprev
+          FROM caps),
+    tt AS (SELECT min(CASE WHEN tj <= c AND tj >= cprev THEN tj END)
+                  AS tstar
+           FROM (SELECT *, ({budget!r} - sprev) / (k - j + 1) AS tj
+                 FROM o)),
+    rates AS (SELECT source, least(c, coalesce(tstar, c)) / s AS rt
+              FROM caps CROSS JOIN tt),
+    cand AS (SELECT d.doc_id, d.source, u.e AS epoch, r.rt
+             FROM documents d JOIN rates r USING (source),
+                  UNNEST(range(0, cast(floor(r.rt) as bigint) + 1))
+                  AS u(e))
+    SELECT doc_id, source, cast(epoch as int) AS epoch
+    FROM cand
+    WHERE epoch < floor(rt)
+       OR {bucket} < cast(floor((rt - floor(rt)) * 1000000)
+                          as bigint)
+    """
+
+
+def q_noise_estimate(spark, sf_dir):
+    """Successive-difference thermal-noise estimator per baseline
+    (operators/calibration.py noise_estimate, the wsclean/CASA QA
+    staple): one posexplode, one (baseline, pos)-keyed window lag,
+    one baseline-keyed fixed-point aggregation."""
+    from dask_ms_spark.operators.calibration import noise_estimate
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        (F.col("vec_id") % 4).alias("b"),
+        F.col("vec_id").alias("t"),
+        F.transform(F.slice("embedding", 1, 8),
+                    lambda x: x.cast("double")).alias("vis"))
+    out = noise_estimate(d, "t", ["b"], "vis")
+    return out.select(
+        "b", F.col("n_diff_terms").cast("long").alias("n_diff_terms"),
+        F.round(F.col("sigma") * 1e6).cast("long").alias("sigma_q"))
+
+
+_NOISE_ESTIMATE_SQL = """
+    WITH v AS (SELECT vec_id % 4 AS b, vec_id AS t,
+                      list_transform(embedding[1:8],
+                                     x -> cast(x as double)) AS vis
+               FROM embeddings),
+    e AS (SELECT b, t, i - 1 AS pos, vis[i] AS x
+          FROM v, UNNEST(range(1, len(vis) + 1)) AS u(i)),
+    d AS (SELECT b, pos,
+                 x - lag(x) OVER (PARTITION BY b, pos ORDER BY t) AS dd
+          FROM e),
+    q AS (SELECT b, cast(round(dd * dd * 1048576.0) as bigint) AS dsq
+          FROM d WHERE dd IS NOT NULL)
+    SELECT b, cast(count(*) as bigint) AS n_diff_terms,
+           cast(round(sqrt(cast(sum(dsq) as double) / 1048576.0
+                           / count(*) / 2.0) * 1000000.0)
+                as bigint) AS sigma_q
+    FROM q GROUP BY b
+"""
+
+
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric containment pairs (llm/dedup.py containment_pairs,
     the quote/subset detector): df-capped inverted-index candidates
@@ -5898,6 +5987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "parallactic_angle": q_parallactic_angle,
         "dedup_containment": q_dedup_containment,
+        "noise_estimate": q_noise_estimate,
+        "sample_unimax": q_sample_unimax,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6470,6 +6561,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _ngram_novelty_sql(),
         "parallactic_angle": _PARALLACTIC_SQL,
         "dedup_containment": _containment_sql(),
+        "noise_estimate": _NOISE_ESTIMATE_SQL,
+        "sample_unimax": _sample_unimax_sql(),
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

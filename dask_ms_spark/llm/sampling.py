@@ -23,7 +23,7 @@ __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
            "sample_temperature", "curriculum_order",
            "stratified_sample", "negative_sampling",
            "sample_to_mixture",
-           "sample_weighted", "sample_quota"]
+           "sample_weighted", "sample_quota", "sample_unimax"]
 
 _BUCKETS = 1_000_000
 
@@ -361,6 +361,88 @@ def sample_temperature(df: DataFrame, id_col: str, stratum_col: str,
     return (df.join(F.broadcast(rates), stratum_col)
               .where(bucket < cut)
               .drop("__rate"))
+
+
+def sample_unimax(df: DataFrame, id_col: str, group_col: str,
+                  budget: float, max_epochs: float = 1.0,
+                  count_col: str | None = None,
+                  salt: str = "unimax") -> DataFrame:
+    """UniMax mixture sampling (Chung et al., "UniMax: Fairer and
+    More Effective Language Sampling", 2023 — public): allocate a
+    total ``budget`` (rows, or ``count_col`` mass) as UNIFORMLY as
+    possible across groups while capping each group at ``max_epochs``
+    passes over its data — the multilingual mixture that avoids both
+    head-language domination and tail-language over-epoching.
+
+    The paper's iterative allocation equals capped WATERFILLING and
+    has a closed form: with ``cap_g = s_g * max_epochs``, find the
+    threshold ``t*`` solving ``sum_g min(cap_g, t*) = budget``; then
+    ``u_g = min(cap_g, t*)`` (all caps when the budget covers them).
+    Here t* is computed DECLARATIVELY on the |groups|-row stats table
+    — one sort plus a running sum picks the unique valid waterfill
+    segment — so there is no driver loop and no collect; the stats
+    table broadcasts back onto the stream.
+
+    Upsampling is materialised: each row emits epochs
+    ``0 .. floor(u_g/s_g)`` via a sequence explode, with the final
+    PARTIAL epoch kept by the coordinated hash filter (same
+    ``hash_bucket`` discipline as every sampler here) — so
+    ``u_g > s_g`` genuinely repeats the group's rows and a trainer
+    can ORDER BY (epoch, hash) downstream.  Returns the input columns
+    plus ``epoch``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if budget <= 0:
+        raise ValueError(f"sample_unimax: budget must be > 0, "
+                         f"got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"sample_unimax: max_epochs must be > 0, "
+                         f"got {max_epochs}")
+    n = (F.sum(F.col(count_col).cast("double")) if count_col
+         else F.count(F.lit(1)).cast("double"))
+    stats = df.groupBy(group_col).agg(n.alias("__s"))
+    stats = stats.select(group_col, F.when(
+        F.col("__s").isNull() | (F.col("__s") <= 0),
+        F.raise_error(F.lit(
+            "sample_unimax: group mass is NULL or <= 0 — check "
+            "count_col"))).otherwise(F.col("__s")).alias("__s"))
+    caps = stats.withColumn("__c", F.col("__s")
+                            * F.lit(float(max_epochs)))
+    w = Window.orderBy("__c", group_col)
+    wall = Window.orderBy("__c", group_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    b = F.lit(float(budget))
+    o = (caps
+         .withColumn("__j", F.row_number().over(w))
+         .withColumn("__k", F.count(F.lit(1)).over(
+             Window.partitionBy()))
+         .withColumn("__sprev", F.coalesce(F.sum("__c").over(wall),
+                                           F.lit(0.0)))
+         .withColumn("__cprev", F.coalesce(F.lag("__c").over(w),
+                                           F.lit(0.0)))
+         .withColumn("__tj", (b - F.col("__sprev"))
+                     / (F.col("__k") - F.col("__j") + 1)))
+    tstar = o.agg(F.min(F.when(
+        (F.col("__tj") <= F.col("__c"))
+        & (F.col("__tj") >= F.col("__cprev")),
+        F.col("__tj"))).alias("__tstar"))
+    rates = (caps.crossJoin(F.broadcast(tstar))
+             .select(group_col,
+                     (F.least(F.col("__c"),
+                              F.coalesce(F.col("__tstar"),
+                                         F.col("__c")))
+                      / F.col("__s")).alias("__rt")))
+    full = F.floor(F.col("__rt")).cast("int")
+    cut = F.floor((F.col("__rt") - F.floor(F.col("__rt")))
+                  * F.lit(_BUCKETS)).cast("bigint")
+    bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
+    return (df.join(F.broadcast(rates), group_col)
+            .select("*", F.explode(F.sequence(F.lit(0), full))
+                    .alias("epoch"))
+            .where((F.col("epoch") < full) | (bucket < cut))
+            .drop("__rt"))
 
 
 def curriculum_order(df: DataFrame, id_col: str, score_col: str,

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gain_solve", "delay_fit", "unwrap_phases",
-           "closure_phases", "predict_vis", "uvw_from_baseline"]
+           "closure_phases", "predict_vis", "uvw_from_baseline",
+           "noise_estimate"]
 
 
 def _qsum(c, scale: float):
@@ -171,6 +172,49 @@ def delay_fit(df: DataFrame, vis_col: str, freqs_hz: list,
         (slope / F.lit(2.0 * math.pi)).alias("delay_s"),
         phase0.alias("phase0"),
         F.lit(n).cast("long").alias("n_chan")))
+
+
+def noise_estimate(vis: DataFrame, time_col: str,
+                   baseline_cols: list, vis_col: str,
+                   quantize_scale: int = 1 << 20) -> DataFrame:
+    """Successive-difference thermal-noise estimator per baseline —
+    the QA staple (used by wsclean/CASA sensitivity reporting):
+
+        sigma^2 = mean over cells of |V(t) - V(t-1)|^2 / 2
+
+    Differencing adjacent integrations cancels the slowly-varying sky
+    signal and doubles the noise variance, so the estimator reads the
+    thermal noise even on-source.  ``vis_col`` is an interleaved
+    complex array; summing squared differences over the interleaved
+    positions IS the |.|^2 sum, each component difference carries
+    variance 2 sigma^2, so with n interleaved terms
+    ``sigma = sqrt(ssq / n / 2)`` (sigma is the per-component noise,
+    the MS SIGMA convention).
+
+    Scale shape: positions explode once; ONE window lag keyed
+    (baseline, position) ordered by time; ONE baseline-keyed
+    aggregation of int64-quantised squared differences (fixed-point
+    discipline: shuffle-order deterministic, engine-mirrorable).
+    Returns (baseline_cols..., n_diff_terms, sigma).
+    """
+    baseline_cols = list(baseline_cols)
+    qs = float(quantize_scale)
+    ex = vis.select(*baseline_cols,
+                    F.col(time_col).alias("__t"),
+                    F.posexplode(F.col(vis_col)).alias("__pos", "__x"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*baseline_cols, "__pos").orderBy("__t")
+    d = F.col("__x").cast("double") - F.lag(F.col("__x").cast("double")
+                                            ).over(w)
+    terms = ex.withColumn("__dsq", F.round(d * d * F.lit(qs))
+                          .cast("long"))
+    return (terms.where(F.col("__dsq").isNotNull())
+            .groupBy(*baseline_cols)
+            .agg(F.count(F.lit(1)).alias("n_diff_terms"),
+                 (F.sqrt(F.sum("__dsq").cast("double") / F.lit(qs)
+                         / F.count(F.lit(1)) / F.lit(2.0)))
+                 .alias("sigma")))
 
 
 def closure_phases(vis: DataFrame, ant1_col: str = "antenna1",

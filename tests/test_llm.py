@@ -1191,3 +1191,56 @@ def test_dedup_paragraphs_ccnet(spark):
     out2 = {r.doc_id: r for r in dedup_paragraphs(df2).collect()}
     assert out2[0].text == "x\n\ny"
     assert out2[1].text == "" and out2[1].n_kept == 0
+
+
+def test_sample_unimax_waterfill(spark):
+    """UniMax allocation vs a python capped-waterfill model: budget
+    splits as uniformly as caps allow, capped groups take exactly
+    max_epochs passes, upsampled groups materialise repeated epochs,
+    and realised masses track the allocation."""
+    import math
+
+    from dask_ms_spark.llm.sampling import sample_unimax
+
+    # groups: tiny (upsampled to cap), mid, huge (waterfilled down)
+    sizes = {"tiny": 50, "mid": 400, "huge": 2000}
+    rows = [(f"{g}-{i}", g) for g, m in sizes.items()
+            for i in range(m)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    budget, max_epochs = 1200.0, 2.0
+
+    # python waterfill: t* with sum min(cap, t*) = budget
+    caps = {g: m * max_epochs for g, m in sizes.items()}
+    lo, hi = 0.0, max(caps.values())
+    for _ in range(200):
+        t = (lo + hi) / 2
+        if sum(min(c, t) for c in caps.values()) < budget:
+            lo = t
+        else:
+            hi = t
+    alloc = {g: min(c, t) for g, c in caps.items()}
+    assert abs(sum(alloc.values()) - budget) < 1e-6
+
+    out = sample_unimax(df, "doc_id", "source", budget,
+                        max_epochs=max_epochs)
+    got = out.groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in got}
+    for g, m in sizes.items():
+        want = alloc[g]
+        # full epochs are exact; the partial epoch is a ~hash-rate
+        # subset, so allow sampling tolerance on the fractional part
+        assert abs(got[g] - want) <= max(8, 0.1 * m), (g, got[g], want)
+    # tiny is capped at exactly max_epochs full passes (frac 0)
+    assert got["tiny"] == sizes["tiny"] * int(max_epochs)
+    eps = {r.epoch for r in out.where("source = 'tiny'")
+           .select("epoch").distinct().collect()}
+    assert eps == {0, 1}
+
+    # budget >= sum of caps: every group takes all its caps
+    full = sample_unimax(df, "doc_id", "source", 1e9, max_epochs=2.0)
+    assert full.count() == sum(int(2 * m) for m in sizes.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        sample_unimax(df, "doc_id", "source", 0.0)

@@ -1488,3 +1488,34 @@ def test_flagversions_save_restore_diff(spark, tmp_path):
         save_flagversion(base, store, "../evil")
     with pytest.raises(ValueError, match="absent"):
         save_flagversion(base.drop("FLAG"), store, "x")
+
+
+def test_noise_estimate_recovers_sigma(spark):
+    """Successive-difference estimator: on constant-signal + gaussian
+    noise it recovers the planted sigma (within sampling error) and
+    matches the python model exactly at the fixed-point scale."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import noise_estimate
+
+    rng = np.random.RandomState(11)
+    nt, nch, sigma = 400, 4, 0.25
+    rows = []
+    signal = rng.rand(nch * 2) * 10.0          # constant per channel
+    for t in range(nt):
+        vis = signal + rng.normal(0.0, sigma, nch * 2)
+        rows.append(Row(t=float(t), a1=1, a2=2,
+                        vis=[float(v) for v in vis]))
+    df = spark.createDataFrame(
+        rows, "t double, a1 int, a2 int, vis array<double>")
+    (got,) = noise_estimate(df, "t", ["a1", "a2"], "vis").collect()
+    assert got.n_diff_terms == (nt - 1) * nch * 2
+    assert abs(got.sigma - sigma) < 0.02       # ~4k diff terms
+
+    # exact python mirror of the quantised pipeline
+    qs = float(1 << 20)
+    arr = np.array([r.vis for r in rows])
+    dsq = np.round((arr[1:] - arr[:-1]) ** 2 * qs).astype(np.int64)
+    want = float(np.sqrt(dsq.sum() / qs / dsq.size / 2.0))
+    assert abs(got.sigma - want) < 1e-12
