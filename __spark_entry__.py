@@ -6065,7 +6065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bodies; their r5 rows carry the union coverage) --
         "pivot": q_pivot,
         "unpivot": q_unpivot,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # dedup_embedding (exact all-pairs GEMM baseline) DEMOTED in
         # round 6 per the r5 verdict: redundant beside the bucketed
         # production variant below; its r5 driver row is green and
@@ -6472,7 +6471,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_sig": _minhash_sig_sql(),
-        "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
         "sample_mixture": _mixture_sql(),
         "zorder_layout": _zorder_sql(),
@@ -8183,6 +8181,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         # all-pairs-within-radius; production: crossmatch_nearest
         # (same zones join + per-row argmin)
         "crossmatch": q_crossmatch,
+        # uncapped LSH-jaccard; production: dedup_lsh_capped (same
+        # lsh_jaccard_pairs pipeline WITH max_bucket_size, the
+        # 10x-stress-proven load bound) — r5 driver row green
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     }
 
 
@@ -8193,4 +8195,5 @@ def demoted_oracle_sql() -> dict[str, str]:
         "bda_average": _BDA_SQL,
         "grid_vis": _grid_vis_sql(),
         "crossmatch": _CROSSMATCH_SQL,
+        "dedup_ngram_jaccard": _lsh_jaccard_sql(),
     }
