@@ -6065,12 +6065,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bodies; their r5 rows carry the union coverage) --
         "pivot": q_pivot,
         "unpivot": q_unpivot,
-        # dedup_embedding (exact all-pairs GEMM baseline) DEMOTED in
-        # round 6 per the r5 verdict: redundant beside the bucketed
-        # production variant below; its r5 driver row is green and
-        # the query+oracle live on in demoted_queries()/
-        # demoted_oracle_sql(), swept by tools/check_oracle.py and a
-        # pytest guard — zero coverage loss, one less bench query
+        # dedup_embedding (r6) and dedup_ngram_jaccard (r7) DEMOTED
+        # per the r5/r6 verdicts: each is the un-bounded baseline of
+        # a production variant that stays registered
+        # (dedup_embedding_bucketed below; dedup_lsh_capped above).
+        # Both had green driver rows when demoted and live on in
+        # demoted_queries()/demoted_oracle_sql(), swept by
+        # tools/check_oracle.py and a pytest guard — zero coverage
+        # loss, two fewer bench queries
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "text_bpe": q_text_bpe,
         "text_winnow": q_text_winnow,
