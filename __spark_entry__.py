@@ -6083,7 +6083,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_drop": q_dedup_minhash_drop,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         "sample_split": q_sample_split,
@@ -6472,7 +6471,6 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY 1
         """,
-        "dedup_minhash_sig": _minhash_sig_sql(),
         "dedup_lsh_capped": _lsh_jaccard_sql(max_bucket_size=10),
         "sample_mixture": _mixture_sql(),
         "zorder_layout": _zorder_sql(),
@@ -8155,12 +8153,14 @@ def oracle_sql() -> dict[str, str]:
 def demoted_queries() -> dict[str, Callable[[SparkSession, str],
                                             DataFrame]]:
     """Queries demoted from the driver registry (still supported
-    library surface): each had a green driver CORRECTNESS row when
-    demoted, is redundant beside a production variant that remains
+    library surface): each was oracle-verified green when demoted
+    (driver CORRECTNESS row or judge/check_oracle sweep — noted per
+    entry), is redundant beside a production variant that remains
     registered, and keeps its oracle below — swept by
     tools/check_oracle.py and guarded by pytest so the code path
     cannot rot.  Demotions exist to bound the bench sweep's
-    wall-clock as the registry grows (r5 verdict item 3)."""
+    wall-clock as the registry grows (r5 verdict item 3, r6 item
+    8)."""
     return {
         # exact all-pairs GEMM baseline; production variant:
         # dedup_embedding_bucketed (r5 row green when demoted)
@@ -8187,6 +8187,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         # lsh_jaccard_pairs pipeline WITH max_bucket_size, the
         # 10x-stress-proven load bound) — r5 driver row green
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # raw signature-table observable; production variants
+        # dedup_minhash_drop / dedup_lsh_capped exercise the same
+        # minhash_table signatures end-to-end — r5 driver row green
+        "dedup_minhash_sig": q_dedup_minhash_sig,
     }
 
 
@@ -8198,4 +8202,5 @@ def demoted_oracle_sql() -> dict[str, str]:
         "grid_vis": _grid_vis_sql(),
         "crossmatch": _CROSSMATCH_SQL,
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
+        "dedup_minhash_sig": _minhash_sig_sql(),
     }
