@@ -1519,3 +1519,35 @@ def test_noise_estimate_recovers_sigma(spark):
     dsq = np.round((arr[1:] - arr[:-1]) ** 2 * qs).astype(np.int64)
     want = float(np.sqrt(dsq.sum() / qs / dsq.size / 2.0))
     assert abs(got.sigma - want) < 1e-12
+
+
+def test_crossmatch_block_width_boundary_regression(spark):
+    """r6-advice regression: with ceil-sized RA blocks the realised
+    width (360/n_blocks) could be NARROWER than the worst-case RA
+    separation — radius=1, max_abs_dec=0.5 gives worst dRA 1.0000381
+    deg vs exactly 1.0-deg blocks, so a pair separated by slightly
+    more than one block width was silently dropped.  floor-sizing
+    (plus the 1e-9 margin) keeps every block at least that wide."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.crossmatch import (angular_sep_deg,
+                                                    crossmatch_sky)
+    from pyspark.sql import functions as F
+
+    radius, mad, dec = 1.0, 0.5, 0.5
+    # dRA chosen between 1.0 (the old block width) and the true
+    # worst-case separation at this dec
+    for ra0 in (0.99998, 179.5, 359.4):     # incl. the 360 wrap
+        dra = 1.000030
+        left = spark.createDataFrame([Row(id=1, ra=ra0, dec=dec)])
+        right = spark.createDataFrame(
+            [Row(id=2, ra=(ra0 + dra) % 360.0, dec=dec)])
+        sep = left.crossJoin(
+            right.selectExpr("ra AS ra2", "dec AS dec2")).select(
+            angular_sep_deg(F.col("ra"), F.col("dec"),
+                            F.col("ra2"), F.col("dec2")).alias("s")) \
+            .collect()[0].s
+        assert sep <= radius          # a genuine match by distance
+        pairs = crossmatch_sky(left, right, radius,
+                               max_abs_dec=mad).collect()
+        assert len(pairs) == 1, f"boundary pair dropped at ra0={ra0}"

@@ -1191,3 +1191,52 @@ def test_manifest_prunes_files(spark, tmp_path):
     # executor-side guard surfaces as a PythonException wrapper
     with pytest.raises(Exception, match="absent"):
         build_manifest(spark, path, ["nope"]).collect()
+
+
+def test_manifest_int64_precision_and_truncation_guard(spark, tmp_path):
+    """r6-advice regression: int64 statistics above 2^53 must compare
+    as longs (the str->double round trip rounded them and could prune
+    a file that actually matches); 64-byte string statistics are
+    treated as possibly writer-truncated and never prune."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.sources.manifest import (build_manifest,
+                                                prune_files,
+                                                read_pruned)
+
+    big = 2 ** 53 + 1                       # not double-representable
+    tmp = str(tmp_path / "bigint")
+    os.makedirs(tmp)
+    pd.DataFrame({"k": [big, big + 10]}).to_parquet(
+        os.path.join(tmp, "a.parquet"))
+    pd.DataFrame({"k": [5, 6]}).to_parquet(
+        os.path.join(tmp, "b.parquet"))
+    man = build_manifest(spark, tmp, ["k"])
+    rows = {os.path.basename(r.file): r for r in man.collect()}
+    assert rows["a.parquet"].min_long == big       # typed, exact
+    assert rows["a.parquet"].max_long == big + 10
+
+    # exact-value query: double math would see min == 2^53 and could
+    # prune on [big+1, big+10]; long compare keeps the file
+    kept = prune_files(man, "k", big, big)
+    assert [os.path.basename(f) for f in kept] == ["a.parquet"]
+    got = read_pruned(spark, man, "k", big, big)
+    assert [r.k for r in got.collect()] == [big]
+
+    # string stats at the 64-byte truncation boundary: recorded as
+    # missing -> the file is conservatively kept for any bound
+    tmp2 = str(tmp_path / "longstr")
+    os.makedirs(tmp2)
+    pd.DataFrame({"s": ["x" * 64, "y" * 64]}).to_parquet(
+        os.path.join(tmp2, "c.parquet"))
+    pd.DataFrame({"s": ["aa", "ab"]}).to_parquet(
+        os.path.join(tmp2, "d.parquet"))
+    man2 = build_manifest(spark, tmp2, ["s"])
+    srows = {os.path.basename(r.file): r for r in man2.collect()}
+    assert srows["c.parquet"].min_value is None
+    assert srows["d.parquet"].min_value == "aa"
+    kept2 = {os.path.basename(f)
+             for f in prune_files(man2, "s", "zz", "zzz")}
+    # d is provably out of range; c has no usable stats -> kept
+    assert kept2 == {"c.parquet"}
