@@ -4430,6 +4430,85 @@ _APPLYCAL_SQL = _GAIN_CTES + """
 """
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (chars per BPE-ish token —
+    the tokenizer-budget planning number: languages with high
+    fertility cost fewer tokens per char): one map-side
+    regexp_extract_all count feeding a keyed aggregate.  The token
+    regex (functions/text.py BPE_TOKEN_PATTERN) is RE2-safe, so the
+    DuckDB oracle runs the identical pattern."""
+    from dask_ms_spark.functions.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    out = (docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text").cast("long")).alias("n_chars"),
+                F.sum(bpe_token_count(F.col("text")).cast("long"))
+                .alias("n_tokens")))
+    return out.select(
+        "lang", "n_docs", "n_chars", "n_tokens",
+        F.round(F.col("n_chars") / F.col("n_tokens") * 1e6)
+         .cast("long").alias("fertility_q"))
+
+
+def _tokenizer_fertility_sql() -> str:
+    from dask_ms_spark.functions.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+    WITH d AS (SELECT lang, length(text) AS c,
+                      len(regexp_extract_all(text, '{pat}')) AS t
+               FROM documents)
+    SELECT lang, cast(count(*) as bigint) AS n_docs,
+           cast(sum(c) as bigint) AS n_chars,
+           cast(sum(t) as bigint) AS n_tokens,
+           cast(round(cast(sum(c) as bigint)
+                      / cast(sum(t) as bigint) * 1000000.0)
+                as bigint) AS fertility_q
+    FROM d GROUP BY lang
+"""
+
+
+def q_scan_summary(spark, sf_dir):
+    """listobs per-scan summary (operators/listobs.py scan_summary):
+    one keyed aggregate with map-side combine; distinct baselines
+    ride an 8-byte packed key."""
+    from dask_ms_spark.operators.listobs import scan_summary
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        (F.col("vec_id") % 5).alias("SCAN_NUMBER"),
+        (F.col("vec_id") % 5 % 2).alias("FIELD_ID"),
+        F.col("vec_id").cast("double").alias("TIME"),
+        (F.col("vec_id") % 7).alias("ANTENNA1"),
+        ((F.col("vec_id") / 7).cast("long") % 7).alias("ANTENNA2"),
+        F.slice("embedding", 1, 8).alias("DATA"))
+    out = scan_summary(d, data_col="DATA")
+    return out.select(
+        F.col("scan").cast("long").alias("scan"),
+        F.col("field").cast("long").alias("field"),
+        "time_min", "time_max",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_baselines").cast("long").alias("n_baselines"),
+        F.col("n_vis").cast("long").alias("n_vis"))
+
+
+_SCAN_SUMMARY_SQL = """
+    WITH v AS (SELECT vec_id % 5 AS scan, vec_id % 5 % 2 AS field,
+                      cast(vec_id as double) AS t,
+                      vec_id % 7 AS a1, (vec_id // 7) % 7 AS a2,
+                      len(embedding[1:8]) AS w
+               FROM embeddings)
+    SELECT scan, field, min(t) AS time_min, max(t) AS time_max,
+           cast(count(*) as bigint) AS n_rows,
+           cast(count(DISTINCT greatest(a1, a2) * 65536
+                               + least(a1, a2)) as bigint)
+               AS n_baselines,
+           cast(sum(w) as bigint) AS n_vis
+    FROM v GROUP BY scan, field
+"""
+
+
 def q_sample_unimax(spark, sf_dir):
     """UniMax mixture sampling (llm/sampling.py sample_unimax):
     capped waterfilling computed declaratively on the |groups|-row
@@ -5989,6 +6068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "noise_estimate": q_noise_estimate,
         "sample_unimax": q_sample_unimax,
+        "scan_summary": q_scan_summary,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6561,6 +6642,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _containment_sql(),
         "noise_estimate": _NOISE_ESTIMATE_SQL,
         "sample_unimax": _sample_unimax_sql(),
+        "scan_summary": _SCAN_SUMMARY_SQL,
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -1551,3 +1551,35 @@ def test_crossmatch_block_width_boundary_regression(spark):
         pairs = crossmatch_sky(left, right, radius,
                                max_abs_dec=mad).collect()
         assert len(pairs) == 1, f"boundary pair dropped at ra0={ra0}"
+
+
+def test_listobs_summaries(spark):
+    """listobs parity: per-scan rows and the one-row header agree
+    with python models over a synthetic MS-shaped frame."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.listobs import ms_summary, scan_summary
+
+    rows = []
+    for scan, field in ((1, 0), (2, 0), (3, 1)):
+        for t in range(scan * 10, scan * 10 + 5):
+            for a1, a2 in ((0, 1), (0, 2), (1, 2)):
+                rows.append(Row(SCAN_NUMBER=scan, FIELD_ID=field,
+                                TIME=float(t), ANTENNA1=a1,
+                                ANTENNA2=a2,
+                                DATA=[1.0] * 8))
+    df = spark.createDataFrame(rows)
+
+    per = {(r.scan, r.field): r for r in
+           scan_summary(df, data_col="DATA").collect()}
+    assert set(per) == {(1, 0), (2, 0), (3, 1)}
+    s1 = per[(1, 0)]
+    assert (s1.time_min, s1.time_max) == (10.0, 14.0)
+    assert s1.n_rows == 15 and s1.n_baselines == 3
+    assert s1.n_vis == 15 * 8
+
+    (h,) = ms_summary(df).collect()
+    assert h.n_rows == len(rows)
+    assert h.time_span == 34.0 - 10.0
+    assert (h.n_scans, h.n_fields, h.n_antennas, h.n_baselines) == \
+        (3, 2, 3, 3)
