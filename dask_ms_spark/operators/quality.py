@@ -69,25 +69,44 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     """Evaluate ``rules`` and return one row per rule:
     ``(rule, n_checked, n_violations, passed)``.
 
-    Row rules share one scan; ``unique`` counts rows in over-occupied
-    key groups; ``foreign_key`` counts rows whose key misses the
-    (broadcast) dimension.  Deterministic: counts only.
+    Row rules AND foreign keys share ONE scan of the fact table —
+    each FK attaches as a broadcast existence flag (distinct dim
+    keys, so the left join is 1:1) and its misses are counted in the
+    same aggregate as the row predicates (the fk_audit single-pass
+    shape); ``unique`` needs its own key-grouped pass.
+    Deterministic: counts only.
     """
     spark = df.sparkSession
     reports = []
     n_total = None  # row count, computed at most once across rules
 
     row_rules = [r for r in rules if r["kind"] == "row"]
-    if row_rules:
+    fk_rules = [r for r in rules if r["kind"] == "fk"]
+    if row_rules or fk_rules:
+        base = df
+        for i, r in enumerate(fk_rules):
+            dim = F.broadcast(
+                r["dim"].select(F.col(r["dim_col"]).alias(f"__k{i}"))
+                .distinct().withColumn(f"__fk{i}", F.lit(True)))
+            base = base.join(dim,
+                             F.col(r["col"]) == F.col(f"__k{i}"),
+                             "left")
         aggs = [F.sum(F.when(~r["pred"], 1).otherwise(0))
                 .cast("long").alias(f"v{i}")
                 for i, r in enumerate(row_rules)]
-        counted = df.agg(F.count(F.lit(1)).cast("long").alias("n"),
-                         *aggs).first()
+        aggs += [F.sum(F.when(F.col(r["col"]).isNotNull()
+                              & F.col(f"__fk{i}").isNull(), 1)
+                       .otherwise(0)).cast("long").alias(f"f{i}")
+                 for i, r in enumerate(fk_rules)]
+        counted = base.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                           *aggs).first()
         n_total = counted["n"]
         for i, r in enumerate(row_rules):
             reports.append((r["rule"], counted["n"],
                             counted[f"v{i}"] or 0))
+        for i, r in enumerate(fk_rules):
+            reports.append((r["rule"], counted["n"],
+                            counted[f"f{i}"] or 0))
 
     for r in rules:
         if r["kind"] == "unique":
@@ -98,18 +117,6 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
                 F.sum(F.when(F.col("c") > 1, F.col("c"))
                       .otherwise(0)).cast("long").alias("v")).first()
             reports.append((r["rule"], row["n"] or 0, row["v"] or 0))
-        elif r["kind"] == "fk":
-            if n_total is None:
-                n_total = df.count()
-            n = n_total
-            bad = (df.select(F.col(r["col"]).alias("k"))
-                   .where(F.col("k").isNotNull())
-                   .join(F.broadcast(
-                       r["dim"].select(
-                           F.col(r["dim_col"]).alias("k")).distinct()),
-                       "k", "left_anti")
-                   .count())
-            reports.append((r["rule"], n, bad))
 
     out = spark.createDataFrame(
         [(rule, n, v, v == 0) for rule, n, v in reports],
