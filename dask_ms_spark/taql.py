@@ -141,16 +141,20 @@ def _glob_to_like(pat: str) -> str:
 def _emit_pattern_match(base: str, pat_tok: str, negate: bool) -> str:
     """``base ~ p/glob/`` / ``m/regex/`` / ``f/literal/`` -> Spark SQL
     (TAQL pattern operators, casacore Note 199; the reference gets
-    them free from casacore)."""
+    them free from casacore).  Negation is spelled INFIX (``NOT
+    LIKE`` / ``NOT RLIKE`` / ``!=``) so the emitted text composes
+    correctly whatever tokens precede the operator (e.g. a
+    parenthesised or function-call left operand)."""
     kind, body = pat_tok[0], pat_tok[2:-1]
     esc = body.replace("'", "''")
     if kind == "p":
-        sql = f"{base} LIKE '{_glob_to_like(esc)}'"
-    elif kind == "m":
-        sql = f"{base} RLIKE '{esc}'"
-    else:  # f: full literal match
-        sql = f"{base} = '{esc}'"
-    return f"NOT ( {sql} )" if negate else sql
+        op = "NOT LIKE" if negate else "LIKE"
+        return f"{base} {op} '{_glob_to_like(esc)}'"
+    if kind == "m":
+        op = "NOT RLIKE" if negate else "RLIKE"
+        return f"{base} {op} '{esc}'"
+    op = "!=" if negate else "="      # f: full literal match
+    return f"{base} {op} '{esc}'"
 
 
 def _emit(toks: list[str]) -> str:

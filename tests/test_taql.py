@@ -35,7 +35,8 @@ def test_translation_widened_tier():
         "NAME RLIKE '^ea[0-9]+$'"
     assert taql_where_to_sql("NAME ~ f/ea01/") == "NAME = 'ea01'"
     assert taql_where_to_sql("NAME !~ p/3c*/") == \
-        "NOT ( NAME LIKE '3c%' )"
+        "NAME NOT LIKE '3c%'"
+    assert taql_where_to_sql("NAME !~ f/ea01/") == "NAME != 'ea01'"
     # datetime folds to MJD seconds (casacore epoch 1858-11-17);
     # 2000-01-01 00:00 UTC is MJD 51544
     sql = taql_where_to_sql("TIME > DATETIME('2000/01/01')")
