@@ -4430,6 +4430,73 @@ _APPLYCAL_SQL = _GAIN_CTES + """
 """
 
 
+def q_grid_conv(spark, sf_dir):
+    """Convolutional gridding (operators/imaging.py
+    grid_visibilities kernel path): each visibility spreads over the
+    (2s+1)^2 neighbouring cells with truncated-gaussian weights — a
+    FIXED map-side neighbour-explode on the same grid-bounded
+    aggregate, per-cell contributions fixed-point quantised so the
+    reduction is shuffle-order deterministic and engine-exact."""
+    from dask_ms_spark.operators.imaging import grid_visibilities
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        ((F.col("vec_id") * 13.7) % 24.0 - 12.0).alias("u"),
+        ((F.col("vec_id") * 7.3) % 24.0 - 12.0).alias("v"),
+        F.round(F.element_at("embedding", 1) * 1e3).alias("re"),
+        F.round(F.element_at("embedding", 2) * 1e3).alias("im"))
+    g = grid_visibilities(d, "u", "v", "re", "im", cell_size=1.0,
+                          npix=32, hermitian=False,
+                          kernel_support=1,
+                          quantize_scale=1 << 20)
+    return g.select(
+        F.col("iu").cast("long").alias("iu"),
+        F.col("iv").cast("long").alias("iv"),
+        F.round(F.col("vis_re") * F.lit(float(1 << 20))).cast("long")
+         .alias("re_fx"),
+        F.round(F.col("vis_im") * F.lit(float(1 << 20))).cast("long")
+         .alias("im_fx"),
+        F.round(F.col("wsum") * F.lit(float(1 << 20))).cast("long")
+         .alias("w_fx"),
+        F.col("n_vis").cast("long").alias("n_vis"))
+
+
+def _grid_conv_sql() -> str:
+    qs = float(1 << 20)
+    # s=1, sigma=0.5 -> 1/(2 sigma^2) = 2.0 exactly (dyadic)
+    return f"""
+    WITH d AS (SELECT fmod(vec_id * 13.7, 24.0) - 12.0 AS u,
+                      fmod(vec_id * 7.3, 24.0) - 12.0 AS v,
+                      round(embedding[1] * 1000.0) AS re,
+                      round(embedding[2] * 1000.0) AS im
+               FROM embeddings),
+    sp AS (SELECT u / 1.0 + 16 AS x, v / 1.0 + 16 AS y, re, im,
+                  du, dv
+           FROM d, UNNEST([-1, 0, 1]) AS tu(du),
+                   UNNEST([-1, 0, 1]) AS tv(dv)),
+    c AS (SELECT cast(floor(x) + du as bigint) AS iu,
+                 cast(floor(y) + dv as bigint) AS iv,
+                 exp(-((x - (floor(x) + du + 0.5))
+                       * (x - (floor(x) + du + 0.5))
+                       + (y - (floor(y) + dv + 0.5))
+                       * (y - (floor(y) + dv + 0.5))) * 2.0) AS k,
+                 re, im
+          FROM sp),
+    q AS (SELECT iu, iv,
+                 round((1.0 * k) * re * {qs!r}) / {qs!r} AS cre,
+                 round((1.0 * k) * im * {qs!r}) / {qs!r} AS cim,
+                 round((1.0 * k) * {qs!r}) / {qs!r} AS cw
+          FROM c
+          WHERE iu >= 0 AND iu < 32 AND iv >= 0 AND iv < 32)
+    SELECT iu, iv,
+           cast(round(sum(cre) * {qs!r}) as bigint) AS re_fx,
+           cast(round(sum(cim) * {qs!r}) as bigint) AS im_fx,
+           cast(round(sum(cw) * {qs!r}) as bigint) AS w_fx,
+           cast(count(*) as bigint) AS n_vis
+    FROM q GROUP BY 1, 2
+    """
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility per language (chars per BPE-ish token —
     the tokenizer-budget planning number: languages with high
@@ -6070,6 +6137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_unimax": q_sample_unimax,
         "scan_summary": q_scan_summary,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "grid_conv": q_grid_conv,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6644,6 +6712,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_unimax": _sample_unimax_sql(),
         "scan_summary": _SCAN_SUMMARY_SQL,
         "tokenizer_fertility": _tokenizer_fertility_sql(),
+        "grid_conv": _grid_conv_sql(),
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -1583,3 +1583,66 @@ def test_listobs_summaries(spark):
     assert h.time_span == 34.0 - 10.0
     assert (h.n_scans, h.n_fields, h.n_antennas, h.n_baselines) == \
         (3, 2, 3, 3)
+
+
+def test_grid_convolutional_kernel(spark):
+    """Convolutional gridding: the truncated-gaussian spread matches
+    a python model cell for cell; support=0 stays the nearest-cell
+    path; the fan-out is exactly (2s+1)^2 candidate cells per vis."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.imaging import grid_visibilities
+
+    npix, cell, s = 16, 1.0, 2
+    vis = [Row(u=1.3, v=-2.6, re=2.0, im=-1.0, w=1.5),
+           Row(u=-3.7, v=0.2, re=0.5, im=0.5, w=1.0)]
+    df = spark.createDataFrame(vis)
+
+    out = grid_visibilities(df, "u", "v", "re", "im", cell, npix,
+                            weight_col="w", hermitian=False,
+                            kernel_support=s)
+    got = {(r.iu, r.iv): r for r in out.collect()}
+
+    sig = s / 2.0
+    model = {}
+    for r in vis:
+        x, y = r.u / cell + npix // 2, r.v / cell + npix // 2
+        for du in range(-s, s + 1):
+            for dv in range(-s, s + 1):
+                ju, jv = math.floor(x) + du, math.floor(y) + dv
+                if not (0 <= ju < npix and 0 <= jv < npix):
+                    continue
+                dx, dy = x - (ju + 0.5), y - (jv + 0.5)
+                k = math.exp(-(dx * dx + dy * dy)
+                             / (2.0 * sig * sig))
+                w = r.w * k
+                acc = model.setdefault((ju, jv), [0.0, 0.0, 0.0, 0])
+                acc[0] += w * r.re
+                acc[1] += w * r.im
+                acc[2] += w
+                acc[3] += 1
+    assert set(got) == set(model)
+    for key, (re_w, im_w, wsum, n) in model.items():
+        g = got[key]
+        assert abs(g.vis_re - re_w) < 1e-12
+        assert abs(g.vis_im - im_w) < 1e-12
+        assert abs(g.wsum - wsum) < 1e-12
+        assert g.n_vis == n
+    # each vis touched exactly (2s+1)^2 in-grid cells here
+    assert sum(r.n_vis for r in got.values()) == 2 * (2 * s + 1) ** 2
+
+    # support=0 is the nearest-cell path, byte-identical to before
+    near = {(r.iu, r.iv): r for r in grid_visibilities(
+        df, "u", "v", "re", "im", cell, npix, weight_col="w",
+        hermitian=False).collect()}
+    assert set(near) == {(math.floor(r.u) + 8, math.floor(r.v) + 8)
+                         for r in vis}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel_support"):
+        grid_visibilities(df, "u", "v", "re", "im", cell, npix,
+                          kernel_support=-1)
