@@ -6027,6 +6027,163 @@ _DSIR_SQL = """
     """
 
 
+def q_statwt(spark, sf_dir):
+    """CASA-statwt re-weighting (operators/calibration.py statwt):
+    the noise_estimate pass (one window lag + one baseline agg) plus
+    ONE broadcast join of the per-baseline sigma table back onto the
+    visibility-sized frame; WEIGHT = 1/sigma^2."""
+    from dask_ms_spark.operators.calibration import statwt
+
+    embs = _t(spark, sf_dir, "embeddings")
+    d = embs.select(
+        (F.col("vec_id") % 4).alias("b"),
+        F.col("vec_id").alias("t"),
+        F.transform(F.slice("embedding", 1, 8),
+                    lambda x: x.cast("double")).alias("vis"))
+    out = statwt(d, "t", ["b"], "vis")
+    return (out.groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("n_diff_terms").cast("long")
+                  .alias("n_diff_terms"),
+                 F.round(F.min("sigma") * 1e6).cast("long")
+                  .alias("sigma_q"),
+                 F.round(F.min("weight") * 1e3).cast("long")
+                  .alias("weight_q")))
+
+
+_STATWT_SQL = """
+    WITH v AS (SELECT vec_id % 4 AS b, vec_id AS t,
+                      list_transform(embedding[1:8],
+                                     x -> cast(x as double)) AS vis
+               FROM embeddings),
+    e AS (SELECT b, t, i - 1 AS pos, vis[i] AS x
+          FROM v, UNNEST(range(1, len(vis) + 1)) AS u(i)),
+    d AS (SELECT b, pos,
+                 x - lag(x) OVER (PARTITION BY b, pos ORDER BY t) AS dd
+          FROM e),
+    q AS (SELECT b, cast(round(dd * dd * 1048576.0) as bigint) AS dsq
+          FROM d WHERE dd IS NOT NULL),
+    s AS (SELECT b, count(*) AS n_diff_terms,
+                 sqrt(cast(sum(dsq) as double) / 1048576.0
+                      / count(*) / 2.0) AS sigma
+          FROM q GROUP BY b),
+    c AS (SELECT b, count(*) AS n_rows FROM v GROUP BY b)
+    SELECT c.b, cast(n_rows as bigint) AS n_rows,
+           cast(n_diff_terms as bigint) AS n_diff_terms,
+           cast(round(sigma * 1000000.0) as bigint) AS sigma_q,
+           cast(round(1000.0 / (sigma * sigma)) as bigint) AS weight_q
+    FROM c JOIN s USING (b)
+"""
+
+
+def q_events_changepoint(spark, sf_dir):
+    """CUSUM changepoint per event_type
+    (operators/timeseries.py cusum_changepoints): one shuffle on the
+    key serves the running sum, the per-key totals and the argmax;
+    int64 fixed point end-to-end (qs=2^12 keeps n*S_k far under 2^63
+    at 10x this stream's size)."""
+    from dask_ms_spark.operators.timeseries import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoints(ev, value_col="value",
+                              order_cols=("ts", "event_id"),
+                              by="event_type",
+                              quantize_scale=1 << 12)
+
+
+_EVENTS_CHANGEPOINT_SQL = """
+    WITH x AS (SELECT event_type, ts, event_id,
+                      cast(round(value * 4096.0) as bigint) AS xq
+               FROM events),
+    r AS (SELECT event_type,
+                 row_number() OVER w AS k,
+                 sum(xq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run,
+                 sum(xq) OVER (PARTITION BY event_type) AS tot,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM x
+          WINDOW w AS (PARTITION BY event_type
+                       ORDER BY ts, event_id)),
+    s AS (SELECT event_type, k, n, run, tot,
+                 n * run - k * tot AS nsk
+          FROM r WHERE k < n),
+    best AS (SELECT *, row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY abs(nsk) DESC, k ASC) AS rn
+             FROM s)
+    SELECT event_type, cast(n as bigint) AS n,
+           cast(k as bigint) AS change_pos,
+           cast(round(abs(nsk) / cast(n as double)) as bigint)
+               AS cusum_max_q,
+           round((cast(tot - run as double) / (n - k)
+                  - cast(run as double) / k) / 4096.0, 6)
+               AS mean_shift
+    FROM best WHERE rn = 1
+"""
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 line-level cleaning (llm/corpus.py c4_line_filter): docs
+    are line-ified deterministically (substr windows + planted
+    terminal punctuation / violations, identical in both engines),
+    then the filter's explode -> codegen line verdicts -> one
+    doc-keyed rebuild runs; output is the verdict row plus a 16-hex
+    digest of the rebuilt text."""
+    from dask_ms_spark.llm.corpus import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    synth = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 60), F.lit(".")),
+        F.substring(t, 62, 40),
+        F.concat(F.lit("lorem ipsum "), F.substring(t, 103, 50),
+                 F.lit(".")),
+        F.concat(F.substring(t, 154, 80), F.lit("!")),
+        F.concat(F.substring(t, 235, 70), F.lit("?")))
+    lined = docs.select("doc_id", synth.alias("text"))
+    out = c4_line_filter(lined)
+    return out.select(
+        "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"), "keep",
+        F.substring(F.md5(F.col("text")), 1, 16).alias("text_digest"))
+
+
+_C4_FILTER_SQL = r"""
+    WITH lined AS (SELECT doc_id,
+            substring(text, 1, 60) || '.' || chr(10)
+            || substring(text, 62, 40) || chr(10)
+            || 'lorem ipsum ' || substring(text, 103, 50) || '.'
+            || chr(10)
+            || substring(text, 154, 80) || '!' || chr(10)
+            || substring(text, 235, 70) || '?' AS text
+        FROM documents),
+    l AS (SELECT doc_id, i AS pos, ls[i] AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM lined),
+               UNNEST(range(1, len(ls) + 1)) AS u(i)),
+    v AS (SELECT doc_id, pos, line,
+                 (right(rtrim(line), 1) IN ('.', '!', '?', '"'))
+                 AND len(regexp_extract_all(line, '\S+')) >= 5
+                 AND NOT contains(lower(line), 'lorem ipsum')
+                 AND NOT contains(lower(line), 'javascript')
+                 AND NOT contains(lower(line), '{') AS keep_line
+          FROM l),
+    agg AS (SELECT doc_id,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN keep_line THEN 1 ELSE 0 END)
+                       AS n_kept,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep_line), '') AS text
+            FROM v GROUP BY doc_id)
+    SELECT doc_id, cast(n_lines as bigint) AS n_lines,
+           cast(n_kept as bigint) AS n_kept,
+           n_kept >= 3 AS keep,
+           substring(md5(text), 1, 16) AS text_digest
+    FROM agg
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6138,6 +6295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_summary": q_scan_summary,
         "tokenizer_fertility": q_tokenizer_fertility,
         "grid_conv": q_grid_conv,
+        "statwt": q_statwt,
+        "events_changepoint": q_events_changepoint,
+        "c4_filter": q_c4_filter,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6713,6 +6873,9 @@ def oracle_sql() -> dict[str, str]:
         "scan_summary": _SCAN_SUMMARY_SQL,
         "tokenizer_fertility": _tokenizer_fertility_sql(),
         "grid_conv": _grid_conv_sql(),
+        "statwt": _STATWT_SQL,
+        "events_changepoint": _EVENTS_CHANGEPOINT_SQL,
+        "c4_filter": _C4_FILTER_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

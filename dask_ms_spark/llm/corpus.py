@@ -22,7 +22,7 @@ __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
            "lm_perplexity", "chunk_documents", "corpus_diff",
            "substring_dedup", "collocations_pmi", "char_entropy",
-           "ngram_novelty", "dedup_paragraphs"]
+           "ngram_novelty", "dedup_paragraphs", "c4_line_filter"]
 
 
 def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
@@ -599,3 +599,54 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
                   .alias("entropy_bits"),
                  F.round(F.lit(1.0) - F.sum(simp_q) / F.lit(float(scale)), 6)
                   .alias("simpson_diversity")))
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_line_words: int = 5, min_lines: int = 3,
+                   banned: tuple = ("lorem ipsum", "javascript",
+                                    "{")) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, sec. 2.2 —
+    public): within each document keep only lines that (a) end in a
+    terminal punctuation mark (. ! ? "), (b) carry at least
+    ``min_line_words`` whitespace-delimited words, and (c) contain
+    none of the ``banned`` substrings (case-insensitive; the paper's
+    "lorem ipsum" / Javascript / curly-brace code heuristics); then
+    keep only documents with at least ``min_lines`` surviving lines.
+    Complements the doc-level Gopher gate (``quality_filter``): C4
+    repairs salvageable pages by deleting boilerplate lines where
+    Gopher votes whole documents up or down.
+
+    Scale shape: lines explode once with their position; every line
+    verdict is a map-side codegen expression (no vocabulary, no
+    joins); the rebuild is ONE doc-keyed aggregation — the same
+    single-exchange plan as ``dedup_paragraphs``.  Returns
+    ``(id_col, text, n_lines, n_kept, keep)`` with ``text`` rebuilt
+    from surviving lines in original order (empty string when
+    nothing survives).
+    """
+    lines = (ensure_parallelism(docs)
+             .select(F.col(id_col).alias("id"),
+                     F.posexplode(F.split(F.col(text_col), "\n", -1))
+                      .alias("pos", "line")))
+    t = F.rtrim(F.col("line"))
+    terminal = F.substring(t, -1, 1).isin(".", "!", "?", '"')
+    n_words = F.size(F.regexp_extract_all(F.col("line"),
+                                          F.lit(r"\S+"), F.lit(0)))
+    low = F.lower(F.col("line"))
+    clean = F.lit(True)
+    for b in banned:
+        clean = clean & ~low.contains(b.lower())
+    kept = lines.withColumn(
+        "__keep", terminal & (n_words >= min_line_words) & clean)
+    out = (kept.groupBy(F.col("id").alias(id_col))
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                F.concat_ws("\n", F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        "pos", "__keep", "line"))),
+                    lambda s: F.when(s["__keep"], s["line"])))
+                .alias("__joined")))
+    return out.select(
+        id_col, F.col("__joined").alias("text"), "n_lines", "n_kept",
+        (F.col("n_kept") >= min_lines).alias("keep"))

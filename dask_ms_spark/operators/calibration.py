@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gain_solve", "delay_fit", "unwrap_phases",
            "closure_phases", "predict_vis", "uvw_from_baseline",
-           "noise_estimate"]
+           "noise_estimate", "statwt"]
 
 
 def _qsum(c, scale: float):
@@ -215,6 +215,44 @@ def noise_estimate(vis: DataFrame, time_col: str,
                  (F.sqrt(F.sum("__dsq").cast("double") / F.lit(qs)
                          / F.count(F.lit(1)) / F.lit(2.0)))
                  .alias("sigma")))
+
+
+def statwt(vis: DataFrame, time_col: str, baseline_cols: list,
+           vis_col: str, weight_floor: float = 0.0,
+           quantize_scale: int = 1 << 20) -> DataFrame:
+    """Re-derive per-row WEIGHT/SIGMA from the data's own scatter —
+    the CASA ``statwt`` task (public docs; reference context: dask-ms
+    ships exactly these per-baseline DATA/WEIGHT chunks to such
+    tasks, daskms/reads.py:58-75).  The a-priori WEIGHT column an MS
+    arrives with reflects nominal SEFDs; after calibration the honest
+    weight is the inverse variance of the residual visibilities,
+    which the successive-difference estimator reads directly
+    (``noise_estimate`` above): ``sigma_b`` per baseline, then every
+    row of baseline b gets ``SIGMA = sigma_b`` and
+    ``WEIGHT = 1 / sigma_b^2``.
+
+    ``weight_floor`` clamps pathologically quiet baselines (sigma
+    underflow -> weight blow-up) the way CASA's wtrange bound does:
+    weights above ``1/weight_floor^2`` clamp when a positive floor is
+    given.
+
+    Scale shape: the sigma table is per-BASELINE (n_ant^2 rows —
+    always broadcast-sized), so the re-weight is ONE broadcast join
+    onto the visibility-sized frame after the ``noise_estimate``
+    pass (one window lag + one agg); no corpus-sized shuffle beyond
+    the estimator's own.  Input rows pass through unchanged plus
+    (n_diff_terms, sigma, weight).
+    """
+    baseline_cols = list(baseline_cols)
+    sig = noise_estimate(vis, time_col, baseline_cols, vis_col,
+                         quantize_scale=quantize_scale)
+    s = F.col("sigma")
+    if weight_floor > 0:
+        s = F.greatest(s, F.lit(float(weight_floor)))
+    sig = sig.select(*baseline_cols, "n_diff_terms",
+                     F.col("sigma"),
+                     (F.lit(1.0) / (s * s)).alias("weight"))
+    return vis.join(F.broadcast(sig), on=baseline_cols, how="left")
 
 
 def closure_phases(vis: DataFrame, ant1_col: str = "antenna1",

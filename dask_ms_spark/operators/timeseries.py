@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["bucket_index", "resample_fill", "bucket_aggregate",
            "merge_rollups", "windowed_ema", "sessionize",
-           "rolling_outliers"]
+           "rolling_outliers", "cusum_changepoints"]
 
 #: Fixed epoch for bucket arithmetic.  A constant (rather than the
 #: stream's own minimum) keeps bucket ids stable across incremental
@@ -305,3 +305,79 @@ def rolling_outliers(df: DataFrame, value_col: str = "value",
         .withColumn("fence_lo", F.round(lo, 6))
         .withColumn("fence_hi", F.round(hi, 6))
         .drop("__q1", "__q3", "__nh"))
+
+
+def cusum_changepoints(df: DataFrame, value_col: str = "value",
+                       order_cols: tuple = ("ts", "event_id"),
+                       by: str = "event_type",
+                       quantize_scale: int = 1 << 20) -> DataFrame:
+    """Offline CUSUM changepoint detection per key (Page 1954 /
+    Taylor's cumulative-sum changepoint method — public): with
+    ``S_k = sum_{i<=k} (x_i - mean)``, the most likely single change
+    point is ``argmax_k |S_k|`` and its magnitude ``max_k |S_k|``
+    normalised by n gives the mean-shift scale.  The reference has no
+    time-series surface (SURVEY 2.3-2.4); this is the telemetry
+    drift-detector an event pipeline runs per metric stream.
+
+    Determinism: values are int64-quantised BEFORE the running sum
+    (the pagerank/kmeans fixed-point discipline), the mean enters as
+    ``sum_q`` spread exactly via ``k * sum_q / n`` in int64 fixed
+    point (no float accumulation order anywhere), and argmax ties
+    break on the earliest position, so the result is bit-identical
+    across shuffle orders and engines.
+
+    Scale shape: ONE shuffle on ``by`` serves both the per-key totals
+    (frame aggregate over the same window spec) and the running sum;
+    the argmax is a per-key max-struct aggregation. Keys stream
+    independently — a million metric streams parallelise; one
+    grotesquely long single stream is the documented skew hazard
+    (window over one key), same as every per-stream scan.
+    Returns (by, n, change_pos, cusum_max_q, mean_shift) with
+    ``change_pos`` the 1-based position of the pre-change segment's
+    last row, ``cusum_max_q`` the max |S_k| in fixed-point units and
+    ``mean_shift`` the post-minus-pre mean difference at the split.
+    """
+    qs = float(quantize_scale)
+    xq = F.round(F.col(value_col).cast("double") * F.lit(qs)) \
+        .cast("long")
+    w = Window.partitionBy("by").orderBy(
+        *[F.col(c) for c in order_cols])
+    full = (Window.partitionBy("by")
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    d = (df.select(F.col(by).alias("by"), *order_cols,
+                   xq.alias("__xq"))
+         .withColumn("__k", F.row_number().over(w))
+         .withColumn("__run", F.sum("__xq").over(
+             w.rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow)))
+         .withColumn("__tot", F.sum("__xq").over(full))
+         .withColumn("__n", F.count(F.lit(1)).over(full)))
+    # S_k in exact fixed point: n*S_k = n*run_k - k*tot (int64; safe
+    # while n * sum_q stays under 2^63 — quantized event values at
+    # corpus scale sit far below that).
+    nsk = (F.col("__n") * F.col("__run")
+           - F.col("__k") * F.col("__tot"))
+    scored = d.withColumn("__absns", F.abs(nsk)) \
+              .withColumn("__ns", nsk)
+    # argmax |S_k| with earliest-k tie break, k < n (a split must
+    # leave a non-empty post segment)
+    best = (scored.where(F.col("__k") < F.col("__n"))
+            .groupBy("by")
+            .agg(F.max_by(
+                    F.struct("__k", "__ns", "__run", "__tot", "__n"),
+                    F.struct(F.col("__absns"), -F.col("__k")))
+                 .alias("b"),
+                 F.max("__n").alias("n")))
+    pre_mean = F.col("b.__run").cast("double") / F.col("b.__k")
+    post_mean = ((F.col("b.__tot") - F.col("b.__run")).cast("double")
+                 / (F.col("b.__n") - F.col("b.__k")))
+    return best.select(
+        F.col("by").alias(by), "n",
+        F.col("b.__k").cast("long").alias("change_pos"),
+        # |S_k| = |n*S_k| / n, back to quantized units
+        F.round(F.abs(F.col("b.__ns")).cast("double") / F.col("b.__n"))
+         .cast("long").alias("cusum_max_q"),
+        F.round((post_mean - pre_mean) / F.lit(qs), 6)
+         .alias("mean_shift"))

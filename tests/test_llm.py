@@ -1244,3 +1244,33 @@ def test_sample_unimax_waterfill(spark):
 
     with pytest.raises(ValueError, match="budget"):
         sample_unimax(df, "doc_id", "source", 0.0)
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 line cleaning: terminal punctuation + min words + banned
+    substrings at line level; min_lines at doc level; text rebuilt
+    from survivors in original order."""
+    from dask_ms_spark.llm.corpus import c4_line_filter
+
+    good = ["First complete sentence with enough words here.",
+            "Second complete sentence with enough words too!",
+            'Third quoted sentence has plenty of words, "really."']
+    doc1 = "\n".join([good[0], "too short.", good[1],
+                      "function f() { return 1; } and some words.",
+                      "this line has no terminal punctuation at all",
+                      good[2]])
+    docs = spark.createDataFrame(
+        [(1, doc1),
+         (2, "Only one good sentence lives in this document."),
+         (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert got[1].keep and got[1].n_kept == 3 and got[1].n_lines == 6
+    assert got[1].text == "\n".join(good)     # order preserved
+    assert not got[2].keep and got[2].n_kept == 1
+    assert not got[3].keep and got[3].text == ""
+    # case-insensitive banned match drops the line
+    jd = spark.createDataFrame(
+        [(9, "Visit our site with JavaScript enabled please now.")],
+        "doc_id long, text string")
+    assert c4_line_filter(jd).first().n_kept == 0

@@ -1646,3 +1646,81 @@ def test_grid_convolutional_kernel(spark):
     with pytest.raises(ValueError, match="kernel_support"):
         grid_visibilities(df, "u", "v", "re", "im", cell, npix,
                           kernel_support=-1)
+
+
+def test_statwt_reweights_from_scatter(spark):
+    """statwt: WEIGHT = 1/sigma^2 from the successive-difference
+    estimator, broadcast back onto every row of the baseline; a
+    positive weight_floor clamps the quiet-baseline blow-up."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import (noise_estimate,
+                                                     statwt)
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for b, sigma in ((0, 0.5), (1, 2.0)):
+        sig = rng.rand(6) * 5.0
+        for t in range(200):
+            vis = sig + rng.normal(0.0, sigma, 6)
+            rows.append(Row(b=b, t=float(t),
+                            vis=[float(v) for v in vis]))
+    df = spark.createDataFrame(rows,
+                               "b int, t double, vis array<double>")
+    out = statwt(df, "t", ["b"], "vis")
+    assert out.count() == len(rows)          # rows pass through
+    per_b = {r.b: r for r in
+             out.select("b", "sigma", "weight").distinct().collect()}
+    est = {r.b: r.sigma for r in
+           noise_estimate(df, "t", ["b"], "vis").collect()}
+    for b in (0, 1):
+        assert abs(per_b[b].sigma - est[b]) < 1e-12
+        assert abs(per_b[b].weight - 1.0 / est[b] ** 2) < 1e-9
+    # noisy baseline gets proportionally less weight
+    assert per_b[1].weight < per_b[0].weight / 4
+    # floor clamps the quiet side's weight at 1/floor^2
+    floored = statwt(df, "t", ["b"], "vis", weight_floor=1.0)
+    wmax = max(r.weight for r in
+               floored.select("weight").distinct().collect())
+    assert wmax <= 1.0 + 1e-9
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """CUSUM: argmax |S_k| lands on the planted mean shift and the
+    reported mean_shift matches the planted delta; a shift-free
+    series reports a small cusum_max."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.timeseries import cusum_changepoints
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(300):                      # shift of +2 at i=120
+        v = (5.0 if i < 120 else 7.0) + rng.normal(0, 0.3)
+        rows.append(Row(event_type="a", ts=float(i), event_id=i,
+                        value=float(v)))
+    for i in range(300):                      # no shift
+        rows.append(Row(event_type="b", ts=float(i), event_id=i,
+                        value=float(5.0 + rng.normal(0, 0.3))))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts double, event_id long, "
+              "value double")
+    got = {r.event_type: r for r in cusum_changepoints(
+        df, order_cols=("ts", "event_id")).collect()}
+    assert abs(got["a"].change_pos - 120) <= 2
+    assert abs(got["a"].mean_shift - 2.0) < 0.15
+    # planted shift's cusum dwarfs the null series' noise excursion
+    assert got["a"].cusum_max_q > 5 * got["b"].cusum_max_q
+
+    # python mirror of the fixed-point pipeline (exact)
+    qs = float(1 << 20)
+    xs = np.array([r.value for r in rows[:300]])
+    xq = np.round(xs * qs).astype(np.int64)
+    run = np.cumsum(xq)
+    n, tot = len(xq), run[-1]
+    nsk = n * run[:-1] - np.arange(1, n) * tot
+    k = int(np.argmax(np.abs(nsk)))          # earliest-k tie break
+    assert got["a"].change_pos == k + 1
+    assert got["a"].cusum_max_q == int(round(abs(nsk[k]) / n))
