@@ -6184,6 +6184,54 @@ _C4_FILTER_SQL = r"""
 """
 
 
+def q_closure_amp(spark, sf_dir):
+    """Closure amplitudes (operators/calibration.py
+    closure_amplitudes): the gain-amplitude-independent quadrangle
+    observable |V_pq||V_rs| / (|V_pr||V_qs|); baselines are a
+    dimension-sized relation so all four join legs broadcast.
+    Synthetic per-baseline magnitudes 1 + 0.1(p+q) make the oracle
+    arithmetic-exact."""
+    from dask_ms_spark.operators.calibration import closure_amplitudes
+
+    embs = _t(spark, sf_dir, "embeddings")
+    base = embs.select((F.col("vec_id") % 8).alias("antenna1"),
+                       ((F.col("vec_id") / 8).cast("long") % 8)
+                       .alias("antenna2")).distinct() \
+        .where(F.col("antenna1") < F.col("antenna2"))
+    p = F.col("antenna1").cast("double")
+    q = F.col("antenna2").cast("double")
+    m = F.lit(1.0) + 0.1 * (p + q)
+    th = 0.1 * (p - q)
+    d = base.select("antenna1", "antenna2",
+                    F.array(m * F.cos(th), m * F.sin(th)).alias("vis"))
+    out = closure_amplitudes(d)
+    return out.select(
+        "p", "q", "r", "s",
+        F.round(F.col("closure_amp") * 1e6).cast("long")
+         .alias("ca_q"))
+
+
+_CLOSURE_AMP_SQL = """
+    WITH base AS (SELECT DISTINCT vec_id % 8 AS p,
+                                  (vec_id // 8) % 8 AS q
+                  FROM embeddings),
+    pairs AS (SELECT p, q,
+                     sqrt(pow((1.0 + 0.1 * (p + q))
+                              * cos(0.1 * (p - q)), 2)
+                          + pow((1.0 + 0.1 * (p + q))
+                                * sin(0.1 * (p - q)), 2)) AS m
+              FROM base WHERE p < q)
+    SELECT a.p, a.q, b.p AS r, b.q AS s,
+           cast(round(CASE WHEN c.m * d.m > 0
+                           THEN a.m * b.m / (c.m * d.m) END
+                      * 1000000) as bigint) AS ca_q
+    FROM pairs a
+    JOIN pairs b ON b.p > a.q
+    JOIN pairs c ON c.p = a.p AND c.q = b.p
+    JOIN pairs d ON d.p = a.q AND d.q = b.q
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6298,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statwt": q_statwt,
         "events_changepoint": q_events_changepoint,
         "c4_filter": q_c4_filter,
+        "closure_amp": q_closure_amp,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6876,6 +6925,7 @@ def oracle_sql() -> dict[str, str]:
         "statwt": _STATWT_SQL,
         "events_changepoint": _EVENTS_CHANGEPOINT_SQL,
         "c4_filter": _C4_FILTER_SQL,
+        "closure_amp": _CLOSURE_AMP_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["gain_solve", "delay_fit", "unwrap_phases",
-           "closure_phases", "predict_vis", "uvw_from_baseline",
-           "noise_estimate", "statwt"]
+           "closure_phases", "closure_amplitudes", "predict_vis",
+           "uvw_from_baseline", "noise_estimate", "statwt"]
 
 
 def _qsum(c, scale: float):
@@ -297,6 +297,53 @@ def closure_phases(vis: DataFrame, ant1_col: str = "antenna1",
     c_im = ab_im * F.col("re3") - ab_re * F.col("im3")
     return tri.select("p", "q", "r",
                       F.atan2(c_im, c_re).alias("closure_phase"))
+
+
+def closure_amplitudes(vis: DataFrame, ant1_col: str = "antenna1",
+                       ant2_col: str = "antenna2",
+                       vis_col: str = "vis") -> DataFrame:
+    """Closure amplitude per antenna quadrangle:
+    ``|V_pq| |V_rs| / (|V_pr| |V_qs|)`` for every p < q < r < s — the
+    gain-AMPLITUDE-independent companion to :func:`closure_phases`
+    (each antenna's gain magnitude appears once in the numerator and
+    once in the denominator, so it cancels; VLBI's standard
+    amplitude-calibration-free observable).
+
+    Input: one row per baseline (p < q) with ``vis_col = [re, im]``
+    (pre-average multiple samples per baseline first).  Same scale
+    shape as the triangle enumeration: baselines are O(n_antennas^2)
+    — a dimension table — so all four join legs broadcast and
+    nothing fact-sized shuffles.  Quadrangles with a zero
+    denominator baseline (|V_pr| or |V_qs| = 0) return NULL rather
+    than inf.  Returns (p, q, r, s, closure_amp).
+    """
+    mag = F.sqrt(
+        F.element_at(F.col(vis_col), 1).cast("double")
+        * F.element_at(F.col(vis_col), 1).cast("double")
+        + F.element_at(F.col(vis_col), 2).cast("double")
+        * F.element_at(F.col(vis_col), 2).cast("double"))
+    b = vis.select(F.col(ant1_col).alias("p"),
+                   F.col(ant2_col).alias("q"),
+                   mag.alias("m")) \
+        .where(F.col("p") < F.col("q"))
+    pq = b.select("p", "q", F.col("m").alias("m_pq"))
+    rs = b.select(F.col("p").alias("r"), F.col("q").alias("s"),
+                  F.col("m").alias("m_rs"))
+    pr = b.select(F.col("p").alias("p3"), F.col("q").alias("r3"),
+                  F.col("m").alias("m_pr"))
+    qs = b.select(F.col("p").alias("q4"), F.col("q").alias("s4"),
+                  F.col("m").alias("m_qs"))
+    quad = (pq.join(F.broadcast(rs), F.col("r") > F.col("q"))
+            .join(F.broadcast(pr),
+                  (F.col("p3") == F.col("p"))
+                  & (F.col("r3") == F.col("r")))
+            .join(F.broadcast(qs),
+                  (F.col("q4") == F.col("q"))
+                  & (F.col("s4") == F.col("s"))))
+    den = F.col("m_pr") * F.col("m_qs")
+    amp = F.when(den > 0,
+                 (F.col("m_pq") * F.col("m_rs")) / den)
+    return quad.select("p", "q", "r", "s", amp.alias("closure_amp"))
 
 
 def predict_vis(df: DataFrame, u_col: str, v_col: str,

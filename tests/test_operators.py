@@ -1724,3 +1724,45 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     k = int(np.argmax(np.abs(nsk)))          # earliest-k tie break
     assert got["a"].change_pos == k + 1
     assert got["a"].cusum_max_q == int(round(abs(nsk[k]) / n))
+
+
+def test_closure_amplitudes_cancel_gains(spark):
+    """Closure amplitude is invariant under per-antenna gain
+    amplitudes: corrupting V_pq -> g_p g_q V_pq leaves every
+    quadrangle's |V_pq||V_rs| / (|V_pr||V_qs|) unchanged; exactly
+    one row per ordered quadruple p < q < r < s."""
+    import itertools
+    import math
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import closure_amplitudes
+
+    n = 6
+    true_amp = {(p, q): 1.0 + 0.1 * (p + q) for p, q in
+                itertools.combinations(range(n), 2)}
+    gains = {a: 0.5 + 0.3 * a for a in range(n)}
+
+    def rows(corrupt):
+        out = []
+        for (p, q), m in true_amp.items():
+            g = gains[p] * gains[q] if corrupt else 1.0
+            th = 0.2 * p - 0.1 * q
+            out.append(Row(antenna1=p, antenna2=q,
+                           vis=[g * m * math.cos(th),
+                                g * m * math.sin(th)]))
+        return spark.createDataFrame(
+            out, "antenna1 int, antenna2 int, vis array<double>")
+
+    clean = {(r.p, r.q, r.r, r.s): r.closure_amp
+             for r in closure_amplitudes(rows(False)).collect()}
+    dirty = {(r.p, r.q, r.r, r.s): r.closure_amp
+             for r in closure_amplitudes(rows(True)).collect()}
+    assert len(clean) == math.comb(n, 4)      # one row per p<q<r<s
+    assert set(clean) == set(dirty)
+    for k, v in clean.items():
+        assert abs(dirty[k] - v) < 1e-9       # gains cancel
+        p, q, r, s = k
+        want = (true_amp[(p, q)] * true_amp[(r, s)]
+                / (true_amp[(p, r)] * true_amp[(q, s)]))
+        assert abs(v - want) < 1e-12
