@@ -6232,6 +6232,47 @@ _CLOSURE_AMP_SQL = """
 """
 
 
+def q_split_leakage(spark, sf_dir):
+    """Leakage-safe split (llm/sampling.py leakage_safe_split): LSH
+    near-dup clusters assigned WHOLE to one train/val/test split by
+    hashing the cluster id — a test doc's near-copy can never sit in
+    train.  Edge contraction over 8-byte id pairs + one row-local
+    hash + one id-keyed join."""
+    from dask_ms_spark.llm.dedup import minhash_lsh_pairs
+    from dask_ms_spark.llm.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, num_bands=4,
+                              shingle_k=5, threshold=0.5)
+    out = leakage_safe_split(docs, pairs, id_col="doc_id")
+    return out.select("doc_id",
+                      F.col("component").cast("long").alias("component"),
+                      "split")
+
+
+def _split_leakage_sql() -> str:
+    """Mirror of q_split_leakage: the dedup-clusters recursive CTE
+    (identical candidate graph) + the deterministic_split bucket
+    hash applied to the component id."""
+    bucket = _DUCK_HASH.format(
+        x="cast(cluster_id as varchar) || 'split'") + " % 1000000"
+    return f"""
+        WITH RECURSIVE
+        {_lsh_graph_ctes()},
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, u.d FROM reach r JOIN undir u ON u.s = r.dst),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                 FROM reach GROUP BY src)
+        SELECT doc_id, cast(cluster_id as bigint) AS component,
+               CASE WHEN {bucket} < 800000 THEN 'train'
+                    WHEN {bucket} < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6347,6 +6388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "c4_filter": q_c4_filter,
         "closure_amp": q_closure_amp,
+        "split_leakage": q_split_leakage,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6926,6 +6968,7 @@ def oracle_sql() -> dict[str, str]:
         "events_changepoint": _EVENTS_CHANGEPOINT_SQL,
         "c4_filter": _C4_FILTER_SQL,
         "closure_amp": _CLOSURE_AMP_SQL,
+        "split_leakage": _split_leakage_sql(),
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -22,7 +22,7 @@ from ..functions.text import portable_hash64
 __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
            "sample_temperature", "curriculum_order",
            "stratified_sample", "negative_sampling",
-           "sample_to_mixture",
+           "sample_to_mixture", "leakage_safe_split",
            "sample_weighted", "sample_quota", "sample_unimax"]
 
 _BUCKETS = 1_000_000
@@ -480,3 +480,40 @@ def curriculum_order(df: DataFrame, id_col: str, score_col: str,
                      .alias("stage"),
                      hash_bucket(F.col("id"), _BUCKETS, salt)
                      .alias("pos")))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       src: str = "id_a", dst: str = "id_b",
+                       weights: dict[str, float] | None = None,
+                       salt: str = "split",
+                       out: str = "split") -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates
+    across the boundary: documents are first grouped into transitive
+    near-dup clusters (``pairs`` is the candidate edge list, e.g.
+    from ``minhash_lsh_pairs``), then the WHOLE cluster is assigned
+    to one split by hashing the cluster id — so a test document's
+    near-copy cannot sit in train.  The standard eval-hygiene step a
+    per-document split (:func:`deterministic_split`) misses: with
+    d% duplication, per-doc splitting leaks ~d% of the eval set.
+
+    Scale shape: the component labelling is the dedup-cluster
+    contraction (O(log n) rounds over the candidate EDGES — 8-byte
+    id pairs, never documents, ``operators/graph.py``); the split
+    decision is one row-local hash of the component id; the label
+    rides back on an id-keyed join.  Singletons (no near-dup) get
+    their own id as component, so they split independently exactly
+    like :func:`deterministic_split`.
+
+    Returns ``df`` plus ``component`` and ``out`` columns.
+    """
+    from ..operators.graph import connected_components
+
+    comps = connected_components(
+        pairs, src, dst,
+        nodes=df.select(F.col(id_col).alias("id")))
+    labeled = deterministic_split(comps, "component", weights, salt,
+                                  out)
+    return df.join(
+        labeled.select(F.col("id").alias(id_col), "component", out),
+        id_col)

@@ -1274,3 +1274,37 @@ def test_c4_line_filter_rules(spark):
         [(9, "Visit our site with JavaScript enabled please now.")],
         "doc_id long, text string")
     assert c4_line_filter(jd).first().n_kept == 0
+
+
+def test_leakage_safe_split_no_cross_split_neighbors(spark):
+    """Every near-dup pair lands in ONE split (the property per-doc
+    splitting violates), singletons split like deterministic_split,
+    and proportions stay roughly right."""
+    from dask_ms_spark.llm.sampling import (deterministic_split,
+                                            leakage_safe_split)
+
+    n = 2000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # chain 4k..4k+3 into one cluster for the first 100 quadruples
+    edges = []
+    for k in range(100):
+        base = 4 * k
+        edges += [(base, base + 1), (base + 1, base + 2),
+                  (base + 2, base + 3)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == n
+    split_of = {r.doc_id: r.split for r in out}
+    comp_of = {r.doc_id: r.component for r in out}
+    for a, b in edges:                 # no pair straddles a boundary
+        assert split_of[a] == split_of[b]
+        assert comp_of[a] == comp_of[b] == min(a, b) - min(a, b) % 4
+    # singletons (ids >= 400) match the plain per-id split exactly
+    plain = {r.doc_id: r.split for r in deterministic_split(
+        docs.where(F.col("doc_id") >= 400), "doc_id").collect()}
+    for i, s in plain.items():
+        assert split_of[i] == s
+    # proportions: train should dominate
+    from collections import Counter
+    c = Counter(split_of.values())
+    assert c["train"] > 0.7 * n and c["test"] > 0.05 * n
