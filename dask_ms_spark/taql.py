@@ -35,11 +35,15 @@ date/time helpers ``DATETIME('YYYY/MM/DD[/hh:mm:ss]')`` /
 SECONDS (the casacore epoch convention the reference's tables use),
 ``DATETIME(...)`` folds to the MJD-seconds double constant and
 ``MJD(...)`` to MJD days — the same comparisons casacore performs
-after its unit conversion, now constant-folded at translation time.
+after its unit conversion, now constant-folded at translation time;
+``~=`` / ``!~=`` near-(in)equality (casacore NEAR with the Note-199
+default 1e-5 relative tolerance → ``abs(a-b) <= 1e-5 *
+greatest(abs(a), abs(b))``); interval membership ``X [NOT] IN
+[a=:=b]`` with ``=`` (inclusive) / ``<`` (exclusive) bound markers
+→ the equivalent comparison conjunction.
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
-unit quantities, interval syntax ``[a=:=b]``, ``~=`` near-equality,
-mscal derived columns.
+unit quantities, mscal derived columns.
 """
 
 from __future__ import annotations
@@ -170,11 +174,43 @@ def _emit(toks: list[str]) -> str:
             out.append("OR")
         elif t == "!":
             out.append("NOT")
-        elif t == "~=":
-            raise ValueError(
-                "taql_where_to_sql: '~=' near-equality has no direct "
-                "Spark form — spell the tolerance explicitly, e.g. "
-                "abs(a - b) < 1e-5")
+        elif t == "~=" or (t == "!~" and i + 1 < n
+                           and toks[i + 1] == "="):
+            # casacore near-equality (Note 199): a ~= b is
+            # NEAR(a, b, 1e-5), i.e. |a-b| <= 1e-5 * max(|a|, |b|);
+            # !~= is its negation.  The right operand extends through
+            # any arithmetic up to the next boolean/comparison
+            # operator at depth 0.
+            if not out:
+                raise ValueError(
+                    "taql_where_to_sql: '~=' with no left operand")
+            negate = t == "!~"
+            j = i + (2 if negate else 1)
+            rhs_toks, depth = [], 0
+            while j < n:
+                tk = toks[j]
+                if tk in ("(", "["):
+                    depth += 1
+                elif tk in (")", "]"):
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and (tk in ("&&", "||", ",")
+                                     or tk.upper() in ("AND", "OR")
+                                     or tk in ("==", "!=", ">=",
+                                               "<=", "<", ">", "=")):
+                    break
+                rhs_toks.append(tk)
+                j += 1
+            if not rhs_toks:
+                raise ValueError(
+                    "taql_where_to_sql: '~=' with no right operand")
+            lhs = out.pop()
+            rhs = _emit(rhs_toks)
+            near = (f"abs(({lhs}) - ({rhs})) <= 1.0E-5 * "
+                    f"greatest(abs({lhs}), abs({rhs}))")
+            out.append(f"NOT ({near})" if negate else near)
+            i = j - 1
         elif t in ("~", "!~"):
             if not out:
                 raise ValueError(
@@ -207,12 +243,36 @@ def _emit(toks: list[str]) -> str:
             i = j
         elif up == "IN" and i + 1 < n and toks[i + 1] == "[":
             j = _match_bracket(toks, i + 1, "[", "]")
-            if ":" in toks[i + 2:j]:
+            body = toks[i + 2:j]
+            if ":" in body:
+                # TAQL interval: X IN [a=:=b] (closed) / <:< (open) /
+                # mixed — the bound marker before/after ':' picks
+                # inclusive (=) or exclusive (<).  casacore Note 199.
+                k = body.index(":")
+                if (k >= 1 and k + 1 < len(body)
+                        and body[k - 1] in ("=", "<")
+                        and body[k + 1] in ("=", "<")
+                        and out):
+                    lo = _emit(body[:k - 1])
+                    hi = _emit(body[k + 2:])
+                    lo_op = ">=" if body[k - 1] == "=" else ">"
+                    hi_op = "<=" if body[k + 1] == "=" else "<"
+                    neg = ""
+                    if out[-1].upper() == "NOT" and len(out) >= 2:
+                        out.pop()             # X NOT IN [a=:=b]
+                        neg = "NOT "
+                    base = out.pop()
+                    out.append(f"{neg}({base} {lo_op} {lo} AND "
+                               f"{base} {hi_op} {hi})")
+                    i = j
+                    i += 1
+                    continue
                 raise ValueError(
                     "taql_where_to_sql: range-form IN sets "
                     "([a:b]) are not supported — enumerate the "
-                    "values or use comparison predicates")
-            inner = _emit(toks[i + 2:j])
+                    "values, use an interval bound ([a=:=b]) or "
+                    "comparison predicates")
+            inner = _emit(body)
             out.append(f"IN ({inner})")
             i = j
         elif t == "[" and out and (re.match(r"^[A-Za-z_]", out[-1])

@@ -77,8 +77,9 @@ def test_widened_tier_executes(spark):
 
 
 def test_unsupported_syntax_raises():
-    with pytest.raises(ValueError, match="near-equality"):
-        taql_where_to_sql("a ~= b")
+    # ~= with nothing to compare still refuses
+    with pytest.raises(ValueError, match="no right operand"):
+        taql_where_to_sql("a ~=")
     with pytest.raises(ValueError, match="strided"):
         taql_where_to_sql("UVW[0:4:2] = UVW[0:2]")
     with pytest.raises(ValueError, match="range-form"):
@@ -316,3 +317,44 @@ def test_bda_cli_end_to_end(spark, tmp_path, monkeypatch, capsys):
     assert short.n_rows == 16 and short.weight_sum == 16.0
     # element 0: odd i survive the flag -> mean of 1,3,...,15 = 8
     assert short.data_mean[0] == 8.0 and short.flag == [False, False]
+
+
+def test_translation_near_equality_and_intervals():
+    """Round-7 late tier: ~= / !~= near-(in)equality (casacore NEAR,
+    Note-199 default 1e-5 relative tolerance) and interval
+    membership X [NOT] IN [a=:=b] with =/< bound markers."""
+    assert taql_where_to_sql("TIME ~= 4.5e9") == \
+        ("abs((TIME) - (4.5e9)) <= 1.0E-5 * "
+         "greatest(abs(TIME), abs(4.5e9))")
+    assert taql_where_to_sql("TIME !~= 0") == \
+        ("NOT (abs((TIME) - (0)) <= 1.0E-5 * "
+         "greatest(abs(TIME), abs(0)))")
+    # right operand extends through arithmetic, stops at booleans
+    assert taql_where_to_sql("A ~= B + 1 && C") == \
+        ("abs((A) - (B + 1)) <= 1.0E-5 * "
+         "greatest(abs(A), abs(B + 1)) AND C")
+    assert taql_where_to_sql("TIME IN [100 =:= 200]") == \
+        "(TIME >= 100 AND TIME <= 200)"
+    assert taql_where_to_sql("TIME IN [100 <:< 200]") == \
+        "(TIME > 100 AND TIME < 200)"
+    assert taql_where_to_sql("TIME NOT IN [100 =:< 200]") == \
+        "NOT (TIME >= 100 AND TIME < 200)"
+    # composes inside boolean algebra
+    assert taql_where_to_sql(
+        "ANTENNA1 != ANTENNA2 && TIME IN [1e9=:=2e9]") == \
+        "ANTENNA1 != ANTENNA2 AND (TIME >= 1e9 AND TIME <= 2e9)"
+    # plain range-form still refuses (ambiguous semantics)
+    with pytest.raises(ValueError, match="range-form"):
+        taql_where_to_sql("TIME IN [1:5]")
+
+
+def test_near_equality_executes(spark):
+    """The emitted near-equality SQL runs in Spark and behaves like
+    casacore NEAR: equal-within-1e-5-relative passes, outside
+    fails."""
+    df = spark.createDataFrame(
+        [(1, 1e9, 1e9 + 1e3), (2, 1e9, 1e9 + 1e6)],
+        "id long, a double, b double")
+    sql = taql_where_to_sql("a ~= b")
+    got = sorted(r.id for r in df.where(sql).collect())
+    assert got == [1]            # 1e3/1e9 = 1e-6 near; 1e-3 not
