@@ -6273,6 +6273,54 @@ def _split_leakage_sql() -> str:
     """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection (llm/corpus.py
+    ccnet_perplexity_buckets): per-LANGUAGE equal-population buckets
+    by ranked LM perplexity — one window rank per language on top of
+    the lm_perplexity plan; ties break on doc_id so membership is
+    engine-exact."""
+    from dask_ms_spark.llm.corpus import ccnet_perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(docs)
+
+
+_CCNET_BUCKETS_SQL = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE regexp_split_to_array(
+                               trim(lower(text)), '\\s+') END
+                      AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM t, UNNEST(range(1, len(toks))) AS r(i)
+          WHERE len(toks) >= 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT w) AS vocab FROM (
+              SELECT w1 AS w FROM g UNION ALL SELECT w2 FROM g)),
+    lm AS (SELECT w1, w2, (c2 + 1) / (c1 + vocab) AS p
+           FROM bi JOIN uni USING (w1) CROSS JOIN v),
+    sc AS (SELECT doc_id,
+                  cast(round(-ln(p) * 1048576.0) as bigint) AS q
+           FROM g JOIN lm USING (w1, w2)),
+    score AS (SELECT doc_id,
+                     cast(count(*) as bigint) AS n_bigrams,
+                     round(cast(sum(q) as double) / count(*)
+                           / 1048576.0, 6) AS avg_neg_logp
+              FROM sc GROUP BY doc_id),
+    ranked AS (SELECT d.doc_id, d.lang, s.n_bigrams, s.avg_neg_logp,
+                      ntile(3) OVER (PARTITION BY d.lang
+                                     ORDER BY s.avg_neg_logp, d.doc_id)
+                          AS idx
+               FROM documents d JOIN score s USING (doc_id))
+    SELECT doc_id, lang, n_bigrams, avg_neg_logp,
+           CASE idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6389,6 +6437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "closure_amp": q_closure_amp,
         "split_leakage": q_split_leakage,
+        "ccnet_buckets": q_ccnet_buckets,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6969,6 +7018,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _C4_FILTER_SQL,
         "closure_amp": _CLOSURE_AMP_SQL,
         "split_leakage": _split_leakage_sql(),
+        "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -22,7 +22,8 @@ __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "QUALITY_REASONS", "pii_scan", "PII_PATTERNS",
            "lm_perplexity", "chunk_documents", "corpus_diff",
            "substring_dedup", "collocations_pmi", "char_entropy",
-           "ngram_novelty", "dedup_paragraphs", "c4_line_filter"]
+           "ngram_novelty", "dedup_paragraphs", "c4_line_filter",
+           "ccnet_perplexity_buckets"]
 
 
 def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
@@ -650,3 +651,46 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text",
     return out.select(
         id_col, F.col("__joined").alias("text"), "n_lines", "n_kept",
         (F.col("n_kept") >= min_lines).alias("keep"))
+
+
+def ccnet_perplexity_buckets(docs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             lang_col: str = "lang",
+                             n_buckets: int = 3,
+                             lm_docs: DataFrame | None = None
+                             ) -> DataFrame:
+    """CCNet's selection step (Wenzek et al. 2020, sec. 4.3 —
+    public): score every document with the LM perplexity proxy, then
+    split EACH LANGUAGE into equal-population quality buckets —
+    head / middle / tail for the canonical ``n_buckets=3`` — by
+    ranked perplexity (low = fluent = head).  Per-language ranking is
+    the point: absolute perplexities aren't comparable across
+    languages, percentile position within the language is.
+
+    Scale shape: the LM pass is :func:`lm_perplexity` (one persisted
+    bigram explode, partial-merged counts, one gram-keyed join); the
+    bucketing adds ONE window rank per language over the already
+    doc-sized score table.  Ties break on ``id_col`` so bucket
+    membership is total-order deterministic and engine-exact.
+    Documents without bigrams carry no score and are not bucketed
+    (route them to the Gopher gate instead).  Returns
+    ``(id_col, lang, n_bigrams, avg_neg_logp, bucket)`` with
+    ``bucket`` in {'head', 'middle', 'tail'} (or 'b<i>' for other
+    ``n_buckets``).
+    """
+    from pyspark.sql import Window
+
+    scores = lm_perplexity(docs, lm_docs, text_col, id_col)
+    labeled = (docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+               .join(scores, id_col))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("avg_neg_logp").asc(), F.col(id_col).asc()))
+    idx = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (F.when(idx == 1, "head")
+                  .when(idx == 2, "middle").otherwise("tail"))
+    else:
+        bucket = F.concat(F.lit("b"), idx.cast("string"))
+    return labeled.select(id_col, "lang", "n_bigrams",
+                          "avg_neg_logp", bucket.alias("bucket"))

@@ -1308,3 +1308,34 @@ def test_leakage_safe_split_no_cross_split_neighbors(spark):
     from collections import Counter
     c = Counter(split_of.values())
     assert c["train"] > 0.7 * n and c["test"] > 0.05 * n
+
+
+def test_ccnet_buckets_per_lang_terciles(spark):
+    """Per-language equal-population buckets; head scores <= tail
+    scores within every language; unscoreable docs excluded."""
+    from collections import Counter
+
+    from dask_ms_spark.llm.corpus import ccnet_perplexity_buckets
+
+    rows = []
+    did = 0
+    for lang in ("en", "fr"):
+        for k in range(12):
+            # fluent docs repeat common bigrams; gibberish is unique
+            text = ("the cat sat on the mat " * 3 if k < 6
+                    else f"zx{did}q wv{did}j kp{did}m nd{did}t")
+            rows.append((did, text, lang))
+            did += 1
+    rows.append((did, "", "en"))          # no bigrams -> unbucketed
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    out = ccnet_perplexity_buckets(docs).collect()
+    assert all(r.doc_id != did for r in out)      # empty doc dropped
+    for lang in ("en", "fr"):
+        sub = [r for r in out if r.lang == lang]
+        assert len(sub) == 12
+        c = Counter(r.bucket for r in sub)
+        assert c == {"head": 4, "middle": 4, "tail": 4}
+        hmax = max(r.avg_neg_logp for r in sub if r.bucket == "head")
+        tmin = min(r.avg_neg_logp for r in sub if r.bucket == "tail")
+        assert hmax <= tmin
