@@ -265,3 +265,26 @@ def ms_descriptor_builder(schema: StructType,
                 desc[name]["dataManagerGroup"] = "IndexingGroup"
                 desc[name]["dataManagerType"] = "IncrementalStMan"
     return desc
+
+
+@register_descriptor_builder("ratt_ms")
+def ratt_ms_descriptor_builder(schema: StructType,
+                               complex_cols: Iterable[str] = (),
+                               subtable: str | None = None) -> dict:
+    """RATT MS builder variant (reference
+    daskms/descriptors/ratt_ms.py: the MS builder plus a fixed-up
+    BITFLAG column): identical to ``"ms"`` except the MeerKAT-style
+    integer bitflag columns, when the frame carries them, take the
+    canonical int value type (a float/long-typed frame column would
+    otherwise keep its schema-derived type).  BITFLAG is only fixed
+    when PRESENT — the reference's ``_maybe_fix_column`` contract —
+    so plain MS frames build byte-identical descriptors under either
+    builder.
+    """
+    desc = ms_descriptor_builder(schema, complex_cols, subtable)
+    if (subtable or "MAIN").upper() == "MAIN":
+        for name in ("BITFLAG", "BITFLAG_ROW"):
+            if name in desc and any(f.name == name
+                                    for f in schema.fields):
+                desc[name]["valueType"] = "int"
+    return desc

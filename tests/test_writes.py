@@ -67,3 +67,30 @@ def test_column_update_mapping(spark, nation):
     assert got[0] == "ZERO" and got[1] == "ONE"
     orig = {r.n_nationkey: r.n_name for r in nation.collect()}
     assert all(got[k] == orig[k] for k in orig if k not in (0, 1))
+
+
+def test_ratt_ms_descriptor_builder():
+    """ratt_ms = ms + int-typed BITFLAG columns when present; without
+    them the two builders agree exactly (the reference
+    _maybe_fix_column contract)."""
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    from dask_ms_spark.sources.descriptors import resolve_descriptor
+
+    plain = StructType([StructField("TIME", LongType())])
+    assert resolve_descriptor("ratt_ms", plain) == \
+        resolve_descriptor("ms", plain)
+
+    # double-typed frame columns would stay double under "ms";
+    # ratt_ms fixes the bitflag pair to the canonical int
+    with_bf = StructType([
+        StructField("TIME", LongType()),
+        StructField("BITFLAG", ArrayType(DoubleType())),
+        StructField("BITFLAG_ROW", DoubleType())])
+    d = resolve_descriptor("ratt_ms", with_bf)
+    assert d["BITFLAG"]["valueType"] == "int"
+    assert d["BITFLAG_ROW"]["valueType"] == "int"
+    # the plain builder leaves the schema-derived type alone
+    d0 = resolve_descriptor("ms", with_bf)
+    assert d0["BITFLAG"]["valueType"] != "int"
