@@ -42,7 +42,8 @@ from pyspark.sql.types import (ArrayType, BooleanType, DataType, DoubleType,
                                StructField, StructType)
 
 from ..dataset import Dataset, partition_datasets
-from ..types import ROWID
+from ..types import (ROWID, infer_ms_table, ms_column_dims,
+                     tensor_field)
 
 try:  # pragma: no cover - casacore absent in this environment
     import casacore.tables as _ct  # type: ignore
@@ -151,6 +152,7 @@ def probe_casa_table(table_factory: Callable, path: str,
             raise KeyError(
                 f"sliced columns not in read set: {sorted(bad_slices)}")
         nrow = int(t.nrows())
+        ms_table = infer_ms_table(path)
         specs: dict[str, str] = {}
         slabs: dict[str, tuple[list[int], list[int], list[int]]] = {}
         fields = [StructField(ROWID, LongType(), False)]
@@ -166,7 +168,15 @@ def probe_casa_table(table_factory: Callable, path: str,
                 slabs[c] = _resolve_slab(probe.shape[1:],
                                          tuple(slices[c]))
             specs[c] = kind
-            fields.append(StructField(c, spark_t))
+            if probe.ndim >= 2 and isinstance(spark_t, ArrayType):
+                # tensor column: attach MS dim names (or {col}-{i}
+                # auto-names) as field metadata — the reference's
+                # table_schemas.py dims, now riding the StructField
+                fields.append(tensor_field(
+                    c, spark_t.elementType,
+                    ms_column_dims(ms_table, c, probe.ndim - 1)))
+            else:
+                fields.append(StructField(c, spark_t))
     finally:
         if hasattr(t, "close"):
             t.close()

@@ -38,6 +38,9 @@ __all__ = [
     "DIMS_KEY",
     "SHAPE_KEY",
     "PARTITION_KEY",
+    "MS_DIM_SCHEMAS",
+    "infer_ms_table",
+    "ms_column_dims",
     "complex_array_type",
     "tensor_field",
     "field_dims",
@@ -137,3 +140,107 @@ def with_tensor_metadata(schema: StructType,
         else:
             fields.append(f)
     return StructType(fields)
+
+
+# ---------------------------------------------------------------------
+# MS v2.0 column dimension schemas (the PUBLIC Measurement Set
+# definition, casacore Note/Memo 229; reference analogue: the
+# hand-maintained dim dicts of daskms/table_schemas.py:35-126 looked
+# up by table-name suffix).  Dims name the CELL axes (per row); a
+# complex column's interleave rides the flat encoding, not the dims.
+
+MS_DIM_SCHEMAS: dict[str, dict[str, tuple[str, ...]]] = {
+    "MAIN": {
+        "UVW": ("uvw",),
+        "UVW2": ("uvw",),
+        "DATA": ("chan", "corr"),
+        "FLOAT_DATA": ("chan", "corr"),
+        "SIGMA": ("corr",),
+        "SIGMA_SPECTRUM": ("chan", "corr"),
+        "WEIGHT": ("corr",),
+        "WEIGHT_SPECTRUM": ("chan", "corr"),
+        "FLAG": ("chan", "corr"),
+        "FLAG_CATEGORY": ("flagcat", "chan", "corr"),
+        "MODEL_DATA": ("chan", "corr"),
+        "CORRECTED_DATA": ("chan", "corr"),
+        "IMAGING_WEIGHT": ("chan",),
+        "IMAGING_WEIGHT_SPECTRUM": ("chan", "corr"),
+    },
+    "ANTENNA": {
+        "POSITION": ("xyz",),
+        "OFFSET": ("xyz",),
+    },
+    "FEED": {
+        "BEAM_OFFSET": ("receptors", "radec"),
+        "POLARIZATION_TYPE": ("receptors",),
+        "POL_RESPONSE": ("receptors", "receptors-2"),
+        "POSITION": ("xyz",),
+        "RECEPTOR_ANGLE": ("receptors",),
+    },
+    "FIELD": {
+        "DELAY_DIR": ("field-poly", "field-dir"),
+        "PHASE_DIR": ("field-poly", "field-dir"),
+        "REFERENCE_DIR": ("field-poly", "field-dir"),
+    },
+    "OBSERVATION": {
+        "LOG": ("log",),
+        "SCHEDULE": ("schedule",),
+        "TIME_RANGE": ("obs-exts",),
+    },
+    "POINTING": {
+        "DIRECTION": ("point-poly", "radec"),
+        "ENCODER": ("radec",),
+        "POINTING_OFFSET": ("point-poly", "radec"),
+        "SOURCE_OFFSET": ("point-poly", "radec"),
+        "TARGET": ("point-poly", "radec"),
+    },
+    "POLARIZATION": {
+        "CORR_TYPE": ("corr",),
+        "CORR_PRODUCT": ("corr", "corrprod_idx"),
+    },
+    "SOURCE": {
+        "DIRECTION": ("radec",),
+        "POSITION": ("position",),
+        "PROPER_MOTION": ("radec-per-sec",),
+        "REST_FREQUENCY": ("lines",),
+        "SYSVEL": ("lines",),
+        "TRANSITION": ("lines",),
+    },
+    "SPECTRAL_WINDOW": {
+        "CHAN_FREQ": ("chan",),
+        "CHAN_WIDTH": ("chan",),
+        "EFFECTIVE_BW": ("chan",),
+        "RESOLUTION": ("chan",),
+    },
+}
+
+
+def infer_ms_table(path: str) -> str | None:
+    """Guess the MS (sub)table type from a table path — the
+    reference's suffix lookup (daskms/table_schemas.py
+    infer_table_type): a ``::SUBTABLE`` url suffix or a trailing
+    path component naming a standard subtable selects that schema; a
+    ``.ms``-suffixed component is the MAIN table; anything else is a
+    plain table (no dims known -> None)."""
+    name = path.rstrip("/")
+    if "::" in name:
+        tail = name.rsplit("::", 1)[1].upper()
+    else:
+        tail = name.rsplit("/", 1)[-1].upper()
+    if tail in MS_DIM_SCHEMAS:
+        return tail
+    if tail.endswith(".MS"):
+        return "MAIN"
+    return None
+
+
+def ms_column_dims(table: str | None, column: str,
+                   cell_ndim: int) -> tuple[str, ...]:
+    """Dim names for a column's cell axes: the MS schema entry when
+    the table knows the column at this rank, else the reference's
+    auto-generated ``{column}-{i}`` names
+    (daskms/table_schemas.py:128-186)."""
+    dims = MS_DIM_SCHEMAS.get(table or "", {}).get(column)
+    if dims is not None and len(dims) == cell_ndim:
+        return dims
+    return tuple(f"{column}-{i + 1}" for i in range(cell_ndim))

@@ -1240,3 +1240,24 @@ def test_manifest_int64_precision_and_truncation_guard(spark, tmp_path):
              for f in prune_files(man2, "s", "zz", "zzz")}
     # d is provably out of range; c has no usable stats -> kept
     assert kept2 == {"c.parquet"}
+
+
+def test_probe_attaches_ms_dims():
+    """table_schemas parity: a probe of an MS-suffixed path labels
+    tensor columns with the canonical MS dim names (complex DATA cell
+    dims, UVW), unknown tensor columns get {col}-{i} auto-names, and
+    non-MS paths auto-name everything (reference
+    daskms/table_schemas.py lookup-by-suffix)."""
+    from dask_ms_spark.sources.casa import probe_casa_table
+    from dask_ms_spark.types import field_dims
+
+    schema, _, _, _ = probe_casa_table(FakeCasaTable, "/fake/test.ms")
+    dims = {f.name: field_dims(f) for f in schema.fields}
+    assert dims["DATA"] == ("chan", "corr")
+    assert dims["UVW"] == ("uvw",)
+    assert dims["TIME"] is None                # scalar: no metadata
+
+    schema2, _, _, _ = probe_casa_table(FakeCasaTable, "/fake/other")
+    dims2 = {f.name: field_dims(f) for f in schema2.fields}
+    assert dims2["DATA"] == ("DATA-1", "DATA-2")
+    assert dims2["UVW"] == ("UVW-1",)
