@@ -6321,6 +6321,49 @@ _CCNET_BUCKETS_SQL = """
 """
 
 
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (llm/corpus.py
+    lm_perplexity(smoothing='kneser_ney') — the smoothing family
+    KenLM/CCNet actually use): discounted seen mass + distinct-
+    continuation backoff; self-scored, so every instance takes the
+    seen branch and the oracle mirrors the formula exactly."""
+    from dask_ms_spark.llm.corpus import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(docs, smoothing="kneser_ney")
+
+
+_LM_KNESER_NEY_SQL = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE regexp_split_to_array(
+                               trim(lower(text)), '\\s+') END
+                      AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+          FROM t, UNNEST(range(1, len(toks))) AS r(i)
+          WHERE len(toks) >= 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
+    nf AS (SELECT w1, count(*) AS nfv FROM bi GROUP BY w1),
+    nb AS (SELECT w2, count(*) AS nbv FROM bi GROUP BY w2),
+    nt AS (SELECT count(*) AS n_types FROM bi),
+    sc AS (SELECT doc_id,
+                  cast(round(-ln(
+                      greatest(c2 - 0.75, 0.0) / c1
+                      + 0.75 * nfv / c1
+                        * (nbv / cast(n_types as double)))
+                      * 1048576.0) as bigint) AS q
+           FROM g JOIN bi USING (w1, w2) JOIN uni USING (w1)
+                JOIN nf USING (w1) JOIN nb USING (w2)
+                CROSS JOIN nt)
+    SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           round(cast(sum(q) as double) / count(*) / 1048576.0, 6)
+               AS avg_neg_logp
+    FROM sc GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6438,6 +6481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_amp": q_closure_amp,
         "split_leakage": q_split_leakage,
         "ccnet_buckets": q_ccnet_buckets,
+        "lm_kneser_ney": q_lm_kneser_ney,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -7019,6 +7063,7 @@ def oracle_sql() -> dict[str, str]:
         "closure_amp": _CLOSURE_AMP_SQL,
         "split_leakage": _split_leakage_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
+        "lm_kneser_ney": _LM_KNESER_NEY_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -380,24 +380,48 @@ def pii_scan(df: DataFrame, text_col: str = "text",
 
 def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
-                  scale: int = 1 << 20) -> DataFrame:
-    """Per-document perplexity proxy under an add-one-smoothed bigram
-    language model built from ``lm_docs`` (default: the corpus itself)
-    — the CCNet-style quality signal, with the n-gram LM replacing an
+                  scale: int = 1 << 20,
+                  smoothing: str = "add_one",
+                  discount: float = 0.75) -> DataFrame:
+    """Per-document perplexity proxy under a smoothed bigram language
+    model built from ``lm_docs`` (default: the corpus itself) — the
+    CCNet-style quality signal, with the n-gram LM replacing an
     external model: fluent text scores low, gibberish high.
 
-        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
-        score      = mean over the doc's bigram instances of -ln P
+    ``smoothing="add_one"`` (default):
 
-    Every stage is a DataFrame composition: bigram/unigram counts are
-    partial-merged aggregates; scoring joins the doc's bigram
-    instances against the LM table keyed on the gram itself (exact,
-    no hash collisions in the statistics).  Per-term log-likelihoods
-    are quantised to ``scale`` fixed-point before the per-doc sum, so
-    scores are shuffle-order deterministic and engine-mirrorable.
-    Returns ``(id_col, n_bigrams, avg_neg_logp)`` for documents with
-    at least one bigram.
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    ``smoothing="kneser_ney"`` — interpolated Kneser-Ney (Kneser &
+    Ney 1995 / Chen & Goodman 1998, public; the smoothing family
+    KenLM implements, i.e. what CCNet's reference pipeline actually
+    scores with):
+
+        P(w2 | w1) = max(c(w1 w2) - d, 0) / c(w1)
+                     + d * N1+(w1,*) / c(w1) * Pcont(w2)
+        Pcont(w2)  = N1+(*,w2) / N1+(*,*)
+
+    with ``d = discount`` and N1+ the distinct-continuation counts —
+    the "how many contexts" statistic that makes KN rank grammatical
+    novelty correctly where raw counts overweight burstiness.  Unseen
+    (w1, w2) under a seen w1 falls into the continuation term; a
+    wholly unseen w1 backs off to ``Pcont(w2)``, flooring at
+    ``d / V`` so the score stays finite.
+
+    In both modes every stage is a DataFrame composition:
+    bigram/unigram/continuation counts are partial-merged aggregates;
+    scoring joins the doc's bigram instances against the LM table
+    keyed on the gram itself (exact, no hash collisions in the
+    statistics); the continuation join adds one vocabulary-sized
+    w2-keyed join in KN mode.  Per-term log-likelihoods are quantised
+    to ``scale`` fixed-point before the per-doc sum, so scores are
+    shuffle-order deterministic and engine-mirrorable.  Returns
+    ``(id_col, n_bigrams, avg_neg_logp)`` for documents with at
+    least one bigram.
     """
+    if smoothing not in ("add_one", "kneser_ney"):
+        raise ValueError(f"lm_perplexity: unknown smoothing "
+                         f"{smoothing!r} (add_one | kneser_ney)")
     self_scored = lm_docs is None
     lm_docs = docs if self_scored else lm_docs
 
@@ -428,20 +452,66 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     vocab = (lm_grams.select(F.col("w1").alias("w"))
              .unionByName(lm_grams.select(F.col("w2").alias("w")))
              .distinct().count())
-    lm = (bi.join(uni, "w1")
-          .select("w1", "w2",
-                  ((F.col("c2") + 1)
-                   / (F.col("c1") + F.lit(vocab))).alias("p")))
-
     inst = lm_grams if self_scored else bigram_instances(docs)
-    # smoothing floor for bigrams unseen by the LM (left join):
-    # P = 1 / (c(w1) + V), or 1 / V when even w1 is unseen
-    scored = (inst.join(lm, ["w1", "w2"], "left")
-              .join(uni, "w1", "left")
-              .select("id", F.coalesce(
-                  F.col("p"),
-                  F.lit(1.0) / (F.coalesce(F.col("c1"), F.lit(0))
-                                + F.lit(vocab))).alias("p")))
+    if smoothing == "kneser_ney":
+        d = float(discount)
+        # distinct-continuation statistics from the bigram TYPE table
+        n1_fwd = (bi.groupBy("w1")
+                  .agg(F.count(F.lit(1)).alias("nf")))   # N1+(w1,*)
+        n1_bwd = (bi.groupBy("w2")
+                  .agg(F.count(F.lit(1)).alias("nb")))   # N1+(*,w2)
+        n_types = bi.count()                             # N1+(*,*)
+        lm = (bi.join(uni, "w1").join(n1_fwd, "w1")
+              .select("w1", "w2", "c2", "c1", "nf"))
+        if self_scored:
+            # every scored instance is in the LM by construction —
+            # inner joins, no backoff legs (4 fewer exchanges)
+            scored = inst.join(lm, ["w1", "w2"]).join(n1_bwd, "w2")
+            pcont = F.col("nb") / F.lit(float(n_types))
+            p = (F.greatest(F.col("c2") - F.lit(d), F.lit(0.0))
+                 / F.col("c1")
+                 + F.lit(d) * F.col("nf") / F.col("c1") * pcont)
+        else:
+            scored = (inst.join(lm, ["w1", "w2"], "left")
+                      .join(uni.select(F.col("w1"),
+                                       F.col("c1").alias("__c1u")),
+                            "w1", "left")
+                      .join(n1_fwd.select(F.col("w1"),
+                                          F.col("nf").alias("__nfu")),
+                            "w1", "left")
+                      .join(n1_bwd, "w2", "left"))
+            pcont = (F.coalesce(F.col("nb"), F.lit(0.0))
+                     / F.lit(float(n_types)))
+            seen_w1 = F.col("__c1u").isNotNull()
+            p_seen = (F.greatest(F.col("c2") - F.lit(d), F.lit(0.0))
+                      / F.col("__c1u")
+                      + F.lit(d) * F.col("__nfu") / F.col("__c1u")
+                      * pcont)
+            # unseen (w1,w2) under seen w1: c2 -> 0, continuation
+            # term only; wholly unseen w1 backs off to Pcont; floor
+            # keeps the log finite for unseen w2
+            p_backoff = (F.lit(d) * F.col("__nfu") / F.col("__c1u")
+                         * pcont)
+            p = F.when(F.col("c2").isNotNull(), p_seen) \
+                .when(seen_w1, p_backoff).otherwise(pcont)
+            # p = 0 only through Pcont(unseen w2) = 0 — floor THAT
+            # case alone (d/V), never a legitimately small
+            # probability
+            p = F.when(p > 0, p).otherwise(F.lit(d / max(vocab, 1)))
+        scored = scored.select("id", p.alias("p"))
+    else:
+        lm = (bi.join(uni, "w1")
+              .select("w1", "w2",
+                      ((F.col("c2") + 1)
+                       / (F.col("c1") + F.lit(vocab))).alias("p")))
+        # smoothing floor for bigrams unseen by the LM (left join):
+        # P = 1 / (c(w1) + V), or 1 / V when even w1 is unseen
+        scored = (inst.join(lm, ["w1", "w2"], "left")
+                  .join(uni, "w1", "left")
+                  .select("id", F.coalesce(
+                      F.col("p"),
+                      F.lit(1.0) / (F.coalesce(F.col("c1"), F.lit(0))
+                                    + F.lit(vocab))).alias("p")))
     q = F.round(-F.log(F.col("p")) * F.lit(float(scale))).cast("long")
     return (scored.select("id", q.alias("q"))
             .groupBy(F.col("id").alias(id_col))

@@ -1339,3 +1339,67 @@ def test_ccnet_buckets_per_lang_terciles(spark):
         hmax = max(r.avg_neg_logp for r in sub if r.bucket == "head")
         tmin = min(r.avg_neg_logp for r in sub if r.bucket == "tail")
         assert hmax <= tmin
+
+
+def test_lm_perplexity_kneser_ney_exact(spark):
+    """Interpolated KN matches an exact python mirror on a tiny
+    corpus (seen bigrams, backoff under a seen w1, wholly unseen w1)
+    and still ranks gibberish above fluent text."""
+    import math
+    from collections import Counter
+
+    from dask_ms_spark.llm.corpus import lm_perplexity
+
+    lm_texts = ["the cat sat", "the cat ran", "the dog sat",
+                "a cat sat"]
+    lm = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lm_texts)],
+        "doc_id long, text string")
+    # doc 0: all seen; doc 1: unseen bigram under seen w1 ('the a');
+    # doc 2: wholly unseen w1 ('zz the')
+    score_texts = ["the cat sat", "the a", "zz the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score_texts)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_perplexity(
+        docs, lm, smoothing="kneser_ney").collect()}
+
+    # python mirror
+    d = 0.75
+    grams = [(ws[i], ws[i + 1]) for t in lm_texts
+             for ws in [t.split()] for i in range(len(ws) - 1)]
+    c2 = Counter(grams)
+    c1 = Counter(g[0] for g in grams)
+    nf = Counter(g[0] for g in set(grams))
+    nb = Counter(g[1] for g in set(grams))
+    n_types = len(set(grams))
+    vocab = len({w for g in grams for w in g})
+
+    def p_kn(w1, w2):
+        pc = nb.get(w2, 0) / n_types
+        if (w1, w2) in c2:
+            p = (max(c2[(w1, w2)] - d, 0) / c1[w1]
+                 + d * nf[w1] / c1[w1] * pc)
+        elif w1 in c1:
+            p = d * nf[w1] / c1[w1] * pc
+        else:
+            p = pc
+        return p if p > 0 else d / vocab
+
+    qs = float(1 << 20)
+    for i, t in enumerate(score_texts):
+        ws = t.split()
+        qsum = sum(round(-math.log(p_kn(ws[j], ws[j + 1])) * qs)
+                   for j in range(len(ws) - 1))
+        want = round(qsum / (len(ws) - 1) / qs, 6)
+        assert got[i].avg_neg_logp == want, (i, got[i], want)
+
+    # fluency ranking on the self-scored corpus
+    fluent = ["the cat sat on the mat " * 3] * 4
+    gib = [f"qq{i}x wy{i}z jk{i}m" for i in range(4)]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fluent + gib)],
+        "doc_id long, text string")
+    s = {r.doc_id: r.avg_neg_logp for r in lm_perplexity(
+        corpus, smoothing="kneser_ney").collect()}
+    assert max(s[i] for i in range(4)) < min(s[i] for i in range(4, 8))
