@@ -6470,7 +6470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "parallactic_angle": q_parallactic_angle,
         "dedup_containment": q_dedup_containment,
-        "noise_estimate": q_noise_estimate,
         "sample_unimax": q_sample_unimax,
         "scan_summary": q_scan_summary,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -7052,7 +7051,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _ngram_novelty_sql(),
         "parallactic_angle": _PARALLACTIC_SQL,
         "dedup_containment": _containment_sql(),
-        "noise_estimate": _NOISE_ESTIMATE_SQL,
         "sample_unimax": _sample_unimax_sql(),
         "scan_summary": _SCAN_SUMMARY_SQL,
         "tokenizer_fertility": _tokenizer_fertility_sql(),
@@ -8694,6 +8692,12 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         # dedup_minhash_drop / dedup_lsh_capped exercise the same
         # minhash_table signatures end-to-end — r5 driver row green
         "dedup_minhash_sig": q_dedup_minhash_sig,
+        # -- round-7 continuation demotion: statwt composes the SAME
+        #    successive-difference estimator (one window lag + one
+        #    baseline agg) and adds the re-weight join on top, so the
+        #    standalone estimator row is the redundant half;
+        #    check_oracle-verified green this session (r7) --
+        "noise_estimate": q_noise_estimate,
     }
 
 
@@ -8706,4 +8710,5 @@ def demoted_oracle_sql() -> dict[str, str]:
         "crossmatch": _CROSSMATCH_SQL,
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_minhash_sig": _minhash_sig_sql(),
+        "noise_estimate": _NOISE_ESTIMATE_SQL,
     }
