@@ -6387,9 +6387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     to the check_oracle-swept demoted_queries block, see r6
     #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
     #     entries (tpch_q7 ... filter_pushdown)
-    #   round 8: any r7-session debuts first, then the remaining 17
-    #     r4-stale (expr_arithmetic ... quantiles), then the oldest
-    #     r5-checked entries.
+    #   round 8: the 16 r7-session debuts first (applycal ...
+    #     lm_kneser_ney; noise_estimate was demoted beside statwt),
+    #     then the remaining 17 r4-stale (expr_arithmetic ...
+    #     quantiles), then the 17 oldest r5-checked entries
+    #     (doc_chunks ... events_ema) = 50.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
