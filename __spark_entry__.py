@@ -6364,6 +6364,152 @@ _LM_KNESER_NEY_SQL = """
 """
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase credits the
+    same user's most recent click/view within a 7-day horizon — the
+    marketing-analytics staple.  Linear spelling: ONE window per user
+    over the time-ordered event stream picks each purchase's last
+    preceding touch (the events_funnel union+window form — no
+    purchase x touch range-join pair blow-up), then one bounded
+    aggregate per touch class.  Value sums are int64 cents
+    (shuffle-order exact)."""
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    touch = F.last(F.when(is_touch, F.struct(
+        F.col("event_type").alias("t_type"),
+        F.unix_timestamp("ts").alias("t_ep"))), ignorenulls=True) \
+        .over(w)
+    scored = (ev.withColumn("__t", touch)
+              .where(F.col("event_type") == "purchase"))
+    horizon = 7 * 86400
+    credited = F.when(
+        F.col("__t").isNotNull()
+        & ((F.unix_timestamp("ts") - F.col("__t.t_ep")) <= horizon),
+        F.col("__t.t_type")).otherwise("none")
+    return (scored.select(credited.alias("touch_type"),
+                          F.round(F.col("value") * 100).cast("long")
+                           .alias("cents"))
+            .groupBy("touch_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"),
+                 F.sum("cents").alias("value_cents")))
+
+
+_ATTRIBUTION_SQL = """
+    WITH s AS (SELECT user_id, ts, event_id, event_type, value,
+                      last_value(CASE WHEN event_type IN
+                                      ('click', 'view')
+                                 THEN struct_pack(
+                                     t_type := event_type,
+                                     t_ep := epoch(ts)) END
+                                 IGNORE NULLS)
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS t
+               FROM events),
+    p AS (SELECT CASE WHEN t IS NOT NULL
+                       AND epoch(ts) - t.t_ep <= 604800
+                      THEN t.t_type ELSE 'none' END AS touch_type,
+                 cast(round(value * 100) as bigint) AS cents
+          FROM s WHERE event_type = 'purchase')
+    SELECT touch_type,
+           cast(count(*) as bigint) AS n_conversions,
+           cast(sum(cents) as bigint) AS value_cents
+    FROM p GROUP BY touch_type
+"""
+
+
+def q_bandpass(spark, sf_dir):
+    """Per-channel bandpass solve (operators/calibration.py
+    bandpass_solve — the CASA bandpass task shape): gain_solve with
+    the channel as an extra key, two damped iterations over
+    channel-dependent synthetic gains; int64-quantised sums keep the
+    oracle bit-exact per (chan, antenna)."""
+    from dask_ms_spark.operators.calibration import bandpass_solve
+
+    embs = _t(spark, sf_dir, "embeddings")
+    p = (F.col("vec_id") % 8).cast("double")
+    q = ((F.col("vec_id") / 8).cast("long") % 8).cast("double")
+    c = (F.col("vec_id") % 3).cast("double")
+    ap, bp = 1.0 + 0.05 * p + 0.01 * c, 0.02 * p - 0.005 * c
+    aq, bq = 1.0 + 0.05 * q + 0.01 * c, 0.02 * q - 0.005 * c
+    s = 1.0 + 0.001 * (F.col("vec_id") % 7).cast("double")
+    d = embs.select(
+        (F.col("vec_id") % 3).alias("chan"),
+        (F.col("vec_id") % 8).alias("antenna1"),
+        ((F.col("vec_id") / 8).cast("long") % 8).alias("antenna2"),
+        F.array(s * (ap * aq + bp * bq),
+                s * (bp * aq - ap * bq)).alias("vis")) \
+        .where(F.col("antenna1") < F.col("antenna2"))
+    out = bandpass_solve(d, iters=2, damping=0.5)
+    return out.select(
+        "chan", "antenna",
+        F.round(F.element_at("gain", 1) * 1e6).cast("long")
+         .alias("gre_q"),
+        F.round(F.element_at("gain", 2) * 1e6).cast("long")
+         .alias("gim_q"))
+
+
+_BANDPASS_SQL = """
+    WITH base AS (
+        SELECT vec_id, vec_id % 3 AS ch,
+               vec_id % 8 AS a1, (vec_id // 8) % 8 AS a2,
+               1.0 + 0.05 * cast(vec_id % 8 as double)
+                   + 0.01 * cast(vec_id % 3 as double) AS ap,
+               0.02 * cast(vec_id % 8 as double)
+                   - 0.005 * cast(vec_id % 3 as double) AS bp,
+               1.0 + 0.05 * cast((vec_id // 8) % 8 as double)
+                   + 0.01 * cast(vec_id % 3 as double) AS aq,
+               0.02 * cast((vec_id // 8) % 8 as double)
+                   - 0.005 * cast(vec_id % 3 as double) AS bq,
+               1.0 + 0.001 * cast(vec_id % 7 as double) AS s
+        FROM embeddings),
+    vis AS (SELECT ch, a1, a2,
+                   s * (ap * aq + bp * bq) AS vre,
+                   s * (bp * aq - ap * bq) AS vim
+            FROM base WHERE a1 < a2),
+    edges AS (SELECT ch, a1 AS p, a2 AS q, vre, vim FROM vis
+              UNION ALL
+              SELECT ch, a2 AS p, a1 AS q, vre, -vim AS vim FROM vis),
+    it1 AS (SELECT ch, p AS antenna,
+                   cast(sum(cast(round(vre * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sre,
+                   cast(sum(cast(round(vim * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sim,
+                   cast(sum(cast(round(1.0 * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sd
+            FROM edges GROUP BY ch, p),
+    g1 AS (SELECT ch, antenna,
+                  0.5 * 1.0 + (0.5 * sre) / sd AS gre,
+                  0.5 * 0.0 + (0.5 * sim) / sd AS gim
+           FROM it1),
+    it2 AS (SELECT e.ch, e.p AS antenna,
+                   cast(sum(cast(round((e.vre * g.gre - e.vim * g.gim)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sre,
+                   cast(sum(cast(round((e.vre * g.gim + e.vim * g.gre)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sim,
+                   cast(sum(cast(round((g.gre * g.gre + g.gim * g.gim)
+                                       * 1048576.0) as bigint))
+                        as double) / 1048576.0 AS sd
+            FROM edges e JOIN g1 g ON g.antenna = e.q AND g.ch = e.ch
+            GROUP BY e.ch, e.p),
+    g2 AS (SELECT i.ch, i.antenna,
+                  0.5 * g.gre + (0.5 * i.sre) / i.sd AS gre,
+                  0.5 * g.gim + (0.5 * i.sim) / i.sd AS gim
+           FROM it2 i JOIN g1 g ON g.antenna = i.antenna
+                                AND g.ch = i.ch)
+    SELECT ch AS chan, antenna,
+           cast(round(gre * 1000000) as bigint) AS gre_q,
+           cast(round(gim * 1000000) as bigint) AS gim_q
+    FROM g2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6387,11 +6533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     to the check_oracle-swept demoted_queries block, see r6
     #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
     #     entries (tpch_q7 ... filter_pushdown)
-    #   round 8: the 16 r7-session debuts first (applycal ...
-    #     lm_kneser_ney; noise_estimate was demoted beside statwt),
+    #   round 8: the 18 r7-session debuts first (applycal ...
+    #     bandpass_solve; noise_estimate was demoted beside statwt),
     #     then the remaining 17 r4-stale (expr_arithmetic ...
-    #     quantiles), then the 17 oldest r5-checked entries
-    #     (doc_chunks ... events_ema) = 50.
+    #     quantiles), then the 15 oldest r5-checked entries
+    #     (doc_chunks ... corpus_overlap_kmv) = 50.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
@@ -6483,6 +6629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "ccnet_buckets": q_ccnet_buckets,
         "lm_kneser_ney": q_lm_kneser_ney,
+        "attribution": q_attribution,
+        "bandpass_solve": q_bandpass,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -7064,6 +7212,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "lm_kneser_ney": _LM_KNESER_NEY_SQL,
+        "attribution": _ATTRIBUTION_SQL,
+        "bandpass_solve": _BANDPASS_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["gain_solve", "delay_fit", "unwrap_phases",
+__all__ = ["gain_solve", "bandpass_solve", "delay_fit", "unwrap_phases",
            "closure_phases", "closure_amplitudes", "predict_vis",
            "uvw_from_baseline", "noise_estimate", "statwt"]
 
@@ -39,7 +39,8 @@ def _qsum(c, scale: float):
 def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
                ant2_col: str = "antenna2", vis_col: str = "vis",
                iters: int = 2, damping: float = 0.5,
-               quantize_scale: int = 1 << 20) -> DataFrame:
+               quantize_scale: int = 1 << 20,
+               extra_keys: list | tuple = ()) -> DataFrame:
     """Solve per-antenna complex gains from baseline visibilities.
 
     ``vis_col`` is an interleaved complex scalar ``[re, im]`` (one
@@ -53,6 +54,11 @@ def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
     Returns (antenna, gain) with ``gain = [re, im]``.  The overall
     phase is unconstrained (the usual gauge freedom); reference the
     phases to one antenna downstream if absolute phase matters.
+
+    ``extra_keys`` solves an INDEPENDENT gain per extra key value —
+    the generalisation :func:`bandpass_solve` uses for per-channel
+    gains; the gain table stays (keys x antennas)-sized, so the
+    per-iteration attach remains a broadcast.
     """
     if iters < 1:
         raise ValueError(f"gain_solve: iters must be >= 1, got {iters}")
@@ -60,33 +66,37 @@ def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
         raise ValueError(f"gain_solve: damping must be in (0, 1], "
                          f"got {damping}")
     qs = float(quantize_scale)
+    keys = [str(k) for k in extra_keys]
+    kcols = [F.col(k) for k in keys]
     p, q = F.col(ant1_col), F.col(ant2_col)
     vre = F.element_at(F.col(vis_col), 1).cast("double")
     vim = F.element_at(F.col(vis_col), 2).cast("double")
-    fwd = vis.where(p != q).select(p.alias("p"), q.alias("q"),
+    fwd = vis.where(p != q).select(*kcols, p.alias("p"), q.alias("q"),
                                    vre.alias("vre"), vim.alias("vim"))
-    rev = vis.where(p != q).select(q.alias("p"), p.alias("q"),
+    rev = vis.where(p != q).select(*kcols, q.alias("p"), p.alias("q"),
                                    vre.alias("vre"),
                                    (-vim).alias("vim"))
     edges = fwd.unionByName(rev)
 
-    gains = (edges.select(F.col("p").alias("antenna")).distinct()
-             .select("antenna", F.lit(1.0).alias("gre"),
+    gains = (edges.select(*keys, F.col("p").alias("antenna"))
+             .distinct()
+             .select(*keys, "antenna", F.lit(1.0).alias("gre"),
                      F.lit(0.0).alias("gim")))
     d = float(damping)
     for _ in range(iters):
         j = edges.join(F.broadcast(gains.select(
-            F.col("antenna").alias("q"), F.col("gre").alias("qre"),
-            F.col("gim").alias("qim"))), on="q")
+            *keys, F.col("antenna").alias("q"),
+            F.col("gre").alias("qre"), F.col("gim").alias("qim"))),
+            on=keys + ["q"])
         num_re = F.col("vre") * F.col("qre") - F.col("vim") * F.col("qim")
         num_im = F.col("vre") * F.col("qim") + F.col("vim") * F.col("qre")
         den = F.col("qre") * F.col("qre") + F.col("qim") * F.col("qim")
-        est = (j.groupBy(F.col("p").alias("antenna"))
+        est = (j.groupBy(*keys, F.col("p").alias("antenna"))
                .agg(_qsum(num_re, qs).alias("sre"),
                     _qsum(num_im, qs).alias("sim"),
                     _qsum(den, qs).alias("sd")))
-        gains = (gains.join(est, on="antenna")
-                 .select("antenna",
+        gains = (gains.join(est, on=keys + ["antenna"])
+                 .select(*keys, "antenna",
                          (F.lit(1 - d) * F.col("gre")
                           + F.lit(d) * F.col("sre") / F.col("sd"))
                          .alias("gre"),
@@ -96,8 +106,26 @@ def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
         # the gain table is tiny; checkpointing truncates the lineage
         # so each iteration's plan stays iteration-sized
         gains = gains.localCheckpoint(eager=False)
-    return gains.select("antenna",
+    return gains.select(*keys, "antenna",
                         F.array("gre", "gim").alias("gain"))
+
+
+def bandpass_solve(vis: DataFrame, chan_col: str = "chan",
+                   ant1_col: str = "antenna1",
+                   ant2_col: str = "antenna2", vis_col: str = "vis",
+                   iters: int = 2, damping: float = 0.5,
+                   quantize_scale: int = 1 << 20) -> DataFrame:
+    """Per-channel antenna gains — the CASA ``bandpass`` task shape:
+    each channel solves its own antsol system independently (the
+    frequency response of each antenna's signal chain).  One
+    ``gain_solve`` with the channel as an extra key: the edge set is
+    visibility-sized but shuffles once per iteration on
+    (chan, antenna); the gain table is (n_chan x n_ant) rows —
+    still broadcast-sized for any real array.  Returns
+    (chan, antenna, gain)."""
+    return gain_solve(vis, ant1_col, ant2_col, vis_col, iters,
+                      damping, quantize_scale,
+                      extra_keys=[chan_col])
 
 
 def unwrap_phases(phases):

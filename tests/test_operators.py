@@ -1766,3 +1766,41 @@ def test_closure_amplitudes_cancel_gains(spark):
         want = (true_amp[(p, q)] * true_amp[(r, s)]
                 / (true_amp[(p, r)] * true_amp[(q, s)]))
         assert abs(v - want) < 1e-12
+
+
+def test_bandpass_solve_per_channel_gains(spark):
+    """bandpass: each channel recovers ITS OWN gains (gauge-invariant
+    g_p conj(g_q) products per channel), independent across
+    channels."""
+    import cmath
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import bandpass_solve
+
+    n_ant, n_chan = 5, 3
+    true_g = {(a, c): complex(1 + 0.1 * ((a + c) % 3),
+                              0.04 * a - 0.03 * c)
+              for a in range(n_ant) for c in range(n_chan)}
+    rows = []
+    for c in range(n_chan):
+        for p_ in range(n_ant):
+            for q_ in range(p_ + 1, n_ant):
+                v = true_g[(p_, c)] * true_g[(q_, c)].conjugate()
+                rows.append(Row(chan=c, antenna1=p_, antenna2=q_,
+                                vis=[v.real, v.imag]))
+    df = spark.createDataFrame(
+        rows, "chan long, antenna1 long, antenna2 long, "
+              "vis array<double>")
+    out = {(r.chan, r.antenna): complex(r.gain[0], r.gain[1])
+           for r in bandpass_solve(df, iters=32,
+                                   damping=0.9).collect()}
+    assert len(out) == n_ant * n_chan
+    for c in range(n_chan):
+        for p_ in range(n_ant):
+            for q_ in range(p_ + 1, n_ant):
+                got = out[(c, p_)] * out[(c, q_)].conjugate()
+                want = (true_g[(p_, c)]
+                        * true_g[(q_, c)].conjugate())
+                assert cmath.isclose(got, want, rel_tol=1e-3), \
+                    (c, p_, q_)
