@@ -6510,6 +6510,78 @@ _BANDPASS_SQL = """
 """
 
 
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (functions/stats.py
+    cuped_adjust, Deng et al. 2013): per-user pre/post value sums
+    around a fixed split date, arms by portable hash, pooled theta
+    from exact decimal moments — one global 1-row aggregate plus one
+    per-arm aggregate; the adjustment is mean-zero so the lift
+    estimate is untouched while its variance shrinks."""
+    from dask_ms_spark.functions.stats import cuped_adjust
+    from dask_ms_spark.llm.sampling import hash_bucket
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    split_ep = 1705363200        # 2024-01-16 00:00:00 UTC
+    ep = F.unix_timestamp("ts")
+    units = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(ep < split_ep, F.col("value"))
+                        .otherwise(0.0)).alias("pre_metric"),
+                  F.sum(F.when(ep >= split_ep, F.col("value"))
+                        .otherwise(0.0)).alias("post_metric"))
+             .withColumn("arm", F.when(
+                 hash_bucket(F.col("user_id"), 2, "ab") == 0,
+                 "A").otherwise("B")))
+    # quantize the unit metrics BEFORE handing to cuped_adjust so
+    # the per-user float sums (order-dependent in the last ulp)
+    # cannot leak into the comparison
+    units = units.select(
+        "arm",
+        (F.round(F.col("pre_metric") * 100) / 100).alias("pre_metric"),
+        (F.round(F.col("post_metric") * 100) / 100)
+        .alias("post_metric"))
+    return cuped_adjust(units)
+
+
+_CUPED_SQL = f"""
+    WITH u AS (SELECT user_id,
+                      round(sum(CASE WHEN epoch(ts) < 1705363200
+                                THEN value ELSE 0 END) * 100) / 100
+                          AS x,
+                      round(sum(CASE WHEN epoch(ts) >= 1705363200
+                                THEN value ELSE 0 END) * 100) / 100
+                          AS y,
+                      CASE WHEN {_DUCK_HASH.format(
+                          x="cast(user_id as varchar) || 'ab'")}
+                           % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+               FROM events GROUP BY user_id),
+    q AS (SELECT arm,
+                 cast(round(x * 10000) as bigint) AS xq,
+                 cast(round(y * 10000) as bigint) AS yq
+          FROM u),
+    m AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+                 sum(xq * xq) AS sxx, sum(xq * yq) AS sxy
+          FROM q),
+    th AS (SELECT (cast(n as double) * cast(sxy as double)
+                   - cast(sx as double) * cast(sy as double))
+                  / (cast(n as double) * cast(sxx as double)
+                     - cast(sx as double) * cast(sx as double))
+                      AS theta,
+                  cast(sx as double) / cast(n as double) AS mx
+           FROM m),
+    adj AS (SELECT arm, yq,
+                   cast(round(cast(yq as double)
+                              - theta * (cast(xq as double) - mx))
+                        as bigint) AS yadjq
+            FROM q CROSS JOIN th)
+    SELECT arm, cast(count(*) as bigint) AS n_units,
+           round(cast(sum(yq) as double) / count(*) / 10000.0, 6)
+               AS mean_post,
+           round(cast(sum(yadjq) as double) / count(*) / 10000.0, 6)
+               AS mean_post_cuped
+    FROM adj GROUP BY arm
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6533,11 +6605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     to the check_oracle-swept demoted_queries block, see r6
     #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
     #     entries (tpch_q7 ... filter_pushdown)
-    #   round 8: the 18 r7-session debuts first (applycal ...
-    #     bandpass_solve; noise_estimate was demoted beside statwt),
-    #     then the remaining 17 r4-stale (expr_arithmetic ...
-    #     quantiles), then the 15 oldest r5-checked entries
-    #     (doc_chunks ... corpus_overlap_kmv) = 50.
+    #   round 8: the 19 r7-session debuts first (applycal ...
+    #     cuped; noise_estimate was demoted beside statwt), then the
+    #     remaining 17 r4-stale (expr_arithmetic ... quantiles),
+    #     then the 14 oldest r5-checked entries (doc_chunks ...
+    #     graph_triangles) = 50.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
@@ -6631,6 +6703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kneser_ney": q_lm_kneser_ney,
         "attribution": q_attribution,
         "bandpass_solve": q_bandpass,
+        "cuped": q_cuped,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -7214,6 +7287,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_kneser_ney": _LM_KNESER_NEY_SQL,
         "attribution": _ATTRIBUTION_SQL,
         "bandpass_solve": _BANDPASS_SQL,
+        "cuped": _CUPED_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

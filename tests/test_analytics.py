@@ -277,3 +277,65 @@ def test_weighted_quantiles_matches_python(spark):
     b = [(float(v), 1.0) for v in range(1, 11)]
     assert out["b"].q50 == model(b, 0.5) == 5.0
     assert out["b"].q90 == model(b, 0.9) == 9.0
+
+
+def test_cuped_adjust_variance_reduction(spark):
+    """CUPED: adjusted per-arm means match the python mirror exactly
+    (fixed-point moments), the adjustment is mean-zero pooled, and
+    variance shrinks when pre correlates with post."""
+    import numpy as np
+
+    from dask_ms_spark.functions.stats import cuped_adjust
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v):
+        # Spark F.round = BigDecimal.valueOf(d).setScale(6, HALF_UP):
+        # HALF_UP on the double's SHORTEST decimal repr, not its
+        # exact binary value — Decimal(repr(v)) mirrors that
+        return float(Decimal(repr(v)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    x = rng.gamma(2.0, 50.0, n)                 # pre-period spend
+    lift = np.where(np.arange(n) % 2 == 0, 0.0, 5.0)
+    y = 0.8 * x + lift + rng.normal(0, 10, n)   # post correlates
+    arm = np.where(np.arange(n) % 2 == 0, "A", "B")
+    rows = [(str(a), float(round(xi, 2)), float(round(yi, 2)))
+            for a, xi, yi in zip(arm, x, y)]
+    df = spark.createDataFrame(
+        rows, "arm string, pre_metric double, post_metric double")
+    got = {r.arm: r for r in cuped_adjust(df).collect()}
+
+    # python mirror of the quantized pipeline
+    qs = 10_000.0
+    xq = np.round(np.round(x, 2) * qs).astype(np.int64)
+    yq = np.round(np.round(y, 2) * qs).astype(np.int64)
+    sx, sy = xq.sum(), yq.sum()
+    sxx = (xq.astype(object) * xq).sum()       # exact python ints
+    sxy = (xq.astype(object) * yq).sum()
+    theta = (float(n) * float(sxy) - float(sx) * float(sy)) / \
+            (float(n) * float(sxx) - float(sx) * float(sx))
+    mx = float(sx) / n
+    yadjq = np.array([round(float(yq[i]) - theta
+                            * (float(xq[i]) - mx))
+                      for i in range(n)], dtype=np.int64)
+    for a in ("A", "B"):
+        m = arm == a
+        assert got[a].n_units == int(m.sum())
+        assert got[a].mean_post == r6(
+            float(yq[m].sum()) / m.sum() / qs)
+        assert got[a].mean_post_cuped == r6(
+            float(yadjq[m].sum()) / m.sum() / qs)
+    # mean-zero: pooled adjusted mean == pooled raw mean (to quant)
+    pooled_raw = float(yq.sum()) / n / qs
+    pooled_adj = float(yadjq.sum()) / n / qs
+    assert abs(pooled_adj - pooled_raw) < 1e-3
+    # the lift estimate survives; per-arm variance shrinks
+    lift_raw = got["B"].mean_post - got["A"].mean_post
+    lift_adj = got["B"].mean_post_cuped - got["A"].mean_post_cuped
+    assert abs(lift_adj - lift_raw) < 1.5
+    var_raw = yq.astype(float).var()
+    var_adj = yadjq.astype(float).var()
+    assert var_adj < 0.2 * var_raw              # strong covariate
