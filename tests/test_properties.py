@@ -400,3 +400,83 @@ if HAVE_HYPOTHESIS:
                 else:
                     assert r.data_mean[i] is None
                     assert r.flag[i] is True
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(vals=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=60))
+    @settings(max_examples=10, deadline=None)
+    def test_cusum_matches_numpy_argmax(spark, vals):
+        """cusum_changepoints must equal the brute-force fixed-point
+        argmax (earliest-k tie break) on arbitrary series."""
+        import numpy as np
+
+        from dask_ms_spark.operators.timeseries import (
+            cusum_changepoints)
+
+        qs = 1 << 12
+        df = spark.createDataFrame(
+            [("k", float(i), i, float(v))
+             for i, v in enumerate(vals)],
+            "event_type string, ts double, event_id long, "
+            "value double")
+        (got,) = cusum_changepoints(
+            df, order_cols=("ts", "event_id"),
+            quantize_scale=qs).collect()
+
+        xq = np.array([round(v * qs) for v in vals], dtype=object)
+        run = np.cumsum(xq)
+        n, tot = len(xq), run[-1]
+        nsk = np.array([n * run[k] - (k + 1) * tot
+                        for k in range(n - 1)], dtype=object)
+        absn = [abs(int(x)) for x in nsk]
+        k = absn.index(max(absn))          # earliest max
+        assert got.n == n
+        assert got.change_pos == k + 1
+        # Spark computes abs(nsk)/n in DOUBLE then rounds; accept
+        # either the double-path value or the exact-decimal HALF_UP
+        # value (they differ only on exact .5 ratios)
+        import decimal
+        want_exact = int((decimal.Decimal(absn[k])
+                          / decimal.Decimal(n))
+                         .quantize(decimal.Decimal(1),
+                                   rounding=decimal.ROUND_HALF_UP))
+        want_dbl = round(float(absn[k]) / n)
+        assert got.cusum_max_q in (want_dbl, want_exact)
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(lines=st.lists(
+        st.text(alphabet="abc x.!?{", min_size=0, max_size=30),
+        min_size=1, max_size=10))
+    @settings(max_examples=10, deadline=None)
+    def test_c4_filter_matches_python_rules(spark, lines):
+        """c4_line_filter == the per-line python rules + ordered
+        rebuild, for arbitrary line content."""
+        from dask_ms_spark.llm.corpus import c4_line_filter
+
+        text = "\n".join(lines)
+        df = spark.createDataFrame([(1, text)],
+                                   "doc_id long, text string")
+        (got,) = c4_line_filter(df, min_line_words=2,
+                                min_lines=1).collect()
+
+        def keep(line):
+            t = line.rstrip()
+            if not (t and t[-1] in '.!?"'):
+                return False
+            if len(line.split()) < 2:
+                return False
+            low = line.lower()
+            return not any(b in low for b in
+                           ("lorem ipsum", "javascript", "{"))
+
+        kept = [ln for ln in lines if keep(ln)]
+        assert got.n_lines == len(lines)
+        assert got.n_kept == len(kept)
+        assert got.text == "\n".join(kept)
+        assert got.keep == (len(kept) >= 1)
