@@ -1,0 +1,159 @@
+"""Measurement Set concatenation — the CASA ``concat`` task as
+DataFrame algebra.
+
+Combining two observations' MS (same array, different epochs or
+scheduling blocks) is NOT a plain row union: the subtables are
+id-indexed by ROW POSITION, so the second MS's SPECTRAL_WINDOW /
+POLARIZATION / FIELD / DATA_DESCRIPTION rows land at OFFSET positions
+in the combined subtables and every index column that points at them
+(MAIN's ``DATA_DESC_ID``/``FIELD_ID``, DATA_DESCRIPTION's
+``SPECTRAL_WINDOW_ID``/``POLARIZATION_ID``) must shift by its
+subtable's offset.  The reference ships the per-table datasets and
+leaves this to CASA's concat task; here the re-index is a pure
+literal-offset projection, so the combined MAIN plan is a UNION of
+map-side projections — no shuffle, no join, the same scan cost as
+reading the parts.
+
+Scale shape (100 TB): offsets come from driver-side counts of the
+DIMENSION-sized subtables (bounded collects by the same contract as
+the IVF cell lists); the fact-table union itself adds zero exchanges,
+and a downstream group-by-(FIELD_ID, DATA_DESC_ID) partitioning
+(``xds_from_ms`` defaults) sees the re-indexed ids exactly as if the
+combined MS had been observed in one run.
+
+ANTENNA is intentionally NOT offset by default: concatenating
+observations of the SAME array must keep antenna indices stable (the
+CASA behaviour when the antenna tables match); ``concat_ms`` verifies
+the parts' ANTENNA tables are value-identical and raises otherwise —
+pass ``match_antennas=False`` to offset ``ANTENNA1``/``ANTENNA2``
+and stack the antenna tables instead (heterogeneous-array concat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..types import ROWID
+
+__all__ = ["concat_ms"]
+
+# subtable -> MAIN index column that points at it
+_MAIN_INDEX = {"DATA_DESCRIPTION": "DATA_DESC_ID",
+               "FIELD": "FIELD_ID"}
+# DATA_DESCRIPTION's own pointer columns
+_DD_INDEX = {"SPECTRAL_WINDOW": "SPECTRAL_WINDOW_ID",
+             "POLARIZATION": "POLARIZATION_ID"}
+_OFFSET_TABLES = ("SPECTRAL_WINDOW", "POLARIZATION", "FIELD",
+                  "DATA_DESCRIPTION")
+
+
+def _with_rowid_offset(df: DataFrame, off: int) -> DataFrame:
+    if ROWID in df.columns and off:
+        return df.withColumn(ROWID, F.col(ROWID) + F.lit(off))
+    return df
+
+
+def _shift(df: DataFrame, col: str, off: int) -> DataFrame:
+    if col in df.columns and off:
+        return df.withColumn(
+            col, (F.col(col) + F.lit(off)).cast(df.schema[col].dataType))
+    return df
+
+
+def concat_ms(parts: list, match_antennas: bool = True) -> dict:
+    """Concatenate Measurement Sets (each a ``{table_name:
+    DataFrame}`` dict with ``"MAIN"`` plus subtables) into one, CASA
+    ``concat``-style: subtable rows stack in part order and every id
+    column re-indexes by its subtable's cumulative offset.
+
+    Subtables beyond the indexed four (ANTENNA under
+    ``match_antennas=True``, and anything else present in part 0)
+    are taken from the FIRST part; parts carrying extra tables the
+    first lacks raise (silently dropping metadata is worse than
+    failing).
+    """
+    if not parts:
+        raise ValueError("concat_ms: no parts")
+    parts = [dict(p) for p in parts]
+    for i, p in enumerate(parts):
+        if "MAIN" not in p:
+            raise ValueError(f"concat_ms: part {i} has no MAIN table")
+        extra = set(p) - set(parts[0])
+        if extra:
+            raise ValueError(
+                f"concat_ms: part {i} carries tables {sorted(extra)} "
+                "absent from part 0 — their metadata would be "
+                "dropped; align the parts first")
+
+    # driver-side subtable row counts -> cumulative offsets
+    # (dimension tables: bounded collect contract)
+    counts = {t: [p[t].count() if t in p else 0 for p in parts]
+              for t in _OFFSET_TABLES}
+    offsets = {t: [sum(counts[t][:i]) for i in range(len(parts))]
+               for t in _OFFSET_TABLES}
+
+    n_ant = None
+    if match_antennas and "ANTENNA" in parts[0]:
+        a0 = parts[0]["ANTENNA"]
+        rows0 = sorted(map(tuple, a0.collect()))
+        n_ant = len(rows0)
+        for i, p in enumerate(parts[1:], 1):
+            if "ANTENNA" not in p:
+                continue
+            if sorted(map(tuple, p["ANTENNA"].collect())) != rows0:
+                raise ValueError(
+                    f"concat_ms: part {i} ANTENNA table differs from "
+                    "part 0 — same-array concat requires identical "
+                    "antennas; pass match_antennas=False to stack "
+                    "heterogeneous arrays with offset indices")
+
+    out = {}
+    mains = []
+    row_off = 0
+    for i, p in enumerate(parts):
+        m = p["MAIN"]
+        for t, col in _MAIN_INDEX.items():
+            m = _shift(m, col, offsets[t][i])
+        if not match_antennas and i:
+            ant_off = sum(parts[j]["ANTENNA"].count()
+                          for j in range(i) if "ANTENNA" in parts[j])
+            m = _shift(m, "ANTENNA1", ant_off)
+            m = _shift(m, "ANTENNA2", ant_off)
+        m = _with_rowid_offset(m, row_off)
+        if ROWID in p["MAIN"].columns:
+            row_off += p["MAIN"].count()
+        mains.append(m)
+    u = mains[0]
+    for m in mains[1:]:
+        u = u.unionByName(m)
+    out["MAIN"] = u
+
+    for t in _OFFSET_TABLES:
+        stacked = None
+        for i, p in enumerate(parts):
+            if t not in p:
+                continue
+            d = p[t]
+            if t == "DATA_DESCRIPTION":
+                for sub, col in _DD_INDEX.items():
+                    d = _shift(d, col, offsets[sub][i])
+            d = _with_rowid_offset(d, offsets[t][i])
+            stacked = d if stacked is None else stacked.unionByName(d)
+        if stacked is not None:
+            out[t] = stacked
+
+    for t, d in parts[0].items():
+        if t not in out and t != "MAIN":
+            if t == "ANTENNA" and not match_antennas:
+                stacked, off = None, 0
+                for p in parts:
+                    if "ANTENNA" not in p:
+                        continue
+                    d2 = _with_rowid_offset(p["ANTENNA"], off)
+                    off += p["ANTENNA"].count()
+                    stacked = d2 if stacked is None \
+                        else stacked.unionByName(d2)
+                out[t] = stacked
+            else:
+                out[t] = d
+    return out

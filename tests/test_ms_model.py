@@ -140,3 +140,58 @@ def test_ms_dims_metadata(ms):
     assert field_dims(ms.schema["DATA"]) == ("chan", "corr")
     assert field_shape(ms.schema["DATA"]) == (16, 4)
     assert field_dims(ms.schema["UVW"]) == ("uvw",)
+
+
+def test_concat_ms_reindexes_subtable_ids(spark):
+    """CASA-concat semantics: subtables stack in part order, MAIN's
+    DATA_DESC_ID/FIELD_ID and DATA_DESCRIPTION's SPW/POL pointers
+    shift by cumulative offsets, matching ANTENNA tables stay
+    unstacked, and the combined MAIN is the plain row union
+    otherwise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.example_data import example_ms
+    from dask_ms_spark.operators.msconcat import concat_ms
+
+    a = example_ms(spark)
+    b = example_ms(spark)
+    out = concat_ms([a, b])
+
+    assert out["MAIN"].count() == 2 * a["MAIN"].count()
+    # part 1's ids shifted by part 0's subtable sizes (2 each)
+    dd_ids = sorted(r[0] for r in
+                    out["MAIN"].select("DATA_DESC_ID").distinct()
+                    .collect())
+    assert dd_ids == [0, 1, 2, 3]
+    f_ids = sorted(r[0] for r in
+                   out["MAIN"].select("FIELD_ID").distinct().collect())
+    assert f_ids == [0, 1, 2, 3]
+    # stacked DATA_DESCRIPTION points at offset SPW/POL rows
+    dd = {r.ROWID: (r.SPECTRAL_WINDOW_ID, r.POLARIZATION_ID)
+          for r in out["DATA_DESCRIPTION"].collect()}
+    assert dd[0] == (0, 0) and dd[1] == (1, 1)
+    assert dd[2] == (2, 2) and dd[3] == (3, 3)
+    assert out["SPECTRAL_WINDOW"].count() == 4
+    # SPW rowids re-based into one index space
+    assert sorted(r.ROWID for r in
+                  out["SPECTRAL_WINDOW"].collect()) == [0, 1, 2, 3]
+    # per-dd row counts double
+    n_by_dd = {r.DATA_DESC_ID: r.n for r in
+               out["MAIN"].groupBy("DATA_DESC_ID")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n_by_dd[0] == n_by_dd[2] == 3
+    assert n_by_dd[1] == n_by_dd[3] == 7
+
+    # heterogeneous-antenna path and the mismatch guard
+    ant = spark.createDataFrame([(0, "A0"), (1, "A1")],
+                                "ROWID long, NAME string")
+    ant2 = spark.createDataFrame([(0, "B0"), (1, "B1")],
+                                 "ROWID long, NAME string")
+    pa = dict(a); pa["ANTENNA"] = ant
+    pb = dict(b); pb["ANTENNA"] = ant2
+    with pytest.raises(ValueError, match="ANTENNA table differs"):
+        concat_ms([pa, pb])
+    het = concat_ms([pa, pb], match_antennas=False)
+    assert sorted(r.NAME for r in het["ANTENNA"].collect()) == \
+        ["A0", "A1", "B0", "B1"]
