@@ -404,15 +404,37 @@ def predict_vis(df: DataFrame, u_col: str, v_col: str,
     v = F.col(v_col).cast("double")
     w = F.col(w_col).cast("double") if w_col else None
     two_pi = 2.0 * math.pi
+    # FT of a unit elliptical Gaussian with sky FWHM (maj, min) at
+    # position angle pa (north through east): a Gaussian envelope in
+    # (u, v) with exponent -pi^2/(4 ln 2) [maj^2 ur^2 + min^2 vr^2],
+    # ur along the major axis = u sin(pa) + v cos(pa) (the standard
+    # component-model convention, e.g. wsclean source lists; public)
+    g_k = -(math.pi ** 2) / (4.0 * math.log(2.0))
     re, im = F.lit(0.0), F.lit(0.0)
-    for flux, l, m in sources:
+    for src in sources:
+        if len(src) == 3:
+            flux, l, m = src
+            env = F.lit(1.0)
+        elif len(src) == 6:
+            flux, l, m, maj, mnr, pa = src
+            sp, cp = math.sin(float(pa)), math.cos(float(pa))
+            ur = u * F.lit(sp) + v * F.lit(cp)
+            vr = u * F.lit(cp) - v * F.lit(sp)
+            env = F.exp(F.lit(g_k) * (
+                F.lit(float(maj) ** 2) * ur * ur
+                + F.lit(float(mnr) ** 2) * vr * vr))
+        else:
+            raise ValueError(
+                "predict_vis: sources are (flux, l, m) points or "
+                "(flux, l, m, fwhm_maj, fwhm_min, pa) Gaussians, "
+                f"got a {len(src)}-tuple")
         ph = u * F.lit(float(l)) + v * F.lit(float(m))
         if w is not None:
             n1 = math.sqrt(1.0 - float(l) ** 2 - float(m) ** 2) - 1.0
             ph = ph + w * F.lit(n1)
         ph = F.lit(two_pi) * ph
-        re = re + F.lit(float(flux)) * F.cos(ph)
-        im = im + F.lit(float(flux)) * F.sin(ph)
+        re = re + F.lit(float(flux)) * env * F.cos(ph)
+        im = im + F.lit(float(flux)) * env * F.sin(ph)
     return df.withColumn(out_col, F.array(re, im))
 
 

@@ -1804,3 +1804,51 @@ def test_bandpass_solve_per_channel_gains(spark):
                         * true_g[(q_, c)].conjugate())
                 assert cmath.isclose(got, want, rel_tol=1e-3), \
                     (c, p_, q_)
+
+
+def test_predict_vis_gaussian_components(spark):
+    """Gaussian components: zero-spacing amplitude equals the flux,
+    a circular Gaussian decays by the closed-form envelope, the pa
+    rotation swaps which uv direction decays fastest, and point
+    sources are the env == 1 special case."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import predict_vis
+
+    rows = [Row(u=0.0, v=0.0), Row(u=100.0, v=0.0),
+            Row(u=0.0, v=100.0), Row(u=50.0, v=50.0)]
+    df = spark.createDataFrame(rows, "u double, v double")
+    th = 0.01                          # circular FWHM (radians)
+    circ = {(r.u, r.v): complex(r.mv[0], r.mv[1]) for r in predict_vis(
+        df, "u", "v", [(2.0, 0.0, 0.0, th, th, 0.3)],
+        out_col="mv").collect()}
+    assert abs(circ[(0.0, 0.0)] - 2.0) < 1e-12      # zero spacing
+    want = 2.0 * math.exp(-(math.pi ** 2) / (4 * math.log(2))
+                          * th * th * 100.0 ** 2)
+    assert abs(circ[(100.0, 0.0)].real - want) < 1e-12
+    assert abs(circ[(0.0, 100.0)].real - want) < 1e-12  # isotropic
+
+    # elongated source, pa = 0: major axis along v (north) -> decays
+    # FASTER in v than in u... ur = u sin(0) + v cos(0) = v carries
+    # the MAJOR fwhm, so the v direction decays faster
+    el = {(r.u, r.v): complex(r.mv[0], r.mv[1]) for r in predict_vis(
+        df, "u", "v", [(1.0, 0.0, 0.0, 0.02, 0.005, 0.0)],
+        out_col="mv").collect()}
+    assert abs(el[(0.0, 100.0)]) < abs(el[(100.0, 0.0)])
+    # pa = pi/2 swaps the axes
+    el90 = {(r.u, r.v): complex(r.mv[0], r.mv[1]) for r in predict_vis(
+        df, "u", "v", [(1.0, 0.0, 0.0, 0.02, 0.005, math.pi / 2)],
+        out_col="mv").collect()}
+    assert abs(el90[(100.0, 0.0)]) < abs(el90[(0.0, 100.0)])
+    assert abs(abs(el90[(100.0, 0.0)]) - abs(el[(0.0, 100.0)])) < 1e-12
+
+    # 3-tuple point source still works; bad arity raises
+    pt = predict_vis(df, "u", "v", [(1.0, 0.001, 0.0)],
+                     out_col="mv").collect()
+    assert all(abs(complex(r.mv[0], r.mv[1])) - 1.0 < 1e-9
+               for r in pt)
+    import pytest
+    with pytest.raises(ValueError, match="tuple"):
+        predict_vis(df, "u", "v", [(1.0, 0.0, 0.0, 0.01)])
