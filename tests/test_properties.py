@@ -480,3 +480,113 @@ if HAVE_HYPOTHESIS:
         assert got.n_kept == len(kept)
         assert got.text == "\n".join(kept)
         assert got.keep == (len(kept) >= 1)
+
+
+def _taql_exprs():
+    """Random TAQL from the supported grammar: comparisons, boolean
+    algebra, IN lists, BETWEEN, intervals, ~= and pattern matches
+    over columns A (long), B (double), UVW (array), NAME (string)."""
+    num = st.sampled_from(["0", "1", "2.5", "1e3", "A", "B",
+                           "UVW[0]", "UVW[1:3]"])
+    comp = st.builds(lambda a, o, b: f"{a} {o} {b}", num,
+                     st.sampled_from(["<", ">", "<=", ">=",
+                                      "==", "!=", "~="]), num)
+    special = st.sampled_from([
+        "A IN [1, 2, 3]", "A NOT IN [1, 2]",
+        "A BETWEEN 1 AND 5", "B NOT BETWEEN 0 AND 1",
+        "A IN [1 =:= 5]", "A NOT IN [0 <:< 9]",
+        "NAME ~ p/ab*/", "NAME !~ m/^x/", "NAME ~ f/abc/",
+        "SUMSQR(UVW[:2]) < 1e6", "!FLAG_ROW",
+        "TIME > DATETIME('2020/01/01')"])
+    atoms = st.one_of(comp, special)
+
+    def compose(children):
+        op = st.sampled_from([" && ", " || "])
+        return st.one_of(
+            st.builds(lambda a, o, b: f"({a}){o}({b})",
+                      children, op, children),
+            st.builds(lambda a: f"!({a})", children))
+
+    return st.recursive(atoms, compose, max_leaves=6)
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(expression=_taql_exprs())
+    @settings(max_examples=25, deadline=None)
+    def test_taql_translation_always_executes(spark, expression):
+        """Anything the translator ACCEPTS must execute in Spark —
+        the no-silent-mistranslation contract: either ValueError at
+        translation time, or a WHERE clause Spark runs."""
+        from dask_ms_spark.taql import taql_where_to_sql
+
+        df = spark.createDataFrame(
+            [(1, 2.0, [1.0, 2.0, 3.0], "abc", False, 5e9)],
+            "A long, B double, UVW array<double>, NAME string, "
+            "FLAG_ROW boolean, TIME double")
+        try:
+            sql = taql_where_to_sql(expression)
+        except ValueError:
+            return                     # refused loudly: fine
+        df.where(sql).count()          # must parse AND run
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(events=st.lists(
+        st.tuples(st.integers(0, 3),            # user
+                  st.integers(0, 100),          # t (seconds)
+                  st.sampled_from(["click", "view", "purchase",
+                                   "error"]),
+                  st.floats(0, 50, allow_nan=False)),
+        min_size=1, max_size=40))
+    @settings(max_examples=10, deadline=None)
+    def test_attribution_matches_python_model(spark, events):
+        """Last-touch attribution == the sequential python model on
+        arbitrary event streams (horizon forced small so both
+        credited and expired touches occur)."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        horizon = 30                   # seconds, for the test
+        base = datetime.datetime(2024, 1, 1)
+        rows = [(i, u, base + datetime.timedelta(seconds=t), ty,
+                 round(v, 2))
+                for i, (u, t, ty, v) in enumerate(events)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+                  "event_type string, value double")
+        is_touch = F.col("event_type").isin("click", "view")
+        from pyspark.sql import Window
+        w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+        touch = F.last(F.when(is_touch, F.struct(
+            F.col("event_type").alias("t_type"),
+            F.unix_timestamp("ts").alias("t_ep"))),
+            ignorenulls=True).over(w)
+        got = {(r.event_id): r.credit for r in
+               df.withColumn("__t", touch)
+                 .where(F.col("event_type") == "purchase")
+                 .select("event_id", F.when(
+                     F.col("__t").isNotNull()
+                     & ((F.unix_timestamp("ts") - F.col("__t.t_ep"))
+                        <= horizon),
+                     F.col("__t.t_type")).otherwise("none")
+                     .alias("credit")).collect()}
+
+        # sequential python model
+        want = {}
+        seq = sorted(rows, key=lambda r: (r[1], r[2], r[0]))
+        last = {}
+        for eid, u, ts, ty, v in seq:
+            if ty in ("click", "view"):
+                last[u] = (ts, ty)
+            elif ty == "purchase":
+                lt = last.get(u)
+                if lt and (ts - lt[0]).total_seconds() <= horizon:
+                    want[eid] = lt[1]
+                else:
+                    want[eid] = "none"
+        assert got == want
