@@ -29,7 +29,8 @@ from typing import Mapping
 
 from pyspark.sql import DataFrame
 
-__all__ = ["publish_snapshot", "read_snapshot", "current_version"]
+__all__ = ["publish_snapshot", "read_snapshot", "current_version",
+           "snapshot_diff"]
 
 
 def current_version(store: str) -> int | None:
@@ -92,3 +93,73 @@ def read_snapshot(spark, store: str,
     for name in sorted(os.listdir(vdir)):
         out[name] = spark.read.parquet(os.path.join(vdir, name))
     return out
+
+
+def snapshot_diff(spark, store: str, old_version: int,
+                  new_version: int, id_cols: Mapping[str, str],
+                  text_cols: Mapping[str, str] | None = None):
+    """Audit table of what changed between two committed versions:
+    one row per (table, status) with counts of added / removed /
+    changed / unchanged ids — the release-notes query a dataset-
+    versioning workflow publishes next to each snapshot.
+
+    ``id_cols`` maps table name -> its id column; ``text_cols``
+    optionally maps table name -> a content column whose normalised
+    digest decides changed-vs-unchanged (tables without one compare
+    by full-row hash).  Per table this is the ``corpus_diff``
+    16-bytes-per-row full-outer join (llm/corpus.py) — the exchange
+    carries (id, digest) only, so diffing two 100 TB versions moves
+    GBs, not the corpus.  Returns a DataFrame
+    ``(table, status, n)``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import portable_hash64
+
+    old = read_snapshot(spark, store, old_version)
+    new = read_snapshot(spark, store, new_version)
+    text_cols = dict(text_cols or {})
+    parts = []
+    for table, id_col in id_cols.items():
+        o, n = old.get(table), new.get(table)
+        if o is None and n is None:
+            continue
+
+        def keyed(df):
+            if df is None:
+                return None
+            if table in text_cols:
+                from ..llm.dedup import normalize_text
+
+                dig = portable_hash64(
+                    normalize_text(F.col(text_cols[table])))
+            else:
+                dig = F.xxhash64(*[F.col(c) for c in df.columns
+                                   if c != id_col])
+            return df.select(F.col(id_col).alias("id"),
+                             dig.alias("h"))
+
+        if o is None:
+            d = keyed(n).select(F.lit("added").alias("status"))
+        elif n is None:
+            d = keyed(o).select(F.lit("removed").alias("status"))
+        else:
+            j = keyed(o).withColumnRenamed("h", "oh").join(
+                keyed(n).withColumnRenamed("h", "nh"),
+                "id", "full_outer")
+            d = j.select(
+                F.when(F.col("oh").isNull(), "added")
+                 .when(F.col("nh").isNull(), "removed")
+                 .when(F.col("oh") == F.col("nh"), "unchanged")
+                 .otherwise("changed").alias("status"))
+        parts.append(d.groupBy("status")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .select(F.lit(table).alias("table"),
+                             "status", "n"))
+    if not parts:
+        raise ValueError("snapshot_diff: no named table exists in "
+                         "either version")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u

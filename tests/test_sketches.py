@@ -940,3 +940,49 @@ def test_fragment_reference_name_aliases(spark, tmp_path):
     assert len(vals) == 20
     assert vals[3] == 300.0 and vals[15] == 15.0
     assert d.get_ancestry(frag) == [root, frag]
+
+
+def test_snapshot_diff_release_notes(spark, tmp_path):
+    """snapshot_diff: per-table added/removed/changed/unchanged
+    counts between two committed versions; text tables compare by
+    normalised content digest, others by full-row hash; a table new
+    in v2 reports all-added."""
+    import pytest
+
+    from dask_ms_spark.operators.snapshot import (publish_snapshot,
+                                                  snapshot_diff)
+
+    store = str(tmp_path / "store")
+    docs1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "gamma text")],
+        "doc_id long, text string")
+    meta1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                  "doc_id long, n long")
+    publish_snapshot({"documents": docs1, "meta": meta1}, store)
+
+    docs2 = spark.createDataFrame(
+        [(1, "ALPHA   TEXT"),        # same after normalisation
+         (2, "beta text v2"),        # changed
+         (4, "delta text")],         # added (3 removed)
+        "doc_id long, text string")
+    meta2 = spark.createDataFrame([(1, 10), (2, 21), (4, 40)],
+                                  "doc_id long, n long")
+    embs2 = spark.createDataFrame([(1, 5)], "vec_id long, d long")
+    publish_snapshot({"documents": docs2, "meta": meta2,
+                      "embeddings": embs2}, store)
+
+    out = snapshot_diff(spark, store, 0, 1,
+                        id_cols={"documents": "doc_id",
+                                 "meta": "doc_id",
+                                 "embeddings": "vec_id"},
+                        text_cols={"documents": "text"})
+    got = {(r.table, r.status): r.n for r in out.collect()}
+    assert got[("documents", "unchanged")] == 1   # normalised match
+    assert got[("documents", "changed")] == 1
+    assert got[("documents", "added")] == 1
+    assert got[("documents", "removed")] == 1
+    assert got[("meta", "unchanged")] == 1
+    assert got[("meta", "changed")] == 1
+    assert got[("embeddings", "added")] == 1
+    with pytest.raises(ValueError, match="no named table"):
+        snapshot_diff(spark, store, 0, 1, id_cols={"nope": "x"})
