@@ -562,3 +562,40 @@ def test_plans_md_matches_registry():
         f"PLANS.md audits {m.group(1)} queries but the registry has "
         f"{want} (incl. demoted) — regenerate via tools/plan_audit.py")
     assert int(m.group(2)) == 0
+
+
+def test_round7_debut_plan_shapes(spark):
+    """Plan assertions for the round-7 late debuts: attribution is
+    one window exchange + one agg exchange; statwt's sigma table
+    attaches by BROADCAST join (the visibility side never shuffles
+    for the re-weight); cusum is a single exchange serving window
+    and argmax."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.operators.calibration import statwt
+    from dask_ms_spark.operators.timeseries import cusum_changepoints
+    from dask_ms_spark.plans import assert_max_exchanges
+
+    ev = spark.createDataFrame(
+        [(i, float(i), "click" if i % 3 else "purchase",
+          float(i % 7)) for i in range(50)],
+        "event_id long, ts double, event_type string, value double")
+
+    cp = cusum_changepoints(ev, order_cols=("ts", "event_id"),
+                            by="event_type")
+    assert_max_exchanges(cp, 1)
+
+    vis = spark.createDataFrame(
+        [(i % 4, float(i), [float(i), 1.0]) for i in range(40)],
+        "b int, t double, vis array<double>")
+    sw = statwt(vis, "t", ["b"], "vis")
+    plan = sw._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan         # sigma table attach
+    assert "SortMergeJoin" not in plan         # fact never shuffles
+                                               # for the re-weight
+    # attribution shape (inline in the registry): window + agg
+    import __spark_entry__ as entry
+
+    at = entry.queries()["attribution"](
+        spark, "/root/testdata/sf0.001")
+    assert_max_exchanges(at, 2)
