@@ -6582,6 +6582,78 @@ _CUPED_SQL = f"""
 """
 
 
+def q_cusum_segments(spark, sf_dir):
+    """Multi-changepoint binary segmentation
+    (operators/timeseries.py cusum_segments): two CUSUM levels over
+    each event_type stream, min_shift gate against noise splits; one
+    exchange per level on (key, segment-path), splits attach by
+    broadcast.  Same int64 fixed point as events_changepoint, so the
+    segment tree is engine-exact."""
+    from dask_ms_spark.operators.timeseries import cusum_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_segments(ev, value_col="value",
+                          order_cols=("ts", "event_id"),
+                          by="event_type", levels=2, min_seg=8,
+                          min_shift=5.0, quantize_scale=1 << 12)
+
+
+def _cusum_segments_sql(min_seg: int = 8, min_shift: float = 5.0,
+                        qs: int = 1 << 12) -> str:
+    thr = float(min_shift) * qs
+
+    def level(src, seg_expr, out):
+        return f"""
+    r{out} AS (SELECT by, ts, event_id, xq, pos, {seg_expr} AS seg,
+                      row_number() OVER w AS k,
+                      sum(xq) OVER (w ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS run,
+                      sum(xq) OVER (PARTITION BY by, {seg_expr})
+                          AS tot,
+                      count(*) OVER (PARTITION BY by, {seg_expr})
+                          AS n
+               FROM {src}
+               WINDOW w AS (PARTITION BY by, {seg_expr}
+                            ORDER BY ts, event_id)),
+    c{out} AS (SELECT by, seg, k, run, tot, n,
+                      row_number() OVER (
+                          PARTITION BY by, seg
+                          ORDER BY abs(n * run - k * tot) DESC,
+                                   k ASC) AS rn
+               FROM r{out}
+               WHERE k >= {min_seg} AND k <= n - {min_seg}
+                 AND n >= {2 * min_seg}),
+    b{out} AS (SELECT by, seg, k AS split FROM c{out}
+               WHERE rn = 1
+                 AND abs(cast(tot - run as double) / (n - k)
+                         - cast(run as double) / k) >= {thr!r}),
+    s{out} AS (SELECT r.by, r.ts, r.event_id, r.xq, r.pos,
+                      CASE WHEN b.split IS NULL THEN r.seg
+                           WHEN r.k <= b.split THEN r.seg || '0'
+                           ELSE r.seg || '1' END AS seg
+               FROM r{out} r LEFT JOIN b{out} b
+                 ON b.by = r.by AND b.seg = r.seg)"""
+
+    return f"""
+    WITH x AS (SELECT event_type AS by, ts, event_id,
+                      cast(round(value * {float(qs)!r}) as bigint)
+                          AS xq,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)
+                          AS pos
+               FROM events),
+    {level("x", "''", 1)},
+    {level("s1", "seg", 2)}
+    SELECT by AS event_type, seg AS segment,
+           cast(count(*) as bigint) AS n,
+           cast(min(pos) as bigint) AS start_pos,
+           cast(max(pos) as bigint) AS end_pos,
+           round(cast(sum(xq) as double) / count(*)
+                 / {float(qs)!r}, 6) AS mean
+    FROM s2 GROUP BY by, seg
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6605,11 +6677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     to the check_oracle-swept demoted_queries block, see r6
     #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
     #     entries (tpch_q7 ... filter_pushdown)
-    #   round 8: the 19 r7-session debuts first (applycal ...
-    #     cuped; noise_estimate was demoted beside statwt), then the
-    #     remaining 17 r4-stale (expr_arithmetic ... quantiles),
-    #     then the 14 oldest r5-checked entries (doc_chunks ...
-    #     graph_triangles) = 50.
+    #   round 8: the 20 r7-session debuts first (applycal ...
+    #     cusum_segments; noise_estimate was demoted beside statwt),
+    #     then the remaining 17 r4-stale (expr_arithmetic ...
+    #     quantiles), then the 13 oldest r5-checked entries
+    #     (doc_chunks ... char_entropy) = 50.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
@@ -6704,6 +6776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "bandpass_solve": q_bandpass,
         "cuped": q_cuped,
+        "cusum_segments": q_cusum_segments,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -7288,6 +7361,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ATTRIBUTION_SQL,
         "bandpass_solve": _BANDPASS_SQL,
         "cuped": _CUPED_SQL,
+        "cusum_segments": _cusum_segments_sql(),
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

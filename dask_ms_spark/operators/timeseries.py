@@ -32,7 +32,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["bucket_index", "resample_fill", "bucket_aggregate",
            "merge_rollups", "windowed_ema", "sessionize",
-           "rolling_outliers", "cusum_changepoints"]
+           "rolling_outliers", "cusum_changepoints",
+           "cusum_segments"]
 
 #: Fixed epoch for bucket arithmetic.  A constant (rather than the
 #: stream's own minimum) keeps bucket ids stable across incremental
@@ -381,3 +382,96 @@ def cusum_changepoints(df: DataFrame, value_col: str = "value",
          .cast("long").alias("cusum_max_q"),
         F.round((post_mean - pre_mean) / F.lit(qs), 6)
          .alias("mean_shift"))
+
+
+def cusum_segments(df: DataFrame, value_col: str = "value",
+                   order_cols: tuple = ("ts", "event_id"),
+                   by: str = "event_type", levels: int = 2,
+                   min_seg: int = 8, min_shift: float = 0.0,
+                   quantize_scale: int = 1 << 20) -> DataFrame:
+    """Multiple changepoints by bounded binary segmentation (Scott &
+    Knott 1974 form over the CUSUM statistic — public): split each
+    key's series at its CUSUM argmax, then recurse into both halves,
+    ``levels`` deep — up to ``2^levels`` segments per key.
+
+    The recursion is a PYTHON loop over a constant ``levels`` (the
+    gain_solve iteration discipline): each level is ONE exchange on
+    (key, segment-path) — the per-level split table is
+    (keys x segments)-sized and attaches by broadcast, so the series
+    itself shuffles once per level, never per segment.  Segments
+    shorter than ``2 * min_seg`` stop splitting (a split needs
+    ``min_seg`` rows on each side to estimate means), a candidate
+    split is ACCEPTED only when its mean shift |post - pre| reaches
+    ``min_shift`` (binary segmentation without a gain threshold
+    fragments noise all the way to 2^levels — set it to the smallest
+    shift worth reporting), and all
+    arithmetic stays in the int64 fixed point of
+    :func:`cusum_changepoints`, so the segment tree is
+    engine/shuffle-order deterministic.
+
+    Returns one row per leaf segment:
+    ``(by, segment, n, start_pos, end_pos, mean)`` — ``segment`` the
+    binary path string ('' root, '0'/'1' halves, '00'... deeper),
+    positions 1-based within the key's original order.
+    """
+    if levels < 1:
+        raise ValueError(f"cusum_segments: levels must be >= 1, "
+                         f"got {levels}")
+    qs = float(quantize_scale)
+    xq = F.round(F.col(value_col).cast("double") * F.lit(qs)) \
+        .cast("long")
+    w0 = Window.partitionBy("by").orderBy(
+        *[F.col(c) for c in order_cols])
+    rows = (df.select(F.col(by).alias("by"), *order_cols,
+                      xq.alias("__xq"))
+            .withColumn("__pos", F.row_number().over(w0))
+            .withColumn("__seg", F.lit("")))
+
+    for _ in range(levels):
+        wk = (Window.partitionBy("by", "__seg")
+              .orderBy(*[F.col(c) for c in order_cols]))
+        full = wk.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+        d = (rows
+             .withColumn("__k", F.row_number().over(wk))
+             .withColumn("__run", F.sum("__xq").over(
+                 wk.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)))
+             .withColumn("__tot", F.sum("__xq").over(full))
+             .withColumn("__n", F.count(F.lit(1)).over(full)))
+        nsk = (F.col("__n") * F.col("__run")
+               - F.col("__k") * F.col("__tot"))
+        cand = (d.where((F.col("__k") >= min_seg)
+                        & (F.col("__k") <= F.col("__n") - min_seg)
+                        & (F.col("__n") >= 2 * min_seg))
+                .groupBy("by", "__seg")
+                .agg(F.max_by(
+                    F.struct("__k", "__run", "__tot", "__n"),
+                    F.struct(F.abs(nsk), -F.col("__k")))
+                     .alias("b")))
+        shift = ((F.col("b.__tot") - F.col("b.__run")).cast("double")
+                 / (F.col("b.__n") - F.col("b.__k"))
+                 - F.col("b.__run").cast("double") / F.col("b.__k"))
+        best = (cand.where(F.abs(shift)
+                           >= F.lit(float(min_shift) * qs))
+                .select("by", "__seg",
+                        F.col("b.__k").alias("__split")))
+        rows = (rows.withColumn(
+            "__k", F.row_number().over(wk))
+            .join(F.broadcast(best), ["by", "__seg"], "left")
+            .withColumn("__seg", F.when(
+                F.col("__split").isNull(), F.col("__seg"))
+                .otherwise(F.concat(
+                    "__seg",
+                    F.when(F.col("__k") <= F.col("__split"), "0")
+                     .otherwise("1"))))
+            .drop("__k", "__split"))
+
+    return (rows.groupBy(F.col("by").alias(by), F.col("__seg"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("__pos").cast("long").alias("start_pos"),
+                 F.max("__pos").cast("long").alias("end_pos"),
+                 F.round(F.sum("__xq").cast("double")
+                         / F.count(F.lit(1)) / F.lit(qs), 6)
+                  .alias("mean"))
+            .withColumnRenamed("__seg", "segment"))

@@ -1852,3 +1852,35 @@ def test_predict_vis_gaussian_components(spark):
     import pytest
     with pytest.raises(ValueError, match="tuple"):
         predict_vis(df, "u", "v", [(1.0, 0.0, 0.0, 0.01)])
+
+
+def test_cusum_segments_recovers_planted_levels(spark):
+    """Binary segmentation: two levels recover both planted shifts
+    with exact boundaries; the min_shift gate stops the noise-only
+    half from fragmenting; levels validation raises."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.timeseries import cusum_segments
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(300):
+        lvl = 5.0 if i < 100 else (9.0 if i < 200 else 3.0)
+        rows.append(Row(event_type="a", ts=float(i), event_id=i,
+                        value=float(lvl + rng.normal(0, 0.3))))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts double, event_id long, "
+              "value double")
+    out = sorted(cusum_segments(df, order_cols=("ts", "event_id"),
+                                levels=2, min_shift=1.0).collect(),
+                 key=lambda r: r.start_pos)
+    spans = [(r.start_pos, r.end_pos, round(r.mean)) for r in out]
+    assert spans == [(1, 100, 5), (101, 200, 9), (201, 300, 3)]
+    # without the gate the stable third still splits (2^levels leaves)
+    ungated = cusum_segments(df, order_cols=("ts", "event_id"),
+                             levels=2, min_shift=0.0).collect()
+    assert len(ungated) == 4
+    with pytest.raises(ValueError, match="levels"):
+        cusum_segments(df, levels=0)
