@@ -39,10 +39,14 @@ sys.path.insert(0, ROOT)
 HEADLINE: list[str] | None = None
 
 # Uncontended steady-state wall (sec, local[32], sf0.1) for the canary
-# triplet, measured round 4 (BENCH_r04.json, clean run) and confirmed
-# by judge re-timing in round 5.  Update only from a clean run.
-CANARY_STEADY = {"tpch_q6": 0.247, "tpch_q1": 1.044,
-                 "dedup_exact": 0.575}
+# triplet.  Re-baselined round 7 from the cleanest full-suite run
+# (probes 1.02-1.07): the registry grew 133 -> 183 queries since the
+# round-4 constants, and the added JVM pressure (more compiled plans,
+# GC) raised the IN-SUITE canary walls ~30% even on a quiet host, so
+# the old constants read steady runs as contended.  Update only from
+# a clean run's artifact values.
+CANARY_STEADY = {"tpch_q6": 0.312, "tpch_q1": 1.352,
+                 "dedup_exact": 0.781}
 
 # Per-query wall budget (sec): queries exceeding it are LOGGED to
 # stderr and the run continues — a tripwire for suite-growth and
