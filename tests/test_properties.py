@@ -486,8 +486,13 @@ def _taql_exprs():
     """Random TAQL from the supported grammar: comparisons, boolean
     algebra, IN lists, BETWEEN, intervals, ~= and pattern matches
     over columns A (long), B (double), UVW (array), NAME (string)."""
+    # scalar-valued atoms only: an array slice in a scalar
+    # comparison (0 < UVW[1:3]) is ill-typed TAQL — the translator
+    # passes it through and Spark rejects it with a typed
+    # AnalysisException, which is user error, not mistranslation
+    # (slices appear inside SUMSQR below, their reduction home)
     num = st.sampled_from(["0", "1", "2.5", "1e3", "A", "B",
-                           "UVW[0]", "UVW[1:3]"])
+                           "UVW[0]"])
     comp = st.builds(lambda a, o, b: f"{a} {o} {b}", num,
                      st.sampled_from(["<", ">", "<=", ">=",
                                       "==", "!=", "~="]), num)
