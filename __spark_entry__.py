@@ -6678,10 +6678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
     #     entries (tpch_q7 ... filter_pushdown)
     #   round 8: the 20 r7-session debuts first (applycal ...
-    #     cusum_segments; noise_estimate was demoted beside statwt),
-    #     then the remaining 17 r4-stale (expr_arithmetic ...
-    #     quantiles), then the 13 oldest r5-checked entries
-    #     (doc_chunks ... char_entropy) = 50.
+    #     cusum_segments; noise_estimate / lm_perplexity /
+    #     dedup_clusters were demoted beside their production
+    #     variants), then the remaining 17 r4-stale
+    #     (expr_arithmetic ... quantiles), then the 13 oldest
+    #     r5-checked entries (doc_chunks ... char_entropy) = 50.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
@@ -6884,7 +6885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "stratified_sample": q_stratified_sample,
         "pack_contexts": q_pack_contexts,
-        "lm_perplexity": q_lm_perplexity,
         "embed_project": q_embed_project,
         "vocab_topk": q_vocab_topk,
         "phrase_boilerplate": q_phrase_boilerplate,
@@ -6892,7 +6892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "kmeans_cluster": q_kmeans_cluster,
         "contamination": q_contamination,
-        "dedup_clusters": q_dedup_clusters,
         "pagerank": q_pagerank,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
@@ -6907,6 +6906,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "resample_fill": q_resample_fill,
     }
+
+
+_LM_PERPLEXITY_SQL = """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN length(trim(text)) = 0 THEN []
+                                   ELSE regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') END
+                              AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                  FROM t, UNNEST(range(1, len(toks))) AS r(i)
+                  WHERE len(toks) >= 2),
+            uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+            bi AS (SELECT w1, w2, count(*) AS c2
+                   FROM g GROUP BY w1, w2),
+            v AS (SELECT count(DISTINCT w) AS vocab FROM (
+                      SELECT w1 AS w FROM g
+                      UNION ALL SELECT w2 FROM g)),
+            lm AS (SELECT w1, w2, (c2 + 1) / (c1 + vocab) AS p
+                   FROM bi JOIN uni USING (w1) CROSS JOIN v),
+            sc AS (SELECT doc_id,
+                          cast(round(-ln(p) * 1048576.0) as bigint)
+                              AS q
+                   FROM g JOIN lm USING (w1, w2))
+            SELECT doc_id,
+                   cast(count(*) as bigint) AS n_bigrams,
+                   round(cast(sum(q) as double) / count(*)
+                         / 1048576.0, 6) AS avg_neg_logp
+            FROM sc GROUP BY doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7931,7 +7960,7 @@ def oracle_sql() -> dict[str, str]:
             for c in ["o_orderkey", "o_custkey", "o_orderstatus",
                       "o_orderpriority"]),
         "dedup_minhash_drop": _minhash_drop_sql(),
-        "dedup_clusters": _dedup_clusters_sql(),
+        
         "pagerank": _pagerank_sql(),
         "contamination": _contamination_sql(),
         "corpus_mixture": _corpus_mixture_sql(),
@@ -7957,34 +7986,7 @@ def oracle_sql() -> dict[str, str]:
                    round(max(cnt) / n_grams, 6) AS max_gram_frac
             FROM c GROUP BY doc_id, n_grams
         """,
-        "lm_perplexity": """
-            WITH t AS (SELECT doc_id,
-                              CASE WHEN length(trim(text)) = 0 THEN []
-                                   ELSE regexp_split_to_array(
-                                       trim(lower(text)), '\\s+') END
-                              AS toks
-                       FROM documents),
-            g AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-                  FROM t, UNNEST(range(1, len(toks))) AS r(i)
-                  WHERE len(toks) >= 2),
-            uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
-            bi AS (SELECT w1, w2, count(*) AS c2
-                   FROM g GROUP BY w1, w2),
-            v AS (SELECT count(DISTINCT w) AS vocab FROM (
-                      SELECT w1 AS w FROM g
-                      UNION ALL SELECT w2 FROM g)),
-            lm AS (SELECT w1, w2, (c2 + 1) / (c1 + vocab) AS p
-                   FROM bi JOIN uni USING (w1) CROSS JOIN v),
-            sc AS (SELECT doc_id,
-                          cast(round(-ln(p) * 1048576.0) as bigint)
-                              AS q
-                   FROM g JOIN lm USING (w1, w2))
-            SELECT doc_id,
-                   cast(count(*) as bigint) AS n_bigrams,
-                   round(cast(sum(q) as double) / count(*)
-                         / 1048576.0, 6) AS avg_neg_logp
-            FROM sc GROUP BY doc_id
-        """,
+
         "pack_contexts": f"""
             WITH d AS (SELECT doc_id,
                               CAST(CASE WHEN length(trim(text)) = 0
@@ -8998,6 +9000,16 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         #    standalone estimator row is the redundant half;
         #    check_oracle-verified green this session (r7) --
         "noise_estimate": q_noise_estimate,
+        # add-one-smoothed LM scoring; production variants:
+        # ccnet_buckets (runs the identical add-one LM plan inside
+        # its per-language bucketing) and lm_kneser_ney (the KenLM
+        # smoothing family) — long driver-green, demoted r7
+        "lm_perplexity": q_lm_perplexity,
+        # transitive dedup clusters; production variant:
+        # split_leakage (same LSH candidate graph + connected
+        # components, plus the split assignment) — driver-green
+        # history, demoted r7
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -9011,4 +9023,6 @@ def demoted_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _lsh_jaccard_sql(),
         "dedup_minhash_sig": _minhash_sig_sql(),
         "noise_estimate": _NOISE_ESTIMATE_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
     }
