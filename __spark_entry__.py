@@ -6654,6 +6654,58 @@ def _cusum_segments_sql(min_seg: int = 8, min_shift: float = 5.0,
     """
 
 
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (llm/corpus.py heaps_fit,
+    the zipf_fit companion): first-occurrence positions from one
+    doc-offset prefix sum, V(n) at 40 log-spaced checkpoints in a
+    single conditional-sum aggregate, native regr fit over the
+    (ln n, ln V) points."""
+    from dask_ms_spark.llm.corpus import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+_HEAPS_SQL = """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE regexp_split_to_array(
+                               trim(lower(text)), '\\s+') END
+                      AS toks
+               FROM documents),
+    c AS (SELECT doc_id, len(toks) AS cnt FROM t),
+    o AS (SELECT doc_id,
+                 coalesce(sum(cnt) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS off
+          FROM c),
+    inst AS (SELECT toks[i] AS w, off + i AS gpos
+             FROM t JOIN o USING (doc_id),
+                  UNNEST(range(1, len(toks) + 1)) AS u(i)),
+    first AS (SELECT w, min(gpos) AS fp FROM inst GROUP BY w),
+    tot AS (SELECT sum(cnt) AS n_tokens FROM c),
+    voc AS (SELECT count(*) AS vocab FROM first),
+    gs AS (SELECT DISTINCT greatest(1, cast(floor(
+               exp(ln(cast(n_tokens as double)) * g / 40.0) + 0.5)
+               as bigint)) AS n
+           FROM range(1, 41) AS r(g) CROSS JOIN tot),
+    pts AS (SELECT gs.n,
+                   (SELECT count(*) FROM first WHERE fp <= gs.n)
+                       AS v
+            FROM gs)
+    SELECT cast(n_tokens as bigint) AS n_tokens,
+           cast(vocab as bigint) AS vocab_size,
+           round(regr_slope(ln(cast(v as double)),
+                            ln(cast(n as double))), 6)
+               AS heaps_beta,
+           round(exp(regr_intercept(ln(cast(v as double)),
+                                    ln(cast(n as double)))), 6)
+               AS heaps_k
+    FROM pts CROSS JOIN tot CROSS JOIN voc
+    WHERE v > 0
+    GROUP BY n_tokens, vocab
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -6677,12 +6729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     to the check_oracle-swept demoted_queries block, see r6
     #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
     #     entries (tpch_q7 ... filter_pushdown)
-    #   round 8: the 20 r7-session debuts first (applycal ...
-    #     cusum_segments; noise_estimate / lm_perplexity /
+    #   round 8: the 21 r7-session debuts first (applycal ...
+    #     heaps_fit; noise_estimate / lm_perplexity /
     #     dedup_clusters were demoted beside their production
     #     variants), then the remaining 17 r4-stale
     #     (expr_arithmetic ... quantiles), then the 13 oldest
-    #     r5-checked entries (doc_chunks ... char_entropy) = 50.
+    #     r5-checked entries (doc_chunks ... collocations_pmi) = 50.
     return {
         # -- debuts added in round 6 (ops layer end-to-end: snapshot
         #    store, restartable backfill, persistent IVF index; CMS
@@ -6778,6 +6830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bandpass_solve": q_bandpass,
         "cuped": q_cuped,
         "cusum_segments": q_cusum_segments,
+        "heaps_fit": q_heaps_fit,
         # -- last driver row r4, below window: these 17 follow the
         #    r7 debuts into round 8's window --
         "expr_arithmetic": q_expr_arithmetic,
@@ -7391,6 +7444,7 @@ def oracle_sql() -> dict[str, str]:
         "bandpass_solve": _BANDPASS_SQL,
         "cuped": _CUPED_SQL,
         "cusum_segments": _cusum_segments_sql(),
+        "heaps_fit": _HEAPS_SQL,
         "channel_regrid": _CHANNEL_REGRID_SQL,
         "spectral_moments": _SPECTRAL_MOMENTS_SQL,
         "imaging_weights": _imaging_weights_sql(),

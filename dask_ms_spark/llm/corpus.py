@@ -23,7 +23,7 @@ __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "lm_perplexity", "chunk_documents", "corpus_diff",
            "substring_dedup", "collocations_pmi", "char_entropy",
            "ngram_novelty", "dedup_paragraphs", "c4_line_filter",
-           "ccnet_perplexity_buckets"]
+           "ccnet_perplexity_buckets", "heaps_fit"]
 
 
 def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
@@ -764,3 +764,76 @@ def ccnet_perplexity_buckets(docs: DataFrame,
         bucket = F.concat(F.lit("b"), idx.cast("string"))
     return labeled.select(id_col, "lang", "n_bigrams",
                           "avg_neg_logp", bucket.alias("bucket"))
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n_points: int = 40) -> DataFrame:
+    """Heaps'-law diagnostic: fit ``V(n) = K * n^beta`` — vocabulary
+    size as a function of tokens read (Heaps 1978; public) — the
+    growth-curve companion to the Zipf rank-frequency fit.  Natural
+    prose sits near beta ~ 0.7-0.8; templated or deduplicated text
+    flattens (vocabulary saturates), heavy boilerplate inflates K.
+
+    Spelling: every token instance gets a GLOBAL position (documents
+    in ``id_col`` order, tokens in document order), each word keeps
+    its FIRST position, and V(n) = #{words: first_pos <= n} is
+    evaluated at ``n_points`` log-spaced checkpoints in one
+    conditional-sum aggregate; the fit is one native
+    regr_slope/regr_intercept over the (ln n, ln V) points (the
+    zipf_fit discipline).
+
+    Scale shape: the document-offset prefix sum is a window over the
+    DOC-COUNT-sized (id, token-count) table — far below instance
+    volume, though still a global sort; at extreme doc counts bucket
+    the ids and prefix-sum bucket totals (two-level, the winnowing
+    trick).  Instances shuffle once to keep per-word minima; the
+    checkpoint aggregate and the fit run on bounded rows.  Returns
+    one row: (n_tokens, vocab_size, heaps_beta, heaps_k).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (ensure_parallelism(docs)
+            .select(F.col(id_col).alias("id"), toks.alias("__t")))
+    counts = base.select("id", F.size("__t").alias("cnt"))
+    w = (Window.orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.select(
+        "id", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off"))
+    inst = (base.join(offs, "id")
+            .select(F.posexplode("__t").alias("pos", "w"),
+                    F.col("off"))
+            .select("w", (F.col("off") + F.col("pos") + 1)
+                    .alias("gpos")))
+    first = inst.groupBy("w").agg(F.min("gpos").alias("fp"))
+
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    if total < 2:
+        raise ValueError("heaps_fit: need at least 2 tokens")
+    import math
+
+    # half-up rounding (floor(x + 0.5)) so an SQL mirror's round()
+    # lands on the same checkpoint integers
+    gs = sorted({max(1, int(math.floor(math.exp(
+        math.log(total) * g / n_points) + 0.5))) for g in
+        range(1, n_points + 1)})
+    agg = first.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        *[F.sum((F.col("fp") <= F.lit(n)).cast("long")).alias(f"v{i}")
+          for i, n in enumerate(gs)])
+    pts = agg.select(
+        "vocab",
+        F.explode(F.array(*[
+            F.struct(F.lit(float(n)).alias("n"),
+                     F.col(f"v{i}").cast("double").alias("v"))
+            for i, n in enumerate(gs)])).alias("p")) \
+        .select("vocab", F.col("p.n").alias("n"),
+                F.col("p.v").alias("v")) \
+        .where(F.col("v") > 0)
+    lx, ly = F.log(F.col("n")), F.log(F.col("v"))
+    return pts.groupBy("vocab").agg(
+        F.round(F.regr_slope(ly, lx), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(ly, lx)), 6).alias("heaps_k")) \
+        .select(F.lit(int(total)).cast("long").alias("n_tokens"),
+                F.col("vocab").alias("vocab_size"),
+                "heaps_beta", "heaps_k")

@@ -1403,3 +1403,36 @@ def test_lm_perplexity_kneser_ney_exact(spark):
     s = {r.doc_id: r.avg_neg_logp for r in lm_perplexity(
         corpus, smoothing="kneser_ney").collect()}
     assert max(s[i] for i in range(4)) < min(s[i] for i in range(4, 8))
+
+
+def test_heaps_fit_zipfian_corpus(spark):
+    """Heaps' law on a Zipfian corpus lands in the textbook beta
+    range; a saturated (tiny-vocab) corpus flattens below it; the
+    too-small guard raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dask_ms_spark.llm.corpus import heaps_fit
+
+    rng = np.random.RandomState(1)
+    vocab = [f"w{i}" for i in range(3000)]
+    p = 1.0 / np.arange(1, 3001)
+    p /= p.sum()
+    docs = [(i, " ".join(rng.choice(vocab, size=200, p=p)))
+            for i in range(60)]
+    got = heaps_fit(spark.createDataFrame(
+        docs, "doc_id long, text string")).first()
+    assert got.n_tokens == 60 * 200
+    assert 0.6 < got.heaps_beta < 0.95          # natural-text range
+    assert got.heaps_k > 0
+
+    flat_docs = [(i, " ".join(rng.choice(["a", "b", "c"], size=200)))
+                 for i in range(60)]
+    flat = heaps_fit(spark.createDataFrame(
+        flat_docs, "doc_id long, text string")).first()
+    assert flat.vocab_size == 3
+    assert flat.heaps_beta < 0.2                # saturated
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        heaps_fit(spark.createDataFrame([(1, "x")],
+                                        "doc_id long, text string"))
