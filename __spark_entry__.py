@@ -476,12 +476,17 @@ def q_quantiles(spark, sf_dir):
     merges map-side, no global sort) — the exact form here is the
     correctness anchor for that sketch."""
     li = _t(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice",
+    # percentiles over integer CENTS: with int64 inputs and dyadic
+    # quantiles (.25/.5/.75) the linear interpolation is EXACT in
+    # every engine regardless of formula order — the float spelling
+    # differed by one ulp at a 2-decimal rounding boundary on tiny
+    # inputs (sf0.001 tri-SF sweep finding)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.percentile(cents,
                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    out = lambda i: (F.round(pct[i]) / 100.0).alias  # noqa: E731
     return (li.groupBy("l_returnflag")
-              .agg(F.round(pct[0].cast("double"), 2).alias("p25"),
-                   F.round(pct[1].cast("double"), 2).alias("p50"),
-                   F.round(pct[2].cast("double"), 2).alias("p75"),
+              .agg(out(0)("p25"), out(1)("p50"), out(2)("p75"),
                    F.count(F.lit(1)).alias("n")))
 
 
@@ -3010,15 +3015,21 @@ def q_quality_prune(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     scored = (docs.select("doc_id", "lang")
               .join(char_entropy(docs).select("doc_id", "entropy_bits"),
-                    "doc_id"))
+                    "doc_id")
+              # percentile over integer MICRO-entropy: dyadic
+              # interpolation on int64 is exact in every engine
+              # (sf0.001 tri-SF boundary finding; entropy_bits is
+              # already 6-decimal, so micro units are lossless)
+              .withColumn("__eq", F.round(F.col("entropy_bits")
+                                          * 1e6).cast("long")))
     thr = F.broadcast(scored.agg(
-        F.percentile("entropy_bits", 0.25).alias("thr")))
+        F.percentile("__eq", 0.25).alias("thr")))
     return (scored.crossJoin(thr)
             .groupBy("lang")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum((F.col("entropy_bits") >= F.col("thr"))
+                 F.sum((F.col("__eq") >= F.col("thr"))
                        .cast("long")).cast("long").alias("n_kept"),
-                 F.round(F.max("thr"), 6).alias("threshold")))
+                 (F.round(F.max("thr")) / 1e6).alias("threshold")))
 
 
 def q_lang_mismatch(spark, sf_dir):
@@ -7251,12 +7262,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "quantiles": """
+            WITH c AS (SELECT l_returnflag,
+                              cast(round(l_extendedprice * 100)
+                                   as bigint) AS cents
+                       FROM lineitem)
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-                   round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+                   round(quantile_cont(cents, 0.25)) / 100.0 AS p25,
+                   round(quantile_cont(cents, 0.50)) / 100.0 AS p50,
+                   round(quantile_cont(cents, 0.75)) / 100.0 AS p75,
                    count(*) AS n
-            FROM lineitem GROUP BY l_returnflag
+            FROM c GROUP BY l_returnflag
         """,
         "tpch_q5": """
             SELECT n_name,
@@ -8502,14 +8517,15 @@ def oracle_sql() -> dict[str, str]:
                          round(sum(ent_q) / 1048576.0, 6)
                              AS entropy_bits
                   FROM q GROUP BY doc_id),
-            s AS (SELECT dd.lang, e.entropy_bits
+            s AS (SELECT dd.lang,
+                         cast(round(e.entropy_bits * 1000000.0)
+                              as bigint) AS eq
                   FROM documents dd JOIN e USING (doc_id)),
-            t AS (SELECT quantile_cont(entropy_bits, 0.25) AS thr
-                  FROM s)
+            t AS (SELECT quantile_cont(eq, 0.25) AS thr FROM s)
             SELECT lang, cast(count(*) as bigint) AS n_docs,
-                   cast(sum(CASE WHEN entropy_bits >= t.thr
+                   cast(sum(CASE WHEN eq >= t.thr
                             THEN 1 ELSE 0 END) as bigint) AS n_kept,
-                   round(max(t.thr), 6) AS threshold
+                   round(max(t.thr)) / 1000000.0 AS threshold
             FROM s CROSS JOIN t GROUP BY lang
         """,
         # lang_mismatch: confusion matrix over the langid mirror
