@@ -2895,18 +2895,23 @@ def q_events_gap_stats(spark, sf_dir):
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law diagnostic: the log-log slope of token frequency vs
     rank over the corpus vocabulary (natural prose fits ~ -1;
-    templated/synthetic text flattens).  Vocabulary-bounded: after the
-    (token) count merge everything operates on |vocab| rows, and the
-    fit is one native regr_slope/regr_intercept aggregate (the
-    grouped-OLS parity precedent).  Rank ties break on the token
-    string so the ranking is deterministic."""
+    templated/synthetic text flattens).  The vocabulary table is big
+    at corpus scale (Heaps: ~n^0.8 distinct tokens), so the global
+    frequency rank uses the two-level attach_rowid spelling
+    (range-partition + per-partition rank + broadcast offsets,
+    operators/ordering.py:86-119) instead of an unpartitioned window
+    — no single task ever sees the whole vocab.  The fit is one
+    native regr_slope/regr_intercept aggregate (the grouped-OLS
+    parity precedent).  Rank ties break on the token string so the
+    ranking is deterministic."""
     toks = tokens(F.lower(F.col("text")))
     freq = (_t(spark, sf_dir, "documents")
             .select(F.explode(toks).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
-    ranked = freq.withColumn(
-        "rank", F.row_number().over(
-            Window.orderBy(F.col("freq").desc(), F.col("token"))))
+    ranked = attach_rowid(
+        freq.withColumn("__nf", -F.col("freq")), ["__nf", "token"],
+        name="__rid").withColumn(
+            "rank", (F.col("__rid") + 1).cast("int"))
     lx = F.log(F.col("rank").cast("double"))
     ly = F.log(F.col("freq").cast("double"))
     return ranked.agg(

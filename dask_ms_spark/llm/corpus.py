@@ -782,13 +782,15 @@ def heaps_fit(docs: DataFrame, text_col: str = "text",
     regr_slope/regr_intercept over the (ln n, ln V) points (the
     zipf_fit discipline).
 
-    Scale shape: the document-offset prefix sum is a window over the
-    DOC-COUNT-sized (id, token-count) table — far below instance
-    volume, though still a global sort; at extreme doc counts bucket
-    the ids and prefix-sum bucket totals (two-level, the winnowing
-    trick).  Instances shuffle once to keep per-word minima; the
-    checkpoint aggregate and the fit run on bounded rows.  Returns
-    one row: (n_tokens, vocab_size, heaps_beta, heaps_k).
+    Scale shape: the document-offset prefix sum is TWO-LEVEL (the
+    ``attach_rowid`` trick, operators/ordering.py:86-119):
+    range-partition the doc-count table on id, prefix-sum WITHIN each
+    partition (hash-parallel window), and add the broadcast prefix of
+    per-partition totals — the only ordered window left runs over the
+    #partitions-sized totals table, so a billion documents never
+    funnel through one task.  Instances shuffle once to keep per-word
+    minima; the checkpoint aggregate and the fit run on bounded rows.
+    Returns one row: (n_tokens, vocab_size, heaps_beta, heaps_k).
     """
     from pyspark.sql import Window
 
@@ -796,10 +798,26 @@ def heaps_fit(docs: DataFrame, text_col: str = "text",
     base = (ensure_parallelism(docs)
             .select(F.col(id_col).alias("id"), toks.alias("__t")))
     counts = base.select("id", F.size("__t").alias("cnt"))
-    w = (Window.orderBy("id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    offs = counts.select(
-        "id", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    parted = (counts.repartitionByRange(n_parts, F.col("id"))
+              .sortWithinPartitions("id")
+              .withColumn("__pid", F.spark_partition_id()))
+    # bucket totals: #partitions rows, the ONLY ordered-window input
+    btot = (parted.groupBy("__pid").agg(F.sum("cnt").alias("__s"))
+            .withColumn("__boff",
+                        (F.coalesce(
+                            F.sum("__s").over(
+                                Window.orderBy("__pid")
+                                .rowsBetween(Window.unboundedPreceding,
+                                             -1)),
+                            F.lit(0))).cast("long"))
+            .select("__pid", "__boff"))
+    w_in = (Window.partitionBy("__pid").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (parted.join(F.broadcast(btot), "__pid")
+            .select("id",
+                    (F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+                     + F.col("__boff")).alias("off")))
     inst = (base.join(offs, "id")
             .select(F.posexplode("__t").alias("pos", "w"),
                     F.col("off"))

@@ -18,13 +18,19 @@ makes them per-partition-combinable at scale.
 Plan shape: the heavy shuffle is the per-group ``distinct`` over
 (group, hash) — map-side combine collapses repeats before the
 exchange, and only 8-byte hashes travel, never payloads.  The
-rank-and-trim step then runs on the *distinct* set.  At 100 TB the
-distinct set of a truly high-cardinality column is itself large; the
-production refinement (documented, not needed at bench scale) is to
-pre-filter ``hash < t`` for a threshold t chosen from a lower bound on
-the cardinality — KMV only ever consults hashes below the final u_k,
-so any conservative t keeps the shuffle a tiny fixed fraction of the
-input while leaving the result identical.
+k-minimum trim then runs on the *distinct* set as
+``orderBy(h).limit(k)``, which Catalyst compiles to
+``TakeOrderedAndProject`` — a per-partition top-k followed by a
+k-sized merge, NEVER a global sort; a billion distinct hashes cost
+each task a k-row heap and the driver a k*partitions merge.  (The
+grouped branch uses a hash-partitioned window, which is equally
+parallel.)  At 100 TB the distinct set of a truly high-cardinality
+column is itself large; the production refinement (documented, not
+needed at bench scale) is to pre-filter ``hash < t`` for a threshold
+t chosen from a lower bound on the cardinality — KMV only ever
+consults hashes below the final u_k, so any conservative t keeps the
+shuffle a tiny fixed fraction of the input while leaving the result
+identical.
 
 No reference analogue (dask-ms has no sketching surface); this is part
 of the LLM-pipeline extension set alongside llm/dedup.py.
@@ -43,6 +49,18 @@ __all__ = ["kmv_distinct", "kmv_overlap", "HASH_SPACE",
 
 # portable_hash64 yields 15 hex digits -> [0, 2^60)
 HASH_SPACE = float(1 << 60)
+
+
+def _k_smallest(df: DataFrame, k: int) -> DataFrame:
+    """Keep the k smallest rows of a single-column hash table ``(h)``.
+
+    Spelled ``orderBy(h).limit(k)`` so Catalyst plans
+    ``TakeOrderedAndProject`` (per-partition top-k heap + k-sized
+    merge) instead of the unpartitioned-Window global sort that
+    ``row_number().over(Window.orderBy(h)) <= k`` would produce —
+    the difference between O(k) per task and funnelling every
+    distinct hash through one task."""
+    return df.orderBy("h").limit(k)
 
 
 def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str]
@@ -64,11 +82,15 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str]
     hashed = (df.select(*group_cols,
                         portable_hash64(F.col(value_col)).alias("h"))
               .distinct())
-    w = Window.partitionBy(*group_cols).orderBy("h") if group_cols \
-        else Window.orderBy("h")
-    ranked = (hashed
-              .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <= k))
+    if group_cols:
+        # hash-partitioned window: every group trims in parallel
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        ranked = (hashed
+                  .withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k))
+    else:
+        # ungrouped: TakeOrderedAndProject, never a global sort
+        ranked = _k_smallest(hashed, k)
     est = F.when(
         F.count(F.lit(1)) < k,
         F.count(F.lit(1)).cast("double")
@@ -113,9 +135,7 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
               .agg(F.max("in_a").alias("in_a"),
                    F.max("in_b").alias("in_b"))
               .localCheckpoint(eager=False))
-    w = Window.orderBy("h")
-    sk = (merged.withColumn("rn", F.row_number().over(w))
-          .where(F.col("rn") <= k))
+    sk = _k_smallest(merged, k)
 
     def est(cnt, mx):
         return F.when(cnt < k, cnt.cast("double")).otherwise(
@@ -134,13 +154,9 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
     union_est = est(F.col("n_u"), F.col("mx_u"))
     # side sketches need their own rank-trim; compute from the merged
     # distinct-hash table directly
-    sa = (merged.where(F.col("in_a") == 1)
-          .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-          .where(F.col("rn") <= k)
+    sa = (_k_smallest(merged.where(F.col("in_a") == 1).select("h"), k)
           .agg(F.count(F.lit(1)).alias("n_a"), F.max("h").alias("mx_a")))
-    sb = (merged.where(F.col("in_b") == 1)
-          .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-          .where(F.col("rn") <= k)
+    sb = (_k_smallest(merged.where(F.col("in_b") == 1).select("h"), k)
           .agg(F.count(F.lit(1)).alias("n_b"), F.max("h").alias("mx_b")))
     return (agg.crossJoin(sa).crossJoin(sb)
             .select(F.lit(k).cast("long").alias("k_used"),
@@ -238,11 +254,9 @@ def kmv_state(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     micro-batch at O(k) state."""
     if k < 1:
         raise ValueError(f"kmv_state needs k >= 1, got {k}")
-    w = Window.orderBy("h")
-    return (df.select(portable_hash64(F.col(value_col)).alias("h"))
-            .distinct()
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k).drop("__rn"))
+    return _k_smallest(
+        df.select(portable_hash64(F.col(value_col)).alias("h"))
+        .distinct(), k)
 
 
 def kmv_merge_states(*states: DataFrame, k: int = 256) -> DataFrame:
@@ -250,9 +264,7 @@ def kmv_merge_states(*states: DataFrame, k: int = 256) -> DataFrame:
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)
-    w = Window.orderBy("h")
-    return (u.distinct().withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k).drop("__rn"))
+    return _k_smallest(u.distinct(), k)
 
 
 def kmv_estimate_state(state: DataFrame, k: int = 256) -> DataFrame:

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame
 
 __all__ = ["plan_str", "pushed_filters", "read_schema", "exchange_count",
            "has_broadcast_hash_join", "has_sort_merge_join",
-           "assert_pushdown", "assert_max_exchanges"]
+           "assert_pushdown", "assert_max_exchanges",
+           "unpartitioned_window_count", "assert_no_unpartitioned_window"]
 
 
 def plan_str(df: DataFrame) -> str:
@@ -80,6 +81,42 @@ def assert_pushdown(df: DataFrame, *columns: str) -> None:
         raise AssertionError(
             f"filters on {missing} not pushed to the scan; "
             f"pushed: {pushed or '(none)'}")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Count Window operators fed by ``Exchange SinglePartition`` —
+    the every-row-through-one-task signature (the KMV r7 seam: a
+    ``row_number().over(Window.orderBy(...))`` with no partitionBy
+    plans a single-task global sort).  A partitioned window sits above
+    a hashpartitioning exchange; the correct global top-k spelling
+    (``orderBy(...).limit(k)``) plans TakeOrderedAndProject and has no
+    Window node at all.  Legitimate only when the window input is
+    provably bounded (a #partitions-sized offset table, a k-sized
+    sketch state, a per-class groups table)."""
+    lines = plan_str(df).splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        for look in lines[i + 1:i + 4]:
+            if "Exchange SinglePartition" in look:
+                n += 1
+                break
+            if "Exchange hashpartitioning" in look:
+                break
+    return n
+
+
+def assert_no_unpartitioned_window(df: DataFrame,
+                                   allowed: int = 0) -> None:
+    """Assert at most ``allowed`` unpartitioned-Window occurrences
+    (``allowed`` > 0 documents windows over provably bounded inputs)."""
+    got = unpartitioned_window_count(df)
+    if got > allowed:
+        raise AssertionError(
+            f"plan has {got} unpartitioned Window(s) (allowed "
+            f"{allowed}) — every input row funnels through one task:\n"
+            + plan_str(df))
 
 
 def assert_max_exchanges(df: DataFrame, n: int) -> None:

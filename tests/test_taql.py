@@ -358,3 +358,21 @@ def test_near_equality_executes(spark):
     sql = taql_where_to_sql("a ~= b")
     got = sorted(r.id for r in df.where(sql).collect())
     assert got == [1]            # 1e3/1e9 = 1e-6 near; 1e-3 not
+
+
+def test_near_equality_arithmetic_lhs():
+    """The LHS of ~= extends back through arithmetic (TAQL comparison
+    binds looser than '+'): 'A + B ~= C' compares A + B, not B —
+    popping one token silently mistranslated it (r7 advice)."""
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    assert taql_where_to_sql("A + B ~= C") == (
+        "abs((A + B) - (C)) <= 1.0E-5 * "
+        "greatest(abs(A + B), abs(C))")
+    # the LHS scan stops at a boolean operator, not before it
+    assert taql_where_to_sql("X > 2 && A - 1 ~= C") == (
+        "X > 2 AND abs((A - 1) - (C)) <= 1.0E-5 * "
+        "greatest(abs(A - 1), abs(C))")
+    # pattern matches share the scan: a parenthesised LHS survives
+    assert taql_where_to_sql("(NAME) ~ p/3C*/") == \
+        "( NAME ) LIKE '3C%'"

@@ -12,6 +12,17 @@ anti-patterns:
                                     ArrowEvalPython / MapInPandas /
                                     FlatMapGroupsInPandas and are
                                     allowed);
+  * unpartitioned Window          — a ``Window`` fed by ``Exchange
+                                    SinglePartition``: every input row
+                                    funnels through ONE task (the KMV
+                                    r7 seam).  Legit only over bounded
+                                    tables (#partitions-sized offset
+                                    tables, k-sized sketch states,
+                                    per-language group tables) — those
+                                    sites are whitelisted per query;
+  * single-partition exchanges    — informational (global aggregates
+                                    of partial rows legitimately use
+                                    one);
   * exchange count                — shuffles per query (informational);
   * broadcast-nested-loop joins   — allowed only when one side is a
                                     broadcast of a bounded relation
@@ -19,7 +30,8 @@ anti-patterns:
                                     reported so a reviewer can check.
 
 Output: one line per query plus a summary; exit 1 if a hard
-anti-pattern (CartesianProduct / BatchEvalPython) appears.
+anti-pattern (CartesianProduct / BatchEvalPython / non-whitelisted
+unpartitioned Window) appears.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -31,6 +43,44 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 HARD = ("CartesianProduct", "BatchEvalPython")
+
+# Queries allowed N unpartitioned-Window occurrences because the
+# window input is provably BOUNDED (never instance volume):
+#   - #partitions-sized per-partition offset tables (attach_rowid /
+#     heaps_fit two-level prefix sums, operators/ordering.py:86-119)
+#   - GROUPS tables: one row per language/class (sample_unimax
+#     waterfilling, mixture weights)
+#   - k-sized sketch states (kmv_merge_states)
+# Populated from the audited baseline; any NEW occurrence fails.
+UPWIN_WHITELIST: dict = {
+    # attach_rowid per-partition offset table (#partitions rows)
+    "group_partition": 1,
+    "sorted_read": 1,
+    "zipf_fit": 1,
+    # heaps_fit bucket-totals table (#partitions rows)
+    "heaps_fit": 1,
+    # UniMax waterfilling over the GROUPS table (one row/language)
+    "sample_unimax": 2,
+}
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window operators fed by Exchange SinglePartition — the
+    every-row-through-one-task signature.  A partitioned window sits
+    above a hashpartitioning exchange; TakeOrderedAndProject (the
+    correct global top-k) has no Window node at all."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "Window" not in line:
+            continue
+        for look in lines[i + 1:i + 4]:
+            if "Exchange SinglePartition" in look:
+                n += 1
+                break
+            if "Exchange hashpartitioning" in look:
+                break
+    return n
 
 
 def main():
@@ -66,7 +116,14 @@ def main():
         flags = [p for p in HARD if p in plan]
         nexch = plan.count("Exchange ")
         nbnl = plan.count("BroadcastNestedLoopJoin")
+        nupw = unpartitioned_windows(plan)
+        nspe = plan.count("Exchange SinglePartition")
+        allowed = UPWIN_WHITELIST.get(name, 0)
+        if nupw > allowed:
+            flags.append(f"UnpartitionedWindow({nupw}>{allowed})")
         note = (f"exchanges={nexch}"
+                + (f" sp_exch={nspe}" if nspe else "")
+                + (f" upwin={nupw}/{allowed}" if nupw else "")
                 + (f" bnl={nbnl}" if nbnl else "")
                 + (f" !!{'/'.join(flags)}" if flags else ""))
         rows.append((name, note))
