@@ -6734,98 +6734,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver validates the FIRST 50 entries only.
-    # ROTATION LEDGER (a 50-row window over a 165+ registry needs a
-    # 4-round union; keep this exact):
-    #   round 5 window: the 49 now in the "last driver row r5" block
-    #   round 6 window: the 37 r5-session debuts + 13 oldest r4-stale
-    #     (now the two "last driver row r6" blocks)
-    #   round 7 window (this one): the 34 r6-session debuts getting
-    #     their FIRST driver rows (snapshot_roundtrip ...
-    #     sumthreshold; bda_average/grid_vis/crossmatch were demoted
-    #     to the check_oracle-swept demoted_queries block, see r6
-    #     verdict item 8) + the 16 OLDEST of the "last driver row r4"
-    #     entries (tpch_q7 ... filter_pushdown)
-    #   round 8: the 21 r7-session debuts first (applycal ...
-    #     heaps_fit; noise_estimate / lm_perplexity /
-    #     dedup_clusters were demoted beside their production
-    #     variants), then the remaining 17 r4-stale
-    #     (expr_arithmetic ... quantiles), then the 13 oldest
-    #     r5-checked entries (doc_chunks ... collocations_pmi) = 50.
+    # The rotation ledger lives at the window boundary (position 50)
+    # inside the dict below.
     return {
-        # -- debuts added in round 6 (ops layer end-to-end: snapshot
-        #    store, restartable backfill, persistent IVF index; CMS
-        #    heavy hitters; MS-style tensor channel/row averaging;
-        #    MS kernels, imaging chain, ANN PQ/IVFPQ, DSIR,
-        #    calibration), each verified via tools/check_oracle at
-        #    sf0.01 and by the r6 judge; FIRST driver rows this round.
-        #    maintain_rollup_log deliberately has NO registry row: it
-        #    is a streaming foreachBatch writer with filesystem side
-        #    effects (no read-only SQL spelling); its replay /
-        #    compaction / restart semantics are pytest-driven
-        #    (tests/test_streaming.py).  learn_bpe_merges likewise
-        #    has no row: each iteration's merge pair is a
-        #    data-dependent driver argmax (k-means-style
-        #    coordination) that a static SQL mirror cannot express;
-        #    pytest-driven against a pure-python BPE reference
-        #    (tests/test_functions.py).  delay_fit/unwrap_phases:
-        #    the sequential unwrap fold state is equally
-        #    SQL-inexpressible; numpy.unwrap/polyfit oracle in
-        #    tests/test_operators.py --
-        "snapshot_roundtrip": q_snapshot_roundtrip,
-        "backfill_restart": q_backfill_restart,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "tensor_chan_avg": q_tensor_chan_avg,
-        "tensor_row_avg": q_tensor_row_avg,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "phase_rotate": q_phase_rotate,
-        "spectral_index": q_spectral_index,
-        "weighted_quantiles": q_weighted_quantiles,
-        "flag_summary": q_flag_summary,
-        "ann_pq": q_ann_pq,
-        "resample_interp": q_resample_interp,
-        "rfi_flag": q_rfi_flag,
-        "gain_solve": q_gain_solve,
-        "channel_regrid": q_channel_regrid,
-        "spectral_moments": q_spectral_moments,
-        "imaging_weights": q_imaging_weights,
-        "sample_temperature": q_sample_temperature,
-        "crossmatch_nearest": q_crossmatch_nearest,
-        "bda_weighted": q_bda_weighted,
-        "sigma_clip": q_sigma_clip,
-        "ann_ivfpq": q_ann_ivfpq,
-        "curriculum": q_curriculum,
-        "stokes_convert": q_stokes_convert,
-        "closure_phase": q_closure_phase,
-        "hanning": q_hanning,
-        "uvcontsub": q_uvcontsub,
-        "predict_vis": q_predict_vis,
-        "dsir_select": q_dsir_select,
-        "grid_wstack": q_grid_wstack,
-        "uvw_compute": q_uvw_compute,
-        "quality_classifier": q_quality_classifier,
-        "sumthreshold": q_sumthreshold,
-        # -- last driver row r4, oldest 16: re-checked this round --
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
-        "projection": q_projection,
-        "filter_pushdown": q_filter_pushdown,
-        # ==== driver window ends here (position 50) ====
-        # -- r7-session debuts, below window: verified via
-        #    tools/check_oracle at sf0.01 this session; they lead
-        #    round 8's window --
+        # -- round-8 window, position 1-21: the 21 r7-session debuts
+        #    (applycal ... heaps_fit), every one judge-verified MATCH
+        #    at sf0.01 in the r7 session; FIRST driver rows this
+        #    round --
         "applycal": q_applycal,
         "flag_grow": q_flag_grow,
         "ngram_novelty": q_ngram_novelty,
@@ -6847,8 +6762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "cusum_segments": q_cusum_segments,
         "heaps_fit": q_heaps_fit,
-        # -- last driver row r4, below window: these 17 follow the
-        #    r7 debuts into round 8's window --
+        # -- window position 22-38: the remaining 17 r4-stale
+        #    entries (last driver row r4), bodies untouched since --
         "expr_arithmetic": q_expr_arithmetic,
         "group_partition": q_group_partition,
         "sorted_read": q_sorted_read,
@@ -6866,8 +6781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "cube": q_cube,
         "quantiles": q_quantiles,
-        # -- last driver row r6 (the r5-session debuts; first driver
-        #    rows landed in CORRECTNESS_r06, all green) --
+        # -- window position 39-50: the 12 oldest r5-checked
+        #    entries (by original r5-window order; dedup_semantic of
+        #    this block was demoted beside dedup_embedding_bucketed,
+        #    r8) --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
@@ -6877,10 +6794,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "corpus_diff": q_corpus_diff,
         "cardinality_kmv": q_cardinality_kmv,
-        "dedup_semantic": q_dedup_semantic,
         "dedup_substring": q_dedup_substring,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
+        # ==== driver window ends here (position 50) ====
+        # ROTATION LEDGER (50-row window over the 177-query registry,
+        # 4-round coverage union):
+        #   r5 window: the 49-entry "last driver row r5" block below
+        #   r6 window: 37 r5-debuts + 13 oldest r4-stale
+        #   r7 window: 34 r6-debuts + 16 oldest r4-stale
+        #   r8 window (this one): 21 r7 debuts + 17 r4-stale
+        #     (expr_arithmetic ... quantiles) + 12 oldest r5-checked
+        #     (doc_chunks ... char_entropy) = 50 exactly
+        #   r9 plan: the remaining 24 r5-checked (graph_triangles ...
+        #     events_gap_stats) + 13 r6-checked r4-stale re-checks
+        #     (events_correlate ... tpch_q5) + 13 oldest of the
+        #     "last row r5" block = 50; events_changepoint is the
+        #     r9 demotion candidate beside cusum_segments once its
+        #     r8 driver row lands.
+        # Round-8 demotions (oracles retained in demoted_oracle_sql,
+        # swept by tools/check_oracle + pytest): grid_wstack (beside
+        # grid_conv), ann_pq (beside ann_ivfpq which composes it),
+        # dedup_semantic (beside dedup_embedding_bucketed, same
+        # bucketed-GEMM spine), dedup_minhash_drop (beside
+        # dedup_lsh_capped, same MinHash/LSH spine with the
+        # production cap), contamination (pipeline_funnel runs the
+        # identical decontamination stage inside the curate funnel).
+        # -- last driver row r6 (r5-session debuts, remainder) --
         "graph_triangles": q_graph_triangles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "interval_overlap": q_interval_overlap,
@@ -6923,14 +6863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bodies; their r5 rows carry the union coverage) --
         "pivot": q_pivot,
         "unpivot": q_unpivot,
-        # dedup_embedding (r6) and dedup_ngram_jaccard (r7) DEMOTED
-        # per the r5/r6 verdicts: each is the un-bounded baseline of
-        # a production variant that stays registered
-        # (dedup_embedding_bucketed below; dedup_lsh_capped above).
-        # Both had green driver rows when demoted and live on in
-        # demoted_queries()/demoted_oracle_sql(), swept by
-        # tools/check_oracle.py and a pytest guard — zero coverage
-        # loss, two fewer bench queries
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "text_bpe": q_text_bpe,
         "text_winnow": q_text_winnow,
@@ -6940,7 +6872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_minhash_drop": q_dedup_minhash_drop,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         "sample_split": q_sample_split,
@@ -6960,7 +6891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "multimodal_features": q_multimodal_features,
         "kmeans_cluster": q_kmeans_cluster,
-        "contamination": q_contamination,
         "pagerank": q_pagerank,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
@@ -6974,8 +6904,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
         "resample_fill": q_resample_fill,
+        # -- last driver row r7 (r6-session debuts; first rows
+        #    landed in CORRECTNESS_r07, all green) --
+        "snapshot_roundtrip": q_snapshot_roundtrip,
+        "backfill_restart": q_backfill_restart,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tensor_chan_avg": q_tensor_chan_avg,
+        "tensor_row_avg": q_tensor_row_avg,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "phase_rotate": q_phase_rotate,
+        "spectral_index": q_spectral_index,
+        "weighted_quantiles": q_weighted_quantiles,
+        "flag_summary": q_flag_summary,
+        "resample_interp": q_resample_interp,
+        "rfi_flag": q_rfi_flag,
+        "gain_solve": q_gain_solve,
+        "channel_regrid": q_channel_regrid,
+        "spectral_moments": q_spectral_moments,
+        "imaging_weights": q_imaging_weights,
+        "sample_temperature": q_sample_temperature,
+        "crossmatch_nearest": q_crossmatch_nearest,
+        "bda_weighted": q_bda_weighted,
+        "sigma_clip": q_sigma_clip,
+        "ann_ivfpq": q_ann_ivfpq,
+        "curriculum": q_curriculum,
+        "stokes_convert": q_stokes_convert,
+        "closure_phase": q_closure_phase,
+        "hanning": q_hanning,
+        "uvcontsub": q_uvcontsub,
+        "predict_vis": q_predict_vis,
+        "dsir_select": q_dsir_select,
+        "uvw_compute": q_uvw_compute,
+        "quality_classifier": q_quality_classifier,
+        "sumthreshold": q_sumthreshold,
+        # -- last driver row r7 (oldest-16 r4-stale re-checks) --
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "projection": q_projection,
+        "filter_pushdown": q_filter_pushdown,
     }
-
 
 _LM_PERPLEXITY_SQL = """
             WITH t AS (SELECT doc_id,
@@ -7440,7 +7420,6 @@ def oracle_sql() -> dict[str, str]:
         "spectral_index": _spectral_index_sql(),
         "weighted_quantiles": _WQ_SQL,
         "flag_summary": _FLAG_SUMMARY_SQL,
-        "ann_pq": _ANN_PQ_SQL,
         "resample_interp": _RESAMPLE_INTERP_SQL,
         "rfi_flag": _rfi_flag_sql(),
         "gain_solve": _GAIN_SOLVE_SQL,
@@ -7480,7 +7459,6 @@ def oracle_sql() -> dict[str, str]:
         "uvcontsub": _UVCONTSUB_SQL,
         "predict_vis": _predict_vis_sql(),
         "dsir_select": _DSIR_SQL,
-        "grid_wstack": _grid_wstack_sql(),
         "uvw_compute": _uvw_sql(),
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,
         "sumthreshold": _SUMTHRESHOLD_SQL,
@@ -8033,10 +8011,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders"""
             for c in ["o_orderkey", "o_custkey", "o_orderstatus",
                       "o_orderpriority"]),
-        "dedup_minhash_drop": _minhash_drop_sql(),
         
         "pagerank": _pagerank_sql(),
-        "contamination": _contamination_sql(),
         "corpus_mixture": _corpus_mixture_sql(),
         "kmeans_cluster": _kmeans_sql(),
         "text_repetition": """
@@ -8308,30 +8284,6 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(max(h) as double)
                          / 1152921504606846976.0, 9) AS u_k
             FROM rk WHERE rn <= 64 GROUP BY lang
-        """,
-        # dedup_semantic: the kmeans_cluster mirror as the coarse
-        # quantizer, then within-cluster rounded-cosine >= 0.4 against
-        # any lower id
-        "dedup_semantic": f"""
-            WITH km AS ({_kmeans_sql(k=16, iters=2)}),
-            v AS (SELECT vec_id,
-                         list_transform(embedding,
-                                        x -> cast(x as double)) AS vec
-                  FROM embeddings),
-            m AS (SELECT km.vec_id AS id, km.cluster, v.vec
-                  FROM km JOIN v USING (vec_id)),
-            p AS (SELECT b.id AS id,
-                         max(round({_COS.replace('va', 'a.vec')
-                                        .replace('vb', 'b.vec')}, 6))
-                             AS max_sim
-                  FROM m a JOIN m b
-                    ON a.cluster = b.cluster AND a.id < b.id
-                  WHERE round({_COS.replace('va', 'a.vec')
-                                   .replace('vb', 'b.vec')}, 6) >= 0.4
-                  GROUP BY b.id)
-            SELECT m.id AS vec_id, m.cluster,
-                   (p.max_sim IS NULL) AS keep, p.max_sim
-            FROM m LEFT JOIN p ON m.id = p.id
         """,
         # dedup_substring: 60-char windows (whole text when shorter);
         # range() is stop-exclusive where sequence() is inclusive,
@@ -9085,6 +9037,25 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         # components, plus the split assignment) — driver-green
         # history, demoted r7
         "dedup_clusters": q_dedup_clusters,
+        # -- round-8 demotions (r7 verdict item 7: bound suite
+        #    growth).  Every one had a green driver row when demoted
+        #    (grid_wstack/ann_pq r7, dedup_minhash_drop/contamination/
+        #    dedup_semantic r5/r6) --
+        # single-plane vs w-stacked share the gridding spine;
+        # production: grid_conv (convolutional kernel gridder)
+        "grid_wstack": q_grid_wstack,
+        # flat-PQ scan; production: ann_ivfpq (composes the same PQ
+        # codebooks inside IVF cells)
+        "ann_pq": q_ann_pq,
+        # bucketed-GEMM coarse-quantizer dedup; production:
+        # dedup_embedding_bucketed (same spine, LSH-bucketed)
+        "dedup_semantic": q_dedup_semantic,
+        # uncapped MinHash drop; production: dedup_lsh_capped (same
+        # signature pipeline WITH max_bucket_size)
+        "dedup_minhash_drop": q_dedup_minhash_drop,
+        # standalone decontamination; production: pipeline_funnel
+        # (runs the identical broadcast eval-shingle probe stage)
+        "contamination": q_contamination,
     }
 
 
@@ -9100,4 +9071,32 @@ def demoted_oracle_sql() -> dict[str, str]:
         "noise_estimate": _NOISE_ESTIMATE_SQL,
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
+        "grid_wstack": _grid_wstack_sql(),
+        "ann_pq": _ANN_PQ_SQL,
+        "dedup_minhash_drop": _minhash_drop_sql(),
+        "contamination": _contamination_sql(),
+        # dedup_semantic: the kmeans_cluster mirror as the coarse
+        # quantizer, then within-cluster rounded-cosine >= 0.4 against
+        # any lower id
+        "dedup_semantic": f"""
+            WITH km AS ({_kmeans_sql(k=16, iters=2)}),
+            v AS (SELECT vec_id,
+                         list_transform(embedding,
+                                        x -> cast(x as double)) AS vec
+                  FROM embeddings),
+            m AS (SELECT km.vec_id AS id, km.cluster, v.vec
+                  FROM km JOIN v USING (vec_id)),
+            p AS (SELECT b.id AS id,
+                         max(round({_COS.replace('va', 'a.vec')
+                                        .replace('vb', 'b.vec')}, 6))
+                             AS max_sim
+                  FROM m a JOIN m b
+                    ON a.cluster = b.cluster AND a.id < b.id
+                  WHERE round({_COS.replace('va', 'a.vec')
+                                   .replace('vb', 'b.vec')}, 6) >= 0.4
+                  GROUP BY b.id)
+            SELECT m.id AS vec_id, m.cluster,
+                   (p.max_sim IS NULL) AS keep, p.max_sim
+            FROM m LEFT JOIN p ON m.id = p.id
+        """,
     }

@@ -309,11 +309,17 @@ def cuped_adjust(units: DataFrame, arm_col: str = "arm",
     # the SUMS are exact decimal integers; theta's combination runs
     # in doubles — every operand is the same exact integer in both
     # engines, so the IEEE expression is bit-reproducible even
-    # though n*Sxy - Sx*Sy itself rounds at ~1e20 magnitudes
-    theta = ((F.col("n").cast("double") * F.col("sxy").cast("double")
-              - F.col("sx").cast("double") * F.col("sy").cast("double"))
-             / (F.col("n").cast("double") * F.col("sxx").cast("double")
-                - F.col("sx").cast("double") * F.col("sx").cast("double")))
+    # though n*Sxy - Sx*Sy itself rounds at ~1e20 magnitudes.
+    # A constant covariate makes the variance term 0 (0/0 = NaN would
+    # silently NULL the adjusted means); theta = 0 degrades CUPED to
+    # the unadjusted mean, which is the estimator's correct limit.
+    var_term = (F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    theta = F.when(
+        var_term == 0.0, F.lit(0.0)).otherwise(
+        (F.col("n").cast("double") * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / var_term)
     mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
     stats = g.select(theta.alias("theta"), mean_x.alias("mx"))
     adj = (d.crossJoin(F.broadcast(stats))

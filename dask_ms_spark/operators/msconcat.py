@@ -37,14 +37,27 @@ from ..types import ROWID
 
 __all__ = ["concat_ms"]
 
-# subtable -> MAIN index column that points at it
+# subtable -> MAIN index column that points at it.  OBSERVATION /
+# STATE / PROCESSOR are row-position-indexed exactly like the big
+# four; CASA's concat offsets their MAIN pointers and stacks the
+# tables (taking them from part 0 while part>=1 rows keep their
+# original ids would silently re-point metadata at the wrong rows).
 _MAIN_INDEX = {"DATA_DESCRIPTION": "DATA_DESC_ID",
-               "FIELD": "FIELD_ID"}
+               "FIELD": "FIELD_ID",
+               "OBSERVATION": "OBSERVATION_ID",
+               "STATE": "STATE_ID",
+               "PROCESSOR": "PROCESSOR_ID"}
 # DATA_DESCRIPTION's own pointer columns
 _DD_INDEX = {"SPECTRAL_WINDOW": "SPECTRAL_WINDOW_ID",
              "POLARIZATION": "POLARIZATION_ID"}
 _OFFSET_TABLES = ("SPECTRAL_WINDOW", "POLARIZATION", "FIELD",
-                  "DATA_DESCRIPTION")
+                  "DATA_DESCRIPTION", "OBSERVATION", "STATE",
+                  "PROCESSOR")
+# id-indexed via an explicit SOURCE_ID column (FIELD points at it),
+# not row position — stacking needs source de-duplication, which CASA
+# does with sky-position tolerances we do not replicate; parts must
+# agree or the concat raises.
+_IDENTITY_TABLES = ("SOURCE",)
 
 
 def _with_rowid_offset(df: DataFrame, off: int) -> DataFrame:
@@ -66,11 +79,14 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
     ``concat``-style: subtable rows stack in part order and every id
     column re-indexes by its subtable's cumulative offset.
 
-    Subtables beyond the indexed four (ANTENNA under
-    ``match_antennas=True``, and anything else present in part 0)
-    are taken from the FIRST part; parts carrying extra tables the
-    first lacks raise (silently dropping metadata is worse than
-    failing).
+    Row-position-indexed subtables (SPECTRAL_WINDOW, POLARIZATION,
+    FIELD, DATA_DESCRIPTION, OBSERVATION, STATE, PROCESSOR) stack
+    with offsets; SOURCE (id-indexed by an explicit SOURCE_ID column)
+    must be value-identical across parts or the concat raises.
+    Remaining subtables (ANTENNA under ``match_antennas=True``, and
+    anything else present in part 0) are taken from the FIRST part;
+    parts carrying extra tables the first lacks raise (silently
+    dropping metadata is worse than failing).
     """
     if not parts:
         raise ValueError("concat_ms: no parts")
@@ -141,6 +157,19 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
             stacked = d if stacked is None else stacked.unionByName(d)
         if stacked is not None:
             out[t] = stacked
+
+    for t in _IDENTITY_TABLES:
+        if t not in parts[0]:
+            continue
+        rows0 = sorted(map(tuple, parts[0][t].collect()))
+        for i, p in enumerate(parts[1:], 1):
+            if t in p and sorted(map(tuple, p[t].collect())) != rows0:
+                raise ValueError(
+                    f"concat_ms: part {i} {t} table differs from "
+                    f"part 0 — {t} is id-indexed by an explicit id "
+                    "column and stacking needs source merging CASA "
+                    "does with position tolerances; reconcile the "
+                    f"{t} tables before concatenation")
 
     for t, d in parts[0].items():
         if t not in out and t != "MAIN":

@@ -107,9 +107,10 @@ def build_manifest(spark: SparkSession, path: str,
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
                         nulls += st.null_count or 0
-                    if (isinstance(mn, (str, bytes))
-                            and (len(mn) >= _TRUNCATION_BOUNDARY
-                                 or len(mx) >= _TRUNCATION_BOUNDARY)):
+                    if ((isinstance(mn, (str, bytes))
+                         and len(mn) >= _TRUNCATION_BOUNDARY)
+                            or (isinstance(mx, (str, bytes))
+                                and len(mx) >= _TRUNCATION_BOUNDARY)):
                         mn = mx = None  # possibly truncated: no claim
                     is_int = (isinstance(mn, int)
                               and not isinstance(mn, bool))
@@ -134,9 +135,13 @@ def prune_files(manifest: DataFrame, column: str, lo, hi) -> list:
     ``[lo, hi]`` — plus files with missing statistics (never prune
     on absent evidence).  The manifest is file-count-sized; the
     filter runs as one tiny Spark job and returns the path list for
-    the pruned read."""
+    the pruned read.  Manifests written before the typed
+    ``min_long``/``max_long`` columns existed still prune via the
+    lossless string-repr path (back-compat: the typed compare is an
+    int64-exactness upgrade, not a schema requirement)."""
     m = manifest.where(F.col("column") == column)
-    if (isinstance(lo, int) and isinstance(hi, int)
+    has_typed = "min_long" in manifest.columns
+    if (has_typed and isinstance(lo, int) and isinstance(hi, int)
             and not isinstance(lo, bool) and not isinstance(hi, bool)):
         # exact int64 compare on the typed columns (str→double would
         # lose precision above 2^53 and could prune a matching file);

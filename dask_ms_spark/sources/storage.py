@@ -315,7 +315,11 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
                   if "://" not in target else
                   infer_format(target, _datasets_session(datasets))
                   == "casa")
-        if exists and create_factory is None:
+        # dispatch on target existence ALONE: an existing table is
+        # always a ROWID update (routing it into create because a
+        # create_factory happened to be passed would overwrite or
+        # fail); factories forward to whichever path is chosen
+        if exists:
             return casa.xds_to_casa(datasets, target,
                                     table_factory=table_factory)
         casa.create_casa_table(datasets, target,

@@ -40,10 +40,14 @@ after its unit conversion, now constant-folded at translation time;
 default 1e-5 relative tolerance → ``abs(a-b) <= 1e-5 *
 greatest(abs(a), abs(b))``); interval membership ``X [NOT] IN
 [a=:=b]`` with ``=`` (inclusive) / ``<`` (exclusive) bound markers
-→ the equivalent comparison conjunction.
+→ the equivalent comparison conjunction; and nested queries
+``X IN [SELECT [DISTINCT] col FROM table [WHERE ...]]`` → Spark
+IN-subqueries (Catalyst plans a semi-join; ``::SUBTABLE`` maps to
+the bare registered view name, ``ROWID()`` to the ROWID column, and
+the inner WHERE recurses through the translator).
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
-unit quantities, mscal derived columns.
+unit quantities, mscal derived columns, multi-table nested selects.
 """
 
 from __future__ import annotations
@@ -191,6 +195,66 @@ def _pop_lhs(out: list[str]) -> str:
     return " ".join(reversed(lhs))
 
 
+def _emit_subquery(body: list[str]) -> str:
+    """Translate the bracketed TAQL nested query ``SELECT [DISTINCT]
+    col[, col...] FROM table [WHERE pred]`` to a Spark SQL subquery.
+
+    Only single-table selects are in-subset (the recurring reference
+    idiom: row-set probes against a subtable,
+    daskms/tests: taql_where='ANTENNA1 IN [SELECT ROWID() FROM
+    ::ANTENNA WHERE ...]').  ``::NAME`` (the reference's subtable
+    suffix, fsspec_store.py) becomes the bare registered view name;
+    ``ROWID()`` becomes the ROWID column.  The WHERE clause recurses
+    through the full translator, so every supported tier nests."""
+    up = [t.upper() for t in body]
+    if "FROM" not in up:
+        raise ValueError(
+            "taql_where_to_sql: nested SELECT needs a FROM clause")
+    f = up.index("FROM")
+    w = up.index("WHERE") if "WHERE" in up else len(body)
+    if w < f:
+        raise ValueError(
+            "taql_where_to_sql: malformed nested SELECT (WHERE "
+            "before FROM)")
+    sel = body[1:f]
+    if sel and sel[0].upper() == "DISTINCT":
+        sel = sel[1:]
+        distinct = "DISTINCT "
+    else:
+        distinct = ""
+    # ROWID() -> ROWID column; collapse the () tokens
+    cols: list[str] = []
+    k = 0
+    while k < len(sel):
+        if (sel[k].upper() == "ROWID" and k + 2 <= len(sel) - 1
+                and sel[k + 1] == "(" and sel[k + 2] == ")"):
+            cols.append("ROWID")
+            k += 3
+        else:
+            cols.append(sel[k])
+            k += 1
+    if not cols:
+        raise ValueError(
+            "taql_where_to_sql: nested SELECT with no columns")
+    tab = body[f + 1:w]
+    while tab and tab[0] == ":":        # ::SUBTABLE -> SUBTABLE
+        tab = tab[1:]
+    if len(tab) != 1 or not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$",
+                                     tab[0]):
+        raise ValueError(
+            "taql_where_to_sql: nested SELECT supports a single "
+            f"registered table/view name, got {' '.join(tab)!r} — "
+            "register the relation as a temp view first")
+    sql = f"SELECT {distinct}{' '.join(cols)} FROM {tab[0]}"
+    if w < len(body):
+        pred = _emit(body[w + 1:])
+        if not pred.strip():
+            raise ValueError(
+                "taql_where_to_sql: nested SELECT with empty WHERE")
+        sql += f" WHERE {pred}"
+    return sql
+
+
 def _emit(toks: list[str]) -> str:
     out: list[str] = []
     i = 0
@@ -274,6 +338,18 @@ def _emit(toks: list[str]) -> str:
         elif up == "IN" and i + 1 < n and toks[i + 1] == "[":
             j = _match_bracket(toks, i + 1, "[", "]")
             body = toks[i + 2:j]
+            if body and body[0].upper() == "SELECT":
+                # TAQL nested query (tier 4): X IN [SELECT col FROM
+                # tab WHERE ...] -> Spark IN (SELECT ...) — Catalyst
+                # plans a broadcast/shuffled LeftSemi join, exactly
+                # the reference's casacore rowid-set semantics.  The
+                # inner WHERE recurses through this translator;
+                # ``::SUBTABLE`` names map to the bare view name and
+                # ``ROWID()`` to the ROWID column the readers attach.
+                out.append(f"IN ({_emit_subquery(body)})")
+                i = j
+                i += 1
+                continue
             if ":" in body:
                 # TAQL interval: X IN [a=:=b] (closed) / <:< (open) /
                 # mixed — the bound marker before/after ':' picks

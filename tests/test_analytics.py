@@ -339,3 +339,22 @@ def test_cuped_adjust_variance_reduction(spark):
     var_raw = yq.astype(float).var()
     var_adj = yadjq.astype(float).var()
     assert var_adj < 0.2 * var_raw              # strong covariate
+
+
+def test_cuped_constant_covariate_degrades_to_unadjusted(spark):
+    """A zero-variance pre-period covariate must yield theta = 0 (the
+    estimator's correct limit: no adjustment), not 0/0 = NaN nulling
+    the adjusted means."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.stats import cuped_adjust
+
+    units = spark.createDataFrame(
+        [Row(arm="t" if i % 2 else "c", pre=5.0, post=float(i))
+         for i in range(20)])
+    out = {r.arm: r for r in
+           cuped_adjust(units, arm_col="arm", pre_col="pre",
+                        post_col="post").collect()}
+    for arm in ("t", "c"):
+        assert out[arm].mean_post_cuped is not None
+        assert out[arm].mean_post_cuped == out[arm].mean_post

@@ -195,3 +195,46 @@ def test_concat_ms_reindexes_subtable_ids(spark):
     het = concat_ms([pa, pb], match_antennas=False)
     assert sorted(r.NAME for r in het["ANTENNA"].collect()) == \
         ["A0", "A1", "B0", "B1"]
+
+
+def test_concat_ms_offsets_observation_state(spark):
+    """OBSERVATION / STATE / PROCESSOR are row-position-indexed like
+    the big four: part 1's MAIN pointers shift by part 0's subtable
+    size and the tables stack (CASA concat semantics — taking them
+    from part 0 silently re-points part 1's metadata).  SOURCE is
+    id-indexed by an explicit column: differing parts raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.example_data import example_ms
+    from dask_ms_spark.operators.msconcat import concat_ms
+
+    def with_obs(part, tag):
+        p = dict(part)
+        p["MAIN"] = p["MAIN"].withColumn(
+            "OBSERVATION_ID", F.lit(0).cast("int"))
+        p["OBSERVATION"] = spark.createDataFrame(
+            [(0, f"proj-{tag}")], "ROWID long, PROJECT string")
+        return p
+
+    a = with_obs(example_ms(spark), "a")
+    b = with_obs(example_ms(spark), "b")
+    out = concat_ms([a, b])
+    obs_ids = sorted(r[0] for r in out["MAIN"]
+                     .select("OBSERVATION_ID").distinct().collect())
+    assert obs_ids == [0, 1]
+    assert sorted(r.PROJECT for r in out["OBSERVATION"].collect()) \
+        == ["proj-a", "proj-b"]
+    assert sorted(r.ROWID for r in out["OBSERVATION"].collect()) \
+        == [0, 1]
+
+    # SOURCE: identical across parts -> taken once; differing -> raise
+    src = spark.createDataFrame([(0, "3C286")],
+                                "SOURCE_ID long, NAME string")
+    a["SOURCE"] = src
+    b["SOURCE"] = src
+    assert concat_ms([a, b])["SOURCE"].count() == 1
+    b["SOURCE"] = spark.createDataFrame(
+        [(0, "3C48")], "SOURCE_ID long, NAME string")
+    with pytest.raises(ValueError, match="SOURCE table differs"):
+        concat_ms([a, b])

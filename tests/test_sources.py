@@ -1261,3 +1261,24 @@ def test_probe_attaches_ms_dims():
     dims2 = {f.name: field_dims(f) for f in schema2.fields}
     assert dims2["DATA"] == ("DATA-1", "DATA-2")
     assert dims2["UVW"] == ("UVW-1",)
+
+
+def test_manifest_back_compat_without_typed_columns(spark, tmp_path):
+    """Manifests written before min_long/max_long existed still prune
+    through the string-repr path (no unresolved-column error), and
+    int bounds against them stay correct at double-safe magnitudes."""
+    import os
+
+    from dask_ms_spark.sources.manifest import (build_manifest,
+                                                prune_files)
+
+    p = os.path.join(str(tmp_path), "t")
+    spark.range(100).selectExpr("id AS k").coalesce(4) \
+        .write.parquet(p)
+    legacy = build_manifest(spark, p, ["k"]) \
+        .drop("min_long", "max_long").cache()
+    kept = prune_files(legacy, "k", 0, 10)
+    assert 1 <= len(kept) < 4
+    got = sorted(r.k for r in spark.read.parquet(*kept)
+                 .where("k between 0 and 10").collect())
+    assert got == list(range(11))

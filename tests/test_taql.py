@@ -376,3 +376,44 @@ def test_near_equality_arithmetic_lhs():
     # pattern matches share the scan: a parenthesised LHS survives
     assert taql_where_to_sql("(NAME) ~ p/3C*/") == \
         "( NAME ) LIKE '3C%'"
+
+
+def test_nested_select_translation():
+    """Tier 4: TAQL nested queries (X IN [SELECT ...]) translate to
+    Spark IN-subqueries; ::SUBTABLE maps to the bare view name and
+    ROWID() to the ROWID column the readers attach."""
+    import pytest
+
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    assert taql_where_to_sql(
+        "ANTENNA1 IN [SELECT ROWID() FROM ::ANTENNA "
+        "WHERE NAME ~ p/RT*/]") == \
+        "ANTENNA1 IN (SELECT ROWID FROM ANTENNA WHERE NAME LIKE 'RT%')"
+    assert taql_where_to_sql(
+        "FIELD_ID IN [SELECT DISTINCT FIELD_ID FROM FIELD "
+        "WHERE SOURCE_ID >= 2]") == \
+        ("FIELD_ID IN (SELECT DISTINCT FIELD_ID FROM FIELD "
+         "WHERE SOURCE_ID >= 2)")
+    with pytest.raises(ValueError, match="single registered table"):
+        taql_where_to_sql("A IN [SELECT x FROM tab1 tab2]")
+    with pytest.raises(ValueError, match="FROM clause"):
+        taql_where_to_sql("A IN [SELECT x]")
+
+
+def test_nested_select_executes(spark):
+    """The translated IN-subquery runs in Spark as a semi-join
+    against a registered view — the reference's casacore rowid-set
+    probe semantics."""
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    spark.createDataFrame(
+        [(0, "RT1"), (1, "RT2"), (2, "CS1")],
+        "ROWID long, NAME string").createOrReplaceTempView("ANTENNA")
+    main = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "row long, ANTENNA1 int")
+    sql = taql_where_to_sql(
+        "ANTENNA1 IN [SELECT ROWID() FROM ::ANTENNA "
+        "WHERE NAME ~ p/RT*/]")
+    got = main.where(sql).count()
+    assert got == 20                     # antennas 0 and 1 match
