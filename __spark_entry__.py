@@ -104,6 +104,28 @@ def q_filter_pushdown(spark, sf_dir):
                         "l_discount")
 
 
+def q_taql_subquery(spark, sf_dir):
+    """P2 tier 4: TAQL nested query (``X IN [SELECT ... FROM tab
+    WHERE ...]``, the casacore rowid-set probe idiom —
+    daskms/dask_ms.py:236-241 passes such strings verbatim to TAQL)
+    translated to a Spark IN-subquery and executed as a semi-join.
+    The customer fact filters on a nation row-set selected by region
+    and a scalar conjunct; Catalyst broadcasts the 25-row subquery
+    side."""
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("NATION")
+    sql = taql_where_to_sql(
+        "c_nationkey IN [SELECT n_nationkey FROM ::NATION "
+        "WHERE n_regionkey IN [0, 2]] && c_acctbal > 1000.0")
+    return (_t(spark, sf_dir, "customer")
+            .where(sql)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_acctbal")))
+
+
 def q_expr_arithmetic(spark, sf_dir):
     """P4 expression DSL (daskms/expressions.py:57-109) lowered to
     codegen'd Column arithmetic."""
@@ -6820,6 +6842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_lsh_capped, same MinHash/LSH spine with the
         # production cap), contamination (pipeline_funnel runs the
         # identical decontamination stage inside the curate funnel).
+        # -- r8-session debuts, below window: verified via
+        #    tools/check_oracle at sf0.01 this session; they lead
+        #    round 9's window --
+        "taql_subquery": q_taql_subquery,
         # -- last driver row r6 (r5-session debuts, remainder) --
         "graph_triangles": q_graph_triangles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
@@ -6998,6 +7024,17 @@ def oracle_sql() -> dict[str, str]:
         "filter_pushdown": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
+        """,
+        "taql_subquery": """
+            SELECT c_nationkey,
+                   cast(count(*) as bigint) AS n_cust,
+                   cast(sum(cast(c_acctbal as decimal(18,2)))
+                        as double) AS sum_acctbal
+            FROM customer
+            WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_regionkey IN (0, 2))
+              AND c_acctbal > 1000.0
+            GROUP BY c_nationkey
         """,
         "expr_arithmetic": """
             SELECT l_orderkey, l_linenumber,
