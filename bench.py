@@ -39,14 +39,14 @@ sys.path.insert(0, ROOT)
 HEADLINE: list[str] | None = None
 
 # Uncontended steady-state wall (sec, local[32], sf0.1) for the canary
-# triplet.  Re-baselined round 7 from the cleanest full-suite run
-# (probes 1.02-1.07): the registry grew 133 -> 183 queries since the
-# round-4 constants, and the added JVM pressure (more compiled plans,
-# GC) raised the IN-SUITE canary walls ~30% even on a quiet host, so
-# the old constants read steady runs as contended.  Update only from
-# a clean run's artifact values.
-CANARY_STEADY = {"tpch_q6": 0.312, "tpch_q1": 1.352,
-                 "dedup_exact": 0.781}
+# triplet.  Re-baselined round 8 from the MEDIAN of three back-to-back
+# full-suite runs (r7 verdict item 4: the r7 constants came from a
+# single minimum-contention outlier and mis-read clean runs as 0.80).
+# Per-run in-suite walls: q6 0.32-0.39, q1 1.18-1.82, dedup_exact
+# 0.76-0.91; totals 250-280 s over the 178-query registry.  Update
+# only from the median of >=3 clean runs' artifact values.
+CANARY_STEADY = {"tpch_q6": 0.386, "tpch_q1": 1.566,
+                 "dedup_exact": 0.790}
 
 # Per-query wall budget (sec): queries exceeding it are LOGGED to
 # stderr and the run continues — a tripwire for suite-growth and
