@@ -38,7 +38,56 @@ __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
            "simhash_dedup", "lsh_jaccard_pairs", "ngram_jaccard_pairs",
            "embedding_dup_pairs", "embedding_dup_pairs_gemm",
            "embedding_dup_pairs_bucketed", "incremental_dedup",
-           "edit_distance_pairs", "containment_pairs"]
+           "edit_distance_pairs", "containment_pairs", "lsh_plan"]
+
+
+def lsh_plan(threshold: float, num_hashes: int,
+             fn_weight: float = 1.0) -> tuple[int, int]:
+    """Choose LSH ``(num_bands, rows_per_band)`` for a target Jaccard
+    ``threshold`` under a signature budget of ``num_hashes``
+    permutations — the planning step Datar/Indyk-style LSH leaves to
+    the user and mis-picking silently ruins (too few rows per band
+    floods the verify stage with false candidates; too many bands of
+    1 row degenerate to "any shared minhash").
+
+    For a banding (b, r) the candidate probability at similarity s is
+    the S-curve ``p(s) = 1 - (1 - s^r)^b``.  The planner scores every
+    factorisation ``b * r <= num_hashes`` by the collision-mass
+    integral below the threshold (false positives) plus
+    ``fn_weight`` times the miss mass above it (false negatives),
+    both by midpoint quadrature, and returns the minimiser — a pure
+    driver-side function of three scalars, so planning cost is zero
+    at any corpus size.  Raise ``fn_weight`` for recall-critical
+    dedup (near-dup REMOVAL, where a miss ships a duplicate to
+    training) and lower it when the verify stage is expensive.
+
+    >>> lsh_plan(0.5, 32)
+    (8, 4)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"lsh_plan: threshold in (0,1), got "
+                         f"{threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"lsh_plan: num_hashes >= 2, got "
+                         f"{num_hashes}")
+    best, best_cost = None, None
+    steps = 200
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b < 1:
+            break
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += (1.0 - p) * fn_weight
+        cost = (fp + fn) / steps
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best
 
 
 def normalize_text(text: Column) -> Column:

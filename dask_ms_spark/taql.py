@@ -44,10 +44,16 @@ greatest(abs(a), abs(b))``); interval membership ``X [NOT] IN
 ``X IN [SELECT [DISTINCT] col FROM table [WHERE ...]]`` → Spark
 IN-subqueries (Catalyst plans a semi-join; ``::SUBTABLE`` maps to
 the bare registered view name, ``ROWID()`` to the ROWID column, and
-the inner WHERE recurses through the translator).
+the inner WHERE recurses through the translator); and the casacore
+array-reduction predicates ``ANY``/``ALL``/``NTRUE``/``NFALSE``/
+``NELEMENTS`` over array columns (→ ``exists``/``forall``/
+``size(filter(...))``/``size`` — the flagging idioms like
+``!ALL(FLAG)``).
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
-unit quantities, mscal derived columns, multi-table nested selects.
+unit quantities, mscal derived columns, multi-table nested selects,
+and SUM/MIN/MAX/MEAN over arrays (SQL-aggregate name collision —
+refused rather than guessed).
 """
 
 from __future__ import annotations
@@ -105,6 +111,19 @@ def _match_bracket(toks: list[str], i: int, open_b: str,
 
 _SUM_SQR = ("aggregate({x}, CAST(0 AS DOUBLE), "
             "(__a, __v) -> __a + __v * __v)")
+
+# casacore array-reduction predicates (tier 5) — the flagging-workflow
+# idioms (`!ALL(FLAG)`, `NTRUE(FLAG) < NELEMENTS(FLAG)/2`).  Mapped to
+# Spark's higher-order array functions; SUM/MIN/MAX/MEAN are
+# deliberately NOT mapped (their names collide with SQL aggregates —
+# an ambiguity this translator refuses rather than guesses).
+_ARRAY_REDUCTIONS = {
+    "ANY": "exists({x}, __v -> __v)",
+    "ALL": "forall({x}, __v -> __v)",
+    "NTRUE": "size(filter({x}, __v -> __v))",
+    "NFALSE": "size(filter({x}, __v -> NOT __v))",
+    "NELEMENTS": "size({x})",
+}
 
 # casacore epoch: MJD 0 = 1858-11-17 00:00 UTC
 _MJD_EPOCH = _dt.datetime(1858, 11, 17)
@@ -334,6 +353,16 @@ def _emit(toks: list[str]) -> str:
             j = _match_bracket(toks, i + 1, "(", ")")
             inner = _emit(toks[i + 2:j])
             out.append(_SUM_SQR.format(x=inner))
+            i = j
+        elif up in _ARRAY_REDUCTIONS and i + 1 < n \
+                and toks[i + 1] == "(":
+            j = _match_bracket(toks, i + 1, "(", ")")
+            inner = _emit(toks[i + 2:j])
+            if not inner.strip():
+                raise ValueError(
+                    f"taql_where_to_sql: {up}() needs an array "
+                    "argument")
+            out.append(_ARRAY_REDUCTIONS[up].format(x=inner))
             i = j
         elif up == "IN" and i + 1 < n and toks[i + 1] == "[":
             j = _match_bracket(toks, i + 1, "[", "]")

@@ -1436,3 +1436,31 @@ def test_heaps_fit_zipfian_corpus(spark):
     with _pytest.raises(ValueError, match="at least 2"):
         heaps_fit(spark.createDataFrame([(1, "x")],
                                         "doc_id long, text string"))
+
+
+def test_lsh_plan_tracks_threshold():
+    """The chosen banding's S-curve midpoint (1/b)^(1/r) tracks the
+    target threshold, r grows with threshold (steeper curve), and the
+    budget is respected; degenerate inputs raise."""
+    import pytest
+
+    from dask_ms_spark.llm.dedup import lsh_plan
+
+    assert lsh_plan(0.5, 32) == (8, 4)
+    prev_r = 0
+    for t in (0.3, 0.5, 0.75, 0.9):
+        b, r = lsh_plan(t, 64)
+        assert b * r <= 64 and b >= 1 and r >= 1
+        assert r >= prev_r            # steeper curve needs more rows
+        prev_r = r
+        mid = (1.0 / b) ** (1.0 / r)  # p(mid) ~ 1 - 1/e inflection
+        assert abs(mid - t) < 0.25
+    # recall-weighted planning never picks FEWER bands (more bands =
+    # higher candidate probability at every s)
+    b0, r0 = lsh_plan(0.7, 64, fn_weight=1.0)
+    b5, r5 = lsh_plan(0.7, 64, fn_weight=5.0)
+    assert b5 >= b0 or r5 <= r0
+    with pytest.raises(ValueError):
+        lsh_plan(1.0, 32)
+    with pytest.raises(ValueError):
+        lsh_plan(0.5, 1)

@@ -502,7 +502,16 @@ def _taql_exprs():
         "A IN [1 =:= 5]", "A NOT IN [0 <:< 9]",
         "NAME ~ p/ab*/", "NAME !~ m/^x/", "NAME ~ f/abc/",
         "SUMSQR(UVW[:2]) < 1e6", "!FLAG_ROW",
-        "TIME > DATETIME('2020/01/01')"])
+        "TIME > DATETIME('2020/01/01')",
+        # arithmetic-LHS near-equality (r8 fix: the LHS scan extends
+        # back through '+'/'-' to the previous boolean operator)
+        "A + B ~= 2.5", "A - 1 !~= B",
+        # tier-4 nested queries against the registered view V
+        "A IN [SELECT A FROM V WHERE B > 0]",
+        "A IN [SELECT DISTINCT A FROM ::V]",
+        # tier-5 array reductions (FLAGS is array<boolean>)
+        "!ALL(FLAGS)", "ANY(FLAGS)",
+        "NTRUE(FLAGS) < NELEMENTS(FLAGS)"])
     atoms = st.one_of(comp, special)
 
     def compose(children):
@@ -526,9 +535,11 @@ if HAVE_HYPOTHESIS:
         from dask_ms_spark.taql import taql_where_to_sql
 
         df = spark.createDataFrame(
-            [(1, 2.0, [1.0, 2.0, 3.0], "abc", False, 5e9)],
+            [(1, 2.0, [1.0, 2.0, 3.0], "abc", False, 5e9,
+              [True, False])],
             "A long, B double, UVW array<double>, NAME string, "
-            "FLAG_ROW boolean, TIME double")
+            "FLAG_ROW boolean, TIME double, FLAGS array<boolean>")
+        df.createOrReplaceTempView("V")    # tier-4 nested-query atoms
         try:
             sql = taql_where_to_sql(expression)
         except ValueError:

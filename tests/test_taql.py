@@ -417,3 +417,28 @@ def test_nested_select_executes(spark):
         "WHERE NAME ~ p/RT*/]")
     got = main.where(sql).count()
     assert got == 20                     # antennas 0 and 1 match
+
+
+def test_array_reductions_translate_and_execute(spark):
+    """Tier 5: casacore array-reduction predicates (the flagging
+    idioms) map to Spark higher-order functions and execute; SUM over
+    an array stays refused (SQL-aggregate name collision)."""
+    import pytest
+
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    assert taql_where_to_sql("!ALL(FLAG)") == \
+        "NOT forall(FLAG, __v -> __v)"
+    assert taql_where_to_sql("NTRUE(FLAG) < NELEMENTS(FLAG)") == \
+        "size(filter(FLAG, __v -> __v)) < size(FLAG)"
+    df = spark.createDataFrame(
+        [(0, [True, True]), (1, [True, False]), (2, [False, False])],
+        "id long, FLAG array<boolean>")
+    assert sorted(r.id for r in df.where(
+        taql_where_to_sql("!ALL(FLAG)")).collect()) == [1, 2]
+    assert sorted(r.id for r in df.where(
+        taql_where_to_sql("ANY(FLAG)")).collect()) == [0, 1]
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "NTRUE(FLAG) == NFALSE(FLAG)")).collect()) == [1]
+    with pytest.raises(ValueError):
+        taql_where_to_sql("NTRUE() > 0")
