@@ -6828,12 +6828,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   r8 window (this one): 21 r7 debuts + 17 r4-stale
         #     (expr_arithmetic ... quantiles) + 12 oldest r5-checked
         #     (doc_chunks ... char_entropy) = 50 exactly
-        #   r9 plan: the remaining 24 r5-checked (graph_triangles ...
+        #   r9 plan (recounted): the r8 debut (taql_subquery) + the
+        #     23 remaining r5-checked (graph_triangles ...
         #     events_gap_stats) + 13 r6-checked r4-stale re-checks
-        #     (events_correlate ... tpch_q5) + 13 oldest of the
-        #     "last row r5" block = 50; events_changepoint is the
-        #     r9 demotion candidate beside cusum_segments once its
-        #     r8 driver row lands.
+        #     (events_correlate ... tpch_q5) + the 13 oldest of the
+        #     "last row r5" block (pivot ...) = 1+23+13+13 = 50;
+        #     events_changepoint is the r9 demotion candidate beside
+        #     cusum_segments once its r8 driver row lands.
         # Round-8 demotions (oracles retained in demoted_oracle_sql,
         # swept by tools/check_oracle + pytest): grid_wstack (beside
         # grid_conv), ann_pq (beside ann_ivfpq which composes it),
