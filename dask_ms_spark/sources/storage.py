@@ -210,6 +210,22 @@ def xds_from_storage_table(spark: SparkSession, url: str,
         translated = taql_where_to_sql(taql_where)
         where = f"({where}) AND ({translated})" if where else translated
     store = TableStore.parse(url, storage_options)
+    if store.scheme in ("s3", "s3a", "s3n"):
+        from . import s3staging
+
+        if not s3staging.jvm_s3a_available(spark):
+            # jar-less environment: stage the prefix via boto3 and
+            # recurse on the local copy (bounded-data fallback; the
+            # scale path is native s3a via the conf mapping below)
+            import tempfile
+
+            local = s3staging.download_prefix(
+                store.url, store.storage_options,
+                tempfile.mkdtemp(prefix="dms_s3_"))
+            if store.subtable:
+                local = f"{local}::{store.subtable}"
+            return xds_from_storage_table(
+                spark, local, columns, group_cols, index_cols, where)
     if store.storage_options:
         store.apply(spark)
     fmt = infer_format(store.path, spark)
@@ -286,6 +302,26 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
     defaults otherwise).
     """
     store = TableStore.parse(url, storage_options)
+    if store.scheme in ("s3", "s3a", "s3n"):
+        ds0 = datasets[0] if isinstance(datasets, list) else datasets
+        df0 = ds0.df if isinstance(ds0, Dataset) else ds0
+        from . import s3staging
+
+        if not s3staging.jvm_s3a_available(df0.sparkSession):
+            # jar-less environment: write locally, upload via boto3
+            import tempfile
+
+            local = os.path.join(tempfile.mkdtemp(prefix="dms_s3w_"),
+                                 "table")
+            target = f"{local}::{store.subtable}" if store.subtable \
+                else local
+            out = xds_to_storage_table(
+                datasets, target, fmt, partition_cols, mode,
+                None, compressor, descriptor, table_factory,
+                create_factory, max_chunk_mem)
+            s3staging.upload_dir(local, store.url,
+                                 store.storage_options)
+            return out
     if fmt is None:
         ext = infer_format(store.path)
         fmt = ext if ext in ("jsonl", "json") else "parquet"

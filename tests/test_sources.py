@@ -1036,17 +1036,18 @@ except Exception:  # pragma: no cover
 
 
 @pytest.mark.skipif(
-    not (HAVE_MOTO and _s3_jars_present()),
-    reason="s3 round trip needs moto plus hadoop-aws/aws-sdk jars "
-           "(jars absent in the build sandbox; storage_options "
-           "plumb-through is covered by the viewfs end-to-end test)")
+    not HAVE_MOTO,
+    reason="s3 round trip needs moto")
 def test_s3_round_trip_via_moto(spark, nation):
     """S10 full S3-protocol leg: write a dataset to a moto-served
     bucket through xds_to_storage_table and read it back, with
     credentials + endpoint riding fsspec-style storage_options only.
+    With hadoop-aws jars on the classpath this exercises native s3a;
+    without them (this sandbox) the boto3 staging fallback
+    (sources/s3staging.py) carries the identical call — either way
+    the S3 wire protocol round-trips for real against moto.
     Complements test_storage_options_reach_scan_non_file_scheme,
-    which proves the same conf plumb-through without needing the
-    (externally downloaded) s3a jars."""
+    which proves the Hadoop-conf plumb-through for the native leg."""
     from dask_ms_spark.dataset import Dataset
     from dask_ms_spark.sources.storage import (xds_from_storage_table,
                                                xds_to_storage_table)
@@ -1282,3 +1283,48 @@ def test_manifest_back_compat_without_typed_columns(spark, tmp_path):
     got = sorted(r.k for r in spark.read.parquet(*kept)
                  .where("k between 0 and 10").collect())
     assert got == list(range(11))
+
+
+@pytest.mark.skipif(not HAVE_MOTO, reason="needs moto")
+def test_s3_subtable_round_trip_via_moto(spark, nation, customer):
+    """S10 + the ::SUBTABLE convention over S3: main and subtable
+    write to one bucket store and read back independently through
+    the same url dialect the reference uses
+    (daskms/fsspec_store.py:120-140)."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.storage import (xds_from_storage_table,
+                                               xds_to_storage_table)
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        import boto3
+
+        boto3.client(
+            "s3", endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1").create_bucket(Bucket="dms-sub")
+        opts = {"key": "testing", "secret": "testing",
+                "client_kwargs": {"endpoint_url": endpoint}}
+        base = "s3://dms-sub/obs_store"
+        xds_to_storage_table([Dataset(nation, {})], base,
+                             storage_options=opts)
+        sub = customer.limit(20)
+        xds_to_storage_table([Dataset(sub, {})],
+                             f"{base}::CUSTOMER",
+                             storage_options=opts)
+        got_main = xds_from_storage_table(spark, base,
+                                          storage_options=opts)
+        got_sub = xds_from_storage_table(
+            spark, f"{base}::CUSTOMER", storage_options=opts)
+        assert sum(d.df.count() for d in got_main) == nation.count()
+        assert sum(d.df.count() for d in got_sub) == 20
+        keys = {r.c_custkey for d in got_sub
+                for r in d.df.select("c_custkey").collect()}
+        assert keys == {r.c_custkey for r in
+                        sub.select("c_custkey").collect()}
+    finally:
+        server.stop()
