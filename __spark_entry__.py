@@ -8769,11 +8769,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM flags GROUP BY media_id),
             agg AS (SELECT media_id,
                            cast(count(*) as bigint) AS n_samples,
-                           round(sqrt(cast(sum(s * s) as double)
-                                      / count(*)), 6) AS rms,
+                           floor(sqrt(cast(sum(s * s) as double)
+                                      / count(*)) * 1e6 + 0.5) / 1e6
+                               AS rms,
                            cast(max(abs(s)) as int) AS peak,
-                           round(cast(sum(s) as double) / count(*), 6)
-                               AS dc_offset
+                           floor(cast(sum(s) as double) / count(*)
+                                 * 1e6 + 0.5) / 1e6 AS dc_offset
                     FROM s GROUP BY media_id)
             SELECT d.media_id,
                    coalesce(agg.n_samples, 0) AS n_samples,

@@ -313,10 +313,17 @@ def cuped_adjust(units: DataFrame, arm_col: str = "arm",
     # A constant covariate makes the variance term 0 (0/0 = NaN would
     # silently NULL the adjusted means); theta = 0 degrades CUPED to
     # the unadjusted mean, which is the estimator's correct limit.
-    var_term = (F.col("n").cast("double") * F.col("sxx").cast("double")
+    # The guard is RELATIVE: n*Sxx and Sx*Sx exceed 2^53 at large n,
+    # so a truly-constant covariate can leave var_term at double
+    # rounding noise rather than exact 0 — any var_term below ~1e-9
+    # of its operands' magnitude is indistinguishable from that noise
+    # and theta would be noise/noise; degrade to unadjusted there too.
+    n_sxx = F.col("n").cast("double") * F.col("sxx").cast("double")
+    var_term = (n_sxx
                 - F.col("sx").cast("double") * F.col("sx").cast("double"))
     theta = F.when(
-        var_term == 0.0, F.lit(0.0)).otherwise(
+        F.abs(var_term) <= F.lit(1e-9) * F.abs(n_sxx), F.lit(0.0)
+    ).otherwise(
         (F.col("n").cast("double") * F.col("sxy").cast("double")
          - F.col("sx").cast("double") * F.col("sy").cast("double"))
         / var_term)

@@ -226,11 +226,20 @@ def audio_features(media: DataFrame,
     pipeline swaps the ``frombuffer`` line for an actual decoder; the
     numpy kernel, Arrow batching, and schema contract stay identical.
 
-    RMS/DC are emitted rounded to 6 dp; both are ratios of exact
+    RMS/DC are emitted rounded to 6 dp via the integer-unit half-up
+    form ``floor(x * 1e6 + 0.5) / 1e6`` — python's ``round`` is
+    banker's on the double expansion and disagrees with SQL round at
+    exact decimal ties (caught by the sf0.1 oracle sweep: CJK
+    payloads produce .xxxxxx5 DC offsets); the floor form is the same
+    IEEE expression in every engine.  Both ratios come from exact
     integer sums (int64 accumulation — overflow-safe to ~2^46
-    samples), so any engine mirroring the byte arithmetic agrees
-    bit-for-bit (IEEE division and sqrt are correctly rounded).
+    samples), so the mirrored arithmetic agrees bit-for-bit.
     """
+    import math
+
+    def r6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -241,8 +250,8 @@ def audio_features(media: DataFrame,
                 if n == 0:
                     out.append((row.media_id, 0, None, None, 0, None))
                     continue
-                rms = round(float(np.sqrt(float((s * s).sum()) / n)), 6)
-                dc = round(float(s.sum()) / n, 6)
+                rms = r6(float(np.sqrt(float((s * s).sum()) / n)))
+                dc = r6(float(s.sum()) / n)
                 nz = s[s != 0]
                 zc = int((np.signbit(nz[1:]) !=
                           np.signbit(nz[:-1])).sum()) if len(nz) else 0

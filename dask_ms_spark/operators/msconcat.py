@@ -67,9 +67,17 @@ def _with_rowid_offset(df: DataFrame, off: int) -> DataFrame:
 
 
 def _shift(df: DataFrame, col: str, off: int) -> DataFrame:
+    """Offset an id column, preserving NEGATIVE sentinels: casacore
+    uses -1 for "no row" (STATE_ID on unfilled scans is the common
+    case) and a sentinel never indexes a row, so it must survive
+    concat unshifted — offsetting it would re-point the row at a real
+    part-0 entry."""
     if col in df.columns and off:
+        dt = df.schema[col].dataType
         return df.withColumn(
-            col, (F.col(col) + F.lit(off)).cast(df.schema[col].dataType))
+            col, F.when(F.col(col) >= 0,
+                        (F.col(col) + F.lit(off)).cast(dt))
+                  .otherwise(F.col(col)))
     return df
 
 

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 __all__ = ["plan_str", "pushed_filters", "read_schema", "exchange_count",
            "has_broadcast_hash_join", "has_sort_merge_join",
            "assert_pushdown", "assert_max_exchanges",
-           "unpartitioned_window_count", "assert_no_unpartitioned_window"]
+           "unpartitioned_windows_in", "unpartitioned_window_count",
+           "assert_no_unpartitioned_window"]
 
 
 def plan_str(df: DataFrame) -> str:
@@ -83,28 +84,48 @@ def assert_pushdown(df: DataFrame, *columns: str) -> None:
             f"pushed: {pushed or '(none)'}")
 
 
-def unpartitioned_window_count(df: DataFrame) -> int:
-    """Count Window operators fed by ``Exchange SinglePartition`` —
-    the every-row-through-one-task signature (the KMV r7 seam: a
-    ``row_number().over(Window.orderBy(...))`` with no partitionBy
-    plans a single-task global sort).  A partitioned window sits above
-    a hashpartitioning exchange; the correct global top-k spelling
-    (``orderBy(...).limit(k)``) plans TakeOrderedAndProject and has no
-    Window node at all.  Legitimate only when the window input is
-    provably bounded (a #partitions-sized offset table, a k-sized
-    sketch state, a per-class groups table)."""
-    lines = plan_str(df).splitlines()
+def unpartitioned_windows_in(plan: str) -> int:
+    """Count Window operators fed by ``Exchange SinglePartition`` in
+    a plan STRING — the every-row-through-one-task signature (the KMV
+    r7 seam: a ``row_number().over(Window.orderBy(...))`` with no
+    partitionBy plans a single-task global sort).  A partitioned
+    window sits above a hashpartitioning exchange; the correct global
+    top-k spelling (``orderBy(...).limit(k)``) plans
+    TakeOrderedAndProject and has no Window node at all.
+
+    The scan walks DOWN from each Window to the first Exchange line,
+    skipping transparent operators (Sort/Project/Filter and the AQE
+    shuffle-stage wrappers) so an interposed line cannot hide the
+    single-partition feed; it stops at subtree boundaries (joins,
+    another Window, aggregates) where the next Exchange belongs to a
+    different branch — a window whose input partitioning was REUSED
+    (no exchange at all) must not count a deeper unrelated one.
+    Shared by ``unpartitioned_window_count`` (DataFrame form, tests)
+    and tools/plan_audit.py (registry-wide audit) so the two guards
+    can never drift."""
+    lines = plan.splitlines()
     n = 0
     for i, line in enumerate(lines):
         if "Window" not in line:
             continue
-        for look in lines[i + 1:i + 4]:
+        for look in lines[i + 1:i + 12]:
             if "Exchange SinglePartition" in look:
                 n += 1
                 break
-            if "Exchange hashpartitioning" in look:
+            if "Exchange" in look:          # hash/range/broadcast
                 break
+            if any(b in look for b in ("Join", "Aggregate", "Window",
+                                       "Scan", "Union")):
+                break                        # different subtree
     return n
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """DataFrame form of :func:`unpartitioned_windows_in`.  Legit
+    only when the window input is provably bounded (a
+    #partitions-sized offset table, a k-sized sketch state, a
+    per-class groups table)."""
+    return unpartitioned_windows_in(plan_str(df))
 
 
 def assert_no_unpartitioned_window(df: DataFrame,

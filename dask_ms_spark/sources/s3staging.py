@@ -27,7 +27,22 @@ import os
 import warnings
 
 __all__ = ["jvm_s3a_available", "boto3_client", "split_bucket_key",
-           "download_prefix", "upload_dir"]
+           "download_prefix", "upload_dir", "prefix_exists",
+           "delete_prefix", "staging_dir"]
+
+# staging dirs are held here so they live until interpreter exit
+# (TemporaryDirectory finalizers clean them) instead of leaking one
+# /tmp tree per read
+_STAGING: list = []
+
+
+def staging_dir(prefix: str = "dms_s3_") -> str:
+    """A staging directory cleaned up at interpreter exit."""
+    import tempfile
+
+    td = tempfile.TemporaryDirectory(prefix=prefix)
+    _STAGING.append(td)
+    return td.name
 
 
 def jvm_s3a_available(spark) -> bool:
@@ -82,6 +97,24 @@ def split_bucket_key(url: str) -> tuple[str, str]:
     return bucket, key.strip("/")
 
 
+def _iter_keys(client, bucket: str, prefix: str):
+    """Objects under ``prefix`` treated as a DIRECTORY: lists
+    ``prefix + '/'`` so a sibling key sharing the string prefix
+    (``data_v2`` next to ``data``) is never swept in, plus the exact
+    key itself (a single-object store, e.g. one .jsonl file)."""
+    paginator = client.get_paginator("list_objects_v2")
+    dir_prefix = f"{prefix}/" if prefix else ""
+    for page in paginator.paginate(Bucket=bucket, Prefix=dir_prefix):
+        for obj in page.get("Contents", []):
+            yield obj["Key"]
+    if prefix:
+        try:
+            client.head_object(Bucket=bucket, Key=prefix)
+            yield prefix
+        except Exception:  # noqa: BLE001 - 404: directory-style store
+            pass
+
+
 def download_prefix(url: str, storage_options: dict | None,
                     local_dir: str) -> str:
     """Stage every object under the url's key prefix into
@@ -95,20 +128,39 @@ def download_prefix(url: str, storage_options: dict | None,
         "not the 100 TB path", stacklevel=3)
     root = os.path.join(local_dir, os.path.basename(prefix.rstrip("/"))
                         or bucket)
-    paginator = client.get_paginator("list_objects_v2")
     n = 0
-    for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
-        for obj in page.get("Contents", []):
-            key = obj["Key"]
-            rel = key[len(prefix):].lstrip("/") if prefix else key
-            dest = os.path.join(root, rel) if rel else root
-            os.makedirs(os.path.dirname(dest) or root, exist_ok=True)
-            client.download_file(bucket, key, dest)
-            n += 1
+    for key in _iter_keys(client, bucket, prefix):
+        rel = key[len(prefix):].lstrip("/") if prefix else key
+        dest = os.path.join(root, rel) if rel else root
+        os.makedirs(os.path.dirname(dest) or root, exist_ok=True)
+        client.download_file(bucket, key, dest)
+        n += 1
     if n == 0:
         raise FileNotFoundError(
             f"no objects under s3://{bucket}/{prefix}")
     return root
+
+
+def prefix_exists(url: str, storage_options: dict | None) -> bool:
+    """True when any object exists under the url's key prefix."""
+    client = boto3_client(storage_options)
+    bucket, prefix = split_bucket_key(url)
+    return next(iter(_iter_keys(client, bucket, prefix)), None) \
+        is not None
+
+
+def delete_prefix(url: str, storage_options: dict | None) -> int:
+    """Delete every object under the url's key prefix (the remote
+    half of ``mode='overwrite'``); returns objects deleted."""
+    client = boto3_client(storage_options)
+    bucket, prefix = split_bucket_key(url)
+    keys = list(_iter_keys(client, bucket, prefix))
+    for i in range(0, len(keys), 1000):
+        client.delete_objects(
+            Bucket=bucket,
+            Delete={"Objects": [{"Key": k}
+                                for k in keys[i:i + 1000]]})
+    return len(keys)
 
 
 def upload_dir(local_dir: str, url: str,

@@ -216,14 +216,14 @@ def xds_from_storage_table(spark: SparkSession, url: str,
         if not s3staging.jvm_s3a_available(spark):
             # jar-less environment: stage the prefix via boto3 and
             # recurse on the local copy (bounded-data fallback; the
-            # scale path is native s3a via the conf mapping below)
-            import tempfile
-
+            # scale path is native s3a via the conf mapping below).
+            # A ::SUBTABLE read stages ONLY the subtable directory —
+            # the main table may be orders of magnitude larger.
+            remote = (f"{store.url.rstrip('/')}/{store.subtable}"
+                      if store.subtable else store.url)
             local = s3staging.download_prefix(
-                store.url, store.storage_options,
-                tempfile.mkdtemp(prefix="dms_s3_"))
-            if store.subtable:
-                local = f"{local}::{store.subtable}"
+                remote, store.storage_options,
+                s3staging.staging_dir())
             return xds_from_storage_table(
                 spark, local, columns, group_cols, index_cols, where)
     if store.storage_options:
@@ -302,29 +302,48 @@ def xds_to_storage_table(datasets, url: str, fmt: str | None = None,
     defaults otherwise).
     """
     store = TableStore.parse(url, storage_options)
+    if fmt is None:
+        # infer from the REMOTE url before any staging indirection:
+        # the extension is binding on both sides of the round trip
+        ext = infer_format(store.path)
+        fmt = ext if ext in ("jsonl", "json") else "parquet"
     if store.scheme in ("s3", "s3a", "s3n"):
         ds0 = datasets[0] if isinstance(datasets, list) else datasets
         df0 = ds0.df if isinstance(ds0, Dataset) else ds0
         from . import s3staging
 
         if not s3staging.jvm_s3a_available(df0.sparkSession):
-            # jar-less environment: write locally, upload via boto3
-            import tempfile
+            # jar-less environment: write locally, mirror via boto3.
+            # A ::SUBTABLE write targets only the subtable prefix.
+            remote = (f"{store.url.rstrip('/')}/{store.subtable}"
+                      if store.subtable else store.url)
+            opts = store.storage_options
+            existed = s3staging.prefix_exists(remote, opts)
+            if existed and mode in ("error", "errorifexists"):
+                raise FileExistsError(
+                    f"{remote} exists and mode={mode!r}")
+            local = os.path.join(s3staging.staging_dir("dms_s3w_"),
+                                 os.path.basename(
+                                     store.url.rstrip("/")) or "table")
+            if existed and fmt == "casa":
+                # CASA writes are in-place ROWID updates on an
+                # existing table: stage it down so the local dispatch
+                # sees table.dat and takes the UPDATE path, then
+                # mirror the whole table back
+                import shutil
 
-            local = os.path.join(tempfile.mkdtemp(prefix="dms_s3w_"),
-                                 "table")
-            target = f"{local}::{store.subtable}" if store.subtable \
-                else local
+                staged = s3staging.download_prefix(
+                    remote, opts, s3staging.staging_dir("dms_s3r_"))
+                shutil.copytree(staged, local)
             out = xds_to_storage_table(
-                datasets, target, fmt, partition_cols, mode,
+                datasets, local, fmt, partition_cols, mode,
                 None, compressor, descriptor, table_factory,
                 create_factory, max_chunk_mem)
-            s3staging.upload_dir(local, store.url,
-                                 store.storage_options)
+            if existed and mode == "overwrite":
+                # append merges with remote state; overwrite replaces
+                s3staging.delete_prefix(remote, opts)
+            s3staging.upload_dir(local, remote, opts)
             return out
-    if fmt is None:
-        ext = infer_format(store.path)
-        fmt = ext if ext in ("jsonl", "json") else "parquet"
     if fmt == "json":
         raise ValueError(
             "writing multi-line .json documents is not supported; use "

@@ -238,3 +238,32 @@ def test_concat_ms_offsets_observation_state(spark):
         [(0, "3C48")], "SOURCE_ID long, NAME string")
     with pytest.raises(ValueError, match="SOURCE table differs"):
         concat_ms([a, b])
+
+
+def test_concat_ms_preserves_negative_sentinels(spark):
+    """casacore's -1 "no row" sentinel must survive concat unshifted
+    (review fix r8): offsetting it would re-point the row at a real
+    part-0 subtable entry."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.example_data import example_ms
+    from dask_ms_spark.operators.msconcat import concat_ms
+
+    def with_state(part, n_main_states):
+        p = dict(part)
+        p["MAIN"] = p["MAIN"].withColumn(
+            "STATE_ID",
+            F.when(F.monotonically_increasing_id() % 2 == 0,
+                   F.lit(-1)).otherwise(F.lit(0)).cast("int"))
+        p["STATE"] = spark.createDataFrame(
+            [(i, "OBSERVE") for i in range(n_main_states)],
+            "ROWID long, OBS_MODE string")
+        return p
+
+    a = with_state(example_ms(spark), 2)
+    b = with_state(example_ms(spark), 2)
+    out = concat_ms([a, b])
+    ids = sorted(r[0] for r in out["MAIN"].select("STATE_ID")
+                 .distinct().collect())
+    assert ids == [-1, 0, 2]      # -1 preserved; part-1's 0 -> 2
+    assert out["STATE"].count() == 4

@@ -1328,3 +1328,72 @@ def test_s3_subtable_round_trip_via_moto(spark, nation, customer):
                         sub.select("c_custkey").collect()}
     finally:
         server.stop()
+
+
+def test_s3staging_helpers():
+    """Unit coverage for the boto3 staging leg: url parsing, anon
+    client construction (UNSIGNED signature), and fsspec-style
+    credential mapping."""
+    import pytest as _pytest
+
+    from dask_ms_spark.sources.s3staging import (boto3_client,
+                                                 split_bucket_key)
+
+    assert split_bucket_key("s3://b/a/c/") == ("b", "a/c")
+    assert split_bucket_key("s3://bucket") == ("bucket", "")
+    with _pytest.raises(ValueError):
+        split_bucket_key("s3:///nokey")
+    c = boto3_client({"anon": True,
+                      "client_kwargs": {"endpoint_url": "http://x:1"}})
+    assert c.meta.endpoint_url == "http://x:1"
+    c2 = boto3_client({"key": "k", "secret": "s", "token": "t",
+                       "region_name": "eu-west-1"})
+    assert c2.meta.region_name == "eu-west-1"
+
+
+@pytest.mark.skipif(not HAVE_MOTO, reason="needs moto")
+def test_s3_fallback_overwrite_and_sibling_isolation(spark, nation):
+    """Review fixes (r8): mode='overwrite' REPLACES remote objects
+    (no stale-part merge), mode='error' raises on an existing prefix,
+    and a sibling key sharing the string prefix (store_v2 beside
+    store) is never swept into a read of store."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.storage import (xds_from_storage_table,
+                                               xds_to_storage_table)
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        import boto3
+
+        boto3.client(
+            "s3", endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1").create_bucket(Bucket="dms-ow")
+        opts = {"key": "testing", "secret": "testing",
+                "client_kwargs": {"endpoint_url": endpoint}}
+        url = "s3://dms-ow/store"
+        a = nation.where("n_nationkey < 10")
+        b = nation.where("n_nationkey >= 10")
+        xds_to_storage_table([Dataset(a, {})], url,
+                             storage_options=opts)
+        # sibling store sharing the string prefix
+        xds_to_storage_table([Dataset(nation, {})], url + "_v2",
+                             storage_options=opts)
+        # overwrite must REPLACE a's parts, not merge with them
+        xds_to_storage_table([Dataset(b, {})], url, mode="overwrite",
+                             storage_options=opts)
+        back = xds_from_storage_table(spark, url,
+                                      storage_options=opts)
+        keys = sorted(r.n_nationkey for d in back
+                      for r in d.df.select("n_nationkey").collect())
+        assert keys == sorted(
+            r.n_nationkey for r in b.select("n_nationkey").collect())
+        with pytest.raises(FileExistsError):
+            xds_to_storage_table([Dataset(a, {})], url, mode="error",
+                                 storage_options=opts)
+    finally:
+        server.stop()

@@ -65,22 +65,11 @@ UPWIN_WHITELIST: dict = {
 
 
 def unpartitioned_windows(plan: str) -> int:
-    """Count Window operators fed by Exchange SinglePartition — the
-    every-row-through-one-task signature.  A partitioned window sits
-    above a hashpartitioning exchange; TakeOrderedAndProject (the
-    correct global top-k) has no Window node at all."""
-    lines = plan.splitlines()
-    n = 0
-    for i, line in enumerate(lines):
-        if "Window" not in line:
-            continue
-        for look in lines[i + 1:i + 4]:
-            if "Exchange SinglePartition" in look:
-                n += 1
-                break
-            if "Exchange hashpartitioning" in look:
-                break
-    return n
+    """Shared detector — one implementation for this audit and the
+    pytest guard (dask_ms_spark.plans), so the two can never drift."""
+    from dask_ms_spark.plans import unpartitioned_windows_in
+
+    return unpartitioned_windows_in(plan)
 
 
 def main():
