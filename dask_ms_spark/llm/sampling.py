@@ -23,9 +23,23 @@ __all__ = ["hash_bucket", "sample_by_hash", "deterministic_split",
            "sample_temperature", "curriculum_order",
            "stratified_sample", "negative_sampling",
            "sample_to_mixture", "leakage_safe_split",
-           "sample_weighted", "sample_quota", "sample_unimax"]
+           "sample_weighted", "sample_quota", "sample_unimax",
+           "pack_sequences"]
 
 _BUCKETS = 1_000_000
+
+
+def _attach_rates(df, rates, key_col: str):
+    """Null-safe broadcast attach of a per-stratum rate table:
+    groupBy emits a NULL-key stats row, but a plain USING join never
+    matches NULL = NULL, so NULL-stratum stream rows would vanish
+    without any guard firing (review r8).  eqNullSafe keeps NULL a
+    first-class stratum and still plans a BroadcastHashJoin
+    (EqualNullSafe is an equi-join key)."""
+    r = rates.withColumnRenamed(key_col, "__rk")
+    return (df.join(F.broadcast(r),
+                    F.col(key_col).eqNullSafe(F.col("__rk")))
+            .drop("__rk"))
 
 
 def hash_bucket(col: Column, n_buckets: int = _BUCKETS,
@@ -149,6 +163,15 @@ def sample_to_mixture(df: DataFrame, id_col: str, stratum_col: str,
 
     stats = (df.groupBy(stratum_col)
                .agg(F.sum(token_col).alias("__stok")))
+    # the sibling samplers' fail-loud rule (review r8): a NULL or
+    # non-positive token sum would make rate = least(1.0, NULL) = 1.0
+    # (least SKIPS null operands) and silently keep the stratum whole
+    stats = stats.select(stratum_col, F.when(
+        F.col("__stok").isNull() | (F.col("__stok") <= 0),
+        F.raise_error(F.lit(
+            "sample_to_mixture: stratum token sum is NULL or <= 0 — "
+            "check token_col"))).otherwise(F.col("__stok"))
+        .alias("__stok"))
     w_expr = None
     for k in keys:
         w_norm = target_weights[k] / total_w
@@ -165,9 +188,9 @@ def sample_to_mixture(df: DataFrame, id_col: str, stratum_col: str,
                 / F.col("__stok").cast("double")).alias("__rate"))
     cut = F.floor(F.col("__rate") * F.lit(_BUCKETS)).cast("bigint")
     bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
-    return (df.join(F.broadcast(rates), stratum_col)
-              .where(bucket < cut)
-              .drop("__rate"))
+    return (_attach_rates(df, rates, stratum_col)
+            .where(bucket < cut)
+            .drop("__rate"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, token_col: str,
@@ -262,17 +285,19 @@ def sample_weighted(df: DataFrame, id_col: str, weight_col: str,
 
     A NULL or non-positive max weight (all-NULL weight column, or a
     weight column of zeros/negatives) makes every acceptance
-    predicate NULL/false; rather than silently returning zero rows,
-    the guard is folded INTO the acceptance predicate (a prunable
-    side column would be optimised away), so the job FAILS with an
-    actionable ``raise_error`` when the weight column is unusable.
+    predicate NULL/false, and a PER-ROW NULL weight would silently
+    exclude just that row (biasing the sample against whatever
+    subpopulation has missing weights); rather than silently
+    returning wrong samples, both guards are folded INTO the
+    acceptance predicate (a prunable side column would be optimised
+    away), so the job FAILS with an actionable ``raise_error`` when
+    the weight column is unusable (review r8: the per-row leg was
+    missing).
     """
-    from ..functions.text import portable_hash64
-
-    from pyspark.sql import functions as F
-
     mx = F.broadcast(df.agg(
-        F.max(F.col(weight_col).cast("double")).alias("__wmax")))
+        F.max(F.col(weight_col).cast("double")).alias("__wmax"),
+        F.sum(F.col(weight_col).isNull().cast("long"))
+         .alias("__wnulls")))
     u = (portable_hash64(F.col(id_col), salt).cast("double")
          / F.lit(float(1 << 60)))
     accept = u < F.least(
@@ -280,12 +305,16 @@ def sample_weighted(df: DataFrame, id_col: str, weight_col: str,
         F.lit(float(base_rate))
         * F.col(weight_col).cast("double") / F.col("__wmax"))
     guarded = F.when(
-        F.col("__wmax").isNotNull() & (F.col("__wmax") > 0), accept
-    ).otherwise(F.raise_error(F.lit(
-        f"sample_weighted: max({weight_col}) is NULL or <= 0 — "
-        "weight column unusable for acceptance sampling"))
+        F.col("__wmax").isNotNull() & (F.col("__wmax") > 0)
+        & (F.col("__wnulls") == 0), accept
+    ).otherwise(F.raise_error(F.concat(F.lit(
+        f"sample_weighted: {weight_col} unusable for acceptance "
+        f"sampling — max is NULL/<= 0 or "),
+        F.coalesce(F.col("__wnulls"), F.lit(0)).cast("string"),
+        F.lit(" row(s) carry NULL weights; fill or filter first")))
         .cast("boolean"))
-    return df.crossJoin(mx).where(guarded).drop("__wmax")
+    return (df.crossJoin(mx).where(guarded)
+            .drop("__wmax", "__wnulls"))
 
 
 def sample_quota(df: DataFrame, id_col: str, group_col: str,
@@ -301,7 +330,6 @@ def sample_quota(df: DataFrame, id_col: str, group_col: str,
     sort at scale).
     """
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     from ..functions.text import portable_hash64
 
@@ -358,9 +386,9 @@ def sample_temperature(df: DataFrame, id_col: str, stratum_col: str,
                      .alias("__rate")))
     cut = F.floor(F.col("__rate") * F.lit(_BUCKETS)).cast("bigint")
     bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
-    return (df.join(F.broadcast(rates), stratum_col)
-              .where(bucket < cut)
-              .drop("__rate"))
+    return (_attach_rates(df, rates, stratum_col)
+            .where(bucket < cut)
+            .drop("__rate"))
 
 
 def sample_unimax(df: DataFrame, id_col: str, group_col: str,
@@ -392,7 +420,6 @@ def sample_unimax(df: DataFrame, id_col: str, group_col: str,
     plus ``epoch``.
     """
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     if budget <= 0:
         raise ValueError(f"sample_unimax: budget must be > 0, "
@@ -438,7 +465,7 @@ def sample_unimax(df: DataFrame, id_col: str, group_col: str,
     cut = F.floor((F.col("__rt") - F.floor(F.col("__rt")))
                   * F.lit(_BUCKETS)).cast("bigint")
     bucket = hash_bucket(F.col(id_col), _BUCKETS, salt)
-    return (df.join(F.broadcast(rates), group_col)
+    return (_attach_rates(df, rates, group_col)
             .select("*", F.explode(F.sequence(F.lit(0), full))
                     .alias("epoch"))
             .where((F.col("epoch") < full) | (bucket < cut))

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 __all__ = ["bucket_index", "resample_fill", "bucket_aggregate",
            "merge_rollups", "windowed_ema", "sessionize",
            "rolling_outliers", "cusum_changepoints",
-           "cusum_segments"]
+           "cusum_segments", "interpolate_linear"]
 
 #: Fixed epoch for bucket arithmetic.  A constant (rather than the
 #: stream's own minimum) keeps bucket ids stable across incremental
@@ -53,9 +53,14 @@ def bucket_index(ts_col: str, step_seconds: int,
     boundary crossings (DuckDB ``date_diff``) to agree with engines
     that count complete periods (Spark ``timestampdiff``).
     """
-    return F.floor(
-        F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '{origin}', "
-               f"cast({ts_col} as timestamp_ntz))") / step_seconds)
+    # MICROSECOND diff (exact bigint) + pmod floor-division: a
+    # SECOND-granular timestampdiff truncates toward zero, which put
+    # pre-origin sub-second timestamps one bucket late (review r8);
+    # (d - pmod(d, us)) / us is exact floor for either sign
+    us = step_seconds * 1_000_000
+    d = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{origin}', "
+               f"cast({ts_col} as timestamp_ntz))")
+    return ((d - F.pmod(d, F.lit(us))) / F.lit(us)).cast("long")
 
 
 def bucket_aggregate(events: DataFrame, ts_col: str = "ts",
@@ -237,8 +242,14 @@ def windowed_ema(df: DataFrame, value_col: str = "value",
         idx, F.lit(0.0),
         lambda acc, i: acc
         + F.element_at(wlit, F.lit(window) - n + i))
+    # an all-NULL frame (e.g. the key's first rows carry NULLs) has
+    # n = 0: sequence(1, 0) would step BACKWARDS to [1, 0] and
+    # element_at would index out of bounds (review r8) — CaseWhen
+    # evaluates the aggregate branch only when n >= 1, so such rows
+    # yield a NULL ema instead of killing the job
+    ema = F.when(n >= 1, F.round(nom / den, 6))
     return (df.withColumn("vals", vals)
-            .withColumn("ema", F.round(nom / den, 6))
+            .withColumn("ema", ema)
             .drop("vals"))
 
 

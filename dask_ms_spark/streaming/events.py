@@ -82,8 +82,6 @@ def read_events_stream(spark: SparkSession, path: str,
         # staging dir must be a pure function of the source path:
         # checkpointed streams record source files by absolute path, so
         # a fresh random dir per call would invalidate every checkpoint
-        import hashlib
-
         import hashlib as _hashlib
         import stat as _stat
 
@@ -310,7 +308,15 @@ def stream_append_parquet(stream_df: DataFrame, out_path: str,
          .option("checkpointLocation", checkpoint)
          .outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a False return means the stream OUTLIVED the timeout: the
+        # parquet append is partial and the query is still running —
+        # stop it and fail loudly rather than report a silent
+        # partial commit (review r8)
+        q.stop()
+        raise TimeoutError(
+            f"stream_append_parquet: stream did not finish within "
+            f"{timeout_s}s — partial append stopped; raise timeout_s")
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
@@ -324,13 +330,27 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     non-aggregating ones (joins, maps) where complete is unsupported.
     """
     if output_mode is None:
-        aggregating = stream_df.isStreaming and "Aggregate" in \
-            stream_df._jdf.queryExecution().analyzed().toString()
-        output_mode = "complete" if aggregating else "append"
+        plan = stream_df._jdf.queryExecution().analyzed().toString() \
+            if stream_df.isStreaming else ""
+        if "FlatMapGroupsInPandasWithState" in plan:
+            # applyInPandasWithState operators in this module declare
+            # update mode; the memory sink accepts it (review r8: the
+            # old Aggregate-only heuristic picked append and the
+            # query failed at start)
+            output_mode = "update"
+        elif "Aggregate" in plan:
+            output_mode = "complete"
+        else:
+            output_mode = "append"
     query = (stream_df.writeStream.format("memory").queryName(name)
              .outputMode(output_mode)
              .trigger(availableNow=True).start())
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"run_stream_to_memory: stream {name!r} did not finish "
+            f"within {timeout_s}s — partial results discarded; raise "
+            "timeout_s")
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -369,16 +389,25 @@ def detect_anomalies_stream(events: DataFrame, window: int = 32,
             rows = pd.concat(pdfs).sort_values(["ts", "event_id"])
             for r in rows.itertuples(index=False):
                 v = float(r.value)
-                if len(hist) >= min_history:
+                # batch parity for NULLs (review r8): F.percentile
+                # ignores NULL values, so a NULL must neither enter
+                # the history (NaN would poison every later fence)
+                # nor receive a flag (the batch row's flag is NULL)
+                is_null = v != v                 # NaN: NULL via Arrow
+                if is_null:
+                    flag = None
+                elif len(hist) >= min_history:
                     q1 = float(np.percentile(hist, 25))
                     q3 = float(np.percentile(hist, 75))
                     iqr = q3 - q1
                     flag = bool(v < q1 - k * iqr or v > q3 + k * iqr)
                 else:
                     flag = None
-                out.append((key[0], int(r.event_id), v, flag))
-                hist.append(v)
-                hist = hist[-window:]
+                out.append((key[0], int(r.event_id),
+                            None if is_null else v, flag))
+                if not is_null:
+                    hist.append(v)
+                    hist = hist[-window:]
         state.update((hist,))
         yield pd.DataFrame(out, columns=["user_id", "event_id",
                                          "value", "is_anomaly"])

@@ -1464,3 +1464,39 @@ def test_lsh_plan_tracks_threshold():
         lsh_plan(1.0, 32)
     with pytest.raises(ValueError):
         lsh_plan(0.5, 1)
+
+
+def test_samplers_fail_loud_and_keep_null_strata(spark):
+    """Review r8: sample_to_mixture raises on a NULL/zero token sum
+    (instead of silently keeping the stratum whole via least(1,NULL)
+    = 1); NULL stratum keys survive the rate join (eqNullSafe) in
+    sample_temperature; sample_weighted raises when any row carries a
+    NULL weight instead of silently biasing the sample."""
+    import pytest
+    from pyspark.sql import Row
+    from dask_ms_spark.llm.sampling import (sample_temperature,
+                                            sample_to_mixture,
+                                            sample_weighted)
+
+    bad = spark.createDataFrame(
+        [Row(doc_id=i, src="a", toks=None) for i in range(5)],
+        "doc_id long, src string, toks int")
+    with pytest.raises(Exception, match="NULL or <= 0"):
+        sample_to_mixture(bad, "doc_id", "src", {"a": 1.0},
+                          budget_tokens=100, token_col="toks").count()
+
+    with_null = spark.createDataFrame(
+        [Row(doc_id=i, src=None if i % 5 == 0 else f"s{i % 2}")
+         for i in range(200)])
+    out = sample_temperature(with_null, "doc_id", "src", alpha=0.7)
+    # NULL is a first-class stratum: its rows are eligible, and the
+    # head stratum is downsampled below 1.0 so SOME rows drop
+    srcs = {r.src for r in out.select("src").distinct().collect()}
+    assert None in srcs
+    assert out.count() < with_null.count()
+
+    w_null = spark.createDataFrame(
+        [Row(doc_id=i, w=None if i == 3 else float(i + 1))
+         for i in range(10)])
+    with pytest.raises(Exception, match="NULL weights"):
+        sample_weighted(w_null, "doc_id", "w").count()

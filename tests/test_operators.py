@@ -1884,3 +1884,37 @@ def test_cusum_segments_recovers_planted_levels(spark):
     assert len(ungated) == 4
     with pytest.raises(ValueError, match="levels"):
         cusum_segments(df, levels=0)
+
+
+def test_windowed_ema_survives_null_leading_values(spark):
+    """A key whose first frame holds zero non-null values must yield
+    NULL ema, not an element_at index crash (review r8, confirmed by
+    execution before the fix)."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.timeseries import windowed_ema
+
+    df = spark.createDataFrame(
+        [Row(user_id=1, ts=1.0, event_id=1, value=None),
+         Row(user_id=1, ts=2.0, event_id=2, value=5.0)],
+        "user_id long, ts double, event_id long, value double")
+    got = {r.event_id: r.ema for r in windowed_ema(
+        df, value_col="value", by="user_id",
+        order_cols=("ts", "event_id"), window=4).collect()}
+    assert got[1] is None
+    assert got[2] == 5.0
+
+
+def test_bucket_index_floor_below_origin(spark):
+    """Pre-origin sub-second timestamps land in bucket -1, not 0:
+    SECOND-granular timestampdiff truncated toward zero (review r8,
+    confirmed by execution before the fix)."""
+    from dask_ms_spark.operators.timeseries import bucket_index
+
+    df = spark.createDataFrame(
+        [("2023-12-31 23:59:59.5",), ("2024-01-01 00:00:00.5",),
+         ("2023-12-31 23:00:00",), ("2024-01-01 01:00:00",)],
+        "ts string").selectExpr("cast(ts as timestamp_ntz) AS ts")
+    got = [r[0] for r in df.select(
+        bucket_index("ts", 3600).alias("b")).collect()]
+    assert got == [-1, 0, -1, 1]
