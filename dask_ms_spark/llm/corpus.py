@@ -66,7 +66,19 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
     h = F.when(F.length(normalize_text(F.col("para"))) >= min_chars,
                portable_hash64(normalize_text(F.col("para"))))
     hashed = paras.withColumn("__h", h)
-    w = Window.partitionBy("__h").orderBy("id", "pos")
+    # sub-threshold paragraphs have __h = NULL and are all kept —
+    # but a window partitioned on __h would funnel EVERY null-hash
+    # row corpus-wide into ONE partition/task (review r8).  Give
+    # each of them a unique NEGATIVE partition key instead
+    # (portable hashes are non-negative, so the keyspaces are
+    # disjoint): the window stays fully parallel and their rank is
+    # trivially 1.
+    pkey = F.coalesce(
+        F.col("__h"),
+        -portable_hash64(F.concat_ws(":", F.col("id"),
+                                     F.col("pos")), "para-null")
+        - F.lit(1))
+    w = Window.partitionBy(pkey).orderBy("id", "pos")
     kept = (hashed.withColumn(
         "__rn", F.when(F.col("__h").isNull(), F.lit(1))
                  .otherwise(F.row_number().over(w)))
@@ -110,14 +122,21 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
         raise ValueError(f"ngram_novelty: n must be >= 1, got {n}")
 
     def doc_grams(frame: DataFrame) -> DataFrame:
+        # gram STRINGS build inside the transform; the md5 hash runs
+        # POST-explode so it stays in whole-stage codegen — hashing
+        # inside the array lambda executes interpreted (the
+        # phrase_boilerplate discipline; review r8)
         toks = tokens(F.lower(F.col(text_col)))
         grams = F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: portable_hash64(F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)])))
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]))
         return (frame.where(F.size(toks) >= n)
                 .select(F.col(id_col).alias("id"),
-                        F.explode(F.array_distinct(grams)).alias("g")))
+                        F.explode(F.array_distinct(grams))
+                        .alias("__gs"))
+                .select("id", portable_hash64(F.col("__gs"))
+                        .alias("g")))
 
     mine = doc_grams(docs)
     if reference is None:
@@ -158,15 +177,20 @@ def corpus_diff(old_docs: DataFrame, new_docs: DataFrame,
     """
     from .dedup import normalize_text
 
+    # presence is tracked by explicit markers, NOT hash nullness: a
+    # NULL text hashes to NULL, and inferring absence from the hash
+    # reported a doc present in both versions as "added" (review r8)
     digest = portable_hash64(normalize_text(F.col(text_col)))
     o = ensure_parallelism(old_docs).select(
-        F.col(id_col).alias("id"), digest.alias("old_hash"))
+        F.col(id_col).alias("id"), digest.alias("old_hash"),
+        F.lit(True).alias("__in_old"))
     n = ensure_parallelism(new_docs).select(
-        F.col(id_col).alias("id"), digest.alias("new_hash"))
+        F.col(id_col).alias("id"), digest.alias("new_hash"),
+        F.lit(True).alias("__in_new"))
     j = o.join(n, "id", "full_outer")
-    status = (F.when(F.col("old_hash").isNull(), F.lit("added"))
-               .when(F.col("new_hash").isNull(), F.lit("removed"))
-               .when(F.col("old_hash") == F.col("new_hash"),
+    status = (F.when(F.col("__in_old").isNull(), F.lit("added"))
+               .when(F.col("__in_new").isNull(), F.lit("removed"))
+               .when(F.col("old_hash").eqNullSafe(F.col("new_hash")),
                      F.lit("unchanged"))
                .otherwise(F.lit("changed")))
     return j.select(F.col("id").alias(id_col),
@@ -193,6 +217,12 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
     """
     if stride <= 0 or chunk_chars <= 0:
         raise ValueError("chunk_chars and stride must be positive")
+    if stride > chunk_chars:
+        raise ValueError(
+            f"stride ({stride}) > chunk_chars ({chunk_chars}) would "
+            "silently DROP the characters between consecutive chunks "
+            "— use stride <= chunk_chars (equal for non-overlapping "
+            "coverage)")
     txt = F.col(text_col)
     offsets = F.sequence(F.lit(1), F.greatest(F.length(txt), F.lit(1)),
                          F.lit(stride))
@@ -365,6 +395,14 @@ def pii_scan(df: DataFrame, text_col: str = "text",
     ``regexp_count`` per pattern; redaction replaces each match with
     ``[TYPE]``, applied in a fixed pattern order so output is
     deterministic.
+
+    Semantics note: counts are per-pattern over the ORIGINAL text,
+    while redaction is sequential — when two patterns overlap (a
+    phone number inside an email local-part), the earlier pattern's
+    marker consumes the span, so ``n_phone`` can exceed the
+    ``[PHONE]`` markers present in ``redacted``.  Counts answer "how
+    much PII of each kind", redaction answers "is the text clean";
+    do not reconcile one against the other.
     """
     cols = [F.col(id_col)]
     for name, pat in PII_PATTERNS.items():
@@ -443,8 +481,13 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     if self_scored:
         # self-scoring reuses one materialised explode for LM counts,
         # vocabulary, and the scored instances — without this the
-        # shingle pipeline runs three times
-        lm_grams = lm_grams.persist()
+        # shingle pipeline runs three times.  localCheckpoint rather
+        # than persist: its blocks are released by the ContextCleaner
+        # when the frame goes out of scope, so repeated calls in a
+        # long session don't accumulate pinned storage (review r8 —
+        # an explicit persist with no unpersist leaked one cached
+        # explode per call)
+        lm_grams = lm_grams.localCheckpoint(eager=False)
     uni = (lm_grams.groupBy("w1")
            .agg(F.count(F.lit(1)).alias("c1")))
     bi = (lm_grams.groupBy("w1", "w2")
@@ -797,7 +840,12 @@ def heaps_fit(docs: DataFrame, text_col: str = "text",
     toks = tokens(F.lower(F.col(text_col)))
     base = (ensure_parallelism(docs)
             .select(F.col(id_col).alias("id"), toks.alias("__t")))
-    counts = base.select("id", F.size("__t").alias("cnt"))
+    # counts feeds THREE consumers (the total-collect below, the
+    # bucket totals, and the offset join): checkpoint the tiny
+    # (id, cnt) table so the corpus tokenizes once for all of them
+    # instead of once per consumer (review r8)
+    counts = base.select("id", F.size("__t").alias("cnt")) \
+        .localCheckpoint(eager=False)
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     parted = (counts.repartitionByRange(n_parts, F.col("id"))
               .sortWithinPartitions("id")

@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot
 
+
+def _require_dense_seeds(df: DataFrame, id_col: str, n: int,
+                         what: str) -> None:
+    """The deterministic seed selections (`id < n` as centroids /
+    codebooks) require ids 0..n-1 to ALL exist: with sparse or
+    re-based ids the seed set comes up short — empty cells return
+    zero neighbors, and PQ LUT rows indexed by code id go out of
+    bounds, NULL the distances, and rank garbage FIRST (review r8).
+    Fail loudly instead; the check scans only the (pushed-down)
+    seed filter."""
+    got = df.where(F.col(id_col) < n).select(id_col).distinct().count()
+    if got < n:
+        raise ValueError(
+            f"{what}: only {got} of {n} seed vectors have "
+            f"{id_col} < {n} — deterministic seeding needs dense "
+            f"integer ids 0..{n - 1}; re-index ids (e.g. "
+            "attach_rowid) or use the k-means index "
+            "(build_ivf_index) instead")
+
 __all__ = ["brute_force_topk", "hyperplane_signature", "lsh_topk",
            "build_ivf_index", "ivf_query_indexed",
            "ivf_assign", "ivf_topk", "random_projection",
@@ -189,6 +208,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cell-local (shuffle keyed on the cell id), and raising nprobe
     trades recall for work linearly.
     """
+    _require_dense_seeds(corpus, corpus_id, num_cells, "ivf_topk")
     centroids = (corpus.where(F.col(corpus_id) < num_cells)
                  .select(F.col(corpus_id).alias("cent_id"),
                          F.col(corpus_vec).alias("cvec")))
@@ -257,6 +277,15 @@ def build_ivf_index(embs: DataFrame, path: str, num_cells: int = 16,
 
     Layout: ``path/centroids`` (cell_id, cvec), ``path/cells``
     partitioned by ``cell``.
+
+    Metric note (review r8): the coarse quantizer trains with
+    squared-L2 Lloyd while queries probe centroids by cosine — the
+    FAISS IVF-IP default (L2-trained coarse quantizer under an
+    inner-product metric).  For strongly norm-skewed embeddings this
+    costs recall beyond the nprobe/num_cells approximation; normalise
+    vectors at ingest (cosine == L2 ordering on the unit sphere) when
+    that matters, exactly as FAISS recommends for its spherical
+    variant.
     """
     import os
 
@@ -359,6 +388,7 @@ def pq_codebooks(corpus: DataFrame, dim: int, num_sub: int = 8,
     if dim % num_sub:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by "
                          f"num_sub {num_sub}")
+    _require_dense_seeds(corpus, id_col, num_codes, "pq_codebooks")
     seed = corpus.where(F.col(id_col) < num_codes)
     return _subvectors(seed, id_col, vec_col, dim, num_sub) \
         .select("m", F.col("id").cast("int").alias("k"),
@@ -556,6 +586,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     with :func:`build_ivf_index`-style layout so probes prune by
     directory; here assignment and encode run inline.
     """
+    _require_dense_seeds(corpus, corpus_id, num_cells, "ivfpq_topk")
     cents = (corpus.where(F.col(corpus_id) < num_cells)
              .select(F.col(corpus_id).alias("cent_id"),
                      F.col(corpus_vec).alias("cvec")))
