@@ -154,8 +154,15 @@ def quality_features(text: Column) -> dict[str, Column]:
         "punct_ratio": F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\-]", "")) / nz,
         "digit_ratio": F.length(F.regexp_replace(text, r"[^0-9]", "")) / nz,
         "upper_ratio": F.length(F.regexp_replace(text, r"[^A-Z]", "")) / nz,
-        "mean_word_len": F.when(ntok > 0,
-                                (n - (ntok - 1)) / ntok).otherwise(F.lit(0.0)),
+        # mean over the TOKENS' own lengths: the former
+        # (n_chars - (ntok-1))/ntok closed form assumed exactly one
+        # separator space, overstating word length on padded or
+        # multi-space text (review r8: '  hi  ' scored 6.0, true 2.0)
+        "mean_word_len": F.when(
+            ntok > 0,
+            F.aggregate(toks, F.lit(0.0),
+                        lambda a, t: a + F.length(t)) / ntok
+        ).otherwise(F.lit(0.0)),
     }
 
 

@@ -73,20 +73,18 @@ def lsh_plan(threshold: float, num_hashes: int,
     best, best_cost = None, None
     steps = 200
     for r in range(1, num_hashes + 1):
-        b = num_hashes // r
-        if b < 1:
-            break
-        fp = fn = 0.0
-        for i in range(steps):
-            s = (i + 0.5) / steps
-            p = 1.0 - (1.0 - s ** r) ** b
-            if s < threshold:
-                fp += p
-            else:
-                fn += (1.0 - p) * fn_weight
-        cost = (fp + fn) / steps
-        if best_cost is None or cost < best_cost:
-            best, best_cost = (b, r), cost
+        for b in range(1, num_hashes // r + 1):
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = 1.0 - (1.0 - s ** r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += (1.0 - p) * fn_weight
+            cost = (fp + fn) / steps
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (b, r), cost
     return best
 
 
@@ -180,6 +178,11 @@ def minhash_signature(text: Column, num_hashes: int = 32,
 
 def minhash_from_base(base: Column, num_hashes: int = 32) -> Column:
     """Affine-permutation minima over a base-hash array."""
+    if not 1 <= num_hashes <= len(MINHASH_COEFFS):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(MINHASH_COEFFS)}] (the "
+            f"baked permutation table), got {num_hashes}")
+
     def perm_min(i: int):
         a, b = MINHASH_COEFFS[i]
         # single-arg lambda: a two-arg lambda would make transform()
@@ -294,8 +297,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     many documents share templates.
     """
     rows_per_band = num_hashes // num_bands
+    if rows_per_band < 1:
+        raise ValueError(
+            f"num_bands ({num_bands}) > num_hashes ({num_hashes}): "
+            "rows_per_band would be 0 and EVERY document would "
+            "collide in every band — an all-pairs self-join; use "
+            "lsh_plan(threshold, num_hashes) to pick a banding")
     with_sig = with_minhash(docs, text_col, id_col, num_hashes,
-                            shingle_k).persist()
+                            shingle_k).localCheckpoint(eager=False)
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
     # Band join and pair-dedup on ids ONLY; signatures re-attach to the
     # deduped candidate set (a band collision in several bands would
@@ -349,9 +358,15 @@ def simhash(text: Column, shingle_k: int = 4, bits: int = 64) -> Column:
     (explode + partial-aggregated vote sums — the shuffle-friendly
     shape).
     """
+    if not 2 <= bits <= 61:
+        raise ValueError(
+            f"simhash: bits must be in [2, 61], got {bits} — "
+            "portable_hash64 yields 60-bit hashes (votes on higher "
+            "bits are constant -1, dead signature bits) and the "
+            "signature must fit a signed bigint")
     shingles = char_ngrams(normalize_text(text), shingle_k)
     hashes = F.transform(shingles, lambda s: portable_hash64(s, "simhash"))
-    nbits = bits - 1  # avoid the sign bit of the bigint
+    nbits = min(bits - 1, 60)  # sign bit of the bigint; 60-bit hashes
     zero = F.array_repeat(F.lit(0), nbits)
 
     def bitvec(h: Column) -> Column:
@@ -382,7 +397,13 @@ def with_simhash(docs: DataFrame, text_col: str = "text",
     (bits-1) vote columns, then the signature reassembled from vote
     signs.  The shingle/md5 work runs exactly once per shingle.
     """
-    nbits = bits - 1
+    if not 2 <= bits <= 61:
+        raise ValueError(
+            f"with_simhash: bits must be in [2, 61], got {bits} — "
+            "portable_hash64 yields 60-bit hashes (higher vote bits "
+            "are constant -1) and the signature must fit a signed "
+            "bigint")
+    nbits = min(bits - 1, 60)
     shingles = char_ngrams(normalize_text(F.col(text_col)), shingle_k)
     exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
@@ -450,6 +471,12 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     import math
 
     rows_per_band = num_hashes // num_bands
+    if rows_per_band < 1:
+        raise ValueError(
+            f"num_bands ({num_bands}) > num_hashes ({num_hashes}): "
+            "rows_per_band would be 0 and EVERY document would "
+            "collide in every band — an all-pairs self-join; use "
+            "lsh_plan(threshold, num_hashes) to pick a banding")
     min_matches = math.ceil(max(threshold - prefilter_margin, 0.0)
                             * num_hashes)
     # The shingle-hash SET (int64s) replaces the string set for the
@@ -462,7 +489,7 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # once (the reference memoises its ordering arrays the same way,
     # daskms/optimisation.py:215-269).
     sigged = minhash_table(docs, text_col, id_col, num_hashes, n,
-                           with_hset=True).persist()
+                           with_hset=True).localCheckpoint(eager=False)
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
     # Band join on (band_id, band_hash, id) ONLY — neither sigs nor
     # hash sets ride through the self-join shuffle and pair-dedup.
@@ -547,7 +574,7 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
                 .select("id", (portable_hash64(F.col("s"))
                                % F.lit(MINHASH_P)).alias("h"))
                 .groupBy("id").agg(F.collect_set("h").alias("hset"))
-                .persist())
+                .localCheckpoint(eager=False))
     postings = hset_tbl.select("id", F.explode("hset").alias("h"))
     rare = (postings.groupBy("h")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -756,7 +783,18 @@ def embedding_dup_pairs_bucketed(embs: DataFrame,
 
     tagged = embs.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("vec"))
-    sig = hyperplane_signature(F.col("vec"), dim, num_planes, seed)
+    # a dim mismatch makes every hyperplane dot NULL (zip_with
+    # null-pads), the bucket NULL, and the bucket equi-join silently
+    # returns ZERO pairs — a dedup pass that "finds no duplicates"
+    # (review r8); fail loudly instead
+    sig = F.when(
+        F.size("vec") == dim,
+        hyperplane_signature(F.col("vec"), dim, num_planes, seed)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"embedding_dup_pairs_bucketed: dim={dim} but vector "
+              "has "), F.size("vec").cast("string"),
+        F.lit(" elements — pass the embedding's true dim")))
+        .cast("bigint"))
     tagged = tagged.withColumn("sig", sig)
     if multiprobe:
         probes = F.array(F.col("sig"),

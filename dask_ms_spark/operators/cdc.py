@@ -104,14 +104,18 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
          if c not in set(keys) | {effective_col}]
     base_cols = keys + track_cols + ["valid_from", "valid_to"]
 
-    # order incoming versions per key; chain validity ranges
+    # order incoming versions per key; chain validity ranges.  Ties
+    # on (key, effective_seq) break on the tracked payload columns —
+    # the apply_cdc total-order discipline — so which duplicate stays
+    # current (and which gets the zero-width version) is a pure
+    # function of the data, not of shuffle order (review r8)
     incoming = (changes
                 .select(*keys, F.col(effective_col).cast("long")
                         .alias("valid_from"), *track_cols)
                 .withColumn("valid_to",
                             F.lead("valid_from").over(
                                 Window.partitionBy(*keys)
-                                .orderBy("valid_from"))))
+                                .orderBy("valid_from", *track_cols))))
 
     hist = dim.select(*base_cols)
     changed_keys = F.broadcast(incoming.select(*keys).distinct())

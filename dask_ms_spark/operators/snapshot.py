@@ -60,6 +60,11 @@ def publish_snapshot(tables: Mapping[str, DataFrame], store: str,
     cur = current_version(store)
     version = 0 if cur is None else cur + 1
     vdir = os.path.join(store, f"v{version}")
+    # a previous FAILED publish of this same version may have left
+    # tables on disk; read_snapshot lists the version dir, so a
+    # leftover table from the failed attempt would silently join the
+    # committed snapshot (review r8) — start from an empty dir
+    shutil.rmtree(vdir, ignore_errors=True)
     os.makedirs(vdir, exist_ok=True)
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(vdir, name))
@@ -144,13 +149,20 @@ def snapshot_diff(spark, store: str, old_version: int,
         elif n is None:
             d = keyed(o).select(F.lit("removed").alias("status"))
         else:
-            j = keyed(o).withColumnRenamed("h", "oh").join(
-                keyed(n).withColumnRenamed("h", "nh"),
-                "id", "full_outer")
+            # presence via explicit markers, not hash nullity: a NULL
+            # text digests to NULL and would misreport a row present
+            # in both versions (or removed) as "added" (review r8 —
+            # the incremental_dedup __hit pattern)
+            j = (keyed(o).withColumnRenamed("h", "oh")
+                 .withColumn("__in_o", F.lit(True))
+                 .join(keyed(n).withColumnRenamed("h", "nh")
+                       .withColumn("__in_n", F.lit(True)),
+                       "id", "full_outer"))
             d = j.select(
-                F.when(F.col("oh").isNull(), "added")
-                 .when(F.col("nh").isNull(), "removed")
-                 .when(F.col("oh") == F.col("nh"), "unchanged")
+                F.when(F.col("__in_o").isNull(), "added")
+                 .when(F.col("__in_n").isNull(), "removed")
+                 .when(F.col("oh").eqNullSafe(F.col("nh")),
+                       "unchanged")
                  .otherwise("changed").alias("status"))
         parts.append(d.groupBy("status")
                      .agg(F.count(F.lit(1)).alias("n"))

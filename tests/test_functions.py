@@ -883,3 +883,24 @@ def test_mscal_derived_columns_match_python(spark):
         F.lit(-90.0)).alias("el")).collect()
     for r in els:
         assert abs(r.el - abs(lat)) < 1e-9
+
+
+def test_quality_features_mean_word_len_whitespace(spark):
+    """mean_word_len averages the tokens' OWN lengths — padded or
+    multi-space text must not inflate it (review r8: the old
+    separator-count closed form scored '  hi  ' as 6.0)."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.text import quality_features
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(id=0, text="  hi  "), Row(id=1, text="a  b"),
+         Row(id=2, text="one two three"), Row(id=3, text="")])
+    feats = quality_features(F.col("text"))
+    got = {r.id: r.mwl for r in df.select(
+        "id", feats["mean_word_len"].alias("mwl")).collect()}
+    assert got[0] == 2.0
+    assert got[1] == 1.0
+    assert abs(got[2] - 11 / 3) < 1e-9
+    assert got[3] == 0.0

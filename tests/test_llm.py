@@ -1500,3 +1500,57 @@ def test_samplers_fail_loud_and_keep_null_strata(spark):
          for i in range(10)])
     with pytest.raises(Exception, match="NULL weights"):
         sample_weighted(w_null, "doc_id", "w").count()
+
+
+def test_dedup_guards_fail_loud(spark):
+    """Review r8 guards: a banding with rows_per_band 0 raises
+    (instead of an all-pairs self-join), num_hashes beyond the baked
+    permutation table raises (instead of IndexError mid-job), simhash
+    bits beyond the 60-bit hash width raise (instead of dead
+    signature bits), and a wrong dim raises from the bucketed
+    embedding dedup (instead of silently returning zero pairs)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm.dedup import (embedding_dup_pairs_bucketed,
+                                         minhash_from_base,
+                                         minhash_lsh_pairs, simhash,
+                                         with_simhash)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} " * 3)
+         for i in range(6)])
+    with pytest.raises(ValueError, match="rows_per_band"):
+        minhash_lsh_pairs(docs, num_hashes=4, num_bands=8)
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_from_base(None, num_hashes=128)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(None, bits=64)
+    with pytest.raises(ValueError, match="bits"):
+        with_simhash(docs, bits=64)
+
+    embs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 8) for i in range(4)])
+    with pytest.raises(Exception, match="dim=64"):
+        embedding_dup_pairs_bucketed(embs, dim=64).count()
+
+
+def test_snapshot_failed_publish_leaves_no_stale_tables(spark,
+                                                        tmp_path):
+    """A retried publish of the same version must not commit tables
+    left by the failed attempt (review r8)."""
+    import os
+
+    from dask_ms_spark.operators.snapshot import (publish_snapshot,
+                                                  read_snapshot)
+
+    store = str(tmp_path / "snap")
+    a = spark.range(5).selectExpr("id AS k")
+    publish_snapshot({"t1": a, "t2": a, "stale": a}, store)
+    # simulate: v1 publish crashed after writing 'stale', retried
+    # WITHOUT it — manufacture the debris then re-publish
+    v1 = os.path.join(store, "v1")
+    os.makedirs(os.path.join(v1, "stale"))
+    publish_snapshot({"t1": a, "t2": a}, store)
+    got = read_snapshot(spark, store)
+    assert set(got) == {"t1", "t2"}
