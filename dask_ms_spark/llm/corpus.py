@@ -481,13 +481,13 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     if self_scored:
         # self-scoring reuses one materialised explode for LM counts,
         # vocabulary, and the scored instances — without this the
-        # shingle pipeline runs three times.  localCheckpoint rather
-        # than persist: its blocks are released by the ContextCleaner
-        # when the frame goes out of scope, so repeated calls in a
-        # long session don't accumulate pinned storage (review r8 —
-        # an explicit persist with no unpersist leaked one cached
-        # explode per call)
-        lm_grams = lm_grams.localCheckpoint(eager=False)
+        # shingle pipeline runs three times.  persist (columnar
+        # InMemoryRelation) measured several times faster than
+        # localCheckpoint here; the cache entry is per logical plan
+        # and NOT GC-released, so looping drivers should
+        # spark.catalog.clearCache() between batches (the dedup
+        # module's cache discipline)
+        lm_grams = lm_grams.persist()
     uni = (lm_grams.groupBy("w1")
            .agg(F.count(F.lit(1)).alias("c1")))
     bi = (lm_grams.groupBy("w1", "w2")
