@@ -157,8 +157,7 @@ def probe_casa_table(table_factory: Callable, path: str,
         slabs: dict[str, tuple[list[int], list[int], list[int]]] = {}
         fields = [StructField(ROWID, LongType(), False)]
         for c in names:
-            probe = np.asarray(t.getcol(c, 0, min(1, nrow))) \
-                if nrow else np.asarray(t.getcol(c, 0, 0))
+            probe = np.asarray(t.getcol(c, 0, min(1, nrow)))
             spark_t, kind = _np_cell_to_spark(probe.dtype, probe.ndim)
             if c in slices:
                 if probe.ndim < 2:
@@ -497,6 +496,19 @@ def create_casa_table(datasets, path: str,
         if [f.name for f in fr.schema.fields] != \
                 [f.name for f in schema.fields]:
             raise ValueError("datasets disagree on columns")
+        # TYPES must agree too: unionByName would silently coerce
+        # (int -> double) past the tabledesc built from frames[0],
+        # and casacore putcol would truncate the widened values
+        # (review r8)
+        mism = [(f.name, f.dataType.simpleString(),
+                 g.dataType.simpleString())
+                for f, g in zip(schema.fields, fr.schema.fields)
+                if f.dataType != g.dataType]
+        if mism:
+            raise ValueError(
+                f"datasets disagree on column types {mism} — the "
+                "descriptor is built from the first dataset; cast "
+                "the frames to one schema first")
     desc = resolve_descriptor(descriptor, schema, complex_cols)
     complex_cols = descriptor_complex_cols(desc, schema, complex_cols)
     shapes = {f.name: field_shape(f) for f in schema.fields}
@@ -576,6 +588,25 @@ def xds_to_casa(datasets, path: str,
 
     t = table_factory(path)
     written = 0
+
+    def col_info(c: str) -> tuple[bool, tuple | None]:
+        """Complexity/cell-shape of the TARGET column from its own
+        descriptor — the update path must re-assemble interleaved
+        re/im floats and reshape flat tensors exactly like the create
+        path, or a read-modify-write of DATA/FLAG putcols flat float
+        blocks into complex/N-d columns (review r8).  Factories
+        without getcoldesc (simple fakes) fall back to flat scalars."""
+        try:
+            cd = t.getcoldesc(c)
+        except Exception:  # noqa: BLE001 - fake factories
+            return False, None
+        vt = str(cd.get("valueType", "")).upper()
+        is_cx = vt in ("COMPLEX", "FCOMPLEX", "DCOMPLEX")
+        shp = cd.get("shape")
+        shape = tuple(int(x) for x in shp) if shp is not None \
+            and len(tuple(shp)) else None
+        return is_cx, shape
+
     try:
         for ds in datasets:
             df = ds.df
@@ -584,6 +615,7 @@ def xds_to_casa(datasets, path: str,
                     "xds_to_casa updates require a ROWID column "
                     "addressing the target rows")
             names = [c for c in (columns or df.columns) if c != ROWID]
+            info = {c: col_info(c) for c in names}
             for pdf in _iter_rowid_batches(df, names, batch_rows):
                 rows = pdf[ROWID].to_numpy()
                 # split into contiguous runs so putcol row ranges are
@@ -594,8 +626,10 @@ def xds_to_casa(datasets, path: str,
                     lo = int(rows[seg[0]])
                     n = len(seg)
                     for c in names:
+                        is_cx, shape = info[c]
                         vals = _column_block(
-                            pdf[c].iloc[seg[0]:seg[0] + n])
+                            pdf[c].iloc[seg[0]:seg[0] + n],
+                            is_cx, shape)
                         t.putcol(c, vals, lo, n)
                     written += n
     finally:

@@ -124,14 +124,17 @@ def rechunk_by_size(df: DataFrame, max_chunk_mem: int = 2 ** 27,
         splittable = (isinstance(f.dataType, ArrayType)
                       and f.name not in unchunked)
         if w * isz > max_chunk_mem:
-            # one row exceeds the budget: only a cell split can help
+            # one row exceeds the budget: only a cell split can help,
+            # so the ROW chunk must drop to 1 (dividing by isz alone
+            # ignored the row width and produced a huge row_chunk —
+            # guaranteed OOM in exactly this branch; review r8)
             if not splittable:
                 raise ValueError(
                     f"rechunk_by_size: one row of column {f.name!r} "
                     f"is {w * isz} bytes, over the {max_chunk_mem}-"
                     "byte budget, and the column is not cell-"
                     "splittable — raise the budget or allow splitting")
-            bound = max(1, max_chunk_mem // isz)
+            bound = max(1, max_chunk_mem // (w * isz))
         else:
             # whole cells preferred: splits only happen when a single
             # row cannot fit (slab-aligned reads stay cheap)
@@ -266,7 +269,9 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
     # one small metadata aggregation: row count, null check, ragged-
     # tensor check, string widths (the eager-DDL analogue; data never
     # hits driver)
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.min(ROWID).alias("__rid_lo"),
+            F.max(ROWID).alias("__rid_hi")]
     arr_cols = [f.name for f in df.schema.fields
                 if isinstance(f.dataType, ArrayType)]
     str_cols = [f.name for f in df.schema.fields
@@ -285,6 +290,21 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
                     .alias(f"__enull_{c}"))
     meta = df.agg(*aggs).first()
     nrow = int(meta["__n"])
+    if nrow and (int(meta["__rid_lo"]) != 0
+                 or int(meta["__rid_hi"]) != nrow - 1):
+        # gappy/global ROWIDs (a grouped or filtered dataset keeps
+        # the parent table's ids): chunk files are keyed ROWID //
+        # row_chunk while the array shape is [nrow], so non-dense ids
+        # would scatter rows into wrong/absent chunks and zero-fill
+        # the store (review r8).  Re-densify in ROWID order — the
+        # same dense-fill discipline the CASA writer applies; ROWID
+        # itself is a read-side coordinate, not a stored column, so
+        # nothing is lost.
+        from ..operators.ordering import attach_rowid
+
+        df = attach_rowid(
+            df.withColumnRenamed(ROWID, "__src_rowid"),
+            ["__src_rowid"]).drop("__src_rowid")
     nulled = {c: meta[f"__null_{c}"] for c in data_cols
               if (meta[f"__null_{c}"] or 0) > 0}
     nulled.update({c: "element" for c in arr_cols
@@ -320,9 +340,13 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
         adir = os.path.join(group_dir, col)
         os.makedirs(adir, exist_ok=True)
         w = spec["width"]
+        # zarr v2 requires POSITIVE chunk dims even for a 0-size
+        # axis (review r8: chunks=[n, 0] broke zarr.open_group and
+        # the slab reader's ceil-division); a 0-width tensor gets
+        # cc=1 metadata and no chunk files (its chunk grid is empty)
         cc = None if w is None else \
             max(1, min(int(cell_chunks.get(col, w) or w), w)) if w \
-            else w
+            else 1
         spec["cc"] = cc
         zarray = {
             "zarr_format": 2,
@@ -381,6 +405,8 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
                     fh.write(encode(
                         np.ascontiguousarray(full).tobytes()))
                 os.replace(tmp, os.path.join(group_dir, col, key))
+            elif w == 0:
+                continue        # 0-width axis: empty chunk grid
             else:
                 arr = np.stack([np.asarray(v, dtype=dt)
                                 for v in pdf[col]])
@@ -439,6 +465,18 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
         datasets = [datasets]
     os.makedirs(store, exist_ok=True)
     _write_json(os.path.join(store, ".zgroup"), {"zarr_format": 2})
+    # a rewrite with FEWER datasets must not leave the previous
+    # write's higher-indexed {table}_{i} groups behind — the reader
+    # enumerates groups, so stale ones would silently come back as
+    # data (review r8).  Other tables' groups are untouched.
+    import re as _re
+    import shutil as _sh
+
+    pat = _re.compile(_re.escape(table) + r"_\d+$")
+    for d in os.listdir(store):
+        if pat.fullmatch(d) and int(d.rsplit("_", 1)[1]) >= \
+                len(datasets):
+            _sh.rmtree(os.path.join(store, d), ignore_errors=True)
     counts = []
     for i, ds in enumerate(datasets):
         if max_chunk_mem is not None:
@@ -527,6 +565,10 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
     cell_chunks = list(z["chunks"][1:])
     dtype = np.dtype(z["dtype"])
     row_chunk = z["chunks"][0]
+    if any(s == 0 for s in cell_shape):
+        # 0-size axis: the chunk grid is empty (no files on disk) —
+        # synthesize the empty rows directly
+        return np.zeros([n_valid] + cell_shape, dtype=dtype)
     codec = (z.get("compressor") or {}).get("id") \
         if isinstance(z.get("compressor"), dict) else None
 
@@ -684,7 +726,8 @@ def _read_group(spark: SparkSession, group_dir: str,
 
 def xds_from_zarr(spark: SparkSession, store: str,
                   columns: Iterable[str] | None = None,
-                  slices: dict | None = None) -> list[Dataset]:
+                  slices: dict | None = None,
+                  table: str | None = None) -> list[Dataset]:
     """Read a zarr store into Datasets, one per ``{table}_{i}`` group
     (reference ``xds_from_zarr``,
     daskms/experimental/zarr/__init__.py:380-528).  Only JSON metadata
@@ -694,8 +737,21 @@ def xds_from_zarr(spark: SparkSession, store: str,
     ``slices`` maps a tensor column to python slices over its cell
     dims; only the cell chunks intersecting the slab are read from
     storage (see :func:`_read_cell_chunks`).
+
+    ``table`` selects one table's groups from a multi-table store
+    (``xds_to_zarr(..., table=...)`` writes ``{table}_{i}`` groups;
+    without the filter a mixed store returns every table's datasets
+    interleaved).
     """
     groups = _group_dirs(store)
+    if table is not None:
+        import re as _re
+
+        pat = _re.compile(_re.escape(table) + r"_\d+$")
+        groups = [g for g in groups if pat.fullmatch(g)]
+        if not groups:
+            raise FileNotFoundError(
+                f"no {table}_<i> groups under {store!r}")
     if not groups:
         # a bare array group (store IS the group)
         return [_read_group(spark, store, columns, slices)]

@@ -94,3 +94,46 @@ def test_ratt_ms_descriptor_builder():
     # the plain builder leaves the schema-derived type alone
     d0 = resolve_descriptor("ms", with_bf)
     assert d0["BITFLAG"]["valueType"] != "int"
+
+
+def test_casa_update_reassembles_complex_and_tensor(spark):
+    """The update path must consult the TARGET column descriptors:
+    interleaved re/im floats recombine to complex and flat tensors
+    reshape to the cell shape before putcol (review r8 — they were
+    putcol'd as flat float blocks)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.casa import xds_to_casa
+
+    calls = []
+
+    class FakeWritable:
+        def getcoldesc(self, c):
+            if c == "DATA":
+                return {"valueType": "COMPLEX", "shape": (2, 2)}
+            if c == "UVW":
+                return {"valueType": "DOUBLE", "shape": (3,)}
+            return {"valueType": "INT"}
+
+        def putcol(self, c, vals, lo, n):
+            calls.append((c, np.asarray(vals).shape,
+                          np.asarray(vals).dtype.kind, lo, n))
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame(
+        [Row(ROWID=i,
+             DATA=[float(i), 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+             UVW=[1.0 * i, 2.0, 3.0],
+             SC=i)
+         for i in range(4)])
+    n = xds_to_casa([Dataset(df, {})], "/fake",
+                    table_factory=lambda p: FakeWritable())
+    assert n == 4
+    by_col = {c: (shape, kind) for c, shape, kind, _, _ in calls}
+    assert by_col["DATA"] == ((4, 2, 2), "c")     # complex, reshaped
+    assert by_col["UVW"] == ((4, 3), "f")         # tensor cell shape
+    assert by_col["SC"][1] == "i"                 # scalar untouched

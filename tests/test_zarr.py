@@ -540,3 +540,54 @@ def test_rechunk_by_size_budget_respected(spark, tmp_path):
     assert len(got) == 200
     assert got[7].DATA[:3] == [7001.0, 7002.0, 7003.0]
     assert got[199].T == 199.0
+
+
+def test_zarr_write_densifies_gappy_rowids(spark, tmp_path):
+    """A grouped/filtered dataset keeps the parent table's global
+    ROWIDs; the writer must re-densify before chunking or rows
+    scatter into wrong/absent chunk files and read back zero-filled
+    (review r8)."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.zarr import (xds_from_zarr,
+                                            xds_to_zarr)
+
+    # gappy ROWIDs: every 3rd row of a 90-row parent, small chunks
+    df = (spark.range(90)
+          .selectExpr("id AS ROWID", "id * 10 AS v",
+                      "array(cast(id as double), 1.0d) AS a")
+          .where("ROWID % 3 = 0"))
+    store = str(tmp_path / "gappy")
+    xds_to_zarr([Dataset(df, {})], store, row_chunk=7)
+    [back] = xds_from_zarr(spark, store)
+    got = sorted(r.v for r in back.df.select("v").collect())
+    assert got == [i * 10 for i in range(0, 90, 3)]
+    arrs = {r.v: r.a for r in back.df.select("v", "a").collect()}
+    assert arrs[300] == [30.0, 1.0]
+
+
+def test_zarr_rewrite_drops_stale_groups(spark, tmp_path):
+    """Rewriting a store with fewer datasets must not resurrect the
+    previous write's higher-indexed groups (review r8); the table=
+    read filter selects one table from a multi-table store."""
+    import pytest
+
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.zarr import (xds_from_zarr,
+                                            xds_to_zarr)
+
+    d = spark.range(10).selectExpr("id AS ROWID", "id AS v")
+    store = str(tmp_path / "stale")
+    xds_to_zarr([Dataset(d, {}), Dataset(d, {}), Dataset(d, {})],
+                store)
+    xds_to_zarr([Dataset(d, {}), Dataset(d, {})], store)
+    assert len(xds_from_zarr(spark, store)) == 2
+    # multi-table store + table filter
+    ant = spark.range(3).selectExpr("id AS ROWID", "id AS ANT")
+    xds_to_zarr([Dataset(ant, {})], store, table="ANTENNA")
+    assert len(xds_from_zarr(spark, store, table="MAIN")) == 2
+    [a] = xds_from_zarr(spark, store, table="ANTENNA")
+    assert a.df.count() == 3
+    with pytest.raises(FileNotFoundError):
+        xds_from_zarr(spark, store, table="NOPE")
