@@ -356,6 +356,26 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
                       F.max("est_jaccard").alias("max_sim")))
 
 
+def _simhash_nbits(bits: int, fn: str) -> int:
+    """Usable vote-bit count for a requested signature width.
+
+    portable_hash64 yields 60-bit hashes (votes on higher bits are
+    constant -1, dead signature bits) and the signature must fit a
+    signed bigint, so widths above 61 clamp to 60 vote bits with a
+    warning instead of rejecting the documented default bits=64
+    (review r9)."""
+    if bits < 2:
+        raise ValueError(f"{fn}: bits must be >= 2, got {bits}")
+    if bits > 61:
+        import warnings
+
+        warnings.warn(
+            f"{fn}: bits={bits} clamped to 60 effective vote bits "
+            "(portable_hash64 is 60-bit; the signature is a signed "
+            "bigint)", stacklevel=3)
+    return min(bits - 1, 60)
+
+
 def simhash(text: Column, shingle_k: int = 4, bits: int = 64) -> Column:
     """SimHash signature (Column form): sign-sum of per-shingle hash
     bits.  bit_j(doc) = 1 if sum over shingles of (+1 if hash(shingle)
@@ -367,15 +387,9 @@ def simhash(text: Column, shingle_k: int = 4, bits: int = 64) -> Column:
     (explode + partial-aggregated vote sums — the shuffle-friendly
     shape).
     """
-    if not 2 <= bits <= 61:
-        raise ValueError(
-            f"simhash: bits must be in [2, 61], got {bits} — "
-            "portable_hash64 yields 60-bit hashes (votes on higher "
-            "bits are constant -1, dead signature bits) and the "
-            "signature must fit a signed bigint")
+    nbits = _simhash_nbits(bits, "simhash")
     shingles = char_ngrams(normalize_text(text), shingle_k)
     hashes = F.transform(shingles, lambda s: portable_hash64(s, "simhash"))
-    nbits = min(bits - 1, 60)  # sign bit of the bigint; 60-bit hashes
     zero = F.array_repeat(F.lit(0), nbits)
 
     def bitvec(h: Column) -> Column:
@@ -406,13 +420,7 @@ def with_simhash(docs: DataFrame, text_col: str = "text",
     (bits-1) vote columns, then the signature reassembled from vote
     signs.  The shingle/md5 work runs exactly once per shingle.
     """
-    if not 2 <= bits <= 61:
-        raise ValueError(
-            f"with_simhash: bits must be in [2, 61], got {bits} — "
-            "portable_hash64 yields 60-bit hashes (higher vote bits "
-            "are constant -1) and the signature must fit a signed "
-            "bigint")
-    nbits = min(bits - 1, 60)
+    nbits = _simhash_nbits(bits, "with_simhash")
     shingles = char_ngrams(normalize_text(F.col(text_col)), shingle_k)
     exploded = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),

@@ -108,14 +108,21 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
     # on (key, effective_seq) break on the tracked payload columns —
     # the apply_cdc total-order discipline — so which duplicate stays
     # current (and which gets the zero-width version) is a pure
-    # function of the data, not of shuffle order (review r8)
+    # function of the data, not of shuffle order (review r8).  Only
+    # orderable payload types join the tie-break: a MapType track
+    # column would fail the window's orderBy analysis (review r9).
+    from pyspark.sql.types import MapType
+
+    unorderable = {f.name for f in changes.schema.fields
+                   if isinstance(f.dataType, MapType)}
+    tie_cols = [c for c in track_cols if c not in unorderable]
     incoming = (changes
                 .select(*keys, F.col(effective_col).cast("long")
                         .alias("valid_from"), *track_cols)
                 .withColumn("valid_to",
                             F.lead("valid_from").over(
                                 Window.partitionBy(*keys)
-                                .orderBy("valid_from", *track_cols))))
+                                .orderBy("valid_from", *tie_cols))))
 
     hist = dim.select(*base_cols)
     changed_keys = F.broadcast(incoming.select(*keys).distinct())

@@ -172,8 +172,12 @@ def upload_dir(local_dir: str, url: str,
     n = 0
     for dirpath, _dirs, names in os.walk(local_dir):
         for name in names:
-            if name.startswith("."):
-                continue            # .crc sidecars: local-FS noise
+            # Skip only known local-FS sidecar noise.  A blanket
+            # dotfile skip would drop zarr store metadata
+            # (.zgroup/.zarray/.zattrs/.zmetadata), uploading an
+            # unreadable store.
+            if name.endswith(".crc") or name == "_SUCCESS":
+                continue
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, local_dir)
             key = f"{prefix}/{rel}".replace(os.sep, "/") if prefix \

@@ -271,7 +271,8 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
     # hits driver)
     aggs = [F.count(F.lit(1)).alias("__n"),
             F.min(ROWID).alias("__rid_lo"),
-            F.max(ROWID).alias("__rid_hi")]
+            F.max(ROWID).alias("__rid_hi"),
+            F.countDistinct(ROWID).alias("__rid_n")]
     arr_cols = [f.name for f in df.schema.fields
                 if isinstance(f.dataType, ArrayType)]
     str_cols = [f.name for f in df.schema.fields
@@ -291,7 +292,12 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
     meta = df.agg(*aggs).first()
     nrow = int(meta["__n"])
     if nrow and (int(meta["__rid_lo"]) != 0
-                 or int(meta["__rid_hi"]) != nrow - 1):
+                 or int(meta["__rid_hi"]) != nrow - 1
+                 or int(meta["__rid_n"]) != nrow):
+        # the countDistinct term catches duplicate ROWIDs that happen
+        # to pair with a matching gap (e.g. [0, 1, 1, 3]): min/max
+        # alone pass that input while rows still scatter into wrong
+        # chunks (review r9).
         # gappy/global ROWIDs (a grouped or filtered dataset keeps
         # the parent table's ids): chunk files are keyed ROWID //
         # row_chunk while the array shape is [nrow], so non-dense ids

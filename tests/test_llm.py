@@ -1525,9 +1525,22 @@ def test_dedup_guards_fail_loud(spark):
     with pytest.raises(ValueError, match="num_hashes"):
         minhash_from_base(None, num_hashes=128)
     with pytest.raises(ValueError, match="bits"):
-        simhash(None, bits=64)
+        simhash(None, bits=1)
     with pytest.raises(ValueError, match="bits"):
-        with_simhash(docs, bits=64)
+        with_simhash(docs, bits=1)
+    # the documented default bits=64 must WORK: it clamps to the 60
+    # usable vote bits with a warning, not a ValueError (review r9 —
+    # the r8 guard rejected the function's own default signature)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        col = simhash(F.col("text"))  # default bits=64
+        sig64 = docs.select(col.alias("s")).collect()
+    assert any("clamped" in str(x.message) for x in w)
+    sig61 = docs.select(
+        simhash(F.col("text"), bits=61).alias("s")).collect()
+    assert [r.s for r in sig64] == [r.s for r in sig61]
 
     embs = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(i)] * 8) for i in range(4)])

@@ -614,6 +614,27 @@ def test_scd2_apply_versions(spark):
     assert sorted(r.k for r in cur) == [1, 2, 3, 9]
 
 
+def test_scd2_apply_maptype_track_col(spark):
+    """A MapType payload column is unorderable: the deterministic
+    tie-break window must skip it instead of failing analysis
+    (review r9)."""
+    from dask_ms_spark.operators.cdc import scd2_apply
+
+    dim = spark.createDataFrame(
+        [Row(k=1, attr="a0", props={"x": "1"}, valid_from=0,
+             valid_to=None, is_current=True)],
+        "k long, attr string, props map<string,string>, "
+        "valid_from long, valid_to long, is_current boolean")
+    changes = spark.createDataFrame(
+        [Row(k=1, effective_seq=10, attr="a1", props={"x": "2"})],
+        "k long, effective_seq long, attr string, "
+        "props map<string,string>")
+    rows = {(r.k, r.valid_from): r for r in
+            scd2_apply(dim, changes, "k").collect()}
+    assert rows[(1, 0)].valid_to == 10
+    assert rows[(1, 10)].is_current and rows[(1, 10)].props == {"x": "2"}
+
+
 # --------------------------------------------------- rolling outliers
 
 def test_rolling_outliers_flags_planted_spike(spark):

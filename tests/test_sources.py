@@ -1397,3 +1397,48 @@ def test_s3_fallback_overwrite_and_sibling_isolation(spark, nation):
                                  storage_options=opts)
     finally:
         server.stop()
+
+
+@pytest.mark.skipif(not HAVE_MOTO, reason="needs moto")
+def test_s3_zarr_round_trip_keeps_dot_metadata(spark, nation):
+    """Review fix (r9): upload_dir used to skip EVERY dotfile, but a
+    zarr store's metadata lives in dotfiles (.zgroup/.zarray/
+    .zattrs).  A jar-less s3 zarr write must upload them or the
+    remote store is unreadable — and with mode='overwrite' the old
+    store would already be deleted, losing data permanently."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.s3staging import boto3_client
+    from dask_ms_spark.sources.storage import (xds_from_storage_table,
+                                               xds_to_storage_table)
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        import boto3
+
+        boto3.client(
+            "s3", endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1").create_bucket(Bucket="dms-zarr")
+        opts = {"key": "testing", "secret": "testing",
+                "client_kwargs": {"endpoint_url": endpoint}}
+        url = "s3://dms-zarr/store"
+        xds_to_storage_table([Dataset(nation, {})], url, fmt="zarr",
+                             storage_options=opts)
+        # the store metadata dotfiles must be among the uploaded keys
+        client = boto3_client(opts)
+        keys = [o["Key"] for o in client.list_objects_v2(
+            Bucket="dms-zarr", Prefix="store")["Contents"]]
+        assert any(k.endswith(".zgroup") for k in keys), keys
+        assert any(k.endswith(".zarray") for k in keys), keys
+        assert any(k.endswith(".zattrs") for k in keys), keys
+        back = xds_from_storage_table(spark, url, storage_options=opts)
+        got = sorted(r.n_nationkey for d in back
+                     for r in d.df.select("n_nationkey").collect())
+        assert got == sorted(
+            r.n_nationkey for r in nation.select("n_nationkey").collect())
+    finally:
+        server.stop()

@@ -567,6 +567,24 @@ def test_zarr_write_densifies_gappy_rowids(spark, tmp_path):
     assert arrs[300] == [30.0, 1.0]
 
 
+def test_zarr_write_densifies_duplicate_rowids(spark, tmp_path):
+    """Duplicate ROWIDs paired with a matching gap (e.g. [0,1,1,3])
+    pass a min/max-only density check while rows still scatter into
+    wrong chunks; the countDistinct guard must catch and re-densify
+    them (review r9)."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.zarr import xds_from_zarr, xds_to_zarr
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, 200), (1, 300), (3, 400)],
+        "ROWID long, v long")
+    store = str(tmp_path / "duprid")
+    xds_to_zarr([Dataset(df, {})], store, row_chunk=2)
+    [back] = xds_from_zarr(spark, store)
+    assert sorted(r.v for r in back.df.select("v").collect()) == \
+        [100, 200, 300, 400]
+
+
 def test_zarr_rewrite_drops_stale_groups(spark, tmp_path):
     """Rewriting a store with fewer datasets must not resurrect the
     previous write's higher-indexed groups (review r8); the table=
