@@ -6759,95 +6759,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The rotation ledger lives at the window boundary (position 50)
     # inside the dict below.
     return {
-        # -- round-8 window, position 1-21: the 21 r7-session debuts
-        #    (applycal ... heaps_fit), every one judge-verified MATCH
-        #    at sf0.01 in the r7 session; FIRST driver rows this
-        #    round --
-        "applycal": q_applycal,
-        "flag_grow": q_flag_grow,
-        "ngram_novelty": q_ngram_novelty,
-        "parallactic_angle": q_parallactic_angle,
-        "dedup_containment": q_dedup_containment,
-        "sample_unimax": q_sample_unimax,
-        "scan_summary": q_scan_summary,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "grid_conv": q_grid_conv,
-        "statwt": q_statwt,
-        "events_changepoint": q_events_changepoint,
-        "c4_filter": q_c4_filter,
-        "closure_amp": q_closure_amp,
-        "split_leakage": q_split_leakage,
-        "ccnet_buckets": q_ccnet_buckets,
-        "lm_kneser_ney": q_lm_kneser_ney,
-        "attribution": q_attribution,
-        "bandpass_solve": q_bandpass,
-        "cuped": q_cuped,
-        "cusum_segments": q_cusum_segments,
-        "heaps_fit": q_heaps_fit,
-        # -- window position 22-38: the remaining 17 r4-stale
-        #    entries (last driver row r4), bodies untouched since --
-        "expr_arithmetic": q_expr_arithmetic,
-        "group_partition": q_group_partition,
-        "sorted_read": q_sorted_read,
-        "within_group_sort": q_within_group_sort,
-        "topk": q_topk,
-        "broadcast_join": q_broadcast_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "concat": q_concat,
-        "overlay": q_overlay,
-        "complex_mul": q_complex_mul,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "salted_join": q_salted_join,
-        "window_frames": q_window_frames,
-        "cube": q_cube,
-        "quantiles": q_quantiles,
-        # -- window position 39-50: the 12 oldest r5-checked
-        #    entries (by original r5-window order; dedup_semantic of
-        #    this block was demoted beside dedup_embedding_bucketed,
-        #    r8) --
-        "doc_chunks": q_doc_chunks,
-        "pii_redact": q_pii_redact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_lsh_capped": q_dedup_lsh_capped,
-        "sample_mixture": q_sample_mixture,
-        "rollup_merge": q_rollup_merge,
-        "zorder_layout": q_zorder_layout,
-        "corpus_diff": q_corpus_diff,
-        "cardinality_kmv": q_cardinality_kmv,
-        "dedup_substring": q_dedup_substring,
-        "collocations_pmi": q_collocations_pmi,
-        "char_entropy": q_char_entropy,
-        # ==== driver window ends here (position 50) ====
-        # ROTATION LEDGER (50-row window over the 177-query registry,
-        # 4-round coverage union):
-        #   r5 window: the 49-entry "last driver row r5" block below
-        #   r6 window: 37 r5-debuts + 13 oldest r4-stale
-        #   r7 window: 34 r6-debuts + 16 oldest r4-stale
-        #   r8 window (this one): 21 r7 debuts + 17 r4-stale
-        #     (expr_arithmetic ... quantiles) + 12 oldest r5-checked
-        #     (doc_chunks ... char_entropy) = 50 exactly
-        #   r9 plan (recounted): the r8 debut (taql_subquery) + the
-        #     23 remaining r5-checked (graph_triangles ...
-        #     events_gap_stats) + 13 r6-checked r4-stale re-checks
-        #     (events_correlate ... tpch_q5) + the 13 oldest of the
-        #     "last row r5" block (pivot ...) = 1+23+13+13 = 50;
-        #     events_changepoint is the r9 demotion candidate beside
-        #     cusum_segments once its r8 driver row lands.
-        # Round-8 demotions (oracles retained in demoted_oracle_sql,
-        # swept by tools/check_oracle + pytest): grid_wstack (beside
-        # grid_conv), ann_pq (beside ann_ivfpq which composes it),
-        # dedup_semantic (beside dedup_embedding_bucketed, same
-        # bucketed-GEMM spine), dedup_minhash_drop (beside
-        # dedup_lsh_capped, same MinHash/LSH spine with the
-        # production cap), contamination (pipeline_funnel runs the
-        # identical decontamination stage inside the curate funnel).
-        # -- r8-session debuts, below window: verified via
-        #    tools/check_oracle at sf0.01 this session; they lead
-        #    round 9's window --
+        # -- round-9 window, position 1: the r8-session debut,
+        #    judge-verified MATCH at sf0.01 in the r8 session;
+        #    FIRST driver row this round --
         "taql_subquery": q_taql_subquery,
-        # -- last driver row r6 (r5-session debuts, remainder) --
+        # -- window position 2-24: the 23 remaining r5-session
+        #    debuts (last driver row r6) --
         "graph_triangles": q_graph_triangles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "interval_overlap": q_interval_overlap,
@@ -6871,8 +6788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_lag": q_conversion_lag,
         "zipf_fit": q_zipf_fit,
         "events_gap_stats": q_events_gap_stats,
-        # -- last driver row r6 (r4-stale re-checks from the r6
-        #    window) --
+        # -- window position 25-37: 13 r4-stale re-checks whose
+        #    last driver row is r6 --
         "events_correlate": q_events_correlate,
         "star_join": q_star_join,
         "rollup": q_rollup,
@@ -6886,8 +6803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
-        # -- last driver row r5 (the full round-5 window, untouched
-        #    bodies; their r5 rows carry the union coverage) --
+        # -- window position 38-50: the 13 oldest of the "last
+        #    driver row r5" block (original r5-window order) --
         "pivot": q_pivot,
         "unpivot": q_unpivot,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
@@ -6901,6 +6818,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
+        # ==== driver window ends here (position 50) ====
+        # ROTATION LEDGER (50-row window over the registry,
+        # 4-round coverage union):
+        #   r6 window: 37 r5-debuts + 13 oldest r4-stale
+        #   r7 window: 34 r6-debuts + 16 oldest r4-stale
+        #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
+        #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
+        #   r9 window (this one): the r8 debut (taql_subquery)
+        #     + 23 remaining r5-checked (graph_triangles ...
+        #     events_gap_stats) + 13 r6-checked r4-stale
+        #     re-checks (events_correlate ... tpch_q5) + the 13
+        #     oldest "last row r5" entries (pivot ...
+        #     similarity_topk) = 1+23+13+13 = 50.  After this
+        #     window every registered query has a driver row.
+        #   r10 plan: the 30 "last row r5" remainder
+        #     (sample_split ... resample_fill) + the 20 oldest
+        #     r7-checked (snapshot_roundtrip ...) = 50; oldest-
+        #     row-first from then on.
+        # Round-8 demotions (oracles retained in
+        # demoted_oracle_sql, swept by tools/check_oracle +
+        # pytest): grid_wstack, ann_pq, dedup_semantic,
+        # dedup_minhash_drop, contamination (see ledger in git
+        # history for the beside-twin rationale).
+        # -- last driver row r8 (r7-session debuts; first rows
+        #    landed in CORRECTNESS_r08, all green) --
+        "applycal": q_applycal,
+        "flag_grow": q_flag_grow,
+        "ngram_novelty": q_ngram_novelty,
+        "parallactic_angle": q_parallactic_angle,
+        "dedup_containment": q_dedup_containment,
+        "sample_unimax": q_sample_unimax,
+        "scan_summary": q_scan_summary,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "grid_conv": q_grid_conv,
+        "statwt": q_statwt,
+        "events_changepoint": q_events_changepoint,
+        "c4_filter": q_c4_filter,
+        "closure_amp": q_closure_amp,
+        "split_leakage": q_split_leakage,
+        "ccnet_buckets": q_ccnet_buckets,
+        "lm_kneser_ney": q_lm_kneser_ney,
+        "attribution": q_attribution,
+        "bandpass_solve": q_bandpass,
+        "cuped": q_cuped,
+        "cusum_segments": q_cusum_segments,
+        "heaps_fit": q_heaps_fit,
+        # -- last driver row r8 (r4-stale re-checks from the r8
+        #    window) --
+        "expr_arithmetic": q_expr_arithmetic,
+        "group_partition": q_group_partition,
+        "sorted_read": q_sorted_read,
+        "within_group_sort": q_within_group_sort,
+        "topk": q_topk,
+        "broadcast_join": q_broadcast_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "concat": q_concat,
+        "overlay": q_overlay,
+        "complex_mul": q_complex_mul,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "salted_join": q_salted_join,
+        "window_frames": q_window_frames,
+        "cube": q_cube,
+        "quantiles": q_quantiles,
+        # -- last driver row r8 (oldest r5-checked re-checks
+        #    from the r8 window) --
+        "doc_chunks": q_doc_chunks,
+        "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_lsh_capped": q_dedup_lsh_capped,
+        "sample_mixture": q_sample_mixture,
+        "rollup_merge": q_rollup_merge,
+        "zorder_layout": q_zorder_layout,
+        "corpus_diff": q_corpus_diff,
+        "cardinality_kmv": q_cardinality_kmv,
+        "dedup_substring": q_dedup_substring,
+        "collocations_pmi": q_collocations_pmi,
+        "char_entropy": q_char_entropy,
+        # -- last driver row r5 (remainder of the round-5
+        #    window, untouched bodies) --
         "sample_split": q_sample_split,
         "udaf_ols": q_udaf_ols,
         "table_profile": q_table_profile,
