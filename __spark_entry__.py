@@ -29,6 +29,7 @@ import sys
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
+from dask_ms_spark.cache import scoped_persist  # noqa: E402
 from dask_ms_spark.dataset import concat, partition_datasets  # noqa: E402
 from dask_ms_spark.expressions import data_column_expr  # noqa: E402
 from dask_ms_spark.functions import complexf  # noqa: E402
@@ -935,10 +936,10 @@ def q_tpch_q11(spark, sf_dir):
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
     val = (F.col("l_extendedprice").cast("decimal(18,2)") *
            (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
-    per_part = (li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
-                  .groupBy("l_partkey")
-                  .agg(F.sum(val).alias("value"))
-                  .persist())
+    per_part = scoped_persist(
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+          .groupBy("l_partkey")
+          .agg(F.sum(val).alias("value")))
     total = per_part.agg(F.sum("value").alias("total"))
     out = (per_part.join(F.broadcast(total))
                    .where(F.col("value") * F.lit(1000) > F.col("total"))
@@ -1048,9 +1049,9 @@ def q_bm25_search(spark, sf_dir):
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
          .alias("term"))
-    tf_all = (tok.groupBy("doc_id", "term")
-                 .agg(F.count(F.lit(1)).alias("tf"))
-                 .persist())
+    tf_all = scoped_persist(
+        tok.groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).alias("tf")))
     dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     consts = dl.agg(F.avg("dl").alias("avgdl"),
                     F.count(F.lit(1)).alias("n_docs"))
@@ -1531,9 +1532,9 @@ def q_skew_profile(spark, sf_dir):
     detector must itself not be skew-prone — its shuffle carries
     (key, count), never rows."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    per_key = (li.groupBy("l_orderkey")
-                 .agg(F.count(F.lit(1)).alias("n"))
-                 .persist())
+    per_key = scoped_persist(
+        li.groupBy("l_orderkey")
+          .agg(F.count(F.lit(1)).alias("n")))
     total = per_key.agg(F.sum("n").alias("total"))
     return (per_key.join(F.broadcast(total))
                    .select(F.col("l_orderkey").alias("key"), "n",

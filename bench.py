@@ -34,6 +34,8 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
+from dask_ms_spark.cache import release_caches  # noqa: E402
+
 # Headline set: every declared query (the full driver contract).
 # Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to restrict.
 HEADLINE: list[str] | None = None
@@ -120,7 +122,7 @@ def main() -> int:
                 first = (str(exc).splitlines() or [""])[0]
                 print(f"warmup {name}: {type(exc).__name__}: "
                       f"{first[:200]}", file=sys.stderr)
-            spark.catalog.clearCache()
+            release_caches()
 
     jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
 
@@ -146,8 +148,10 @@ def main() -> int:
             t_total0 += time.time() - t_pause   # probe isn't suite time
         fn = queries[name]
         # isolate queries: persisted frames from earlier queries would
-        # otherwise hold executor memory and skew later timings
-        spark.catalog.clearCache()
+        # otherwise hold executor memory and skew later timings.
+        # release_caches() frees exactly the library's scoped persists
+        # (a user-facing driver does the same, or uses cache_scope())
+        release_caches()
         if jvm_system is not None and i % 8 == 0:
             # a driver GC fires Spark's ContextCleaner, which is what
             # actually releases accumulated broadcast/shuffle blocks

@@ -43,9 +43,12 @@ def xds_to_table_fragment(xds, store: str, parent: str, **kw) -> None:
 def xds_from_table_fragment(spark, store: str, **kw) -> list[Dataset]:
     return [Dataset(read_fragment(spark, store, **kw), {})]
 
+from .cache import cache_scope, release_caches, scoped_persist  # noqa: E402
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "cache_scope", "release_caches", "scoped_persist",
     "get_spark", "stop_spark", "Dataset", "partition_datasets", "concat",
     "data_column_expr", "apply_expr", "CASA_TO_SPARK", "SPARK_TO_CASA",
     "ROWID", "complex_array_type", "tensor_field", "xds_from_parquet",

@@ -484,10 +484,13 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
         # shingle pipeline runs three times.  persist (columnar
         # InMemoryRelation) measured several times faster than
         # localCheckpoint here; the cache entry is per logical plan
-        # and NOT GC-released, so looping drivers should
-        # spark.catalog.clearCache() between batches (the dedup
-        # module's cache discipline)
-        lm_grams = lm_grams.persist()
+        # and NOT GC-released, so it registers with the scoped cache
+        # lifecycle — looping drivers wrap batches in
+        # dask_ms_spark.cache.cache_scope() or call release_caches()
+        # between them (the dedup module's cache discipline)
+        from ..cache import scoped_persist
+
+        lm_grams = scoped_persist(lm_grams)
     uni = (lm_grams.groupBy("w1")
            .agg(F.count(F.lit(1)).alias("c1")))
     bi = (lm_grams.groupBy("w1", "w2")

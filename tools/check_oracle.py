@@ -17,6 +17,8 @@ import duckdb  # noqa: E402
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
+from dask_ms_spark.cache import release_caches  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -134,8 +136,9 @@ def main():
             continue
         # queries that persist intermediates (tpch_q11, bm25_search,
         # the LSH family) would otherwise pin storage memory across
-        # the whole 91-query session; the bench isolates the same way
-        spark.catalog.clearCache()
+        # the whole session; the bench isolates the same way — via
+        # the scoped-release API, never the global clearCache
+        release_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
