@@ -207,7 +207,28 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     if taql_where:
         from ..taql import taql_where_to_sql
 
-        translated = taql_where_to_sql(taql_where)
+        try:
+            translated = taql_where_to_sql(taql_where)
+        except ValueError as err:
+            if "ambiguous without a schema" not in str(err):
+                raise
+            # SUM/MIN/MAX/MEAN over a column that may be an array:
+            # bind the scan schema (parquet: a footer-only read, no
+            # data IO) and retranslate; other formats route the user
+            # to the explicit schema= form.
+            _store = TableStore.parse(url, storage_options)
+            if _store.scheme in ("", "file") and \
+                    infer_format(_store.path, spark) == "parquet":
+                if _store.storage_options:
+                    _store.apply(spark)
+                peek = spark.read.parquet(_store.path).schema
+                translated = taql_where_to_sql(taql_where, schema=peek)
+            else:
+                raise ValueError(
+                    f"{err}\n(xds_from_storage_table can only bind "
+                    "the schema automatically for parquet stores; "
+                    "for this format call taql_where_to_sql(expr, "
+                    "schema=df.schema) and pass where=)") from err
         where = f"({where}) AND ({translated})" if where else translated
     store = TableStore.parse(url, storage_options)
     if store.scheme in ("s3", "s3a", "s3n"):

@@ -48,12 +48,16 @@ the inner WHERE recurses through the translator); and the casacore
 array-reduction predicates ``ANY``/``ALL``/``NTRUE``/``NFALSE``/
 ``NELEMENTS`` over array columns (→ ``exists``/``forall``/
 ``size(filter(...))``/``size`` — the flagging idioms like
-``!ALL(FLAG)``).
+``!ALL(FLAG)``); and, when a schema is bound via ``schema=``, the
+array aggregates ``SUM/MIN/MAX/MEAN(arraycol)`` → higher-order
+reductions (``aggregate``/``array_min``/``array_max``) — without a
+schema those names collide with the SQL aggregates and a bare call
+raises with guidance (``xds_from_storage_table`` binds the schema
+automatically for parquet stores via a footer-only read).
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
-unit quantities, mscal derived columns, multi-table nested selects,
-and SUM/MIN/MAX/MEAN over arrays (SQL-aggregate name collision —
-refused rather than guessed).
+unit quantities, mscal derived columns, and multi-table nested
+selects.
 """
 
 from __future__ import annotations
@@ -123,6 +127,22 @@ _ARRAY_REDUCTIONS = {
     "NTRUE": "size(filter({x}, __v -> __v))",
     "NFALSE": "size(filter({x}, __v -> NOT __v))",
     "NELEMENTS": "size({x})",
+}
+
+# casacore array aggregates SUM/MIN/MAX/MEAN (Note 199) — their names
+# collide with SQL aggregates, so they are translated ONLY when the
+# operand's root column is known (via the ``schema=`` argument) to be
+# an ArrayType; otherwise the name is left for Spark's own aggregate
+# and a bare ambiguous call raises with guidance.  SUM/MEAN cast
+# elements to double (numeric arrays; boolean counting is NTRUE).
+_ARRAY_AGGS = {
+    "SUM": ("aggregate({x}, CAST(0 AS DOUBLE), "
+            "(__a, __v) -> __a + CAST(__v AS DOUBLE))"),
+    "MIN": "array_min({x})",
+    "MAX": "array_max({x})",
+    "MEAN": ("(aggregate({x}, CAST(0 AS DOUBLE), "
+             "(__a, __v) -> __a + CAST(__v AS DOUBLE)) "
+             "/ CAST(size({x}) AS DOUBLE))"),
 }
 
 # casacore epoch: MJD 0 = 1858-11-17 00:00 UTC
@@ -274,7 +294,8 @@ def _emit_subquery(body: list[str]) -> str:
     return sql
 
 
-def _emit(toks: list[str]) -> str:
+def _emit(toks: list[str],
+          array_cols: set[str] | None = None) -> str:
     out: list[str] = []
     i = 0
     n = len(toks)
@@ -319,7 +340,7 @@ def _emit(toks: list[str]) -> str:
                 raise ValueError(
                     "taql_where_to_sql: '~=' with no right operand")
             lhs = _pop_lhs(out)
-            rhs = _emit(rhs_toks)
+            rhs = _emit(rhs_toks, array_cols)
             near = (f"abs(({lhs}) - ({rhs})) <= 1.0E-5 * "
                     f"greatest(abs({lhs}), abs({rhs}))")
             out.append(f"NOT ({near})" if negate else near)
@@ -351,13 +372,42 @@ def _emit(toks: list[str]) -> str:
         elif up in ("SUMSQR", "SUMSQUARE") and i + 1 < n \
                 and toks[i + 1] == "(":
             j = _match_bracket(toks, i + 1, "(", ")")
-            inner = _emit(toks[i + 2:j])
+            inner = _emit(toks[i + 2:j], array_cols)
             out.append(_SUM_SQR.format(x=inner))
             i = j
+        elif up in _ARRAY_AGGS and i + 1 < n and toks[i + 1] == "(":
+            # SUM/MIN/MAX/MEAN: array reduction IFF the operand's
+            # root column is a known array column; otherwise the
+            # SQL-aggregate name collision stands and we refuse a
+            # bare call (a schema-less translation cannot guess).
+            j = _match_bracket(toks, i + 1, "(", ")")
+            body = toks[i + 2:j]
+            root = next((b for b in body
+                         if re.match(r"^[A-Za-z_]", b)
+                         and b.upper() not in ("AND", "OR", "NOT")),
+                        None)
+            if array_cols is not None and root in array_cols:
+                inner = _emit(body, array_cols)
+                out.append(_ARRAY_AGGS[up].format(x=inner))
+                i = j
+            elif array_cols is not None:
+                # schema bound and NOT an array column: SQL aggregate
+                # names pass through untouched (e.g. a user mixing
+                # the predicate into a HAVING-style context)
+                out.append(t)
+            else:
+                raise ValueError(
+                    f"taql_where_to_sql: {up}() is ambiguous without "
+                    "a schema — over an ARRAY column it is the "
+                    "casacore array reduction, otherwise the SQL "
+                    "aggregate.  Pass schema= (the DataFrame's "
+                    ".schema or a set of array-column names) to "
+                    "translate it, or use SUMSQR/NTRUE/NELEMENTS "
+                    "which are unambiguous")
         elif up in _ARRAY_REDUCTIONS and i + 1 < n \
                 and toks[i + 1] == "(":
             j = _match_bracket(toks, i + 1, "(", ")")
-            inner = _emit(toks[i + 2:j])
+            inner = _emit(toks[i + 2:j], array_cols)
             if not inner.strip():
                 raise ValueError(
                     f"taql_where_to_sql: {up}() needs an array "
@@ -388,8 +438,8 @@ def _emit(toks: list[str]) -> str:
                         and body[k - 1] in ("=", "<")
                         and body[k + 1] in ("=", "<")
                         and out):
-                    lo = _emit(body[:k - 1])
-                    hi = _emit(body[k + 2:])
+                    lo = _emit(body[:k - 1], array_cols)
+                    hi = _emit(body[k + 2:], array_cols)
                     lo_op = ">=" if body[k - 1] == "=" else ">"
                     hi_op = "<=" if body[k + 1] == "=" else "<"
                     neg = ""
@@ -407,7 +457,7 @@ def _emit(toks: list[str]) -> str:
                     "([a:b]) are not supported — enumerate the "
                     "values, use an interval bound ([a=:=b]) or "
                     "comparison predicates")
-            inner = _emit(body)
+            inner = _emit(body, array_cols)
             out.append(f"IN ({inner})")
             i = j
         elif t == "[" and out and (re.match(r"^[A-Za-z_]", out[-1])
@@ -423,8 +473,9 @@ def _emit(toks: list[str]) -> str:
                     "with element_at/filter by hand")
             if ":" in body:
                 k = body.index(":")
-                lo = _emit(body[:k]) if k > 0 else "0"
-                hi = _emit(body[k + 1:]) if k + 1 < len(body) else None
+                lo = _emit(body[:k], array_cols) if k > 0 else "0"
+                hi = (_emit(body[k + 1:], array_cols)
+                      if k + 1 < len(body) else None)
                 if hi is None:
                     out.append(f"slice({base}, ({lo}) + 1, "
                                f"size({base}) - ({lo}))")
@@ -437,7 +488,7 @@ def _emit(toks: list[str]) -> str:
                 # element_at counts from the end the same way, no +1
                 out.append(f"element_at({base}, -{body[1]})")
             else:
-                idx = _emit(body)
+                idx = _emit(body, array_cols)
                 out.append(f"element_at({base}, ({idx}) + 1)")
             i = j
         else:
@@ -446,11 +497,19 @@ def _emit(toks: list[str]) -> str:
     return " ".join(out)
 
 
-def taql_where_to_sql(expr: str) -> str:
+def taql_where_to_sql(expr: str, schema=None) -> str:
     """Translate a TAQL boolean expression (the supported subset — see
     module docstring) to an equivalent Spark SQL predicate string.
     Raises ``ValueError`` on syntax outside the subset rather than
-    guessing."""
+    guessing.
+
+    ``schema`` binds column types so the casacore array aggregates
+    ``SUM/MIN/MAX/MEAN(arraycol)`` (Note 199, the flagging idioms
+    like ``MEAN(SIGMA) < 2``) translate to higher-order reductions
+    instead of colliding with the SQL aggregates of the same name.
+    Accepts a ``StructType`` (a DataFrame's ``.schema``), an iterable
+    of array-column NAMES, or None (bare SUM/MIN/MAX/MEAN then
+    raises with guidance)."""
     if not expr or not expr.strip():
         return expr
     unquoted = re.sub(r"'[^']*'|\"[^\"]*\"", "", expr)
@@ -459,7 +518,16 @@ def taql_where_to_sql(expr: str) -> str:
             "taql_where_to_sql: bare date literal — it would parse "
             "as integer division; write DATETIME('YYYY/MM/DD') "
             "(folds to MJD seconds) or MJD('...') (days)")
-    out = _emit(_tokenize(expr))
+    array_cols = None
+    if schema is not None:
+        try:                      # StructType: pick the array fields
+            from pyspark.sql.types import ArrayType
+
+            array_cols = {f.name for f in schema.fields
+                          if isinstance(f.dataType, ArrayType)}
+        except AttributeError:    # iterable of array-column names
+            array_cols = set(schema)
+    out = _emit(_tokenize(expr), array_cols)
     bare = re.sub(r"'[^']*'|\"[^\"]*\"", "", out)
     if "[" in bare or "]" in bare:
         raise ValueError(

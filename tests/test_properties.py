@@ -511,7 +511,10 @@ def _taql_exprs():
         "A IN [SELECT DISTINCT A FROM ::V]",
         # tier-5 array reductions (FLAGS is array<boolean>)
         "!ALL(FLAGS)", "ANY(FLAGS)",
-        "NTRUE(FLAGS) < NELEMENTS(FLAGS)"])
+        "NTRUE(FLAGS) < NELEMENTS(FLAGS)",
+        # r9: array aggregates, schema-bound (UVW is array<double>)
+        "SUM(UVW) > 1", "MEAN(UVW) ~= 2.0",
+        "MAX(UVW) >= MIN(UVW)", "SUM(UVW[:2]) < 1e6"])
     atoms = st.one_of(comp, special)
 
     def compose(children):
@@ -541,7 +544,7 @@ if HAVE_HYPOTHESIS:
             "FLAG_ROW boolean, TIME double, FLAGS array<boolean>")
         df.createOrReplaceTempView("V")    # tier-4 nested-query atoms
         try:
-            sql = taql_where_to_sql(expression)
+            sql = taql_where_to_sql(expression, schema=df.schema)
         except ValueError:
             return                     # refused loudly: fine
         df.where(sql).count()          # must parse AND run

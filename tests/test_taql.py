@@ -442,3 +442,50 @@ def test_array_reductions_translate_and_execute(spark):
         "NTRUE(FLAG) == NFALSE(FLAG)")).collect()) == [1]
     with pytest.raises(ValueError):
         taql_where_to_sql("NTRUE() > 0")
+
+
+def test_array_aggregates_schema_bound(spark, tmp_path):
+    """r9: SUM/MIN/MAX/MEAN over an ARRAY column translate to
+    higher-order reductions when the schema is bound (casacore Note
+    199 array aggregates); bare calls stay refused (SQL-aggregate
+    name collision), and scalar columns pass the names through."""
+    import pytest
+
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    # refusal without schema, with guidance
+    with pytest.raises(ValueError, match="ambiguous without a schema"):
+        taql_where_to_sql("SUM(SIGMA) > 1")
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0], 1.0), (1, [10.0, 20.0, 30.0], 2.0),
+         (2, [0.0, 0.0, 0.0], 3.0)],
+        "id long, SIGMA array<double>, W double")
+
+    # one executed-in-Spark assertion per function
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "SUM(SIGMA) > 10", schema=df.schema)).collect()) == [1]
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "MIN(SIGMA) >= 1.0", schema=df.schema)).collect()) == [0, 1]
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "MAX(SIGMA) == 30", schema=df.schema)).collect()) == [1]
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "MEAN(SIGMA) ~= 2.0", schema=df.schema)).collect()) == [0]
+    # slice operand: the root column decides array-ness
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "SUM(SIGMA[:2]) < 4", schema=df.schema)).collect()) == [0, 2]
+    # iterable-of-names schema form
+    assert "array_min" in taql_where_to_sql("MIN(SIGMA) > 0",
+                                            schema={"SIGMA"})
+    # scalar column under a bound schema: name passes through
+    assert taql_where_to_sql("MAX(W) > 1",
+                             schema=df.schema) == "MAX ( W ) > 1"
+
+    # through the storage read path: parquet footer peek binds schema
+    from dask_ms_spark.sources.storage import xds_from_storage_table
+
+    p = str(tmp_path / "sig.parquet")
+    df.write.parquet(p)
+    [ds] = xds_from_storage_table(spark, p,
+                                  taql_where="MEAN(SIGMA) > 5")
+    assert sorted(r.id for r in ds.df.collect()) == [1]
