@@ -84,7 +84,7 @@ def within_group_sort(df: DataFrame, group_cols: Iterable[str],
 
 
 def attach_rowid(df: DataFrame, order_cols: Iterable[str],
-                 name: str = ROWID) -> DataFrame:
+                 name: str = ROWID, stable: bool = False) -> DataFrame:
     """Deterministic ROWID from a natural ordering key (the reference's
     ROWID coordinate, daskms/reads.py:227).
 
@@ -99,6 +99,17 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     are only tie-permuted among identical rows — the same guarantee a
     global window gives.  (daskms/writes.py:363-425 appends do the
     equivalent chained row-count discovery.)
+
+    ``stable=True`` eagerly ``localCheckpoint``s the range-partitioned
+    frame before branching.  The two-branch form is only consistent
+    when Catalyst REUSES the range exchange; when the broadcast side
+    materialises separately (deep composed plans — found by
+    tools/stress_writes.py, round 9), the RangePartitioner RESAMPLES
+    its boundaries per evaluation and the offsets no longer describe
+    the data branch's partitions, yielding duplicate/overlapping ids.
+    Writers (zarr/CASA re-densify) pass stable=True: one extra
+    materialisation of data that is about to be written anyway buys a
+    structural guarantee instead of an optimizer-dependent one.
     """
     order_cols = list(order_cols)
     spark = df.sparkSession
@@ -106,6 +117,8 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     parted = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
                 .sortWithinPartitions(*order_cols)
                 .withColumn("__pid", F.spark_partition_id()))
+    if stable:
+        parted = parted.localCheckpoint(eager=True)
     offs = (parted.groupBy("__pid")
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .withColumn("__off",

@@ -527,7 +527,7 @@ def create_casa_table(datasets, path: str,
         if order_cols:
             from ..operators.ordering import attach_rowid
 
-            df = attach_rowid(df, order_cols)
+            df = attach_rowid(df, order_cols, stable=True)
         else:
             from pyspark.sql import functions as F
 

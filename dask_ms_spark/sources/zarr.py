@@ -264,7 +264,8 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
     if ROWID not in df.columns:
         from ..operators.ordering import attach_rowid
 
-        df = attach_rowid(df, [c for c in df.columns])
+        df = attach_rowid(df, [c for c in df.columns],
+                          stable=True)
 
     # one small metadata aggregation: row count, null check, ragged-
     # tensor check, string widths (the eager-DDL analogue; data never
@@ -310,7 +311,7 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
 
         df = attach_rowid(
             df.withColumnRenamed(ROWID, "__src_rowid"),
-            ["__src_rowid"]).drop("__src_rowid")
+            ["__src_rowid"], stable=True).drop("__src_rowid")
     nulled = {c: meta[f"__null_{c}"] for c in data_cols
               if (meta[f"__null_{c}"] or 0) > 0}
     nulled.update({c: "element" for c in arr_cols

@@ -609,3 +609,53 @@ def test_zarr_rewrite_drops_stale_groups(spark, tmp_path):
     assert a.df.count() == 3
     with pytest.raises(FileNotFoundError):
         xds_from_zarr(spark, store, table="NOPE")
+
+
+def test_zarr_write_composed_gappy_plan_roundtrips(spark, tmp_path):
+    """Write-path stress regression (r9, found by
+    tools/stress_writes.py): a DEEP composed input plan (union ->
+    attach_rowid -> filter) broke attach_rowid's two-branch offsets
+    form when Catalyst did not reuse the range exchange — the
+    RangePartitioner resampled boundaries per evaluation, producing
+    overlapping ROWIDs and chunk overflow in the writer.  The writers
+    now use attach_rowid(stable=True) (eager localCheckpoint pins the
+    partitioning); the composed round trip must be value-exact."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.operators.ordering import attach_rowid
+    from dask_ms_spark.sources.zarr import xds_from_zarr, xds_to_zarr
+    from dask_ms_spark.types import ROWID
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_linenumber",
+                  "l_quantity"))
+    parts = [li] + [li.withColumn("l_orderkey",
+                                  F.col("l_orderkey") + F.lit(i * 10 ** 7))
+                    for i in range(1, 4)]
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    gappy = attach_rowid(base, ["l_orderkey", "l_partkey",
+                                "l_linenumber", "l_quantity"]) \
+        .where(F.col(ROWID) % 3 == 0)
+    want = gappy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")).alias("k"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+         .alias("q")).first()
+    store = str(tmp_path / "composed")
+    xds_to_zarr([Dataset(gappy, {})], store, row_chunk=1000)
+    [back] = xds_from_zarr(spark, store)
+    got = back.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")).alias("k"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+         .alias("q")).first()
+    assert tuple(want) == tuple(got)
+    # stable form: dense unique ids on the deep plan
+    red = attach_rowid(gappy.withColumnRenamed(ROWID, "__s"),
+                       ["__s"], stable=True)
+    stats = red.agg(F.countDistinct(ROWID), F.max(ROWID),
+                    F.count(F.lit(1))).first()
+    assert stats[0] == stats[2] and stats[1] == stats[2] - 1
