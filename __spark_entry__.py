@@ -6833,20 +6833,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     oldest "last row r5" entries (pivot ...
         #     similarity_topk) = 1+23+13+13 = 50.  After this
         #     window every registered query has a driver row.
-        #   r10 plan: the 30 "last row r5" remainder
-        #     (sample_split ... resample_fill) + the 20 oldest
-        #     r7-checked (snapshot_roundtrip ...) = 50; oldest-
-        #     row-first from then on.
+        #   r10 plan (post-r9-demotion recount): the 26 "last row
+        #     r5" remainder (sample_split ... resample_interp) + the
+        #     24 oldest r7-checked (snapshot_roundtrip ...) = 50;
+        #     oldest-row-first from then on.  ann_ivf is the r10
+        #     demotion candidate beside ann_ivf_indexed once its r9
+        #     driver row lands (r8 verdict item 3).
         # Round-8 demotions (oracles retained in
         # demoted_oracle_sql, swept by tools/check_oracle +
         # pytest): grid_wstack, ann_pq, dedup_semantic,
         # dedup_minhash_drop, contamination (see ledger in git
         # history for the beside-twin rationale).
+        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s;
+        # every entry below-window with its latest driver/judge row
+        # green; twin rationale per entry in demoted_queries()):
+        # events_changepoint, closure_phase, lm_kneser_ney,
+        # resample_fill, kmeans_cluster, sample_temperature,
+        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
+        # quality_filter.  Registry 167 + 26 demoted = 193 total
+        # (unchanged).
         # -- last driver row r8 (r7-session debuts; first rows
         #    landed in CORRECTNESS_r08, all green) --
         "applycal": q_applycal,
         "flag_grow": q_flag_grow,
-        "ngram_novelty": q_ngram_novelty,
         "parallactic_angle": q_parallactic_angle,
         "dedup_containment": q_dedup_containment,
         "sample_unimax": q_sample_unimax,
@@ -6854,17 +6863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "grid_conv": q_grid_conv,
         "statwt": q_statwt,
-        "events_changepoint": q_events_changepoint,
         "c4_filter": q_c4_filter,
         "closure_amp": q_closure_amp,
         "split_leakage": q_split_leakage,
         "ccnet_buckets": q_ccnet_buckets,
-        "lm_kneser_ney": q_lm_kneser_ney,
         "attribution": q_attribution,
-        "bandpass_solve": q_bandpass,
         "cuped": q_cuped,
         "cusum_segments": q_cusum_segments,
-        "heaps_fit": q_heaps_fit,
         # -- last driver row r8 (r4-stale re-checks from the r8
         #    window) --
         "expr_arithmetic": q_expr_arithmetic,
@@ -6914,9 +6919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_project": q_embed_project,
         "vocab_topk": q_vocab_topk,
         "phrase_boilerplate": q_phrase_boilerplate,
-        "quality_filter": q_quality_filter,
         "multimodal_features": q_multimodal_features,
-        "kmeans_cluster": q_kmeans_cluster,
         "pagerank": q_pagerank,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
@@ -6926,10 +6929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "value_histogram": q_value_histogram,
         "skew_profile": q_skew_profile,
-        "fk_audit": q_fk_audit,
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
-        "resample_fill": q_resample_fill,
         # -- last driver row r7 (r6-session debuts; first rows
         #    landed in CORRECTNESS_r07, all green) --
         "snapshot_roundtrip": q_snapshot_roundtrip,
@@ -6949,14 +6950,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_regrid": q_channel_regrid,
         "spectral_moments": q_spectral_moments,
         "imaging_weights": q_imaging_weights,
-        "sample_temperature": q_sample_temperature,
         "crossmatch_nearest": q_crossmatch_nearest,
         "bda_weighted": q_bda_weighted,
         "sigma_clip": q_sigma_clip,
         "ann_ivfpq": q_ann_ivfpq,
         "curriculum": q_curriculum,
         "stokes_convert": q_stokes_convert,
-        "closure_phase": q_closure_phase,
         "hanning": q_hanning,
         "uvcontsub": q_uvcontsub,
         "predict_vis": q_predict_vis,
@@ -7013,7 +7012,29 @@ _LM_PERPLEXITY_SQL = """
         """
 
 
-def oracle_sql() -> dict[str, str]:
+# Round-9 demotions (suite-wall bound, r8 verdict item 3): each name
+# below keeps its full oracle (popped from the live contract in
+# oracle_sql() and re-exposed via demoted_oracle_sql()) and is swept
+# by tests/test_llm.py::test_demoted_queries_still_oracle_green +
+# tools/check_oracle.  Twin rationale per name in demoted_queries().
+_R9_DEMOTED = (
+    "events_changepoint",
+    "closure_phase",
+    "lm_kneser_ney",
+    "resample_fill",
+    "kmeans_cluster",
+    "sample_temperature",
+    "bandpass_solve",
+    "heaps_fit",
+    "fk_audit",
+    "ngram_novelty",
+    "quality_filter",
+)
+
+
+def _oracle_sql_all() -> dict[str, str]:
+    """Every oracle ever written, INCLUDING r9-demoted names —
+    the live driver contract filters via oracle_sql() below."""
     h_norm_text = _DUCK_HASH.format(x=_DUCK_NORM.format(x="text"))
     out = {
         "projection": """
@@ -9018,6 +9039,13 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_all()
+    for k in _R9_DEMOTED:
+        del out[k]
+    return out
+
+
 def demoted_queries() -> dict[str, Callable[[SparkSession, str],
                                             DataFrame]]:
     """Queries demoted from the driver registry (still supported
@@ -9094,11 +9122,39 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         # standalone decontamination; production: pipeline_funnel
         # (runs the identical broadcast eval-shingle probe stage)
         "contamination": q_contamination,
+        # -- round-9 demotions (r8 verdict item 3: bound the suite
+        #    wall to <=220 s).  Oracles live in _oracle_sql_all and
+        #    re-expose below; every entry swept per-commit by
+        #    test_demoted_queries_still_oracle_green --
+        # cusum_segments generalises the same CUSUM detector; r8 driver row green
+        "events_changepoint": q_events_changepoint,
+        # closure_amp: same broadcast-join closure family (quadrangle form); r7 driver row green
+        "closure_phase": q_closure_phase,
+        # lm_perplexity-family: ccnet_buckets runs the same lm_perplexity plan inside its bucketing; r8 driver row green
+        "lm_kneser_ney": q_lm_kneser_ney,
+        # resample_interp composes the IDENTICAL resample_fill plan inside interpolate_linear; r5+r8 rows green
+        "resample_fill": q_resample_fill,
+        # ann_ivf/ann_ivf_indexed/ann_ivfpq train the identical kmeans_assign Lloyd iterations as coarse quantizer; r5 row green
+        "kmeans_cluster": q_kmeans_cluster,
+        # sample_unimax/sample_mixture: same closed-form stats-table downsampling + coordinated hash filter; r7 row green
+        "sample_temperature": q_sample_temperature,
+        # gain_solve with extra_keys=('chan',) - the identical solver code path, keyed; r8 driver row green
+        "bandpass_solve": q_bandpass,
+        # zipf_fit: same two-level attach_rowid prefix-sum spine over the same tokenisation; r8 driver row green
+        "heaps_fit": q_heaps_fit,
+        # constraint_audit runs the same referential-integrity (foreign_key) rule class; r5 row green
+        "fk_audit": q_fk_audit,
+        # corpus-analytics density: same gram-hash explode/join spine as collocations_pmi/corpus_diff; r8 row green
+        "ngram_novelty": q_ngram_novelty,
+        # quality-family density: c4_filter/quality_prune/quality_classifier keep the rule-verdict surface; r5 row green
+        "quality_filter": q_quality_filter,
     }
 
 
 def demoted_oracle_sql() -> dict[str, str]:
-    return {
+    full = _oracle_sql_all()
+    out = {k: full[k] for k in _R9_DEMOTED}
+    out.update({
         "dedup_embedding": _embedding_dup_sql(),
         "dedup_substring_exact": _substring_dedup_sql(60, 1),
         "bda_average": _BDA_SQL,
@@ -9137,4 +9193,5 @@ def demoted_oracle_sql() -> dict[str, str]:
                    (p.max_sim IS NULL) AS keep, p.max_sim
             FROM m LEFT JOIN p ON m.id = p.id
         """,
-    }
+    })
+    return out

@@ -634,7 +634,9 @@ def test_heaps_and_zipf_two_level_prefix(spark):
     import __spark_entry__ as entry
     from dask_ms_spark.plans import assert_no_unpartitioned_window
 
-    hf = entry.queries()["heaps_fit"](spark, "/root/testdata/sf0.001")
+    # heaps_fit demoted r9 (suite-wall bound) — the plan pin stays
+    hf = entry.demoted_queries()["heaps_fit"](spark,
+                                              "/root/testdata/sf0.001")
     assert_no_unpartitioned_window(hf, allowed=1)
     zf = entry.queries()["zipf_fit"](spark, "/root/testdata/sf0.001")
     assert_no_unpartitioned_window(zf, allowed=1)
