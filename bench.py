@@ -127,10 +127,13 @@ def main() -> int:
     jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
 
     def canary_probe() -> float:
-        """Wall of the fixed canary triplet right now / its recorded
-        steady-state — run OUTSIDE the timed loop at start/mid/end so
-        a contention BURST during the run is visible even when the
-        in-suite canary queries happened to dodge it."""
+        """PROBE FORMULA: wall-clock of the fixed canary triplet run
+        now, divided by the triplet's recorded steady-state sum
+        (CANARY_STEADY) — 1.0 means the host is at baseline speed,
+        2.0 means everything currently runs 2x slow.  Probes run
+        OUTSIDE the timed loop, interleaved at 5 points across the
+        suite, so a contention BURST during the run is visible even
+        when the in-suite canary queries happened to dodge it."""
         t0 = time.time()
         for cname in CANARY_STEADY:
             queries[cname](spark, sf_dir).write.format("noop") \
@@ -138,13 +141,18 @@ def main() -> int:
         return round((time.time() - t0)
                      / sum(CANARY_STEADY.values()), 3)
 
-    probes = {"start": canary_probe()}
+    # >=5 interleaved probes (r8 verdict item 4): quartile positions;
+    # keyed by the query INDEX they precede so bench_compare can
+    # normalise each query by its nearest probe.
+    probe_points = sorted({(len(names) * k) // 4 for k in (1, 2, 3)}
+                          - {0, len(names)})
+    probes = {"q0": canary_probe()}
 
     t_total0 = time.time()
     for i, name in enumerate(names):
-        if i == len(names) // 2:
+        if i in probe_points:
             t_pause = time.time()
-            probes["mid"] = canary_probe()
+            probes[f"q{i}"] = canary_probe()
             t_total0 += time.time() - t_pause   # probe isn't suite time
         fn = queries[name]
         # isolate queries: persisted frames from earlier queries would
@@ -172,13 +180,23 @@ def main() -> int:
             timings[name] = -1.0
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
     total = round(time.time() - t_total0, 3)
-    probes["end"] = canary_probe()
+    probes[f"q{len(names)}"] = canary_probe()
 
-    canary_meas = sum(timings.get(k, 0.0) for k in CANARY_STEADY
-                      if timings.get(k, -1.0) >= 0)
-    canary_ratio = (round(canary_meas / sum(CANARY_STEADY.values()), 3)
-                    if all(timings.get(k, -1.0) >= 0
-                           for k in CANARY_STEADY) else None)
+    # ONE formula everywhere (r8 verdict item 4 — the in-suite-timing
+    # ratio and the probe ratios used different denominators and read
+    # differently): canary_ratio IS the median probe; spread is
+    # max-min.  The in-suite triplet ratio is reported alongside for
+    # cross-checking, under its own name.
+    import statistics
+
+    probe_vals = list(probes.values())
+    canary_ratio = round(statistics.median(probe_vals), 3)
+    canary_spread = round(max(probe_vals) - min(probe_vals), 3)
+    canary_insuite = (round(
+        sum(timings.get(k, 0.0) for k in CANARY_STEADY)
+        / sum(CANARY_STEADY.values()), 3)
+        if all(timings.get(k, -1.0) >= 0 for k in CANARY_STEADY)
+        else None)
 
     metric = {
         "metric": "headline_queries_total_wall",
@@ -187,7 +205,14 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "canary_ratio": canary_ratio,
+        "canary_spread": canary_spread,
+        "canary_insuite": canary_insuite,
         "canary_probes": probes,
+        "canary_formula": ("probe = wall(triplet now) / steady_sum"
+                           f"({round(sum(CANARY_STEADY.values()), 3)}s); "
+                           "canary_ratio = median(probes); keys = query"
+                           " index the probe preceded"),
+        "query_order": names,
     }
     # file artifact first (FULL per-query map): survives any
     # stdout-capture truncation
@@ -211,6 +236,8 @@ def main() -> int:
         "n_failed": len(failed),
         "failed": failed[:10],
         "canary_ratio": canary_ratio,
+        "canary_spread": canary_spread,
+        "canary_insuite": canary_insuite,
         "canary_probes": probes,
         "queries": worst,
         "full_artifact": "BENCH_local.json",

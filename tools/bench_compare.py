@@ -44,29 +44,67 @@ def load(path: str) -> dict:
             raise SystemExit(f"{path}: no JSON found")
     if "parsed" in d:
         d = d["parsed"]
-    return d["queries"]
+    return d
 
 
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old_d, new_d = load(sys.argv[1]), load(sys.argv[2])
+    old, new = old_d["queries"], new_d["queries"]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
     common = [q for q in new if q in old and old[q] > 0 and new[q] > 0]
-    canaries = [q for q in CANARIES if q in common]
-    if canaries:
-        host_ratio = statistics.median(new[q] / old[q] for q in canaries)
+
+    def probe_norm(d: dict):
+        """Per-query host-speed factor from the run's interleaved
+        canary probes (bench.py canary_formula): each query divides by
+        the probe nearest its position in query_order.  Requires the
+        r9+ artifact fields (canary_probes keyed q<idx> + query_order);
+        returns None for older records."""
+        probes = d.get("canary_probes") or {}
+        order = d.get("query_order") or []
+        pts = {}
+        for k, v in probes.items():
+            if isinstance(k, str) and k.startswith("q") and k[1:].isdigit():
+                pts[int(k[1:])] = v
+        if not pts or not order:
+            return None
+        pos = {q: i for i, q in enumerate(order)}
+        keys = sorted(pts)
+
+        def factor(q):
+            i = pos.get(q)
+            if i is None:
+                return statistics.median(pts.values())
+            nearest = min(keys, key=lambda k: abs(k - i))
+            return pts[nearest]
+
+        return factor
+
+    fo, fn_ = probe_norm(old_d), probe_norm(new_d)
+    if fo and fn_:
+        mode = "nearest-probe"
+        def host_factor(q):
+            return fn_(q) / fo(q)
     else:
-        host_ratio = 1.0
-    print(f"canaries: {canaries} -> host-speed ratio "
-          f"{host_ratio:.2f}x (new/old)")
+        # legacy records: single host-speed ratio from the shared
+        # canary queries' in-suite timings
+        canaries = [q for q in CANARIES if q in common]
+        ratio = (statistics.median(new[q] / old[q] for q in canaries)
+                 if canaries else 1.0)
+        mode = f"canary-median ({canaries})"
+        def host_factor(q):
+            return ratio
+    sample = statistics.median(host_factor(q) for q in common)
+    print(f"normalization: {mode}; median host-speed factor "
+          f"{sample:.2f}x (new/old)")
 
     rows = []
     for q in common:
         raw = new[q] / old[q]
-        norm = raw / host_ratio
+        norm = raw / host_factor(q)
         rows.append((norm, raw, q))
     rows.sort(reverse=True)
 
