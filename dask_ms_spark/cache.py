@@ -37,6 +37,7 @@ has no refcounted cache, so explicit scope exit is the release point.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator, List
 
@@ -48,13 +49,17 @@ __all__ = ["cache_scope", "scoped_persist", "release_caches",
 
 class CacheScope:
     """Tracks the DataFrames persisted while the scope was innermost;
-    :meth:`release` unpersists exactly those frames (idempotent)."""
+    :meth:`release` unpersists exactly those frames (idempotent).
+    Tracking and release are lock-guarded — the unscoped registry is
+    shared across driver threads."""
 
     def __init__(self) -> None:
         self._frames: List[DataFrame] = []
+        self._lock = threading.Lock()
 
     def track(self, df: DataFrame) -> DataFrame:
-        self._frames.append(df)
+        with self._lock:
+            self._frames.append(df)
         return df
 
     @property
@@ -63,29 +68,42 @@ class CacheScope:
 
     def release(self) -> int:
         """Blocking-unpersist every tracked frame; returns how many."""
+        with self._lock:
+            frames, self._frames = self._frames, []
         n = 0
-        for df in self._frames:
+        for df in frames:
             try:
                 df.unpersist(blocking=True)
                 n += 1
             except Exception:  # session already stopped — nothing to free
                 pass
-        self._frames.clear()
         return n
 
 
-# innermost-last stack of active scopes + the unscoped registry
-_SCOPES: List[CacheScope] = []
+# innermost-last stack of active scopes, PER DRIVER THREAD: concurrent
+# threads each running `with cache_scope():` must not cross-register
+# (thread A's scope exit would blocking-unpersist thread B's frames
+# mid-pipeline — review r9).  The unscoped registry stays shared: it
+# is the process-wide "free on demand" pool.
+_LOCAL = threading.local()
 _UNSCOPED = CacheScope()
+
+
+def _scopes() -> List[CacheScope]:
+    stack = getattr(_LOCAL, "scopes", None)
+    if stack is None:
+        stack = _LOCAL.scopes = []
+    return stack
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` with a paired release: the frame is registered
-    with the innermost :func:`cache_scope` (unpersisted at scope exit)
-    or, outside any scope, with the module registry freed by
-    :func:`release_caches`."""
+    with this thread's innermost :func:`cache_scope` (unpersisted at
+    scope exit) or, outside any scope, with the process-wide registry
+    freed by :func:`release_caches`."""
     out = df.persist()
-    (_SCOPES[-1] if _SCOPES else _UNSCOPED).track(out)
+    stack = _scopes()
+    (stack[-1] if stack else _UNSCOPED).track(out)
     return out
 
 
@@ -94,16 +112,20 @@ def cache_scope() -> Iterator[CacheScope]:
     """Bound the lifetime of the library's internal caches to a block.
 
     Nested scopes are fine — each persist registers with the innermost
-    one.  On exit every frame the block persisted is blocking-
-    unpersisted, so ``spark.catalog`` cache-entry counts return to
-    their pre-block value (pytest-asserted in tests/test_llm.py).
+    one.  The scope stack is thread-local, so concurrent driver
+    threads (the standard parallel job-submission pattern) release
+    only their own frames.  On exit every frame the block persisted is
+    blocking-unpersisted, so ``spark.catalog`` cache-entry counts
+    return to their pre-block value (pytest-asserted in
+    tests/test_llm.py).
     """
     scope = CacheScope()
-    _SCOPES.append(scope)
+    stack = _scopes()
+    stack.append(scope)
     try:
         yield scope
     finally:
-        _SCOPES.remove(scope)
+        stack.remove(scope)
         scope.release()
 
 

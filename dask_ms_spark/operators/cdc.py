@@ -110,12 +110,22 @@ def scd2_apply(dim: DataFrame, changes: DataFrame,
     # current (and which gets the zero-width version) is a pure
     # function of the data, not of shuffle order (review r8).  Only
     # orderable payload types join the tie-break: a MapType track
-    # column would fail the window's orderBy analysis (review r9).
-    from pyspark.sql.types import MapType
+    # column — at ANY nesting depth (array<map>, struct with a map
+    # field), mirroring Spark's RowOrdering.isOrderable — would fail
+    # the window's orderBy analysis (review r9 ×2).
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    unorderable = {f.name for f in changes.schema.fields
-                   if isinstance(f.dataType, MapType)}
-    tie_cols = [c for c in track_cols if c not in unorderable]
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tie_cols = [c for c in track_cols
+                if _orderable(changes.schema[c].dataType)]
     incoming = (changes
                 .select(*keys, F.col(effective_col).cast("long")
                         .alias("valid_from"), *track_cols)

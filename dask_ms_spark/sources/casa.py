@@ -253,19 +253,23 @@ def xds_from_casa(spark: SparkSession, path: str,
                 "maps to a Spark scan split; re-chunk cell axes at "
                 "write time (cell_chunks=/getcolslice slices=)")
         row_chunk = int(chunks["row"])
-    if taql_where:
-        # reference call sites pass TAQL (daskms/dask_ms.py:236-241);
-        # here the same filter becomes a Catalyst predicate over the
-        # distributed scan — semantics preserved, engine swapped
-        from ..taql import taql_where_to_sql
-
-        translated = taql_where_to_sql(taql_where)
-        where = f"({where}) AND ({translated})" if where else translated
     if table_factory is None:
         _require_casacore()
         table_factory = _casacore_factory
     schema, specs, slabs, nrow = probe_casa_table(
         table_factory, path, columns, slices)
+    if taql_where:
+        # reference call sites pass TAQL (daskms/dask_ms.py:236-241);
+        # here the same filter becomes a Catalyst predicate over the
+        # distributed scan — semantics preserved, engine swapped.
+        # The probed schema is bound so the casacore array aggregates
+        # (MEAN(SIGMA) < 2 and friends) translate without the caller
+        # spelling schema= by hand (review r9: the feature landed one
+        # format below its motivating idiom).
+        from ..taql import taql_where_to_sql
+
+        translated = taql_where_to_sql(taql_where, schema=schema)
+        where = f"({where}) AND ({translated})" if where else translated
     n_chunks = max(1, math.ceil(nrow / row_chunk))
 
     def read_chunks(batches):

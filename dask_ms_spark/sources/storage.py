@@ -204,33 +204,24 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     to Spark SQL (taql.py) — an existing ``taql_where=`` call site
     keeps working verbatim; combined with ``where`` via AND.
     """
+    store = TableStore.parse(url, storage_options)
+    deferred_taql = None
     if taql_where:
         from ..taql import taql_where_to_sql
 
         try:
             translated = taql_where_to_sql(taql_where)
+            where = (f"({where}) AND ({translated})"
+                     if where else translated)
         except ValueError as err:
             if "ambiguous without a schema" not in str(err):
                 raise
             # SUM/MIN/MAX/MEAN over a column that may be an array:
-            # bind the scan schema (parquet: a footer-only read, no
-            # data IO) and retranslate; other formats route the user
-            # to the explicit schema= form.
-            _store = TableStore.parse(url, storage_options)
-            if _store.scheme in ("", "file") and \
-                    infer_format(_store.path, spark) == "parquet":
-                if _store.storage_options:
-                    _store.apply(spark)
-                peek = spark.read.parquet(_store.path).schema
-                translated = taql_where_to_sql(taql_where, schema=peek)
-            else:
-                raise ValueError(
-                    f"{err}\n(xds_from_storage_table can only bind "
-                    "the schema automatically for parquet stores; "
-                    "for this format call taql_where_to_sql(expr, "
-                    "schema=df.schema) and pass where=)") from err
-        where = f"({where}) AND ({translated})" if where else translated
-    store = TableStore.parse(url, storage_options)
+            # defer translation until the store is local and the
+            # format is known, then bind the scan schema (parquet: a
+            # footer-only read; zarr: .zarray metadata; casa: the
+            # reader's own table probe) and retranslate.
+            deferred_taql = err
     if store.scheme in ("s3", "s3a", "s3n"):
         from . import s3staging
 
@@ -239,17 +230,40 @@ def xds_from_storage_table(spark: SparkSession, url: str,
             # recurse on the local copy (bounded-data fallback; the
             # scale path is native s3a via the conf mapping below).
             # A ::SUBTABLE read stages ONLY the subtable directory —
-            # the main table may be orders of magnitude larger.
+            # the main table may be orders of magnitude larger.  A
+            # deferred taql predicate rides through untranslated and
+            # binds against the LOCAL copy's schema in the recursion.
             remote = (f"{store.url.rstrip('/')}/{store.subtable}"
                       if store.subtable else store.url)
             local = s3staging.download_prefix(
                 remote, store.storage_options,
                 s3staging.staging_dir())
             return xds_from_storage_table(
-                spark, local, columns, group_cols, index_cols, where)
+                spark, local, columns, group_cols, index_cols, where,
+                taql_where=taql_where if deferred_taql else None)
     if store.storage_options:
         store.apply(spark)
     fmt = infer_format(store.path, spark)
+    if deferred_taql is not None:
+        if fmt == "parquet" and store.scheme in ("", "file"):
+            peek = spark.read.parquet(store.path).schema
+            translated = taql_where_to_sql(taql_where, schema=peek)
+        elif fmt == "casa":
+            # the casa reader binds its own probed schema
+            return casa.xds_from_casa(spark, store.path, columns,
+                                      group_cols, index_cols, where,
+                                      taql_where=taql_where)
+        elif fmt == "zarr" and store.scheme in ("", "file"):
+            translated = taql_where_to_sql(
+                taql_where, schema=zarr.peek_array_columns(store.path))
+        else:
+            raise ValueError(
+                f"{deferred_taql}\n(xds_from_storage_table binds the "
+                "schema automatically for local parquet/zarr/casa "
+                "stores; for this format call taql_where_to_sql("
+                "expr, schema=df.schema) and pass where=)"
+            ) from deferred_taql
+        where = f"({where}) AND ({translated})" if where else translated
     if fmt == "parquet":
         return xds_from_parquet(spark, store.path, columns,
                                 group_cols, index_cols, where)

@@ -312,6 +312,14 @@ def _write_group(df: DataFrame, group_dir: str, attrs: dict,
         df = attach_rowid(
             df.withColumnRenamed(ROWID, "__src_rowid"),
             ["__src_rowid"], stable=True).drop("__src_rowid")
+        # the metadata above came from an INDEPENDENT evaluation of
+        # the input plan; the stable attach_rowid just pinned a
+        # second one.  On a nondeterministic input those can disagree
+        # (row multiset, count, widths), so recompute the aggregation
+        # on the PINNED frame — shape and chunk-grid decisions must
+        # describe the rows actually written (review r9).
+        meta = df.agg(*aggs).first()
+        nrow = int(meta["__n"])
     nulled = {c: meta[f"__null_{c}"] for c in data_cols
               if (meta[f"__null_{c}"] or 0) > 0}
     nulled.update({c: "element" for c in arr_cols
@@ -506,6 +514,23 @@ def xds_to_zarr(datasets: list[Dataset] | Dataset | DataFrame, store: str,
 
 # ---------------------------------------------------------------------------
 # read
+
+
+def peek_array_columns(store: str) -> set[str]:
+    """Names of tensor columns (>= 2-d zarr arrays, read back as
+    ``ArrayType``) across every group of a LOCAL store — from
+    ``.zarray`` metadata only, no chunk IO.  Used to bind the
+    ``taql_where`` array aggregates without opening the data
+    (storage.py's schema-deferral leg)."""
+    cols: set[str] = set()
+    for g in _group_dirs(store):
+        gdir = os.path.join(store, g)
+        for name in os.listdir(gdir):
+            zpath = os.path.join(gdir, name, ".zarray")
+            if os.path.exists(zpath) \
+                    and len(_read_json(zpath)["shape"]) > 1:
+                cols.add(name)
+    return cols
 
 
 def _group_dirs(store: str) -> list[str]:

@@ -234,7 +234,30 @@ def _pop_lhs(out: list[str]) -> str:
     return " ".join(reversed(lhs))
 
 
-def _emit_subquery(body: list[str]) -> str:
+def _array_valued_operand(body: list[str], array_cols) -> bool:
+    """True iff the token run translates to an ARRAY value: a bare
+    array column, optionally parenthesised, followed by any number of
+    SLICE suffixes (``[a:b]`` keeps array rank).  Element access
+    (``[i]`` — scalar), arithmetic, extra identifiers, or function
+    calls make the operand non-array (the caller refuses loudly
+    rather than emitting an aggregate over a scalar)."""
+    b = list(body)
+    while len(b) >= 2 and b[0] == "(" \
+            and _match_bracket(b, 0, "(", ")") == len(b) - 1:
+        b = b[1:-1]
+    if not b or b[0] not in array_cols:
+        return False
+    k, arrayish = 1, True
+    while k < len(b):
+        if b[k] != "[":
+            return False
+        j = _match_bracket(b, k, "[", "]")
+        arrayish = ":" in b[k + 1:j]
+        k = j + 1
+    return arrayish
+
+
+def _emit_subquery(body: list[str], array_cols=None) -> str:
     """Translate the bracketed TAQL nested query ``SELECT [DISTINCT]
     col[, col...] FROM table [WHERE pred]`` to a Spark SQL subquery.
 
@@ -244,7 +267,10 @@ def _emit_subquery(body: list[str]) -> str:
     ::ANTENNA WHERE ...]').  ``::NAME`` (the reference's subtable
     suffix, fsspec_store.py) becomes the bare registered view name;
     ``ROWID()`` becomes the ROWID column.  The WHERE clause recurses
-    through the full translator, so every supported tier nests."""
+    through the full translator with the SAME bound schema — the
+    binding is by column NAME, shared across every relation the
+    expression mentions — so every supported tier nests, array
+    aggregates included."""
     up = [t.upper() for t in body]
     if "FROM" not in up:
         raise ValueError(
@@ -286,7 +312,7 @@ def _emit_subquery(body: list[str]) -> str:
             "register the relation as a temp view first")
     sql = f"SELECT {distinct}{' '.join(cols)} FROM {tab[0]}"
     if w < len(body):
-        pred = _emit(body[w + 1:])
+        pred = _emit(body[w + 1:], array_cols)
         if not pred.strip():
             raise ValueError(
                 "taql_where_to_sql: nested SELECT with empty WHERE")
@@ -376,25 +402,38 @@ def _emit(toks: list[str],
             out.append(_SUM_SQR.format(x=inner))
             i = j
         elif up in _ARRAY_AGGS and i + 1 < n and toks[i + 1] == "(":
-            # SUM/MIN/MAX/MEAN: array reduction IFF the operand's
-            # root column is a known array column; otherwise the
-            # SQL-aggregate name collision stands and we refuse a
-            # bare call (a schema-less translation cannot guess).
+            # SUM/MIN/MAX/MEAN: array reduction IFF the operand is an
+            # array-VALUED expression under the bound schema (a bare
+            # array column, optionally parenthesised/sliced).  A
+            # mixed or derived operand (SUM(UVW[0]*W), MEAN(ABS(UVW)))
+            # refuses loudly — classifying on the first identifier
+            # alone made translation operand-order-dependent and
+            # pushed the error into Spark analysis (review r9).
             j = _match_bracket(toks, i + 1, "(", ")")
             body = toks[i + 2:j]
-            root = next((b for b in body
-                         if re.match(r"^[A-Za-z_]", b)
-                         and b.upper() not in ("AND", "OR", "NOT")),
-                        None)
-            if array_cols is not None and root in array_cols:
+            idents = [b for k, b in enumerate(body)
+                      if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", b)
+                      and b.upper() not in ("AND", "OR", "NOT")
+                      and not (k + 1 < len(body)
+                               and body[k + 1] == "(")]
+            if array_cols is not None \
+                    and not any(b in array_cols for b in idents):
+                # schema bound and NO array column involved: SQL
+                # aggregate names pass through untouched (e.g. a user
+                # mixing the predicate into a HAVING-style context)
+                out.append(t)
+            elif array_cols is not None:
+                if not _array_valued_operand(body, array_cols):
+                    raise ValueError(
+                        f"taql_where_to_sql: {up}({' '.join(body)}) "
+                        "mixes an array column with scalar columns, "
+                        "element access or function calls — only a "
+                        "bare (optionally sliced) array column "
+                        "reduces per row; compute the derived array "
+                        "as a column expression first")
                 inner = _emit(body, array_cols)
                 out.append(_ARRAY_AGGS[up].format(x=inner))
                 i = j
-            elif array_cols is not None:
-                # schema bound and NOT an array column: SQL aggregate
-                # names pass through untouched (e.g. a user mixing
-                # the predicate into a HAVING-style context)
-                out.append(t)
             else:
                 raise ValueError(
                     f"taql_where_to_sql: {up}() is ambiguous without "
@@ -425,7 +464,7 @@ def _emit(toks: list[str],
                 # inner WHERE recurses through this translator;
                 # ``::SUBTABLE`` names map to the bare view name and
                 # ``ROWID()`` to the ROWID column the readers attach.
-                out.append(f"IN ({_emit_subquery(body)})")
+                out.append(f"IN ({_emit_subquery(body, array_cols)})")
                 i = j
                 i += 1
                 continue

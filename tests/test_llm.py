@@ -1601,8 +1601,15 @@ def test_cache_scope_releases_every_internal_persist(spark):
         with cache_scope() as sc:
             fn().count()
             assert sc.n_tracked >= 1       # the persist registered
-        # after scope exit: only the user cache remains
-        assert not user.storageLevel.useMemory or True
+        # after scope exit only the user cache remains: the user's
+        # entry survived, and dropping it empties the cacheManager —
+        # attributing any leak to THIS entry point (review r9: the
+        # previous spelling `not X or True` asserted nothing)
+        assert user.storageLevel.useMemory
+        user.unpersist(blocking=True)
+        assert cm.isEmpty(), "library persist leaked past its scope"
+        user = spark.range(10).persist()
+        user.count()
     # unscoped path: registrations accumulate, release frees them all
     release_caches()     # drain anything earlier tests registered
     assert release_caches() == 0
@@ -1620,3 +1627,39 @@ def test_cache_scope_releases_every_internal_persist(spark):
         scoped_persist(spark.range(5)).count()
     assert release_caches() == 0
     assert cm.isEmpty()
+
+
+def test_cache_scope_is_thread_local(spark):
+    """Concurrent driver threads each in their own cache_scope must
+    not cross-register (review r9: a global stack let thread A's
+    scope exit unpersist thread B's frames mid-pipeline)."""
+    import threading
+
+    from dask_ms_spark.cache import cache_scope, scoped_persist
+
+    tracked = {}
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def worker(name):
+        try:
+            with cache_scope() as sc:
+                barrier.wait(timeout=30)   # both scopes active at once
+                df = scoped_persist(spark.range(100 + len(name)))
+                df.count()
+                barrier.wait(timeout=30)   # both persists registered
+                tracked[name] = sc.n_tracked
+                # the OTHER thread's scope exit must not have freed
+                # this thread's frame
+                assert df.storageLevel.useMemory
+        except Exception as e:            # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(n,))
+          for n in ("a", "bb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert not errs
+    assert tracked == {"a": 1, "bb": 1}   # one frame per scope, not 0/2

@@ -635,6 +635,34 @@ def test_scd2_apply_maptype_track_col(spark):
     assert rows[(1, 10)].is_current and rows[(1, 10)].props == {"x": "2"}
 
 
+def test_scd2_apply_nested_map_track_col(spark):
+    """Unorderability is recursive (review r9 ×2): a map nested in an
+    array or struct payload column must also be skipped by the
+    tie-break window, exactly as Spark's RowOrdering.isOrderable
+    treats it."""
+    from dask_ms_spark.operators.cdc import scd2_apply
+
+    dim = spark.createDataFrame(
+        [Row(k=1, attr="a0", tags=[{"x": "1"}],
+             meta=Row(m={"y": "1"}, n=1), valid_from=0,
+             valid_to=None, is_current=True)],
+        "k long, attr string, tags array<map<string,string>>, "
+        "meta struct<m:map<string,string>, n:long>, "
+        "valid_from long, valid_to long, is_current boolean")
+    changes = spark.createDataFrame(
+        [Row(k=1, effective_seq=10, attr="a1", tags=[{"x": "2"}],
+             meta=Row(m={"y": "2"}, n=2))],
+        "k long, effective_seq long, attr string, "
+        "tags array<map<string,string>>, "
+        "meta struct<m:map<string,string>, n:long>")
+    rows = {(r.k, r.valid_from): r for r in
+            scd2_apply(dim, changes, "k").collect()}
+    assert rows[(1, 0)].valid_to == 10
+    assert rows[(1, 10)].is_current
+    assert rows[(1, 10)].tags == [{"x": "2"}]
+    assert rows[(1, 10)].meta.n == 2
+
+
 # --------------------------------------------------- rolling outliers
 
 def test_rolling_outliers_flags_planted_spike(spark):

@@ -489,3 +489,78 @@ def test_array_aggregates_schema_bound(spark, tmp_path):
     [ds] = xds_from_storage_table(spark, p,
                                   taql_where="MEAN(SIGMA) > 5")
     assert sorted(r.id for r in ds.df.collect()) == [1]
+
+
+def test_array_aggregates_nest_and_refuse_mixed(spark, tmp_path):
+    """r9 review: (a) the bound schema propagates into nested-SELECT
+    WHERE clauses, (b) mixed / derived operands refuse loudly in the
+    translator instead of erroring deep inside Spark analysis, (c)
+    element access (scalar-valued) is not an array reduction."""
+    import pytest
+
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0], 1.0), (1, [10.0, 20.0, 30.0], 2.0)],
+        "id long, SIGMA array<double>, W double")
+    df.createOrReplaceTempView("SIG_T")
+
+    # (a) array aggregate INSIDE a nested query, schema bound once
+    got = df.where(taql_where_to_sql(
+        "id IN [SELECT id FROM SIG_T WHERE SUM(SIGMA) > 10]",
+        schema=df.schema)).collect()
+    assert [r.id for r in got] == [1]
+
+    # (b) operand-order independence: both spellings refuse the same
+    for expr in ("SUM(SIGMA[0] * W)", "SUM(W * SIGMA[0])",
+                 "MEAN(ABS(SIGMA))"):
+        with pytest.raises(ValueError, match="mixes an array column"):
+            taql_where_to_sql(expr, schema=df.schema)
+
+    # (c) element access drops the array rank -> refusal, not an
+    # aggregate over a scalar
+    with pytest.raises(ValueError, match="mixes an array column"):
+        taql_where_to_sql("SUM(SIGMA[0]) > 1", schema=df.schema)
+
+    # parenthesised bare column still translates
+    assert sorted(r.id for r in df.where(taql_where_to_sql(
+        "MAX((SIGMA)) == 30", schema=df.schema)).collect()) == [1]
+
+
+def test_array_aggregates_bind_for_casa_and_zarr(spark, tmp_path):
+    """r9 review: the motivating idiom MEAN(SIGMA) < x must work on
+    the PRIMARY MS formats without a hand-spelled schema — the casa
+    reader binds its probed schema, the zarr leg binds from .zarray
+    metadata, and the s3-staged recursion defers until local."""
+    from dask_ms_spark.dataset import Dataset
+    from dask_ms_spark.sources.storage import xds_from_storage_table
+    from dask_ms_spark.sources.zarr import (peek_array_columns,
+                                            xds_to_zarr)
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0], 1.0), (1, [10.0, 20.0, 30.0], 2.0),
+         (2, [0.0, 0.0, 0.0], 3.0)],
+        "id long, SIGMA array<double>, W double")
+
+    store = str(tmp_path / "sig_zarr")
+    xds_to_zarr([Dataset(df, {})], store)
+    assert peek_array_columns(store) == {"SIGMA"}
+    [ds] = xds_from_storage_table(spark, store,
+                                  taql_where="MEAN(SIGMA) > 5")
+    assert sorted(r.id for r in ds.df.collect()) == [1]
+
+    # casa: the reader translates against the probed schema (fake
+    # factory seam — same harness as the casa scan tests)
+    from dask_ms_spark.sources.casa import xds_from_casa
+    from dask_ms_spark.types import ROWID
+    from tests.test_sources import FakeCasaTable
+
+    cols = FakeCasaTable("/fake/ms").COLS
+    want_ids = sorted(
+        int(i) for i in range(FakeCasaTable.N)
+        if cols["UVW"][i].sum() > 1.5)
+    [ds] = xds_from_casa(spark, "/fake/ms", columns=["TIME", "UVW"],
+                         taql_where="SUM(UVW) > 1.5",
+                         table_factory=FakeCasaTable)
+    got_ids = sorted(r[ROWID] for r in ds.df.collect())
+    assert got_ids == want_ids and want_ids  # non-degenerate filter

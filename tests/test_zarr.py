@@ -636,8 +636,15 @@ def test_zarr_write_composed_gappy_plan_roundtrips(spark, tmp_path):
     base = parts[0]
     for p in parts[1:]:
         base = base.unionByName(p)
-    gappy = attach_rowid(base, ["l_orderkey", "l_partkey",
-                                "l_linenumber", "l_quantity"]) \
+    # gappy ids derived ARITHMETICALLY from the (unique) natural key,
+    # not via a second attach_rowid: the oracle `want` and the write
+    # path each evaluate this plan independently, so the ids must be
+    # a pure function of the data for the comparison to be
+    # deterministic.  The plan stays deep and composed (union x4 ->
+    # project -> filter), which is what the writer regression covers.
+    gappy = base.withColumn(
+        ROWID,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber")) \
         .where(F.col(ROWID) % 3 == 0)
     want = gappy.agg(
         F.count(F.lit(1)).alias("n"),

@@ -97,6 +97,10 @@ def main() -> int:
         mode = f"canary-median ({canaries})"
         def host_factor(q):
             return ratio
+    if not common:
+        print("0 common queries between the two records — "
+              "nothing to compare")
+        return 0
     sample = statistics.median(host_factor(q) for q in common)
     print(f"normalization: {mode}; median host-speed factor "
           f"{sample:.2f}x (new/old)")
