@@ -53,7 +53,14 @@ array aggregates ``SUM/MIN/MAX/MEAN(arraycol)`` → higher-order
 reductions (``aggregate``/``array_min``/``array_max``) — without a
 schema those names collide with the SQL aggregates and a bare call
 raises with guidance (``xds_from_storage_table`` binds the schema
-automatically for parquet stores via a footer-only read).
+automatically for local parquet/zarr/casa stores); inside those
+aggregates the operand may be wrapped in elementwise functions
+(``ABS``/``SQRT``/``SQUARE``/``EXP``/``LOG``/``LOG10``/``FLOOR``/
+``CEIL``/``COS``/``SIN`` → ``transform`` lambdas) or the complex
+views ``AMPLITUDE``/``PHASE``/``ARG``/``REAL``/``IMAG`` over the
+engine's interleaved re/im layout — so the casacore flagging idiom
+``mean(abs(DATA))`` translates as ``MEAN(AMPLITUDE(DATA))`` (real
+arrays: ``MEAN(ABS(SIGMA))``).
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
 unit quantities, mscal derived columns, and multi-table nested
@@ -234,17 +241,54 @@ def _pop_lhs(out: list[str]) -> str:
     return " ".join(reversed(lhs))
 
 
-def _array_valued_operand(body: list[str], array_cols) -> bool:
-    """True iff the token run translates to an ARRAY value: a bare
-    array column, optionally parenthesised, followed by any number of
-    SLICE suffixes (``[a:b]`` keeps array rank).  Element access
-    (``[i]`` — scalar), arithmetic, extra identifiers, or function
-    calls make the operand non-array (the caller refuses loudly
-    rather than emitting an aggregate over a scalar)."""
+# elementwise real functions liftable INTO an array-reduction operand
+# (casacore applies scalar functions over arrays element-by-element,
+# TAQL Note 199 — MEAN(ABS(SIGMA)) and friends): name -> SQL over the
+# element variable __e
+_ELEMENTWISE = {
+    "ABS": "abs(__e)", "SQRT": "sqrt(__e)",
+    "SQUARE": "(__e * __e)", "SQR": "(__e * __e)",
+    "EXP": "exp(__e)", "LOG": "ln(__e)", "LOG10": "log10(__e)",
+    "FLOOR": "floor(__e)", "CEIL": "ceil(__e)",
+    "COS": "cos(__e)", "SIN": "sin(__e)",
+}
+# complex views over the engine's interleaved re/im float layout
+# (functions/complexf.py): one output element per re/im PAIR.  The
+# casacore originals read the complex dtype directly; here DATA-style
+# columns store [re0, im0, re1, im1, ...], so AMPLITUDE(DATA) is the
+# pairwise magnitude — MEAN(AMPLITUDE(DATA)) reproduces the reference
+# flagging idiom mean(abs(DATA)).
+_COMPLEXWISE = {
+    "AMPLITUDE": "sqrt(__re * __re + __im * __im)",
+    "PHASE": "atan2(__im, __re)",
+    "ARG": "atan2(__im, __re)",
+    "REAL": "__re",
+    "IMAG": "__im",
+}
+
+
+def _strip_outer_parens(body: list[str]) -> list[str]:
     b = list(body)
     while len(b) >= 2 and b[0] == "(" \
             and _match_bracket(b, 0, "(", ")") == len(b) - 1:
         b = b[1:-1]
+    return b
+
+
+def _array_valued_operand(body: list[str], array_cols) -> bool:
+    """True iff the token run translates to an ARRAY value: a bare
+    array column, optionally parenthesised, followed by any number of
+    SLICE suffixes (``[a:b]`` keeps array rank), possibly wrapped in
+    elementwise/complex-view functions (``ABS``, ``AMPLITUDE``, ...).
+    Element access (``[i]`` — scalar), arithmetic, extra identifiers,
+    or other function calls make the operand non-array (the caller
+    refuses loudly rather than emitting an aggregate over a
+    scalar)."""
+    b = _strip_outer_parens(body)
+    if len(b) >= 3 and b[1] == "(" \
+            and _match_bracket(b, 1, "(", ")") == len(b) - 1 \
+            and b[0].upper() in _ELEMENTWISE | _COMPLEXWISE:
+        return _array_valued_operand(b[2:-1], array_cols)
     if not b or b[0] not in array_cols:
         return False
     k, arrayish = 1, True
@@ -255,6 +299,28 @@ def _array_valued_operand(body: list[str], array_cols) -> bool:
         arrayish = ":" in b[k + 1:j]
         k = j + 1
     return arrayish
+
+
+def _emit_array_operand(body: list[str], array_cols) -> str:
+    """SQL for an array-valued operand ``_array_valued_operand``
+    accepted: elementwise functions become ``transform`` lambdas,
+    complex views become pairwise ``transform`` over the interleaved
+    layout, the base case is the bare/sliced column via ``_emit``."""
+    b = _strip_outer_parens(body)
+    if len(b) >= 3 and b[1] == "(" \
+            and _match_bracket(b, 1, "(", ")") == len(b) - 1:
+        fn = b[0].upper()
+        if fn in _ELEMENTWISE:
+            x = _emit_array_operand(b[2:-1], array_cols)
+            return f"transform({x}, __e -> {_ELEMENTWISE[fn]})"
+        if fn in _COMPLEXWISE:
+            x = _emit_array_operand(b[2:-1], array_cols)
+            pair = (_COMPLEXWISE[fn]
+                    .replace("__re", f"element_at({x}, __k * 2 + 1)")
+                    .replace("__im", f"element_at({x}, __k * 2 + 2)"))
+            return (f"transform(sequence(0, CAST(size({x}) / 2 AS INT)"
+                    f" - 1), __k -> {pair})")
+    return _emit(b, array_cols)
 
 
 def _emit_subquery(body: list[str], array_cols=None) -> str:
@@ -427,11 +493,16 @@ def _emit(toks: list[str],
                     raise ValueError(
                         f"taql_where_to_sql: {up}({' '.join(body)}) "
                         "mixes an array column with scalar columns, "
-                        "element access or function calls — only a "
-                        "bare (optionally sliced) array column "
-                        "reduces per row; compute the derived array "
-                        "as a column expression first")
-                inner = _emit(body, array_cols)
+                        "element access or unsupported function "
+                        "calls — the operand must be a bare "
+                        "(optionally sliced) array column, wrapped "
+                        "in elementwise functions "
+                        f"({'/'.join(sorted(_ELEMENTWISE))}) or "
+                        "complex views "
+                        f"({'/'.join(sorted(_COMPLEXWISE))}); "
+                        "compute anything else as a column "
+                        "expression first")
+                inner = _emit_array_operand(body, array_cols)
                 out.append(_ARRAY_AGGS[up].format(x=inner))
                 i = j
             else:

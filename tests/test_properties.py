@@ -514,7 +514,12 @@ def _taql_exprs():
         "NTRUE(FLAGS) < NELEMENTS(FLAGS)",
         # r9: array aggregates, schema-bound (UVW is array<double>)
         "SUM(UVW) > 1", "MEAN(UVW) ~= 2.0",
-        "MAX(UVW) >= MIN(UVW)", "SUM(UVW[:2]) < 1e6"])
+        "MAX(UVW) >= MIN(UVW)", "SUM(UVW[:2]) < 1e6",
+        # r9: elementwise / complex-view wrappers inside aggregates
+        "MEAN(ABS(UVW)) < 2", "SUM(SQUARE(UVW[:2])) < 9",
+        "MAX(SQRT(ABS(UVW))) > 0", "MIN(EXP(UVW)) > 0",
+        "MEAN(AMPLITUDE(DATA)) > 0", "MAX(PHASE(DATA)) <= 3.1416",
+        "SUM(REAL(DATA)) != SUM(IMAG(DATA))"])
     atoms = st.one_of(comp, special)
 
     def compose(children):
@@ -539,9 +544,10 @@ if HAVE_HYPOTHESIS:
 
         df = spark.createDataFrame(
             [(1, 2.0, [1.0, 2.0, 3.0], "abc", False, 5e9,
-              [True, False])],
+              [True, False], [1.0, -2.0, 0.5, 3.0])],
             "A long, B double, UVW array<double>, NAME string, "
-            "FLAG_ROW boolean, TIME double, FLAGS array<boolean>")
+            "FLAG_ROW boolean, TIME double, FLAGS array<boolean>, "
+            "DATA array<double>")
         df.createOrReplaceTempView("V")    # tier-4 nested-query atoms
         try:
             sql = taql_where_to_sql(expression, schema=df.schema)

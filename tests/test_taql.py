@@ -512,8 +512,11 @@ def test_array_aggregates_nest_and_refuse_mixed(spark, tmp_path):
     assert [r.id for r in got] == [1]
 
     # (b) operand-order independence: both spellings refuse the same
+    # (MEAN(ABS(...)) now TRANSLATES via the elementwise lift — see
+    # test_array_aggregate_elementwise_and_complex_views — so the
+    # refusal probe uses an unsupported function name instead)
     for expr in ("SUM(SIGMA[0] * W)", "SUM(W * SIGMA[0])",
-                 "MEAN(ABS(SIGMA))"):
+                 "MEAN(FOO(SIGMA))"):
         with pytest.raises(ValueError, match="mixes an array column"):
             taql_where_to_sql(expr, schema=df.schema)
 
@@ -564,3 +567,41 @@ def test_array_aggregates_bind_for_casa_and_zarr(spark, tmp_path):
                          table_factory=FakeCasaTable)
     got_ids = sorted(r[ROWID] for r in ds.df.collect())
     assert got_ids == want_ids and want_ids  # non-degenerate filter
+
+
+def test_array_aggregate_elementwise_and_complex_views(spark):
+    """r9: elementwise functions (ABS/SQRT/SQUARE/...) and complex
+    views (AMPLITUDE/PHASE/REAL/IMAG over the interleaved re/im
+    layout) lift into the array-aggregate operand — the casacore
+    flagging idioms mean(abs(SIGMA)) / mean(abs(DATA)).  One
+    executed-in-Spark assertion per family."""
+    import math
+
+    from dask_ms_spark.taql import taql_where_to_sql
+
+    df = spark.createDataFrame(
+        [(0, [-1.0, 2.0, -3.0], [3.0, 4.0, 0.0, 1.0]),
+         (1, [-10.0, 20.0, -30.0], [0.0, 0.0, 6.0, 8.0])],
+        "id long, SIGMA array<double>, DATA array<double>")
+    S = df.schema
+
+    def ids(expr):
+        return sorted(r.id for r in
+                      df.where(taql_where_to_sql(expr, schema=S))
+                      .collect())
+
+    # |SIGMA| means: row0 (1+2+3)/3=2, row1 20
+    assert ids("MEAN(ABS(SIGMA)) <= 2") == [0]
+    assert ids("MAX(SQRT(ABS(SIGMA))) > 5") == [1]
+    assert ids("SUM(SQUARE(SIGMA)) < 100") == [0]
+    assert ids("MIN(FLOOR(SIGMA)) == -30") == [1]
+    # amplitudes: row0 [5, 1], row1 [0, 10]
+    assert ids("MAX(AMPLITUDE(DATA)) == 5") == [0]
+    assert ids("MEAN(AMPLITUDE(DATA)) == 5") == [1]
+    assert ids("SUM(REAL(DATA)) == 3") == [0]
+    assert ids("SUM(IMAG(DATA)) == 8") == [1]
+    # phase of (0,6)+(8j... row1 pairs: (0,0) atan2(0,0)=0, (6,8)
+    want = math.atan2(8.0, 6.0)
+    assert ids(f"MAX(PHASE(DATA)) ~= {want!r}") == [1]
+    # nesting: amplitude then abs (no-op) then mean
+    assert ids("MEAN(ABS(AMPLITUDE(DATA))) == 3") == [0]
