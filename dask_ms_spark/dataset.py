@@ -115,13 +115,21 @@ def partition_datasets(df: DataFrame,
     if group_cols == [GROUP_BY_ROW]:
         # One dataset per row — only sane for tiny subtables; collect()
         # here matches the reference's per-row grouping of small
-        # non-uniform subtables (daskms/reads.py:492-517).
-        with_rowid = df.withColumn(ROWID, F.monotonically_increasing_id())
-        rows = with_rowid.collect()
+        # non-uniform subtables (daskms/reads.py:492-517).  The
+        # requested ordering/projection apply BEFORE collection, and
+        # the stamped ROWIDs are DENSE 0..N-1 in that order —
+        # monotonically_increasing_id's partition-encoded values would
+        # not key against any dense-ROWID table (review r9).
+        ordered = df.orderBy(*index_cols) if index_cols else df
+        if columns is not None:
+            keep = [c for c in columns if c != ROWID]
+            ordered = ordered.select(*keep)
+        rows = ordered.collect()
         sess = df.sparkSession
-        schema = with_rowid.schema  # one instance: StructType.add mutates
-        return [Dataset(sess.createDataFrame([r], schema),
-                        {ROWID: r[ROWID]}) for r in rows]
+        schema = ordered.withColumn(
+            ROWID, F.lit(0).cast("long")).schema  # one shared instance
+        return [Dataset(sess.createDataFrame([tuple(r) + (i,)], schema),
+                        {ROWID: i}) for i, r in enumerate(rows)]
 
     # Eager metadata-only query: distinct group tuples (small).
     groups = [tuple(r) for r in

@@ -23,12 +23,21 @@ from pyspark.sql.types import ArrayType
 
 __all__ = ["data_column_expr", "apply_expr"]
 
+def _pymod(a, b):
+    """Python/numpy ``%`` (result takes the DIVISOR's sign) — the
+    semantics the reference gets from numpy.  Spark's native ``%``
+    follows C (dividend's sign), so ``-7 % 3`` would differ (review
+    r9); the double-mod spelling matches numpy for every sign
+    combination."""
+    return ((a % b) + b) % b
+
+
 _BINOPS = {
     ast.Mult: operator.mul,
     ast.Div: operator.truediv,
     ast.Add: operator.add,
     ast.Sub: operator.sub,
-    ast.Mod: operator.mod,
+    ast.Mod: _pymod,
 }
 
 # Spark has no '//' Column operator; lower to floor(a / b).

@@ -46,7 +46,7 @@ def group_metadata(df: DataFrame, group_cols: Iterable[str],
     return df.groupBy(*group_cols).agg(*aggs)
 
 
-def update_write(spark_read, base: DataFrame, updates: DataFrame,
+def update_write(base: DataFrame, updates: DataFrame,
                  columns: Iterable[str], key: str = ROWID) -> DataFrame:
     """Column-granular update (reference S7 ``xds_to_table`` update
     semantics, daskms/writes.py:493-566): produce the post-update table
@@ -69,12 +69,26 @@ def column_update(base: DataFrame, key_col: str, target: str,
                   mapping: DataFrame, map_key: str, map_value: str) -> DataFrame:
     """Replace ``target`` values via a (small) mapping table — the
     broadcast-join form of per-column ``putcol`` updates
-    (daskms/writes.py:33-134)."""
-    m = (mapping.select(F.col(map_key).alias(key_col),
-                        F.col(map_value).alias("__new_value")))
+    (daskms/writes.py:33-134).
+
+    A duplicate ``map_key`` would duplicate the matching base rows
+    through the join — an update that silently GROWS the table
+    (review r9) — so the mapping is aggregated per key and a
+    duplicate raises at execution instead of corrupting the output.
+    """
+    m = (mapping.groupBy(F.col(map_key).alias(key_col))
+                .agg(F.first(map_value).alias("__new_value"),
+                     F.count(F.lit(1)).alias("__k")))
+    dup_safe = F.when(
+        F.col("__k").isNull() | (F.col("__k") == 1),
+        F.coalesce("__new_value", target)).otherwise(
+        F.raise_error(F.lit(
+            "column_update: duplicate keys in the mapping table — "
+            "an update must map each key to ONE value; dedupe the "
+            "mapping first")))
     return (base.join(F.broadcast(m), on=key_col, how="left")
-                .withColumn(target, F.coalesce("__new_value", target))
-                .drop("__new_value"))
+                .withColumn(target, dup_safe)
+                .drop("__new_value", "__k"))
 
 
 def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
@@ -116,8 +130,6 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
     the tensor length): cell [i] weighs sample i of each row by that
     row's w[i].
     """
-    from pyspark.sql import functions as F
-
     group_cols = list(group_cols)
     out_col = out_col or f"{vec_col}_mean"
     m = (F.col(mask_col) if mask_col
@@ -125,8 +137,18 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
     kept = F.zip_with(F.col(vec_col), m,
                       lambda v, k: F.when(k, v).otherwise(F.lit(None)))
     if weight_col and weight_is_spectrum:
-        pair = F.arrays_zip(kept.alias("v"),
-                            F.col(weight_col).alias("w"))
+        # arrays_zip silently pads/truncates on length mismatch, so
+        # the docstring's "must match the tensor length" is enforced
+        # here (review r9): a ragged WEIGHT_SPECTRUM raises instead of
+        # emitting phantom NULL cells / silently null-weighted tails
+        pair = F.when(
+            F.size(vec_col) == F.size(weight_col),
+            F.arrays_zip(kept.alias("v"),
+                         F.col(weight_col).alias("w"))).otherwise(
+            F.raise_error(F.lit(
+                "tensor_row_average: weight_is_spectrum requires "
+                f"size({weight_col}) == size({vec_col}) on every "
+                "row")))
         ex = df.select(*group_cols,
                        F.posexplode(pair).alias("__pos", "__z"),
                        F.size(vec_col).alias("__w")) \
@@ -162,7 +184,6 @@ def tensor_row_average(df: DataFrame, group_cols: Iterable[str],
                      F.count(F.lit(1)).alias("__rows"),
                      F.min("__w").alias("__wlo"),
                      F.max("__w").alias("__whi")))
-    bad = per_cell.where(F.col("__wlo") != F.col("__whi"))
     # length check folds into the same aggregation: any ragged group
     # poisons its cell rows; surface via a guarded expression
     cell = F.when(F.col("__wlo") == F.col("__whi"),

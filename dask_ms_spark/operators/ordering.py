@@ -92,13 +92,24 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     within each partition, then add the cumulative row count of the
     partitions before it.  A naive ``row_number`` over an unpartitioned
     window serialises the whole table through one reducer; this form
-    keeps every stage parallel.  The offsets branch and the data branch
-    share one range exchange (Catalyst ReuseExchange), so the total
-    cost is one shuffle plus a broadcast of #partitions offset rows.
-    Equal key tuples land in one partition (range partitioner), so ids
-    are only tie-permuted among identical rows — the same guarantee a
-    global window gives.  (daskms/writes.py:363-425 appends do the
-    equivalent chained row-count discovery.)
+    keeps every stage parallel.
+
+    The within-partition rank comes from ``monotonically_increasing_id``
+    evaluated AFTER ``sortWithinPartitions`` — its documented encoding
+    is ``(partition_id << 33) | record_number_within_partition``, so
+    both the partition id and the local ordinal read off one narrow
+    projection.  A ``row_number`` window partitioned on the pid would
+    instead force a SECOND full-data hash exchange (RangePartitioning
+    does not satisfy the window's ClusteredDistribution — review r9,
+    verified on the physical plan), doubling the shuffle cost of every
+    zarr/CASA write.  With the projection spelling the data branch is
+    range-exchange -> sort -> project -> broadcast-join: ONE full-data
+    shuffle; the offsets branch aggregates #partitions counts
+    (map-side partial) and broadcasts them.  Equal key tuples land in
+    one partition (range partitioner), so ids are only tie-permuted
+    among identical rows — the same guarantee a global window gives.
+    (daskms/writes.py:363-425 appends do the equivalent chained
+    row-count discovery.)
 
     ``stable=True`` eagerly ``localCheckpoint``s the range-partitioned
     frame before branching.  The two-branch form is only consistent
@@ -114,9 +125,18 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     order_cols = list(order_cols)
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
+    # mid = (pid << 33) | local_ordinal, evaluated on the sorted
+    # partition — local order IS the key order (narrow projection)
     parted = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
                 .sortWithinPartitions(*order_cols)
-                .withColumn("__pid", F.spark_partition_id()))
+                .withColumn("__mid", F.monotonically_increasing_id())
+                .withColumn("__pid",
+                            F.shiftright("__mid", 33).cast("int"))
+                .withColumn("__loc",
+                            F.col("__mid")
+                            .bitwiseAND(F.lit((1 << 33) - 1))
+                            .cast("long"))
+                .drop("__mid"))
     if stable:
         parted = parted.localCheckpoint(eager=True)
     offs = (parted.groupBy("__pid")
@@ -125,11 +145,10 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
                         (F.sum("__cnt").over(Window.orderBy("__pid"))
                          - F.col("__cnt")).cast("long"))
             .select("__pid", "__off"))
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     return (parted.join(F.broadcast(offs), "__pid")
-            .withColumn(name, (F.row_number().over(w) - F.lit(1)
+            .withColumn(name, (F.col("__loc")
                                + F.col("__off")).cast("long"))
-            .drop("__pid", "__off"))
+            .drop("__pid", "__off", "__loc"))
 
 
 def group_rank(df: DataFrame, group_cols: Iterable[str],

@@ -28,29 +28,64 @@ def plan_str(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _balanced_span(text: str, start: int, open_ch: str,
+                   close_ch: str) -> str:
+    """The body from ``start`` (just past the opener) up to the
+    MATCHING closer, honouring nesting — never past the line end
+    (toString() truncates long scan lines with '...', leaving the
+    bracket unclosed)."""
+    depth, i = 1, start
+    while i < len(text) and depth:
+        c = text[i]
+        if c == "\n":
+            return text[start:i]
+        if c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+        i += 1
+    return text[start:i - 1] if depth == 0 else text[start:i]
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas OUTSIDE any ()/[]/<> nesting — a naive split
+    breaks on In(a, [1,2,3]), decimal(12,2) and array<int> (review
+    r9: both helpers silently truncated at the first nested closer,
+    making pruning/pushdown assertions pass or fail falsely)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every non-empty PushedFilters entry across the plan's scans."""
     out: list[str] = []
-    # toString() truncates long scan lines ("...") — don't require the
-    # closing bracket
-    for m in re.finditer(r"PushedFilters: \[(.*?)(?:\]|\.\.\.|\n)",
-                         plan_str(df)):
-        body = m.group(1).strip()
+    plan = plan_str(df)
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        body = _balanced_span(plan, m.end(), "[", "]").strip()
         if body:
-            # split on filter boundaries, not the commas inside
-            # LessThan(col, val)
-            out.extend(s.strip() for s in
-                       re.split(r"(?<=\)),\s*", body) if s.strip())
+            out.extend(_split_top_level(body))
     return out
 
 
 def read_schema(df: DataFrame) -> list[str]:
     """Column names each scan actually reads (ReadSchema entries)."""
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<(.*?)(?:>|\.\.\.|\n)",
-                         plan_str(df)):
+    plan = plan_str(df)
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        body = _balanced_span(plan, m.end(), "<", ">")
         cols.extend(p.split(":")[0].strip()
-                    for p in m.group(1).split(",") if p.strip())
+                    for p in _split_top_level(body) if p.strip())
     return cols
 
 

@@ -96,6 +96,19 @@ def test_group_by_row(nation):
     assert all(ds.df.count() == 1 for ds in dss[:3])
     keys = sorted(ds.df.first().n_nationkey for ds in dss)
     assert keys == sorted(r.n_nationkey for r in nation.collect())
+    # r9 review fixes: attrs[ROWID] is DENSE 0..N-1 (the repo-wide
+    # ROWID convention, NOT partition-encoded ids), index_cols orders
+    # the per-row datasets, columns projects
+    from dask_ms_spark.types import ROWID
+
+    dss = partition_datasets(nation, group_cols=[GROUP_BY_ROW],
+                             index_cols=["n_name"],
+                             columns=["n_name", "n_nationkey"])
+    assert [ds.attrs[ROWID] for ds in dss] == list(range(len(dss)))
+    names = [ds.df.first().n_name for ds in dss]
+    assert names == sorted(names)
+    assert sorted(dss[0].df.columns) == sorted(
+        ["n_name", "n_nationkey", ROWID])
 
 
 def test_dataset_assign_select_where(lineitem):

@@ -1583,6 +1583,10 @@ def test_cache_scope_releases_every_internal_persist(spark):
                                          minhash_lsh_pairs)
 
     cm = spark._jsparkSession.sharedState().cacheManager()
+    # clean slate: the shared test session may carry caches from
+    # earlier test files, which would fail the isEmpty() attribution
+    # checks below through no fault of the scopes under test
+    spark.catalog.clearCache()
     # a USER cache that must survive the library's release paths
     user = spark.range(10).persist()
     user.count()

@@ -44,7 +44,7 @@ def test_update_write_roundtrip(spark, orders, tmp_path):
     base = orders.withColumn("ROWID", F.col("o_orderkey"))
     updates = base.where("o_orderstatus = 'F'") \
                   .select("ROWID", F.lit(0.0).alias("o_totalprice"))
-    merged = update_write(None, base, updates, ["ROWID", "o_totalprice"])
+    merged = update_write(base, updates, ["ROWID", "o_totalprice"])
     xds_to_parquet(merged, store)
     back = spark.read.parquet(store)
     n_f = orders.where("o_orderstatus = 'F'").count()
