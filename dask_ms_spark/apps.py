@@ -218,35 +218,51 @@ def _curate(args) -> int:
     docs = ds.df
     n_input = docs.count()
 
-    ql = quality_filter(docs, min_words=args.min_words)
-    kept = docs.join(ql.where("keep").select("doc_id"), "doc_id")
-    # exact dedup: survivors are each group's keep_id
-    keep_ids = exact_dedup(kept).select(
-        F.col("keep_id").alias("doc_id"))
-    kept = kept.join(keep_ids, "doc_id", "left_semi")
-    n_quality_exact = kept.count()
-    n_quality = None  # folded into the exact stage count (one pass)
+    from .cache import cache_scope, scoped_persist
 
-    drops = minhash_dedup(kept, threshold=args.near_dup_threshold,
-                          max_bucket_size=args.max_bucket_size)         .select(F.col("drop_id").alias("doc_id"))
-    kept = kept.join(drops, "doc_id", "left_anti")
-    n_contaminated = 0
-    if args.decontaminate:
-        from .llm.contamination import contamination_report
+    with cache_scope():
+        ql = quality_filter(docs, min_words=args.min_words)
+        kept = docs.join(ql.where("keep").select("doc_id"), "doc_id")
+        # exact dedup: survivors are each group's keep_id
+        keep_ids = exact_dedup(kept).select(
+            F.col("keep_id").alias("doc_id"))
+        # persist the post-quality/exact-dedup survivors ONCE: the
+        # funnel count, the minhash stage, the contamination stage
+        # and the final write all consume this frame — unpersisted,
+        # the quality+dedup lineage re-ran per consumer, ~4x the
+        # necessary work (review r9); the scope releases it on exit
+        kept = scoped_persist(
+            kept.join(keep_ids, "doc_id", "left_semi"))
+        n_quality_exact = kept.count()
 
-        (ev,) = xds_from_storage_table(spark, args.decontaminate)
-        bad = (contamination_report(kept, ev.df)
-               .where(F.col("contamination")
-                      >= args.contamination_fraction)
-               .select("doc_id"))
-        n_contaminated = bad.count()
-        kept = kept.join(bad, "doc_id", "left_anti")
-    final = deterministic_split(kept, "doc_id", weights)
-    final.write.mode("overwrite").partitionBy("split")         .parquet(args.output)
+        drops = minhash_dedup(
+            kept, threshold=args.near_dup_threshold,
+            max_bucket_size=args.max_bucket_size) \
+            .select(F.col("drop_id").alias("doc_id"))
+        kept = kept.join(drops, "doc_id", "left_anti")
+        n_contaminated = 0
+        if args.decontaminate:
+            from .llm.contamination import contamination_report
 
-    n_out = final.count()
-    if n_out:
+            (ev,) = xds_from_storage_table(spark, args.decontaminate)
+            bad = (contamination_report(kept, ev.df)
+                   .where(F.col("contamination")
+                          >= args.contamination_fraction)
+                   .select("doc_id"))
+            n_contaminated = bad.count()
+            kept = kept.join(bad, "doc_id", "left_anti")
+        final = deterministic_split(kept, "doc_id", weights)
+        final.write.mode("overwrite").partitionBy("split") \
+            .parquet(args.output)
+
+    # counts and split stats come from the WRITTEN parquet, not a
+    # re-execution of the curation lineage (review r9)
+    try:
         out = spark.read.parquet(args.output)
+        n_out = out.count()
+    except Exception:     # everything dropped: no partition dirs
+        n_out = 0
+    if n_out:
         by = ["split"] + (["lang"] if "lang" in out.columns else [])
         split_rows = [r.asDict() for r in
                       out.groupBy(*by)
@@ -266,8 +282,10 @@ def _curate(args) -> int:
                    "max_bucket_size": args.max_bucket_size,
                    "splits": weights},
     }
-    with open(os.path.join(args.output, "_card.json"), "w") as fh:
-        json.dump(card, fh, indent=2, sort_keys=True)
+    from .sources import sidecar
+
+    sidecar.write_text(args.output, "_card.json",
+                       json.dumps(card, indent=2, sort_keys=True))
     print(json.dumps(card["funnel"]))
     return 0
 

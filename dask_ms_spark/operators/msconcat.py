@@ -58,6 +58,24 @@ _OFFSET_TABLES = ("SPECTRAL_WINDOW", "POLARIZATION", "FIELD",
 # does with sky-position tolerances we do not replicate; parts must
 # agree or the concat raises.
 _IDENTITY_TABLES = ("SOURCE",)
+# keyed subtables: not pointed at from MAIN by row position, but
+# carrying POINTER COLUMNS into the offset tables — CASA's concat
+# stacks their rows and shifts those pointers (taking part 0 only
+# would silently drop part>=1 feed/pointing/syscal metadata while
+# their spw targets moved — review r9).  ANTENNA_ID shifts only under
+# match_antennas=False (ids are stable when the arrays are identical).
+_KEYED_SUBTABLES = {
+    "FEED": {"SPECTRAL_WINDOW": "SPECTRAL_WINDOW_ID",
+             "ANTENNA": "ANTENNA_ID"},
+    "POINTING": {"ANTENNA": "ANTENNA_ID"},
+    "SYSCAL": {"SPECTRAL_WINDOW": "SPECTRAL_WINDOW_ID",
+               "ANTENNA": "ANTENNA_ID"},
+    "WEATHER": {"ANTENNA": "ANTENNA_ID"},
+    "FREQ_OFFSET": {"SPECTRAL_WINDOW": "SPECTRAL_WINDOW_ID",
+                    "ANTENNA": "ANTENNA_ID"},
+    "HISTORY": {"OBSERVATION": "OBSERVATION_ID"},
+    "FLAG_CMD": {},
+}
 
 
 def _with_rowid_offset(df: DataFrame, off: int) -> DataFrame:
@@ -89,12 +107,16 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
 
     Row-position-indexed subtables (SPECTRAL_WINDOW, POLARIZATION,
     FIELD, DATA_DESCRIPTION, OBSERVATION, STATE, PROCESSOR) stack
-    with offsets; SOURCE (id-indexed by an explicit SOURCE_ID column)
-    must be value-identical across parts or the concat raises.
-    Remaining subtables (ANTENNA under ``match_antennas=True``, and
-    anything else present in part 0) are taken from the FIRST part;
-    parts carrying extra tables the first lacks raise (silently
-    dropping metadata is worse than failing).
+    with offsets; keyed subtables (FEED, POINTING, SYSCAL, WEATHER,
+    FREQ_OFFSET, HISTORY, FLAG_CMD) stack with their pointer columns
+    (SPECTRAL_WINDOW_ID/ANTENNA_ID/OBSERVATION_ID) shifted by the
+    target table's offsets — the CASA concat behaviour; SOURCE
+    (id-indexed by an explicit SOURCE_ID column) must be
+    value-identical across parts or the concat raises.  Remaining
+    subtables (ANTENNA under ``match_antennas=True``, and anything
+    else present in part 0) are taken from the FIRST part; parts
+    carrying extra tables the first lacks raise (silently dropping
+    metadata is worse than failing).
     """
     if not parts:
         raise ValueError("concat_ms: no parts")
@@ -110,26 +132,40 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
                 "dropped; align the parts first")
 
     # driver-side subtable row counts -> cumulative offsets
-    # (dimension tables: bounded collect contract)
+    # (dimension tables: bounded collect contract).  ANTENNA and the
+    # keyed subtables join the one-pass count map so nothing recounts
+    # inside per-part loops (review r9: O(parts^2) count jobs).
+    count_tables = set(_OFFSET_TABLES) | set(_KEYED_SUBTABLES) \
+        | {"ANTENNA"}
     counts = {t: [p[t].count() if t in p else 0 for p in parts]
-              for t in _OFFSET_TABLES}
+              for t in count_tables}
     offsets = {t: [sum(counts[t][:i]) for i in range(len(parts))]
-               for t in _OFFSET_TABLES}
+               for t in count_tables}
 
-    n_ant = None
+    def _rows_in_order(df):
+        """Rows in ROW-POSITION order: ANTENNA identity is positional
+        (ANTENNA1/ANTENNA2 index row numbers), so a PERMUTED antenna
+        table is NOT the same array — the previous sorted-set compare
+        accepted it and silently mis-attributed every part>=1
+        visibility (review r9).  ROWID orders when carried; otherwise
+        the frame's natural (scan) order stands."""
+        if ROWID in df.columns:
+            return [tuple(r) for r in df.orderBy(ROWID).collect()]
+        return [tuple(r) for r in df.collect()]
+
     if match_antennas and "ANTENNA" in parts[0]:
-        a0 = parts[0]["ANTENNA"]
-        rows0 = sorted(map(tuple, a0.collect()))
-        n_ant = len(rows0)
+        rows0 = _rows_in_order(parts[0]["ANTENNA"])
         for i, p in enumerate(parts[1:], 1):
             if "ANTENNA" not in p:
                 continue
-            if sorted(map(tuple, p["ANTENNA"].collect())) != rows0:
+            if _rows_in_order(p["ANTENNA"]) != rows0:
                 raise ValueError(
                     f"concat_ms: part {i} ANTENNA table differs from "
-                    "part 0 — same-array concat requires identical "
-                    "antennas; pass match_antennas=False to stack "
-                    "heterogeneous arrays with offset indices")
+                    "part 0 (value or ROW ORDER — antenna identity "
+                    "is positional) — same-array concat requires "
+                    "identical antennas; pass match_antennas=False "
+                    "to stack heterogeneous arrays with offset "
+                    "indices")
 
     out = {}
     mains = []
@@ -139,10 +175,8 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
         for t, col in _MAIN_INDEX.items():
             m = _shift(m, col, offsets[t][i])
         if not match_antennas and i:
-            ant_off = sum(parts[j]["ANTENNA"].count()
-                          for j in range(i) if "ANTENNA" in parts[j])
-            m = _shift(m, "ANTENNA1", ant_off)
-            m = _shift(m, "ANTENNA2", ant_off)
+            m = _shift(m, "ANTENNA1", offsets["ANTENNA"][i])
+            m = _shift(m, "ANTENNA2", offsets["ANTENNA"][i])
         m = _with_rowid_offset(m, row_off)
         if ROWID in p["MAIN"].columns:
             row_off += p["MAIN"].count()
@@ -166,6 +200,23 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
         if stacked is not None:
             out[t] = stacked
 
+    for t, pointers in _KEYED_SUBTABLES.items():
+        if t not in parts[0]:
+            continue
+        stacked = None
+        for i, p in enumerate(parts):
+            if t not in p:
+                continue
+            d = p[t]
+            for sub, col in pointers.items():
+                off = (0 if sub == "ANTENNA" and match_antennas
+                       else offsets[sub][i])
+                d = _shift(d, col, off)
+            d = _with_rowid_offset(d, offsets[t][i])
+            stacked = d if stacked is None else stacked.unionByName(d)
+        if stacked is not None:
+            out[t] = stacked
+
     for t in _IDENTITY_TABLES:
         if t not in parts[0]:
             continue
@@ -182,12 +233,12 @@ def concat_ms(parts: list, match_antennas: bool = True) -> dict:
     for t, d in parts[0].items():
         if t not in out and t != "MAIN":
             if t == "ANTENNA" and not match_antennas:
-                stacked, off = None, 0
-                for p in parts:
+                stacked = None
+                for i, p in enumerate(parts):
                     if "ANTENNA" not in p:
                         continue
-                    d2 = _with_rowid_offset(p["ANTENNA"], off)
-                    off += p["ANTENNA"].count()
+                    d2 = _with_rowid_offset(p["ANTENNA"],
+                                            offsets["ANTENNA"][i])
                     stacked = d2 if stacked is None \
                         else stacked.unionByName(d2)
                 out[t] = stacked

@@ -23,6 +23,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import sidecar
 from ..types import ROWID
 
 __all__ = ["overlay", "write_fragment", "read_fragment", "get_ancestry",
@@ -39,21 +40,38 @@ def overlay(root: DataFrame, fragment: DataFrame,
     daskms/experimental/fragments/__init__.py:115 — there by array
     merge, here by ``coalesce`` after a left join)."""
     frag_cols = [c for c in fragment.columns if c != key]
-    renamed = fragment
-    for c in frag_cols:
-        renamed = renamed.withColumnRenamed(c, f"__frag_{c}")
+    # duplicate fragment keys would MULTIPLY matching root rows
+    # through the left join — a consolidate that silently inflates
+    # the table (review r9; the zarr writer guards the same hazard).
+    # One aggregation on the (small) fragment side keys the guard;
+    # the raise_error folds into every overlaid value so it survives
+    # column pruning of any single output.
+    renamed = (fragment.groupBy(key)
+               .agg(*[F.first(c).alias(f"__frag_{c}")
+                      for c in frag_cols],
+                    F.count(F.lit(1)).alias("__frag_dup")))
     right = F.broadcast(renamed) if broadcast else renamed
     joined = root.join(right, on=key, how="left")
+
+    def guarded(col):
+        return F.when(
+            F.col("__frag_dup").isNull() | (F.col("__frag_dup") == 1),
+            col).otherwise(F.raise_error(F.lit(
+                f"overlay: duplicate {key!r} values in the fragment "
+                "— each key must carry ONE row; dedupe the fragment "
+                "first")))
+
     out_cols = []
     for c in root.columns:
         if c in frag_cols:
-            out_cols.append(F.coalesce(F.col(f"__frag_{c}"), F.col(c)).alias(c))
+            out_cols.append(guarded(
+                F.coalesce(F.col(f"__frag_{c}"), F.col(c))).alias(c))
         else:
             out_cols.append(F.col(c))
     # Columns the fragment adds that the root lacks.
     for c in frag_cols:
         if c not in root.columns:
-            out_cols.append(F.col(f"__frag_{c}").alias(c))
+            out_cols.append(guarded(F.col(f"__frag_{c}")).alias(c))
     return joined.select(*out_cols)
 
 
@@ -65,25 +83,27 @@ def write_fragment(fragment: DataFrame, store: str, parent: str,
     if key not in fragment.columns:
         raise ValueError(f"fragment must carry the {key!r} key column")
     fragment.write.mode(mode).parquet(store)
-    with open(os.path.join(store, _META), "w") as fh:
-        json.dump({PARENT_URL_ATTR: parent}, fh)
+    sidecar.write_text(store, _META,
+                       json.dumps({PARENT_URL_ATTR: parent}))
 
 
 def get_ancestry(store: str) -> list[str]:
     """Root-first chain of stores (reference ``get_ancestry``,
     daskms/experimental/fragments/__init__.py:17-72)."""
+    def canon(url: str) -> str:
+        return url if "://" in url else os.path.abspath(url)
+
     chain = [store]
-    seen = {os.path.abspath(store)}
+    seen = {canon(store)}
     current = store
     while True:
-        meta_path = os.path.join(current, _META)
-        if not os.path.exists(meta_path):
+        text = sidecar.read_text(current, _META)
+        if text is None:
             break
-        with open(meta_path) as fh:
-            parent = json.load(fh).get(PARENT_URL_ATTR)
+        parent = json.loads(text).get(PARENT_URL_ATTR)
         if not parent:
             break
-        ap = os.path.abspath(parent)
+        ap = canon(parent)
         if ap in seen:
             raise ValueError(f"fragment ancestry cycle at {parent!r}")
         seen.add(ap)
@@ -116,5 +136,5 @@ def read_fragment(spark: SparkSession, store: str,
 def rebase_fragment(store: str, new_parent: str) -> None:
     """Repoint a fragment's parent url (reference fragments CLI,
     daskms/apps/fragments.py:37-55)."""
-    with open(os.path.join(store, _META), "w") as fh:
-        json.dump({PARENT_URL_ATTR: new_parent}, fh)
+    sidecar.write_text(store, _META,
+                       json.dumps({PARENT_URL_ATTR: new_parent}))

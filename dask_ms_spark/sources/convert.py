@@ -88,13 +88,17 @@ def convert_store(spark: SparkSession, input_url: str, output_url: str,
                     if ms_mode and sub.upper() in MS_PRESETS else None)
         # Subtables are small dimension tables: no grouping, no filter.
         datasets = xds_from_storage_table(spark, sub_in)
+        sub_kw = {}
+        if "mode" in kw:       # error/append discipline applies to
+            sub_kw["mode"] = kw["mode"]  # subtables too (review r9)
         xds_to_storage_table(datasets, sub_out,
                              fmt=kw.get("output_format"),
                              compressor=kw.get("compressor"),
                              descriptor=sub_desc,
                              table_factory=kw.get("table_factory"),
                              create_factory=kw.get("create_factory"),
-                             max_chunk_mem=kw.get("max_chunk_mem"))
+                             max_chunk_mem=kw.get("max_chunk_mem"),
+                             **sub_kw)
 
 
 def probe(path: str) -> str:

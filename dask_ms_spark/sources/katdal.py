@@ -119,32 +119,54 @@ class _KatdalLoader:  # pragma: no cover - needs katdal + archive
 
     def meta(self) -> dict:
         ds = self.ds
-        cp = [(int(a[: -1]) if a[:-1].isdigit() else hash(a) & 0x7FFF,
-               int(b[: -1]) if b[:-1].isdigit() else hash(b) & 0x7FFF,
-               f"{a[-1]}{b[-1]}")
-              for a, b in ds.corr_products]
+        # katdal corr_products are POL-SUFFIXED antenna labels like
+        # ('m000h', 'm001v'): antenna identity is the label minus the
+        # trailing polarisation char, and ids come from a DETERMINISTIC
+        # sorted enumeration of the unique names — parsing the digits
+        # out of 'm000h' (or worse, hash()ing the label, which is
+        # PYTHONHASHSEED-randomised and splits one antenna's h/v into
+        # two ids) broke every real-archive ingest (review r9)
+        prods = [(str(a), str(b)) for a, b in ds.corr_products]
+        names = sorted({p[:-1] for ab in prods for p in ab})
+        ant_id = {n: i for i, n in enumerate(names)}
+        cp = [(ant_id[a[:-1]], ant_id[b[:-1]], f"{a[-1]}{b[-1]}")
+              for a, b in prods]
         corrs = sorted({c for _, _, c in cp})
         corr_of = {c: i for i, c in enumerate(corrs)}
+        # katdal's DataSet.spw is already the integer index of the
+        # selected window; .index(ds.spw) on the SpectralWindow object
+        # list raised ValueError for every real dataset (review r9)
+        spw = getattr(ds, "spw", 0)
+        if not isinstance(spw, (int, np.integer)):
+            spw = ds.spectral_windows.index(spw)
         return {
             "n_dumps": int(ds.shape[0]),
             "n_chans": int(ds.shape[1]),
             "timestamps": [float(t) for t in ds.timestamps],
             "corr_products": [(a, b, corr_of[c]) for a, b, c in cp],
+            "antenna_names": names,
             "field_ids": [int(t) for t in ds.sensor.get(
                 "Observation/target_index")],
             "scan_numbers": [int(s) for s in ds.sensor.get(
                 "Observation/scan_index")],
-            "data_desc_id": int(ds.spectral_windows.index(ds.spw)
-                                if hasattr(ds, "spw") else 0),
+            "data_desc_id": int(spw),
         }
 
     def read(self, start: int, stop: int) -> dict:
         ds = self.ds
-        return {
+        out = {
             "vis": np.asarray(ds.vis[start:stop]),
             "flags": np.asarray(ds.flags[start:stop]),
             "weights": np.asarray(ds.weights[start:stop]),
         }
+        # katdal exposes uvw as per-corr-product (n_dumps, n_cp)
+        # u/v/w arrays; without them the import would silently write
+        # all-zero UVW (review r9) — downstream BDA/imaging/uvdist
+        # RFI would compute quietly wrong results
+        if all(hasattr(ds, k) for k in ("u", "v", "w")):
+            for k in ("u", "v", "w"):
+                out[k] = np.asarray(getattr(ds, k)[start:stop])
+        return out
 
 
 def _ms_schema(nchan: int, ncorr: int) -> StructType:
@@ -255,7 +277,24 @@ def xds_from_katdal(spark: SparkSession, url: str,
                 if "uvw" in block:
                     uvw = np.asarray(block["uvw"], dtype=np.float64) \
                         .reshape(nd * nbl, 3)
+                elif all(k in block for k in ("u", "v", "w")):
+                    # per-corr-product (nd, n_cp) u/v/w — identical
+                    # across a baseline's polarisation products, so
+                    # gather one cp per baseline
+                    sel = cp_map[:, 0]
+                    uvw = np.stack(
+                        [np.asarray(block[k],
+                                    dtype=np.float64)[:, sel]
+                         for k in ("u", "v", "w")],
+                        axis=-1).reshape(nd * nbl, 3)
                 else:
+                    import warnings
+
+                    warnings.warn(
+                        "katdal loader returned no uvw/u/v/w — "
+                        "writing ZERO UVW coordinates; uv-dependent "
+                        "results (BDA, imaging, uvdist RFI) will be "
+                        "wrong", stacklevel=2)
                     uvw = np.zeros((nd * nbl, 3), dtype=np.float64)
                 dump_idx = np.repeat(np.arange(lo, hi), nbl)
                 yield pd.DataFrame({

@@ -12,8 +12,9 @@ costs nothing at any scale).
 from __future__ import annotations
 
 import json
-import os
 from typing import Any, Mapping
+
+from . import sidecar
 
 __all__ = ["write_keywords", "read_keywords", "update_keywords",
            "KEYWORDS_FILE"]
@@ -25,22 +26,22 @@ def write_keywords(store: str,
                    table_keywords: Mapping[str, Any] | None = None,
                    column_keywords: Mapping[str, Mapping[str, Any]] | None = None,
                    ) -> None:
-    """Write table + per-column keyword dicts next to a parquet store."""
+    """Write table + per-column keyword dicts next to a parquet store
+    (local or remote — sidecar IO routes through the Hadoop FS)."""
     payload = {"table": dict(table_keywords or {}),
                "columns": {c: dict(kw)
                            for c, kw in (column_keywords or {}).items()}}
-    with open(os.path.join(store, KEYWORDS_FILE), "w") as fh:
-        json.dump(payload, fh, indent=1, sort_keys=True)
+    sidecar.write_text(store, KEYWORDS_FILE,
+                       json.dumps(payload, indent=1, sort_keys=True))
 
 
 def read_keywords(store: str) -> tuple[dict, dict]:
     """(table_keywords, column_keywords) for a store; empty if absent
     (the reference returns {} for keywordless tables)."""
-    path = os.path.join(store, KEYWORDS_FILE)
-    if not os.path.exists(path):
+    text = sidecar.read_text(store, KEYWORDS_FILE)
+    if text is None:
         return {}, {}
-    with open(path) as fh:
-        payload = json.load(fh)
+    payload = json.loads(text)
     return payload.get("table", {}), payload.get("columns", {})
 
 

@@ -267,3 +267,67 @@ def test_concat_ms_preserves_negative_sentinels(spark):
                  .distinct().collect())
     assert ids == [-1, 0, 2]      # -1 preserved; part-1's 0 -> 2
     assert out["STATE"].count() == 4
+
+
+def test_concat_ms_stacks_keyed_subtables(spark):
+    """r9 review: FEED/POINTING/SYSCAL/WEATHER/HISTORY stack with
+    their SPECTRAL_WINDOW_ID/ANTENNA_ID/OBSERVATION_ID pointers
+    shifted (CASA concat behaviour) — previously part>=1 rows were
+    silently dropped while their spw targets moved."""
+    from dask_ms_spark.example_data import example_ms
+    from dask_ms_spark.operators.msconcat import concat_ms
+
+    a = example_ms(spark)
+    b = example_ms(spark)
+    feed = spark.createDataFrame(
+        [(0, 0, 0), (1, 1, 1)],
+        "ROWID long, ANTENNA_ID int, SPECTRAL_WINDOW_ID int")
+    a = dict(a); b = dict(b)
+    a["FEED"] = feed
+    b["FEED"] = feed
+    out = concat_ms([a, b])
+    rows = {r.ROWID: (r.ANTENNA_ID, r.SPECTRAL_WINDOW_ID)
+            for r in out["FEED"].collect()}
+    assert len(rows) == 4                       # stacked, not dropped
+    # part 1 spw pointers shifted by part 0's 2 SPW rows; ANTENNA_ID
+    # unshifted under match_antennas=True
+    assert rows[0] == (0, 0) and rows[1] == (1, 1)
+    assert rows[2] == (0, 2) and rows[3] == (1, 3)
+
+
+def test_concat_ms_rejects_permuted_antenna(spark):
+    """r9 review: ANTENNA identity is POSITIONAL — a permuted
+    (same-values) antenna table must fail the match_antennas check,
+    not silently mis-attribute part>=1 baselines."""
+    import pytest
+
+    from dask_ms_spark.example_data import example_ms
+    from dask_ms_spark.operators.msconcat import concat_ms
+
+    a = dict(example_ms(spark))
+    b = dict(example_ms(spark))
+    a["ANTENNA"] = spark.createDataFrame(
+        [(0, "A0"), (1, "A1")], "ROWID long, NAME string")
+    b["ANTENNA"] = spark.createDataFrame(
+        [(0, "A1"), (1, "A0")], "ROWID long, NAME string")  # permuted
+    with pytest.raises(ValueError, match="ROW ORDER"):
+        concat_ms([a, b])
+
+
+def test_overlay_rejects_duplicate_fragment_keys(spark):
+    """r9 review: a fragment carrying two rows for one ROWID would
+    multiply root rows through the left join — consolidate must raise
+    instead of silently inflating the table."""
+    import pytest
+
+    from dask_ms_spark.operators.overlay import overlay
+
+    root = spark.createDataFrame([(0, 1.0), (1, 2.0)],
+                                 "ROWID long, V double")
+    frag = spark.createDataFrame([(1, 9.0), (1, 8.0)],
+                                 "ROWID long, V double")
+    with pytest.raises(Exception, match="duplicate 'ROWID'"):
+        overlay(root, frag).collect()
+    ok = spark.createDataFrame([(1, 9.0)], "ROWID long, V double")
+    got = {r.ROWID: r.V for r in overlay(root, ok).collect()}
+    assert got == {0: 1.0, 1: 9.0}

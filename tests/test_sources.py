@@ -1442,3 +1442,104 @@ def test_s3_zarr_round_trip_keeps_dot_metadata(spark, nation):
             r.n_nationkey for r in nation.select("n_nationkey").collect())
     finally:
         server.stop()
+
+
+def test_katdal_uvw_from_per_corrprod_uvw(spark):
+    """r9 review: a loader exposing katdal-style per-corr-product
+    u/v/w arrays yields real UVW coordinates (previously zero-filled
+    silently); and pol-suffixed corr_products ('m000h','m001v') map
+    to deterministic dense antenna ids via _KatdalLoader.meta's
+    name enumeration."""
+    import numpy as np
+
+    from dask_ms_spark.sources.katdal import xds_from_katdal
+
+    class UVWLoader(FakeKatdalLoader):
+        def read(self, start, stop):
+            out = super().read(start, stop)
+            ncp = len(self._cp())
+            nd = stop - start
+            base = (np.arange(start, stop)[:, None] * 10.0
+                    + np.arange(ncp)[None, :] // 2)  # per-baseline
+            out["u"] = base
+            out["v"] = base + 0.25
+            out["w"] = base + 0.5
+            return out
+
+    [ds0, _] = xds_from_katdal(spark, "fake://archive",
+                               loader_factory=UVWLoader,
+                               dumps_per_chunk=4)
+    r = (ds0.df.where("TIME = 1e9 + 0.0 AND ANTENNA1 = 0 "
+                      "AND ANTENNA2 = 2").first())
+    # dump 0, baseline (0,2) = second baseline -> u = 0*10 + 1
+    assert list(np.round(np.array(r.UVW), 3)) == [1.0, 1.25, 1.5]
+
+
+def test_katdal_meta_parses_pol_suffixed_labels():
+    """_KatdalLoader.meta on MeerKAT-style labels: same antenna's h/v
+    products share one id, ids are dense and deterministic, and
+    int-valued ds.spw is used directly (review r9)."""
+    import numpy as np
+
+    from dask_ms_spark.sources.katdal import _KatdalLoader
+
+    class FakeDS:
+        corr_products = [(a + p1, b + p2)
+                         for a, b in (("m000", "m001"),
+                                      ("m000", "m063"),
+                                      ("m001", "m063"))
+                         for p1 in "hv" for p2 in "hv"]
+        shape = (2, 4, 12)
+        timestamps = np.array([1.0, 2.0])
+        spw = 1
+        spectral_windows = ["SPW_OBJ_0", "SPW_OBJ_1"]
+
+        class sensor:
+            @staticmethod
+            def get(name):
+                return [0, 0]
+
+    meta = _KatdalLoader(FakeDS()).meta()
+    assert meta["antenna_names"] == ["m000", "m001", "m063"]
+    ants = {(a, b) for a, b, _ in meta["corr_products"]}
+    assert ants == {(0, 1), (0, 2), (1, 2)}
+    corrs = {c for _, _, c in meta["corr_products"]}
+    assert corrs == {0, 1, 2, 3}          # hh, hv, vh, vv -> dense
+    assert meta["data_desc_id"] == 1      # int spw used directly
+
+
+def test_sidecar_io_on_url_schemed_store(spark, tmp_path):
+    """r9 review: fragment/keyword/card sidecars on a URL-schemed
+    store route through the JVM Hadoop filesystem instead of
+    driver-local open() (which silently collapsed remote fragment
+    ancestry and crashed remote keyword writes after the data had
+    landed).  file:// exercises the exact JVM code path s3a/hdfs
+    take."""
+    from dask_ms_spark.operators.overlay import (get_ancestry,
+                                                 read_fragment,
+                                                 write_fragment)
+    from dask_ms_spark.sources import sidecar
+    from dask_ms_spark.sources.keywords import (read_keywords,
+                                                write_keywords)
+
+    root_dir = tmp_path / "root_store"
+    frag_dir = tmp_path / "frag_store"
+    root_url = f"file://{root_dir}"
+    frag_url = f"file://{frag_dir}"
+
+    spark.createDataFrame([(0, 1.0), (1, 2.0)],
+                          "ROWID long, V double") \
+        .write.parquet(str(root_dir))
+    frag = spark.createDataFrame([(1, 9.0)], "ROWID long, V double")
+    write_fragment(frag, frag_url, parent=root_url)
+    # sidecar landed as a real file, readable back through the URL
+    assert (frag_dir / "_dask_ms_spark_fragment.json").exists()
+    assert get_ancestry(frag_url) == [root_url, frag_url]
+    got = {r.ROWID: r.V for r in read_fragment(spark, frag_url)
+           .collect()}
+    assert got == {0: 1.0, 1: 9.0}
+
+    write_keywords(root_url, {"MS_VERSION": 2.0}, {"V": {"UNIT": "Jy"}})
+    tk, ck = read_keywords(root_url)
+    assert tk == {"MS_VERSION": 2.0} and ck["V"] == {"UNIT": "Jy"}
+    assert sidecar.read_text(root_url, "nope.json") is None
