@@ -4290,7 +4290,8 @@ def q_rfi_flag(spark, sf_dir):
 
 
 def _rfi_flag_sql() -> str:
-    num, den = (4.0 * 1.4826).as_integer_ratio()
+    num, den = (1.4826).as_integer_ratio()
+    anum, aden = (1.2533141373155003).as_integer_ratio()
     return f"""
     WITH v AS (SELECT vec_id % 8 AS b, vec_id AS t,
                       list_transform(embedding,
@@ -4305,19 +4306,23 @@ def _rfi_flag_sql() -> str:
            FROM e),
     st2 AS (SELECT *, quantile_cont(abs(x - med), 0.5) OVER (
                     PARTITION BY b, pos) AS mad,
+                  avg(abs(x - med)) OVER (PARTITION BY b, pos) AS aad,
                   quantile_cont(x, 0.5) OVER (
                     PARTITION BY b, pos ORDER BY t
                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS rmed
             FROM st),
+    th AS (SELECT *, 4.0 * (CASE WHEN mad > 0
+                            THEN (CAST({num} AS DOUBLE) / {den}) * mad
+                            ELSE (CAST({anum} AS DOUBLE) / {aden})
+                                 * coalesce(aad, 0.0) END) AS thr
+           FROM st2),
     fl AS (SELECT b, t, pos,
                   (x IS NULL) OR (x IS NOT NULL AND rmed IS NOT NULL
-                      AND abs(x - rmed)
-                          > (CAST({num} AS DOUBLE) / {den}) * mad) AS f,
+                      AND abs(x - rmed) > thr) AS f,
                   CASE WHEN x IS NOT NULL AND rmed IS NOT NULL
-                       AND abs(x - rmed)
-                           > (CAST({num} AS DOUBLE) / {den}) * mad
+                       AND abs(x - rmed) > thr
                        THEN 1 ELSE 0 END AS nw
-           FROM st2)
+           FROM th)
     SELECT b, t AS vec_id,
            cast(sum(nw) as bigint) AS n_flagged_new,
            array_to_string(list(CASE WHEN f THEN '1' ELSE '0' END
@@ -4513,12 +4518,12 @@ def _grid_conv_sql() -> str:
                   du, dv
            FROM d, UNNEST([-1, 0, 1]) AS tu(du),
                    UNNEST([-1, 0, 1]) AS tv(dv)),
-    c AS (SELECT cast(floor(x) + du as bigint) AS iu,
-                 cast(floor(y) + dv as bigint) AS iv,
-                 exp(-((x - (floor(x) + du + 0.5))
-                       * (x - (floor(x) + du + 0.5))
-                       + (y - (floor(y) + dv + 0.5))
-                       * (y - (floor(y) + dv + 0.5))) * 2.0) AS k,
+    c AS (SELECT cast(floor(x + 0.5) + du as bigint) AS iu,
+                 cast(floor(y + 0.5) + dv as bigint) AS iv,
+                 exp(-((x - (floor(x + 0.5) + du))
+                       * (x - (floor(x + 0.5) + du))
+                       + (y - (floor(y + 0.5) + dv))
+                       * (y - (floor(y + 0.5) + dv))) * 2.0) AS k,
                  re, im
           FROM sp),
     q AS (SELECT iu, iv,
@@ -5050,8 +5055,8 @@ def _imaging_weights_sql() -> str:
                       fmod(vec_id * 7.3, 40.0) - 20.0 AS vv,
                       1.0 + cast(vec_id % 3 as double) AS w
                FROM embeddings),
-    c AS (SELECT *, cast(floor(u / 4.0) as bigint) AS cu,
-                 cast(floor(vv / 4.0) as bigint) AS cv
+    c AS (SELECT *, cast(floor(u / 4.0 + 0.5) as bigint) AS cu,
+                 cast(floor(vv / 4.0 + 0.5) as bigint) AS cv
           FROM v),
     n AS (SELECT *, count(*) OVER (PARTITION BY cu, cv) AS n_cell,
                  sum(w) OVER (PARTITION BY cu, cv) AS wk_row
@@ -5280,14 +5285,14 @@ _SIGMA_CLIP_SQL = """
                         as double) / 1048576 AS ss,
                    count(*) AS n_kept
             FROM d2 GROUP BY b)
-    SELECT f.b,
+    SELECT n0.b,
            cast(round((s / n_kept) * 1000000) as bigint) AS mean_q,
            cast(round(sqrt(greatest(CASE WHEN n_kept > 1
                 THEN (ss - s * s / n_kept) / (n_kept - 1)
                 ELSE 0.0 END, 0.0)) * 1000000) as bigint) AS std_q,
-           cast(n_kept as bigint) AS n_kept,
+           cast(coalesce(n_kept, 0) as bigint) AS n_kept,
            cast(n0.n_in as bigint) AS n_in
-    FROM fin f JOIN n0 USING (b)
+    FROM n0 LEFT JOIN fin f USING (b)
 """
 
 
@@ -5709,8 +5714,8 @@ def _grid_vis_sql() -> str:
     h AS (SELECT u, v, re, im FROM p
           UNION ALL
           SELECT -u, -v, re, -im FROM p),
-    cells AS (SELECT cast(floor(u / 1.0) as bigint) + 32 AS iu,
-                     cast(floor(v / 1.0) as bigint) + 32 AS iv,
+    cells AS (SELECT cast(floor(u / 1.0 + 0.5) as bigint) + 32 AS iu,
+                     cast(floor(v / 1.0 + 0.5) as bigint) + 32 AS iv,
                      re, im
               FROM h)
     SELECT iu, iv,
@@ -5995,8 +6000,8 @@ def _grid_wstack_sql() -> str:
           UNION ALL
           SELECT -u, -v, -w, re, -im FROM p),
     cells AS (SELECT cast(floor(w / 4.0 + 0.5) as bigint) AS iw,
-                     cast(floor(u / 1.0) as bigint) + 32 AS iu,
-                     cast(floor(v / 1.0) as bigint) + 32 AS iv,
+                     cast(floor(u / 1.0 + 0.5) as bigint) + 32 AS iu,
+                     cast(floor(v / 1.0 + 0.5) as bigint) + 32 AS iv,
                      re, im
               FROM h)
     SELECT iw, iu, iv,

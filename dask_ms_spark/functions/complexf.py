@@ -23,9 +23,11 @@ __all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c
 
 
 def c_make(re: Column, im: Column) -> Column:
-    """Interleave two equal-length float arrays into a complex array."""
+    """Interleave two equal-length float arrays into a complex array
+    (empty in, empty out — see ``_pairs`` on sequence(0, -1))."""
     n = F.size(re)
-    idx = F.sequence(F.lit(0), n * 2 - 1)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n * 2 - 1)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.when(i % 2 == 0, F.element_at(re, (i / 2).cast("int") + 1))
@@ -43,8 +45,13 @@ def c_sub(a: Column, b: Column) -> Column:
 
 
 def _pairs(a: Column) -> Column:
-    """Index sequence 0..n_complex-1."""
-    return F.sequence(F.lit(0), (F.size(a) / 2).cast("int") - 1)
+    """Index sequence 0..n_complex-1 — EMPTY for an empty array
+    (``sequence(0, -1)`` counts DOWN in Spark, so the unguarded form
+    emitted a 2-element garbage index for zero-length inputs —
+    review r9)."""
+    n2 = (F.size(a) / 2).cast("int")
+    return F.when(n2 > 0, F.sequence(F.lit(0), n2 - 1)) \
+        .otherwise(F.array().cast("array<int>"))
 
 
 def c_mul(a: Column, b: Column) -> Column:
@@ -61,9 +68,11 @@ def c_mul(a: Column, b: Column) -> Column:
 
 
 def c_conj(a: Column) -> Column:
-    """Complex conjugate: negate odd (imaginary) slots."""
+    """Complex conjugate: negate odd (imaginary) slots (empty in,
+    empty out — see ``_pairs`` on sequence(0, -1))."""
     n = F.size(a)
-    idx = F.sequence(F.lit(0), n - 1)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.zip_with(a, idx,
                       lambda x, i: F.when(i % 2 == 1, -x).otherwise(x))
 
@@ -183,6 +192,13 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
     no fact-table shuffle (assert broadcast in the plan; at 100 TB of
     DATA this is the difference between a free map-side pass and an
     impossible repartition).
+
+    Rows whose antenna has NO gains entry (flagged/failed antennas
+    are routinely dropped from solutions) are KEPT with a NULL
+    ``out_col`` — the same left semantics as ``apply_gains_timevar``;
+    the earlier inner joins silently DROPPED every baseline touching
+    a missing antenna (review r9).  Filter on ``out_col IS NOT NULL``
+    to discard them explicitly.
     """
     if mode not in ("corrupt", "correct"):
         raise ValueError(f"apply_gains: unknown mode {mode!r}")
@@ -211,7 +227,12 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
                 "correct; flag the antenna instead"))))
         corrected = F.zip_with(c_mul(checked, c_conj(gprod)), mag2,
                                lambda v, m: v / m)
-    return (vis.join(gp, ant1_col).join(gq, ant2_col)
+    # NULL-out, not drop: missing-antenna rows survive with out_col
+    # NULL (left joins), and the size/zero checks above only fire
+    # when BOTH gains are present
+    corrected = F.when(F.col("__gp").isNotNull()
+                       & F.col("__gq").isNotNull(), corrected)
+    return (vis.join(gp, ant1_col, "left").join(gq, ant2_col, "left")
             .withColumn(out_col, corrected)
             .drop("__gp", "__gq"))
 

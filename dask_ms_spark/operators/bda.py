@@ -74,7 +74,8 @@ def bda_average(df: DataFrame, time_col: str,
                 chan_average: bool = False,
                 time_origin: float = 0.0,
                 quantize_scale: int | None = None,
-                per_baseline_uvdist: bool = False) -> DataFrame:
+                per_baseline_uvdist: bool = False,
+                complex_data: bool = False) -> DataFrame:
     """Average rows per (baseline, adaptive time bin).
 
     Bin width is ``base_interval * bda_factor(uvdist)``; row ``r``
@@ -113,6 +114,17 @@ def bda_average(df: DataFrame, time_col: str,
     group-by shuffles on) so every row of a baseline bins under the
     same width; this adds one window exchange co-partitioned with the
     aggregation.
+
+    ``complex_data=True`` declares ``data_col`` as the engine's
+    INTERLEAVED complex layout ([re0, im0, re1, im1, ...]): the
+    per-channel ``flag_col`` mask expands to the re/im planes
+    automatically either way (the sizes decide), but
+    ``chan_average`` needs the declaration — binning the raw
+    interleaved array would average re and im planes together, so
+    the complex path bins each plane and re-interleaves.  A
+    per-channel ``weight_spectrum_col`` over interleaved data must
+    be pre-expanded by the caller (``c_expand_mask``-style) — the
+    size guard raises otherwise.
     """
     if base_interval <= 0:
         raise ValueError(f"bda_average: base_interval must be > 0, "
@@ -149,7 +161,22 @@ def bda_average(df: DataFrame, time_col: str,
         raise ValueError("bda_average: weight_data=True requires "
                          "weight_col")
     if flag_col is not None:
-        mask = F.transform(F.col(flag_col), lambda fl: ~fl)
+        # MS convention: FLAG is per CHANNEL while interleaved
+        # complex DATA carries 2 floats per channel — expand the mask
+        # to the re/im layout when the sizes say so; a mismatched
+        # pair raises instead of letting zip_with silently NULL-pad
+        # half the band (review r9, the same hazard the
+        # weight_is_spectrum guard covers)
+        from ..functions.complexf import c_expand_mask
+
+        keep = F.transform(F.col(flag_col), lambda fl: ~fl)
+        d_sz, f_sz = F.size(data_col), F.size(flag_col)
+        mask = (F.when(d_sz == f_sz, keep)
+                .when(d_sz == f_sz * 2, c_expand_mask(keep))
+                .otherwise(F.raise_error(F.lit(
+                    "bda_average: size(flag_col) must equal "
+                    "size(data_col) (real data) or size(data_col)/2 "
+                    "(interleaved complex DATA)"))))
     else:
         mask = F.transform(F.col(data_col), lambda _: F.lit(True))
     if weight_spectrum_col is not None:
@@ -167,10 +194,29 @@ def bda_average(df: DataFrame, time_col: str,
     if chan_average:
         from ..functions.vector import masked_bin_average_dyn
 
-        cmean = masked_bin_average_dyn(
-            F.col("data_mean"),
-            F.transform(F.col("data_mean"), lambda v: v.isNotNull()),
-            F.col("factor"))
+        if complex_data:
+            # interleaved complex: a contiguous bin over the raw
+            # array would average re and im planes TOGETHER
+            # (c_expand_mask's documented forbidden case — review
+            # r9).  Split the planes, bin each, re-interleave.
+            from ..functions.complexf import c_imag, c_real
+
+            def plane_mean(plane):
+                return masked_bin_average_dyn(
+                    plane, F.transform(plane,
+                                       lambda v: v.isNotNull()),
+                    F.col("factor"))
+
+            re_b = plane_mean(c_real(F.col("data_mean")))
+            im_b = plane_mean(c_imag(F.col("data_mean")))
+            cmean = F.flatten(F.zip_with(
+                re_b, im_b, lambda a, b: F.array(a, b)))
+        else:
+            cmean = masked_bin_average_dyn(
+                F.col("data_mean"),
+                F.transform(F.col("data_mean"),
+                            lambda v: v.isNotNull()),
+                F.col("factor"))
         out = (out.withColumn("data_chan_mean", cmean)
                .withColumn("flag_chan",
                            F.transform(F.col("data_chan_mean"),

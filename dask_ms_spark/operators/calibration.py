@@ -277,8 +277,12 @@ def statwt(vis: DataFrame, time_col: str, baseline_cols: list,
     s = F.col("sigma")
     if weight_floor > 0:
         s = F.greatest(s, F.lit(float(weight_floor)))
+    # report the CLAMPED sigma alongside the weight it produced —
+    # the MS invariant is WEIGHT == 1/SIGMA^2, and an unclamped
+    # sigma next to a clamped weight disagreed by (sigma/floor)^2
+    # on quiet baselines (review r9)
     sig = sig.select(*baseline_cols, "n_diff_terms",
-                     F.col("sigma"),
+                     s.alias("sigma"),
                      (F.lit(1.0) / (s * s)).alias("weight"))
     return vis.join(F.broadcast(sig), on=baseline_cols, how="left")
 

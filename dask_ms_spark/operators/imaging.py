@@ -9,8 +9,10 @@ plan.
 Semantics (matching the standard imager definitions):
 
 * natural: ``w' = w`` (pass-through; the baseline).
-* uniform: ``w' = w / N_cell`` — each occupied uv cell contributes
-  equally, killing the dense-core bias at full resolution cost.
+* uniform: ``w' = w / W_cell`` (the cell's gridded weight sum — the
+  CASA definition and the briggs(R -> -inf) limit) — each occupied
+  uv cell contributes equally, killing the dense-core bias at full
+  resolution cost.
 * briggs(R): ``w' = w / (1 + N_cell * f2)`` with
   ``f2 = (5 * 10^-R)^2 / (sum_cells N_k^2 / sum_i w_i)`` — the robust
   interpolation between natural (R >> 0) and uniform (R << 0).
@@ -50,8 +52,12 @@ def imaging_weights(df: DataFrame, u_col: str, v_col: str,
         raise ValueError(f"imaging_weights: unknown mode {mode!r}")
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
-    cu = F.floor(F.col(u_col).cast("double") / F.lit(float(cell_size)))
-    cv = F.floor(F.col(v_col).cast("double") / F.lit(float(cell_size)))
+    # nearest cell CENTRE — the same binning grid_visibilities uses,
+    # so density weights describe the cells the gridder fills
+    cu = F.floor(F.col(u_col).cast("double") / F.lit(float(cell_size))
+                 + F.lit(0.5))
+    cv = F.floor(F.col(v_col).cast("double") / F.lit(float(cell_size))
+                 + F.lit(0.5))
     base = df.withColumn("__cu", cu).withColumn("__cv", cv) \
              .withColumn("__w", w)
     win = (Window.partitionBy("__cu", "__cv")
@@ -61,8 +67,12 @@ def imaging_weights(df: DataFrame, u_col: str, v_col: str,
     if mode == "natural":
         out = d.withColumn("imaging_weight", F.col("__w"))
     elif mode == "uniform":
+        # uniform density divides by the gridded WEIGHT sum W_k (the
+        # briggs(R -> -inf) limit and the CASA definition), not the
+        # row count — counts only coincide under unit weights
+        # (review r9)
         out = d.withColumn("imaging_weight",
-                           F.col("__w") / F.col("n_cell"))
+                           F.col("__w") / F.sum("__w").over(win))
     else:
         # Briggs 1995 / CASA define BOTH the normalisation and the
         # denominator via the gridded WEIGHT sums W_k = sum_i w_i per
@@ -86,7 +96,7 @@ def imaging_weights(df: DataFrame, u_col: str, v_col: str,
                            F.col("__w")
                            / (F.lit(1.0) + F.col("__Wk")
                               * (F.lit(s2) / F.col("__meanW"))))
-               .drop("__Wk"))
+               .drop("__Wk", "__meanW"))
     return out.drop("__cu", "__cv", "__w")
 
 
@@ -122,13 +132,17 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
     summands restore shuffle-order determinism (and engine
     mirrorability) exactly as in ``bda_average``/``gain_solve``.
 
-    Cell index: ``iu = floor(u / cell_size) + npix // 2`` (likewise
-    iv); rows falling outside ``[0, npix)`` are dropped (the imager's
+    Cell index: ``iu = floor(u / cell_size + 0.5) + npix // 2``
+    (nearest cell centre, engine-portable no-round() spelling;
+    likewise iv) — cell iu holds spatial frequency ``(iu - npix/2) *
+    cell_size``, the convention ``dirty_image``'s ifftshift assumes.
+    Rows falling outside ``[0, npix)`` are dropped (the imager's
     "outside the grid" clip).  ``hermitian=True`` also grids the
     conjugate sample at ``(-u, -v)`` with negated imaginary part —
-    the standard fold that makes the dirty image real; it doubles
-    map-side rows but never the shuffle, because the aggregate is
-    bounded by the grid.
+    the standard fold that makes the dirty image real (with the
+    nearest-centre index the conjugate lands on the exact mirror
+    cell); it doubles map-side rows but never the shuffle, because
+    the aggregate is bounded by the grid.
 
     Scale shape: ONE groupBy(iu, iv) whose key space is at most
     ``npix^2`` cells — partial (map-side) aggregation collapses each
@@ -176,18 +190,24 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
         sig = float(kernel_sigma if kernel_sigma is not None
                     else s / 2.0)
         inv2s2 = 1.0 / (2.0 * sig * sig)
-        # continuous grid coords; cell j covers [j, j+1) with centre
-        # j + 0.5, matching the floor convention of the nearest path
+        # continuous grid coords; cell j is CENTRED at x = j — the
+        # FFT convention dirty_image's ifftshift assumes (cell iu
+        # holds spatial frequency (iu - half) * cell_size).  The
+        # earlier floor()/centre-j+0.5 spelling represented every
+        # off-lattice sample at ~u - cell/2, broke the hermitian
+        # mirror pairing, and attenuated the image toward its edge
+        # (review r9); floor(x + 0.5) is nearest-cell in the
+        # engine-portable no-round() spelling the w-axis already used
         x = F.col("__u") / F.lit(float(cell_size)) + F.lit(half)
         y = F.col("__v") / F.lit(float(cell_size)) + F.lit(half)
         offs = F.array(*[F.lit(i) for i in range(-s, s + 1)])
         spread = (base.withColumn("__x", x).withColumn("__y", y)
                   .withColumn("__du", F.explode(offs))
                   .withColumn("__dv", F.explode(offs)))
-        ju = F.floor(F.col("__x")) + F.col("__du")
-        jv = F.floor(F.col("__y")) + F.col("__dv")
-        dx = F.col("__x") - (ju.cast("double") + F.lit(0.5))
-        dy = F.col("__y") - (jv.cast("double") + F.lit(0.5))
+        ju = F.floor(F.col("__x") + F.lit(0.5)) + F.col("__du")
+        jv = F.floor(F.col("__y") + F.lit(0.5)) + F.col("__dv")
+        dx = F.col("__x") - ju.cast("double")
+        dy = F.col("__y") - jv.cast("double")
         k = F.exp(-(dx * dx + dy * dy) * F.lit(inv2s2))
         wk = F.col("__w") * k
         if quantize_scale:
@@ -214,12 +234,17 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
             .where((F.col("iu") >= 0) & (F.col("iu") < npix)
                    & (F.col("iv") >= 0) & (F.col("iv") < npix)))
     else:
+        # nearest CELL CENTRE (floor(x + 0.5)), matching the FFT's
+        # cell-iu == frequency (iu - half) * cell_size convention —
+        # plain floor() biased every sample half a cell low and made
+        # the hermitian fold land conjugates off their mirror cell
+        # (review r9)
         cells = base.select(
             *gcols,
-            (F.floor(F.col("__u") / F.lit(float(cell_size)))
-             + F.lit(half)).alias("iu"),
-            (F.floor(F.col("__v") / F.lit(float(cell_size)))
-             + F.lit(half)).alias("iv"),
+            (F.floor(F.col("__u") / F.lit(float(cell_size))
+                     + F.lit(0.5)) + F.lit(half)).alias("iu"),
+            (F.floor(F.col("__v") / F.lit(float(cell_size))
+                     + F.lit(0.5)) + F.lit(half)).alias("iv"),
             "__re", "__im", "__w") \
             .where((F.col("iu") >= 0) & (F.col("iu") < npix)
                    & (F.col("iv") >= 0) & (F.col("iv") < npix))
@@ -335,10 +360,10 @@ def grid_visibilities_wstack(df: DataFrame, u_col: str, v_col: str,
     cells = base.select(
         F.floor(F.col("__w3") / F.lit(float(w_step))
                 + F.lit(0.5)).alias("iw"),
-        (F.floor(F.col("__u") / F.lit(float(cell_size)))
-         + F.lit(half)).alias("iu"),
-        (F.floor(F.col("__v") / F.lit(float(cell_size)))
-         + F.lit(half)).alias("iv"),
+        (F.floor(F.col("__u") / F.lit(float(cell_size))
+                 + F.lit(0.5)) + F.lit(half)).alias("iu"),
+        (F.floor(F.col("__v") / F.lit(float(cell_size))
+                 + F.lit(0.5)) + F.lit(half)).alias("iv"),
         "__re", "__im", "__wt") \
         .where((F.col("iu") >= 0) & (F.col("iu") < npix)
                & (F.col("iv") >= 0) & (F.col("iv") < npix))

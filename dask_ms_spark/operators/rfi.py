@@ -112,11 +112,23 @@ def rfi_flag(df: DataFrame, time_col: str,
     st = (ex.withColumn("__med", F.percentile("__x", 0.5).over(w_all))
             .withColumn("__mad", F.percentile(
                 F.abs(F.col("__x") - F.col("__med")), 0.5).over(w_all))
+            .withColumn("__aad", F.avg(
+                F.abs(F.col("__x") - F.col("__med"))).over(w_all))
             .withColumn("__rmed", F.percentile("__x", 0.5).over(w_roll)))
-    # single Python-side multiply: ONE double constant crosses into
-    # the plan, so an oracle can reproduce it exactly via its integer
-    # ratio (SCALE.md "double-literal double-rounding" rule)
-    thr = F.lit(float(k) * 1.4826) * F.col("__mad")
+    # MAD collapses to 0 when more than half a series is one constant
+    # (quantised/zero-filled channels) — the threshold then flagged
+    # EVERY deviation regardless of k (review r9); fall back to the
+    # MEAN absolute deviation around the median (sqrt(pi/2) rescales
+    # it to sigma under normality) — linear in the outliers, so a
+    # genuine spike still clears the threshold it inflates, unlike a
+    # std fallback whose quadratic blow-up hides the spike itself.
+    # Literal discipline: each constant crosses as ONE double so an
+    # oracle reproduces it via its integer ratio (SCALE.md rule).
+    scale = F.when(F.col("__mad") > 0,
+                   F.lit(1.4826) * F.col("__mad")) \
+        .otherwise(F.lit(1.2533141373155003)
+                   * F.coalesce(F.col("__aad"), F.lit(0.0)))
+    thr = F.lit(float(k)) * scale
     hit = (F.col("__x").isNotNull() & F.col("__rmed").isNotNull()
            & (F.abs(F.col("__x") - F.col("__rmed")) > thr))
     flagged = F.col("__x").isNull() | hit      # pre-flag stays flagged
@@ -210,8 +222,14 @@ def sigma_clip(df: DataFrame, value_col: str,
                        F.sqrt(F.greatest(var, F.lit(0.0)))
                        .alias("clip_std"),
                        F.col("n_kept").cast("long").alias("n_kept"))
-    return (out.join(n_in, on=group_cols) if group_cols
-            else out.crossJoin(F.broadcast(n_in)))
+    # join FROM n_in so a group whose every sample clipped away still
+    # comes back (n_kept=0, NULL mean/std) instead of vanishing from
+    # the output (review r9)
+    merged = (n_in.join(out, on=group_cols, how="left") if group_cols
+              else out.crossJoin(F.broadcast(n_in)))
+    return merged.select(*group_cols, "clip_mean", "clip_std",
+                         F.coalesce(F.col("n_kept"), F.lit(0))
+                         .cast("long").alias("n_kept"), "n_in")
 
 
 def sumthreshold_flag(df: DataFrame, order_col: str,

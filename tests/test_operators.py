@@ -722,7 +722,9 @@ def test_imaging_weights_modes(spark):
     uni = {(r.u, r.v): r for r in imaging_weights(
         df, "u", "v", 1.0, "w", mode="uniform").collect()}
     assert uni[(0.1, 0.1)].n_cell == 4
-    assert uni[(0.1, 0.1)].imaging_weight == 2.0 / 4
+    # r9 fix: uniform divides by the cell's gridded WEIGHT sum W_k
+    # (the CASA definition / briggs R -> -inf limit), not row count
+    assert uni[(0.1, 0.1)].imaging_weight == 2.0 / 5.0
     assert uni[(5.1, 0.1)].imaging_weight == 1.0
     assert uni[(-3.2, 2.5)].n_cell == 1
 
@@ -1065,10 +1067,11 @@ def test_grid_visibilities_cells(spark):
 
     from dask_ms_spark.operators.imaging import grid_visibilities
 
+    # nearest-CENTRE convention (r9 fix): iu = floor(u/cell+0.5)+4
     rows = [
-        Row(u=0.2, v=0.7, re=1.0, im=2.0, w=2.0),   # cell (4, 4)
-        Row(u=0.9, v=0.1, re=3.0, im=-1.0, w=1.0),  # cell (4, 4)
-        Row(u=-1.5, v=2.2, re=1.0, im=1.0, w=1.0),  # cell (2, 6)
+        Row(u=0.2, v=0.7, re=1.0, im=2.0, w=2.0),   # cell (4, 5)
+        Row(u=0.3, v=0.9, re=3.0, im=-1.0, w=1.0),  # cell (4, 5)
+        Row(u=-1.5, v=2.2, re=1.0, im=1.0, w=1.0),  # cell (3, 6)
         Row(u=9.0, v=0.0, re=5.0, im=5.0, w=1.0),   # clipped (iu=13>7)
     ]
     df = spark.createDataFrame(
@@ -1077,20 +1080,20 @@ def test_grid_visibilities_cells(spark):
     g = {(r.iu, r.iv): r for r in grid_visibilities(
         df, "u", "v", "re", "im", cell_size=1.0, npix=8,
         weight_col="w", hermitian=False).collect()}
-    assert set(g) == {(4, 4), (2, 6)}
-    assert g[(4, 4)].vis_re == 2.0 * 1.0 + 1.0 * 3.0
-    assert g[(4, 4)].vis_im == 2.0 * 2.0 + 1.0 * -1.0
-    assert g[(4, 4)].wsum == 3.0
-    assert g[(4, 4)].n_vis == 2
+    assert set(g) == {(4, 5), (3, 6)}
+    assert g[(4, 5)].vis_re == 2.0 * 1.0 + 1.0 * 3.0
+    assert g[(4, 5)].vis_im == 2.0 * 2.0 + 1.0 * -1.0
+    assert g[(4, 5)].wsum == 3.0
+    assert g[(4, 5)].n_vis == 2
 
-    # hermitian fold adds the conjugate at (-u, -v): u=0.2 -> -0.2
-    # -> cell floor(-0.2)+4 = 3
+    # hermitian fold adds the conjugate at (-u, -v) on the exact
+    # MIRROR cell of (4, 5) around the (4, 4) origin: (4, 3)
     gh = {(r.iu, r.iv): r for r in grid_visibilities(
         df, "u", "v", "re", "im", cell_size=1.0, npix=8,
         weight_col="w", hermitian=True).collect()}
-    assert (3, 3) in gh          # conjugate of the (4, 4) samples
-    assert gh[(3, 3)].vis_im == -(2.0 * 2.0 + 1.0 * -1.0)
-    assert gh[(3, 3)].vis_re == gh[(4, 4)].vis_re
+    assert (4, 3) in gh          # conjugate of the (4, 5) samples
+    assert gh[(4, 3)].vis_im == -(2.0 * 2.0 + 1.0 * -1.0)
+    assert gh[(4, 3)].vis_re == gh[(4, 5)].vis_re
     # the clipped sample's conjugate (-9, 0) is also outside
     assert all(0 <= iu < 8 and 0 <= iv < 8 for iu, iv in gh)
 
@@ -1612,10 +1615,13 @@ def test_grid_convolutional_kernel(spark):
         x, y = r.u / cell + npix // 2, r.v / cell + npix // 2
         for du in range(-s, s + 1):
             for dv in range(-s, s + 1):
-                ju, jv = math.floor(x) + du, math.floor(y) + dv
+                # r9 fix: kernel centres on the nearest CELL CENTRE
+                # (integer grid coordinate), not the j+0.5 box centre
+                ju = math.floor(x + 0.5) + du
+                jv = math.floor(y + 0.5) + dv
                 if not (0 <= ju < npix and 0 <= jv < npix):
                     continue
-                dx, dy = x - (ju + 0.5), y - (jv + 0.5)
+                dx, dy = x - ju, y - jv
                 k = math.exp(-(dx * dx + dy * dy)
                              / (2.0 * sig * sig))
                 w = r.w * k
@@ -1638,8 +1644,8 @@ def test_grid_convolutional_kernel(spark):
     near = {(r.iu, r.iv): r for r in grid_visibilities(
         df, "u", "v", "re", "im", cell, npix, weight_col="w",
         hermitian=False).collect()}
-    assert set(near) == {(math.floor(r.u) + 8, math.floor(r.v) + 8)
-                         for r in vis}
+    assert set(near) == {(math.floor(r.u + 0.5) + 8,
+                          math.floor(r.v + 0.5) + 8) for r in vis}
 
     import pytest
 
@@ -1679,11 +1685,15 @@ def test_statwt_reweights_from_scatter(spark):
         assert abs(per_b[b].weight - 1.0 / est[b] ** 2) < 1e-9
     # noisy baseline gets proportionally less weight
     assert per_b[1].weight < per_b[0].weight / 4
-    # floor clamps the quiet side's weight at 1/floor^2
+    # floor clamps the quiet side's weight at 1/floor^2 and the
+    # reported sigma reflects the clamp (WEIGHT == 1/SIGMA^2 holds
+    # on every row — r9 review)
     floored = statwt(df, "t", ["b"], "vis", weight_floor=1.0)
-    wmax = max(r.weight for r in
-               floored.select("weight").distinct().collect())
-    assert wmax <= 1.0 + 1e-9
+    fl = floored.select("sigma", "weight").distinct().collect()
+    assert max(r.weight for r in fl) <= 1.0 + 1e-9
+    for r in fl:
+        assert abs(r.weight - 1.0 / r.sigma ** 2) < 1e-9
+        assert r.sigma >= 1.0 - 1e-12
 
 
 def test_cusum_changepoint_finds_planted_shift(spark):
@@ -1918,3 +1928,189 @@ def test_bucket_index_floor_below_origin(spark):
     got = [r[0] for r in df.select(
         bucket_index("ts", 3600).alias("b")).collect()]
     assert got == [-1, 0, -1, 1]
+
+
+def test_gridder_off_lattice_no_half_cell_bias(spark):
+    """r9 review regression: off-lattice u,v used floor() cell
+    assignment (biasing every sample ~half a cell low) and broke the
+    hermitian mirror pairing, attenuating sources toward the image
+    edge.  With nearest-centre assignment, a point source whose u,v
+    samples sit 0.4 cells OFF the lattice still peaks at its flux
+    pixel and the dirty image stays real-symmetric at the source."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.calibration import predict_vis
+    from dask_ms_spark.operators.imaging import (dirty_image,
+                                                 grid_visibilities)
+
+    npix, cell = 32, 1.0
+    flux, p, q = 2.0, 10, -12        # source far from centre
+    l, m = p / (npix * cell), q / (npix * cell)
+    rng = np.random.RandomState(11)
+    ku = rng.randint(-12, 13, size=60)
+    kv = rng.randint(-12, 13, size=60)
+
+    def image_for(du):
+        df = spark.createDataFrame(
+            [Row(u=float(a + du), v=float(b + du))
+             for a, b in zip(ku, kv)], "u double, v double")
+        vis = predict_vis(df, "u", "v", [(flux, l, m)])
+        grid = grid_visibilities(
+            vis.select("u", "v", vis.model_vis[0].alias("re"),
+                       vis.model_vis[1].alias("im")),
+            "u", "v", "re", "im", cell_size=cell, npix=npix,
+            hermitian=True)
+        # hermitian pairing: every occupied cell has its mirror
+        cells = {(r.iu, r.iv)
+                 for r in grid.select("iu", "iv").collect()}
+        half = npix // 2
+        mirrored = {(2 * half - iu, 2 * half - iv)
+                    for iu, iv in cells
+                    if 0 <= 2 * half - iu < npix
+                    and 0 <= 2 * half - iv < npix}
+        assert mirrored <= cells
+        return dirty_image(grid, npix)
+
+    ref = image_for(0.0)          # on-lattice: exact
+    off = image_for(0.4)          # 0.4 cells off the lattice
+    peak = np.unravel_index(np.abs(ref).argmax(), ref.shape)
+    got = np.unravel_index(np.abs(off).argmax(), off.shape)
+    # nearest-centre keeps the peak on the same pixel with most of
+    # its flux — the OLD floor() spelling shifted every sample half
+    # a cell, attenuating this edge-ward source and dragging the peak
+    assert got == peak
+    assert off[peak] > 0.85 * ref[peak] > 0
+
+
+def test_bda_complex_flag_expansion_and_chan_average(spark):
+    """r9 review: per-channel MS FLAG over interleaved complex DATA
+    expands to the re/im layout (previously zip_with NULL-padded the
+    second half of every spectrum), and chan_average with
+    complex_data=True bins the planes separately (previously it
+    averaged re and im together)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.bda import bda_average
+
+    # 2 channels interleaved -> 4 floats; FLAG has 2 entries
+    rows = [Row(t=0.0, a1=0, a2=1, uvd=10.0,
+                DATA=[1.0, 2.0, 3.0, 4.0], FLAG=[False, False]),
+            Row(t=1.0, a1=0, a2=1, uvd=10.0,
+                DATA=[3.0, 6.0, 5.0, 8.0], FLAG=[False, True])]
+    df = spark.createDataFrame(rows)
+    out = bda_average(df, "t", ["a1", "a2"], "uvd",
+                      base_interval=100.0, ref_uvdist=10.0,
+                      data_col="DATA", flag_col="FLAG",
+                      complex_data=True).first()
+    # ch0 unflagged in both rows: mean([1,2],[3,6]) = [2,4]
+    # ch1 flagged in row 2: mean of row 1 only = [3, 4] -> whole
+    # band present (the OLD code nulled positions 2-3 entirely)
+    assert out.data_mean == [2.0, 4.0, 3.0, 4.0]
+    assert out.flag == [False, False, False, False]
+
+    # mismatched flag length raises instead of silently padding
+    bad = spark.createDataFrame(
+        [Row(t=0.0, a1=0, a2=1, uvd=10.0,
+             DATA=[1.0, 2.0, 3.0, 4.0], FLAG=[False, False, True])])
+    with pytest.raises(Exception, match="size"):
+        bda_average(bad, "t", ["a1", "a2"], "uvd", 100.0, 10.0,
+                    data_col="DATA", flag_col="FLAG").collect()
+
+    # chan_average over 4 complex channels, factor drives bin width:
+    # uvd >> ref gives factor 1 (no binning change); use uvd=ref/4
+    # -> factor 4 so all 4 channels bin into one complex mean
+    rows4 = [Row(t=0.0, a1=0, a2=1, uvd=2.5,
+                 DATA=[1.0, 10.0, 3.0, 30.0, 5.0, 50.0, 7.0, 70.0],
+                 FLAG=[False] * 4)]
+    out4 = bda_average(spark.createDataFrame(rows4), "t",
+                       ["a1", "a2"], "uvd", base_interval=100.0,
+                       ref_uvdist=10.0, max_factor=4,
+                       data_col="DATA", flag_col="FLAG",
+                       chan_average=True, complex_data=True).first()
+    # separate-plane means: re (1+3+5+7)/4 = 4, im (10+30+50+70)/4=40
+    assert out4.data_chan_mean == [4.0, 40.0]
+
+
+def test_apply_gains_missing_antenna_nulls_not_drops(spark):
+    """r9 review: a baseline touching an antenna absent from the
+    gains table survives with NULL corrected data (left semantics,
+    matching apply_gains_timevar) instead of vanishing."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.complexf import apply_gains
+
+    vis = spark.createDataFrame(
+        [Row(ANTENNA1=0, ANTENNA2=1, DATA=[1.0, 0.0]),
+         Row(ANTENNA1=0, ANTENNA2=2, DATA=[2.0, 0.0])])
+    gains = spark.createDataFrame(
+        [Row(antenna=0, gain=[2.0, 0.0]),
+         Row(antenna=1, gain=[1.0, 0.0])])   # antenna 2 missing
+    out = {(r.ANTENNA1, r.ANTENNA2): r
+           for r in apply_gains(vis, gains).collect()}
+    assert len(out) == 2                     # nothing dropped
+    assert out[(0, 1)].DATA_corrected == [2.0, 0.0]
+    assert out[(0, 2)].DATA_corrected is None
+
+
+def test_complex_helpers_empty_arrays(spark):
+    """r9 review: sequence(0, -1) counts DOWN in Spark, so the
+    complex helpers emitted garbage for zero-length arrays; they now
+    return empty arrays (size identity preserved)."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.complexf import (c_abs2, c_conj,
+                                                  c_imag, c_make,
+                                                  c_mul, c_real)
+
+    df = spark.createDataFrame([Row(a=[], b=[])],
+                               "a array<double>, b array<double>")
+    r = df.select(c_mul(F.col("a"), F.col("b")).alias("m"),
+                  c_abs2(F.col("a")).alias("q"),
+                  c_real(F.col("a")).alias("re"),
+                  c_imag(F.col("a")).alias("im"),
+                  c_conj(F.col("a")).alias("cj"),
+                  c_make(F.col("a"), F.col("b")).alias("mk")).first()
+    assert (r.m, r.q, r.re, r.im, r.cj, r.mk) == ([], [], [], [],
+                                                  [], [])
+
+
+def test_rfi_flag_mad_zero_falls_back_to_std(spark):
+    """r9 review: a channel where >half the series is one constant
+    has MAD 0 — the threshold then flagged EVERY deviation; the std
+    fallback keeps small wiggles unflagged while still catching a
+    gross spike."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.rfi import rfi_flag
+
+    # 9 samples: 6 exact zeros (MAD=0), 2 small wiggles, 1 big spike
+    vals = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1, -0.1, 50.0]
+    rows = [Row(b=0, t=float(i), data=[v]) for i, v in enumerate(vals)]
+    out = rfi_flag(spark.createDataFrame(rows), "t", ["b"], "data",
+                   window=4, k=4.0)
+    flagged = {r.t: r.flag_rfi[0] for r in out.collect()}
+    assert flagged[8.0] is True              # the spike
+    assert flagged[6.0] is False             # small wiggle survives
+    assert flagged[7.0] is False
+    assert sum(flagged.values()) == 1
+
+
+def test_sigma_clip_keeps_fully_clipped_group(spark):
+    """r9 review: a group whose every sample clips away comes back
+    with n_kept=0 instead of disappearing from the output."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.rfi import sigma_clip
+
+    rows = ([Row(g=0, x=float(v)) for v in
+             [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 40.0]]
+            + [Row(g=1, x=-5.0), Row(g=1, x=5.0)])
+    out = {r.g: r for r in
+           sigma_clip(spark.createDataFrame(rows), "x", ["g"],
+                      k=0.5, iters=2).collect()}
+    assert set(out) == {0, 1}                # group 1 not dropped
+    assert out[1].n_in == 2
+    if out[1].n_kept == 0:
+        assert out[1].clip_mean is None
