@@ -56,11 +56,17 @@ def bucket_index(ts_col: str, step_seconds: int,
     # MICROSECOND diff (exact bigint) + pmod floor-division: a
     # SECOND-granular timestampdiff truncates toward zero, which put
     # pre-origin sub-second timestamps one bucket late (review r8);
-    # (d - pmod(d, us)) / us is exact floor for either sign
+    # (d - pmod(d, us)) / us is exact floor for either sign.  The
+    # quotient runs through DECIMAL division (exact — the numerator
+    # is a multiple of us by construction): Spark's `/` on bigints is
+    # DOUBLE division, which loses ulps past 2^53 microseconds
+    # (~285 years from origin) and truncated boundary events one
+    # bucket early (review r9).
     us = step_seconds * 1_000_000
     d = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '{origin}', "
                f"cast({ts_col} as timestamp_ntz))")
-    return ((d - F.pmod(d, F.lit(us))) / F.lit(us)).cast("long")
+    num = (d - F.pmod(d, F.lit(us))).cast("decimal(30,0)")
+    return (num / F.lit(us).cast("decimal(20,0)")).cast("long")
 
 
 def bucket_aggregate(events: DataFrame, ts_col: str = "ts",

@@ -330,15 +330,21 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     non-aggregating ones (joins, maps) where complete is unsupported.
     """
     if output_mode is None:
+        import re
+
         plan = stream_df._jdf.queryExecution().analyzed().toString() \
             if stream_df.isStreaming else ""
-        if "FlatMapGroupsInPandasWithState" in plan:
-            # applyInPandasWithState operators in this module declare
-            # update mode; the memory sink accepts it (review r8: the
-            # old Aggregate-only heuristic picked append and the
-            # query failed at start)
-            output_mode = "update"
-        elif "Aggregate" in plan:
+        m = re.search(r"FlatMapGroupsInPandasWithState[^\n]*?,\s*"
+                      r"(Append|Update|Complete),\s*\w*Timeout", plan)
+        if m:
+            # a stateful operator DECLARES its mode in the plan node
+            # (..., Append, NoTimeout) — the sink must match it
+            # (review r9: assuming update broke append-mode
+            # operators, and vice versa)
+            output_mode = m.group(1).lower()
+        elif re.search(r"(?m)^[\s+:|~-]*'?Aggregate\b", plan):
+            # node-anchored: a bare substring match also hit column
+            # NAMES like AggregateScore (review r9)
             output_mode = "complete"
         else:
             output_mode = "append"
@@ -389,25 +395,29 @@ def detect_anomalies_stream(events: DataFrame, window: int = 32,
             rows = pd.concat(pdfs).sort_values(["ts", "event_id"])
             for r in rows.itertuples(index=False):
                 v = float(r.value)
-                # batch parity for NULLs (review r8): F.percentile
-                # ignores NULL values, so a NULL must neither enter
-                # the history (NaN would poison every later fence)
-                # nor receive a flag (the batch row's flag is NULL)
+                # batch parity for NULLs (review r8 + r9): the batch
+                # ROWS frame [-window, -1] counts a NULL row as a
+                # SLOT while percentile/count ignore its value — so
+                # a NULL occupies a ring-buffer slot (as NaN) but
+                # never enters the quartiles, and the NULL row itself
+                # is unscored.  Skipping NULLs entirely (the r8 fix)
+                # left the streaming history spanning MORE rows than
+                # the batch frame whenever NULLs interleaved.
                 is_null = v != v                 # NaN: NULL via Arrow
+                live = [h for h in hist if h == h]
                 if is_null:
                     flag = None
-                elif len(hist) >= min_history:
-                    q1 = float(np.percentile(hist, 25))
-                    q3 = float(np.percentile(hist, 75))
+                elif len(live) >= min_history:
+                    q1 = float(np.percentile(live, 25))
+                    q3 = float(np.percentile(live, 75))
                     iqr = q3 - q1
                     flag = bool(v < q1 - k * iqr or v > q3 + k * iqr)
                 else:
                     flag = None
                 out.append((key[0], int(r.event_id),
                             None if is_null else v, flag))
-                if not is_null:
-                    hist.append(v)
-                    hist = hist[-window:]
+                hist.append(v)                   # NULL slots included
+                hist = hist[-window:]
         state.update((hist,))
         yield pd.DataFrame(out, columns=["user_id", "event_id",
                                          "value", "is_anomaly"])

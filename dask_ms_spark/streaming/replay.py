@@ -154,7 +154,12 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
 def replay_to_memory(stream_df, name: str, expect_rows: int,
                      timeout_s: float = 60.0):
     """Drive a paced replay stream until the memory sink holds
-    ``expect_rows`` rows (or timeout), then return the sink table."""
+    ``expect_rows`` rows, then return the sink table.  A dead query
+    or a timeout RAISES (review r9: the poll loop previously waited
+    out the full timeout on a failed stream and returned a partial or
+    empty table as if it were the result — the same silent-partial
+    class run_stream_to_memory and stream_append_parquet were cured
+    of in round 8)."""
     import time
 
     spark = stream_df.sparkSession
@@ -162,10 +167,17 @@ def replay_to_memory(stream_df, name: str, expect_rows: int,
              .trigger(processingTime="0 seconds").start())
     try:
         deadline = time.time() + timeout_s
-        while time.time() < deadline:
+        while True:
+            if query.exception() is not None:
+                raise query.exception()
             n = spark.table(name).count()
             if n >= expect_rows:
                 break
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"replay_to_memory: sink {name!r} holds {n} of "
+                    f"{expect_rows} expected rows after {timeout_s}s "
+                    "— partial results discarded; raise timeout_s")
             time.sleep(0.25)
     finally:
         query.stop()

@@ -590,3 +590,52 @@ def test_streaming_grid_maintenance(spark, tmp_path):
     whole = {(r.iu, r.iv): (r.vis_re, r.vis_im, r.wsum, r.n_vis)
              for r in build(spark.read.parquet(src_dir)).collect()}
     assert got == whole and len(whole) > 0
+
+
+def test_streaming_anomaly_null_slot_parity(spark, tmp_path):
+    """r9 review: a NULL value occupies a SLOT in the batch ROWS
+    frame [-window,-1] while its value is ignored; the streaming ring
+    buffer must do the same (store a NaN placeholder) — skipping
+    NULLs entirely let the streaming history span MORE rows than the
+    batch frame, diverging flags whenever NULLs interleave."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.timeseries import rolling_outliers
+    from dask_ms_spark.streaming.events import (detect_anomalies_stream,
+                                                normalize_ts)
+    from dask_ms_spark.streaming.replay import (ParquetReplayDataSource,
+                                                replay_to_memory)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 1.5, 1.2, None, None, None, None,
+            1.1, 50.0, 1.3, None, 1.4, 60.0]
+    rows = [Row(event_id=i, user_id=1,
+                ts=t0 + datetime.timedelta(seconds=i),
+                event_type="click", value=v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    outdir = tmp_path / "nullev"
+    df.coalesce(1).write.parquet(str(outdir))
+    # the replay source reads ONE parquet file (matching the driver
+    # testdata layout), not a directory
+    [part] = outdir.glob("part-*.parquet")
+    path = str(part)
+
+    spark.dataSource.register(ParquetReplayDataSource)
+    s = (spark.readStream.format("parquet_replay")
+         .option("rows_per_batch", "5").load(path))
+    s = normalize_ts(s).select("user_id", "event_id", "ts", "value")
+    got_df = replay_to_memory(
+        detect_anomalies_stream(s, window=4, k=1.5, min_history=3),
+        "anomaly_nulls", expect_rows=len(vals))
+    got = {r.event_id: r.is_anomaly for r in got_df.collect()}
+
+    want_df = rolling_outliers(df, window=4, k=1.5, min_history=3)
+    want = {r.event_id: r.is_anomaly for r in want_df.collect()}
+    assert got == want
+    # the NULL runs force unscored rows in BOTH engines (frame count
+    # below min_history), and the spikes score where history suffices
+    assert want[9] is True or want[9] is None    # depends on frame
+    assert sum(1 for v in want.values() if v is None) >= 5
