@@ -24,10 +24,11 @@ __all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c
 
 def c_make(re: Column, im: Column) -> Column:
     """Interleave two equal-length float arrays into a complex array
-    (empty in, empty out — see ``_pairs`` on sequence(0, -1))."""
+    (empty in, empty out; NULL in, NULL out — see ``_pairs`` on
+    sequence(0, -1))."""
     n = F.size(re)
     idx = F.when(n > 0, F.sequence(F.lit(0), n * 2 - 1)) \
-        .otherwise(F.array().cast("array<int>"))
+        .when(n == 0, F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.when(i % 2 == 0, F.element_at(re, (i / 2).cast("int") + 1))
@@ -48,10 +49,12 @@ def _pairs(a: Column) -> Column:
     """Index sequence 0..n_complex-1 — EMPTY for an empty array
     (``sequence(0, -1)`` counts DOWN in Spark, so the unguarded form
     emitted a 2-element garbage index for zero-length inputs —
-    review r9)."""
+    review r9).  NULL input propagates to NULL output (a NULL
+    complex cell must not silently become an empty array —
+    review r9, second pass)."""
     n2 = (F.size(a) / 2).cast("int")
     return F.when(n2 > 0, F.sequence(F.lit(0), n2 - 1)) \
-        .otherwise(F.array().cast("array<int>"))
+        .when(n2 <= 0, F.array().cast("array<int>"))
 
 
 def c_mul(a: Column, b: Column) -> Column:
@@ -69,10 +72,10 @@ def c_mul(a: Column, b: Column) -> Column:
 
 def c_conj(a: Column) -> Column:
     """Complex conjugate: negate odd (imaginary) slots (empty in,
-    empty out — see ``_pairs`` on sequence(0, -1))."""
+    empty out; NULL in, NULL out — see ``_pairs``)."""
     n = F.size(a)
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
-        .otherwise(F.array().cast("array<int>"))
+        .when(n == 0, F.array().cast("array<int>"))
     return F.zip_with(a, idx,
                       lambda x, i: F.when(i % 2 == 1, -x).otherwise(x))
 
@@ -163,8 +166,12 @@ def phase_rotate(data: Column, u: Column, v: Column, w: Column,
     # DATA width disagrees with the frequency comb would otherwise
     # silently emit NULL samples past the shorter array
     nf = len(freqs_hz)
-    checked = F.when(F.size(data) == 2 * nf, data).otherwise(
-        F.raise_error(F.lit(
+    # NULL DATA cells pass through as NULL rather than tripping the
+    # size guard (size(NULL) is NULL -> the otherwise branch would
+    # raise on a legitimately-missing row — review r9, second pass)
+    checked = F.when(F.size(data) == 2 * nf, data) \
+        .when(data.isNull(), F.lit(None)) \
+        .otherwise(F.raise_error(F.lit(
             f"phase_rotate: DATA has size(data)/2 channels but "
             f"{nf} frequencies were supplied")))
     return c_mul(checked, phasor)
@@ -229,9 +236,12 @@ def apply_gains(vis, gains, ant1_col: str = "ANTENNA1",
                                lambda v, m: v / m)
     # NULL-out, not drop: missing-antenna rows survive with out_col
     # NULL (left joins), and the size/zero checks above only fire
-    # when BOTH gains are present
+    # when BOTH gains AND the data cell are present (a NULL DATA cell
+    # would otherwise NULL the size comparison and trip the
+    # raise_error branch — review r9, second pass)
     corrected = F.when(F.col("__gp").isNotNull()
-                       & F.col("__gq").isNotNull(), corrected)
+                       & F.col("__gq").isNotNull()
+                       & F.col(data_col).isNotNull(), corrected)
     return (vis.join(gp, ant1_col, "left").join(gq, ant2_col, "left")
             .withColumn(out_col, corrected)
             .drop("__gp", "__gq"))
@@ -263,9 +273,11 @@ def stokes_from_corrs(vis: Column, basis: str = "linear") -> Column:
     """
     if basis not in ("linear", "circular"):
         raise ValueError(f"stokes_from_corrs: unknown basis {basis!r}")
-    v = F.when(F.size(vis) == 8, vis).otherwise(F.raise_error(F.lit(
-        "stokes_from_corrs: expected 4 interleaved complex "
-        "correlations (8 floats)")))
+    v = F.when(F.size(vis) == 8, vis) \
+        .when(vis.isNull(), F.lit(None)) \
+        .otherwise(F.raise_error(F.lit(
+            "stokes_from_corrs: expected 4 interleaved complex "
+            "correlations (8 floats)")))
     a_re, a_im = _corr_pair(v, 0)      # XX or RR
     b_re, b_im = _corr_pair(v, 1)      # XY or RL
     c_re, c_im = _corr_pair(v, 2)      # YX or LR
@@ -280,7 +292,8 @@ def stokes_from_corrs(vis: Column, basis: str = "linear") -> Column:
         q, u, vv = dif_ad, sum_bc, dif_bc
     else:
         q, u, vv = sum_bc, dif_bc, dif_ad
-    return F.array(i_re, i_im, q[0], q[1], u[0], u[1], vv[0], vv[1])
+    return F.when(vis.isNotNull(), F.array(
+        i_re, i_im, q[0], q[1], u[0], u[1], vv[0], vv[1]))
 
 
 def corrs_from_stokes(stokes: Column, basis: str = "linear") -> Column:
@@ -289,8 +302,9 @@ def corrs_from_stokes(stokes: Column, basis: str = "linear") -> Column:
     YX=U-iV; circular RR=I+V, LL=I-V, RL=Q+iU, LR=Q-iU."""
     if basis not in ("linear", "circular"):
         raise ValueError(f"corrs_from_stokes: unknown basis {basis!r}")
-    s = F.when(F.size(stokes) == 8, stokes).otherwise(
-        F.raise_error(F.lit(
+    s = F.when(F.size(stokes) == 8, stokes) \
+        .when(stokes.isNull(), F.lit(None)) \
+        .otherwise(F.raise_error(F.lit(
             "corrs_from_stokes: expected [I, Q, U, V] interleaved "
             "(8 floats)")))
     i_re, i_im = _corr_pair(s, 0)
@@ -299,15 +313,17 @@ def corrs_from_stokes(stokes: Column, basis: str = "linear") -> Column:
     v_re, v_im = _corr_pair(s, 3)
     if basis == "linear":
         # XX=I+Q, XY=U+iV, YX=U-iV, YY=I-Q  (iV = (-v_im, v_re))
-        return F.array(i_re + q_re, i_im + q_im,
-                       u_re - v_im, u_im + v_re,
-                       u_re + v_im, u_im - v_re,
-                       i_re - q_re, i_im - q_im)
+        return F.when(stokes.isNotNull(), F.array(
+            i_re + q_re, i_im + q_im,
+            u_re - v_im, u_im + v_re,
+            u_re + v_im, u_im - v_re,
+            i_re - q_re, i_im - q_im))
     # RR=I+V, RL=Q+iU, LR=Q-iU, LL=I-V
-    return F.array(i_re + v_re, i_im + v_im,
-                   q_re - u_im, q_im + u_re,
-                   q_re + u_im, q_im - u_re,
-                   i_re - v_re, i_im - v_im)
+    return F.when(stokes.isNotNull(), F.array(
+        i_re + v_re, i_im + v_im,
+        q_re - u_im, q_im + u_re,
+        q_re + u_im, q_im - u_re,
+        i_re - v_re, i_im - v_im))
 
 
 def apply_gains_timevar(vis, gains, ant1_col: str = "antenna1",

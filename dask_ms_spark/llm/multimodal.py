@@ -184,8 +184,12 @@ def resize_images(media: DataFrame, out_width: int = 32,
             for row in pdf.itertuples(index=False):
                 h, w = int(row.height or 1), int(row.width or 1)
                 px = _decode_image_stub(row.payload or b"", w, h)
-                ys = (np.arange(out_height) * h) // out_height
-                xs = (np.arange(out_width) * w) // out_width
+                # index with the DECODED raster's own shape, not the
+                # metadata dims: a real PIL decode whose size disagrees
+                # with the metadata would otherwise IndexError
+                # (review r9; image_dhash already does this)
+                ys = (np.arange(out_height) * px.shape[0]) // out_height
+                xs = (np.arange(out_width) * px.shape[1]) // out_width
                 resized = px[np.ix_(ys, xs)]
                 out.append((row.media_id, out_width, out_height,
                             resized.tobytes()))

@@ -79,8 +79,13 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str]
     function of u_k.
     """
     group_cols = list(group_cols or [])
+    # NULL values hash to NULL; they are not set members, and the NULL
+    # row would otherwise inflate n_kept by one and shift the k-th
+    # minimum (review r9: NULLs sort FIRST so a single NULL displaces
+    # a real hash from every full sketch)
     hashed = (df.select(*group_cols,
                         portable_hash64(F.col(value_col)).alias("h"))
+              .where(F.col("h").isNotNull())
               .distinct())
     if group_cols:
         # hash-partitioned window: every group trims in parallel
@@ -122,9 +127,11 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
     Returns one row: ``k_used, est_a, est_b, est_union, jaccard``.
     """
     ha = (a.select(portable_hash64(F.col(value_col)).alias("h"))
+          .where(F.col("h").isNotNull())
           .distinct()
           .select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
     hb = (b.select(portable_hash64(F.col(value_col)).alias("h"))
+          .where(F.col("h").isNotNull())
           .distinct()
           .select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
     # materialise once: the merged distinct-hash table feeds the union
@@ -199,7 +206,11 @@ def cms_sketch(df: DataFrame, value_col: str, width: int = 1024,
                                         f"{salt}:{d}"),
                         F.lit(width)).cast("long").alias("bucket"))
         for d in range(depth)])
-    return (df.select(F.explode(cells).alias("c"), w.alias("w"))
+    # NULL values hash to NULL buckets — dead cells that can never
+    # match a probe's equi-join; drop them rather than carrying them
+    # through merges (review r9)
+    return (df.where(F.col(value_col).isNotNull())
+            .select(F.explode(cells).alias("c"), w.alias("w"))
             .groupBy(F.col("c.d").alias("d"),
                      F.col("c.bucket").alias("bucket"))
             .agg(F.sum("w").alias("cnt")))
@@ -256,6 +267,7 @@ def kmv_state(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
         raise ValueError(f"kmv_state needs k >= 1, got {k}")
     return _k_smallest(
         df.select(portable_hash64(F.col(value_col)).alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct(), k)
 
 

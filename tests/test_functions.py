@@ -904,3 +904,54 @@ def test_quality_features_mean_word_len_whitespace(spark):
     assert got[1] == 1.0
     assert abs(got[2] - 11 / 3) < 1e-9
     assert got[3] == 0.0
+
+
+def test_complex_kernels_null_cell_passthrough(spark):
+    """A NULL complex cell must propagate as NULL, not trip the width
+    raise_error (size(NULL) nulls the guard condition, sending the row
+    into the otherwise branch) nor silently become an empty array
+    (review r9, second pass)."""
+    from pyspark.sql import Row, functions as F
+
+    from dask_ms_spark.functions.complexf import (
+        apply_gains, c_conj, c_make, c_mul, corrs_from_stokes,
+        phase_rotate, stokes_from_corrs)
+
+    df = spark.createDataFrame(
+        [Row(id=1, z=[1.0, 2.0, 3.0, 4.0], u=5.0, v=6.0, w=7.0),
+         Row(id=2, z=None, u=5.0, v=6.0, w=7.0)],
+        "id long, z array<double>, u double, v double, w double")
+
+    out = df.select(
+        "id",
+        phase_rotate(F.col("z"), F.col("u"), F.col("v"), F.col("w"),
+                     0.01, 0.02, [1.4e9, 1.5e9]).alias("rot"),
+        c_mul(F.col("z"), F.col("z")).alias("sq"),
+        c_conj(F.col("z")).alias("cj"),
+        c_make(F.col("z"), F.col("z")).alias("mk"),
+    ).orderBy("id").collect()
+    assert out[0].rot is not None and len(out[0].rot) == 4
+    assert out[1].rot is None
+    assert out[1].sq is None and out[1].cj is None and out[1].mk is None
+
+    s4 = spark.createDataFrame(
+        [Row(id=1, v=[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
+         Row(id=2, v=None)],
+        "id long, v array<double>")
+    got = s4.select(
+        "id", stokes_from_corrs(F.col("v")).alias("s"),
+        corrs_from_stokes(F.col("v")).alias("c")).orderBy("id").collect()
+    assert got[0].s is not None and got[1].s is None and got[1].c is None
+
+    vis = spark.createDataFrame(
+        [Row(antenna1=0, antenna2=1, DATA=[1.0, 0.0]),
+         Row(antenna1=0, antenna2=1, DATA=None)],
+        "antenna1 int, antenna2 int, DATA array<double>")
+    gains = spark.createDataFrame(
+        [Row(antenna=0, gain=[2.0, 0.0]), Row(antenna=1, gain=[1.0, 0.0])],
+        "antenna int, gain array<double>")
+    rows = apply_gains(vis, gains, ant1_col="antenna1",
+                       ant2_col="antenna2").collect()
+    by_null = sorted(rows, key=lambda r: r.DATA is None)
+    assert by_null[0].DATA_corrected == [2.0, 0.0]
+    assert by_null[1].DATA_corrected is None

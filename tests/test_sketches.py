@@ -1035,3 +1035,36 @@ def test_snapshot_diff_release_notes(spark, tmp_path):
     assert got[("embeddings", "added")] == 1
     with pytest.raises(ValueError, match="no named table"):
         snapshot_diff(spark, store, 0, 1, id_cols={"nope": "x"})
+
+
+def test_kmv_and_cms_ignore_null_values(spark):
+    """NULL values are not set members: a NULL hashes to a NULL row
+    that sorts FIRST, so before the r9 fix one NULL displaced a real
+    hash from every full sketch and inflated n_kept on partial ones.
+    CMS likewise must not carry dead NULL-bucket cells."""
+    from dask_ms_spark.llm.sketches import (cms_estimate, cms_sketch,
+                                            kmv_distinct, kmv_state)
+
+    vals = [(f"v{i}",) for i in range(10)] + [(None,), (None,)]
+    df = spark.createDataFrame(vals, "x string")
+    clean = spark.createDataFrame(vals[:10], "x string")
+
+    got = kmv_distinct(df, "x", k=4).collect()[0]
+    want = kmv_distinct(clean, "x", k=4).collect()[0]
+    assert (got.n_kept, got.est_distinct, got.u_k) == \
+        (want.n_kept, want.est_distinct, want.u_k)
+
+    # below-fill sketch is exact and must not count the NULL
+    small = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "x string")
+    row = kmv_distinct(small, "x", k=64).collect()[0]
+    assert (row.n_kept, row.est_distinct) == (2, 2)
+    assert kmv_state(small, "x", k=64).count() == 2
+
+    sk = cms_sketch(df, "x", width=64, depth=2)
+    assert sk.where("bucket is null").count() == 0
+    probes = spark.createDataFrame([("v1",), ("zz",)], "x string")
+    est = {r.x: r.cms_est
+           for r in cms_estimate(sk, probes, "x",
+                                 width=64, depth=2).collect()}
+    assert est["v1"] >= 1 and est["zz"] >= 0
