@@ -78,6 +78,15 @@ def backfill(spark, partitions: Sequence[str],
     historical days — and leave it at 1 when each partition already
     fills the executors.
     """
+    # two labels must not share one sanitised key ("a/b" vs "a_b"):
+    # the second would silently skip as already-committed (review r9)
+    by_key: dict[str, str] = {}
+    for part in partitions:
+        key = _safe(part)
+        if by_key.setdefault(key, str(part)) != str(part):
+            raise ValueError(
+                f"backfill: partitions {by_key[key]!r} and {part!r} "
+                f"both sanitise to {key!r}; rename one")
     os.makedirs(os.path.join(store, "_done"), exist_ok=True)
     os.makedirs(os.path.join(store, "data"), exist_ok=True)
     done = completed_partitions(store)

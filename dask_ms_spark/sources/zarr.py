@@ -599,8 +599,11 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
     row_chunk = z["chunks"][0]
     if any(s == 0 for s in cell_shape):
         # 0-size axis: the chunk grid is empty (no files on disk) —
-        # synthesize the empty rows directly
-        return np.zeros([n_valid] + cell_shape, dtype=dtype)
+        # synthesize the empty rows directly, flattened per cell like
+        # the main return below (rank >2 otherwise leaks nested cells
+        # into the flat-array contract — review r9)
+        out = np.zeros([n_valid] + cell_shape, dtype=dtype)
+        return out.reshape(n_valid, -1) if len(cell_shape) > 1 else out
     codec = (z.get("compressor") or {}).get("id") \
         if isinstance(z.get("compressor"), dict) else None
 

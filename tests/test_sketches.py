@@ -1068,3 +1068,17 @@ def test_kmv_and_cms_ignore_null_values(spark):
            for r in cms_estimate(sk, probes, "x",
                                  width=64, depth=2).collect()}
     assert est["v1"] >= 1 and est["zz"] >= 0
+
+
+def test_backfill_rejects_sanitised_key_collision(spark, tmp_path):
+    """Two labels sanitising to the same key ("a/b" vs "a_b") must be
+    rejected up front: the second would silently skip as committed."""
+    import pytest
+
+    from dask_ms_spark.operators.backfill import backfill
+
+    def run(s, part):
+        return s.range(3)
+
+    with pytest.raises(ValueError, match="sanitise"):
+        backfill(spark, ["a/b", "a_b"], run, str(tmp_path / "store"))
