@@ -204,12 +204,22 @@ def spectral_moments(vec: Column, mask: Column | None = None) -> Column:
     sx = fsum(F.zip_with(v, idx,
                          lambda x, i: x * i.cast("double")))
     mom1 = F.when(mom0 > 0, sx / mom0)
-    sxx = fsum(F.zip_with(v, idx,
-                          lambda x, i: x * (i.cast("double") - mom1)
-                          * (i.cast("double") - mom1)))
-    mom2 = F.when(mom0 > 0, F.sqrt(sxx / mom0))
-    return F.struct(mom0.alias("mom0"), mom1.alias("mom1"),
-                    mom2.alias("mom2"))
+    # bind (mom0, mom1) ONCE per row before the second-moment fold:
+    # referencing mom1 inside the sxx lambda re-expands its two fold
+    # sums per ELEMENT — O(n^2) per row, harmless at 64 channels but
+    # ~33M ops/row at 4096 (the uvcontsub bind-once trick, review r9)
+    params = F.array(F.struct(mom0.alias("m0"), mom1.alias("m1")))
+
+    def final(p):
+        sxx = fsum(F.zip_with(
+            v, idx,
+            lambda x, i: x * (i.cast("double") - p["m1"])
+            * (i.cast("double") - p["m1"])))
+        return F.struct(
+            p["m0"].alias("mom0"), p["m1"].alias("mom1"),
+            F.when(p["m0"] > 0, F.sqrt(sxx / p["m0"])).alias("mom2"))
+
+    return F.element_at(F.transform(params, final), 1)
 
 
 def masked_bin_average_dyn(vec: Column, mask: Column,
