@@ -188,18 +188,29 @@ def delay_fit(df: DataFrame, vis_col: str, freqs_hz: list,
     sx = float(sum(xs))
     sxx = float(sum(x * x for x in xs))
     x_arr = F.array(*[F.lit(x) for x in xs])
-    sy = F.aggregate(w, F.lit(0.0), lambda a, y: a + y)
-    sxy = F.aggregate(F.zip_with(w, x_arr, lambda y, x: y * x),
-                      F.lit(0.0), lambda a, t: a + t)
     denom = n * sxx - sx * sx
     if denom == 0:
         raise ValueError("delay_fit: degenerate (constant) freqs_hz")
-    slope = (F.lit(float(n)) * sxy - F.lit(sx) * sy) / F.lit(denom)
-    phase0 = (sy - slope * F.lit(sx)) / F.lit(float(n))
-    return df.withColumn(out_col, F.struct(
-        (slope / F.lit(2.0 * math.pi)).alias("delay_s"),
-        phase0.alias("phase0"),
-        F.lit(n).cast("long").alias("n_chan")))
+    # bind the unwrapped array ONCE per row: sy/sxy both fold over it
+    # and slope/phase0 reference those sums several times — inlined,
+    # the sequential unwrap fold would re-evaluate ~5x per row (the
+    # spectral_moments bind-once form, review r9)
+    bound = F.array(F.struct(w.alias("w")))
+
+    def final(p):
+        sy = F.aggregate(p["w"], F.lit(0.0), lambda a, y: a + y)
+        sxy = F.aggregate(F.zip_with(p["w"], x_arr,
+                                     lambda y, x: y * x),
+                          F.lit(0.0), lambda a, t: a + t)
+        slope = (F.lit(float(n)) * sxy - F.lit(sx) * sy) / F.lit(denom)
+        phase0 = (sy - slope * F.lit(sx)) / F.lit(float(n))
+        return F.struct(
+            (slope / F.lit(2.0 * math.pi)).alias("delay_s"),
+            phase0.alias("phase0"),
+            F.lit(n).cast("long").alias("n_chan"))
+
+    return df.withColumn(
+        out_col, F.element_at(F.transform(bound, final), 1))
 
 
 def noise_estimate(vis: DataFrame, time_col: str,
