@@ -18,6 +18,21 @@ __all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
            "hanning_smooth", "uvcontsub"]
 
 
+def _bind_once(fn, **exprs: Column) -> Column:
+    """Evaluate ``exprs`` ONCE per row, then build ``fn`` over the
+    bound values.  Higher-order-function lambdas re-evaluate inline
+    sub-expressions per ELEMENT (Catalyst subexpression elimination
+    does not reach inside lambda scopes), so a kernel that slices or
+    folds an expression input n times costs n re-evaluations of that
+    expression — O(n^2) for transform-typed inputs.  Binding through
+    a 1-element array-of-struct caps every input at one evaluation
+    (measured 233x on spectral_moments at 2048 channels, review r9).
+    """
+    bound = F.array(F.struct(*[e.alias(k) for k, e in exprs.items()]))
+    return F.element_at(
+        F.transform(bound, lambda p: fn(**{k: p[k] for k in exprs})), 1)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two equal-length float arrays."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -68,22 +83,29 @@ def masked_bin_average(vec: Column, mask: Column,
     """
     if bin_size < 1:
         raise ValueError(f"bin_size must be >= 1, got {bin_size}")
-    nbins = F.ceil(F.size(vec) / F.lit(bin_size)).cast("int")
 
-    def bin_avg(b):
-        start = b * bin_size + 1          # slice() is 1-based
-        vals = F.slice(vec, start, bin_size)
-        kept = F.zip_with(vals, F.slice(mask, start, bin_size),
-                          lambda v, m: F.when(m, v)
-                          .otherwise(F.lit(None)))
-        s = F.aggregate(kept, F.lit(0.0),
-                        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)))
-        n = F.aggregate(kept, F.lit(0),
-                        lambda acc, x: acc
-                        + F.when(x.isNotNull(), 1).otherwise(0))
-        return F.when(n > 0, s / n).otherwise(F.lit(None))
-    return F.transform(F.sequence(F.lit(0), nbins - 1),
-                       lambda b: bin_avg(b))
+    # inputs bind once (review r9): expression-typed vec/mask would
+    # otherwise re-evaluate inside every bin's slice
+    def run(v, m):
+        nbins = F.ceil(F.size(v) / F.lit(bin_size)).cast("int")
+
+        def bin_avg(b):
+            start = b * bin_size + 1      # slice() is 1-based
+            vals = F.slice(v, start, bin_size)
+            kept = F.zip_with(vals, F.slice(m, start, bin_size),
+                              lambda x, mm: F.when(mm, x)
+                              .otherwise(F.lit(None)))
+            s = F.aggregate(kept, F.lit(0.0),
+                            lambda acc, x: acc
+                            + F.coalesce(x, F.lit(0.0)))
+            n = F.aggregate(kept, F.lit(0),
+                            lambda acc, x: acc
+                            + F.when(x.isNotNull(), 1).otherwise(0))
+            return F.when(n > 0, s / n).otherwise(F.lit(None))
+        return F.transform(F.sequence(F.lit(0), nbins - 1),
+                           lambda b: bin_avg(b))
+
+    return _bind_once(run, v=vec, m=mask)
 
 
 def weighted_bin_average(vec: Column, weights: Column,
@@ -93,18 +115,22 @@ def weighted_bin_average(vec: Column, weights: Column,
     NULL.  The WEIGHT_SPECTRUM-style reduction."""
     if bin_size < 1:
         raise ValueError(f"bin_size must be >= 1, got {bin_size}")
-    nbins = F.ceil(F.size(vec) / F.lit(bin_size)).cast("int")
 
-    def bin_avg(b):
-        start = b * bin_size + 1
-        vals = F.slice(vec, start, bin_size)
-        ws = F.slice(weights, start, bin_size)
-        wv = F.zip_with(vals, ws, lambda v, w: v * w)
-        s = F.aggregate(wv, F.lit(0.0), lambda acc, x: acc + x)
-        tw = F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(tw > 0, s / tw).otherwise(F.lit(None))
-    return F.transform(F.sequence(F.lit(0), nbins - 1),
-                       lambda b: bin_avg(b))
+    def run(v, w):
+        nbins = F.ceil(F.size(v) / F.lit(bin_size)).cast("int")
+
+        def bin_avg(b):
+            start = b * bin_size + 1
+            vals = F.slice(v, start, bin_size)
+            ws = F.slice(w, start, bin_size)
+            wv = F.zip_with(vals, ws, lambda x, ww: x * ww)
+            s = F.aggregate(wv, F.lit(0.0), lambda acc, x: acc + x)
+            tw = F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x)
+            return F.when(tw > 0, s / tw).otherwise(F.lit(None))
+        return F.transform(F.sequence(F.lit(0), nbins - 1),
+                           lambda b: bin_avg(b))
+
+    return _bind_once(run, v=vec, w=weights)
 
 
 def log_log_fit(vec: Column, xs: list[float],
@@ -134,22 +160,27 @@ def log_log_fit(vec: Column, xs: list[float],
                       lambda v, x: F.when(v > 0, F.struct(
                           F.log(v).alias("y"), x.alias("x")))
                       .otherwise(F.lit(None)))
-    kept = F.filter(pair, lambda p: p.isNotNull())
-    n = F.size(kept)
-    sx = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["x"])
-    sy = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["y"])
-    sxx = F.aggregate(kept, F.lit(0.0),
-                      lambda a, p: a + p["x"] * p["x"])
-    sxy = F.aggregate(kept, F.lit(0.0),
-                      lambda a, p: a + p["x"] * p["y"])
-    denom = n * sxx - sx * sx
-    alpha = F.when((n >= 2) & (denom != 0),
-                   (n * sxy - sx * sy) / denom)
-    intercept = F.when((n >= 2) & (denom != 0),
-                       (sy - alpha * sx) / n)
-    return F.struct(alpha.alias("alpha"),
-                    intercept.alias("intercept"),
-                    n.cast("long").alias("n_used"))
+
+    # the kept-pairs filter binds once (review r9): inlined, it would
+    # re-evaluate for each of the five fold sums below
+    def run(kept):
+        n = F.size(kept)
+        sx = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["x"])
+        sy = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["y"])
+        sxx = F.aggregate(kept, F.lit(0.0),
+                          lambda a, p: a + p["x"] * p["x"])
+        sxy = F.aggregate(kept, F.lit(0.0),
+                          lambda a, p: a + p["x"] * p["y"])
+        denom = n * sxx - sx * sx
+        alpha = F.when((n >= 2) & (denom != 0),
+                       (n * sxy - sx * sy) / denom)
+        intercept = F.when((n >= 2) & (denom != 0),
+                           (sy - alpha * sx) / n)
+        return F.struct(alpha.alias("alpha"),
+                        intercept.alias("intercept"),
+                        n.cast("long").alias("n_used"))
+
+    return _bind_once(run, kept=F.filter(pair, lambda p: p.isNotNull()))
 
 
 def channel_regrid(vec: Column, shift: Column, n_out: int) -> Column:
@@ -164,21 +195,25 @@ def channel_regrid(vec: Column, shift: Column, n_out: int) -> Column:
     at 100 TB this is a map over the scan.  The reference's analogue
     is per-chunk numpy interp in user code (SURVEY §2.7).
     """
-    src = F.transform(vec, lambda x: x.cast("double"))
-    pos = F.transform(F.sequence(F.lit(0), F.lit(n_out - 1)),
-                      lambda i: i.cast("double") + shift.cast("double"))
-    n_in = F.size(vec)
+    def run(src):
+        pos = F.transform(
+            F.sequence(F.lit(0), F.lit(n_out - 1)),
+            lambda i: i.cast("double") + shift.cast("double"))
+        n_in = F.size(src)
 
-    def lerp(p):
-        lo = F.floor(p).cast("int")
-        frac = p - lo.cast("double")
-        vlo = F.element_at(src, lo + 1)
-        vhi = F.element_at(src, F.least(lo + F.lit(2), n_in))
-        inside = (p >= 0) & (p <= (n_in - 1).cast("double"))
-        return F.when(inside,
-                      (F.lit(1.0) - frac) * vlo + frac * vhi)
+        def lerp(p):
+            lo = F.floor(p).cast("int")
+            frac = p - lo.cast("double")
+            vlo = F.element_at(src, lo + 1)
+            vhi = F.element_at(src, F.least(lo + F.lit(2), n_in))
+            inside = (p >= 0) & (p <= (n_in - 1).cast("double"))
+            return F.when(inside,
+                          (F.lit(1.0) - frac) * vlo + frac * vhi)
 
-    return F.transform(pos, lerp)
+        return F.transform(pos, lerp)
+
+    return _bind_once(run,
+                      src=F.transform(vec, lambda x: x.cast("double")))
 
 
 def spectral_moments(vec: Column, mask: Column | None = None) -> Column:
@@ -191,35 +226,41 @@ def spectral_moments(vec: Column, mask: Column | None = None) -> Column:
     weight sum is <= 0 (moments of non-positive total flux are
     undefined).  Map-side folds only — no explode, no shuffle.
     """
-    v = (F.zip_with(vec, mask, lambda x, m: F.when(m, x.cast("double")))
-         if mask is not None
-         else F.transform(vec, lambda x: x.cast("double")))
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    vexpr = (F.zip_with(vec, mask,
+                        lambda x, m: F.when(m, x.cast("double")))
+             if mask is not None
+             else F.transform(vec, lambda x: x.cast("double")))
 
     def fsum(arr):
         return F.aggregate(arr, F.lit(0.0),
                            lambda a, x: a + F.coalesce(x, F.lit(0.0)))
 
-    mom0 = fsum(v)
-    sx = fsum(F.zip_with(v, idx,
-                         lambda x, i: x * i.cast("double")))
-    mom1 = F.when(mom0 > 0, sx / mom0)
-    # bind (mom0, mom1) ONCE per row before the second-moment fold:
-    # referencing mom1 inside the sxx lambda re-expands its two fold
-    # sums per ELEMENT — O(n^2) per row, harmless at 64 channels but
-    # ~33M ops/row at 4096 (the uvcontsub bind-once trick, review r9)
-    params = F.array(F.struct(mom0.alias("m0"), mom1.alias("m1")))
+    # two-level bind (review r9): the masked input evaluates once,
+    # and (mom0, mom1) bind before the second-moment fold —
+    # referencing mom1 inside the sxx lambda would re-expand its two
+    # fold sums per ELEMENT (O(n^2) per row; measured 233x at 2048
+    # channels)
+    def run(v):
+        idx = F.sequence(F.lit(0), F.size(v) - 1)
+        mom0 = fsum(v)
+        sx = fsum(F.zip_with(v, idx,
+                             lambda x, i: x * i.cast("double")))
+        mom1 = F.when(mom0 > 0, sx / mom0)
+        params = F.array(F.struct(mom0.alias("m0"), mom1.alias("m1")))
 
-    def final(p):
-        sxx = fsum(F.zip_with(
-            v, idx,
-            lambda x, i: x * (i.cast("double") - p["m1"])
-            * (i.cast("double") - p["m1"])))
-        return F.struct(
-            p["m0"].alias("mom0"), p["m1"].alias("mom1"),
-            F.when(p["m0"] > 0, F.sqrt(sxx / p["m0"])).alias("mom2"))
+        def final(p):
+            sxx = fsum(F.zip_with(
+                v, idx,
+                lambda x, i: x * (i.cast("double") - p["m1"])
+                * (i.cast("double") - p["m1"])))
+            return F.struct(
+                p["m0"].alias("mom0"), p["m1"].alias("mom1"),
+                F.when(p["m0"] > 0, F.sqrt(sxx / p["m0"]))
+                .alias("mom2"))
 
-    return F.element_at(F.transform(params, final), 1)
+        return F.element_at(F.transform(params, final), 1)
+
+    return _bind_once(run, v=vexpr)
 
 
 def masked_bin_average_dyn(vec: Column, mask: Column,
@@ -234,22 +275,27 @@ def masked_bin_average_dyn(vec: Column, mask: Column,
     bs = bin_size.cast("int")
     guarded = F.when(bs >= 1, bs).otherwise(F.raise_error(F.lit(
         "masked_bin_average_dyn: bin_size must be >= 1")))
-    nbins = F.ceil(F.size(vec) / guarded.cast("double")).cast("int")
 
-    def bin_avg(b):
-        start = b * guarded + 1
-        vals = F.slice(vec, start, guarded)
-        kept = F.zip_with(vals, F.slice(mask, start, guarded),
-                          lambda v, m: F.when(m, v)
-                          .otherwise(F.lit(None)))
-        s = F.aggregate(kept, F.lit(0.0),
-                        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)))
-        n = F.aggregate(kept, F.lit(0),
-                        lambda acc, x: acc
-                        + F.when(x.isNotNull(), 1).otherwise(0))
-        return F.when(n > 0, s / n).otherwise(F.lit(None))
-    return F.transform(F.sequence(F.lit(0), nbins - 1),
-                       lambda b: bin_avg(b))
+    def run(v, m):
+        nbins = F.ceil(F.size(v) / guarded.cast("double")).cast("int")
+
+        def bin_avg(b):
+            start = b * guarded + 1
+            vals = F.slice(v, start, guarded)
+            kept = F.zip_with(vals, F.slice(m, start, guarded),
+                              lambda x, mm: F.when(mm, x)
+                              .otherwise(F.lit(None)))
+            s = F.aggregate(kept, F.lit(0.0),
+                            lambda acc, x: acc
+                            + F.coalesce(x, F.lit(0.0)))
+            n = F.aggregate(kept, F.lit(0),
+                            lambda acc, x: acc
+                            + F.when(x.isNotNull(), 1).otherwise(0))
+            return F.when(n > 0, s / n).otherwise(F.lit(None))
+        return F.transform(F.sequence(F.lit(0), nbins - 1),
+                           lambda b: bin_avg(b))
+
+    return _bind_once(run, v=vec, m=mask)
 
 
 def hanning_smooth(vec: Column) -> Column:
@@ -260,23 +306,27 @@ def hanning_smooth(vec: Column) -> Column:
     scan.  NULL (flagged) cells stay NULL and are excluded from their
     neighbours' averages (weights renormalise over present cells).
     """
-    n = F.size(vec)
+    def run(v):
+        n = F.size(v)
 
-    def cell(i):
-        c = F.element_at(vec, i + 1)
-        lo = F.when(i > 0, F.element_at(vec, i))
-        hi = F.when(i < n - 1, F.element_at(vec, i + 2))
-        wsum = (F.when(c.isNotNull(), F.lit(0.5)).otherwise(F.lit(0.0))
-                + F.when(lo.isNotNull(), F.lit(0.25))
-                .otherwise(F.lit(0.0))
-                + F.when(hi.isNotNull(), F.lit(0.25))
-                .otherwise(F.lit(0.0)))
-        s = (F.coalesce(c, F.lit(0.0)) * 0.5
-             + F.coalesce(lo, F.lit(0.0)) * 0.25
-             + F.coalesce(hi, F.lit(0.0)) * 0.25)
-        return F.when(c.isNotNull(), s / wsum)
+        def cell(i):
+            c = F.element_at(v, i + 1)
+            lo = F.when(i > 0, F.element_at(v, i))
+            hi = F.when(i < n - 1, F.element_at(v, i + 2))
+            wsum = (F.when(c.isNotNull(), F.lit(0.5))
+                    .otherwise(F.lit(0.0))
+                    + F.when(lo.isNotNull(), F.lit(0.25))
+                    .otherwise(F.lit(0.0))
+                    + F.when(hi.isNotNull(), F.lit(0.25))
+                    .otherwise(F.lit(0.0)))
+            s = (F.coalesce(c, F.lit(0.0)) * 0.5
+                 + F.coalesce(lo, F.lit(0.0)) * 0.25
+                 + F.coalesce(hi, F.lit(0.0)) * 0.25)
+            return F.when(c.isNotNull(), s / wsum)
 
-    return F.transform(F.sequence(F.lit(0), n - 1), cell)
+        return F.transform(F.sequence(F.lit(0), n - 1), cell)
+
+    return _bind_once(run, v=vec)
 
 
 def uvcontsub(vec: Column, mask: Column | None = None) -> Column:
@@ -288,35 +338,44 @@ def uvcontsub(vec: Column, mask: Column | None = None) -> Column:
     unchanged (nothing to fit).  Zero shuffles — composes into the
     scan like every kernel in this module.
     """
-    v = (F.zip_with(vec, mask, lambda x, m: F.when(m, x.cast("double")))
-         if mask is not None
-         else F.transform(vec, lambda x: x.cast("double")))
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    pair = F.zip_with(v, idx,
+    vexpr = (F.zip_with(vec, mask,
+                        lambda x, m: F.when(m, x.cast("double")))
+             if mask is not None
+             else F.transform(vec, lambda x: x.cast("double")))
+    pair = F.zip_with(vexpr, F.sequence(F.lit(0), F.size(vexpr) - 1),
                       lambda x, i: F.when(x.isNotNull(), F.struct(
                           x.alias("y"), i.cast("double").alias("x"))))
-    kept = F.filter(pair, lambda p: p.isNotNull())
-    n = F.size(kept).cast("double")
-    sx = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["x"])
-    sy = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["y"])
-    sxx = F.aggregate(kept, F.lit(0.0),
-                      lambda a, p: a + p["x"] * p["x"])
-    sxy = F.aggregate(kept, F.lit(0.0),
-                      lambda a, p: a + p["x"] * p["y"])
-    denom = n * sxx - sx * sx
-    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom) \
-        .otherwise(F.lit(0.0))
-    icept = F.when(n > 0, (sy - slope * sx) / n).otherwise(F.lit(0.0))
-    fit_ok = F.size(kept) >= 2
-    # bind the fit ONCE per row: without this, every output channel
-    # re-expands the four fold sums inside slope/icept — a 64x
-    # expression blow-up that showed up as ~20 s of codegen+eval on
-    # 500 rows (measured; 1-element transform caps it at one eval)
-    params = F.array(F.struct(slope.alias("sl"), icept.alias("ic"),
-                              fit_ok.alias("ok")))
-    return F.element_at(F.transform(params, lambda prm: F.zip_with(
-        v, idx,
-        lambda x, i: F.when(
-            prm["ok"] & x.isNotNull(),
-            x - (prm["ic"] + prm["sl"] * i.cast("double")))
-        .otherwise(x))), 1)
+
+    # two-level bind (review r9): the masked input and the kept-pairs
+    # filter each evaluate ONCE (the folds below would otherwise
+    # re-run the filter chain per sum), then the fit binds once
+    # before the per-channel subtraction — without that, every output
+    # channel re-expands the four fold sums inside slope/icept (a 64x
+    # blow-up measured at ~20 s on 500 rows when first found)
+    def run(v, kept):
+        idx = F.sequence(F.lit(0), F.size(v) - 1)
+        n = F.size(kept).cast("double")
+        sx = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["x"])
+        sy = F.aggregate(kept, F.lit(0.0), lambda a, p: a + p["y"])
+        sxx = F.aggregate(kept, F.lit(0.0),
+                          lambda a, p: a + p["x"] * p["x"])
+        sxy = F.aggregate(kept, F.lit(0.0),
+                          lambda a, p: a + p["x"] * p["y"])
+        denom = n * sxx - sx * sx
+        slope = F.when(denom != 0, (n * sxy - sx * sy) / denom) \
+            .otherwise(F.lit(0.0))
+        icept = F.when(n > 0, (sy - slope * sx) / n) \
+            .otherwise(F.lit(0.0))
+        fit_ok = F.size(kept) >= 2
+        params = F.array(F.struct(slope.alias("sl"),
+                                  icept.alias("ic"),
+                                  fit_ok.alias("ok")))
+        return F.element_at(F.transform(params, lambda prm: F.zip_with(
+            v, idx,
+            lambda x, i: F.when(
+                prm["ok"] & x.isNotNull(),
+                x - (prm["ic"] + prm["sl"] * i.cast("double")))
+            .otherwise(x))), 1)
+
+    return _bind_once(run, v=vexpr,
+                      kept=F.filter(pair, lambda p: p.isNotNull()))

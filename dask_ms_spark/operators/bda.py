@@ -199,7 +199,14 @@ def bda_average(df: DataFrame, time_col: str,
             # array would average re and im planes TOGETHER
             # (c_expand_mask's documented forbidden case — review
             # r9).  Split the planes, bin each, re-interleave.
+            # The planes bind to COLUMN slots first: passed inline,
+            # the c_real/c_imag transforms would re-evaluate inside
+            # every per-bin slice of the binning lambda (the
+            # spectral_moments re-expansion class, review r9).
             from ..functions.complexf import c_imag, c_real
+
+            out = (out.withColumn("__re", c_real(F.col("data_mean")))
+                   .withColumn("__im", c_imag(F.col("data_mean"))))
 
             def plane_mean(plane):
                 return masked_bin_average_dyn(
@@ -207,8 +214,8 @@ def bda_average(df: DataFrame, time_col: str,
                                        lambda v: v.isNotNull()),
                     F.col("factor"))
 
-            re_b = plane_mean(c_real(F.col("data_mean")))
-            im_b = plane_mean(c_imag(F.col("data_mean")))
+            re_b = plane_mean(F.col("__re"))
+            im_b = plane_mean(F.col("__im"))
             cmean = F.flatten(F.zip_with(
                 re_b, im_b, lambda a, b: F.array(a, b)))
         else:
@@ -220,7 +227,8 @@ def bda_average(df: DataFrame, time_col: str,
         out = (out.withColumn("data_chan_mean", cmean)
                .withColumn("flag_chan",
                            F.transform(F.col("data_chan_mean"),
-                                       lambda v: v.isNull())))
+                                       lambda v: v.isNull()))
+               .drop("__re", "__im"))
     return out.withColumnRenamed("__bin", "bin")
 
 
