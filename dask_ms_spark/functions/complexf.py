@@ -19,20 +19,29 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .vector import _bind_once
+
 __all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c_abs2", "c_real", "c_imag", "c_sum", "c_expand_mask", "phase_rotate", "LIGHT_SPEED", "apply_gains", "stokes_from_corrs", "corrs_from_stokes", "apply_gains_timevar"]
 
 
 def c_make(re: Column, im: Column) -> Column:
     """Interleave two equal-length float arrays into a complex array
     (empty in, empty out; NULL in, NULL out — see ``_pairs`` on
-    sequence(0, -1))."""
-    n = F.size(re)
-    idx = F.when(n > 0, F.sequence(F.lit(0), n * 2 - 1)) \
-        .when(n == 0, F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.when(i % 2 == 0, F.element_at(re, (i / 2).cast("int") + 1))
-                   .otherwise(F.element_at(im, ((i - 1) / 2).cast("int") + 1)))
+    sequence(0, -1)).  Inputs bind once per row (review r9): the
+    element_at lambda would otherwise re-evaluate expression-typed
+    inputs per output slot."""
+    def run(r, m):
+        n = F.size(r)
+        idx = F.when(n > 0, F.sequence(F.lit(0), n * 2 - 1)) \
+            .when(n == 0, F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.when(i % 2 == 0,
+                             F.element_at(r, (i / 2).cast("int") + 1))
+                       .otherwise(F.element_at(
+                           m, ((i - 1) / 2).cast("int") + 1)))
+
+    return _bind_once(run, r=re, m=im)
 
 
 def c_add(a: Column, b: Column) -> Column:
@@ -59,15 +68,24 @@ def _pairs(a: Column) -> Column:
 
 def c_mul(a: Column, b: Column) -> Column:
     """Elementwise complex multiply:
-    (ar+i·ai)(br+i·bi) = (ar·br − ai·bi) + i(ar·bi + ai·br)."""
-    def term(k: Column) -> Column:
-        ar = F.element_at(a, k * 2 + 1)
-        ai = F.element_at(a, k * 2 + 2)
-        br = F.element_at(b, k * 2 + 1)
-        bi = F.element_at(b, k * 2 + 2)
-        return F.array(ar * br - ai * bi, ar * bi + ai * br)
+    (ar+i·ai)(br+i·bi) = (ar·br − ai·bi) + i(ar·bi + ai·br).
 
-    return F.flatten(F.transform(_pairs(a), term))
+    Inputs bind once per row (review r9): the per-pair lambda reads
+    each side twice, so a COMPOSED operand (a nested c_mul/c_conj, a
+    phasor comb) would re-evaluate ~n times — O(n^2)+ at wide channel
+    counts.  With the bind, composition chains like
+    ``c_mul(c_mul(g_p, c_conj(g_q)), data)`` stay O(n)."""
+    def run(x, y):
+        def term(k: Column) -> Column:
+            ar = F.element_at(x, k * 2 + 1)
+            ai = F.element_at(x, k * 2 + 2)
+            br = F.element_at(y, k * 2 + 1)
+            bi = F.element_at(y, k * 2 + 2)
+            return F.array(ar * br - ai * bi, ar * bi + ai * br)
+
+        return F.flatten(F.transform(_pairs(x), term))
+
+    return _bind_once(run, x=a, y=b)
 
 
 def c_conj(a: Column) -> Column:
@@ -87,13 +105,17 @@ def c_scale(a: Column, s: Column | float) -> Column:
 
 
 def c_abs2(a: Column) -> Column:
-    """Per-element squared magnitude: array of re²+im²."""
-    def term(k: Column) -> Column:
-        re = F.element_at(a, k * 2 + 1)
-        im = F.element_at(a, k * 2 + 2)
-        return re * re + im * im
+    """Per-element squared magnitude: array of re²+im² (input binds
+    once — see :func:`c_mul`)."""
+    def run(x):
+        def term(k: Column) -> Column:
+            re = F.element_at(x, k * 2 + 1)
+            im = F.element_at(x, k * 2 + 2)
+            return re * re + im * im
 
-    return F.transform(_pairs(a), term)
+        return F.transform(_pairs(x), term)
+
+    return _bind_once(run, x=a)
 
 
 def c_abs(a: Column) -> Column:
@@ -102,11 +124,17 @@ def c_abs(a: Column) -> Column:
 
 
 def c_real(a: Column) -> Column:
-    return F.transform(_pairs(a), lambda k: F.element_at(a, k * 2 + 1))
+    return _bind_once(
+        lambda x: F.transform(_pairs(x),
+                              lambda k: F.element_at(x, k * 2 + 1)),
+        x=a)
 
 
 def c_imag(a: Column) -> Column:
-    return F.transform(_pairs(a), lambda k: F.element_at(a, k * 2 + 2))
+    return _bind_once(
+        lambda x: F.transform(_pairs(x),
+                              lambda k: F.element_at(x, k * 2 + 2)),
+        x=a)
 
 
 def c_sum(a: Column) -> Column:
