@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .vector import _bind_once
+
 __all__ = ["portable_hash64", "tokens", "token_count", "char_ngrams",
            "learn_bpe_merges", "apply_bpe_merges",
            "word_shingles", "quality_features", "langid_scores", "langid",
@@ -83,25 +85,35 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of ``text``.
 
     ``transform(sequence(1, len-n+1), i -> substr(text, i, n))`` —
-    codegen'd, no Python.
+    codegen'd, no Python.  The input binds once per row (review r9):
+    an expression-typed ``text`` (e.g. ``normalize_text``'s regex
+    chain) would otherwise re-evaluate per SHINGLE — O(len^2) per
+    document across the whole minhash/simhash/LSH family.
     """
-    t = text
-    count = F.length(t) - F.lit(n - 1)
-    grams = F.when(count <= 0, F.array(t)).otherwise(
-        F.transform(F.sequence(F.lit(1), count),
-                    lambda i: t.substr(i, F.lit(n))))
-    return F.array_distinct(grams)
+    def run(t):
+        count = F.length(t) - F.lit(n - 1)
+        grams = F.when(count <= 0, F.array(t)).otherwise(
+            F.transform(F.sequence(F.lit(1), count),
+                        lambda i: t.substr(i, F.lit(n))))
+        return F.array_distinct(grams)
+
+    return _bind_once(run, t=text)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles joined by single spaces."""
-    toks = tokens(F.lower(text))
-    count = F.size(toks) - F.lit(k - 1)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)])
-    return F.array_distinct(
-        F.when(count <= 0, F.array(F.concat_ws(" ", toks)))
-         .otherwise(F.transform(F.sequence(F.lit(1), count), shingle)))
+    """Distinct k-word shingles joined by single spaces (tokenisation
+    binds once — the per-window element_at would otherwise re-split
+    the text per shingle)."""
+    def run(toks):
+        count = F.size(toks) - F.lit(k - 1)
+        shingle = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + j) for j in range(k)])
+        return F.array_distinct(
+            F.when(count <= 0, F.array(F.concat_ws(" ", toks)))
+             .otherwise(F.transform(F.sequence(F.lit(1), count),
+                                    shingle)))
+
+    return _bind_once(run, toks=tokens(F.lower(text)))
 
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -171,25 +183,33 @@ def fingerprint(text: Column, k: int = 8, window: int = 4) -> Column:
     (portable md5 hash), then keep per-window minima — the rolling-hash
     fingerprint family, as a sorted distinct array of selected hashes.
 
-    CAUTION (Column form): the ``hashes`` subtree is referenced inside
-    the window lambda, and higher-order functions re-evaluate captured
-    subtrees per element — O(n·window·n) md5 calls.  Use
-    :func:`with_fingerprint` on a DataFrame, which stages each
-    intermediate as a bound attribute so every hash is computed once.
+    Two-level bind (review r9; previously a documented CAUTION that
+    routed users to :func:`with_fingerprint`): the normalised text
+    and then the k-gram hash array each evaluate ONCE per row, so the
+    Column form now matches the staged-projection DataFrame form —
+    without the binds, the hash subtree re-evaluated inside every
+    window's slice (O(n·window·n) md5 calls).
 
     For the oracle-checkable single-value form see ``portable_hash64``
     over the normalised text.
     """
-    t = F.lower(F.regexp_replace(text, _WS, " "))
-    count = F.length(t) - F.lit(k - 1)
-    hashes = F.when(count <= 0, F.array(portable_hash64(t))).otherwise(
-        F.transform(F.sequence(F.lit(1), count),
-                    lambda i: portable_hash64(t.substr(i, F.lit(k)))))
-    nwin = F.size(hashes) - F.lit(window - 1)
-    mins = F.when(nwin <= 0, F.array(F.array_min(hashes))).otherwise(
-        F.transform(F.sequence(F.lit(1), nwin),
-                    lambda i: F.array_min(F.slice(hashes, i, window))))
-    return F.array_sort(F.array_distinct(mins))
+    def windows(hashes):
+        nwin = F.size(hashes) - F.lit(window - 1)
+        mins = F.when(nwin <= 0, F.array(F.array_min(hashes))) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.array_min(F.slice(hashes, i, window))))
+        return F.array_sort(F.array_distinct(mins))
+
+    def run(t):
+        count = F.length(t) - F.lit(k - 1)
+        hashes = F.when(count <= 0, F.array(portable_hash64(t))) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: portable_hash64(t.substr(i, F.lit(k)))))
+        return _bind_once(windows, hashes=hashes)
+
+    return _bind_once(run, t=F.lower(F.regexp_replace(text, _WS, " ")))
 
 
 def with_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
@@ -239,10 +259,15 @@ def bigram_repetition(df: DataFrame, text_col: str = "text",
     """
     from ..session import ensure_parallelism
 
-    toks = tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
+    # the token array stages as a projection slot: inlined, the
+    # per-gram element_at pair would re-split the text per bigram
+    # (review r9 — the char_ngrams re-expansion class)
+    staged = (df.select(F.col(id_col),
+                        tokens(F.lower(F.col(text_col))).alias("__toks"))
+              .where(F.size("__toks") >= 2))
+    toks = F.col("__toks")
     grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
+        F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i),
                               F.element_at(toks, i + 1)))
     # n_grams is derived from the per-gram counts (sum) rather than
@@ -250,7 +275,7 @@ def bigram_repetition(df: DataFrame, text_col: str = "text",
     # (size + explode) re-evaluates it per exploded row, and
     # InferFiltersFromGenerate clones any explode input into the scan
     # filter — keep that cloned expression the only extra evaluation
-    base = (ensure_parallelism(df.where(n >= 2))
+    base = (ensure_parallelism(staged)
             .select(F.col(id_col), F.explode(grams).alias("gram")))
     per_gram = (base.groupBy(id_col, "gram")
                 .agg(F.count(F.lit(1)).alias("cnt")))

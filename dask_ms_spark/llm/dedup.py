@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..cache import scoped_persist
 from ..functions.text import char_ngrams, portable_hash64
-from ..functions.vector import cosine
+from ..functions.vector import _bind_once, cosine
 from ..session import ensure_parallelism
 
 __all__ = ["normalize_text", "exact_dedup", "MINHASH_P", "MINHASH_COEFFS",
@@ -191,20 +191,26 @@ def minhash_signature(text: Column, num_hashes: int = 32,
 
 
 def minhash_from_base(base: Column, num_hashes: int = 32) -> Column:
-    """Affine-permutation minima over a base-hash array."""
+    """Affine-permutation minima over a base-hash array.  The base
+    binds once per row (review r9): an expression-typed input (the
+    shingle+md5 chain) would otherwise re-evaluate per PERMUTATION."""
     if not 1 <= num_hashes <= len(MINHASH_COEFFS):
         raise ValueError(
             f"num_hashes must be in [1, {len(MINHASH_COEFFS)}] (the "
             f"baked permutation table), got {num_hashes}")
 
-    def perm_min(i: int):
-        a, b = MINHASH_COEFFS[i]
-        # single-arg lambda: a two-arg lambda would make transform()
-        # pass the element index as the second argument
-        return F.array_min(F.transform(
-            base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
+    def run(bb):
+        def perm_min(i: int):
+            a, b = MINHASH_COEFFS[i]
+            # single-arg lambda: a two-arg lambda would make
+            # transform() pass the element index as the second arg
+            return F.array_min(F.transform(
+                bb, lambda h: (F.lit(a) * h + F.lit(b))
+                % F.lit(MINHASH_P)))
 
-    return F.array(*[perm_min(i) for i in range(num_hashes)])
+        return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+    return _bind_once(run, bb=base)
 
 
 def minhash_table(docs: DataFrame, text_col: str = "text",
