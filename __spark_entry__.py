@@ -4242,13 +4242,13 @@ def q_crossmatch(spark, sf_dir):
 
 _CROSSMATCH_SQL = """
     WITH a AS (SELECT vec_id AS left_id,
-                      fmod(vec_id * 137.508, 360.0) AS ra,
-                      fmod(vec_id * 7.919, 120.0) - 60.0 AS dec
+                      fmod(vec_id * 137.508e0, 360.0) AS ra,
+                      fmod(vec_id * 7.919e0, 120.0) - 60.0 AS dec
                FROM embeddings),
     b AS (SELECT vec_id + 100000 AS right_id,
-                 fmod(fmod(vec_id * 137.508, 360.0) + 360.0
+                 fmod(fmod(vec_id * 137.508e0, 360.0) + 360.0
                       + 0.2 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
-                 (fmod(vec_id * 7.919, 120.0) - 60.0)
+                 (fmod(vec_id * 7.919e0, 120.0) - 60.0)
                      + 0.2 * ((vec_id % 3) - 1) / 2 AS dec
           FROM embeddings WHERE vec_id % 3 = 0),
     pairs AS (SELECT left_id, right_id,
@@ -4506,26 +4506,51 @@ def q_grid_conv(spark, sf_dir):
 
 
 def _grid_conv_sql() -> str:
+    import math
+
+    from dask_ms_spark.operators.imaging import KERNEL_OVERSAMPLE
+
     qs = float(1 << 20)
-    # s=1, sigma=0.5 -> 1/(2 sigma^2) = 2.0 exactly (dyadic)
+    # s=1, sigma=0.5 -> 1/(2 sigma^2) = 2.0 exactly (dyadic).
+    # The kernel is the SAME oversampled literal table the Spark plan
+    # bakes in (engine-exact: runtime exp() differs by 1 ulp between
+    # libms, which flipped one fixed-point tie in 684 cells at sf0.1);
+    # repr() literals round-trip to the identical doubles, and the
+    # linear interpolation below is exactly-specified IEEE arithmetic.
+    over = KERNEL_OVERSAMPLE
+    n_tab = int(1.5 * over) + 2
+    tab = ", ".join(repr(math.exp(-((i / over) ** 2) * 2.0))
+                    for i in range(n_tab + 1))
+
+    def g1d(d: str) -> str:
+        return (f"(__tab[cast(floor(abs({d}) * {over}.0) as int) + 1]"
+                f" + (abs({d}) * {over}.0"
+                f"     - floor(abs({d}) * {over}.0))"
+                f" * (__tab[cast(floor(abs({d}) * {over}.0) as int) + 2]"
+                f"    - __tab[cast(floor(abs({d}) * {over}.0) as int)"
+                f"            + 1]))")
+
+    # 13.7e0 / 7.3e0: the e0 suffix forces DOUBLE literals — bare
+    # 13.7 parses as DECIMAL in DuckDB, and vec_id * DECIMAL is exact
+    # decimal arithmetic that diverges ~1e-12 from Spark's double
+    # product, flipping fixed-point roundings that land near a tie
     return f"""
-    WITH d AS (SELECT fmod(vec_id * 13.7, 24.0) - 12.0 AS u,
-                      fmod(vec_id * 7.3, 24.0) - 12.0 AS v,
-                      round(embedding[1] * 1000.0) AS re,
-                      round(embedding[2] * 1000.0) AS im
-               FROM embeddings),
+    WITH tabcte AS (SELECT CAST([{tab}] AS DOUBLE[]) AS __tab),
+    d AS (SELECT fmod(vec_id * 13.7e0, 24.0) - 12.0 AS u,
+                 fmod(vec_id * 7.3e0, 24.0) - 12.0 AS v,
+                 round(embedding[1] * 1000.0) AS re,
+                 round(embedding[2] * 1000.0) AS im
+          FROM embeddings),
     sp AS (SELECT u / 1.0 + 16 AS x, v / 1.0 + 16 AS y, re, im,
                   du, dv
            FROM d, UNNEST([-1, 0, 1]) AS tu(du),
                    UNNEST([-1, 0, 1]) AS tv(dv)),
     c AS (SELECT cast(floor(x + 0.5) + du as bigint) AS iu,
                  cast(floor(y + 0.5) + dv as bigint) AS iv,
-                 exp(-((x - (floor(x + 0.5) + du))
-                       * (x - (floor(x + 0.5) + du))
-                       + (y - (floor(y + 0.5) + dv))
-                       * (y - (floor(y + 0.5) + dv))) * 2.0) AS k,
+                 {g1d('(x - (floor(x + 0.5) + du))')}
+                 * {g1d('(y - (floor(y + 0.5) + dv))')} AS k,
                  re, im
-          FROM sp),
+          FROM sp, tabcte),
     q AS (SELECT iu, iv,
                  round((1.0 * k) * re * {qs!r}) / {qs!r} AS cre,
                  round((1.0 * k) * im * {qs!r}) / {qs!r} AS cim,
@@ -4794,7 +4819,7 @@ def q_parallactic_angle(spark, sf_dir):
 
 _PARALLACTIC_SQL = """
     WITH v AS (SELECT vec_id,
-                      5020000000.0 + vec_id * 7919.0 AS t,
+                      5020000000.0e0 + vec_id * 7919.0e0 AS t,
                       fmod(vec_id * 37.0, 360.0) AS ra,
                       -60.0 + fmod(vec_id * 13.0, 110.0) AS dec
                FROM embeddings),
@@ -5051,8 +5076,8 @@ def _imaging_weights_sql() -> str:
     num, den = ((5.0 * 10.0 ** -0.5) ** 2).as_integer_ratio()
     return f"""
     WITH v AS (SELECT vec_id,
-                      fmod(vec_id * 13.7, 40.0) - 20.0 AS u,
-                      fmod(vec_id * 7.3, 40.0) - 20.0 AS vv,
+                      fmod(vec_id * 13.7e0, 40.0) - 20.0 AS u,
+                      fmod(vec_id * 7.3e0, 40.0) - 20.0 AS vv,
                       1.0 + cast(vec_id % 3 as double) AS w
                FROM embeddings),
     c AS (SELECT *, cast(floor(u / 4.0 + 0.5) as bigint) AS cu,
@@ -5130,13 +5155,13 @@ def q_crossmatch_nearest(spark, sf_dir):
 
 _CROSSMATCH_NEAREST_SQL = """
     WITH a AS (SELECT vec_id AS left_id,
-                      fmod(vec_id * 137.508, 360.0) AS ra,
-                      fmod(vec_id * 7.919, 120.0) - 60.0 AS dec
+                      fmod(vec_id * 137.508e0, 360.0) AS ra,
+                      fmod(vec_id * 7.919e0, 120.0) - 60.0 AS dec
                FROM embeddings),
     b AS (SELECT vec_id + 100000 AS right_id,
-                 fmod(fmod(vec_id * 137.508, 360.0) + 360.0
+                 fmod(fmod(vec_id * 137.508e0, 360.0) + 360.0
                       + 0.2 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
-                 (fmod(vec_id * 7.919, 120.0) - 60.0)
+                 (fmod(vec_id * 7.919e0, 120.0) - 60.0)
                      + 0.2 * ((vec_id % 3) - 1) / 2 AS dec
           FROM embeddings WHERE vec_id % 3 = 0),
     pairs AS (SELECT left_id, right_id,
@@ -5643,8 +5668,8 @@ def _predict_vis_sql() -> str:
     c = f"(CAST({num} AS DOUBLE) / {den})"
     return f"""
     WITH d AS (SELECT vec_id,
-                      fmod(vec_id * 13.7, 400.0) - 200.0 AS u,
-                      fmod(vec_id * 7.3, 400.0) - 200.0 AS v
+                      fmod(vec_id * 13.7e0, 400.0) - 200.0 AS u,
+                      fmod(vec_id * 7.3e0, 400.0) - 200.0 AS v
                FROM embeddings)
     SELECT vec_id,
            cast(round((0.0 + 2.0 * cos({c} * (u * 0.001
@@ -5698,8 +5723,8 @@ def _grid_vis_sql() -> str:
     num, den = (2.0 * math.pi).as_integer_ratio()
     c = f"(CAST({num} AS DOUBLE) / {den})"
     return f"""
-    WITH d AS (SELECT fmod(vec_id * 13.7, 64.0) - 32.0 AS u,
-                      fmod(vec_id * 7.3, 64.0) - 32.0 AS v
+    WITH d AS (SELECT fmod(vec_id * 13.7e0, 64.0) - 32.0 AS u,
+                      fmod(vec_id * 7.3e0, 64.0) - 32.0 AS v
                FROM embeddings),
     p AS (SELECT u, v,
                  round((2.0 * cos({c} * (u * 0.001 + v * (-0.002)))
@@ -5924,7 +5949,7 @@ def _uvw_sql() -> str:
     sd, cd, inv = parts["sd"], parts["cd"], parts["inv"]
     return f"""
     WITH d AS (SELECT vec_id,
-                      fmod(vec_id * 17.3, 1000.0) - 500.0 AS bx,
+                      fmod(vec_id * 17.3e0, 1000.0) - 500.0 AS bx,
                       fmod(vec_id * 11.9, 1000.0) - 500.0 AS by,
                       fmod(vec_id * 5.7, 200.0) - 100.0 AS bz,
                       fmod(vec_id * 0.013, 6.0) - 3.0 AS ha
@@ -5984,8 +6009,8 @@ def _grid_wstack_sql() -> str:
     n1n, n1d = n1.as_integer_ratio()
     n1s = f"(CAST({n1n} AS DOUBLE) / {n1d})"
     return f"""
-    WITH d AS (SELECT fmod(vec_id * 13.7, 64.0) - 32.0 AS u,
-                      fmod(vec_id * 7.3, 64.0) - 32.0 AS v,
+    WITH d AS (SELECT fmod(vec_id * 13.7e0, 64.0) - 32.0 AS u,
+                      fmod(vec_id * 7.3e0, 64.0) - 32.0 AS v,
                       fmod(vec_id * 3.1, 40.0) - 20.0 AS w
                FROM embeddings),
     p AS (SELECT u, v, w,

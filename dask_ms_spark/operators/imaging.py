@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["imaging_weights", "grid_visibilities", "dirty_image",
            "psf_image", "grid_visibilities_wstack",
-           "dirty_image_wstack", "hogbom_clean"]
+           "dirty_image_wstack", "hogbom_clean", "KERNEL_OVERSAMPLE"]
+
+# Oversampling of the tabulated convolution kernel used on the
+# quantize_scale (engine-exact) gridding path — samples per cell of
+# the 1-D separable kernel table.  128 matches the oversampling range
+# production gridders use for their convolution-function tables.
+KERNEL_OVERSAMPLE = 128
 
 
 def imaging_weights(df: DataFrame, u_col: str, v_col: str,
@@ -208,7 +214,39 @@ def grid_visibilities(df: DataFrame, u_col: str, v_col: str,
         jv = F.floor(F.col("__y") + F.lit(0.5)) + F.col("__dv")
         dx = F.col("__x") - ju.cast("double")
         dy = F.col("__y") - jv.cast("double")
-        k = F.exp(-(dx * dx + dy * dy) * F.lit(inv2s2))
+        if quantize_scale:
+            # ENGINE-EXACT kernel: runtime exp() is libm-dependent
+            # (JVM and other engines disagree by 1 ulp on some
+            # arguments, which flips fixed-point roundings that land
+            # on a .5 tie — caught by the sf0.1 oracle sweep, one
+            # cell in 684).  Production gridders tabulate their
+            # convolution functions anyway (casacore/WSClean use
+            # oversampled kernel tables); here the separable 1-D
+            # gaussian is sampled driver-side at KERNEL_OVERSAMPLE
+            # points/cell and linearly interpolated — literals plus
+            # exactly-specified IEEE ops only, so ANY engine
+            # mirroring the table reproduces k bit-for-bit.
+            # Max tabulation error at 128x oversampling is ~3e-5 of
+            # peak — far below gridding-kernel fidelity needs.
+            import math as _math
+
+            dmax = s + 0.5
+            n_tab = int(dmax * KERNEL_OVERSAMPLE) + 2
+            tab = [_math.exp(-((i / KERNEL_OVERSAMPLE) ** 2) * inv2s2)
+                   for i in range(n_tab + 1)]
+            tab_lit = F.array(*[F.lit(t) for t in tab])
+
+            def g1d(d):
+                t = F.abs(d) * F.lit(float(KERNEL_OVERSAMPLE))
+                i = F.floor(t).cast("int")
+                frac = t - i.cast("double")
+                lo = F.element_at(tab_lit, i + 1)
+                hi = F.element_at(tab_lit, i + 2)
+                return lo + frac * (hi - lo)
+
+            k = g1d(dx) * g1d(dy)
+        else:
+            k = F.exp(-(dx * dx + dy * dy) * F.lit(inv2s2))
         wk = F.col("__w") * k
         if quantize_scale:
             qs = float(quantize_scale)

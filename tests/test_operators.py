@@ -2114,3 +2114,66 @@ def test_sigma_clip_keeps_fully_clipped_group(spark):
     assert out[1].n_in == 2
     if out[1].n_kept == 0:
         assert out[1].clip_mean is None
+
+
+def test_grid_quantized_kernel_is_tabulated_and_engine_exact(spark):
+    """The quantize_scale gridding path evaluates its kernel from the
+    oversampled literal table (exactly-specified IEEE interpolation),
+    NOT runtime exp() — libms disagree by 1 ulp on exp, which flipped
+    a fixed-point tie in the sf0.1 oracle sweep (review r9).  A pure
+    Python mirror of the table interpolation must agree bit-for-bit."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dask_ms_spark.operators.imaging import (KERNEL_OVERSAMPLE,
+                                                 grid_visibilities)
+
+    npix, cell, s, qs = 16, 1.0, 1, 1 << 20
+    vis = [Row(u=1.3, v=-2.6, re=200.0, im=-100.0),
+           Row(u=-3.7, v=0.2, re=50.0, im=50.0),
+           Row(u=0.49999999, v=0.5, re=77.0, im=-3.0)]
+    df = spark.createDataFrame(vis)
+    got = {(r.iu, r.iv): r for r in grid_visibilities(
+        df, "u", "v", "re", "im", cell, npix, hermitian=False,
+        kernel_support=s, quantize_scale=qs).collect()}
+
+    over = KERNEL_OVERSAMPLE
+    sig = s / 2.0
+    inv2s2 = 1.0 / (2.0 * sig * sig)
+    n_tab = int((s + 0.5) * over) + 2
+    tab = [math.exp(-((i / over) ** 2) * inv2s2)
+           for i in range(n_tab + 1)]
+
+    def g1d(d):
+        t = abs(d) * float(over)
+        i = int(math.floor(t))
+        frac = t - float(i)
+        return tab[i] + frac * (tab[i + 1] - tab[i])
+
+    model = {}
+    for r in vis:
+        x, y = r.u / cell + npix // 2, r.v / cell + npix // 2
+        for du in range(-s, s + 1):
+            for dv in range(-s, s + 1):
+                ju = math.floor(x + 0.5) + du
+                jv = math.floor(y + 0.5) + dv
+                if not (0 <= ju < npix and 0 <= jv < npix):
+                    continue
+                k = g1d(x - ju) * g1d(y - jv)
+                acc = model.setdefault((ju, jv), [0.0, 0.0, 0.0])
+                acc[0] += round(k * r.re * qs) / qs
+                acc[1] += round(k * r.im * qs) / qs
+                acc[2] += round(k * qs) / qs
+    assert set(got) == set(model)
+    for key, (re_w, im_w, wsum) in model.items():
+        g = got[key]
+        # the mirror uses python round (banker's) so allow the .5-tie
+        # step at exactly 1/qs; everything else must be BIT-equal
+        assert abs(g.vis_re - re_w) <= 1.0 / qs
+        assert abs(g.vis_im - im_w) <= 1.0 / qs
+        assert abs(g.wsum - wsum) <= 1.0 / qs
+    # tabulation stays within ~3e-5 of the analytic gaussian
+    for i in range(n_tab * 4):
+        d = i / (4.0 * over)
+        assert abs(g1d(d) - math.exp(-(d * d) * inv2s2)) < 5e-5
