@@ -4247,9 +4247,9 @@ _CROSSMATCH_SQL = """
                FROM embeddings),
     b AS (SELECT vec_id + 100000 AS right_id,
                  fmod(fmod(vec_id * 137.508e0, 360.0) + 360.0
-                      + 0.2 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
+                      + 0.2e0 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
                  (fmod(vec_id * 7.919e0, 120.0) - 60.0)
-                     + 0.2 * ((vec_id % 3) - 1) / 2 AS dec
+                     + 0.2e0 * ((vec_id % 3) - 1) / 2 AS dec
           FROM embeddings WHERE vec_id % 3 = 0),
     pairs AS (SELECT left_id, right_id,
                      degrees(2 * asin(sqrt(
@@ -5160,9 +5160,9 @@ _CROSSMATCH_NEAREST_SQL = """
                FROM embeddings),
     b AS (SELECT vec_id + 100000 AS right_id,
                  fmod(fmod(vec_id * 137.508e0, 360.0) + 360.0
-                      + 0.2 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
+                      + 0.2e0 * ((vec_id % 5) - 2) / 2, 360.0) AS ra,
                  (fmod(vec_id * 7.919e0, 120.0) - 60.0)
-                     + 0.2 * ((vec_id % 3) - 1) / 2 AS dec
+                     + 0.2e0 * ((vec_id % 3) - 1) / 2 AS dec
           FROM embeddings WHERE vec_id % 3 = 0),
     pairs AS (SELECT left_id, right_id,
                      degrees(2 * asin(sqrt(
@@ -5950,9 +5950,9 @@ def _uvw_sql() -> str:
     return f"""
     WITH d AS (SELECT vec_id,
                       fmod(vec_id * 17.3e0, 1000.0) - 500.0 AS bx,
-                      fmod(vec_id * 11.9, 1000.0) - 500.0 AS by,
-                      fmod(vec_id * 5.7, 200.0) - 100.0 AS bz,
-                      fmod(vec_id * 0.013, 6.0) - 3.0 AS ha
+                      fmod(vec_id * 11.9e0, 1000.0) - 500.0 AS by,
+                      fmod(vec_id * 5.7e0, 200.0) - 100.0 AS bz,
+                      fmod(vec_id * 0.013e0, 6.0) - 3.0 AS ha
                FROM embeddings)
     SELECT vec_id,
            cast(round((sin(ha) * bx + cos(ha) * by) * {inv}
@@ -6011,7 +6011,7 @@ def _grid_wstack_sql() -> str:
     return f"""
     WITH d AS (SELECT fmod(vec_id * 13.7e0, 64.0) - 32.0 AS u,
                       fmod(vec_id * 7.3e0, 64.0) - 32.0 AS v,
-                      fmod(vec_id * 3.1, 40.0) - 20.0 AS w
+                      fmod(vec_id * 3.1e0, 40.0) - 20.0 AS w
                FROM embeddings),
     p AS (SELECT u, v, w,
                  round(2.0 * cos({c} * (u * 0.05 + v * (-0.08)
@@ -7934,7 +7934,7 @@ def _oracle_sql_all() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             JOIN pp ON l_partkey = t_partkey
             WHERE p_brand = 'Brand#13'
-              AND l_quantity < 0.2 * avg_qty
+              AND l_quantity < 0.2e0 * avg_qty
         """,
         "tpch_q19": """
             SELECT round(cast(sum(cast(l_extendedprice as decimal(18,2)) *

@@ -26,20 +26,25 @@ __all__ = ["c_make", "c_add", "c_sub", "c_mul", "c_conj", "c_scale", "c_abs", "c
 
 def c_make(re: Column, im: Column) -> Column:
     """Interleave two equal-length float arrays into a complex array
-    (empty in, empty out; NULL in, NULL out — see ``_pairs`` on
-    sequence(0, -1)).  Inputs bind once per row (review r9): the
+    (empty in, empty out; NULL in, NULL out — EITHER operand NULL
+    nulls the result, matching the NULL-in/NULL-out contract of the
+    other kernels: without the explicit guard a NULL ``im`` with a
+    non-NULL ``re`` produced a half-populated ``[re1, NULL, ...]``
+    array — r9 ADVICE).  Inputs bind once per row (review r9): the
     element_at lambda would otherwise re-evaluate expression-typed
     inputs per output slot."""
     def run(r, m):
         n = F.size(r)
         idx = F.when(n > 0, F.sequence(F.lit(0), n * 2 - 1)) \
             .when(n == 0, F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.when(i % 2 == 0,
-                             F.element_at(r, (i / 2).cast("int") + 1))
-                       .otherwise(F.element_at(
-                           m, ((i - 1) / 2).cast("int") + 1)))
+        return F.when(
+            r.isNotNull() & m.isNotNull(),
+            F.transform(
+                idx,
+                lambda i: F.when(i % 2 == 0,
+                                 F.element_at(r, (i / 2).cast("int") + 1))
+                           .otherwise(F.element_at(
+                               m, ((i - 1) / 2).cast("int") + 1))))
 
     return _bind_once(run, r=re, m=im)
 

@@ -603,7 +603,10 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
         # the main return below (rank >2 otherwise leaks nested cells
         # into the flat-array contract — review r9)
         out = np.zeros([n_valid] + cell_shape, dtype=dtype)
-        return out.reshape(n_valid, -1) if len(cell_shape) > 1 else out
+        # explicit flattened width: reshape(-1) cannot infer the
+        # second axis when n_valid == 0 (size-0 array, ambiguous -1)
+        return (out.reshape(n_valid, int(np.prod(cell_shape)))
+                if len(cell_shape) > 1 else out)
     codec = (z.get("compressor") or {}).get("id") \
         if isinstance(z.get("compressor"), dict) else None
 
@@ -642,7 +645,10 @@ def _read_cell_chunks(group_dir: str, col: str, z: dict, ci: int,
             dst.append(slice(g0 - a, g1 - a))
         buf[tuple(dst)] = arr[tuple(src)]
         del arr
-    return buf.reshape(n_valid, -1) if len(cell_shape) > 1 else buf
+    # explicit flattened width (n_valid can be 0 on a fully-pruned
+    # tail chunk — reshape(-1) would raise on the size-0 array)
+    return (buf.reshape(n_valid, int(np.prod([b - a for a, b in slab])))
+            if len(cell_shape) > 1 else buf)
 
 
 def _read_group(spark: SparkSession, group_dir: str,

@@ -2076,6 +2076,30 @@ def test_complex_helpers_empty_arrays(spark):
                                                   [], [])
 
 
+def test_c_make_null_either_operand(spark):
+    """r9 ADVICE: c_make's NULL handling was asymmetric — NULL re
+    nulled the result (size(re) nulls the index sequence) but NULL
+    im with non-NULL re emitted a half-populated [re1, NULL, ...]
+    array.  Either NULL operand must propagate as NULL, matching
+    the NULL-in/NULL-out contract the other kernels document."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.complexf import c_make
+
+    df = spark.createDataFrame(
+        [Row(k=0, a=[1.0, 2.0], b=[3.0, 4.0]),
+         Row(k=1, a=None, b=[3.0, 4.0]),
+         Row(k=2, a=[1.0, 2.0], b=None),
+         Row(k=3, a=None, b=None)],
+        "k int, a array<double>, b array<double>")
+    out = {r.k: r.mk for r in df.select(
+        "k", c_make(F.col("a"), F.col("b")).alias("mk")).collect()}
+    assert out[0] == [1.0, 3.0, 2.0, 4.0]
+    assert out[1] is None
+    assert out[2] is None
+    assert out[3] is None
+
+
 def test_rfi_flag_mad_zero_falls_back_to_std(spark):
     """r9 review: a channel where >half the series is one constant
     has MAD 0 — the threshold then flagged EVERY deviation; the std

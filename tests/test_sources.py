@@ -1543,3 +1543,42 @@ def test_sidecar_io_on_url_schemed_store(spark, tmp_path):
     tk, ck = read_keywords(root_url)
     assert tk == {"MS_VERSION": 2.0} and ck["V"] == {"UNIT": "Jy"}
     assert sidecar.read_text(root_url, "nope.json") is None
+
+
+def test_zarr_cell_chunks_zero_size_reshape(tmp_path):
+    """r9 ADVICE: the flattened-cell returns used ``reshape(n, -1)``,
+    which numpy refuses whenever the array size is 0 (it cannot infer
+    -1 when the known dims multiply to 0).  Two affected paths:
+    a zero-width cell axis with rank > 1 (ANY n_valid — the product
+    of cell dims is 0), and a fully-pruned/empty trailing row chunk
+    (n_valid == 0) on the main memmap path.  Both now use an explicit
+    flattened width."""
+    import numpy as np
+
+    from dask_ms_spark.sources.zarr import _read_cell_chunks
+
+    # zero-width axis, rank-2 cells: no chunk files exist on disk
+    z0 = {"shape": [10, 0, 3], "chunks": [4, 1, 3],
+          "dtype": "<f8", "compressor": None}
+    out = _read_cell_chunks(str(tmp_path), "COL", z0, 0,
+                            n_valid=4, slab=None)
+    assert out.shape == (4, 0)
+    out = _read_cell_chunks(str(tmp_path), "COL", z0, 0,
+                            n_valid=0, slab=None)
+    assert out.shape == (0, 0)
+
+    # main path, rank-2 cells, n_valid == 0 (empty trailing chunk)
+    col_dir = tmp_path / "DATA"
+    col_dir.mkdir()
+    chunk = np.arange(4 * 2 * 3, dtype="<f8")
+    chunk.tofile(str(col_dir / "0.0.0"))
+    z1 = {"shape": [4, 2, 3], "chunks": [4, 2, 3],
+          "dtype": "<f8", "compressor": None}
+    out = _read_cell_chunks(str(tmp_path), "DATA", z1, 0,
+                            n_valid=0, slab=None)
+    assert out.shape == (0, 6)
+    # and the non-empty case still round-trips the flattened values
+    out = _read_cell_chunks(str(tmp_path), "DATA", z1, 0,
+                            n_valid=4, slab=None)
+    assert out.shape == (4, 6)
+    assert np.array_equal(out, chunk.reshape(4, 6))
