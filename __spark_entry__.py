@@ -6790,65 +6790,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The rotation ledger lives at the window boundary (position 50)
     # inside the dict below.
     return {
-        # -- round-9 window, position 1: the r8-session debut,
-        #    judge-verified MATCH at sf0.01 in the r8 session;
-        #    FIRST driver row this round --
-        "taql_subquery": q_taql_subquery,
-        # -- window position 2-24: the 23 remaining r5-session
-        #    debuts (last driver row r6) --
-        "graph_triangles": q_graph_triangles,
-        "corpus_overlap_kmv": q_corpus_overlap_kmv,
-        "interval_overlap": q_interval_overlap,
-        "events_ema": q_events_ema,
-        "session_stats": q_session_stats,
-        "dataset_card": q_dataset_card,
-        "active_users_rolling": q_active_users_rolling,
-        "multimodal_audio": q_multimodal_audio,
-        "incremental_join": q_incremental_join,
-        "constraint_audit": q_constraint_audit,
-        "pipeline_funnel": q_pipeline_funnel,
-        "robust_stats": q_robust_stats,
-        "cdc_apply": q_cdc_apply,
-        "scd2_history": q_scd2_history,
-        "events_anomaly": q_events_anomaly,
-        "lang_mismatch": q_lang_mismatch,
-        "quality_prune": q_quality_prune,
-        "sample_weighted": q_sample_weighted,
-        "sample_quota": q_sample_quota,
-        "events_seasonality": q_events_seasonality,
-        "conversion_lag": q_conversion_lag,
-        "zipf_fit": q_zipf_fit,
-        "events_gap_stats": q_events_gap_stats,
-        # -- window position 25-37: 13 r4-stale re-checks whose
-        #    last driver row is r6 --
-        "events_correlate": q_events_correlate,
-        "star_join": q_star_join,
-        "rollup": q_rollup,
-        "events_windowed": q_events_windowed,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_props": q_events_props,
-        "events_dedup": q_events_dedup,
-        "corpus_mixture": q_corpus_mixture,
-        "text_repetition": q_text_repetition,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        # -- window position 38-50: the 13 oldest of the "last
-        #    driver row r5" block (original r5-window order) --
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "text_bpe": q_text_bpe,
-        "text_winnow": q_text_winnow,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_exact": q_dedup_exact,
-        "similarity_topk": q_similarity_topk,
+
+        # -- round-10 window, positions 1-26: the 26 "last driver
+        #    row r5" remainder (untouched bodies since r5; the oldest
+        #    rows in the registry) --
+        "sample_split": q_sample_split,
+        "udaf_ols": q_udaf_ols,
+        "table_profile": q_table_profile,
+        "group_aggr": q_group_aggr,
+        "tensor_slice": q_tensor_slice,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "stratified_sample": q_stratified_sample,
+        "pack_contexts": q_pack_contexts,
+        "embed_project": q_embed_project,
+        "vocab_topk": q_vocab_topk,
+        "phrase_boilerplate": q_phrase_boilerplate,
+        "multimodal_features": q_multimodal_features,
+        "pagerank": q_pagerank,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "bm25_search": q_bm25_search,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "value_histogram": q_value_histogram,
+        "skew_profile": q_skew_profile,
+        "events_transitions": q_events_transitions,
+        "negative_sampling": q_negative_sampling,
+        # -- window positions 27-50: the 24 oldest r7-checked
+        #    (r6-session debuts whose last driver row is r7) --
+        "snapshot_roundtrip": q_snapshot_roundtrip,
+        "backfill_restart": q_backfill_restart,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tensor_chan_avg": q_tensor_chan_avg,
+        "tensor_row_avg": q_tensor_row_avg,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "phase_rotate": q_phase_rotate,
+        "spectral_index": q_spectral_index,
+        "weighted_quantiles": q_weighted_quantiles,
+        "flag_summary": q_flag_summary,
+        "resample_interp": q_resample_interp,
+        "rfi_flag": q_rfi_flag,
+        "gain_solve": q_gain_solve,
+        "channel_regrid": q_channel_regrid,
+        "spectral_moments": q_spectral_moments,
+        "imaging_weights": q_imaging_weights,
+        "crossmatch_nearest": q_crossmatch_nearest,
+        "bda_weighted": q_bda_weighted,
+        "sigma_clip": q_sigma_clip,
+        "ann_ivfpq": q_ann_ivfpq,
+        "curriculum": q_curriculum,
+        "stokes_convert": q_stokes_convert,
+        "hanning": q_hanning,
         # ==== driver window ends here (position 50) ====
         # ROTATION LEDGER (50-row window over the registry,
         # 4-round coverage union):
@@ -6856,34 +6853,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   r7 window: 34 r6-debuts + 16 oldest r4-stale
         #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
         #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
-        #   r9 window (this one): the r8 debut (taql_subquery)
-        #     + 23 remaining r5-checked (graph_triangles ...
-        #     events_gap_stats) + 13 r6-checked r4-stale
-        #     re-checks (events_correlate ... tpch_q5) + the 13
-        #     oldest "last row r5" entries (pivot ...
-        #     similarity_topk) = 1+23+13+13 = 50.  After this
-        #     window every registered query has a driver row.
-        #   r10 plan (post-r9-demotion recount): the 26 "last row
-        #     r5" remainder (sample_split ... resample_interp) + the
-        #     24 oldest r7-checked (snapshot_roundtrip ...) = 50;
-        #     oldest-row-first from then on.  ann_ivf is the r10
-        #     demotion candidate beside ann_ivf_indexed once its r9
-        #     driver row lands (r8 verdict item 3).
+        #   r9 window: 1 r8-debut + 23 r5-checked + 13 r6-checked
+        #     + 13 oldest "last row r5" = 50 (CORRECTNESS_r09:
+        #     50/50 green — after it every registered query has a
+        #     driver row and the latest row of each is green)
+        #   r10 window (this one, exactly the r9 ledger's plan): the
+        #     26 "last row r5" remainder (sample_split ...
+        #     negative_sampling) + the 24 oldest r7-checked
+        #     (snapshot_roundtrip ... hanning) = 50.
+        #     Oldest-row-first from here on: the post-window tail
+        #     below is ordered by staleness (r7 remainder, r7-stale
+        #     re-checks, r8-checked, r9-checked) so future windows
+        #     are always the first 50 lines after rotation.
+        #   ann_ivf demoted this round beside ann_ivf_indexed (the
+        #     ledger's own r10 note; its r9 driver row is green) —
+        #     registry 166 + 27 demoted = 193 total.
         # Round-8 demotions (oracles retained in
         # demoted_oracle_sql, swept by tools/check_oracle +
         # pytest): grid_wstack, ann_pq, dedup_semantic,
         # dedup_minhash_drop, contamination (see ledger in git
         # history for the beside-twin rationale).
-        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s;
-        # every entry below-window with its latest driver/judge row
-        # green; twin rationale per entry in demoted_queries()):
+        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
         # events_changepoint, closure_phase, lm_kneser_ney,
         # resample_fill, kmeans_cluster, sample_temperature,
         # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
-        # quality_filter.  Registry 167 + 26 demoted = 193 total
-        # (unchanged).
-        # -- last driver row r8 (r7-session debuts; first rows
-        #    landed in CORRECTNESS_r08, all green) --
+        # quality_filter.
+        # -- last driver row r7 (remaining r6-session debuts) --
+        "uvcontsub": q_uvcontsub,
+        "predict_vis": q_predict_vis,
+        "dsir_select": q_dsir_select,
+        "uvw_compute": q_uvw_compute,
+        "quality_classifier": q_quality_classifier,
+        "sumthreshold": q_sumthreshold,
+        # -- last driver row r7 (oldest-16 r4-stale re-checks) --
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "projection": q_projection,
+        "filter_pushdown": q_filter_pushdown,
+        # -- last driver row r8 (r7-session debuts) --
         "applycal": q_applycal,
         "flag_grow": q_flag_grow,
         "parallactic_angle": q_parallactic_angle,
@@ -6933,83 +6952,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
-        # -- last driver row r5 (remainder of the round-5
-        #    window, untouched bodies) --
-        "sample_split": q_sample_split,
-        "udaf_ols": q_udaf_ols,
-        "table_profile": q_table_profile,
-        "group_aggr": q_group_aggr,
-        "tensor_slice": q_tensor_slice,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        "stratified_sample": q_stratified_sample,
-        "pack_contexts": q_pack_contexts,
-        "embed_project": q_embed_project,
-        "vocab_topk": q_vocab_topk,
-        "phrase_boilerplate": q_phrase_boilerplate,
-        "multimodal_features": q_multimodal_features,
-        "pagerank": q_pagerank,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "bm25_search": q_bm25_search,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "value_histogram": q_value_histogram,
-        "skew_profile": q_skew_profile,
-        "events_transitions": q_events_transitions,
-        "negative_sampling": q_negative_sampling,
-        # -- last driver row r7 (r6-session debuts; first rows
-        #    landed in CORRECTNESS_r07, all green) --
-        "snapshot_roundtrip": q_snapshot_roundtrip,
-        "backfill_restart": q_backfill_restart,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "tensor_chan_avg": q_tensor_chan_avg,
-        "tensor_row_avg": q_tensor_row_avg,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "phase_rotate": q_phase_rotate,
-        "spectral_index": q_spectral_index,
-        "weighted_quantiles": q_weighted_quantiles,
-        "flag_summary": q_flag_summary,
-        "resample_interp": q_resample_interp,
-        "rfi_flag": q_rfi_flag,
-        "gain_solve": q_gain_solve,
-        "channel_regrid": q_channel_regrid,
-        "spectral_moments": q_spectral_moments,
-        "imaging_weights": q_imaging_weights,
-        "crossmatch_nearest": q_crossmatch_nearest,
-        "bda_weighted": q_bda_weighted,
-        "sigma_clip": q_sigma_clip,
-        "ann_ivfpq": q_ann_ivfpq,
-        "curriculum": q_curriculum,
-        "stokes_convert": q_stokes_convert,
-        "hanning": q_hanning,
-        "uvcontsub": q_uvcontsub,
-        "predict_vis": q_predict_vis,
-        "dsir_select": q_dsir_select,
-        "uvw_compute": q_uvw_compute,
-        "quality_classifier": q_quality_classifier,
-        "sumthreshold": q_sumthreshold,
-        # -- last driver row r7 (oldest-16 r4-stale re-checks) --
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
-        "projection": q_projection,
-        "filter_pushdown": q_filter_pushdown,
+        # -- last driver row r9 (the full r9 window, minus the
+        #    ann_ivf demotion) --
+        "taql_subquery": q_taql_subquery,
+        "graph_triangles": q_graph_triangles,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        "interval_overlap": q_interval_overlap,
+        "events_ema": q_events_ema,
+        "session_stats": q_session_stats,
+        "dataset_card": q_dataset_card,
+        "active_users_rolling": q_active_users_rolling,
+        "multimodal_audio": q_multimodal_audio,
+        "incremental_join": q_incremental_join,
+        "constraint_audit": q_constraint_audit,
+        "pipeline_funnel": q_pipeline_funnel,
+        "robust_stats": q_robust_stats,
+        "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
+        "events_anomaly": q_events_anomaly,
+        "lang_mismatch": q_lang_mismatch,
+        "quality_prune": q_quality_prune,
+        "sample_weighted": q_sample_weighted,
+        "sample_quota": q_sample_quota,
+        "events_seasonality": q_events_seasonality,
+        "conversion_lag": q_conversion_lag,
+        "zipf_fit": q_zipf_fit,
+        "events_gap_stats": q_events_gap_stats,
+        "events_correlate": q_events_correlate,
+        "star_join": q_star_join,
+        "rollup": q_rollup,
+        "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_props": q_events_props,
+        "events_dedup": q_events_dedup,
+        "corpus_mixture": q_corpus_mixture,
+        "text_repetition": q_text_repetition,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "text_bpe": q_text_bpe,
+        "text_winnow": q_text_winnow,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_exact": q_dedup_exact,
+        "similarity_topk": q_similarity_topk,
     }
 
 _LM_PERPLEXITY_SQL = """
@@ -7060,6 +7053,14 @@ _R9_DEMOTED = (
     "ngram_novelty",
     "quality_filter",
 )
+
+# Round-10 demotion (r9 verdict item 4 / the ledger's own r10 note):
+# ann_ivf is the redundant half beside ann_ivf_indexed, which runs the
+# IDENTICAL kmeans-coarse-quantizer + probe-cell pruning spine through
+# the persisted Hive-partitioned index.  Its r9 driver row is green
+# (CORRECTNESS_r09.json).  Oracle retained in demoted_oracle_sql and
+# swept per-commit by test_demoted_queries_still_oracle_green.
+_R10_DEMOTED = ("ann_ivf",)
 
 
 def _oracle_sql_all() -> dict[str, str]:
@@ -9071,7 +9072,7 @@ def _oracle_sql_all() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_all()
-    for k in _R9_DEMOTED:
+    for k in _R9_DEMOTED + _R10_DEMOTED:
         del out[k]
     return out
 
@@ -9178,12 +9179,18 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str],
         "ngram_novelty": q_ngram_novelty,
         # quality-family density: c4_filter/quality_prune/quality_classifier keep the rule-verdict surface; r5 row green
         "quality_filter": q_quality_filter,
+        # -- round-10 demotion (the r9 ledger's own note) --
+        # transient-index IVF scan; production: ann_ivf_indexed (the
+        # same coarse-quantizer + probe-cell spine over the PERSISTED
+        # Hive-partitioned index, i.e. the 100 TB path); r9 driver
+        # row green
+        "ann_ivf": q_ann_ivf,
     }
 
 
 def demoted_oracle_sql() -> dict[str, str]:
     full = _oracle_sql_all()
-    out = {k: full[k] for k in _R9_DEMOTED}
+    out = {k: full[k] for k in _R9_DEMOTED + _R10_DEMOTED}
     out.update({
         "dedup_embedding": _embedding_dup_sql(),
         "dedup_substring_exact": _substring_dedup_sql(60, 1),
