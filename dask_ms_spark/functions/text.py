@@ -84,20 +84,28 @@ def token_count(text: Column) -> Column:
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of ``text``.
 
-    ``transform(sequence(1, len-n+1), i -> substr(text, i, n))`` —
-    codegen'd, no Python.  The input binds once per row (review r9):
-    an expression-typed ``text`` (e.g. ``normalize_text``'s regex
-    chain) would otherwise re-evaluate per SHINGLE — O(len^2) per
-    document across the whole minhash/simhash/LSH family.
+    The text splits into a codepoint array ONCE and each window is an
+    O(n) ``slice`` + ``array_join`` — O(len * n) per document.  The
+    previous ``substr(text, i, n)``-per-window spelling was O(len^2):
+    UTF8String.substring walks bytes from offset 0 to find the i-th
+    codepoint (UTF-8 is variable-width), so shingling a 128 KB
+    document cost ~81 s vs ~3 s here (round-10 HOF audit; same
+    quadratic symptom as the r9 lambda re-expansion class, different
+    mechanism).  ``split('')`` is codepoint-correct (surrogate pairs
+    stay whole), so shingle VALUES are identical to the substr
+    spelling.  Both the raw text and the char array bind once per
+    row (review r9 / r10): expression-typed inputs or the derived
+    split would otherwise re-evaluate per SHINGLE.
     """
-    def run(t):
-        count = F.length(t) - F.lit(n - 1)
+    def run(t, chars):
+        count = F.size(chars) - F.lit(n - 1)
         grams = F.when(count <= 0, F.array(t)).otherwise(
             F.transform(F.sequence(F.lit(1), count),
-                        lambda i: t.substr(i, F.lit(n))))
+                        lambda i: F.array_join(F.slice(chars, i, n),
+                                               "")))
         return F.array_distinct(grams)
 
-    return _bind_once(run, t=text)
+    return _bind_once(run, t=text, chars=F.split(text, ""))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -201,15 +209,19 @@ def fingerprint(text: Column, k: int = 8, window: int = 4) -> Column:
                 lambda i: F.array_min(F.slice(hashes, i, window))))
         return F.array_sort(F.array_distinct(mins))
 
-    def run(t):
-        count = F.length(t) - F.lit(k - 1)
+    def run(t, chars):
+        # codepoint array bound once; slice+join per window is O(k)
+        # where substr(i, k) walked O(i) bytes per call (r10 audit)
+        count = F.size(chars) - F.lit(k - 1)
         hashes = F.when(count <= 0, F.array(portable_hash64(t))) \
             .otherwise(F.transform(
                 F.sequence(F.lit(1), count),
-                lambda i: portable_hash64(t.substr(i, F.lit(k)))))
+                lambda i: portable_hash64(
+                    F.array_join(F.slice(chars, i, k), ""))))
         return _bind_once(windows, hashes=hashes)
 
-    return _bind_once(run, t=F.lower(F.regexp_replace(text, _WS, " ")))
+    norm = F.lower(F.regexp_replace(text, _WS, " "))
+    return _bind_once(run, t=norm, chars=F.split(norm, ""))
 
 
 def with_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
@@ -223,12 +235,16 @@ def with_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
     discipline as ``llm.dedup.with_minhash``.  Returns (id, fps).
     """
     t = F.lower(F.regexp_replace(F.col(text_col), _WS, " "))
-    s1 = df.select(F.col(id_col), t.alias("__t"))
-    tcol = F.col("__t")
-    count = F.length(tcol) - F.lit(k - 1)
+    s1 = df.select(F.col(id_col), t.alias("__t"),
+                   F.split(t, "").alias("__chars"))
+    tcol, ccol = F.col("__t"), F.col("__chars")
+    # staged codepoint array: slice+join per window is O(k) where
+    # substr(i, k) walked O(i) bytes per call (r10 audit)
+    count = F.size(ccol) - F.lit(k - 1)
     hashes = F.when(count <= 0, F.array(portable_hash64(tcol))).otherwise(
         F.transform(F.sequence(F.lit(1), count),
-                    lambda i: portable_hash64(tcol.substr(i, F.lit(k)))))
+                    lambda i: portable_hash64(
+                        F.array_join(F.slice(ccol, i, k), ""))))
     s2 = s1.select(id_col, hashes.alias("__hashes"))
     h = F.col("__hashes")
     nwin = F.size(h) - F.lit(window - 1)

@@ -55,9 +55,19 @@ def l2_distance(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    """Unit-normalise (zero vectors pass through)."""
-    n = norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+    """Unit-normalise (zero vectors pass through).
+
+    The norm is bound as a SCALAR alongside the input: referencing
+    ``norm(a)`` inside the transform lambda re-evaluates the O(n)
+    fold per element — O(n^2), 40x at 4096 elements — and binding
+    only ``a`` does not help because the fold is then rebuilt from
+    the bound input inside the lambda scope (round-10 audit; the
+    derived-scalar sibling of the r9 input-binding class)."""
+    def run(a, n):
+        return F.when(n > 0, F.transform(a, lambda x: x / n)) \
+            .otherwise(a)
+
+    return _bind_once(run, a=a, n=norm(a))
 
 
 def masked_bin_average(vec: Column, mask: Column,

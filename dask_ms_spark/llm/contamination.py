@@ -39,12 +39,23 @@ def _raw_grams(text: Column, n: int) -> Column:
     projection, and Catalyst's generate-filter inference
     (InferFiltersFromGenerate) can clone the whole chain into the
     scan filter — dedup happens post-explode on (id, hash) instead,
-    where it is one partial-merged aggregation."""
-    t = text
-    count = F.length(t) - F.lit(n - 1)
-    return F.when(count <= 0, F.array(t)).otherwise(
-        F.transform(F.sequence(F.lit(1), count),
-                    lambda i: t.substr(i, F.lit(n))))
+    where it is one partial-merged aggregation.
+
+    Round-10 HOF audit: the text splits to a codepoint array once and
+    each gram is an O(n) slice+join — ``substr(i, n)`` per window was
+    O(len^2) (UTF8String walks bytes from offset 0 per call), and the
+    expression-typed ``text`` (normalize_text's regex chain) now binds
+    once instead of re-evaluating per gram."""
+    from ..functions.vector import _bind_once
+
+    def run(t, chars):
+        count = F.size(chars) - F.lit(n - 1)
+        return F.when(count <= 0, F.array(t)).otherwise(
+            F.transform(F.sequence(F.lit(1), count),
+                        lambda i: F.array_join(F.slice(chars, i, n),
+                                               "")))
+
+    return _bind_once(run, t=text, chars=F.split(text, ""))
 
 
 def contamination_report(train: DataFrame, eval_docs: DataFrame,

@@ -696,8 +696,10 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
     per doc, not text size.
     """
     tc = F.col("t")
-    chars = F.transform(F.sequence(F.lit(1), F.length(tc)),
-                        lambda i: tc.substr(i, F.lit(1)))
+    # split('') is the O(len) codepoint array; the previous
+    # transform-over-positions substr(i, 1) walked O(i) bytes per
+    # char — O(len^2) per document (r10 HOF audit)
+    chars = F.split(tc, "")
     counts = (ensure_parallelism(docs)
               .select(F.col(id_col).alias("id"),
                       F.lower(F.col(text_col)).alias("t"))

@@ -955,3 +955,25 @@ def test_complex_kernels_null_cell_passthrough(spark):
     by_null = sorted(rows, key=lambda r: r.DATA is None)
     assert by_null[0].DATA_corrected == [2.0, 0.0]
     assert by_null[1].DATA_corrected is None
+
+
+def test_char_ngrams_codepoint_semantics(spark):
+    """r10: char_ngrams moved from substr-per-window (O(len^2): the
+    UTF8String byte walk) to a bound split('')+slice spelling — the
+    shingle VALUES must be unchanged, including astral-plane
+    codepoints (split('') keeps surrogate pairs whole, matching
+    substr's codepoint indexing)."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame(
+        [Row(k=0, t="abcdef"), Row(k=1, t="ab"),
+         Row(k=2, t="a\U0001F600b\U0001F601c")],
+        "k int, t string")
+    out = {r.k: r.g for r in df.select(
+        "k", char_ngrams(F.col("t"), 3).alias("g")).collect()}
+    assert sorted(out[0]) == ["abc", "bcd", "cde", "def"]
+    assert out[1] == ["ab"]                      # shorter than n
+    assert sorted(out[2]) == ["a\U0001F600b", "b\U0001F601c",
+                              "\U0001F600b\U0001F601"]
