@@ -79,13 +79,17 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str]
     function of u_k.
     """
     group_cols = list(group_cols or [])
-    # NULL values hash to NULL; they are not set members, and the NULL
-    # row would otherwise inflate n_kept by one and shift the k-th
-    # minimum (review r9: NULLs sort FIRST so a single NULL displaces
-    # a real hash from every full sketch)
-    hashed = (df.select(*group_cols,
-                        portable_hash64(F.col(value_col)).alias("h"))
-              .where(F.col("h").isNotNull())
+    # NULL values are not set members: the NULL row would otherwise
+    # inflate n_kept by one and shift the k-th minimum (review r9:
+    # NULLs sort FIRST so a single NULL displaces a real hash from
+    # every full sketch).  The exclusion filters the RAW column — a
+    # scan-pushable IsNotNull — rather than the computed hash, which
+    # duplicated the md5 chain into the Filter node (~8% of the
+    # query wall, r10 A/B).  hash(x) IS NULL iff x IS NULL, so the
+    # semantics are identical.
+    hashed = (df.where(F.col(value_col).isNotNull())
+              .select(*group_cols,
+                      portable_hash64(F.col(value_col)).alias("h"))
               .distinct())
     if group_cols:
         # hash-partitioned window: every group trims in parallel
@@ -126,12 +130,14 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
 
     Returns one row: ``k_used, est_a, est_b, est_union, jaccard``.
     """
-    ha = (a.select(portable_hash64(F.col(value_col)).alias("h"))
-          .where(F.col("h").isNotNull())
+    # raw-column NULL exclusion: scan-pushable, no duplicated md5
+    # (hash(x) IS NULL iff x IS NULL — r10)
+    ha = (a.where(F.col(value_col).isNotNull())
+          .select(portable_hash64(F.col(value_col)).alias("h"))
           .distinct()
           .select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
-    hb = (b.select(portable_hash64(F.col(value_col)).alias("h"))
-          .where(F.col("h").isNotNull())
+    hb = (b.where(F.col(value_col).isNotNull())
+          .select(portable_hash64(F.col(value_col)).alias("h"))
           .distinct()
           .select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
     # materialise once: the merged distinct-hash table feeds the union
@@ -266,8 +272,8 @@ def kmv_state(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     if k < 1:
         raise ValueError(f"kmv_state needs k >= 1, got {k}")
     return _k_smallest(
-        df.select(portable_hash64(F.col(value_col)).alias("h"))
-        .where(F.col("h").isNotNull())
+        df.where(F.col(value_col).isNotNull())
+        .select(portable_hash64(F.col(value_col)).alias("h"))
         .distinct(), k)
 
 
