@@ -57,6 +57,16 @@ CANARY_STEADY = {"tpch_q6": 0.323, "tpch_q1": 1.171,
 QUERY_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_BUDGET",
                                     "15"))
 
+# Passes over the full suite (r9 verdict item 3: same-code runs
+# disagreed up to 6x on individual queries — per-query transients the
+# interleaved canary cannot see).  Each pass runs the whole suite in
+# order, so a transient hits DIFFERENT queries in each pass; the
+# published per-query timing is the MEDIAN across passes and the
+# per-query spread (max/min) is published alongside, making sub-2x
+# regressions attributable.  value stays the median PASS wall, so it
+# remains apples-to-apples with the single-pass rounds.
+PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,46 +151,84 @@ def main() -> int:
         return round((time.time() - t0)
                      / sum(CANARY_STEADY.values()), 3)
 
-    # >=5 interleaved probes (r8 verdict item 4): quartile positions;
-    # keyed by the query INDEX they precede so bench_compare can
-    # normalise each query by its nearest probe.
+    # >=5 interleaved probes per pass (r8 verdict item 4): quartile
+    # positions; keyed by the query INDEX they precede so
+    # bench_compare can normalise each query by its nearest probe.
     probe_points = sorted({(len(names) * k) // 4 for k in (1, 2, 3)}
                           - {0, len(names)})
-    probes = {"q0": canary_probe()}
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    probes_by_pass: list[dict[str, float]] = []
+    pass_walls: list[float] = []
 
-    t_total0 = time.time()
-    for i, name in enumerate(names):
-        if i in probe_points:
-            t_pause = time.time()
-            probes[f"q{i}"] = canary_probe()
-            t_total0 += time.time() - t_pause   # probe isn't suite time
-        fn = queries[name]
-        # isolate queries: persisted frames from earlier queries would
-        # otherwise hold executor memory and skew later timings.
-        # release_caches() frees exactly the library's scoped persists
-        # (a user-facing driver does the same, or uses cache_scope())
-        release_caches()
-        if jvm_system is not None and i % 8 == 0:
-            # a driver GC fires Spark's ContextCleaner, which is what
-            # actually releases accumulated broadcast/shuffle blocks
-            # in a long single-JVM run; without it late queries pay
-            # rising heap pressure (measured: the last query ran 6x
-            # slower at the end of a 72-query loop than in isolation)
-            jvm_system.gc()
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            if timings[name] > QUERY_BUDGET:
-                print(f"[bench] {name} over budget: "
-                      f"{timings[name]:.1f}s > {QUERY_BUDGET:.0f}s",
+    for p in range(PASSES):
+        pass_probes = {"q0": canary_probe()}
+        t_pass0 = time.time()
+        for i, name in enumerate(names):
+            if i in probe_points:
+                t_pause = time.time()
+                pass_probes[f"q{i}"] = canary_probe()
+                t_pass0 += time.time() - t_pause  # probe isn't suite time
+            fn = queries[name]
+            # isolate queries: persisted frames from earlier queries
+            # would otherwise hold executor memory and skew later
+            # timings.  release_caches() frees exactly the library's
+            # scoped persists (a user-facing driver does the same, or
+            # uses cache_scope())
+            release_caches()
+            if jvm_system is not None and i % 8 == 0:
+                # a driver GC fires Spark's ContextCleaner, which is
+                # what actually releases accumulated broadcast/shuffle
+                # blocks in a long single-JVM run; without it late
+                # queries pay rising heap pressure (measured: the last
+                # query ran 6x slower at the end of a 72-query loop
+                # than in isolation)
+                jvm_system.gc()
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t1 = round(time.time() - t0, 3)
+                samples[name].append(t1)
+                if t1 > QUERY_BUDGET:
+                    print(f"[bench] pass {p} {name} over budget: "
+                          f"{t1:.1f}s > {QUERY_BUDGET:.0f}s",
+                          file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                samples[name].append(-1.0)
+                print(f"[bench] pass {p} {name} FAILED: {e}",
                       file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
+        pass_walls.append(round(time.time() - t_pass0, 3))
+        pass_probes[f"q{len(names)}"] = canary_probe()
+        probes_by_pass.append(pass_probes)
+
+    import statistics as _st
+
+    # published per-query timing: median of the successful samples;
+    # any failed pass is sticky (-1) so failures cannot hide behind a
+    # green pass
+    timings = {}
+    spread = {}
+    for name, ss in samples.items():
+        good = [s for s in ss if s >= 0]
+        if len(good) < len(ss) or not good:
             timings[name] = -1.0
-            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
-    total = round(time.time() - t_total0, 3)
-    probes[f"q{len(names)}"] = canary_probe()
+            continue
+        timings[name] = round(_st.median(good), 3)
+        spread[name] = round(max(good) / max(min(good), 1e-9), 3)
+    repro = (round(sum(1 for v in spread.values() if v <= 1.3)
+                   / len(spread), 3) if spread else None)
+    if repro is not None and repro < 0.95 and PASSES > 1:
+        print(f"[bench] per-query reproducibility {repro:.0%} "
+              f"< 95% within 1.3x across passes — treat per-query"
+              f" deltas with suspicion", file=sys.stderr)
+    total = round(_st.median(pass_walls), 3)
+    # merged probe set for bench_compare's nearest-probe lookup:
+    # median across passes at each probe index
+    probe_keys = sorted({k for pp in probes_by_pass for k in pp},
+                        key=lambda k: int(k[1:]))
+    probes = {k: round(_st.median([pp[k] for pp in probes_by_pass
+                                   if k in pp]), 3)
+              for k in probe_keys}
 
     # ONE formula everywhere (r8 verdict item 4 — the in-suite-timing
     # ratio and the probe ratios used different denominators and read
@@ -213,6 +261,14 @@ def main() -> int:
                            "canary_ratio = median(probes); keys = query"
                            " index the probe preceded"),
         "query_order": names,
+        "passes": PASSES,
+        "pass_walls": pass_walls,
+        "value_semantics": ("median pass wall; queries = per-query "
+                            "median across passes"),
+        "query_samples": samples,
+        "query_spread": spread,
+        "repro_within_1_3": repro,
+        "canary_probes_by_pass": probes_by_pass,
     }
     # file artifact first (FULL per-query map): survives any
     # stdout-capture truncation
@@ -239,6 +295,9 @@ def main() -> int:
         "canary_spread": canary_spread,
         "canary_insuite": canary_insuite,
         "canary_probes": probes,
+        "passes": PASSES,
+        "pass_walls": pass_walls,
+        "repro_within_1_3": repro,
         "queries": worst,
         "full_artifact": "BENCH_local.json",
     }

@@ -115,9 +115,16 @@ def main() -> int:
     flagged = [r for r in rows if r[0] > threshold]
     print(f"{len(common)} common queries; "
           f"{len(flagged)} above {threshold:.2f}x normalized")
+    # r10 artifacts carry per-query cross-pass spread: a flagged query
+    # whose own samples disagree >1.3x is transient-suspect, not a
+    # clean regression signal
+    spreads = {**(old_d.get("query_spread") or {}),
+               **(new_d.get("query_spread") or {})}
     for norm, raw, q in flagged:
+        noisy = " [cross-pass spread {:.2f}x — transient-suspect]" \
+            .format(spreads[q]) if spreads.get(q, 1.0) > 1.3 else ""
         print(f"  REGRESSION? {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
-              f"(raw {raw:.2f}x, normalized {norm:.2f}x)")
+              f"(raw {raw:.2f}x, normalized {norm:.2f}x){noisy}")
     improved = [r for r in rows if r[0] < 1 / threshold]
     for norm, raw, q in sorted(improved):
         print(f"  improved    {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
