@@ -61,9 +61,34 @@ views ``AMPLITUDE``/``PHASE``/``ARG``/``REAL``/``IMAG`` over the
 engine's interleaved re/im layout — so the casacore flagging idiom
 ``mean(abs(DATA))`` translates as ``MEAN(AMPLITUDE(DATA))`` (real
 arrays: ``MEAN(ABS(SIGMA))``).
+Tier 7 (round 10): **unit quantities** — an unquoted number followed
+by a unit name (``5deg``, ``1.5GHz``, ``30 arcsec``) folds to a double
+literal at translation time, normalised to the engine's column
+conventions (angles → RADIANS, matching the mscal derived columns
+below and casacore's internal angle unit; time → seconds, the MS TIME
+MJD-seconds convention; length → metres, the UVW convention;
+frequency → Hz) — casacore instead converts to the other operand's
+declared unit, which for MS columns is the same target; and **mscal
+derived columns** — ``MSCAL.HA``/``HA1``/``HA2``, ``PA``/``PA1``/
+``PA2``, ``AZEL1``/``AZEL2`` (casacore's mscal TAQL extension, the
+grammar the reference gets free because casacore evaluates its
+taql_where) translate to the spherical-trigonometry SQL of
+``functions/mscal.py`` (USNO GMST short form), in RADIANS like the
+casacore originals, with the site/direction geometry supplied via the
+``mscal=`` argument (``{"lon_deg", "lat_deg", "ra_deg", "dec_deg"[,
+"time_col"]}`` — casacore reads these from the ANTENNA/FIELD
+subtables; this engine has no implicit table context inside a
+predicate string, so they bind explicitly and fold to literals).
+``AZEL1`` is the 2-element ``[az, el]`` array (north-through-east
+azimuth), so ``MSCAL.AZEL1[1] > '30deg'`` is the elevation cut.
+Under a single supplied site, ``HA1``/``HA2`` (antenna 1/2) coincide
+by construction.
+
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
-unit quantities, mscal derived columns, and multi-table nested
+quoted quantity strings (``'5deg'`` stays a string literal — write
+the unquoted casacore form ``5deg``), mscal derived columns other
+than HA*/PA*/AZEL* (LAST, UVW_J2000, ...), and multi-table nested
 selects.
 """
 
@@ -84,7 +109,7 @@ _TOKEN = re.compile(r"""
         \d+(?:[eE][+-]?\d+)?      |
         [A-Za-z_][A-Za-z_0-9]*    |
         &&|\|\||==|!=|>=|<=|~=|!~|<|>|=|
-        [()\[\],:+\-*/%!~]
+        [()\[\],:+\-*/%!~.]
     )""", re.VERBOSE)
 
 # bare TAQL date literals would tokenise as integer DIVISION and
@@ -151,6 +176,81 @@ _ARRAY_AGGS = {
              "(__a, __v) -> __a + CAST(__v AS DOUBLE)) "
              "/ CAST(size({x}) AS DOUBLE))"),
 }
+
+# Tier 7: unit quantities (casacore Note 199 — `5deg`, `1.5GHz`).
+# Factors normalise to the engine's column conventions: angles to
+# RADIANS (the casacore internal angle unit and what the mscal
+# derived columns below emit), time to SECONDS (MS TIME is MJD
+# seconds), length to METRES (UVW), frequency to Hz.  Case-sensitive,
+# like casacore units.  The fold happens driver-side so Spark and any
+# SQL oracle see the identical double literal (engine-exact
+# discipline, SCALE.md).
+import math as _math
+
+_UNIT_FACTORS = {
+    "rad": 1.0, "deg": _math.pi / 180.0,
+    "arcmin": _math.pi / 10800.0, "arcsec": _math.pi / 648000.0,
+    "s": 1.0, "ms": 1e-3, "min": 60.0, "h": 3600.0, "d": 86400.0,
+    "m": 1.0, "km": 1e3, "cm": 1e-2, "mm": 1e-3,
+    "Hz": 1.0, "kHz": 1e3, "MHz": 1e6, "GHz": 1e9,
+}
+
+_NUMBER = re.compile(
+    r"^(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?$")
+
+# mscal derived columns (tier 7): name -> builder(ctx) emitting the
+# functions/mscal.py formulas as SQL, angles in RADIANS (casacore
+# convention).  Site/direction constants fold to double literals
+# driver-side; only the per-row hour-angle trigonometry runs
+# engine-side.
+_MSCAL_NAMES = ("HA", "HA1", "HA2", "PA", "PA1", "PA2",
+                "AZEL1", "AZEL2")
+
+
+def _mscal_sql(name: str, ctx: dict) -> str:
+    need = ("lon_deg", "lat_deg", "ra_deg", "dec_deg")
+    missing = [k for k in need if k not in ctx]
+    if missing:
+        raise ValueError(
+            f"taql_where_to_sql: MSCAL.{name} needs geometry keys "
+            f"{missing} in the mscal= argument (casacore reads them "
+            "from the ANTENNA/FIELD subtables; a predicate string "
+            "has no table context, so they bind explicitly)")
+    time_col = ctx.get("time_col", "TIME")
+    lon = float(ctx["lon_deg"])
+    lat = _math.radians(float(ctx["lat_deg"]))
+    dec = _math.radians(float(ctx["dec_deg"]))
+    ra = float(ctx["ra_deg"])
+
+    # functions/mscal.py gmst_hours/hour_angle_deg, inlined:
+    # D = MJD(UT) - 51544.5 days;  GMST_h = wrap(a + b * D, 24);
+    # HA_deg = wrap(GMST_h * 15 + lon - ra, 360) -> (-180, 180]
+    d = f"(CAST({time_col} AS DOUBLE) / 86400.0 - 51544.5)"
+    gm = (f"(18.697374558 + 24.06570982441908 * {d})")
+    gmst = f"((({gm} % 24.0) + 24.0) % 24.0)"
+    lst_m_ra = f"({gmst} * 15.0 + {lon!r} - {ra!r})"
+    w = f"((({lst_m_ra} % 360.0) + 360.0) % 360.0)"
+    ha_deg = (f"(CASE WHEN {w} > 180.0 THEN {w} - 360.0 "
+              f"ELSE {w} END)")
+    ha = f"radians({ha_deg})"
+    if name.startswith("HA"):
+        return ha
+    sin_lat, cos_lat = repr(_math.sin(lat)), repr(_math.cos(lat))
+    tan_lat = repr(_math.tan(lat))
+    sin_dec, cos_dec = repr(_math.sin(dec)), repr(_math.cos(dec))
+    if name.startswith("PA"):
+        return (f"atan2(sin({ha}), {tan_lat} * {cos_dec} "
+                f"- {sin_dec} * cos({ha}))")
+    # AZEL: [azimuth (north through east, [0, 2pi)), elevation]
+    el = (f"asin({sin_lat} * {sin_dec} + {cos_lat} * {cos_dec} "
+          f"* cos({ha}))")
+    az0 = (f"atan2(-{cos_dec} * sin({ha}), "
+           f"{sin_dec} * {cos_lat} - {cos_dec} * cos({ha}) "
+           f"* {sin_lat})")
+    two_pi = repr(2.0 * _math.pi)
+    az = f"((({az0} % {two_pi}) + {two_pi}) % {two_pi})"
+    return f"array({az}, {el})"
+
 
 # casacore epoch: MJD 0 = 1858-11-17 00:00 UTC
 _MJD_EPOCH = _dt.datetime(1858, 11, 17)
@@ -323,7 +423,8 @@ def _emit_array_operand(body: list[str], array_cols) -> str:
     return _emit(b, array_cols)
 
 
-def _emit_subquery(body: list[str], array_cols=None) -> str:
+def _emit_subquery(body: list[str], array_cols=None,
+                   mscal=None) -> str:
     """Translate the bracketed TAQL nested query ``SELECT [DISTINCT]
     col[, col...] FROM table [WHERE pred]`` to a Spark SQL subquery.
 
@@ -378,7 +479,7 @@ def _emit_subquery(body: list[str], array_cols=None) -> str:
             "register the relation as a temp view first")
     sql = f"SELECT {distinct}{' '.join(cols)} FROM {tab[0]}"
     if w < len(body):
-        pred = _emit(body[w + 1:], array_cols)
+        pred = _emit(body[w + 1:], array_cols, mscal)
         if not pred.strip():
             raise ValueError(
                 "taql_where_to_sql: nested SELECT with empty WHERE")
@@ -387,7 +488,8 @@ def _emit_subquery(body: list[str], array_cols=None) -> str:
 
 
 def _emit(toks: list[str],
-          array_cols: set[str] | None = None) -> str:
+          array_cols: set[str] | None = None,
+          mscal: dict | None = None) -> str:
     out: list[str] = []
     i = 0
     n = len(toks)
@@ -432,7 +534,7 @@ def _emit(toks: list[str],
                 raise ValueError(
                     "taql_where_to_sql: '~=' with no right operand")
             lhs = _pop_lhs(out)
-            rhs = _emit(rhs_toks, array_cols)
+            rhs = _emit(rhs_toks, array_cols, mscal)
             near = (f"abs(({lhs}) - ({rhs})) <= 1.0E-5 * "
                     f"greatest(abs({lhs}), abs({rhs}))")
             out.append(f"NOT ({near})" if negate else near)
@@ -464,7 +566,7 @@ def _emit(toks: list[str],
         elif up in ("SUMSQR", "SUMSQUARE") and i + 1 < n \
                 and toks[i + 1] == "(":
             j = _match_bracket(toks, i + 1, "(", ")")
-            inner = _emit(toks[i + 2:j], array_cols)
+            inner = _emit(toks[i + 2:j], array_cols, mscal)
             out.append(_SUM_SQR.format(x=inner))
             i = j
         elif up in _ARRAY_AGGS and i + 1 < n and toks[i + 1] == "(":
@@ -517,7 +619,7 @@ def _emit(toks: list[str],
         elif up in _ARRAY_REDUCTIONS and i + 1 < n \
                 and toks[i + 1] == "(":
             j = _match_bracket(toks, i + 1, "(", ")")
-            inner = _emit(toks[i + 2:j], array_cols)
+            inner = _emit(toks[i + 2:j], array_cols, mscal)
             if not inner.strip():
                 raise ValueError(
                     f"taql_where_to_sql: {up}() needs an array "
@@ -535,7 +637,7 @@ def _emit(toks: list[str],
                 # inner WHERE recurses through this translator;
                 # ``::SUBTABLE`` names map to the bare view name and
                 # ``ROWID()`` to the ROWID column the readers attach.
-                out.append(f"IN ({_emit_subquery(body, array_cols)})")
+                out.append(f"IN ({_emit_subquery(body, array_cols, mscal)})")
                 i = j
                 i += 1
                 continue
@@ -548,8 +650,8 @@ def _emit(toks: list[str],
                         and body[k - 1] in ("=", "<")
                         and body[k + 1] in ("=", "<")
                         and out):
-                    lo = _emit(body[:k - 1], array_cols)
-                    hi = _emit(body[k + 2:], array_cols)
+                    lo = _emit(body[:k - 1], array_cols, mscal)
+                    hi = _emit(body[k + 2:], array_cols, mscal)
                     lo_op = ">=" if body[k - 1] == "=" else ">"
                     hi_op = "<=" if body[k + 1] == "=" else "<"
                     neg = ""
@@ -567,9 +669,45 @@ def _emit(toks: list[str],
                     "([a:b]) are not supported — enumerate the "
                     "values, use an interval bound ([a=:=b]) or "
                     "comparison predicates")
-            inner = _emit(body, array_cols)
+            inner = _emit(body, array_cols, mscal)
             out.append(f"IN ({inner})")
             i = j
+        elif _NUMBER.match(t) and i + 1 < n \
+                and toks[i + 1] in _UNIT_FACTORS:
+            # tier 7 unit quantity: NUMBER UNIT folds to one double
+            # literal in the engine's convention (see module
+            # docstring); driver-side fold so every engine sees the
+            # identical literal
+            out.append(repr(float(t) * _UNIT_FACTORS[toks[i + 1]]))
+            i += 1
+        elif up == "MSCAL" and i + 1 < n and toks[i + 1] == ".":
+            if i + 2 >= n:
+                raise ValueError(
+                    "taql_where_to_sql: MSCAL. with no derived-column "
+                    "name")
+            dname = toks[i + 2].upper()
+            if dname not in _MSCAL_NAMES:
+                raise ValueError(
+                    f"taql_where_to_sql: MSCAL.{toks[i + 2]} is not "
+                    "in the translated subset "
+                    f"({'/'.join(_MSCAL_NAMES)}) — compute other "
+                    "mscal quantities as column expressions with "
+                    "functions/mscal.py")
+            if mscal is None:
+                raise ValueError(
+                    f"taql_where_to_sql: MSCAL.{dname} needs the "
+                    "mscal= argument with the site/direction "
+                    "geometry {'lon_deg','lat_deg','ra_deg',"
+                    "'dec_deg'[,'time_col']} — casacore reads these "
+                    "from the ANTENNA/FIELD subtables; a predicate "
+                    "string has no table context")
+            out.append(f"({_mscal_sql(dname, mscal)})")
+            i += 2
+        elif t == ".":
+            raise ValueError(
+                "taql_where_to_sql: '.'-qualified names are only "
+                "supported for the MSCAL derived columns "
+                f"({'/'.join(_MSCAL_NAMES)})")
         elif t == "[" and out and (re.match(r"^[A-Za-z_]", out[-1])
                                    or out[-1].endswith(")")):
             # array element / slice on the preceding operand
@@ -583,8 +721,8 @@ def _emit(toks: list[str],
                     "with element_at/filter by hand")
             if ":" in body:
                 k = body.index(":")
-                lo = _emit(body[:k], array_cols) if k > 0 else "0"
-                hi = (_emit(body[k + 1:], array_cols)
+                lo = _emit(body[:k], array_cols, mscal) if k > 0 else "0"
+                hi = (_emit(body[k + 1:], array_cols, mscal)
                       if k + 1 < len(body) else None)
                 if hi is None:
                     out.append(f"slice({base}, ({lo}) + 1, "
@@ -598,7 +736,7 @@ def _emit(toks: list[str],
                 # element_at counts from the end the same way, no +1
                 out.append(f"element_at({base}, -{body[1]})")
             else:
-                idx = _emit(body, array_cols)
+                idx = _emit(body, array_cols, mscal)
                 out.append(f"element_at({base}, ({idx}) + 1)")
             i = j
         else:
@@ -607,7 +745,8 @@ def _emit(toks: list[str],
     return " ".join(out)
 
 
-def taql_where_to_sql(expr: str, schema=None) -> str:
+def taql_where_to_sql(expr: str, schema=None,
+                      mscal: dict | None = None) -> str:
     """Translate a TAQL boolean expression (the supported subset — see
     module docstring) to an equivalent Spark SQL predicate string.
     Raises ``ValueError`` on syntax outside the subset rather than
@@ -619,7 +758,13 @@ def taql_where_to_sql(expr: str, schema=None) -> str:
     instead of colliding with the SQL aggregates of the same name.
     Accepts a ``StructType`` (a DataFrame's ``.schema``), an iterable
     of array-column NAMES, or None (bare SUM/MIN/MAX/MEAN then
-    raises with guidance)."""
+    raises with guidance).
+
+    ``mscal`` binds the site/direction geometry for the tier-7
+    derived columns (``MSCAL.HA1 > 0.1rad`` and friends): a dict
+    with ``lon_deg``/``lat_deg``/``ra_deg``/``dec_deg`` in degrees
+    plus an optional ``time_col`` (default ``TIME``, MJD seconds).
+    Without it an MSCAL reference raises with guidance."""
     if not expr or not expr.strip():
         return expr
     unquoted = re.sub(r"'[^']*'|\"[^\"]*\"", "", expr)
@@ -637,7 +782,7 @@ def taql_where_to_sql(expr: str, schema=None) -> str:
                           if isinstance(f.dataType, ArrayType)}
         except AttributeError:    # iterable of array-column names
             array_cols = set(schema)
-    out = _emit(_tokenize(expr), array_cols)
+    out = _emit(_tokenize(expr), array_cols, mscal)
     bare = re.sub(r"'[^']*'|\"[^\"]*\"", "", out)
     if "[" in bare or "]" in bare:
         raise ValueError(

@@ -519,7 +519,13 @@ def _taql_exprs():
         "MEAN(ABS(UVW)) < 2", "SUM(SQUARE(UVW[:2])) < 9",
         "MAX(SQRT(ABS(UVW))) > 0", "MIN(EXP(UVW)) > 0",
         "MEAN(AMPLITUDE(DATA)) > 0", "MAX(PHASE(DATA)) <= 3.1416",
-        "SUM(REAL(DATA)) != SUM(IMAG(DATA))"])
+        "SUM(REAL(DATA)) != SUM(IMAG(DATA))",
+        # r10 tier 7: unit quantities + mscal derived columns (the
+        # fuzz driver passes the mscal geometry below)
+        "B < 5km", "B > 1.5GHz", "TIME > 30 min", "A < 30arcsec",
+        "B IN [1deg =:= 90deg]",
+        "MSCAL.HA1 > 0.1rad", "MSCAL.PA1 ~= 0",
+        "MSCAL.AZEL1[1] > 30deg", "MSCAL.HA2 < 0 || MSCAL.PA2 > 0"])
     atoms = st.one_of(comp, special)
 
     def compose(children):
@@ -549,8 +555,11 @@ if HAVE_HYPOTHESIS:
             "FLAG_ROW boolean, TIME double, FLAGS array<boolean>, "
             "DATA array<double>")
         df.createOrReplaceTempView("V")    # tier-4 nested-query atoms
+        geo = {"lon_deg": 21.443, "lat_deg": -30.712,
+               "ra_deg": 80.894, "dec_deg": -45.779}
         try:
-            sql = taql_where_to_sql(expression, schema=df.schema)
+            sql = taql_where_to_sql(expression, schema=df.schema,
+                                    mscal=geo)
         except ValueError:
             return                     # refused loudly: fine
         df.where(sql).count()          # must parse AND run

@@ -605,3 +605,142 @@ def test_array_aggregate_elementwise_and_complex_views(spark):
     assert ids(f"MAX(PHASE(DATA)) ~= {want!r}") == [1]
     # nesting: amplitude then abs (no-op) then mean
     assert ids("MEAN(ABS(AMPLITUDE(DATA))) == 3") == [0]
+
+
+def test_tier7_quantity_translation():
+    """Tier 7: NUMBER UNIT folds to one double literal in the
+    engine's conventions (angles->rad, time->s, length->m,
+    freq->Hz), driver-side so every engine sees the same literal."""
+    import math
+
+    from dask_ms_spark.taql import taql_where_to_sql as T
+
+    assert T("UVW[0] < 5km") == "element_at(UVW, (0) + 1) < 5000.0"
+    assert T("B > 1.5GHz").endswith("1500000000.0")
+    assert T("TIME > 30 min") == "TIME > 1800.0"
+    assert T("A < 30arcsec").endswith(repr(30 * math.pi / 648000.0))
+    assert T("A IN [1deg =:= 2deg]") == (
+        f"(A >= {math.pi / 180.0!r} AND A <= {2 * math.pi / 180.0!r})")
+    # quoted quantities stay string literals (documented NOT covered)
+    assert T("NAME == '5deg'") == "NAME == '5deg'"
+    # a number NOT followed by a unit is untouched
+    assert T("A < 5") == "A < 5"
+
+
+def test_tier7_mscal_refusals():
+    import pytest as _pytest
+
+    from dask_ms_spark.taql import taql_where_to_sql as T
+
+    geo = {"lon_deg": 21.44, "lat_deg": -30.71,
+           "ra_deg": 80.0, "dec_deg": -45.0}
+    with _pytest.raises(ValueError, match="needs the mscal"):
+        T("MSCAL.HA1 > 0")
+    with _pytest.raises(ValueError, match="not in the translated"):
+        T("MSCAL.LAST > 0", mscal=geo)
+    with _pytest.raises(ValueError, match="qualified names"):
+        T("FOO.BAR > 0", mscal=geo)
+    with _pytest.raises(ValueError, match="geometry keys"):
+        T("MSCAL.PA1 > 0", mscal={"lon_deg": 0.0})
+
+
+def test_tier7_mscal_matches_column_builders(spark):
+    """Executed parity, one assertion per derived column: the SQL the
+    translator emits must agree with the functions/mscal.py Column
+    builders (radians of their degree outputs) to float precision on
+    a sweep of MS TIME values."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.functions.mscal import (elevation_deg,
+                                               hour_angle_deg,
+                                               parallactic_angle_deg)
+    from dask_ms_spark.taql import _mscal_sql
+
+    geo = {"lon_deg": 21.443, "lat_deg": -30.712,
+           "ra_deg": 80.894, "dec_deg": -45.779}
+    # ~1 sidereal day of MS TIME (MJD seconds), 97 samples
+    base = 5.05e9
+    df = spark.range(97).select(
+        "id", (F.lit(base) + F.col("id") * 900.0).alias("TIME"))
+    lon, lat = F.lit(geo["lon_deg"]), F.lit(geo["lat_deg"])
+    ra, dec = F.lit(geo["ra_deg"]), F.lit(geo["dec_deg"])
+    cols = {
+        "HA1": F.radians(hour_angle_deg(F.col("TIME"), lon, ra)),
+        "PA1": F.radians(parallactic_angle_deg(
+            F.col("TIME"), lon, lat, ra, dec)),
+        "EL": F.radians(elevation_deg(F.col("TIME"), lon, lat,
+                                      ra, dec)),
+    }
+    sqls = {
+        "HA1": _mscal_sql("HA1", geo),
+        "PA1": _mscal_sql("PA1", geo),
+        "EL": f"element_at({_mscal_sql('AZEL1', geo)}, 2)",
+    }
+    out = df.select(
+        *[F.expr(sqls[k]).alias(f"{k}_sql") for k in cols],
+        *[v.alias(f"{k}_col") for k, v in cols.items()]).collect()
+    for r in out:
+        for k in cols:
+            assert r[f"{k}_sql"] == _pytest.approx(
+                r[f"{k}_col"], abs=1e-9), (k, r)
+
+
+def test_tier7_azel_convention(spark):
+    """Azimuth convention spot checks (north through east, [0, 2pi)):
+    at hour angle 0 a source north of the zenith sits at az 0, south
+    of it at az pi; just past the meridian (H > 0) the azimuth moves
+    into the western half.  The RA that makes H(t0) = 0 is solved
+    with the same USNO GMST polynomial driver-side."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.taql import _mscal_sql
+
+    t0, lon, lat = 5.05e9, 21.443, -30.712
+    d = t0 / 86400.0 - 51544.5
+    gmst_h = (18.697374558 + 24.06570982441908 * d) % 24.0
+    ra0 = (gmst_h * 15.0 + lon) % 360.0        # H(t0) == 0
+    df = spark.createDataFrame([(t0,)], "TIME double")
+
+    def azel(dec_deg, ra_deg=ra0):
+        geo = {"lon_deg": lon, "lat_deg": lat,
+               "ra_deg": ra_deg, "dec_deg": dec_deg}
+        r = df.select(F.expr(_mscal_sql("AZEL1", geo)).alias("ae")) \
+            .first().ae
+        return r[0], r[1]
+
+    az, el = azel(lat + 10.0)        # 10 deg north of zenith
+    assert az == _pytest.approx(0.0, abs=1e-6) \
+        or az == _pytest.approx(2 * math.pi, abs=1e-6)
+    assert el == _pytest.approx(math.radians(80.0), abs=1e-6)
+    az, el = azel(lat - 10.0)        # 10 deg south of zenith
+    assert az == _pytest.approx(math.pi, abs=1e-6)
+    assert el == _pytest.approx(math.radians(80.0), abs=1e-6)
+    # 15 deg past the meridian (H = +15 deg): western half
+    az, el = azel(lat - 30.0, (ra0 - 15.0) % 360.0)
+    assert math.pi < az < 2 * math.pi
+
+
+def test_tier7_mscal_predicate_executes(spark):
+    """End-to-end: a tier-7 predicate string filters a DataFrame and
+    agrees with the equivalent Column-built filter."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.functions.mscal import hour_angle_deg
+    from dask_ms_spark.taql import taql_where_to_sql as T
+
+    geo = {"lon_deg": 21.443, "lat_deg": -30.712,
+           "ra_deg": 80.894, "dec_deg": -45.779}
+    df = spark.range(200).select(
+        "id", (F.lit(5.05e9) + F.col("id") * 451.0).alias("TIME"))
+    sql = T("MSCAL.HA1 > 0.3rad && TIME > 30 min", mscal=geo)
+    got = sorted(r.id for r in df.where(sql).collect())
+    want = sorted(r.id for r in df.where(
+        (F.radians(hour_angle_deg(F.col("TIME"),
+                                  F.lit(geo["lon_deg"]),
+                                  F.lit(geo["ra_deg"]))) > 0.3)
+        & (F.col("TIME") > 1800.0)).collect())
+    assert got == want and got
