@@ -111,9 +111,9 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     (daskms/writes.py:363-425 appends do the equivalent chained
     row-count discovery.)
 
-    ``stable=True`` eagerly ``localCheckpoint``s the range-partitioned
-    frame before branching.  The two-branch form is only consistent
-    when Catalyst REUSES the range exchange; when the broadcast side
+    ``stable=True`` eagerly checkpoints the range-partitioned frame
+    before branching.  The two-branch form is only consistent when
+    Catalyst REUSES the range exchange; when the broadcast side
     materialises separately (deep composed plans — found by
     tools/stress_writes.py, round 9), the RangePartitioner RESAMPLES
     its boundaries per evaluation and the offsets no longer describe
@@ -121,6 +121,18 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     Writers (zarr/CASA re-densify) pass stable=True: one extra
     materialisation of data that is about to be written anyway buys a
     structural guarantee instead of an optimizer-dependent one.
+
+    **Fault tolerance of the pin (r9 verdict item 6).**  When the
+    session has a RELIABLE checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir(...)`` — on a cluster,
+    point it at HDFS/S3), the pin is ``checkpoint(eager=True)``:
+    blocks are written to that shared storage, so an executor loss
+    mid-write recomputes nothing and loses nothing.  Without a
+    checkpoint dir it falls back to ``localCheckpoint`` — executor-
+    local, unreplicated blocks: correct, but an executor loss AFTER
+    the pin fails the write job, which must then be retried whole
+    (availability, not correctness — acceptable single-node, and the
+    failure is loud).  At 100 TB configure the checkpoint dir.
     """
     order_cols = list(order_cols)
     spark = df.sparkSession
@@ -138,7 +150,14 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
                             .cast("long"))
                 .drop("__mid"))
     if stable:
-        parted = parted.localCheckpoint(eager=True)
+        # reliable pin when a checkpoint dir is configured (survives
+        # executor loss), localCheckpoint fallback otherwise — see
+        # the fault-tolerance note in the docstring
+        ckpt_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if ckpt_dir.isDefined():
+            parted = parted.checkpoint(eager=True)
+        else:
+            parted = parted.localCheckpoint(eager=True)
     offs = (parted.groupBy("__pid")
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .withColumn("__off",

@@ -2201,3 +2201,43 @@ def test_grid_quantized_kernel_is_tabulated_and_engine_exact(spark):
     for i in range(n_tab * 4):
         d = i / (4.0 * over)
         assert abs(g1d(d) - math.exp(-(d * d) * inv2s2)) < 5e-5
+
+
+def test_attach_rowid_stable_pin_reliable_when_dir_set(spark, tmp_path):
+    """r9 verdict item 6: the stable=True writer pin must use a
+    RELIABLE checkpoint (survives executor loss) when the session has
+    a checkpoint directory configured, and fall back to
+    localCheckpoint otherwise.  Both paths must yield dense ordered
+    ROWIDs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.operators.ordering import attach_rowid
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        F.col("id").alias("v"))
+
+    def dense(out):
+        ids = sorted(r.ROWID for r in out.select("ROWID").collect())
+        assert ids == list(range(1000))
+
+    jsc = spark.sparkContext._jsc.sc()
+    assert not jsc.getCheckpointDir().isDefined()
+    # no dir: localCheckpoint fallback, nothing written anywhere
+    dense(attach_rowid(df, ["k", "v"], stable=True))
+
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    try:
+        dense(attach_rowid(df, ["k", "v"], stable=True))
+        # the reliable path actually materialised RDD blocks there
+        found = [fn for root, _dirs, fns in os.walk(ckdir)
+                 for fn in fns]
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # restore the session-global state for the rest of the suite
+        empty = spark._jvm.scala.Option.empty()
+        getattr(jsc, "checkpointDir_$eq")(empty)
+    assert not jsc.getCheckpointDir().isDefined()
