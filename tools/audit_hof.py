@@ -254,6 +254,134 @@ def invocations():
                 else "vector", fn) for k, fn in inv.items()}
 
 
+# --------------------------------------------- DataFrame-op audit
+# Explode-based document operators are outside the Column-kernel
+# enumeration but carry the same quadratic classes (the r10 audit
+# found post-explode ``substr(pos, w)`` — an O(pos) byte walk per
+# window, O(len^2) per document — in substring_dedup and
+# chunk_documents).  Curated list (no return-type rule separates
+# kernels from orchestrators here); each runs on the wide text
+# fixture under the same budget.
+DF_BUDGET_S = 20.0
+
+
+def df_ops():
+    from dask_ms_spark.functions import text as tx
+    from dask_ms_spark.llm import corpus, dedup
+
+    def with_id(df):
+        return df.select(F.col("id").alias("doc_id"), "text")
+
+    return {
+        "corpus.substring_dedup":
+            lambda df: corpus.substring_dedup(with_id(df)),
+        "corpus.chunk_documents":
+            lambda df: corpus.chunk_documents(with_id(df)),
+        "corpus.char_entropy":
+            lambda df: corpus.char_entropy(with_id(df)),
+        "dedup.exact_dedup":
+            lambda df: dedup.exact_dedup(with_id(df)),
+        "dedup.with_minhash":
+            lambda df: dedup.with_minhash(with_id(df)),
+        "dedup.with_simhash":
+            lambda df: dedup.with_simhash(with_id(df)),
+        "text.with_fingerprint":
+            lambda df: tx.with_fingerprint(with_id(df)),
+    }
+
+
+def neg_substring_dedup_substr(df):
+    """The pre-r10 substring_dedup spelling: window text via
+    ``substr(pos, w)`` POST-explode — each call walks pos bytes, so a
+    document costs O(len^2 / stride)."""
+    from dask_ms_spark.functions.text import portable_hash64
+    from dask_ms_spark.session import ensure_parallelism
+
+    window, stride = 40, 10
+    t = F.col("text")
+    n = F.length(t)
+    starts = F.when(n <= window, F.array(F.lit(1))).otherwise(
+        F.sequence(F.lit(1), n - F.lit(window) + 1, F.lit(stride)))
+    hashed = (ensure_parallelism(
+        df.select(F.col("id").alias("doc_id"), "text"))
+        .select(F.col("doc_id").alias("id"), t.alias("t"),
+                F.explode(starts).alias("pos"))
+        .select("id", portable_hash64(
+            F.col("t").substr(F.col("pos"), F.lit(window)))
+            .alias("wh"))
+        .distinct())
+    per_hash = hashed.groupBy("wh").agg(F.count(F.lit(1)).alias("nd"))
+    return hashed.join(per_hash, "wh")         .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+
+DF_NEGATIVE_CONTROLS = {
+    "neg.substring_dedup_substr": neg_substring_dedup_substr,
+}
+
+
+def run_df_with_budget(spark, out_df, budget_s: float = DF_BUDGET_S):
+    """Force a full noop write of ``out_df`` in a cancellable job
+    group; returns (completed, elapsed_s, err)."""
+    from pyspark import InheritableThread
+
+    # a driver GC fires Spark's ContextCleaner, releasing broadcast/
+    # shuffle blocks accumulated by earlier audit jobs — without it a
+    # long sweep in one JVM pays rising heap pressure and late ops
+    # blow their budgets for reasons unrelated to their own plan
+    # (the bench.py discipline)
+    jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
+    if jvm_system is not None:
+        jvm_system.gc()
+    group = f"hof_audit_df_{time.monotonic_ns()}"
+    state: dict = {}
+
+    def work():
+        try:
+            spark.sparkContext.setJobGroup(group, "hof df audit",
+                                           interruptOnCancel=True)
+            t0 = time.monotonic()
+            out_df.write.format("noop").mode("overwrite").save()
+            state["t"] = time.monotonic() - t0
+        except Exception as e:
+            state["err"] = e
+
+    t = InheritableThread(target=work)
+    t.daemon = True
+    start = time.monotonic()
+    t.start()
+    t.join(budget_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(30.0)
+        _drain_cancelled(spark)
+        return False, time.monotonic() - start, None
+    if "err" in state:
+        return False, time.monotonic() - start, state["err"]
+    return True, state["t"], None
+
+
+# ---------------------------------------------------- host calibration
+# Budgets are wall-clock, so a contended host (another Spark suite on
+# the same 32 cores) inflates every measurement uniformly and would
+# false-fail the sweep.  A quick reference run of a known-bound
+# kernel scales the budgets: steady state for vector.norm on the
+# wide fixture is ~0.2 s; the factor is clamped to [1, 6] so a
+# pathological host still cannot let a 40x quadratic pass.
+NORM_STEADY_S = 0.25
+
+
+def host_factor(spark, vdf) -> float:
+    from dask_ms_spark.functions import vector as vec
+
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        vdf.select(F.xxhash64(vec.norm(F.col("v"))).alias("h"))             .agg(F.sum(F.col("h").cast("double"))).collect()
+        t1 = time.monotonic() - t0
+        best = t1 if best is None else min(best, t1)
+    return max(1.0, min(best / NORM_STEADY_S, 6.0))
+
+
 # ------------------------------------------------------ negative controls
 def neg_spectral_moments_unbound(v, m):
     """The PRE-r9 spelling of spectral_moments: per-index
@@ -294,6 +422,20 @@ NEGATIVE_CONTROLS = {
 }
 
 
+def _drain_cancelled(spark, timeout_s: float = 90.0) -> None:
+    """Wait for the JVM to actually stop burning a cancelled job's
+    tasks: cancelJobGroup interrupts, but whole-stage-codegen loops
+    only notice at row boundaries, and a deliberately-quadratic row
+    takes a while to reach one — anything measured while those
+    threads still spin is contended and meaningless."""
+    tracker = spark.sparkContext.statusTracker()
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        if not tracker.getActiveJobsIds():
+            return
+        time.sleep(0.5)
+
+
 # ------------------------------------------------------------ the runner
 def run_with_budget(spark, df, col, budget_s: float = BUDGET_S):
     """Force full evaluation of ``col`` over ``df`` in a cancellable
@@ -302,6 +444,14 @@ def run_with_budget(spark, df, col, budget_s: float = BUDGET_S):
     computed (``size`` alone would not evaluate elements)."""
     from pyspark import InheritableThread
 
+    # a driver GC fires Spark's ContextCleaner, releasing broadcast/
+    # shuffle blocks accumulated by earlier audit jobs — without it a
+    # long sweep in one JVM pays rising heap pressure and late ops
+    # blow their budgets for reasons unrelated to their own plan
+    # (the bench.py discipline)
+    jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
+    if jvm_system is not None:
+        jvm_system.gc()
     group = f"hof_audit_{time.monotonic_ns()}"
     state: dict = {}
 
@@ -324,6 +474,7 @@ def run_with_budget(spark, df, col, budget_s: float = BUDGET_S):
     if t.is_alive():
         spark.sparkContext.cancelJobGroup(group)
         t.join(30.0)
+        _drain_cancelled(spark)
         return False, time.monotonic() - start, None
     if "err" in state:
         return False, time.monotonic() - start, state["err"]
@@ -370,6 +521,9 @@ def main(argv):
     vdf = wide_vector_df(spark)
     tdf = wide_text_df(spark)
     fixtures = {"vector": vdf, "text": tdf}
+    hf = host_factor(spark, vdf)
+    if hf > 1.05:
+        print(f"host contention factor {hf:.2f} — budgets scaled")
 
     failed = []
     if "--controls" not in argv:
@@ -384,7 +538,8 @@ def main(argv):
             print("MISSING wide-fixture invocations:", missing)
             return 2
         for name, (kind, thunk) in sorted(inv.items()):
-            ok, t, err = run_with_budget(spark, fixtures[kind], thunk())
+            ok, t, err = run_with_budget(spark, fixtures[kind], thunk(),
+                                         BUDGET_S * hf)
             nested = nested_hof_report(fixtures[kind], thunk())
             flag = "" if nested == 0 else f"  [nested-hof x{nested}]"
             if not ok:
@@ -394,13 +549,35 @@ def main(argv):
             else:
                 print(f"{name:40s} {t:6.2f}s{flag}")
 
+    if "--controls" not in argv:
+        for name, thunk in sorted(df_ops().items()):
+            ok, t, err = run_df_with_budget(spark, thunk(tdf),
+                                            DF_BUDGET_S * hf)
+            if not ok:
+                failed.append(name)
+                why = f"ERROR {err}" if err else "BUDGET EXCEEDED"
+                print(f"df:{name:37s} {why} after {t:.1f}s")
+            else:
+                print(f"df:{name:37s} {t:6.2f}s")
+
     print("\nnegative controls (must exceed the budget):")
     for name, thunk in NEGATIVE_CONTROLS.items():
-        ok, t, err = run_with_budget(spark, vdf, thunk())
+        ok, t, err = run_with_budget(spark, vdf, thunk(),
+                                     BUDGET_S * hf)
         if ok:
             failed.append(name)
             print(f"{name:40s} COMPLETED in {t:.1f}s — harness cannot "
                   "separate bound from unbound at this shape!")
+        else:
+            print(f"{name:40s} cancelled at {t:.1f}s as expected")
+
+    for name, fn in DF_NEGATIVE_CONTROLS.items():
+        ok, t, err = run_df_with_budget(spark, fn(tdf),
+                                        DF_BUDGET_S * 0.6 * hf)
+        if ok:
+            failed.append(name)
+            print(f"{name:40s} COMPLETED in {t:.1f}s — df harness "
+                  "cannot separate the classes at this shape!")
         else:
             print(f"{name:40s} cancelled at {t:.1f}s as expected")
 
