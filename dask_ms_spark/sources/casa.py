@@ -222,6 +222,7 @@ def xds_from_casa(spark: SparkSession, path: str,
                   row_chunk: int = DEFAULT_CASA_ROW_CHUNK,
                   slices: dict | None = None,
                   taql_where: str | None = None,
+                  taql_mscal: dict | None = None,
                   chunks: dict | None = None) -> list[Dataset]:
     """Read a CASA table into Datasets via distributed chunked getcol
     (reference ``xds_from_table``, daskms/dask_ms.py:128-294 over the
@@ -268,7 +269,8 @@ def xds_from_casa(spark: SparkSession, path: str,
         # format below its motivating idiom).
         from ..taql import taql_where_to_sql
 
-        translated = taql_where_to_sql(taql_where, schema=schema)
+        translated = taql_where_to_sql(taql_where, schema=schema,
+                                       mscal=taql_mscal)
         where = f"({where}) AND ({translated})" if where else translated
     n_chunks = max(1, math.ceil(nrow / row_chunk))
 

@@ -190,7 +190,8 @@ def xds_from_storage_table(spark: SparkSession, url: str,
                            index_cols: Iterable[str] = (),
                            where: str | None = None,
                            storage_options: dict | None = None,
-                           taql_where: str | None = None
+                           taql_where: str | None = None,
+                           taql_mscal: dict | None = None
                            ) -> list[Dataset]:
     """Format-dispatched read (reference daskms/dask_ms.py:341-380).
 
@@ -203,6 +204,8 @@ def xds_from_storage_table(spark: SparkSession, url: str,
     (daskms/dask_ms.py:236-241) and translates the supported subset
     to Spark SQL (taql.py) — an existing ``taql_where=`` call site
     keeps working verbatim; combined with ``where`` via AND.
+    ``taql_mscal`` supplies the site/direction geometry for tier-7
+    MSCAL derived columns in the predicate (taql.py docstring).
     """
     store = TableStore.parse(url, storage_options)
     deferred_taql = None
@@ -210,7 +213,8 @@ def xds_from_storage_table(spark: SparkSession, url: str,
         from ..taql import taql_where_to_sql
 
         try:
-            translated = taql_where_to_sql(taql_where)
+            translated = taql_where_to_sql(taql_where,
+                                           mscal=taql_mscal)
             where = (f"({where}) AND ({translated})"
                      if where else translated)
         except ValueError as err:
@@ -240,22 +244,26 @@ def xds_from_storage_table(spark: SparkSession, url: str,
                 s3staging.staging_dir())
             return xds_from_storage_table(
                 spark, local, columns, group_cols, index_cols, where,
-                taql_where=taql_where if deferred_taql else None)
+                taql_where=taql_where if deferred_taql else None,
+                taql_mscal=taql_mscal)
     if store.storage_options:
         store.apply(spark)
     fmt = infer_format(store.path, spark)
     if deferred_taql is not None:
         if fmt == "parquet" and store.scheme in ("", "file"):
             peek = spark.read.parquet(store.path).schema
-            translated = taql_where_to_sql(taql_where, schema=peek)
+            translated = taql_where_to_sql(taql_where, schema=peek,
+                                           mscal=taql_mscal)
         elif fmt == "casa":
             # the casa reader binds its own probed schema
             return casa.xds_from_casa(spark, store.path, columns,
                                       group_cols, index_cols, where,
-                                      taql_where=taql_where)
+                                      taql_where=taql_where,
+                                      taql_mscal=taql_mscal)
         elif fmt == "zarr" and store.scheme in ("", "file"):
             translated = taql_where_to_sql(
-                taql_where, schema=zarr.peek_array_columns(store.path))
+                taql_where, schema=zarr.peek_array_columns(store.path),
+                mscal=taql_mscal)
         else:
             raise ValueError(
                 f"{deferred_taql}\n(xds_from_storage_table binds the "

@@ -744,3 +744,31 @@ def test_tier7_mscal_predicate_executes(spark):
                                   F.lit(geo["ra_deg"]))) > 0.3)
         & (F.col("TIME") > 1800.0)).collect())
     assert got == want and got
+
+
+def test_tier7_mscal_through_storage_read(spark, tmp_path):
+    """taql_mscal threads the tier-7 geometry through the public
+    storage dispatch, so a reference-style call site can pass an
+    mscal predicate directly to xds_from_storage_table."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.functions.mscal import hour_angle_deg
+    from dask_ms_spark.sources.storage import xds_from_storage_table
+
+    geo = {"lon_deg": 21.443, "lat_deg": -30.712,
+           "ra_deg": 80.894, "dec_deg": -45.779}
+    path = str(tmp_path / "ms_main")
+    spark.range(200).select(
+        F.col("id").alias("ROWID"),
+        (F.lit(5.05e9) + F.col("id") * 451.0).alias("TIME")) \
+        .write.parquet(path)
+    (ds,) = xds_from_storage_table(
+        spark, path, taql_where="MSCAL.HA1 > 0.3rad",
+        taql_mscal=geo)
+    got = sorted(r.ROWID for r in ds.df.collect())
+    src = spark.read.parquet(path)
+    want = sorted(r.ROWID for r in src.where(
+        F.radians(hour_angle_deg(F.col("TIME"),
+                                 F.lit(geo["lon_deg"]),
+                                 F.lit(geo["ra_deg"]))) > 0.3).collect())
+    assert got == want and got
