@@ -152,9 +152,9 @@ def attach_rowid(df: DataFrame, order_cols: Iterable[str],
     if stable:
         # reliable pin when a checkpoint dir is configured (survives
         # executor loss), localCheckpoint fallback otherwise — see
-        # the fault-tolerance note in the docstring
-        ckpt_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
-        if ckpt_dir.isDefined():
+        # the fault-tolerance note in the docstring.  Public probe
+        # (PySpark >= 3.1): returns Optional[str].
+        if spark.sparkContext.getCheckpointDir() is not None:
             parted = parted.checkpoint(eager=True)
         else:
             parted = parted.localCheckpoint(eager=True)

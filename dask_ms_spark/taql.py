@@ -80,7 +80,8 @@ casacore originals, with the site/direction geometry supplied via the
 subtables; this engine has no implicit table context inside a
 predicate string, so they bind explicitly and fold to literals).
 ``AZEL1`` is the 2-element ``[az, el]`` array (north-through-east
-azimuth), so ``MSCAL.AZEL1[1] > '30deg'`` is the elevation cut.
+azimuth), so ``MSCAL.AZEL1[1] > 30deg`` is the elevation cut (the
+quantity must be UNQUOTED — see NOT covered below).
 Under a single supplied site, ``HA1``/``HA2`` (antenna 1/2) coincide
 by construction.
 
@@ -401,26 +402,29 @@ def _array_valued_operand(body: list[str], array_cols) -> bool:
     return arrayish
 
 
-def _emit_array_operand(body: list[str], array_cols) -> str:
+def _emit_array_operand(body: list[str], array_cols,
+                        mscal: dict | None = None) -> str:
     """SQL for an array-valued operand ``_array_valued_operand``
     accepted: elementwise functions become ``transform`` lambdas,
     complex views become pairwise ``transform`` over the interleaved
-    layout, the base case is the bare/sliced column via ``_emit``."""
+    layout, the base case is the bare/sliced column via ``_emit``
+    (``mscal`` geometry threads through so unit quantities and
+    MSCAL references nest inside array operands)."""
     b = _strip_outer_parens(body)
     if len(b) >= 3 and b[1] == "(" \
             and _match_bracket(b, 1, "(", ")") == len(b) - 1:
         fn = b[0].upper()
         if fn in _ELEMENTWISE:
-            x = _emit_array_operand(b[2:-1], array_cols)
+            x = _emit_array_operand(b[2:-1], array_cols, mscal)
             return f"transform({x}, __e -> {_ELEMENTWISE[fn]})"
         if fn in _COMPLEXWISE:
-            x = _emit_array_operand(b[2:-1], array_cols)
+            x = _emit_array_operand(b[2:-1], array_cols, mscal)
             pair = (_COMPLEXWISE[fn]
                     .replace("__re", f"element_at({x}, __k * 2 + 1)")
                     .replace("__im", f"element_at({x}, __k * 2 + 2)"))
             return (f"transform(sequence(0, CAST(size({x}) / 2 AS INT)"
                     f" - 1), __k -> {pair})")
-    return _emit(b, array_cols)
+    return _emit(b, array_cols, mscal)
 
 
 def _emit_subquery(body: list[str], array_cols=None,
@@ -604,7 +608,7 @@ def _emit(toks: list[str],
                         f"({'/'.join(sorted(_COMPLEXWISE))}); "
                         "compute anything else as a column "
                         "expression first")
-                inner = _emit_array_operand(body, array_cols)
+                inner = _emit_array_operand(body, array_cols, mscal)
                 out.append(_ARRAY_AGGS[up].format(x=inner))
                 i = j
             else:

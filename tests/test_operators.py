@@ -2223,8 +2223,8 @@ def test_attach_rowid_stable_pin_reliable_when_dir_set(spark, tmp_path):
         ids = sorted(r.ROWID for r in out.select("ROWID").collect())
         assert ids == list(range(1000))
 
-    jsc = spark.sparkContext._jsc.sc()
-    assert not jsc.getCheckpointDir().isDefined()
+    # the public probe (what attach_rowid itself consults)
+    assert spark.sparkContext.getCheckpointDir() is None
     # no dir: localCheckpoint fallback, nothing written anywhere
     dense(attach_rowid(df, ["k", "v"], stable=True))
 
@@ -2238,6 +2238,8 @@ def test_attach_rowid_stable_pin_reliable_when_dir_set(spark, tmp_path):
         assert found, "no reliable checkpoint files written"
     finally:
         # restore the session-global state for the rest of the suite
+        # (no public unset exists; the private setter is test-only)
+        jsc = spark.sparkContext._jsc.sc()
         empty = spark._jvm.scala.Option.empty()
         getattr(jsc, "checkpointDir_$eq")(empty)
-    assert not jsc.getCheckpointDir().isDefined()
+    assert spark.sparkContext.getCheckpointDir() is None

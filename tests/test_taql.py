@@ -644,6 +644,35 @@ def test_tier7_mscal_refusals():
         T("MSCAL.PA1 > 0", mscal={"lon_deg": 0.0})
 
 
+def test_tier7_mscal_threads_through_array_operands():
+    """ADVICE r10: _emit_array_operand must thread mscal= so a
+    predicate mixing an array aggregate with tier-7 terms translates
+    when geometry IS supplied; MSCAL nested INSIDE the array operand
+    itself is refused with the array-operand message (not a spurious
+    'needs the mscal=' when geometry was in fact given)."""
+    import pytest as _pytest
+
+    from dask_ms_spark.taql import taql_where_to_sql as T
+
+    geo = {"lon_deg": 21.44, "lat_deg": -30.71,
+           "ra_deg": 80.0, "dec_deg": -45.0}
+    sch = {"SIGMA"}
+    out = T("MEAN(ABS(SIGMA)) <= 2 && MSCAL.PA1 > 0",
+            schema=sch, mscal=geo)
+    assert "aggregate" in out and "atan" in out.lower()
+    # units compare fine against an array aggregate
+    out2 = T("MAX(SIGMA) < 5deg", schema=sch)
+    assert out2.endswith(repr(5 * 3.141592653589793 / 180.0))
+    # no array column in the operand: HAVING-style passthrough, with
+    # the MSCAL body still expanded (the threading under test)
+    out3 = T("MEAN(MSCAL.PA1) > 0", schema=sch, mscal=geo)
+    assert out3.startswith("MEAN") and "atan2" in out3
+    # an array column MIXED with MSCAL inside the operand refuses
+    # with the array-operand message, not a spurious mscal error
+    with _pytest.raises(ValueError, match="array column"):
+        T("MEAN(SIGMA * MSCAL.PA1) > 0", schema=sch, mscal=geo)
+
+
 def test_tier7_mscal_matches_column_builders(spark):
     """Executed parity, one assertion per derived column: the SQL the
     translator emits must agree with the functions/mscal.py Column
