@@ -6790,102 +6790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The rotation ledger lives at the window boundary (position 50)
     # inside the dict below.
     return {
-
-        # -- round-10 window, positions 1-26: the 26 "last driver
-        #    row r5" remainder (untouched bodies since r5; the oldest
-        #    rows in the registry) --
-        "sample_split": q_sample_split,
-        "udaf_ols": q_udaf_ols,
-        "table_profile": q_table_profile,
-        "group_aggr": q_group_aggr,
-        "tensor_slice": q_tensor_slice,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        "stratified_sample": q_stratified_sample,
-        "pack_contexts": q_pack_contexts,
-        "embed_project": q_embed_project,
-        "vocab_topk": q_vocab_topk,
-        "phrase_boilerplate": q_phrase_boilerplate,
-        "multimodal_features": q_multimodal_features,
-        "pagerank": q_pagerank,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "bm25_search": q_bm25_search,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "value_histogram": q_value_histogram,
-        "skew_profile": q_skew_profile,
-        "events_transitions": q_events_transitions,
-        "negative_sampling": q_negative_sampling,
-        # -- window positions 27-50: the 24 oldest r7-checked
-        #    (r6-session debuts whose last driver row is r7) --
-        "snapshot_roundtrip": q_snapshot_roundtrip,
-        "backfill_restart": q_backfill_restart,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "tensor_chan_avg": q_tensor_chan_avg,
-        "tensor_row_avg": q_tensor_row_avg,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "phase_rotate": q_phase_rotate,
-        "spectral_index": q_spectral_index,
-        "weighted_quantiles": q_weighted_quantiles,
-        "flag_summary": q_flag_summary,
-        "resample_interp": q_resample_interp,
-        "rfi_flag": q_rfi_flag,
-        "gain_solve": q_gain_solve,
-        "channel_regrid": q_channel_regrid,
-        "spectral_moments": q_spectral_moments,
-        "imaging_weights": q_imaging_weights,
-        "crossmatch_nearest": q_crossmatch_nearest,
-        "bda_weighted": q_bda_weighted,
-        "sigma_clip": q_sigma_clip,
-        "ann_ivfpq": q_ann_ivfpq,
-        "curriculum": q_curriculum,
-        "stokes_convert": q_stokes_convert,
-        "hanning": q_hanning,
-        # ==== driver window ends here (position 50) ====
-        # ROTATION LEDGER (50-row window over the registry,
-        # 4-round coverage union):
-        #   r6 window: 37 r5-debuts + 13 oldest r4-stale
-        #   r7 window: 34 r6-debuts + 16 oldest r4-stale
-        #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
-        #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
-        #   r9 window: 1 r8-debut + 23 r5-checked + 13 r6-checked
-        #     + 13 oldest "last row r5" = 50 (CORRECTNESS_r09:
-        #     50/50 green — after it every registered query has a
-        #     driver row and the latest row of each is green)
-        #   r10 window (this one, exactly the r9 ledger's plan): the
-        #     26 "last row r5" remainder (sample_split ...
-        #     negative_sampling) + the 24 oldest r7-checked
-        #     (snapshot_roundtrip ... hanning) = 50.
-        #     Oldest-row-first from here on: the post-window tail
-        #     below is ordered by staleness (r7 remainder, r7-stale
-        #     re-checks, r8-checked, r9-checked) so future windows
-        #     are always the first 50 lines after rotation.
-        #   ann_ivf demoted this round beside ann_ivf_indexed (the
-        #     ledger's own r10 note; its r9 driver row is green) —
-        #     registry 166 + 27 demoted = 193 total.
-        # Round-8 demotions (oracles retained in
-        # demoted_oracle_sql, swept by tools/check_oracle +
-        # pytest): grid_wstack, ann_pq, dedup_semantic,
-        # dedup_minhash_drop, contamination (see ledger in git
-        # history for the beside-twin rationale).
-        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
-        # events_changepoint, closure_phase, lm_kneser_ney,
-        # resample_fill, kmeans_cluster, sample_temperature,
-        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
-        # quality_filter.
-        # -- last driver row r7 (remaining r6-session debuts) --
+        # -- round-11 window, positions 1-6: the r6-session debuts
+        #    whose last driver row is r7 (oldest remaining) --
         "uvcontsub": q_uvcontsub,
         "predict_vis": q_predict_vis,
         "dsir_select": q_dsir_select,
         "uvw_compute": q_uvw_compute,
         "quality_classifier": q_quality_classifier,
         "sumthreshold": q_sumthreshold,
-        # -- last driver row r7 (oldest-16 r4-stale re-checks) --
+        # -- window positions 7-22: the 16 oldest r4-stale
+        #    re-checks (last driver row r7) --
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -6902,7 +6816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
-        # -- last driver row r8 (r7-session debuts) --
+        # -- window positions 23-38: the r7-session debuts (last
+        #    driver row r8) --
         "applycal": q_applycal,
         "flag_grow": q_flag_grow,
         "parallactic_angle": q_parallactic_angle,
@@ -6919,8 +6834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "cuped": q_cuped,
         "cusum_segments": q_cusum_segments,
-        # -- last driver row r8 (r4-stale re-checks from the r8
-        #    window) --
+        # -- window positions 39-50: the first 12 r4-stale re-checks
+        #    from the r8 window (last driver row r8) --
         "expr_arithmetic": q_expr_arithmetic,
         "group_partition": q_group_partition,
         "sorted_read": q_sorted_read,
@@ -6933,13 +6848,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay": q_overlay,
         "complex_mul": q_complex_mul,
         "asof_join": q_asof_join,
+        # ==== driver window ends here (position 50) ====
+        # ROTATION LEDGER (50-row window over the registry,
+        # 4-round coverage union):
+        #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
+        #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
+        #   r9 window: 1 r8-debut + 23 r5-checked + 13 r6-checked
+        #     + 13 oldest "last row r5" = 50 (CORRECTNESS_r09:
+        #     50/50 green)
+        #   r10 window: the 26 "last row r5" remainder + the 24
+        #     oldest r7-checked = 50 (CORRECTNESS_r10: 50/50 green
+        #     — after it every registered query's latest row is
+        #     green).  ann_ivf demoted r10 beside ann_ivf_indexed;
+        #     registry 166 + 27 demoted = 193 total.
+        #   r11 window (this one, exactly the r10 ledger's plan —
+        #     the first 50 lines after rotation): 6 r7-checked
+        #     debuts (uvcontsub ... sumthreshold) + 16 r7-checked
+        #     r4-stale (tpch_q7 ... filter_pushdown) + 16
+        #     r8-checked r7-debuts (applycal ... cusum_segments)
+        #     + the 12 oldest r8-checked r4-stale (expr_arithmetic
+        #     ... asof_join) = 50.  The post-window tail below
+        #     stays ordered by staleness (r8-checked remainder,
+        #     r8-checked r5-blocks, r9-checked, r10-checked) so
+        #     future windows are always the first 50 lines after
+        #     rotation.
+        # Round-8 demotions (oracles retained in
+        # demoted_oracle_sql, swept by tools/check_oracle +
+        # pytest): grid_wstack, ann_pq, dedup_semantic,
+        # dedup_minhash_drop, contamination (see ledger in git
+        # history for the beside-twin rationale).
+        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
+        # events_changepoint, closure_phase, lm_kneser_ney,
+        # resample_fill, kmeans_cluster, sample_temperature,
+        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
+        # quality_filter.
+        # Round-10 demotion: ann_ivf (beside ann_ivf_indexed).
+        # -- last driver row r8 (r4-stale re-check remainder) --
         "range_join": q_range_join,
         "salted_join": q_salted_join,
         "window_frames": q_window_frames,
         "cube": q_cube,
         "quantiles": q_quantiles,
-        # -- last driver row r8 (oldest r5-checked re-checks
-        #    from the r8 window) --
+        # -- last driver row r8 (oldest r5-checked re-checks) --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
@@ -7003,6 +6953,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
+        # -- last driver row r10 (the full r10 window: 26 "last
+        #    row r5" remainder + 24 oldest r7-checked) --
+        "sample_split": q_sample_split,
+        "udaf_ols": q_udaf_ols,
+        "table_profile": q_table_profile,
+        "group_aggr": q_group_aggr,
+        "tensor_slice": q_tensor_slice,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "stratified_sample": q_stratified_sample,
+        "pack_contexts": q_pack_contexts,
+        "embed_project": q_embed_project,
+        "vocab_topk": q_vocab_topk,
+        "phrase_boilerplate": q_phrase_boilerplate,
+        "multimodal_features": q_multimodal_features,
+        "pagerank": q_pagerank,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "bm25_search": q_bm25_search,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "value_histogram": q_value_histogram,
+        "skew_profile": q_skew_profile,
+        "events_transitions": q_events_transitions,
+        "negative_sampling": q_negative_sampling,
+        "snapshot_roundtrip": q_snapshot_roundtrip,
+        "backfill_restart": q_backfill_restart,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tensor_chan_avg": q_tensor_chan_avg,
+        "tensor_row_avg": q_tensor_row_avg,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "phase_rotate": q_phase_rotate,
+        "spectral_index": q_spectral_index,
+        "weighted_quantiles": q_weighted_quantiles,
+        "flag_summary": q_flag_summary,
+        "resample_interp": q_resample_interp,
+        "rfi_flag": q_rfi_flag,
+        "gain_solve": q_gain_solve,
+        "channel_regrid": q_channel_regrid,
+        "spectral_moments": q_spectral_moments,
+        "imaging_weights": q_imaging_weights,
+        "crossmatch_nearest": q_crossmatch_nearest,
+        "bda_weighted": q_bda_weighted,
+        "sigma_clip": q_sigma_clip,
+        "ann_ivfpq": q_ann_ivfpq,
+        "curriculum": q_curriculum,
+        "stokes_convert": q_stokes_convert,
+        "hanning": q_hanning,
     }
 
 _LM_PERPLEXITY_SQL = """

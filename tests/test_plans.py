@@ -541,27 +541,83 @@ def test_crossmatch_join_is_cell_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def _plans_md_ledger(text):
+    """Parse the ``registered (N): ...`` / ``demoted (N): ...`` name
+    sets plan_audit.py appends to its output (r10 verdict item 2)."""
+    import re
+
+    out = {}
+    for kind in ("registered", "demoted"):
+        m = re.search(rf"^{kind} \((\d+)\): (.*)$", text, re.M)
+        assert m, f"PLANS.md missing the '{kind} (N): ...' ledger line"
+        names = m.group(2).split()
+        assert len(names) == int(m.group(1)), (
+            f"PLANS.md {kind} ledger count {m.group(1)} disagrees "
+            f"with its own name list ({len(names)} names)")
+        out[kind] = set(names)
+    return out
+
+
 def test_plans_md_matches_registry():
-    """PLANS.md must not rot (r6 verdict item 3): its audited-query
-    count equals the live registry + demoted surface.  Regenerate with
-    ``python tools/plan_audit.py > /dev/null`` -> PLANS.md via the
-    close-out step whenever queries are added/demoted."""
+    """PLANS.md must not rot (r6 verdict item 3, strengthened r11 per
+    r10 verdict item 2): the EXACT registered and demoted name sets
+    recorded in PLANS.md must equal the live ``queries()`` /
+    ``demoted_queries()`` — a query moving between the lists without
+    a regeneration (the r10 ann_ivf demotion) now fails, where the
+    old count-only check stayed green.  Regenerate with
+    ``python tools/plan_audit.py`` -> PLANS.md via the close-out step
+    whenever queries are added/demoted/moved."""
     import os
     import re
 
     import __spark_entry__ as entrymod
 
-    want = len(entrymod.queries()) + len(entrymod.demoted_queries())
     plans = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(plans) as fh:
         text = fh.read()
+    ledger = _plans_md_ledger(text)
+    live_reg = set(entrymod.queries())
+    live_dem = set(entrymod.demoted_queries())
+    assert ledger["registered"] == live_reg, (
+        "PLANS.md registered set drifted from the live registry: "
+        f"missing={sorted(live_reg - ledger['registered'])} "
+        f"stale={sorted(ledger['registered'] - live_reg)} — "
+        "regenerate via tools/plan_audit.py")
+    assert ledger["demoted"] == live_dem, (
+        "PLANS.md demoted set drifted from the live registry: "
+        f"missing={sorted(live_dem - ledger['demoted'])} "
+        f"stale={sorted(ledger['demoted'] - live_dem)} — "
+        "regenerate via tools/plan_audit.py")
     m = re.search(r"(\d+) queries audited; (\d+) with hard", text)
     assert m, "PLANS.md missing the plan_audit footer"
-    assert int(m.group(1)) == want, (
-        f"PLANS.md audits {m.group(1)} queries but the registry has "
-        f"{want} (incl. demoted) — regenerate via tools/plan_audit.py")
+    assert int(m.group(1)) == len(live_reg) + len(live_dem)
     assert int(m.group(2)) == 0
+
+
+def test_plans_md_ledger_detects_list_moves():
+    """The guard must catch exactly the drift class it was built for:
+    a query moving between the registered and demoted lists without a
+    PLANS.md regeneration (r10 verdict item 2 — ann_ivf's move was
+    invisible to the count-only check, which this simulates: the
+    TOTAL stays constant while both sets are wrong)."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    plans = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(plans) as fh:
+        ledger = _plans_md_ledger(fh.read())
+    mover = sorted(ledger["registered"])[0]
+    moved = {"registered": ledger["registered"] - {mover},
+             "demoted": ledger["demoted"] | {mover}}
+    # same total (the old check's blind spot) ...
+    assert (len(moved["registered"]) + len(moved["demoted"])
+            == len(entrymod.queries()) + len(entrymod.demoted_queries()))
+    # ... but the set comparison sees it
+    assert moved["registered"] != set(entrymod.queries())
+    assert moved["demoted"] != set(entrymod.demoted_queries())
 
 
 def test_round7_debut_plan_shapes(spark):

@@ -126,6 +126,17 @@ def main():
     print(f"\n{len(rows)} queries audited; "
           f"{len(bad)} with hard anti-patterns"
           + (f": {sorted(bad)}" if bad else ""))
+    if not only:
+        # machine-checkable registry ledger: tests/test_plans.py
+        # asserts these NAME SETS (not just the count) against the
+        # live queries()/demoted_queries() — a query moving between
+        # the lists without a regeneration fails the suite (r10
+        # verdict item 2: the ann_ivf demotion was invisible to the
+        # count-only check)
+        reg = sorted(entrymod.queries())
+        dem = sorted(getattr(entrymod, "demoted_queries", dict)())
+        print(f"\nregistered ({len(reg)}): {' '.join(reg)}")
+        print(f"demoted ({len(dem)}): {' '.join(dem)}")
     return 1 if bad else 0
 
 
