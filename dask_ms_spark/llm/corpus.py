@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash64, tokens
+from ..functions.vector import _bind_once
 from ..session import ensure_parallelism
 
 __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
@@ -125,12 +126,20 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text",
         # gram STRINGS build inside the transform; the md5 hash runs
         # POST-explode so it stays in whole-stage codegen — hashing
         # inside the array lambda executes interpreted (the
-        # phrase_boilerplate discipline; review r8)
+        # phrase_boilerplate discipline; review r8).  The token array
+        # binds ONCE (r11 audit: element_at over the tokenize
+        # EXPRESSION inside the lambda re-split the text per gram —
+        # O(len^2), >120 s at 64 KB docs where the bound form takes
+        # ~2 s; the word_shingles class)
         toks = tokens(F.lower(F.col(text_col)))
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]))
+
+        def grams_of(tk):
+            return F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]))
+
+        grams = _bind_once(grams_of, tk=toks)
         return (frame.where(F.size(toks) >= n)
                 .select(F.col(id_col).alias("id"),
                         F.explode(F.array_distinct(grams))
@@ -226,8 +235,6 @@ def chunk_documents(docs: DataFrame, text_col: str = "text",
             "silently DROP the characters between consecutive chunks "
             "— use stride <= chunk_chars (equal for non-overlapping "
             "coverage)")
-    from ..functions.vector import _bind_once
-
     txt = F.col(text_col)
 
     def chunk_arr(t, chars):
@@ -292,10 +299,18 @@ def phrase_boilerplate(docs: DataFrame, text_col: str = "text",
     """
     toks = tokens(F.lower(F.col(text_col)))
     nt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), nt - n + 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+
+    # bind the token array ONCE (r11 audit: the element_at calls
+    # inside the lambda re-evaluated the tokenize expression per
+    # gram — O(len^2); this was also the suite's slowest query at
+    # sf0.1 for exactly that reason)
+    def grams_of(tk):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(n)]))
+
+    grams = _bind_once(grams_of, tk=toks)
     pairs = (ensure_parallelism(docs.where(nt >= n))
              .select(F.col(id_col).alias("id"),
                      F.explode(grams).alias("gram"))
@@ -481,11 +496,20 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     def bigram_instances(frame: DataFrame) -> DataFrame:
         toks = tokens(F.lower(F.col(text_col)))
         n = F.size(toks)
-        grams = F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2")))
+
+        # bind the token array ONCE (r11 audit: element_at over the
+        # tokenize EXPRESSION inside the lambda re-split the text per
+        # bigram — O(len^2) per doc, hidden at narrow widths by
+        # ensure_parallelism spreading docs over cores; 46 s -> 1.4 s
+        # single-threaded at 20x64 KB docs)
+        def grams_of(tk):
+            return F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("w1"),
+                    F.element_at(tk, i + 1).alias("w2")))
+
+        grams = _bind_once(grams_of, tk=toks)
         return (ensure_parallelism(frame.where(n >= 2))
                 .select(F.col(id_col).alias("id"),
                         F.explode(grams).alias("g"))
@@ -622,8 +646,6 @@ def substring_dedup(docs: DataFrame, text_col: str = "text",
     carry (id, 8-byte hash) only — never text.  Docs shorter than
     ``window`` contribute one whole-text window.
     """
-    from ..functions.vector import _bind_once
-
     t = F.col(text_col)
 
     def wins(t, chars):

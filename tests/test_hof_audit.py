@@ -6,8 +6,10 @@ re-evaluates per ELEMENT — O(n^2) kernels that the narrow sf testdata
 is the harness; these tests wire it into the suite so the class
 cannot silently recur as kernels are added:
 
-* completeness — every public Column-returning kernel in the four
-  kernel modules must have a wide-fixture invocation registered;
+* completeness — every public Column-returning kernel in the kernel
+  modules must have a wide-fixture invocation registered, and (r11)
+  every HOF-bearing def in the DataFrame-operator modules must be
+  budget-run or carry an explicit whitelist reason;
 * wall budget — every registered invocation runs on the wide fixture
   (4096-element arrays / 64 KB documents, expression-typed inputs)
   and must finish within the per-kernel budget;
@@ -26,10 +28,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from tools.audit_hof import (BUDGET_S, DF_BUDGET_S, DF_NEGATIVE_CONTROLS,
-                             NEGATIVE_CONTROLS, df_ops, exported_kernels,
+                             DF_OP_WHITELIST, NEGATIVE_CONTROLS, df_ops,
+                             exported_kernels, hof_bearing_defs,
                              host_factor, invocations,
                              run_df_with_budget, run_with_budget,
-                             wide_text_df, wide_vector_df)
+                             wide_emb_df, wide_ms_df, wide_text_df,
+                             wide_vector_df)
 
 # bound twins finish in < 1 s at this shape; the unbound controls need
 # 40 s+ — a reduced control budget keeps the proof cheap
@@ -50,23 +54,51 @@ def test_every_exported_kernel_has_wide_invocation():
         f"so the re-expansion budget sweep covers them")
 
 
+def test_every_hof_bearing_df_op_is_adjudicated():
+    """r10 verdict item 3: every module-level def carrying a HOF
+    lambda in ANY DF_OP_SOURCES module (operators/{bda,calibration,
+    rfi,timeseries,graph,grouping,flagversions}, llm/{clustering,
+    contamination,corpus,sampling,semantic,similarity}) must be
+    budget-run in df_ops() or carry a DF_OP_WHITELIST reason — a new
+    kernel one directory over can no longer bypass the gate.  (Pure
+    AST scan — no Spark.)"""
+    ops = df_ops()
+    defs = hof_bearing_defs()
+    missing = [n for n in defs
+               if n not in ops and n not in DF_OP_WHITELIST]
+    assert not missing, (
+        f"HOF-bearing defs without a df_ops() invocation or a "
+        f"DF_OP_WHITELIST reason in tools/audit_hof.py: {missing}")
+    stale = [n for n in DF_OP_WHITELIST if n not in defs]
+    assert not stale, (
+        f"DF_OP_WHITELIST entries no longer matching any enumerated "
+        f"def (drop them): {stale}")
+    both = [n for n in DF_OP_WHITELIST if n in ops]
+    assert not both, (
+        f"defs both whitelisted AND budget-run (pick one): {both}")
+
+
 @pytest.fixture(scope="module")
 def wide_fixtures(spark):
     v = wide_vector_df(spark)
     t = wide_text_df(spark)
+    m = wide_ms_df(spark)
+    e = wide_emb_df(spark)
     # budgets scale by measured host contention (clamped 1-6x) so a
     # busy CI box inflates walls without false-failing the sweep,
     # while a 40x quadratic still cannot sneak under
     hf = host_factor(spark, v)
-    yield {"vector": v, "text": t, "hf": hf}
-    v.unpersist()
-    t.unpersist()
+    yield {"vector": v, "text": t, "ms": m, "emb": e, "hf": hf}
+    for df in (v, t, m, e):
+        df.unpersist()
 
 
 def test_kernels_within_wall_budget(spark, wide_fixtures):
     """Every kernel evaluates the wide fixture within the budget.  A
     re-expanded kernel overshoots by orders of magnitude (measured
     40-233x), so this is a class detector, not a perf benchmark."""
+    from tools.audit_hof import settle
+
     failures = []
     for name, (kind, thunk) in sorted(invocations().items()):
         ok, t, err = run_with_budget(spark, wide_fixtures[kind],
@@ -75,6 +107,8 @@ def test_kernels_within_wall_budget(spark, wide_fixtures):
         if not ok:
             failures.append((name, round(t, 1),
                              str(err)[:200] if err else "budget"))
+            if err is None:  # zombie tasks poison later measurements
+                settle(spark, wide_fixtures["vector"])
     assert not failures, (
         f"kernels exceeding the {BUDGET_S}s wide-fixture budget "
         f"(likely HOF re-expansion — bind inputs AND derived values "
@@ -86,23 +120,38 @@ def test_df_ops_within_wall_budget(spark, wide_fixtures):
     Column-kernel enumeration cannot see them) evaluate the 64 KB-doc
     fixture within budget; the r10 audit found O(len^2) post-explode
     substr walks in two of them."""
-    # a third of the rows: total-volume ops (char explode) track
-    # row count, but the quadratic classes under test track PER-DOC
-    # length, which stays 64 KB; the pytest session is local[4]
-    # where the full 120-row fixture is volume-bound, not class-bound
-    docs = wide_fixtures["text"].where(F.col("id") % 3 == 0)
+    # subset the rows: total-volume ops (char/pos explode) track row
+    # count, but the quadratic classes under test track PER-ROW width
+    # (64 KB docs, 4096-wide tensors/embeddings), which stays full;
+    # the pytest session is local[4] where the full fixtures are
+    # volume-bound, not class-bound
+    sub = {
+        "text": wide_fixtures["text"].where(F.col("id") % 3 == 0),
+        "ms": wide_fixtures["ms"].where(F.col("t") < 8.0),
+        "emb": wide_fixtures["emb"].where(F.col("vec_id") < 64),
+        "vector": wide_fixtures["vector"],
+    }
+    from tools.audit_hof import settle
+
     failures = []
-    for name, thunk in sorted(df_ops().items()):
+    for name, (kind, fn) in sorted(df_ops().items()):
+        try:
+            out_df = fn(sub[kind])
+        except Exception as exc:  # noqa: BLE001 — plan-build error
+            failures.append((name, 0.0, f"build: {str(exc)[:200]}"))
+            continue
         ok, t, err = run_df_with_budget(
-            spark, thunk(docs),
+            spark, out_df,
             DF_BUDGET_S * wide_fixtures["hf"])
         if not ok:
             failures.append((name, round(t, 1),
                              str(err)[:200] if err else "budget"))
+            if err is None:  # zombie tasks poison later measurements
+                settle(spark, wide_fixtures["vector"])
     assert not failures, (
-        f"DataFrame ops exceeding the {DF_BUDGET_S}s wide-doc budget "
-        f"(likely a per-row O(position) byte walk or re-expansion): "
-        f"{failures}")
+        f"DataFrame ops exceeding the {DF_BUDGET_S}s wide-fixture "
+        f"budget (likely a per-row O(position) byte walk or "
+        f"re-expansion): {failures}")
 
 
 def test_df_negative_control_blows_budget(spark, wide_fixtures):

@@ -77,7 +77,34 @@ KERNEL_SOURCES = {
     "text": "dask_ms_spark/functions/text.py",
     "complexf": "dask_ms_spark/functions/complexf.py",
     "dedup": "dask_ms_spark/llm/dedup.py",
+    # r11 (r10 verdict item 3): every other Column-kernel module
+    "mscal": "dask_ms_spark/functions/mscal.py",
+    "sampling": "dask_ms_spark/llm/sampling.py",
+    "similarity": "dask_ms_spark/llm/similarity.py",
+    "calibration": "dask_ms_spark/operators/calibration.py",
 }
+
+# r11 (r10 verdict item 3): modules whose DataFrame operators carry
+# HOF lambdas — enumerated structurally below (hof_bearing_defs), each
+# def must have a df_ops() invocation or a DF_OP_WHITELIST entry
+DF_OP_SOURCES = {
+    "bda": "dask_ms_spark/operators/bda.py",
+    "calibration": "dask_ms_spark/operators/calibration.py",
+    "rfi": "dask_ms_spark/operators/rfi.py",
+    "timeseries": "dask_ms_spark/operators/timeseries.py",
+    "graph": "dask_ms_spark/operators/graph.py",
+    "grouping": "dask_ms_spark/operators/grouping.py",
+    "flagversions": "dask_ms_spark/operators/flagversions.py",
+    "clustering": "dask_ms_spark/llm/clustering.py",
+    "contamination": "dask_ms_spark/llm/contamination.py",
+    "corpus": "dask_ms_spark/llm/corpus.py",
+    "sampling": "dask_ms_spark/llm/sampling.py",
+    "semantic": "dask_ms_spark/llm/semantic.py",
+    "similarity": "dask_ms_spark/llm/similarity.py",
+}
+
+_HOF_CALLS = ("F.transform(", "F.aggregate(", "F.zip_with(",
+              "F.filter(", "F.exists(", "F.forall(", "F.reduce(")
 
 
 def exported_kernels() -> dict[str, list[str]]:
@@ -94,6 +121,32 @@ def exported_kernels() -> dict[str, list[str]]:
                 if ret is not None and ast.unparse(ret) == "Column":
                     names.append(node.name)
         out[mod] = names
+    return out
+
+
+def hof_bearing_defs() -> list[str]:
+    """``mod.name`` for every module-level def (public OR private) in
+    DF_OP_SOURCES whose own source contains an F.<hof>( call —
+    EXCLUDING Column-annotated kernels (those ride the
+    exported_kernels sweep).  Each enumerated name must have a
+    df_ops() invocation or a DF_OP_WHITELIST reason: a new HOF-bearing
+    operator added to any of these modules fails the completeness
+    test until it is budget-run or explicitly adjudicated (the r10
+    gate covered 4 modules; a kernel one directory over bypassed it
+    entirely — r10 verdict item 3)."""
+    out = []
+    for mod, rel in sorted(DF_OP_SOURCES.items()):
+        tree = ast.parse(open(os.path.join(ROOT, rel)).read())
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            ret = getattr(node, "returns", None)
+            if ret is not None and ast.unparse(ret) == "Column" \
+                    and not node.name.startswith("_"):
+                continue  # Column kernel: exported_kernels territory
+            src = ast.unparse(node)
+            if any(h in src for h in _HOF_CALLS):
+                out.append(f"{mod}.{node.name}")
     return out
 
 
@@ -140,6 +193,42 @@ def wide_text_df(spark):
     return df
 
 
+def wide_ms_df(spark):
+    """128 rows (8 baselines x 16 times) of MS-shaped wide tensors:
+    4096-wide DATA/FLAG (the big_ms channel count as interleaved
+    complex: 2048 channels), a per-row uvdist and weight."""
+    df = (spark.range(128)
+          .select((F.col("id") % 8).alias("a1"),
+                  ((F.col("id") % 8) + 1).alias("a2"),
+                  (F.col("id") / 8).cast("int").cast("double")
+                  .alias("t"),
+                  ((F.col("id") % 40).cast("double") * 25.0)
+                  .alias("uvd"),
+                  ((F.col("id") % 9).cast("double") + 1.0).alias("w"),
+                  F.transform(F.sequence(F.lit(1), F.lit(WIDTH)),
+                              lambda i: ((F.col("id") + i) % 83)
+                              .cast("double") / 41.0 - 1.0)
+                  .alias("DATA"),
+                  F.transform(F.sequence(F.lit(1), F.lit(WIDTH)),
+                              lambda i: (F.col("id") + i) % 11 == 0)
+                  .alias("FLAG")))
+    df = df.persist()
+    df.count()
+    return df
+
+
+def wide_emb_df(spark):
+    """200 rows of 4096-dim embeddings (deterministic)."""
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(WIDTH)),
+                    lambda i: ((F.col("id") * 7 + i) % 101)
+                    .cast("double") / 50.0 - 1.0).alias("embedding"))
+    df = df.persist()
+    df.count()
+    return df
+
+
 def _ex(c: Column) -> Column:
     """Wrap an array column as an O(n) EXPRESSION (identity transform)
     so any kernel that re-evaluates an unbound input inside a lambda
@@ -155,9 +244,13 @@ def _exs(c: Column) -> Column:
 # ----------------------------------------------------- invocation table
 def _invocations():
     from dask_ms_spark.functions import complexf as cf
+    from dask_ms_spark.functions import mscal as ms
     from dask_ms_spark.functions import text as tx
     from dask_ms_spark.functions import vector as vec
     from dask_ms_spark.llm import dedup as dd
+    from dask_ms_spark.llm import sampling as sp
+    from dask_ms_spark.llm import similarity as sim
+    from dask_ms_spark.operators import calibration as cal
 
     # (rank, a, b, count) rows, the learn_bpe_merges output shape
     bpe_merges = [(i, a, b, 100 - i) for i, (a, b) in enumerate(
@@ -244,13 +337,40 @@ def _invocations():
             lambda: dd.minhash_from_base(
                 dd.shingle_base_hashes(c("text"), 5), 32),
         "dedup.simhash": lambda: dd.simhash(c("text"), 4, 60),
+        # ---- r11 extension (r10 verdict item 3) --------------------
+        # mscal: scalar trig over a time column (vector fixture's sc
+        # scaled into the MJD-seconds range)
+        "mscal.gmst_hours":
+            lambda: ms.gmst_hours(_exs(c("sc")) * 4.0e9 + 4.0e9),
+        "mscal.hour_angle_deg":
+            lambda: ms.hour_angle_deg(_exs(c("sc")) * 4.0e9 + 4.0e9,
+                                      F.lit(21.44), F.lit(80.0)),
+        "mscal.parallactic_angle_deg":
+            lambda: ms.parallactic_angle_deg(
+                _exs(c("sc")) * 4.0e9 + 4.0e9, F.lit(21.44),
+                F.lit(-30.71), F.lit(80.0), F.lit(-45.0)),
+        "mscal.elevation_deg":
+            lambda: ms.elevation_deg(_exs(c("sc")) * 4.0e9 + 4.0e9,
+                                     F.lit(21.44), F.lit(-30.71),
+                                     F.lit(80.0), F.lit(-45.0)),
+        # llm.sampling / llm.similarity Column kernels
+        "sampling.hash_bucket": lambda: sp.hash_bucket(c("text")),
+        "similarity.hyperplane_signature":
+            lambda: sim.hyperplane_signature(_ex(c("v")), WIDTH,
+                                             num_planes=4),
+        # operators.calibration Column kernel (linearithmic scan
+        # spelling, r11 — the fold-and-concat original was O(n^2))
+        "calibration.unwrap_phases":
+            lambda: cal.unwrap_phases(_ex(c("v"))),
+        "vector.prefix_sum": lambda: vec.prefix_sum(_ex(c("v"))),
     }
 
 
 def invocations():
     """name -> (fixture_kind, column_thunk)."""
     inv = _invocations()
-    return {k: ("text" if k.split(".")[0] in ("text", "dedup")
+    return {k: ("text" if k.split(".")[0] in ("text", "dedup",
+                                              "sampling")
                 else "vector", fn) for k, fn in inv.items()}
 
 
@@ -266,28 +386,133 @@ DF_BUDGET_S = 20.0
 
 
 def df_ops():
+    """name -> (fixture_kind, df -> DataFrame).  Keys are either the
+    curated r10 list (text orchestrators) or names enumerated by
+    hof_bearing_defs(); kinds select the wide fixture (text / ms /
+    emb)."""
     from dask_ms_spark.functions import text as tx
-    from dask_ms_spark.llm import corpus, dedup
+    from dask_ms_spark.llm import (clustering, contamination, corpus,
+                                   dedup, semantic, similarity)
+    from dask_ms_spark.operators import bda, calibration, grouping, rfi
 
     def with_id(df):
         return df.select(F.col("id").alias("doc_id"), "text")
 
+    freqs = [1.0e9 + 1.0e6 * k for k in range(WIDTH // 2)]
+
     return {
+        # -- text orchestrators (curated, r10) ------------------------
         "corpus.substring_dedup":
-            lambda df: corpus.substring_dedup(with_id(df)),
+            ("text", lambda df: corpus.substring_dedup(with_id(df))),
         "corpus.chunk_documents":
-            lambda df: corpus.chunk_documents(with_id(df)),
+            ("text", lambda df: corpus.chunk_documents(with_id(df))),
         "corpus.char_entropy":
-            lambda df: corpus.char_entropy(with_id(df)),
+            ("text", lambda df: corpus.char_entropy(with_id(df))),
         "dedup.exact_dedup":
-            lambda df: dedup.exact_dedup(with_id(df)),
+            ("text", lambda df: dedup.exact_dedup(with_id(df))),
         "dedup.with_minhash":
-            lambda df: dedup.with_minhash(with_id(df)),
+            ("text", lambda df: dedup.with_minhash(with_id(df))),
         "dedup.with_simhash":
-            lambda df: dedup.with_simhash(with_id(df)),
+            ("text", lambda df: dedup.with_simhash(with_id(df))),
         "text.with_fingerprint":
-            lambda df: tx.with_fingerprint(with_id(df)),
+            ("text", lambda df: tx.with_fingerprint(with_id(df))),
+        # -- r11: corpus HOF-bearing operators (hof_bearing_defs) -----
+        "corpus.dedup_paragraphs":
+            ("text", lambda df: corpus.dedup_paragraphs(with_id(df))),
+        "corpus.ngram_novelty":
+            ("text", lambda df: corpus.ngram_novelty(with_id(df))),
+        "corpus.phrase_boilerplate":
+            ("text",
+             lambda df: corpus.phrase_boilerplate(with_id(df))),
+        "corpus.lm_perplexity":
+            ("text", lambda df: corpus.lm_perplexity(with_id(df))),
+        "corpus.collocations_pmi":
+            ("text",
+             lambda df: corpus.collocations_pmi(with_id(df))),
+        "corpus.c4_line_filter":
+            ("text", lambda df: corpus.c4_line_filter(with_id(df))),
+        "contamination._raw_grams":
+            ("text",  # driven via its public caller at 64 KB docs
+             lambda df: contamination.contamination_report(
+                 with_id(df), with_id(df.limit(4)))),
+        # -- r11: MS tensor operators (4096-wide DATA/FLAG) -----------
+        "bda.bda_average":
+            ("ms", lambda df: bda.bda_average(
+                df, "t", ["a1", "a2"], "uvd", 1.0, 500.0,
+                data_col="DATA", flag_col="FLAG", weight_col="w")),
+        "bda.flag_summary":
+            ("ms", lambda df: bda.flag_summary(df, ["a1", "a2"],
+                                               "FLAG")),
+        "calibration.delay_fit":
+            ("ms", lambda df: calibration.delay_fit(df, "DATA",
+                                                    freqs)),
+        "rfi.flag_grow":
+            ("ms", lambda df: rfi.flag_grow(df, "t", ["a1", "a2"],
+                                            "FLAG")),
+        "rfi.rfi_flag":
+            ("ms", lambda df: rfi.rfi_flag(df, "t", ["a1", "a2"],
+                                           "DATA", "FLAG")),
+        "grouping.tensor_row_average":
+            ("ms", lambda df: grouping.tensor_row_average(
+                df, ["a1", "a2"], "DATA", mask_col="FLAG")),
+        # -- r11: embedding operators (4096-dim vectors) --------------
+        "clustering.kmeans_assign":
+            ("emb", lambda df: clustering.kmeans_assign(df)),
+        "semantic.semantic_dedup":
+            ("emb", lambda df: semantic.semantic_dedup(df)),
+        # random_projection's coefficient stream is 256-dim-capped by
+        # its cross-engine-mirror contract (it raises loudly above) —
+        # audit at that cap; its HOFs are all target-bound (vec is a
+        # zip_with/transform TARGET), so no lambda-body re-expansion
+        # surface exists beyond what 256 wide already drives
+        "similarity.random_projection":
+            ("emb", lambda df: similarity.random_projection(
+                df.select("vec_id",
+                          F.slice("embedding", 1, 256)
+                          .alias("embedding")),
+                256, out_dim=4)),
+        "similarity.pq_encode":
+            ("emb", lambda df: similarity.pq_encode(
+                df, similarity.pq_codebooks(df, WIDTH), WIDTH)),
+        "similarity.pq_topk":
+            ("emb", lambda df: similarity.pq_topk(
+                df, df.limit(4), WIDTH, k=5)),
+        "similarity.ivfpq_topk":
+            ("emb", lambda df: similarity.ivfpq_topk(
+                df, df.limit(4), WIDTH, k=5)),
+        "similarity._l2sq_fixed":
+            ("emb",  # the PQ distance kernel, via its public caller
+             lambda df: similarity.pq_topk(df.limit(64), df.limit(2),
+                                           WIDTH, k=3)),
     }
+
+
+# Enumerated HOF-bearing defs that are deliberately NOT budget-run;
+# every entry carries the reason a wide-array fixture cannot expose a
+# re-expansion class in it.  A NEW def in any DF_OP_SOURCES module
+# must land here or in df_ops() — the completeness test fails
+# otherwise.
+DF_OP_WHITELIST = {
+    "timeseries.windowed_ema":
+        "HOF folds run over the O(window)-bounded collect_list frame "
+        "(16 literal decay weights), never over a data-width array",
+    "flagversions.diff_flagversions":
+        "zip_with/filter popcounts whose targets are plain column "
+        "attribute refs read back from a written flagversion store; "
+        "store round-trips at MS widths are pytest-covered "
+        "(tests/test_writes.py) and no expression input exists to "
+        "re-expand",
+    "sampling.curriculum_order":
+        "the only HOF is an aggregate over the O(n_stages) broadcast "
+        "threshold array (n_stages literal, default 4)",
+    "similarity.build_ivf_index":
+        "orchestrator that WRITES a Hive-partitioned index; its "
+        "scoring kernels (dot/argmin/l2sq) are budget-run via "
+        "kmeans_assign, pq_encode and pq_topk",
+    "similarity.pq_query_indexed":
+        "reads a previously WRITTEN index; the scoring path is "
+        "ivfpq_topk's LUT scan, which is budget-run wide",
+}
 
 
 def neg_substring_dedup_substr(df):
@@ -436,6 +661,32 @@ def _drain_cancelled(spark, timeout_s: float = 90.0) -> None:
         time.sleep(0.5)
 
 
+def settle(spark, vdf, timeout_s: float = 300.0) -> float:
+    """Block until the host measures steady again after a cancelled
+    quadratic (r11: the active-jobs drain is a LIAR — a cancelled
+    job drops from the tracker while its interrupted codegen loops
+    keep burning executor threads for minutes, so every measurement
+    after the first budget blow-out in the r11 tool run failed at
+    exactly the budget, including ops that pass in isolation).
+    Re-runs the vector.norm reference until two consecutive probes
+    land under 3x steady; returns the final host factor."""
+    from dask_ms_spark.functions import vector as vec
+
+    deadline = time.monotonic() + timeout_s
+    good = 0
+    hf = 99.0
+    while time.monotonic() < deadline:
+        t0 = time.monotonic()
+        vdf.select(F.xxhash64(vec.norm(F.col("v"))).alias("h")) \
+            .agg(F.sum(F.col("h").cast("double"))).collect()
+        hf = (time.monotonic() - t0) / NORM_STEADY_S
+        good = good + 1 if hf < 3.0 else 0
+        if good >= 2:
+            return max(1.0, min(hf, 6.0))
+        time.sleep(2.0)
+    return max(1.0, min(hf, 6.0))
+
+
 # ------------------------------------------------------------ the runner
 def run_with_budget(spark, df, col, budget_s: float = BUDGET_S):
     """Force full evaluation of ``col`` over ``df`` in a cancellable
@@ -520,7 +771,8 @@ def main(argv):
     spark.sparkContext.setLogLevel("ERROR")
     vdf = wide_vector_df(spark)
     tdf = wide_text_df(spark)
-    fixtures = {"vector": vdf, "text": tdf}
+    fixtures = {"vector": vdf, "text": tdf,
+                "ms": wide_ms_df(spark), "emb": wide_emb_df(spark)}
     hf = host_factor(spark, vdf)
     if hf > 1.05:
         print(f"host contention factor {hf:.2f} — budgets scaled")
@@ -534,6 +786,10 @@ def main(argv):
             for n in names:
                 if f"{mod}.{n}" not in inv:
                     missing.append(f"{mod}.{n}")
+        ops = df_ops()
+        for name in hof_bearing_defs():
+            if name not in ops and name not in DF_OP_WHITELIST:
+                missing.append(f"df:{name}")
         if missing:
             print("MISSING wide-fixture invocations:", missing)
             return 2
@@ -546,17 +802,29 @@ def main(argv):
                 failed.append(name)
                 why = f"ERROR {err}" if err else "BUDGET EXCEEDED"
                 print(f"{name:40s} {why} after {t:.1f}s{flag}")
+                if err is None:
+                    # zombie codegen loops from the cancelled job keep
+                    # burning threads — settle before the next number
+                    hf = settle(spark, vdf)
             else:
                 print(f"{name:40s} {t:6.2f}s{flag}")
 
     if "--controls" not in argv:
-        for name, thunk in sorted(df_ops().items()):
-            ok, t, err = run_df_with_budget(spark, thunk(tdf),
+        for name, (kind, fn) in sorted(df_ops().items()):
+            try:
+                out_df = fn(fixtures[kind])
+            except Exception as exc:  # noqa: BLE001 — plan-build error
+                failed.append(name)
+                print(f"df:{name:37s} BUILD ERROR {str(exc)[:120]}")
+                continue
+            ok, t, err = run_df_with_budget(spark, out_df,
                                             DF_BUDGET_S * hf)
             if not ok:
                 failed.append(name)
                 why = f"ERROR {err}" if err else "BUDGET EXCEEDED"
                 print(f"df:{name:37s} {why} after {t:.1f}s")
+                if err is None:
+                    hf = settle(spark, vdf)
             else:
                 print(f"df:{name:37s} {t:6.2f}s")
 
