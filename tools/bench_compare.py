@@ -115,21 +115,43 @@ def main() -> int:
     flagged = [r for r in rows if r[0] > threshold]
     print(f"{len(common)} common queries; "
           f"{len(flagged)} above {threshold:.2f}x normalized")
-    # r10 artifacts carry per-query cross-pass spread: a flagged query
-    # whose own samples disagree >1.3x is transient-suspect, not a
-    # clean regression signal
-    spreads = {**(old_d.get("query_spread") or {}),
-               **(new_d.get("query_spread") or {})}
+
+    # r11 (r10 verdict item 1): every flagged delta is labeled REAL
+    # or TRANSIENT-SUSPECT from the runs' own published per-query
+    # noise.  The noise floor for a query is the worse of the two
+    # runs' corroboration (r11 artifacts: min adjacent sample ratio;
+    # fallback: max/min spread for r10 artifacts).  A claimed
+    # regression SMALLER than its own noise floor is suppressed from
+    # the exit code — it is unattributable by construction, the
+    # r10 phrase_boilerplate bisection class.
+    def noise_for(q):
+        floors = []
+        for d in (old_d, new_d):
+            cb = (d.get("query_corroboration")
+                  or d.get("query_spread") or {})
+            floors.append(cb.get(q, 1.0))
+        return max(floors)
+
+    real = []
     for norm, raw, q in flagged:
-        noisy = " [cross-pass spread {:.2f}x — transient-suspect]" \
-            .format(spreads[q]) if spreads.get(q, 1.0) > 1.3 else ""
+        floor = noise_for(q)
+        if floor >= norm:
+            label = (f"TRANSIENT-SUSPECT (noise floor {floor:.2f}x "
+                     f">= claimed {norm:.2f}x — suppressed)")
+        else:
+            label = "REAL" + (f" (noise floor {floor:.2f}x)"
+                              if floor > 1.05 else "")
+            real.append(q)
         print(f"  REGRESSION? {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
-              f"(raw {raw:.2f}x, normalized {norm:.2f}x){noisy}")
+              f"(raw {raw:.2f}x, normalized {norm:.2f}x) [{label}]")
     improved = [r for r in rows if r[0] < 1 / threshold]
     for norm, raw, q in sorted(improved):
         print(f"  improved    {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
               f"(normalized {norm:.2f}x)")
-    return 1 if flagged else 0
+    if flagged:
+        print(f"{len(real)} real / {len(flagged) - len(real)} "
+              f"transient-suspect (suppressed)")
+    return 1 if real else 0
 
 
 if __name__ == "__main__":
