@@ -85,11 +85,18 @@ quantity must be UNQUOTED — see NOT covered below).
 Under a single supplied site, ``HA1``/``HA2`` (antenna 1/2) coincide
 by construction.
 
+``MSCAL.UVW``/``UVW_J2000`` (r11) is the Thompson-Moran-Swenson
+baseline rotation ``[u, v, w]`` — casacore derives the equatorial
+baseline from the ANTENNA subtable, so the three per-row baseline
+component column names bind explicitly via ``mscal={..., "bx_col",
+"by_col", "bz_col"}``; units follow the baseline columns (casacore
+UVW is meters).
+
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
 quoted quantity strings (``'5deg'`` stays a string literal — write
 the unquoted casacore form ``5deg``), mscal derived columns other
-than HA*/PA*/AZEL* (LAST, UVW_J2000, ...), and multi-table nested
+than HA*/PA*/AZEL*/UVW* (LAST, ITRF, ...), and multi-table nested
 selects.
 """
 
@@ -205,7 +212,7 @@ _NUMBER = re.compile(
 # driver-side; only the per-row hour-angle trigonometry runs
 # engine-side.
 _MSCAL_NAMES = ("HA", "HA1", "HA2", "PA", "PA1", "PA2",
-                "AZEL1", "AZEL2")
+                "AZEL1", "AZEL2", "UVW", "UVW_J2000")
 
 
 def _mscal_sql(name: str, ctx: dict) -> str:
@@ -239,6 +246,32 @@ def _mscal_sql(name: str, ctx: dict) -> str:
     sin_lat, cos_lat = repr(_math.sin(lat)), repr(_math.cos(lat))
     tan_lat = repr(_math.tan(lat))
     sin_dec, cos_dec = repr(_math.sin(dec)), repr(_math.cos(dec))
+    if name.startswith("UVW"):
+        # r11 (r10 verdict item 6): the Thompson-Moran-Swenson
+        # baseline rotation (operators/calibration.py
+        # uvw_from_baseline, the same SQL q_uvw_compute oracles) —
+        # [u, v, w] in the baseline columns' units (casacore UVW is
+        # meters).  casacore derives the equatorial baseline from the
+        # ANTENNA subtable; a predicate string has no table context,
+        # so the three per-row baseline component COLUMN NAMES bind
+        # explicitly alongside the scalar geometry.
+        bl_need = ("bx_col", "by_col", "bz_col")
+        bl_missing = [k for k in bl_need if k not in ctx]
+        if bl_missing:
+            raise ValueError(
+                f"taql_where_to_sql: MSCAL.{name} needs the "
+                f"baseline component column names {bl_missing} in "
+                "the mscal= argument (casacore reads the equatorial "
+                "baseline from the ANTENNA subtable positions)")
+        bx, by, bz = (f"CAST({ctx[k]} AS DOUBLE)" for k in bl_need)
+        # sin/cos literals can be negative: always parenthesise so a
+        # leading unary minus cannot fuse into an SQL `--` comment
+        u = f"(sin({ha}) * {bx} + cos({ha}) * {by})"
+        v = (f"((-({sin_dec})) * cos({ha}) * {bx} + ({sin_dec}) "
+             f"* sin({ha}) * {by} + ({cos_dec}) * {bz})")
+        w_ = (f"(({cos_dec}) * cos({ha}) * {bx} - ({cos_dec}) "
+              f"* sin({ha}) * {by} + ({sin_dec}) * {bz})")
+        return f"array({u}, {v}, {w_})"
     if name.startswith("PA"):
         return (f"atan2(sin({ha}), {tan_lat} * {cos_dec} "
                 f"- {sin_dec} * cos({ha}))")

@@ -801,3 +801,56 @@ def test_tier7_mscal_through_storage_read(spark, tmp_path):
                                  F.lit(geo["lon_deg"]),
                                  F.lit(geo["ra_deg"]))) > 0.3).collect())
     assert got == want and got
+
+
+def test_tier7_mscal_uvw(spark):
+    """r11 (r10 verdict item 6): MSCAL.UVW/UVW_J2000 translates to
+    the Thompson-Moran-Swenson baseline rotation over explicitly
+    bound baseline component columns, and the emitted SQL agrees
+    with operators/calibration.uvw_from_baseline (wavelength=1) when
+    fed the same hour angle, to float precision."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.functions.mscal import hour_angle_deg
+    from dask_ms_spark.operators.calibration import uvw_from_baseline
+    from dask_ms_spark.taql import _mscal_sql, taql_where_to_sql as T
+
+    geo = {"lon_deg": 21.443, "lat_deg": -30.712,
+           "ra_deg": 80.0, "dec_deg": -45.0,
+           "bx_col": "bx", "by_col": "by", "bz_col": "bz"}
+    # refusals: missing baseline columns, clear message
+    with _pytest.raises(ValueError, match="bx_col"):
+        T("MSCAL.UVW[2] > 0",
+          mscal={k: geo[k] for k in ("lon_deg", "lat_deg",
+                                     "ra_deg", "dec_deg")})
+    # translator emits the rotation; [2] is w (0-based TAQL index)
+    sql = T("MSCAL.UVW_J2000[2] > 0", mscal=geo)
+    assert "element_at" in sql and "atan2" not in sql
+
+    df = spark.range(40).select(
+        "id",
+        (F.col("id") * 977.0 % 4000.0 + 4.9e9).alias("TIME"),
+        ((F.col("id") * 17.3) % 1000.0 - 500.0).alias("bx"),
+        ((F.col("id") * 11.9) % 1000.0 - 500.0).alias("by"),
+        ((F.col("id") * 5.7) % 200.0 - 100.0).alias("bz"))
+    import math
+    ha = F.radians(hour_angle_deg(F.col("TIME"), F.lit(geo["lon_deg"]),
+                                  F.lit(geo["ra_deg"])))
+    want = uvw_from_baseline(df.withColumn("ha", ha), "bx", "by",
+                             "bz", "ha", dec=math.radians(-45.0))
+    got = df.select("id", F.expr(_mscal_sql("UVW", geo)).alias("uvw"))
+    rows = (want.select("id", "u", "v", "w")
+            .join(got, "id")
+            .select((F.abs(F.col("u") - F.element_at("uvw", 1))
+                     + F.abs(F.col("v") - F.element_at("uvw", 2))
+                     + F.abs(F.col("w") - F.element_at("uvw", 3)))
+                    .alias("err")))
+    max_err = rows.agg(F.max("err")).first()[0]
+    assert max_err < 1e-9
+    # predicate executes end-to-end and matches the Column filter
+    kept_sql = sorted(r.id for r in df.where(
+        T("MSCAL.UVW[2] > 0", mscal=geo)).select("id").collect())
+    kept_col = sorted(r.id for r in want.where(F.col("w") > 0)
+                      .select("id").collect())
+    assert kept_sql == kept_col and 0 < len(kept_sql) < 40
