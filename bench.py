@@ -160,6 +160,26 @@ def main() -> int:
             release_caches()
 
     jvm_system = getattr(getattr(spark, "_jvm", None), "System", None)
+    jvm_runtime = None
+    if jvm_system is not None:
+        try:
+            jvm_runtime = spark._jvm.Runtime.getRuntime()
+        except Exception:  # noqa: BLE001 — py4j bridge variations
+            jvm_runtime = None
+
+    def maybe_gc():
+        """Driver GC fires Spark's ContextCleaner (releases broadcast
+        and shuffle blocks — the r9 heap-drift guard), but each
+        System.gc() is a full-heap pause the suite pays ~20x per
+        pass.  r11: skip it while the heap is comfortable; the guard
+        still fires under the pressure it exists for."""
+        if jvm_system is None:
+            return
+        if jvm_runtime is not None:
+            used = jvm_runtime.totalMemory() - jvm_runtime.freeMemory()
+            if used < 0.25 * jvm_runtime.maxMemory():
+                return
+        jvm_system.gc()
 
     def canary_probe() -> float:
         """PROBE FORMULA: wall-clock of the fixed canary triplet run
@@ -200,14 +220,8 @@ def main() -> int:
             # scoped persists (a user-facing driver does the same, or
             # uses cache_scope())
             release_caches()
-            if jvm_system is not None and i % 8 == 0:
-                # a driver GC fires Spark's ContextCleaner, which is
-                # what actually releases accumulated broadcast/shuffle
-                # blocks in a long single-JVM run; without it late
-                # queries pay rising heap pressure (measured: the last
-                # query ran 6x slower at the end of a 72-query loop
-                # than in isolation)
-                jvm_system.gc()
+            if i % 8 == 0:
+                maybe_gc()
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -244,8 +258,8 @@ def main() -> int:
               f"{len(noisy)} uncorroborated queries", file=sys.stderr)
         for i, name in enumerate(noisy):
             release_caches()
-            if jvm_system is not None and i % 8 == 0:
-                jvm_system.gc()
+            if i % 8 == 0:
+                maybe_gc()
             t0 = time.time()
             try:
                 queries[name](spark, sf_dir).write.format("noop") \
