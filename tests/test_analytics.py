@@ -358,3 +358,39 @@ def test_cuped_constant_covariate_degrades_to_unadjusted(spark):
     for arm in ("t", "c"):
         assert out[arm].mean_post_cuped is not None
         assert out[arm].mean_post_cuped == out[arm].mean_post
+
+
+def test_bench_compare_labels_real_vs_transient(tmp_path, capsys, monkeypatch):
+    """r10 verdict item 1: bench_compare labels each flagged delta
+    REAL or TRANSIENT-SUSPECT from the runs' own published per-query
+    noise (corroboration, falling back to spread), suppresses
+    unattributable ones from the exit code, and still exits 1 when a
+    real regression survives."""
+    import json
+    import sys
+
+    import tools.bench_compare as bc
+
+    old = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0},
+           "query_corroboration": {"a": 1.0, "b": 1.0, "c": 1.0}}
+    # a: clean 2x regression (noise floor 1.05) -> REAL, exit 1
+    # b: 2x delta but its own samples disagree 2.5x -> suppressed
+    # c: untouched
+    new = {"queries": {"a": 2.0, "b": 2.0, "c": 1.0},
+           "query_corroboration": {"a": 1.05, "b": 2.5, "c": 1.0}}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    monkeypatch.setattr(sys, "argv",
+                        ["bench_compare", str(po), str(pn), "1.5"])
+    rc = bc.main()
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "REGRESSION? a" in out and "[REAL" in out
+    assert "REGRESSION? b" in out and "TRANSIENT-SUSPECT" in out
+    assert "1 real / 1 transient-suspect" in out
+    # with the real one fixed, only the transient remains -> exit 0
+    new["queries"]["a"] = 1.0
+    pn.write_text(json.dumps(new))
+    rc = bc.main()
+    assert rc == 0
