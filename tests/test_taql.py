@@ -854,3 +854,38 @@ def test_tier7_mscal_uvw(spark):
     kept_col = sorted(r.id for r in want.where(F.col("w") > 0)
                       .select("id").collect())
     assert kept_sql == kept_col and 0 < len(kept_sql) < 40
+
+
+def test_tier7_uvw_through_storage_read(spark, tmp_path):
+    """End-to-end: taql_mscal= with baseline column names drives the
+    UVW derived column through xds_from_storage_table's dispatch —
+    the reference call shape with casacore-derived UVW cuts."""
+    import math
+
+    from dask_ms_spark.functions.mscal import hour_angle_deg
+    from dask_ms_spark.operators.calibration import uvw_from_baseline
+    from dask_ms_spark.sources.storage import xds_from_storage_table
+
+    geo = {"lon_deg": 21.443, "lat_deg": -30.712,
+           "ra_deg": 80.0, "dec_deg": -45.0,
+           "bx_col": "BX", "by_col": "BY", "bz_col": "BZ"}
+    rows = spark.range(60).select(
+        "id",
+        (F.col("id") * 977.0 % 4000.0 + 4.9e9).alias("TIME"),
+        ((F.col("id") * 17.3) % 1000.0 - 500.0).alias("BX"),
+        ((F.col("id") * 11.9) % 1000.0 - 500.0).alias("BY"),
+        ((F.col("id") * 5.7) % 200.0 - 100.0).alias("BZ"))
+    path = str(tmp_path / "ms_like")
+    rows.write.parquet(path)
+
+    dss = xds_from_storage_table(
+        spark, path, taql_where="MSCAL.UVW[2] > 0", taql_mscal=geo)
+    got = sorted(r.id for d in dss for r in d.df.select("id").collect())
+
+    ha = F.radians(hour_angle_deg(F.col("TIME"), F.lit(geo["lon_deg"]),
+                                  F.lit(geo["ra_deg"])))
+    want_df = uvw_from_baseline(rows.withColumn("ha", ha), "BX", "BY",
+                                "BZ", "ha", dec=math.radians(-45.0))
+    want = sorted(r.id for r in want_df.where(F.col("w") > 0)
+                  .select("id").collect())
+    assert got == want and 0 < len(got) < 60
