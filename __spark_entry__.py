@@ -6790,108 +6790,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The rotation ledger lives at the window boundary (position 50)
     # inside the dict below.
     return {
-        # -- round-11 window, positions 1-6: the r6-session debuts
-        #    whose last driver row is r7 (oldest remaining) --
-        "uvcontsub": q_uvcontsub,
-        "predict_vis": q_predict_vis,
-        "dsir_select": q_dsir_select,
-        "uvw_compute": q_uvw_compute,
-        "quality_classifier": q_quality_classifier,
-        "sumthreshold": q_sumthreshold,
-        # -- window positions 7-22: the 16 oldest r4-stale
-        #    re-checks (last driver row r7) --
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
-        "projection": q_projection,
-        "filter_pushdown": q_filter_pushdown,
-        # -- window positions 23-38: the r7-session debuts (last
-        #    driver row r8) --
-        "applycal": q_applycal,
-        "flag_grow": q_flag_grow,
-        "parallactic_angle": q_parallactic_angle,
-        "dedup_containment": q_dedup_containment,
-        "sample_unimax": q_sample_unimax,
-        "scan_summary": q_scan_summary,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "grid_conv": q_grid_conv,
-        "statwt": q_statwt,
-        "c4_filter": q_c4_filter,
-        "closure_amp": q_closure_amp,
-        "split_leakage": q_split_leakage,
-        "ccnet_buckets": q_ccnet_buckets,
-        "attribution": q_attribution,
-        "cuped": q_cuped,
-        "cusum_segments": q_cusum_segments,
-        # -- window positions 39-50: the first 12 r4-stale re-checks
-        #    from the r8 window (last driver row r8) --
-        "expr_arithmetic": q_expr_arithmetic,
-        "group_partition": q_group_partition,
-        "sorted_read": q_sorted_read,
-        "within_group_sort": q_within_group_sort,
-        "topk": q_topk,
-        "broadcast_join": q_broadcast_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "concat": q_concat,
-        "overlay": q_overlay,
-        "complex_mul": q_complex_mul,
-        "asof_join": q_asof_join,
-        # ==== driver window ends here (position 50) ====
-        # ROTATION LEDGER (50-row window over the registry,
-        # 4-round coverage union):
-        #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
-        #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
-        #   r9 window: 1 r8-debut + 23 r5-checked + 13 r6-checked
-        #     + 13 oldest "last row r5" = 50 (CORRECTNESS_r09:
-        #     50/50 green)
-        #   r10 window: the 26 "last row r5" remainder + the 24
-        #     oldest r7-checked = 50 (CORRECTNESS_r10: 50/50 green
-        #     — after it every registered query's latest row is
-        #     green).  ann_ivf demoted r10 beside ann_ivf_indexed;
-        #     registry 166 + 27 demoted = 193 total
-        #     at r10 close; r11 demotes pagerank beside split_leakage
-        #     (wall bound) -> 165 + 28 = 193.
-        #   r11 window (this one, exactly the r10 ledger's plan —
-        #     the first 50 lines after rotation): 6 r7-checked
-        #     debuts (uvcontsub ... sumthreshold) + 16 r7-checked
-        #     r4-stale (tpch_q7 ... filter_pushdown) + 16
-        #     r8-checked r7-debuts (applycal ... cusum_segments)
-        #     + the 12 oldest r8-checked r4-stale (expr_arithmetic
-        #     ... asof_join) = 50.  The post-window tail below
-        #     stays ordered by staleness (r8-checked remainder,
-        #     r8-checked r5-blocks, r9-checked, r10-checked) so
-        #     future windows are always the first 50 lines after
-        #     rotation.
-        # Round-8 demotions (oracles retained in
-        # demoted_oracle_sql, swept by tools/check_oracle +
-        # pytest): grid_wstack, ann_pq, dedup_semantic,
-        # dedup_minhash_drop, contamination (see ledger in git
-        # history for the beside-twin rationale).
-        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
-        # events_changepoint, closure_phase, lm_kneser_ney,
-        # resample_fill, kmeans_cluster, sample_temperature,
-        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
-        # quality_filter.
-        # Round-10 demotion: ann_ivf (beside ann_ivf_indexed).
-        # -- last driver row r8 (r4-stale re-check remainder) --
+        # -- round-12 window, positions 1-17: the r8-checked tail head
+        #    (r4-stale re-check remainder + oldest r5-checked) --
         "range_join": q_range_join,
         "salted_join": q_salted_join,
         "window_frames": q_window_frames,
         "cube": q_cube,
         "quantiles": q_quantiles,
-        # -- last driver row r8 (oldest r5-checked re-checks) --
         "doc_chunks": q_doc_chunks,
         "pii_redact": q_pii_redact,
         "dedup_incremental": q_dedup_incremental,
@@ -6904,8 +6809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
-        # -- last driver row r9 (the full r9 window, minus the
-        #    ann_ivf demotion) --
+        # -- window positions 18-50: the oldest r9-checked block (the
+        #    r9 window head, minus the ann_ivf demotion) --
         "taql_subquery": q_taql_subquery,
         "graph_triangles": q_graph_triangles,
         "corpus_overlap_kmv": q_corpus_overlap_kmv,
@@ -6939,6 +6844,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "events_dedup": q_events_dedup,
         "corpus_mixture": q_corpus_mixture,
+        # ==== driver window ends here (position 50) ====
+        # ROTATION LEDGER (50-row window over the registry,
+        # 4-round coverage union):
+        #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
+        #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
+        #   r9 window: 1 r8-debut + 23 r5-checked + 13 r6-checked
+        #     + 13 oldest "last row r5" = 50 (CORRECTNESS_r09:
+        #     50/50 green)
+        #   r10 window: the 26 "last row r5" remainder + the 24
+        #     oldest r7-checked = 50 (CORRECTNESS_r10: 50/50 green
+        #     — after it every registered query's latest row is
+        #     green).  ann_ivf demoted r10 beside ann_ivf_indexed;
+        #     registry 166 + 27 demoted = 193 total at r10 close;
+        #     r11 demotes pagerank beside split_leakage (wall
+        #     bound) -> 165 + 28 = 193.
+        #   r11 window: 6 r7-checked debuts + 16 r7-checked
+        #     r4-stale + 16 r8-checked r7-debuts + the 12 oldest
+        #     r8-checked r4-stale = 50 (CORRECTNESS_r11: 50/50
+        #     green).
+        #   r12 window (this one, exactly the r11 ledger's plan —
+        #     the first 50 lines after rotation): the 17 r8-checked
+        #     tail heads (range_join ... char_entropy) + the 33
+        #     oldest r9-checked (taql_subquery ... corpus_mixture)
+        #     = 50.  The post-window tail below stays ordered by
+        #     staleness (r9-checked remainder, r10-checked block,
+        #     r11-checked block) so future windows are always the
+        #     first 50 lines after rotation; the r13 window is the
+        #     16 r9-checked remainder (text_repetition ...
+        #     similarity_topk) + the 34 oldest r10-checked
+        #     (sample_split ... weighted_quantiles).
+        # Round-8 demotions (oracles retained in
+        # demoted_oracle_sql, swept by tools/check_oracle +
+        # pytest): grid_wstack, ann_pq, dedup_semantic,
+        # dedup_minhash_drop, contamination (see ledger in git
+        # history for the beside-twin rationale).
+        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
+        # events_changepoint, closure_phase, lm_kneser_ney,
+        # resample_fill, kmeans_cluster, sample_temperature,
+        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
+        # quality_filter.
+        # Round-10 demotion: ann_ivf (beside ann_ivf_indexed).
+        # Round-11 demotion: pagerank (beside split_leakage).
+        # -- last driver row r9 (the r9 window remainder) --
         "text_repetition": q_text_repetition,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -6956,7 +6904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
         # -- last driver row r10 (the full r10 window: 26 "last
-        #    row r5" remainder + 24 oldest r7-checked) --
+        #    row r5" remainder + 24 oldest r7-checked, minus the
+        #    r11 pagerank demotion) --
         "sample_split": q_sample_split,
         "udaf_ols": q_udaf_ols,
         "table_profile": q_table_profile,
@@ -7006,6 +6955,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "stokes_convert": q_stokes_convert,
         "hanning": q_hanning,
+        # -- last driver row r11 (the full r11 window) --
+        "uvcontsub": q_uvcontsub,
+        "predict_vis": q_predict_vis,
+        "dsir_select": q_dsir_select,
+        "uvw_compute": q_uvw_compute,
+        "quality_classifier": q_quality_classifier,
+        "sumthreshold": q_sumthreshold,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "projection": q_projection,
+        "filter_pushdown": q_filter_pushdown,
+        "applycal": q_applycal,
+        "flag_grow": q_flag_grow,
+        "parallactic_angle": q_parallactic_angle,
+        "dedup_containment": q_dedup_containment,
+        "sample_unimax": q_sample_unimax,
+        "scan_summary": q_scan_summary,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "grid_conv": q_grid_conv,
+        "statwt": q_statwt,
+        "c4_filter": q_c4_filter,
+        "closure_amp": q_closure_amp,
+        "split_leakage": q_split_leakage,
+        "ccnet_buckets": q_ccnet_buckets,
+        "attribution": q_attribution,
+        "cuped": q_cuped,
+        "cusum_segments": q_cusum_segments,
+        "expr_arithmetic": q_expr_arithmetic,
+        "group_partition": q_group_partition,
+        "sorted_read": q_sorted_read,
+        "within_group_sort": q_within_group_sort,
+        "topk": q_topk,
+        "broadcast_join": q_broadcast_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "concat": q_concat,
+        "overlay": q_overlay,
+        "complex_mul": q_complex_mul,
+        "asof_join": q_asof_join,
     }
 
 _LM_PERPLEXITY_SQL = """
