@@ -167,15 +167,22 @@ def main() -> int:
         except Exception:  # noqa: BLE001 — py4j bridge variations
             jvm_runtime = None
 
+    gc_calls = {"n": 0}
+
     def maybe_gc():
         """Driver GC fires Spark's ContextCleaner (releases broadcast
         and shuffle blocks — the r9 heap-drift guard), but each
         System.gc() is a full-heap pause the suite pays ~20x per
         pass.  r11: skip it while the heap is comfortable; the guard
-        still fires under the pressure it exists for."""
+        still fires under the pressure it exists for.  r12 (ADVICE):
+        ContextCleaner also reclaims DISK-side shuffle files and
+        off-heap state the heap gauge cannot see, so every 8th call
+        (~64 queries) forces one GC unconditionally as the disk-side
+        backstop."""
         if jvm_system is None:
             return
-        if jvm_runtime is not None:
+        gc_calls["n"] += 1
+        if jvm_runtime is not None and gc_calls["n"] % 8 != 0:
             used = jvm_runtime.totalMemory() - jvm_runtime.freeMemory()
             if used < 0.25 * jvm_runtime.maxMemory():
                 return
@@ -347,8 +354,23 @@ def main() -> int:
         "canary_probes_by_pass": probes_by_pass,
     }
     # file artifact first (FULL per-query map): survives any
-    # stdout-capture truncation
-    with open(os.path.join(ROOT, "BENCH_local.json"), "w") as fh:
+    # stdout-capture truncation.  r12 (r11 verdict item 6): only a
+    # builder-flagged DEFINITIVE run overwrites the committed
+    # BENCH_local.json; any other invocation (the driver's per-round
+    # run) writes a round-stamped, gitignored sibling so a driver run
+    # can no longer dirty the working tree over the committed record.
+    if os.environ.get("SPARK_GRAFT_BENCH_DEFINITIVE", "") == "1":
+        artifact = "BENCH_local.json"
+    else:
+        stamp = "latest"
+        try:
+            with open(os.path.join(ROOT, "PROGRESS.jsonl")) as fh:
+                lines = fh.read().strip().splitlines()
+            stamp = f"r{json.loads(lines[-1])['round']}"
+        except Exception:  # noqa: BLE001 — no progress file: keep latest
+            pass
+        artifact = f"BENCH_local.{stamp}.json"
+    with open(os.path.join(ROOT, artifact), "w") as fh:
         fh.write(json.dumps(metric) + "\n")
     # The printed line must survive a BOUNDED tail capture (r6
     # post-mortem: a 169-query JSON line overflowed the driver's
@@ -375,7 +397,7 @@ def main() -> int:
         "pass_walls": pass_walls,
         "repro_within_1_3": repro,
         "queries": worst,
-        "full_artifact": "BENCH_local.json",
+        "full_artifact": artifact,
     }
     line = json.dumps(compact)
     # stop Spark BEFORE printing so no JVM output can follow the line

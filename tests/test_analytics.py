@@ -394,3 +394,35 @@ def test_bench_compare_labels_real_vs_transient(tmp_path, capsys, monkeypatch):
     pn.write_text(json.dumps(new))
     rc = bc.main()
     assert rc == 0
+
+
+def test_bench_compare_caps_legacy_spread_floor(tmp_path, capsys,
+                                                monkeypatch):
+    """ADVICE r11: a legacy artifact without query_corroboration falls
+    back to max/min spread, which one outvoted transient inflates
+    forever — an uncapped spread floor would suppress a genuine clean
+    regression of similar size.  The floor must be capped (so a 3x
+    regression against a 5x historic spread is still REAL) and the
+    output must say the floor is spread-based."""
+    import json
+    import sys
+
+    import tools.bench_compare as bc
+
+    # legacy record: spread only, inflated to 5x by an old transient
+    old = {"queries": {"a": 1.0, "b": 1.0},
+           "query_spread": {"a": 5.0, "b": 5.0}}
+    # a: genuine 3x regression, corroborated clean in the new run;
+    # b: untouched
+    new = {"queries": {"a": 3.0, "b": 1.0},
+           "query_corroboration": {"a": 1.02, "b": 1.0}}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    monkeypatch.setattr(sys, "argv",
+                        ["bench_compare", str(po), str(pn), "1.5"])
+    rc = bc.main()
+    out = capsys.readouterr().out
+    assert rc == 1, "capped spread floor must not suppress a 3x delta"
+    assert "REGRESSION? a" in out and "[REAL" in out
+    assert "spread-based" in out  # the trust warning is printed

@@ -124,22 +124,47 @@ def main() -> int:
     # regression SMALLER than its own noise floor is suppressed from
     # the exit code — it is unattributable by construction, the
     # r10 phrase_boilerplate bisection class.
+    # Spread-derived floors (legacy r10 artifacts without
+    # query_corroboration) stay inflated forever once one outvoted
+    # transient sample exists, so an uncapped spread floor could
+    # suppress a genuine clean regression of similar size (ADVICE
+    # r11).  Cap such floors and say which kind fed the verdict;
+    # corroboration floors are used as-is.
+    SPREAD_FLOOR_CAP = 2.0
+
     def noise_for(q):
         floors = []
+        spread_based = False
         for d in (old_d, new_d):
-            cb = (d.get("query_corroboration")
-                  or d.get("query_spread") or {})
-            floors.append(cb.get(q, 1.0))
-        return max(floors)
+            cb = d.get("query_corroboration")
+            if cb is None:
+                cb = d.get("query_spread") or {}
+                f = cb.get(q, 1.0)
+                if f > SPREAD_FLOOR_CAP:
+                    f = SPREAD_FLOOR_CAP
+                spread_based = True
+            else:
+                f = cb.get(q, 1.0)
+            floors.append(f)
+        return max(floors), spread_based
+
+    if any(d.get("query_corroboration") is None
+           and d.get("query_spread") for d in (old_d, new_d)):
+        print(f"note: one record lacks query_corroboration — its "
+              f"noise floors fall back to max/min spread (less "
+              f"trustworthy: inflated forever by a single outvoted "
+              f"transient), capped at {SPREAD_FLOOR_CAP:.1f}x")
 
     real = []
     for norm, raw, q in flagged:
-        floor = noise_for(q)
+        floor, spread_based = noise_for(q)
+        kind = "spread-based, capped" if spread_based \
+            else "corroboration"
         if floor >= norm:
             label = (f"TRANSIENT-SUSPECT (noise floor {floor:.2f}x "
-                     f">= claimed {norm:.2f}x — suppressed)")
+                     f"[{kind}] >= claimed {norm:.2f}x — suppressed)")
         else:
-            label = "REAL" + (f" (noise floor {floor:.2f}x)"
+            label = "REAL" + (f" (noise floor {floor:.2f}x [{kind}])"
                               if floor > 1.05 else "")
             real.append(q)
         print(f"  REGRESSION? {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
