@@ -28,12 +28,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from tools.audit_hof import (BUDGET_S, DF_BUDGET_S, DF_NEGATIVE_CONTROLS,
-                             DF_OP_WHITELIST, NEGATIVE_CONTROLS, df_ops,
+                             DF_OP_WHITELIST, KERNEL_WHITELIST,
+                             NEGATIVE_CONTROLS, df_ops,
                              exported_kernels, hof_bearing_defs,
                              host_factor, invocations,
                              run_df_with_budget, run_with_budget,
-                             wide_emb_df, wide_ms_df, wide_text_df,
-                             wide_vector_df)
+                             wide_emb_df, wide_katvis_df, wide_ms_df,
+                             wide_text_df, wide_vector_df)
 
 # bound twins finish in < 1 s at this shape; the unbound controls need
 # 40 s+ — a reduced control budget keeps the proof cheap
@@ -45,27 +46,35 @@ def test_every_exported_kernel_has_wide_invocation():
     invocation must fail: the budget sweep cannot guard what it does
     not run.  (Pure AST scan — no Spark.)"""
     inv = invocations()
-    missing = [f"{mod}.{name}"
+    kernels = [f"{mod}.{name}"
                for mod, names in exported_kernels().items()
-               for name in names if f"{mod}.{name}" not in inv]
+               for name in names]
+    missing = [k for k in kernels
+               if k not in inv and k not in KERNEL_WHITELIST]
     assert not missing, (
         f"kernels without a wide-fixture invocation in "
         f"tools/audit_hof.py INVOCATIONS: {missing} — register one "
         f"so the re-expansion budget sweep covers them")
+    stale = [k for k in KERNEL_WHITELIST if k not in kernels]
+    assert not stale, (
+        f"KERNEL_WHITELIST entries no longer matching any enumerated "
+        f"kernel (drop them): {stale}")
 
 
 def test_every_hof_bearing_df_op_is_adjudicated():
-    """r10 verdict item 3: every module-level def carrying a HOF
-    lambda in ANY DF_OP_SOURCES module (operators/{bda,calibration,
-    rfi,timeseries,graph,grouping,flagversions}, llm/{clustering,
-    contamination,corpus,sampling,semantic,similarity}) must be
-    budget-run in df_ops() or carry a DF_OP_WHITELIST reason — a new
-    kernel one directory over can no longer bypass the gate.  (Pure
-    AST scan — no Spark.)"""
+    """r11 verdict item 1: every def (public or private, module-level
+    or class method) carrying a HOF call site ANYWHERE in
+    dask_ms_spark/ — detected by AST walk across every import
+    spelling, not an `F.`-substring (ADVICE r11) — must be budget-run
+    in df_ops() (or via a kernel invocation) or carry a
+    DF_OP_WHITELIST reason.  A new HOF site anywhere in the package
+    fails this test until adjudicated.  (Pure AST scan — no Spark.)"""
     ops = df_ops()
+    inv = invocations()
     defs = hof_bearing_defs()
     missing = [n for n in defs
-               if n not in ops and n not in DF_OP_WHITELIST]
+               if n not in ops and n not in DF_OP_WHITELIST
+               and n not in inv]
     assert not missing, (
         f"HOF-bearing defs without a df_ops() invocation or a "
         f"DF_OP_WHITELIST reason in tools/audit_hof.py: {missing}")
@@ -84,12 +93,14 @@ def wide_fixtures(spark):
     t = wide_text_df(spark)
     m = wide_ms_df(spark)
     e = wide_emb_df(spark)
+    k = wide_katvis_df(spark)
     # budgets scale by measured host contention (clamped 1-6x) so a
     # busy CI box inflates walls without false-failing the sweep,
     # while a 40x quadratic still cannot sneak under
     hf = host_factor(spark, v)
-    yield {"vector": v, "text": t, "ms": m, "emb": e, "hf": hf}
-    for df in (v, t, m, e):
+    yield {"vector": v, "text": t, "ms": m, "emb": e, "katvis": k,
+           "hf": hf}
+    for df in (v, t, m, e, k):
         df.unpersist()
 
 
@@ -130,6 +141,7 @@ def test_df_ops_within_wall_budget(spark, wide_fixtures):
         "ms": wide_fixtures["ms"].where(F.col("t") < 8.0),
         "emb": wide_fixtures["emb"].where(F.col("vec_id") < 64),
         "vector": wide_fixtures["vector"],
+        "katvis": wide_fixtures["katvis"].where(F.col("time") < 8.0),
     }
     from tools.audit_hof import settle
 
@@ -164,6 +176,45 @@ def test_df_negative_control_blows_budget(spark, wide_fixtures):
         assert not ok, (
             f"{name} completed in {t:.1f}s — the df harness no "
             f"longer separates the classes at this shape")
+
+
+def test_detector_catches_every_import_spelling():
+    """ADVICE r11: the old detector substring-matched `F.transform(`
+    so an alias import (`functions as sf`) or a direct import
+    (`from pyspark.sql.functions import transform`) bypassed the
+    gate.  The AST detector must flag all spellings — and must NOT
+    flag DataFrame.filter(cond) or functools.reduce."""
+    import ast
+
+    from tools.audit_hof import _alias_sets, _is_hof_call
+
+    def sites(src: str) -> int:
+        tree = ast.parse(src)
+        aliases = _alias_sets(tree)
+        return sum(_is_hof_call(n, *aliases) for n in ast.walk(tree))
+
+    # canonical spelling
+    assert sites("from pyspark.sql import functions as F\n"
+                 "y = F.transform(c, lambda x: x + 1)\n") == 1
+    # alias import (the bypass ADVICE named)
+    assert sites("from pyspark.sql import functions as sf\n"
+                 "y = sf.transform(c, lambda x: x + 1)\n") == 1
+    # direct function import, no lambda visible at the call
+    assert sites("from pyspark.sql.functions import transform\n"
+                 "y = transform(c, helper)\n") == 1
+    # non-lambda second arg through the functions alias
+    # (zarr.rechunk_by_size's F.transform(col, F.length) shape)
+    assert sites("from pyspark.sql import functions as F\n"
+                 "y = F.max(F.transform(c, F.length))\n") == 1
+    # attribute call with a lambda under an unknown prefix still flags
+    assert sites("y = mystery.zip_with(a, b, lambda x, y: x + y)\n") \
+        == 1
+    # DataFrame.filter(condition) must NOT flag
+    assert sites("y = df.filter(col('a') > 1)\n") == 0
+    # functools.reduce driver-side folds must NOT flag
+    assert sites("from functools import reduce\n"
+                 "y = reduce(lambda a, b: a.unionByName(b), frames)\n"
+                 ) == 0
 
 
 # cancellation-based tests LAST: a cancelled quadratic job's tasks

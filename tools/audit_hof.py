@@ -72,82 +72,164 @@ BUDGET_S = 20.0       # per-kernel wall budget on the wide fixture
 # still overshoot: 512 channels quadratic ~= 30s+ vs ~1s bound.
 PHASE_CHANNELS = 512
 
-KERNEL_SOURCES = {
-    "vector": "dask_ms_spark/functions/vector.py",
-    "text": "dask_ms_spark/functions/text.py",
-    "complexf": "dask_ms_spark/functions/complexf.py",
-    "dedup": "dask_ms_spark/llm/dedup.py",
-    # r11 (r10 verdict item 3): every other Column-kernel module
-    "mscal": "dask_ms_spark/functions/mscal.py",
-    "sampling": "dask_ms_spark/llm/sampling.py",
-    "similarity": "dask_ms_spark/llm/similarity.py",
-    "calibration": "dask_ms_spark/operators/calibration.py",
+# r12 (r11 verdict item 1): the enumeration is PACKAGE-WIDE — every
+# .py under dask_ms_spark/ is scanned; a new HOF site anywhere in the
+# package (any import spelling — ADVICE r11: `from pyspark.sql import
+# functions as sf`, `from pyspark.sql.functions import transform`, or
+# a lambda-taking call by HOF name — is detected by AST walk, not by
+# an `F.`-prefixed substring) must be budget-run or whitelisted.
+PKG = "dask_ms_spark"
+
+_HOF_NAMES = frozenset({"transform", "aggregate", "zip_with", "filter",
+                        "exists", "forall", "reduce"})
+
+# Column kernels that cannot be invoked as a bare Column thunk; each
+# entry names the df_ops() surface that budget-runs it instead.
+KERNEL_WHITELIST = {
+    "expressions.data_column_expr":
+        "takes (DataFrame, str) to resolve array-vs-scalar columns "
+        "from the schema; budget-run wide via the df_ops entry "
+        "expressions._Lowering.lower (4096-element arrays through "
+        "zip_with/transform/unary-minus/floordiv/mod)",
 }
 
-# r11 (r10 verdict item 3): modules whose DataFrame operators carry
-# HOF lambdas — enumerated structurally below (hof_bearing_defs), each
-# def must have a df_ops() invocation or a DF_OP_WHITELIST entry
-DF_OP_SOURCES = {
-    "bda": "dask_ms_spark/operators/bda.py",
-    "calibration": "dask_ms_spark/operators/calibration.py",
-    "rfi": "dask_ms_spark/operators/rfi.py",
-    "timeseries": "dask_ms_spark/operators/timeseries.py",
-    "graph": "dask_ms_spark/operators/graph.py",
-    "grouping": "dask_ms_spark/operators/grouping.py",
-    "flagversions": "dask_ms_spark/operators/flagversions.py",
-    "clustering": "dask_ms_spark/llm/clustering.py",
-    "contamination": "dask_ms_spark/llm/contamination.py",
-    "corpus": "dask_ms_spark/llm/corpus.py",
-    "sampling": "dask_ms_spark/llm/sampling.py",
-    "semantic": "dask_ms_spark/llm/semantic.py",
-    "similarity": "dask_ms_spark/llm/similarity.py",
-}
 
-_HOF_CALLS = ("F.transform(", "F.aggregate(", "F.zip_with(",
-              "F.filter(", "F.exists(", "F.forall(", "F.reduce(")
+def _package_files() -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(os.path.join(ROOT, PKG)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def _leaf(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _alias_sets(tree):
+    """(functions-module aliases, HOF names imported directly from
+    pyspark.sql.functions, names imported from functools) for one
+    module — the import-robust detection ADVICE r11 asked for."""
+    f_aliases, f_funcs, functools_names = set(), set(), set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.module == "pyspark.sql":
+                for a in node.names:
+                    if a.name == "functions":
+                        f_aliases.add(a.asname or a.name)
+            elif node.module == "pyspark.sql.functions":
+                for a in node.names:
+                    if a.name in _HOF_NAMES:
+                        f_funcs.add(a.asname or a.name)
+            elif node.module == "functools":
+                for a in node.names:
+                    functools_names.add(a.asname or a.name)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == "pyspark.sql.functions" and a.asname:
+                    f_aliases.add(a.asname)
+    return f_aliases, f_funcs, functools_names
+
+
+def _is_hof_call(node, f_aliases, f_funcs, functools_names) -> bool:
+    """A Call is a higher-order-function site when it targets a HOF
+    name through ANY import spelling: `<functions-alias>.<hof>(...)`
+    (with or without a lambda — `F.transform(col, F.length)` counts),
+    a directly-imported HOF name, or any `.{hof}(...)` / bare
+    `{hof}(...)` call that takes a lambda argument (df.filter(cond)
+    has no lambda; functools.reduce is excluded by import origin)."""
+    if not isinstance(node, ast.Call):
+        return False
+    fn = node.func
+    has_lambda = any(isinstance(a, ast.Lambda) for a in node.args)
+    if isinstance(fn, ast.Attribute) and fn.attr in _HOF_NAMES:
+        if isinstance(fn.value, ast.Name) and fn.value.id in f_aliases:
+            return True
+        if has_lambda:
+            return True
+    if isinstance(fn, ast.Name) and fn.id in _HOF_NAMES:
+        if fn.id in f_funcs:
+            return True
+        if has_lambda and fn.id not in functools_names:
+            return True
+    return False
+
+
+def _scan_package() -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+    """One AST pass over the whole package.  Returns
+    (kernels, hof_defs): ``kernels[mod] = [public module-level defs
+    annotated -> Column]`` and ``hof_defs[mod] = [def or Class.method
+    names whose subtree contains a HOF call site]`` (Column kernels
+    excluded — they ride the kernel sweep).  ``mod`` is the module
+    leaf name; uniqueness among modules WITH findings is asserted so
+    ``mod.def`` keys stay unambiguous."""
+    kernels: dict[str, list[str]] = {}
+    hof_defs: dict[str, list[str]] = {}
+    seen_leaf: dict[str, str] = {}
+    for path in _package_files():
+        tree = ast.parse(open(path).read())
+        aliases = _alias_sets(tree)
+        mod = _leaf(path)
+        kn, hn = [], []
+
+        def scan(body, prefix, _aliases=aliases, _kn=kn, _hn=hn):
+            for node in body:
+                if isinstance(node, ast.ClassDef):
+                    scan(node.body, prefix + node.name + ".")
+                    continue
+                if not isinstance(node, ast.FunctionDef):
+                    continue
+                ret = getattr(node, "returns", None)
+                is_kernel = (not prefix
+                             and not node.name.startswith("_")
+                             and ret is not None
+                             and ast.unparse(ret) == "Column")
+                if is_kernel:
+                    _kn.append(node.name)
+                    continue
+                if any(_is_hof_call(n, *_aliases)
+                       for n in ast.walk(node)):
+                    _hn.append(prefix + node.name)
+
+        scan(tree.body, "")
+        if not kn and not hn:
+            continue
+        if mod in seen_leaf:
+            raise AssertionError(
+                f"module leaf name collision: {path} vs "
+                f"{seen_leaf[mod]} — qualify the enumeration")
+        seen_leaf[mod] = path
+        if kn:
+            kernels[mod] = kn
+        if hn:
+            hof_defs[mod] = hn
+    return kernels, hof_defs
 
 
 def exported_kernels() -> dict[str, list[str]]:
     """Public module-level functions with a Column return annotation,
-    per module — the enumeration the completeness check runs on."""
-    out = {}
-    for mod, rel in KERNEL_SOURCES.items():
-        tree = ast.parse(open(os.path.join(ROOT, rel)).read())
-        names = []
-        for node in tree.body:
-            if isinstance(node, ast.FunctionDef) \
-                    and not node.name.startswith("_"):
-                ret = getattr(node, "returns", None)
-                if ret is not None and ast.unparse(ret) == "Column":
-                    names.append(node.name)
-        out[mod] = names
-    return out
+    package-wide — the enumeration the kernel completeness check runs
+    on (each needs an invocations() entry or a KERNEL_WHITELIST
+    reason)."""
+    return _scan_package()[0]
 
 
 def hof_bearing_defs() -> list[str]:
-    """``mod.name`` for every module-level def (public OR private) in
-    DF_OP_SOURCES whose own source contains an F.<hof>( call —
-    EXCLUDING Column-annotated kernels (those ride the
-    exported_kernels sweep).  Each enumerated name must have a
-    df_ops() invocation or a DF_OP_WHITELIST reason: a new HOF-bearing
-    operator added to any of these modules fails the completeness
-    test until it is budget-run or explicitly adjudicated (the r10
-    gate covered 4 modules; a kernel one directory over bypassed it
-    entirely — r10 verdict item 3)."""
-    out = []
-    for mod, rel in sorted(DF_OP_SOURCES.items()):
-        tree = ast.parse(open(os.path.join(ROOT, rel)).read())
-        for node in tree.body:
-            if not isinstance(node, ast.FunctionDef):
-                continue
-            ret = getattr(node, "returns", None)
-            if ret is not None and ast.unparse(ret) == "Column" \
-                    and not node.name.startswith("_"):
-                continue  # Column kernel: exported_kernels territory
-            src = ast.unparse(node)
-            if any(h in src for h in _HOF_CALLS):
-                out.append(f"{mod}.{node.name}")
-    return out
+    """``mod.name`` for every def (public OR private, module-level or
+    class method) ANYWHERE in the package whose subtree contains a
+    HOF call site — EXCLUDING public Column-annotated kernels (those
+    ride the exported_kernels sweep).  Each enumerated name must have
+    a df_ops() invocation or a DF_OP_WHITELIST reason: a new
+    HOF-bearing operator anywhere in dask_ms_spark/ fails the
+    completeness test until it is budget-run or explicitly
+    adjudicated (the r10 gate covered 4 modules and a kernel one
+    directory over bypassed it — r10 verdict item 3; the r11 gate
+    covered 21 hand-listed modules and three files remained outside —
+    r11 verdict item 1)."""
+    hof = _scan_package()[1]
+    return [f"{mod}.{name}" for mod in sorted(hof)
+            for name in hof[mod]]
 
 
 # ------------------------------------------------------------- fixtures
@@ -227,6 +309,31 @@ def wide_emb_df(spark):
     df = df.persist()
     df.count()
     return df
+
+
+def wide_katvis_df(spark):
+    """(time, corrprod)-keyed visibilities at the reference's big_ms
+    stress width (daskms/conftest.py:35-86): 16 dumps x 16 corrprods
+    (4 baselines x 4 corrs), each a 4096-chan array — the input shape
+    of sources/katdal.transpose_to_rowmajor."""
+    df = spark.range(256).select(
+        (F.col("id") / 16).cast("int").cast("double").alias("time"),
+        (F.col("id") % 16).alias("corrprod"),
+        F.transform(F.sequence(F.lit(1), F.lit(WIDTH)),
+                    lambda i: ((F.col("id") + i) % 73).cast("double")
+                    / 36.0 - 1.0).alias("data"))
+    df = df.persist()
+    df.count()
+    return df
+
+
+def katvis_cp_index(spark):
+    """corrprod -> (antenna1, antenna2, corr) for the katvis fixture:
+    4 baselines x 4 correlation products."""
+    rows = [(b * 4 + corr, b // 2, b % 2 + 2, corr)
+            for b in range(4) for corr in range(4)]
+    return spark.createDataFrame(
+        rows, "corrprod long, antenna1 int, antenna2 int, corr int")
 
 
 def _ex(c: Column) -> Column:
@@ -363,7 +470,19 @@ def _invocations():
         "calibration.unwrap_phases":
             lambda: cal.unwrap_phases(_ex(c("v"))),
         "vector.prefix_sum": lambda: vec.prefix_sum(_ex(c("v"))),
+        # r12 (r11 verdict item 1): package-wide kernel enumeration
+        # pulled in the z-order layout key (scalar bit interleave —
+        # bounded by `bits`, no HOF; budget-run for uniformity)
+        "ordering.zorder_key":
+            lambda: _zorder([_exs(c("sc")) * 100.0 + 100.0,
+                             (c("id") % 97).cast("double")]),
     }
+
+
+def _zorder(cols):
+    from dask_ms_spark.operators.ordering import zorder_key
+
+    return zorder_key(cols)
 
 
 def invocations():
@@ -390,13 +509,24 @@ def df_ops():
     curated r10 list (text orchestrators) or names enumerated by
     hof_bearing_defs(); kinds select the wide fixture (text / ms /
     emb)."""
+    from dask_ms_spark import expressions
+    from dask_ms_spark.functions import complexf as cf
     from dask_ms_spark.functions import text as tx
     from dask_ms_spark.llm import (clustering, contamination, corpus,
                                    dedup, semantic, similarity)
     from dask_ms_spark.operators import bda, calibration, grouping, rfi
+    from dask_ms_spark.sources import katdal
 
     def with_id(df):
         return df.select(F.col("id").alias("doc_id"), "text")
+
+    def gains_for(df):
+        """Per-antenna interleaved complex gains at the vis width."""
+        return df.sparkSession.range(16).select(
+            F.col("id").alias("antenna"),
+            F.transform(F.sequence(F.lit(1), F.lit(WIDTH)),
+                        lambda i: ((F.col("id") + i) % 19)
+                        .cast("double") / 19.0 + 0.5).alias("gain"))
 
     freqs = [1.0e9 + 1.0e6 * k for k in range(WIDTH // 2)]
 
@@ -484,6 +614,39 @@ def df_ops():
             ("emb",  # the PQ distance kernel, via its public caller
              lambda df: similarity.pq_topk(df.limit(64), df.limit(2),
                                            WIDTH, k=3)),
+        # -- r12 (r11 verdict item 1): the last files outside the gate
+        # P4 expression DSL: drive every lowering path (zip_with,
+        # array-scalar transform, scalar-array transform, unary minus,
+        # floordiv, mod) over the 4096-wide fixture arrays — the
+        # reference's own example shape (daskms/expressions.py:57-109)
+        "expressions._Lowering.lower":
+            ("vector", lambda df: df.select(
+                expressions.data_column_expr(
+                    df, "-(v + v2) / (v2 + 1.5) * 2.5 % 3.0 // 1.0"
+                        " + sc - 2.0 * v").alias("r"))),
+        # katdal transpose at the big_ms stress shape (4096 chans,
+        # daskms/conftest.py:35-86): nested transform flipping
+        # corr-major collect_list output to chan-major
+        "katdal.transpose_to_rowmajor":
+            ("katvis", lambda df: katdal.transpose_to_rowmajor(
+                df, katvis_cp_index(df.sparkSession))),
+        # dedup pair machinery (DataFrame ops beside the Column
+        # kernels already swept): banded LSH + exact-verify paths
+        "dedup.minhash_lsh_pairs":
+            ("text", lambda df: dedup.minhash_lsh_pairs(with_id(df))),
+        "dedup.lsh_jaccard_pairs":
+            ("text", lambda df: dedup.lsh_jaccard_pairs(with_id(df))),
+        "dedup.ngram_jaccard_pairs":
+            ("text",
+             lambda df: dedup.ngram_jaccard_pairs(with_id(df))),
+        # Gopher-family repetition signals over 64 KB docs
+        "text.bigram_repetition":
+            ("text", lambda df: tx.bigram_repetition(with_id(df))),
+        # antenna-gain application over 4096-wide interleaved vis
+        "complexf.apply_gains":
+            ("ms", lambda df: cf.apply_gains(
+                df, gains_for(df), ant1_col="a1", ant2_col="a2",
+                data_col="DATA")),
     }
 
 
@@ -512,6 +675,31 @@ DF_OP_WHITELIST = {
     "similarity.pq_query_indexed":
         "reads a previously WRITTEN index; the scoring path is "
         "ivfpq_topk's LUT scan, which is budget-run wide",
+    # -- r12: package-wide enumeration pulled these in ----------------
+    "vector._bind_once":
+        "the binding primitive itself — a transform wrapper every "
+        "kernel invocation above drives; no independent re-expansion "
+        "surface exists (its lambda is the identity/restructuring "
+        "closure the caller supplies over already-bound refs)",
+    "zarr.rechunk_by_size":
+        "the F.transform(col, F.length) / size() calls are bounded "
+        "per-column STAT AGGREGATES (max string length, max array "
+        "width) over plain column attribute refs computed once per "
+        "write — never a per-element lambda over an expression input; "
+        "write round-trips at MS widths are pytest-covered "
+        "(tests/test_zarr.py)",
+    "zarr._write_group":
+        "the F.exists null-scan is a bounded per-column validation "
+        "aggregate over a plain column ref on the write path; "
+        "corruption-guard behaviour is pytest-covered "
+        "(tests/test_zarr.py)",
+    "text.learn_bpe_merges":
+        "driver-side tokenizer TRAINING loop returning a python list; "
+        "its HOF lambdas run over per-word-TYPE symbol arrays bounded "
+        "by max word length (~tens of symbols), never by document or "
+        "corpus width — a wide-doc fixture measures the iteration "
+        "loop, not a re-expansion class; parity is pytest-covered "
+        "(tests/test_functions.py BPE suite)",
 }
 
 
@@ -772,7 +960,8 @@ def main(argv):
     vdf = wide_vector_df(spark)
     tdf = wide_text_df(spark)
     fixtures = {"vector": vdf, "text": tdf,
-                "ms": wide_ms_df(spark), "emb": wide_emb_df(spark)}
+                "ms": wide_ms_df(spark), "emb": wide_emb_df(spark),
+                "katvis": wide_katvis_df(spark)}
     hf = host_factor(spark, vdf)
     if hf > 1.05:
         print(f"host contention factor {hf:.2f} — budgets scaled")
@@ -784,11 +973,16 @@ def main(argv):
         missing = []
         for mod, names in exported_kernels().items():
             for n in names:
-                if f"{mod}.{n}" not in inv:
+                if f"{mod}.{n}" not in inv \
+                        and f"{mod}.{n}" not in KERNEL_WHITELIST:
                     missing.append(f"{mod}.{n}")
         ops = df_ops()
         for name in hof_bearing_defs():
-            if name not in ops and name not in DF_OP_WHITELIST:
+            # an invocations() entry also covers a def (dict-of-Column
+            # helpers like text.quality_features ride the kernel sweep
+            # struct-wrapped)
+            if name not in ops and name not in DF_OP_WHITELIST \
+                    and name not in inv:
                 missing.append(f"df:{name}")
         if missing:
             print("MISSING wide-fixture invocations:", missing)
