@@ -95,9 +95,11 @@ UVW is meters).
 NOT covered (translate by hand): bare date/time literals
 (``2016/01/01``, ``10:30:00`` — write ``DATETIME('2016/01/01')``),
 quoted quantity strings (``'5deg'`` stays a string literal — write
-the unquoted casacore form ``5deg``), mscal derived columns other
-than HA*/PA*/AZEL*/UVW* (LAST, ITRF, ...), and multi-table nested
-selects.
+the unquoted casacore form ``5deg``) and mscal derived columns other
+than HA*/PA*/AZEL*/UVW* (LAST, ITRF, ...).  Multi-table nested
+selects (``X IN [SELECT a.C FROM ::TAB1 a, ::TAB2 b WHERE ...]``)
+are covered as of r12 — each FROM item is a registered view, the
+comma join plans as a Catalyst equi-join under the WHERE equality.
 """
 
 from __future__ import annotations
@@ -460,21 +462,43 @@ def _emit_array_operand(body: list[str], array_cols,
     return _emit(b, array_cols, mscal)
 
 
+def _collapse_rowid(toks: list[str]) -> list[str]:
+    """``ROWID ( )`` -> ``ROWID`` (the column the readers attach),
+    qualified or not — casacore's rowid function becomes a plain
+    column reference wherever it appears in a nested select."""
+    out: list[str] = []
+    k = 0
+    while k < len(toks):
+        if (toks[k].upper() == "ROWID" and k + 2 < len(toks)
+                and toks[k + 1] == "(" and toks[k + 2] == ")"):
+            out.append("ROWID")
+            k += 3
+        else:
+            out.append(toks[k])
+            k += 1
+    return out
+
+
 def _emit_subquery(body: list[str], array_cols=None,
                    mscal=None) -> str:
     """Translate the bracketed TAQL nested query ``SELECT [DISTINCT]
-    col[, col...] FROM table [WHERE pred]`` to a Spark SQL subquery.
+    col[, col...] FROM table[, table...] [WHERE pred]`` to a Spark
+    SQL subquery.
 
-    Only single-table selects are in-subset (the recurring reference
-    idiom: row-set probes against a subtable,
-    daskms/tests: taql_where='ANTENNA1 IN [SELECT ROWID() FROM
-    ::ANTENNA WHERE ...]').  ``::NAME`` (the reference's subtable
-    suffix, fsspec_store.py) becomes the bare registered view name;
-    ``ROWID()`` becomes the ROWID column.  The WHERE clause recurses
-    through the full translator with the SAME bound schema — the
-    binding is by column NAME, shared across every relation the
-    expression mentions — so every supported tier nests, array
-    aggregates included."""
+    The recurring reference idiom is the single-table row-set probe
+    (daskms/tests: taql_where='ANTENNA1 IN [SELECT ROWID() FROM
+    ::ANTENNA WHERE ...]'); r12 adds the multi-table comma join of
+    TAQL Note 199 (``FROM ::DATA_DESCRIPTION d, ::SPECTRAL_WINDOW s
+    WHERE d.SPECTRAL_WINDOW_ID = s.ROWID && ...``) — each FROM item
+    is ``[::]NAME [alias]``, emitted as the comma join Spark plans as
+    an inner join under the WHERE equality (Catalyst turns the
+    cross+filter into an equi-join).  ``::NAME`` (the reference's
+    subtable suffix, fsspec_store.py) becomes the bare registered
+    view name; ``ROWID()`` becomes the ROWID column, qualified or
+    not.  The WHERE clause recurses through the full translator with
+    the SAME bound schema — the binding is by column NAME, shared
+    across every relation the expression mentions — so every
+    supported tier nests, array aggregates included."""
     up = [t.upper() for t in body]
     if "FROM" not in up:
         raise ValueError(
@@ -491,32 +515,66 @@ def _emit_subquery(body: list[str], array_cols=None,
         distinct = "DISTINCT "
     else:
         distinct = ""
-    # ROWID() -> ROWID column; collapse the () tokens
-    cols: list[str] = []
+    tab = body[f + 1:w]
+    # FROM list: one or more ``[::]NAME [alias]`` items separated by
+    # commas (multi-table nested select, TAQL Note 199)
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    items: list[str] = []
     k = 0
-    while k < len(sel):
-        if (sel[k].upper() == "ROWID" and k + 2 <= len(sel) - 1
-                and sel[k + 1] == "(" and sel[k + 2] == ")"):
-            cols.append("ROWID")
-            k += 3
-        else:
-            cols.append(sel[k])
+    while k < len(tab):
+        while k < len(tab) and tab[k] == ":":   # ::SUBTABLE -> SUBTABLE
             k += 1
+        if k >= len(tab) or not ident.match(tab[k]):
+            raise ValueError(
+                "taql_where_to_sql: nested SELECT FROM items must be "
+                "registered table/view names ([::]NAME [alias], "
+                f"comma-separated), got {' '.join(tab)!r} — register "
+                "the relation as a temp view first")
+        item = tab[k]
+        k += 1
+        if k < len(tab) and tab[k] != "," and ident.match(tab[k]):
+            item += f" {tab[k]}"                # alias
+            k += 1
+        items.append(item)
+        if k < len(tab):
+            if tab[k] != ",":
+                raise ValueError(
+                    "taql_where_to_sql: nested SELECT FROM items "
+                    "must be comma-separated, got "
+                    f"{' '.join(tab)!r}")
+            k += 1
+            if k >= len(tab):
+                raise ValueError(
+                    "taql_where_to_sql: nested SELECT FROM list ends "
+                    "with a comma")
+    # names in scope for `alias.COL` qualification: every FROM item's
+    # table name and alias.  Qualified refs fuse to ONE token so the
+    # top-level translator's dot handling (MSCAL-only) never sees
+    # them and Spark receives standard qualified identifiers.
+    scope = {part for item in items for part in item.split()}
+
+    def fuse(toks: list[str]) -> list[str]:
+        out2: list[str] = []
+        k2 = 0
+        while k2 < len(toks):
+            if (k2 + 2 < len(toks)
+                    and toks[k2] in scope and toks[k2 + 1] == "."
+                    and ident.match(toks[k2 + 2])):
+                out2.append(f"{toks[k2]}.{toks[k2 + 2]}")
+                k2 += 3
+            else:
+                out2.append(toks[k2])
+                k2 += 1
+        return out2
+
+    cols = fuse(_collapse_rowid(sel))
     if not cols:
         raise ValueError(
             "taql_where_to_sql: nested SELECT with no columns")
-    tab = body[f + 1:w]
-    while tab and tab[0] == ":":        # ::SUBTABLE -> SUBTABLE
-        tab = tab[1:]
-    if len(tab) != 1 or not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$",
-                                     tab[0]):
-        raise ValueError(
-            "taql_where_to_sql: nested SELECT supports a single "
-            f"registered table/view name, got {' '.join(tab)!r} — "
-            "register the relation as a temp view first")
-    sql = f"SELECT {distinct}{' '.join(cols)} FROM {tab[0]}"
+    sql = f"SELECT {distinct}{' '.join(cols)} FROM {', '.join(items)}"
     if w < len(body):
-        pred = _emit(body[w + 1:], array_cols, mscal)
+        pred = _emit(fuse(_collapse_rowid(body[w + 1:])),
+                     array_cols, mscal)
         if not pred.strip():
             raise ValueError(
                 "taql_where_to_sql: nested SELECT with empty WHERE")
