@@ -3180,14 +3180,18 @@ def q_pipeline_funnel(spark, sf_dir):
     quality gate, exact content dedup, MinHash near-dedup — per-lang
     survivor funnel (n_total -> n_quality -> +exact -> +near).  Each
     stage's verdict computes independently over the corpus and the
-    funnel is the cumulative AND, so the stages share the single scan
-    and Catalyst interleaves them; this is the composability argument
-    for declaring curation as DataFrame algebra instead of chained
-    materialised passes."""
+    funnel is the cumulative AND, so the stages share one scoped
+    persist of the (doc_id, lang, text) projection (r12: the three
+    stages otherwise each re-scan and re-decompress the text column —
+    interleaved A/B at sf0.1 reads the shared-persist spelling at
+    0.85x, medians 3.76 vs 4.42 s over 8 alternations); this is the
+    composability argument for declaring curation as DataFrame
+    algebra instead of chained materialised passes."""
     from dask_ms_spark.llm.corpus import quality_filter
     from dask_ms_spark.llm.dedup import minhash_dedup, normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = scoped_persist(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     q = quality_filter(docs).select("doc_id",
                                     F.col("keep").alias("q_keep"))
     ex = docs.select(
