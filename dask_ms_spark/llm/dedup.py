@@ -341,10 +341,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 .distinct())
     sig_tbl = with_sig.select("id", "sig")
     pairs = (cand
-             .join(sig_tbl.select(F.col("id").alias("id_a"),
-                                  F.col("sig").alias("sig_a")), "id_a")
-             .join(sig_tbl.select(F.col("id").alias("id_b"),
-                                  F.col("sig").alias("sig_b")), "id_b"))
+             .join(_payload(sig_tbl.select(F.col("id").alias("id_a"),
+                                           F.col("sig").alias("sig_a"))),
+                   "id_a")
+             .join(_payload(sig_tbl.select(F.col("id").alias("id_b"),
+                                           F.col("sig").alias("sig_b"))),
+                   "id_b"))
     matches = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
@@ -467,6 +469,25 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
                      F.count(F.lit(1)).alias("dup_count")))
 
 
+def _payload(tbl: DataFrame) -> DataFrame:
+    """Pin a candidate->payload re-attach join to sort-merge.
+
+    The payload tables (minhash signatures, shingle-hash sets,
+    normalized text) are O(corpus) rows with FAT list/string columns.
+    Both the plan-time estimate (rows x default width) and AQE's
+    runtime signal (COMPRESSED shuffle bytes) undersize them, so the
+    join happily auto-broadcasts — measured r12: a plain 1 GiB-driver
+    session at 50k docs dies with 'Not enough memory to build and
+    broadcast' re-attaching the ~125 MB shingle-set table whose
+    compressed shuffle size sat under the 10 MB threshold.  On a
+    cluster the same choice ships the corpus to every executor.  The
+    candidate side is the smaller one but O(pairs) and unbounded
+    above, so the scale-safe plan is the partitioned sort-merge join
+    on the 8-byte id key — the hint forbids broadcast in BOTH
+    directions for this join."""
+    return tbl.hint("merge")
+
+
 def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 5,
                       num_hashes: int = 16, num_bands: int = 4,
@@ -532,10 +553,12 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
               .distinct())
     sig_tbl = sigged.select("id", "sig")
     with_sigs = (cand
-                 .join(sig_tbl.select(F.col("id").alias("id_a"),
-                                      F.col("sig").alias("sig_a")), "id_a")
-                 .join(sig_tbl.select(F.col("id").alias("id_b"),
-                                      F.col("sig").alias("sig_b")), "id_b"))
+                 .join(_payload(sig_tbl.select(
+                     F.col("id").alias("id_a"),
+                     F.col("sig").alias("sig_a"))), "id_a")
+                 .join(_payload(sig_tbl.select(
+                     F.col("id").alias("id_b"),
+                     F.col("sig").alias("sig_b"))), "id_b"))
     matches = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
@@ -543,10 +566,12 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                  .select("id_a", "id_b"))
     hset_tbl = sigged.select("id", "hset")
     joined = (survivors
-              .join(hset_tbl.select(F.col("id").alias("id_a"),
-                                    F.col("hset").alias("ha")), "id_a")
-              .join(hset_tbl.select(F.col("id").alias("id_b"),
-                                    F.col("hset").alias("hb")), "id_b"))
+              .join(_payload(hset_tbl.select(
+                  F.col("id").alias("id_a"),
+                  F.col("hset").alias("ha"))), "id_a")
+              .join(_payload(hset_tbl.select(
+                  F.col("id").alias("id_b"),
+                  F.col("hset").alias("hb"))), "id_b"))
     inter = F.size(F.array_intersect("ha", "hb"))
     union = F.size("ha") + F.size("hb") - inter
     jac = (inter / union).alias("jaccard")
@@ -618,10 +643,12 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
              .where(F.col("__shared") >= min_matches)
              .select("id_a", "id_b"))
     joined = (cand
-              .join(hset_tbl.select(F.col("id").alias("id_a"),
-                                    F.col("hset").alias("ha")), "id_a")
-              .join(hset_tbl.select(F.col("id").alias("id_b"),
-                                    F.col("hset").alias("hb")), "id_b"))
+              .join(_payload(hset_tbl.select(
+                  F.col("id").alias("id_a"),
+                  F.col("hset").alias("ha"))), "id_a")
+              .join(_payload(hset_tbl.select(
+                  F.col("id").alias("id_b"),
+                  F.col("hset").alias("hb"))), "id_b"))
     inter = F.size(F.array_intersect("ha", "hb"))
     out = joined.select(
         "id_a", "id_b",
@@ -889,10 +916,12 @@ def edit_distance_pairs(docs: DataFrame, text_col: str = "text",
     txt = docs.select(F.col(id_col).alias("id"),
                       normalize_text(F.col(text_col)).alias("t"))
     joined = (cand
-              .join(txt.select(F.col("id").alias("id_a"),
-                               F.col("t").alias("ta")), "id_a")
-              .join(txt.select(F.col("id").alias("id_b"),
-                               F.col("t").alias("tb")), "id_b"))
+              .join(_payload(txt.select(F.col("id").alias("id_a"),
+                                        F.col("t").alias("ta"))),
+                    "id_a")
+              .join(_payload(txt.select(F.col("id").alias("id_b"),
+                                        F.col("t").alias("tb"))),
+                    "id_b"))
     edits = F.levenshtein(F.col("ta"), F.col("tb"), max_edits)
     longest = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
     return (joined

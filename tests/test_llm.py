@@ -66,6 +66,42 @@ def test_lsh_jaccard_matches_bruteforce(documents):
     assert set(lsh_pairs) == set(exact_pairs)
 
 
+def test_payload_reattach_joins_never_broadcast(documents):
+    """r12: the candidate->payload re-attach joins (minhash
+    signatures, shingle-hash sets, normalized text) must plan as
+    sort-merge, never broadcast.  The payload tables are O(corpus)
+    with fat list/string columns that both the plan-time estimate and
+    AQE's compressed-shuffle signal undersize — a plain 1 GiB-driver
+    session at 50k docs died broadcasting the ~125 MB shingle-set
+    table, and on a cluster the same plan ships the corpus to every
+    executor.  The _payload merge hint pins the strategy; this test
+    pins the hint."""
+    from dask_ms_spark.cache import release_caches
+    from dask_ms_spark.llm.dedup import (containment_pairs,
+                                         edit_distance_pairs,
+                                         lsh_jaccard_pairs)
+
+    outs = {
+        "lsh_jaccard": lsh_jaccard_pairs(
+            documents, n=5, num_hashes=16, num_bands=4,
+            threshold=0.6),
+        "containment": containment_pairs(documents, threshold=0.6),
+        "edit_distance": edit_distance_pairs(
+            documents, max_edits=200, max_ratio=0.4, num_hashes=16,
+            num_bands=4, shingle_k=5, lsh_threshold=0.5),
+    }
+    for name, df in outs.items():
+        df.count()  # let AQE finalize — the hint must survive replan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [ln.strip()[:120] for ln in plan.splitlines()
+               if "BroadcastHashJoin" in ln
+               and ("id_a" in ln or "id_b" in ln)]
+        assert not bad, (
+            f"{name}: payload re-attach join planned as broadcast "
+            f"(the r12 driver-OOM/executor-ship class): {bad}")
+        release_caches()
+
+
 def test_simhash_dedup_exact_dups_collide(spark):
     rows = [Row(doc_id=1, text="aaaa bbbb cccc dddd"),
             Row(doc_id=2, text="aaaa  bbbb cccc dddd"),  # same after norm
