@@ -350,8 +350,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     matches = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
-    est = (matches / F.lit(num_hashes)).alias("est_jaccard")
-    return (pairs.select("id_a", "id_b", est)
+    pairs = _verify_once(pairs, "est_jaccard",
+                         matches / F.lit(num_hashes))
+    return (pairs.select("id_a", "id_b", "est_jaccard")
                  .where(F.col("est_jaccard") >= threshold))
 
 
@@ -469,6 +470,36 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
                      F.count(F.lit(1)).alias("dup_count")))
 
 
+def _verify_once(df: DataFrame, name: str, col: Column) -> DataFrame:
+    """Evaluate an expensive verify expression exactly ONCE per row.
+
+    A deterministic filter over a projected expression pushes through
+    the Project into the join CONDITION (PushDownPredicates), where
+    it re-evaluates per comparison and AGAIN for every output column
+    derived from it — measured r12: dedup_edit_distance paid 2.4x
+    wall once its payload joins became sort-merge, because the
+    banded levenshtein ran inside the SMJ condition plus twice in
+    the projection above it.  ``explode(array(col))`` is a Generate
+    node: predicates on generator output cannot push below it, and
+    the generated attribute is a plain column every consumer reuses —
+    one evaluation, and the threshold filter stays ABOVE the join at
+    any scale.  (array(col) always has exactly one element, so row
+    count and null semantics are unchanged.)
+
+    The round-robin repartition spreads the verify CPU uniformly:
+    the sort-merge payload joins leave the pair set partitioned by
+    id_b, and near-dup HUB documents concentrate thousands of pairs
+    (and their levenshtein/array_intersect evaluations) on one core
+    — a CPU skew AQE cannot see (its skew-join mitigation keys on
+    partition BYTES; measured r12: 8.4 s vs 0.8 s for the identical
+    52k levenshtein evaluations, id_b-clustered vs uniform).  The
+    exchange moved is the id-pair set plus payload columns —
+    O(survivors), bounded by the candidate caps."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(n_parts)
+              .select("*", F.explode(F.array(col)).alias(name)))
+
+
 def _payload(tbl: DataFrame) -> DataFrame:
     """Pin a candidate->payload re-attach join to sort-merge.
 
@@ -572,9 +603,10 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
               .join(_payload(hset_tbl.select(
                   F.col("id").alias("id_b"),
                   F.col("hset").alias("hb"))), "id_b"))
-    inter = F.size(F.array_intersect("ha", "hb"))
-    union = F.size("ha") + F.size("hb") - inter
-    jac = (inter / union).alias("jaccard")
+    joined = _verify_once(joined, "__inter",
+                          F.size(F.array_intersect("ha", "hb")))
+    union = F.size("ha") + F.size("hb") - F.col("__inter")
+    jac = (F.col("__inter") / union).alias("jaccard")
     return (joined.select("id_a", "id_b", jac)
                   .where(F.col("jaccard") >= threshold))
 
@@ -649,11 +681,14 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
               .join(_payload(hset_tbl.select(
                   F.col("id").alias("id_b"),
                   F.col("hset").alias("hb"))), "id_b"))
-    inter = F.size(F.array_intersect("ha", "hb"))
+    joined = _verify_once(joined, "__inter",
+                          F.size(F.array_intersect("ha", "hb")))
     out = joined.select(
         "id_a", "id_b",
-        F.round(inter / F.size("ha"), 6).alias("cont_a_in_b"),
-        F.round(inter / F.size("hb"), 6).alias("cont_b_in_a"))
+        F.round(F.col("__inter") / F.size("ha"), 6)
+        .alias("cont_a_in_b"),
+        F.round(F.col("__inter") / F.size("hb"), 6)
+        .alias("cont_b_in_a"))
     return (out.withColumn("containment",
                            F.greatest("cont_a_in_b", "cont_b_in_a"))
                .where(F.col("containment") >= threshold))
@@ -922,10 +957,14 @@ def edit_distance_pairs(docs: DataFrame, text_col: str = "text",
               .join(_payload(txt.select(F.col("id").alias("id_b"),
                                         F.col("t").alias("tb"))),
                     "id_b"))
-    edits = F.levenshtein(F.col("ta"), F.col("tb"), max_edits)
+    joined = _verify_once(
+        joined, "__edits",
+        F.levenshtein(F.col("ta"), F.col("tb"), max_edits))
     longest = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
     return (joined
-            .select("id_a", "id_b", edits.alias("edits"),
-                    F.round(edits / longest, 6).alias("edit_ratio"))
+            .select("id_a", "id_b",
+                    F.col("__edits").alias("edits"),
+                    F.round(F.col("__edits") / longest, 6)
+                    .alias("edit_ratio"))
             .where((F.col("edits") >= 0)
                    & (F.col("edit_ratio") <= max_ratio)))
