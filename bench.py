@@ -188,6 +188,25 @@ def main() -> int:
                 return
         jvm_system.gc()
 
+    def host_probe() -> float:
+        """Out-of-JVM host-speed probe: a fixed numpy workload timed
+        in the DRIVER python process (r12: seven definitive attempts
+        showed probes decaying 0.95 -> 1.2 within runs, and the
+        Spark-side canary cannot distinguish host CPU throttle from
+        JVM aging — GC/code-cache/ContextCleaner state.  A python
+        matmul shares the host but none of the JVM, so if host_probes
+        rise with the canaries the host is throttling; if only the
+        canaries rise the JVM is aging)."""
+        import numpy as _np
+
+        a = _np.arange(160000, dtype=_np.float64).reshape(400, 400)
+        a = a / 1.0e9
+        t0 = time.time()
+        for _ in range(8):
+            a = a @ a
+            a = a / max(float(a[0, 0]), 1.0e-9)
+        return round(time.time() - t0, 4)
+
     def canary_probe() -> float:
         """PROBE FORMULA: wall-clock of the fixed canary triplet run
         now, divided by the triplet's recorded steady-state sum
@@ -210,15 +229,18 @@ def main() -> int:
                           - {0, len(names)})
     samples: dict[str, list[float]] = {n: [] for n in names}
     probes_by_pass: list[dict[str, float]] = []
+    host_by_pass: list[dict[str, float]] = []
     pass_walls: list[float] = []
 
     for p in range(PASSES):
         pass_probes = {"q0": canary_probe()}
+        pass_host = {"q0": host_probe()}
         t_pass0 = time.time()
         for i, name in enumerate(names):
             if i in probe_points:
                 t_pause = time.time()
                 pass_probes[f"q{i}"] = canary_probe()
+                pass_host[f"q{i}"] = host_probe()
                 t_pass0 += time.time() - t_pause  # probe isn't suite time
             fn = queries[name]
             # isolate queries: persisted frames from earlier queries
@@ -245,7 +267,9 @@ def main() -> int:
                       file=sys.stderr)
         pass_walls.append(round(time.time() - t_pass0, 3))
         pass_probes[f"q{len(names)}"] = canary_probe()
+        pass_host[f"q{len(names)}"] = host_probe()
         probes_by_pass.append(pass_probes)
+        host_by_pass.append(pass_host)
 
     import statistics as _st
 
@@ -352,6 +376,11 @@ def main() -> int:
         "target_pass_probes": [round(p, 3) for p in target_probes],
         "repro_within_1_3": repro,
         "canary_probes_by_pass": probes_by_pass,
+        # out-of-JVM host probes (raw seconds of a fixed numpy
+        # workload in the driver python, same keys as canary_probes):
+        # rising WITH the canaries = host throttle; flat while
+        # canaries rise = JVM aging (GC / code cache / cleaner)
+        "host_probes_by_pass": host_by_pass,
     }
     # file artifact first (FULL per-query map): survives any
     # stdout-capture truncation.  r12 (r11 verdict item 6): only a
