@@ -1064,35 +1064,59 @@ def q_tpch_q21(spark, sf_dir):
 def q_bm25_search(spark, sf_dir):
     """BM25 full-text ranking (k1=1.2, b=0.75) of the documents table
     against a fixed term set — the retrieval scorer a training-data
-    pipeline uses for quality-targeted selection.  One explode pass
-    builds per-(doc, term) counts for the WHOLE vocabulary in a single
-    partial-merged aggregate (the corpus is scanned once; SCALE.md's
-    explode-then-aggregate discipline); doc length, the corpus
-    constants (N, avgdl) and per-term document frequencies all derive
-    from that persisted small frame, never from a second corpus scan.
-    Constants and df broadcast as one-row / |terms|-row join inputs,
-    the score is a pure map-side expression, and the top-20 rides the
-    same WindowGroupLimit path as ``topk``.  The persisted frame lives
-    until the harness's per-query ``clearCache`` (bench.py and
-    tools/check_oracle.py both isolate queries that way)."""
+    pipeline uses for quality-targeted selection.  The term set is
+    FIXED, so per-doc stats come from ONE map-side projection of the
+    token array (dl = array size, tf(term) = occurrence count) —
+    no explode, no vocabulary-wide (doc, term) shuffle; the corpus
+    is scanned once into a persisted (doc_id, dl, tf x3) frame a few
+    ints wide.  Constants and df broadcast as one-row / |terms|-row
+    join inputs, the score is a pure map-side expression, and the
+    top-20 rides the same TakeOrdered path as ``topk``.  The
+    persisted frame lives until the harness's per-query release
+    (bench.py and tools/check_oracle.py both isolate queries that
+    way)."""
     K1, B = 1.2, 0.75
     terms = ["spark", "merge", "vector"]
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    # r12 optimization: the query only ever consumes per-doc stats
+    # for THREE fixed terms plus the doc length, so the whole-
+    # vocabulary (doc, term) aggregate shuffled corpus-token-count
+    # rows to derive numbers a map-side array expression yields for
+    # free: dl = size of the token array, tf(term) = occurrences of
+    # the term in it.  One narrow (doc_id, dl, tf x3) projection
+    # (token array bound once as an attribute) replaces the explode
+    # + full-vocab shuffle — at 100 TB that shuffle is the dominant
+    # cost of the old plan; here it removes the biggest exchange.
+    # Values are identical: sum(tf)=dl, count per (doc, term)=array
+    # occurrence count (oracle unchanged, MATCH re-verified).
+    toks = docs.select(
         "doc_id",
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-         .alias("term"))
-    tf_all = scoped_persist(
-        tok.groupBy("doc_id", "term")
-           .agg(F.count(F.lit(1)).alias("tf")))
-    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    consts = dl.agg(F.avg("dl").alias("avgdl"),
-                    F.count(F.lit(1)).alias("n_docs"))
-    tf = tf_all.where(F.col("term").isin(terms))
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+         .alias("__toks"))
+
+    def _eq(word):
+        # single-arg lambda: a two-arg one would make filter() pass
+        # the element INDEX as the second argument (dedup.py r9)
+        return lambda t: t == F.lit(word)
+
+    base = scoped_persist(
+        toks.select(
+            "doc_id", F.size("__toks").alias("dl"),
+            *[F.size(F.filter("__toks", _eq(w)))
+              .alias(f"__tf{i}") for i, w in enumerate(terms)])
+            .where(F.col("dl") > 0))
+    consts = base.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"),
+                      F.count(F.lit(1)).alias("n_docs"))
+    tf = (base.selectExpr(
+            "doc_id", "dl",
+            "stack({}, {}) as (term, tf)".format(
+                len(terms), ", ".join(
+                    f"'{w}', cast(__tf{i} as bigint)"
+                    for i, w in enumerate(terms))))
+          .where(F.col("tf") > 0))
     df_ = F.broadcast(tf.groupBy("term")
                         .agg(F.count(F.lit(1)).alias("df")))
-    scored = (tf.join(dl, "doc_id")
-                .join(df_, "term")
+    scored = (tf.join(df_, "term")
                 .join(F.broadcast(consts))
                 .withColumn(
                     "idf",
@@ -5366,8 +5390,15 @@ def q_ann_ivfpq(spark, sf_dir):
     ann_ivf cell-assignment mirror with the ann_pq encode/LUT mirror."""
     from dask_ms_spark.llm.similarity import ivfpq_topk
 
-    embs = _t(spark, sf_dir, "embeddings") \
-        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # r12 optimization: ivfpq_topk fans the corpus out to ~6 subtrees
+    # (seed check, centroids, cell assignment, codebooks, encode,
+    # query legs) — persist the cast scan once so the plan reads one
+    # InMemoryRelation instead of re-scanning per branch (16 parquet
+    # scan branches before, plan-verified).  Production instead
+    # persists the INDEX (build_ivf_index); this is the inline form.
+    embs = scoped_persist(
+        _t(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>")))
     queries = embs.where("vec_id < 5")
     return ivfpq_topk(embs, queries, dim=64, k=10, num_cells=16,
                       nprobe=4, num_sub=8, num_codes=8) \
@@ -5883,7 +5914,13 @@ def q_quality_classifier(spark, sf_dir):
     from dask_ms_spark.llm.classifier import (logistic_score,
                                               logistic_train)
 
-    feats = _classifier_feats(_t(spark, sf_dir, "documents"))
+    # r12 optimization: each GD iteration is an eager 1-row aggregate
+    # and scoring a third pass — without a persist every one of them
+    # re-runs the regex feature extraction over the full text column.
+    # The persisted frame is (doc_id, y, x1..x3): five numbers/row at
+    # any corpus size, vs 3 full text scans + regex.
+    feats = scoped_persist(
+        _classifier_feats(_t(spark, sf_dir, "documents")))
     w = logistic_train(feats, ["x1", "x2", "x3"], "y", iters=2,
                        lr=1.0)
     out = logistic_score(feats, ["x1", "x2", "x3"], w)

@@ -350,9 +350,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     matches = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
-    pairs = _verify_once(pairs, "est_jaccard",
-                         matches / F.lit(num_hashes))
-    return (pairs.select("id_a", "id_b", "est_jaccard")
+    # No _verify_once barrier here (r12 optimization round): the
+    # signature-agreement estimate is a zip_with over K small ints —
+    # re-evaluating it in a pushed-down join condition costs
+    # nanoseconds, unlike the levenshtein/array_intersect verifies
+    # that keep their Generate barrier.  Dropping the barrier removes
+    # one round-robin exchange + Generate per LSH query.
+    return (pairs.select("id_a", "id_b",
+                         (matches / F.lit(num_hashes))
+                         .alias("est_jaccard"))
                  .where(F.col("est_jaccard") >= threshold))
 
 

@@ -52,8 +52,14 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame,
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc(),
         *[F.col(c).desc_nulls_last() for c in payload])
+    # r12 optimization: ``latest`` feeds BOTH the upsert leg and the
+    # changed-key anti-join; Catalyst plans trees, so without a
+    # materialisation the dedup window (exchange + sort) runs twice
+    # (plan-verified).  lazy localCheckpoint: one window pass, and
+    # the change feed is the small side by construction.
     latest = (changes.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1).drop("__rn"))
+              .where(F.col("__rn") == 1).drop("__rn")
+              .localCheckpoint(eager=False))
     upserts = latest.where(F.col(op_col) != "D") \
         .drop(op_col, seq_col) \
         .select(*snapshot.columns)

@@ -78,10 +78,17 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     """
     spark = df.sparkSession
     reports = []
-    n_total = None  # row count, computed at most once across rules
 
     row_rules = [r for r in rules if r["kind"] == "row"]
     fk_rules = [r for r in rules if r["kind"] == "fk"]
+    uniq_rules = [r for r in rules if r["kind"] == "unique"]
+
+    # r12 optimization: ONE driver action for the whole audit — the
+    # row/fk scan-aggregate and every unique-rule aggregate are all
+    # 1-row frames, so they cross-join into a single collected row
+    # instead of one eager .first() per pass (one job, one
+    # scheduling round; the subplans are unchanged).
+    legs: list[DataFrame] = []
     if row_rules or fk_rules:
         base = df
         for i, r in enumerate(fk_rules):
@@ -98,25 +105,33 @@ def constraint_audit(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
                               & F.col(f"__fk{i}").isNull(), 1)
                        .otherwise(0)).cast("long").alias(f"f{i}")
                  for i, r in enumerate(fk_rules)]
-        counted = base.agg(F.count(F.lit(1)).cast("long").alias("n"),
-                           *aggs).first()
-        n_total = counted["n"]
+        legs.append(base.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                             *aggs))
+    for u, r in enumerate(uniq_rules):
+        grp = (df.groupBy(*r["cols"])
+               .agg(F.count(F.lit(1)).alias("c")))
+        legs.append(grp.agg(
+            F.sum("c").cast("long").alias(f"u{u}_n"),
+            F.sum(F.when(F.col("c") > 1, F.col("c"))
+                  .otherwise(0)).cast("long").alias(f"u{u}_v")))
+
+    counted = None
+    if legs:
+        joined = legs[0]
+        for leg in legs[1:]:
+            joined = joined.crossJoin(leg)
+        counted = joined.first()
+
+    if row_rules or fk_rules:
         for i, r in enumerate(row_rules):
             reports.append((r["rule"], counted["n"],
                             counted[f"v{i}"] or 0))
         for i, r in enumerate(fk_rules):
             reports.append((r["rule"], counted["n"],
                             counted[f"f{i}"] or 0))
-
-    for r in rules:
-        if r["kind"] == "unique":
-            grp = (df.groupBy(*r["cols"])
-                   .agg(F.count(F.lit(1)).alias("c")))
-            row = grp.agg(
-                F.sum("c").cast("long").alias("n"),
-                F.sum(F.when(F.col("c") > 1, F.col("c"))
-                      .otherwise(0)).cast("long").alias("v")).first()
-            reports.append((r["rule"], row["n"] or 0, row["v"] or 0))
+    for u, r in enumerate(uniq_rules):
+        reports.append((r["rule"], counted[f"u{u}_n"] or 0,
+                        counted[f"u{u}_v"] or 0))
 
     out = spark.createDataFrame(
         [(rule, n, v, v == 0) for rule, n, v in reports],

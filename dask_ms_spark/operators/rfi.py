@@ -174,7 +174,17 @@ def sigma_clip(df: DataFrame, value_col: str,
         raise ValueError(f"sigma_clip: k must be > 0, got {k}")
     group_cols = list(group_cols)
     x = F.col(value_col).cast("double")
-    cur = df.select(*group_cols, x.alias("__x"))
+    # r12 optimization: the (group, x) projection fans out to
+    # 2*iters + 2 consumers (n_in, per-iteration stats AND filter
+    # legs, final stats) — Catalyst plans trees, not DAGs, so without
+    # a persist every consumer re-derives the input subtree (5 scans
+    # at iters=2; plan-verified).  The persisted frame is the NARROW
+    # projection (group key + one double), orders of magnitude
+    # smaller than a typical source table, and registers with the
+    # scoped cache lifecycle like the dedup/LSH persists.
+    from ..cache import scoped_persist
+
+    cur = scoped_persist(df.select(*group_cols, x.alias("__x")))
     n_in = cur.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_in"))
 
