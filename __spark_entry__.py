@@ -4010,8 +4010,12 @@ def q_ann_ivf_indexed(spark, sf_dir):
                                               ivf_query_indexed)
 
     path = _scratch("ivf_index", sf_dir)
-    embs = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>"))
+    # r12 optimization: the 2-iteration Lloyd plan embeds the corpus
+    # subtree many times (seed centroids + per-iteration scoring) and
+    # the index build scans it again — persist the cast scan once
+    embs = scoped_persist(
+        _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")))
     build_ivf_index(embs, path, num_cells=8, iters=2)
     qs = embs.where("vec_id < 5")
     return (ivf_query_indexed(spark, path, qs, k=10, nprobe=4)

@@ -377,7 +377,8 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, dim: int,
 
 def pq_codebooks(corpus: DataFrame, dim: int, num_sub: int = 8,
                  num_codes: int = 8, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 _seeds_checked: int = 0) -> DataFrame:
     """Product-quantization codebooks: ``num_sub`` subspaces ×
     ``num_codes`` centroids, where centroid ``k`` of subspace ``m`` is
     the m-th subvector of the corpus vector with id ``k``
@@ -388,7 +389,11 @@ def pq_codebooks(corpus: DataFrame, dim: int, num_sub: int = 8,
     if dim % num_sub:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by "
                          f"num_sub {num_sub}")
-    _require_dense_seeds(corpus, id_col, num_codes, "pq_codebooks")
+    # _seeds_checked: a caller that already verified dense ids
+    # 0.._seeds_checked-1 implies density for any smaller seed count —
+    # skips a redundant eager count job (r12 optimization round)
+    if _seeds_checked < num_codes:
+        _require_dense_seeds(corpus, id_col, num_codes, "pq_codebooks")
     seed = corpus.where(F.col(id_col) < num_codes)
     return _subvectors(seed, id_col, vec_col, dim, num_sub) \
         .select("m", F.col("id").cast("int").alias("k"),
@@ -594,7 +599,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                        nprobe=1) \
         .select(F.col("id").alias("neighbor_id"), "cell")
     cbs = pq_codebooks(corpus, dim, num_sub, num_codes,
-                       corpus_id, corpus_vec)
+                       corpus_id, corpus_vec,
+                       _seeds_checked=num_cells)
     codes = pq_encode(corpus, cbs, dim, num_sub, corpus_id,
                       corpus_vec, scale) \
         .withColumnRenamed("id", "neighbor_id")
