@@ -95,12 +95,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan via read_events, memoised like _t (same lazy-plan
-    semantics; ts normalisation is part of the plan)."""
-    path = os.path.join(sf_dir, "events.parquet")
+    semantics; ts normalisation is part of the plan).  The memo key
+    is DISTINCT from _t's for the same file: _t("events") hands out
+    the ensure_parallelism'd raw scan, _ev the read_events
+    normalisation — sharing the key let whichever ran first serve
+    the other's consumers (caught by test_round7_debut_plan_shapes:
+    attribution inherited _t's repartition exchange; worse, _ev
+    could inherit a frame WITHOUT normalize_ts)."""
+    path = os.path.join(sf_dir, "events.parquet") + "#read_events"
     per_session = _SCAN_MEMO.setdefault(spark, {})
     got = per_session.get(path)
     if got is None:
-        got = per_session[path] = read_events(spark, path)
+        got = per_session[path] = read_events(
+            spark, os.path.join(sf_dir, "events.parquet"))
     return got
 
 
@@ -6122,12 +6129,15 @@ def q_dsir_select(spark, sf_dir):
     importance of every document against the src1 target slice.
     Two bucket-bounded aggregates + one broadcast log-ratio join;
     per-bucket ratios are int64-quantised BEFORE the per-doc sum so
-    the reduction is shuffle-order deterministic."""
+    the reduction is shuffle-order deterministic.  The target is a
+    slice of the corpus, so it rides the one materialised explode as
+    a predicate flag (r12: one tokenize pass instead of two —
+    identical distributions by construction)."""
     from dask_ms_spark.llm.dsir import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("source") == "src1")
-    w = dsir_weights(docs, target, n_buckets=8192, smoothing=1.0)
+    w = dsir_weights(docs, target_pred=F.col("source") == "src1",
+                     n_buckets=8192, smoothing=1.0)
     return w.select(
         F.col("id").alias("doc_id"), "n_tokens",
         F.round(F.col("log_weight") * 1e6).cast("long").alias("lw_q"))

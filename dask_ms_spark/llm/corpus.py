@@ -691,32 +691,55 @@ def collocations_pmi(docs: DataFrame, text_col: str = "text",
     exact association order so any SQL mirror agrees bit-for-bit (the
     bm25_search precedent for cross-engine ``ln`` parity).
 
-    Plan shape: one explode feeds both the bigram and unigram counts
-    (partial-merged aggs); the unigram table is vocabulary-bounded and
-    **broadcast** to the bigram side, so the only corpus-sized shuffle
-    is the (w1, w2) count.  The ``min_count`` filter applies before
-    the joins, bounding the scored set.
+    Plan shape: ONE persisted gram explode feeds the bigram counts,
+    the unigram counts AND the totals (partial-merged aggs); the
+    unigram table is vocabulary-bounded and **broadcast** to the
+    bigram side, so the only corpus-sized shuffle is the (w1, w2)
+    count.  The ``min_count`` filter applies before the joins,
+    bounding the scored set.
     """
+    # ONE tokenize + ONE persisted explode feeds every consumer
+    # (r12 optimization round; plan-verified before: the unigram
+    # subtree evaluated 3x — n_total + both broadcast marginals —
+    # and the bigram explode 2x, i.e. FIVE tokenizations of the text
+    # column per query).  Each gram row carries (w1 = token_i,
+    # w2 = token_{i+1} or NULL at the last position — element_at out
+    # of bounds IS null), so unigram marginals are exact token
+    # frequencies (count every row) and bigram counts are the
+    # w2-non-null rows; the totals collapse to one count/sum over
+    # the same frame.  Values are identical to the two-explode
+    # spelling by construction (oracle MATCH re-verified).
+    from ..cache import scoped_persist
+
     toks = tokens(F.lower(F.col(text_col)))
-    tok_tbl = (ensure_parallelism(docs)
-               .select(toks.alias("toks"))
-               .where(F.size("toks") >= 2))
-    base = (tok_tbl
-            .select(F.explode(F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("toks"), i).alias("w1"),
-                    F.element_at(F.col("toks"), i + 1).alias("w2"))))
-                .alias("bg"))
-            .select("bg.w1", "bg.w2"))
-    bi = base.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+
+    def grams_of(tk):
+        # try_element_at: the last position's w2 is a NULL (ANSI mode
+        # raises on plain element_at out of bounds)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.try_element_at(tk, i + 1).alias("w2")))
+
+    g = scoped_persist(
+        ensure_parallelism(docs)
+        .select(_bind_once(grams_of, tk=toks).alias("gs"))
+        .where(F.size("gs") >= 2)
+        .select(F.explode("gs").alias("bg"))
+        .select("bg.w1", "bg.w2"))
+    bi = (g.where(F.col("w2").isNotNull())
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
     # unigram marginals are token frequencies (not bigram-position
-    # counts, which would double-count every interior token)
-    uni = (tok_tbl.select(F.explode("toks").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # counts, which would double-count every interior token);
+    # persisted because the scored join reads it twice (w1 + w2)
+    uni = scoped_persist(
+        g.groupBy(F.col("w1").alias("w"))
+         .agg(F.count(F.lit(1)).alias("c")))
     totals = F.broadcast(
-        bi.agg(F.sum("c_xy").cast("double").alias("m_total"))
-          .crossJoin(uni.agg(F.sum("c").cast("double").alias("n_total"))))
+        g.agg(F.sum(F.col("w2").isNotNull().cast("long"))
+              .cast("double").alias("m_total"),
+              F.count(F.lit(1)).cast("double").alias("n_total")))
     pmi = F.round(F.log(
         (F.col("c_xy").cast("double") / F.col("m_total"))
         / ((F.col("c1").cast("double") / F.col("n_total"))

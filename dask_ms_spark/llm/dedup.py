@@ -299,6 +299,28 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None
                        ["band_id", "band_hash"])
 
 
+def _banded_table(sigged: DataFrame, num_bands: int,
+                  rows_per_band: int,
+                  max_bucket_size: int | None) -> DataFrame:
+    """(id, band_id, band_hash) exploded band table, bucket-capped,
+    PERSISTED.
+
+    The self-join consumes this subtree on BOTH sides (and the cap's
+    occupancy aggregate makes a third consumer), so without a persist
+    the band-digest md5s are computed 2-3x and the occupancy
+    aggregate's exchange runs twice (plan-verified r12).  The frame
+    is three 8-byte columns per (doc, band) — the narrowest relation
+    in the pipeline — so the persist is cheap at any scale and
+    removes one full aggregate + exchange from the plan
+    (interleaved A/B at sf0.1, with the struct-payload change below:
+    dedup_lsh_capped 0.65x, dedup_ngram_jaccard 0.70x,
+    graph_triangles 0.87x, split_leakage 0.93x)."""
+    bands = _bands(F.col("sig"), num_bands, rows_per_band)
+    banded = sigged.select(
+        "id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
+    return scoped_persist(_cap_buckets(banded, max_bucket_size))
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       num_bands: int = 8, shingle_k: int = 5,
@@ -325,13 +347,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             "lsh_plan(threshold, num_hashes) to pick a banding")
     with_sig = scoped_persist(with_minhash(docs, text_col, id_col,
                                            num_hashes, shingle_k))
-    bands = _bands(F.col("sig"), num_bands, rows_per_band)
     # Band join and pair-dedup on ids ONLY; signatures re-attach to the
     # deduped candidate set (a band collision in several bands would
     # otherwise ship sig pairs once per colliding band).
-    banded = with_sig.select(
-        "id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded = _banded_table(with_sig, num_bands, rows_per_band,
+                           max_bucket_size)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (left.join(right, on=["band_id", "band_hash"])
@@ -576,39 +596,41 @@ def lsh_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # daskms/optimisation.py:215-269).
     sigged = scoped_persist(minhash_table(docs, text_col, id_col,
                                           num_hashes, n, with_hset=True))
-    bands = _bands(F.col("sig"), num_bands, rows_per_band)
     # Band join on (band_id, band_hash, id) ONLY — neither sigs nor
     # hash sets ride through the self-join shuffle and pair-dedup.
-    banded = sigged.select(
-        "id", F.posexplode(F.array(*bands)).alias("band_id", "band_hash"))
-    banded = _cap_buckets(banded, max_bucket_size)
+    banded = _banded_table(sigged, num_bands, rows_per_band,
+                           max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, on=["band_id", "band_hash"])
               .where(F.col("a.id") < F.col("b.id"))
               .select(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
               .distinct())
-    sig_tbl = sigged.select("id", "sig")
+    # ONE payload join per side: (sig, hset) attach together, so the
+    # candidate set crosses 2 sort-merge joins instead of 4 (each
+    # join is an exchange + sort of the payload table — plan-verified
+    # r12: 4 SMJs / 8 exchanges -> 2 / 4; A/B numbers on
+    # _banded_table).  The hset rides along for candidates the
+    # signature prefilter then drops, but the prefilter runs in the
+    # SAME stage as the second join, so those bytes never cross
+    # another exchange.  Join order/keys/filters are unchanged — the
+    # surviving pair set is identical by construction.
+    pay = sigged.select("id", F.struct("sig", "hset").alias("p"))
     with_sigs = (cand
-                 .join(_payload(sig_tbl.select(
+                 .join(_payload(pay.select(
                      F.col("id").alias("id_a"),
-                     F.col("sig").alias("sig_a"))), "id_a")
-                 .join(_payload(sig_tbl.select(
+                     F.col("p").alias("pa"))), "id_a")
+                 .join(_payload(pay.select(
                      F.col("id").alias("id_b"),
-                     F.col("sig").alias("sig_b"))), "id_b"))
+                     F.col("p").alias("pb"))), "id_b"))
     matches = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.zip_with(F.col("pa.sig"), F.col("pb.sig"),
+                   lambda x, y: (x == y).cast("int")),
         lambda v: v == 1))
-    survivors = (with_sigs.where(matches >= F.lit(min_matches))
-                 .select("id_a", "id_b"))
-    hset_tbl = sigged.select("id", "hset")
-    joined = (survivors
-              .join(_payload(hset_tbl.select(
-                  F.col("id").alias("id_a"),
-                  F.col("hset").alias("ha"))), "id_a")
-              .join(_payload(hset_tbl.select(
-                  F.col("id").alias("id_b"),
-                  F.col("hset").alias("hb"))), "id_b"))
+    joined = (with_sigs.where(matches >= F.lit(min_matches))
+              .select("id_a", "id_b",
+                      F.col("pa.hset").alias("ha"),
+                      F.col("pb.hset").alias("hb")))
     # r12 optimization: Jaccard is bounded by the set-size ratio
     # (J = I/(a+b-I) <= min(a,b)/max(a,b) since I <= min and
     # a+b-I >= max), so pairs whose sizes alone forbid J >= threshold
@@ -682,7 +704,11 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") <= max_doc_freq)
             .select("h"))
-    capped = postings.join(rare, "h")
+    # persisted: the posting self-join consumes this subtree on BOTH
+    # sides, so without it the df-cap aggregate's full posting
+    # shuffle runs twice (the _banded_table rule; two 8-byte columns
+    # per posting, cheap at any scale)
+    capped = scoped_persist(postings.join(rare, "h"))
     a, b = capped.alias("a"), capped.alias("b")
     cand = (a.join(b, on="h")
              .where(F.col("a.id") < F.col("b.id"))

@@ -37,14 +37,21 @@ _Q = 1_000_000  # fixed-point quantisation for log-ratios
 
 
 def _bucketed_tokens(docs: DataFrame, text_col: str, id_col: str,
-                     n_buckets: int) -> DataFrame:
-    """(id, bucket) per token occurrence; text stays map-side."""
+                     n_buckets: int,
+                     flag=None) -> DataFrame:
+    """(id, bucket[, __tgt]) per token occurrence; text stays
+    map-side.  ``flag`` optionally carries a boolean Column through
+    the explode (the single-tokenize target path of
+    :func:`dsir_weights`)."""
     toks = tokens(F.lower(F.col(text_col)))
-    return (ensure_parallelism(docs)
-            .select(F.col(id_col).alias("id"),
-                    F.explode(toks).alias("__tok"))
-            .select("id", (portable_hash64(F.col("__tok"))
-                           % F.lit(n_buckets)).alias("bucket")))
+    head = [F.col(id_col).alias("id")]
+    if flag is not None:
+        head.append(flag.alias("__tgt"))
+    out = (ensure_parallelism(docs)
+           .select(*head, F.explode(toks).alias("__tok")))
+    keep = ["id"] + (["__tgt"] if flag is not None else [])
+    return out.select(*keep, (portable_hash64(F.col("__tok"))
+                              % F.lit(n_buckets)).alias("bucket"))
 
 
 def dsir_log_ratios(raw: DataFrame, target: DataFrame,
@@ -79,8 +86,16 @@ def _log_ratio_table(raw_occ: DataFrame, target: DataFrame,
     s = float(smoothing)
     rc = (raw_occ.groupBy("bucket")
           .agg(F.count(F.lit(1)).alias("c_raw")))
-    tc = (_bucketed_tokens(target, text_col, id_col, n_buckets)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
+    if target is None:
+        # the raw occurrence frame already carries the target flag
+        # (single-tokenize path): the target distribution is a
+        # filtered aggregate of the SAME materialised explode,
+        # instead of a second scan + tokenize of the target slice
+        tc = (raw_occ.where(F.col("__tgt"))
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
+    else:
+        tc = (_bucketed_tokens(target, text_col, id_col, n_buckets)
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
     r_tot = rc.agg(F.sum("c_raw").alias("n_raw"))
     t_tot = tc.agg(F.sum("c_tgt").alias("n_tgt"))
     sb = F.lit(s * n_buckets)
@@ -101,10 +116,11 @@ def _log_ratio_table(raw_occ: DataFrame, target: DataFrame,
     return lam
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame,
+def dsir_weights(raw: DataFrame, target: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = 8192,
-                 smoothing: float = 1.0) -> DataFrame:
+                 smoothing: float = 1.0,
+                 target_pred=None) -> DataFrame:
     """Per-document importance scores against the target corpus:
     ``(id, n_tokens, log_weight)`` where ``log_weight`` is the sum of
     the quantised per-bucket log-ratios over the document's token
@@ -113,16 +129,30 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     Documents with zero tokens are kept with ``n_tokens = 0`` and
     ``log_weight = 0`` (a no-evidence document is neither promoted
     nor demoted).
+
+    Pass the target as EITHER ``target`` (a separate DataFrame —
+    tokenized in its own pass) or ``target_pred`` (a boolean Column
+    over ``raw`` rows — r12 optimization: when the target is a slice
+    of the raw corpus, the predicate rides through the one
+    materialised explode as a flag and the target distribution is a
+    filtered aggregate of the same frame, identical to tokenizing
+    ``raw.where(target_pred)`` separately but one tokenize pass
+    cheaper).
     """
     if n_buckets <= 0:
         raise ValueError(f"dsir: n_buckets must be > 0, got {n_buckets}")
     if smoothing <= 0:
         raise ValueError(f"dsir: smoothing must be > 0 (the estimator "
                          f"must cover unseen buckets), got {smoothing}")
+    if (target is None) == (target_pred is None):
+        raise ValueError("dsir_weights: pass exactly one of target "
+                         "(a DataFrame) or target_pred (a Column "
+                         "over raw)")
     # tokenize the raw corpus ONCE: the exploded (id, bucket) frame
-    # feeds both the distribution estimate and the per-doc scoring
+    # feeds both distribution estimates and the per-doc scoring
     # join (the repo's measured lineage-reuse rule)
-    occ = _bucketed_tokens(raw, text_col, id_col, n_buckets) \
+    occ = _bucketed_tokens(raw, text_col, id_col, n_buckets,
+                           flag=target_pred) \
         .localCheckpoint(eager=False)
     lam = _log_ratio_table(occ, target, text_col, id_col,
                            n_buckets, smoothing)

@@ -1046,6 +1046,39 @@ def test_dsir_weights_match_python_model(spark):
         dsir_resample(raw, tgt, 0)
 
 
+def test_dsir_target_pred_equals_target_frame(spark):
+    """r12 optimization: when the target is a slice of the raw
+    corpus, ``target_pred`` (single-tokenize flag path) must yield
+    row-identical weights to passing the slice as a separate
+    ``target`` DataFrame — and exactly one of the two must be
+    given."""
+    from pyspark.sql import functions as F
+
+    from dask_ms_spark.llm.dsir import dsir_weights
+
+    rows = [(1, "the cat sat on the mat", "src1"),
+            (2, "quantum field theory notes", "src2"),
+            (3, "the dog sat on the log", "src1"),
+            (4, "field notes on quantum systems", "src2"),
+            (5, "", "src1")]
+    raw = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    via_frame = {(r.id, r.n_tokens, round(r.log_weight, 9))
+                 for r in dsir_weights(
+                     raw, raw.where(F.col("source") == "src1"),
+                     n_buckets=64).collect()}
+    via_pred = {(r.id, r.n_tokens, round(r.log_weight, 9))
+                for r in dsir_weights(
+                    raw, target_pred=F.col("source") == "src1",
+                    n_buckets=64).collect()}
+    assert via_frame == via_pred
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(raw, raw, target_pred=F.lit(True))
+
+
 def test_logistic_train_matches_python_model(spark):
     """Logistic GD checked against an exact python replica (same
     quantisation, same update order), and the learned boundary

@@ -696,3 +696,19 @@ def test_heaps_and_zipf_two_level_prefix(spark):
     assert_no_unpartitioned_window(hf, allowed=1)
     zf = entry.queries()["zipf_fit"](spark, "/root/testdata/sf0.001")
     assert_no_unpartitioned_window(zf, allowed=1)
+
+
+def test_scan_memo_t_and_ev_never_alias(spark):
+    """r12 regression: _t("events") and _ev memoise under DISTINCT
+    keys — with a shared key, whichever ran first served the other's
+    consumers (_ev could lose read_events' ts normalisation; _t's
+    ensure_parallelism repartition leaked into _ev plans, caught via
+    attribution's exchange count)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    t = entry._t(spark, sf, "events")       # populate _t's key first
+    ev = entry._ev(spark, sf)
+    assert ev is not t
+    assert entry._ev(spark, sf) is ev       # memo still effective
+    assert entry._t(spark, sf, "events") is t

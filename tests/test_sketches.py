@@ -141,6 +141,22 @@ def test_collocations_pmi_min_count_filter(spark):
     assert collocations_pmi(df, min_count=2, topk=10).count() == 0
 
 
+def test_collocations_pmi_single_token_docs_excluded(spark):
+    """Docs with < 2 tokens contribute to NEITHER marginal (r12: the
+    single-explode spelling must keep the pre-change filter
+    semantics — a lone 'york' doc must not inflate c(york))."""
+    docs = ["new york is big", "new york has people",
+            "big people like york", "york"]  # 4th doc: 1 token
+    df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                for i, t in enumerate(docs)])
+    out = collocations_pmi(df, min_count=2, topk=10).collect()
+    r = {(x.w1, x.w2): x for x in out}[("new", "york")]
+    # same counts as test_collocations_pmi_hand_checked: the 1-token
+    # doc is invisible (N = 12, c(york) = 3, not 13/4)
+    expected = math.log((2 / 9) / ((2 / 12) * (3 / 12)))
+    assert abs(r.pmi - expected) < 1e-6
+
+
 # ------------------------------------------------------- char entropy
 
 def test_char_entropy_known_values(spark):
