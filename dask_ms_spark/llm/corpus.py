@@ -26,6 +26,10 @@ __all__ = ["vocab_topk", "phrase_boilerplate", "quality_filter",
            "ngram_novelty", "dedup_paragraphs", "c4_line_filter",
            "ccnet_perplexity_buckets", "heaps_fit"]
 
+# A/B flag (tools/ab_flags.py): False restores the pre-r12 left-join
+# + unigram-floor scoring for self-scored add-one lm_perplexity.
+_SELF_SCORED_INNER_JOIN = True
+
 
 def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", sep: str = "\n\n",
@@ -594,14 +598,24 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
               .select("w1", "w2",
                       ((F.col("c2") + 1)
                        / (F.col("c1") + F.lit(vocab))).alias("p")))
-        # smoothing floor for bigrams unseen by the LM (left join):
-        # P = 1 / (c(w1) + V), or 1 / V when even w1 is unseen
-        scored = (inst.join(lm, ["w1", "w2"], "left")
-                  .join(uni, "w1", "left")
-                  .select("id", F.coalesce(
-                      F.col("p"),
-                      F.lit(1.0) / (F.coalesce(F.col("c1"), F.lit(0))
-                                    + F.lit(vocab))).alias("p")))
+        if self_scored and _SELF_SCORED_INNER_JOIN:
+            # every scored instance is in the LM by construction —
+            # inner join, no unigram backoff leg (r12: the left-join
+            # + uni-floor spelling paid one extra corpus-sized join
+            # whose coalesce never fired; the kneser_ney branch
+            # already had this fast path)
+            scored = inst.join(lm, ["w1", "w2"]).select("id", "p")
+        else:
+            # smoothing floor for bigrams unseen by the LM (left
+            # join): P = 1 / (c(w1) + V), or 1 / V when even w1 is
+            # unseen
+            scored = (inst.join(lm, ["w1", "w2"], "left")
+                      .join(uni, "w1", "left")
+                      .select("id", F.coalesce(
+                          F.col("p"),
+                          F.lit(1.0) / (F.coalesce(F.col("c1"),
+                                                   F.lit(0))
+                                        + F.lit(vocab))).alias("p")))
     q = F.round(-F.log(F.col("p")) * F.lit(float(scale))).cast("long")
     return (scored.select("id", q.alias("q"))
             .groupBy(F.col("id").alias(id_col))
