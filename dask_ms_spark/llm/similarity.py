@@ -219,11 +219,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         nprobe=nprobe) \
         .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
                 "cell")
+    # no pair dedup needed (r12): the corpus side is assigned with
+    # nprobe=1 — exactly one cell per neighbor — and a query's probed
+    # cells are distinct, so a (query, neighbor) pair matches at most
+    # once; the dropDuplicates paid a candidate-set exchange for
+    # nothing
     scored = (cells.join(probes, on="cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("qvec"), F.col("cvec2")).alias("cos_sim"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+                      cosine(F.col("qvec"), F.col("cvec2")).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -246,17 +250,30 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                       F.col(corpus_vec).alias("cvec"),
                       csig.alias("bucket"))
     qsig = hyperplane_signature(F.col(query_vec), dim, num_planes)
-    probes = [qsig]
+    # bind the signature ONCE: the probe list is built from the bound
+    # column, not num_planes+1 copies of the (planes x dim)-literal
+    # signature expression (r12: the inlined spelling grew the ann_lsh
+    # physical plan to ~150 KB of repeated hyperplane arithmetic —
+    # driver planning cost, not executor work)
+    qb = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("qvec"),
+                        qsig.alias("__sig"))
+    probes = [F.col("__sig")]
     if multiprobe:
-        probes += [qsig.bitwiseXOR(F.lit(2 ** j)) for j in range(num_planes)]
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qvec"),
-        F.explode(F.array(*probes)).alias("bucket"))
+        probes += [F.col("__sig").bitwiseXOR(F.lit(2 ** j))
+                   for j in range(num_planes)]
+    q = qb.select("query_id", "qvec",
+                  F.explode(F.array(*probes)).alias("bucket"))
+    # no pair dedup needed: each corpus row carries exactly ONE bucket
+    # and a query's probe values are pairwise distinct (the base
+    # signature and its num_planes single-bit flips), so a
+    # (query, neighbor) pair can match at most once — the r12-removed
+    # dropDuplicates paid a full candidate-set exchange for nothing.
+    # (Query ids must be unique, as brute_force_topk also assumes.)
     scored = (c.join(q, on="bucket")
                .where(F.col("query_id") != F.col("neighbor_id"))
                .select("query_id", "neighbor_id",
-                       cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
-               .dropDuplicates(["query_id", "neighbor_id"]))
+                       cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -337,12 +354,14 @@ def ivf_query_indexed(spark, path: str, queries: DataFrame, k: int = 10,
               .where(F.col("cell").isin(needed))
               .select(F.col("id").alias("neighbor_id"),
                       F.col("vec").alias("cvec2"), "cell"))
+    # no pair dedup needed (r12): each stored corpus row lives in
+    # exactly one cell partition and the probed cells per query are
+    # distinct (see ivf_topk)
     scored = (corpus.join(probes, "cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       cosine(F.col("qvec"), F.col("cvec2"))
-                      .alias("cos_sim"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+                      .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
