@@ -30,6 +30,13 @@ if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
 from dask_ms_spark.cache import scoped_persist  # noqa: E402
+
+# Concurrent partition jobs for the backfill query: overlapping the
+# many-small-weeks shape backfills executor idle tails (guide §2.6).
+# Parameterised for the cluster case (1 = sequential, the right value
+# when one partition's job already saturates the executors).
+_BACKFILL_CONCURRENCY = int(os.environ.get(
+    "SPARK_GRAFT_BACKFILL_CONCURRENCY", "4"))
 from dask_ms_spark.dataset import concat, partition_datasets  # noqa: E402
 from dask_ms_spark.expressions import data_column_expr  # noqa: E402
 from dask_ms_spark.functions import complexf  # noqa: E402
@@ -3982,9 +3989,17 @@ def q_backfill_restart(spark, sf_dir):
     from dask_ms_spark.operators.backfill import backfill, read_backfill
 
     store = _scratch("backfill", sf_dir)
-    ev = _ev(spark, sf_dir) \
+    # each week is a SEPARATE Spark job (the backfill contract), so
+    # cross-job exchange reuse cannot help — without the persist every
+    # week job re-scans the events parquet and re-derives the week
+    # column (O(#weeks) full scans; the derived-column filter cannot
+    # push down).  Persist the narrow (week, event_type, user_id)
+    # projection once instead (r12, guide §2.6/§5).
+    ev = scoped_persist(
+        _ev(spark, sf_dir)
         .withColumn("week", F.date_format(
             F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"))
+        .select("week", "event_type", "user_id"))
     weeks = sorted(r.week for r in
                    ev.select("week").distinct().collect())
 
@@ -3995,8 +4010,15 @@ def q_backfill_restart(spark, sf_dir):
                      F.countDistinct("user_id").cast("long")
                      .alias("n_users")))
 
-    first = backfill(spark, weeks[: len(weeks) // 2], run, store)
-    second = backfill(spark, weeks, run, store)
+    # a single local week-rollup cannot saturate the session, so
+    # overlap the partition jobs (guide §2.6; backfill's documented
+    # many-small-partitions mode) — commit semantics are unchanged,
+    # the markers are per-partition-atomic.  On a cluster where one
+    # partition fills the executors, 1 is the right value.
+    conc = _BACKFILL_CONCURRENCY
+    first = backfill(spark, weeks[: len(weeks) // 2], run, store,
+                     max_concurrent=conc)
+    second = backfill(spark, weeks, run, store, max_concurrent=conc)
     done = {p for p, s in first if s == "done"}
     # restart discipline: every partition committed in pass 1 must be
     # skipped (not recomputed) in pass 2
