@@ -84,19 +84,42 @@ _SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" \
     = weakref.WeakKeyDictionary()
 
 
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path))
+    return os.path.getsize(path)
+
+
+# Split-widening floor: a scan below this size skips the
+# ensure_parallelism round-robin repartition.  The repartition exists
+# so CPU-heavy per-row work on a single-row-group file does not
+# serialise on one core; the dimension tables (region .. customer,
+# <=~300 KB here) only ever feed broadcast builds and hash probes, so
+# their repartition was a pure extra Exchange + 32-task stage in every
+# star-join plan.  Parameterised for other layouts; at production
+# scale scans have many splits and ensure_parallelism is a no-op
+# either way.
+_MIN_SPLIT_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_MIN_SPLIT_BYTES", str(512 * 1024)))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan + adaptive split widening: the testdata tables are single
     row groups (one input split), which would serialise CPU-heavy
     per-row work on one core; at real scale the scan has many splits
-    and ensure_parallelism is a no-op."""
+    and ensure_parallelism is a no-op.  Tiny dims (< _MIN_SPLIT_BYTES)
+    skip the widening — see _MIN_SPLIT_BYTES."""
     from dask_ms_spark.session import ensure_parallelism
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     per_session = _SCAN_MEMO.setdefault(spark, {})
     got = per_session.get(path)
     if got is None:
-        got = per_session[path] = ensure_parallelism(
-            spark.read.parquet(path))
+        got = spark.read.parquet(path)
+        if _path_bytes(path) >= _MIN_SPLIT_BYTES:
+            got = ensure_parallelism(got)
+        per_session[path] = got
     return got
 
 
@@ -279,6 +302,10 @@ def q_star_join(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
            (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+    # r12 examined: pre-aggregating rev per l_orderkey before the
+    # fact-fact join (guide §2.3) A/B'd 1.05x SLOWER at sf0.1 — the
+    # partial aggregate's hash build costs more than the (already
+    # broadcast-joined) exchange it would shrink.  Kept as-is.
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
            .join(cust, orders.o_custkey == cust.c_custkey)
            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
@@ -675,10 +702,19 @@ def q_tpch_q7(spark, sf_dir):
             (F.col("cust_nation") == "NATION_12")) | \
            ((F.col("supp_nation") == "NATION_12") &
             (F.col("cust_nation") == "NATION_5"))
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # r12 join order: the nation-pair disjunction implies
+    # supp_nation/cust_nation ∈ {NATION_5, NATION_12} (Catalyst
+    # pushes that IN to the nation scans but does NOT reorder the
+    # joins), so probing the 2-row nation broadcasts FIRST drops
+    # ~92% of lineitem before the fact-fact orders edge and ~92%
+    # of customers before their join — at scale that cuts the only
+    # real shuffles by ~12x.  Inner joins commute: identical result
+    # set.  Interleaved A/B at sf0.1: 0.974x (scan-dominated here;
+    # the win is the shuffle-bytes cut at scale).
+    j = (li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+           .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+           .join(orders, li.l_orderkey == orders.o_orderkey)
            .join(customer, orders.o_custkey == customer.c_custkey)
-           .join(supplier, li.l_suppkey == supplier.s_suppkey)
-           .join(n1, supplier.s_nationkey == F.col("s_nk"))
            .join(n2, customer.c_nationkey == F.col("c_nk"))
            .where(pair))
     return (j.groupBy("supp_nation", "cust_nation",
@@ -744,10 +780,23 @@ def q_tpch_q8(spark, sf_dir):
            (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
     target = F.when(F.col("supp_nation") == "NATION_5", vol) \
               .otherwise(F.lit(0).cast("decimal(22,6)"))
-    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-           .join(customer, orders.o_custkey == customer.c_custkey)
-           .join(n_cust, customer.c_nationkey == F.col("c_nk"))
-           .join(region, F.col("c_rk") == region.r_regionkey)
+    # r12 join order: gate orders through the ASIA customer set
+    # BEFORE the lineitem edge — region keeps ~1/5 of nations, so
+    # the o_orderkey join (the one fact-fact shuffle at scale)
+    # carries ~6% of orders instead of ~29%.  Inner joins commute:
+    # identical result set.  The gated set is ~6% of orders and the
+    # ungated plan already relied on auto-broadcasting FULL orders,
+    # so the broadcast hint never broadcasts more than before.
+    # Interleaved A/B at sf0.1: 0.944x (1.55 -> 1.46 s medians).
+    orders_asia = (orders
+                   .join(customer,
+                         orders.o_custkey == customer.c_custkey)
+                   .join(n_cust,
+                         customer.c_nationkey == F.col("c_nk"))
+                   .join(region, F.col("c_rk") == region.r_regionkey)
+                   .select("o_orderkey", "o_orderdate"))
+    j = (li.join(F.broadcast(orders_asia),
+                 li.l_orderkey == F.col("o_orderkey"))
            .join(supplier, li.l_suppkey == supplier.s_suppkey)
            .join(n_supp, supplier.s_nationkey == F.col("s_nk")))
     return (j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
@@ -1053,15 +1102,23 @@ def q_tpch_q21(spark, sf_dir):
             .withColumn("late",
                         F.col("l_shipdate") >
                         F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
-    stats = (lo.groupBy("l_orderkey")
-               .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                    F.countDistinct(
-                        F.when(F.col("late"), F.col("l_suppkey")))
-                     .alias("n_late")))
-    lone = stats.where("n_supp >= 2 AND n_late = 1") \
-                .select(F.col("l_orderkey").alias("w_orderkey"))
-    l1 = lo.where("late").join(
-        lone, lo.l_orderkey == lone.w_orderkey).drop("w_orderkey")
+    # r12: the EXISTS/NOT-EXISTS counts ride ONE window over the
+    # same l_orderkey partitioning instead of a groupBy + re-join —
+    # the lineitem⋈orders subtree was physically evaluated twice
+    # (two parquet scans + two broadcast joins, AQE cannot reuse a
+    # broadcast-join output) and the re-join paid a SortMergeJoin
+    # over a second l_orderkey shuffle.  collect_set skips NULLs,
+    # so size(collect_set(when(late, supp))) == countDistinct of
+    # late suppliers — identical survivor set by construction.
+    # Interleaved A/B at sf0.1: 0.678x (3.96 -> 2.69 s medians).
+    w = Window.partitionBy("l_orderkey")
+    l1 = (lo.withColumn(
+              "n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+            .withColumn(
+              "n_late",
+              F.size(F.collect_set(
+                  F.when(F.col("late"), F.col("l_suppkey"))).over(w)))
+            .where("late AND n_supp >= 2 AND n_late = 1"))
     supplier = F.broadcast(
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(_t(spark, sf_dir, "nation")
