@@ -948,12 +948,19 @@ def q_tpch_q17(spark, sf_dir):
                        .where("p_brand = 'Brand#13'")
                        .select("p_partkey"))
     li = _t(spark, sf_dir, "lineitem")
-    per_part = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
-                  .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                         .cast("double") /
-                        F.count(F.lit(1))).alias("avg_qty")))
+    # r12: the per-part average only matters for Brand#13 partkeys,
+    # and a per-key average is unchanged by dropping OTHER keys — so
+    # the brand broadcast-join runs FIRST and the average rides a
+    # window over the filtered fact instead of a full-fact groupBy +
+    # join back (guide §2.3/§2.4).  Before: two lineitem scans and a
+    # partkey aggregate over 100% of the fact; after: one scan, one
+    # exchange carrying only the brand's ~4% of rows.  Same
+    # sum(decimal)->double / count(long) division, same rows.
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+                .cast("double") / F.count(F.lit(1)).over(w))
     j = (li.join(part, li.l_partkey == part.p_partkey)
-           .join(per_part, li.l_partkey == F.col("t_partkey"))
+           .withColumn("avg_qty", avg_qty)
            .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")))
     return j.agg(
         F.round((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
