@@ -1572,54 +1572,70 @@ def q_events_funnel(spark, sf_dir):
     """Ordered funnel analysis (view -> click -> purchase): each stage
     is a per-user MIN over events strictly after the previous stage's
     time, so conversion respects event order, not mere co-occurrence.
-    All three stages shuffle on user_id — the per-user frames reuse
-    the same partitioning — and stage-to-stage latency averages over
-    exact integer microseconds before one final division, so the mean
-    is engine-deterministic."""
+    The whole funnel rides ONE user_id-keyed aggregate (r12 — the
+    staged groupBy+join spelling shuffled the event stream per stage),
+    and stage-to-stage latency averages over exact integer
+    microseconds before one final division, so the mean is
+    engine-deterministic."""
     ev = (_ev(spark, sf_dir)
-          .select("user_id", "event_type", "ts"))
-    v = (ev.where("event_type = 'view'")
-           .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    c = (ev.where("event_type = 'click'")
-           .join(v, "user_id")
-           .where(F.col("ts") > F.col("t1"))
-           .groupBy("user_id")
-           .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1")))
-    p = (ev.where("event_type = 'purchase'")
-           .join(c.select("user_id", "t2"), "user_id")
-           .where(F.col("ts") > F.col("t2"))
-           .groupBy("user_id")
-           .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2")))
-
-    def stage(df, name, a, b):
-        # exact integer microseconds (not SECOND diffs, whose
-        # sub-second truncation differs between engines)
-        us = (F.expr(f"timestampdiff(MICROSECOND, {a}, {b})")
-              if a else F.lit(None).cast("long"))
-        return (df.select(us.alias("us"))
-                  .agg(F.count(F.lit(1)).alias("n_users"),
-                       F.round(F.avg("us") / 3.6e9, 6)
-                        .alias("avg_hours"))
-                  .select(F.lit(name).alias("stage"), "n_users",
-                          "avg_hours"))
-
-    return (stage(v, "1_view", None, None)
-            .unionByName(stage(c, "2_click", "t1", "t2"))
-            .unionByName(stage(p, "3_purchase", "t2", "t3")))
+          .select("user_id", "event_type", "ts")
+          .where(F.col("event_type").isin("view", "click", "purchase")))
+    # r12: the staged spelling shuffled the event stream on user_id
+    # once per stage (3 aggregates + 2 joins, 6 event scans in the
+    # plan); ONE user-keyed aggregate carries the same information —
+    # t1 is a plain MIN, and the later stages' "min ts strictly after
+    # the previous stage" evaluates per user over the collected
+    # click/purchase timestamp lists (bounded per user).  A user
+    # without the previous stage has t_prev NULL, the filter predicate
+    # evaluates NULL and keeps nothing — exactly the rows the staged
+    # joins dropped.
+    per_user = (ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("t1"),
+        F.collect_list(F.when(F.col("event_type") == "click",
+                              F.col("ts"))).alias("cl"),
+        F.collect_list(F.when(F.col("event_type") == "purchase",
+                              F.col("ts"))).alias("pu")))
+    per_user = per_user.withColumn(
+        "t2", F.array_min(F.filter("cl", lambda t: t > F.col("t1"))))
+    funnel = per_user.withColumn(
+        "t3", F.array_min(F.filter("pu", lambda t: t > F.col("t2"))))
+    # exact integer microseconds (not SECOND diffs, whose sub-second
+    # truncation differs between engines); avg skips the NULL rows of
+    # users who never reached the stage — the same value sets the
+    # staged frames aggregated
+    one = funnel.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.avg(F.expr("timestampdiff(MICROSECOND, t1, t2)")).alias("a2"),
+        F.avg(F.expr("timestampdiff(MICROSECOND, t2, t3)")).alias("a3"))
+    return (one.select(F.explode(F.array(
+        F.struct(F.lit("1_view").alias("stage"),
+                 F.col("n1").alias("n_users"),
+                 F.lit(None).cast("double").alias("avg_hours")),
+        F.struct(F.lit("2_click").alias("stage"),
+                 F.col("n2").alias("n_users"),
+                 F.round(F.col("a2") / 3.6e9, 6).alias("avg_hours")),
+        F.struct(F.lit("3_purchase").alias("stage"),
+                 F.col("n3").alias("n_users"),
+                 F.round(F.col("a3") / 3.6e9, 6).alias("avg_hours"))))
+        .alias("s")).select("s.*"))
 
 
 def q_events_retention(spark, sf_dir):
     """Cohort retention: users grouped by the ISO week of their first
     event, activity counted per whole-week offset from that first
-    event.  One per-user aggregate for cohort assignment, one join
-    back (both shuffles keyed user_id, partitioning reused), then a
+    event.  Cohort assignment is a per-user window MIN riding the one
+    user_id shuffle (r12 — the groupBy+join-back spelling shuffled the
+    event stream twice for the identical first_ts), then a
     distinct-count per (cohort, offset) — the offset derives from
     exact integer microseconds so bucket edges match across
     engines."""
     ev = (_ev(spark, sf_dir)
           .select("user_id", "ts"))
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    j = ev.join(first, "user_id")
+    j = ev.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("user_id")))
     return (j.select(
                 F.date_format(F.date_trunc("week", F.col("first_ts")),
                               "yyyy-MM-dd").alias("cohort_week"),
@@ -3082,17 +3098,20 @@ def q_zipf_fit(spark, sf_dir):
 def q_conversion_lag(spark, sf_dir):
     """Signup-to-first-purchase conversion by weekly cohort: per
     cohort, users, converters, and the exact median lag in seconds
-    (percentile parity) — the product-analytics staple.  Two bounded
-    aggs keyed on user, then a cohort rollup."""
-    ev = _ev(spark, sf_dir)
-    su = (ev.where("event_type = 'signup'")
-          .groupBy("user_id")
-          .agg(F.min(F.unix_timestamp("ts")).alias("signup_ep")))
-    pu = (ev.where("event_type = 'purchase'")
-          .groupBy("user_id")
-          .agg(F.collect_list(F.unix_timestamp("ts"))
-               .alias("p_eps")))
-    j = (su.join(pu, "user_id", "left")
+    (percentile parity) — the product-analytics staple.  ONE bounded
+    agg keyed on user (r12 — the signup and purchase aggregates ran
+    as two event-stream shuffles plus a join; a conditional aggregate
+    carries both in one pass, and users without a signup drop on the
+    same NULL filter the inner join side applied), then a cohort
+    rollup."""
+    ev = (_ev(spark, sf_dir)
+          .where(F.col("event_type").isin("signup", "purchase")))
+    per_user = (ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup",
+                     F.unix_timestamp("ts"))).alias("signup_ep"),
+        F.collect_list(F.when(F.col("event_type") == "purchase",
+                              F.unix_timestamp("ts"))).alias("p_eps")))
+    j = (per_user.where(F.col("signup_ep").isNotNull())
          .select("user_id", "signup_ep",
                  F.array_min(F.filter(
                      F.coalesce("p_eps",
