@@ -904,15 +904,21 @@ def q_tpch_q15(spark, sf_dir):
     then the max selected by joining a broadcast single-row global max
     back onto the agg — no global sort, no window over a single
     partition; exact decimal sums make the max-equality comparison
-    engine-identical."""
+    engine-identical.  The per-supplier aggregate is persisted (r12):
+    the global-max broadcast builds in a separate job, so without the
+    pin the whole lineitem scan + two-level aggregate executed twice —
+    verified on the final AQE plan (no ReusedExchange between the
+    max leg and the join leg); the persisted frame is |suppliers|
+    rows of (key, double)."""
     li = _t(spark, sf_dir, "lineitem").where(
         "l_shipdate >= timestamp '1996-01-01' AND "
         "l_shipdate < timestamp '1996-04-01'")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
            (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
-    per_supp = (li.groupBy("l_suppkey")
-                  .agg(F.round(F.sum(rev).cast("double"), 2)
-                        .alias("total_revenue")))
+    per_supp = scoped_persist(
+        li.groupBy("l_suppkey")
+          .agg(F.round(F.sum(rev).cast("double"), 2)
+                .alias("total_revenue")))
     mx = per_supp.agg(F.max("total_revenue").alias("mx"))
     top = per_supp.join(F.broadcast(mx),
                         per_supp.total_revenue == F.col("mx")).drop("mx")
@@ -2096,7 +2102,14 @@ def q_corpus_diff(spark, sf_dir):
     removing doc_id%11==0, rewriting text for doc_id%5==0, and adding
     fresh ids (+100000 for doc_id%13==0); the diff must label exactly
     those as removed/changed/added, everything else unchanged.  Both
-    sides project to (id, digest) before the full-outer join."""
+    sides project to (id, digest) before the full-outer join.
+
+    r12 examined, kept as-is: a one-scan variant (persist both
+    versions' digests off one payload projection, exploiting the
+    bench's v2-from-v1 derivation) A/B'd flat-to-worse (median ~1.05
+    over four interleaved sessions) and its scale story is synthetic —
+    two real corpus versions are separate tables, each already
+    scanned exactly once by this shape."""
     from dask_ms_spark.llm.corpus import corpus_diff
 
     d = _t(spark, sf_dir, "documents")
@@ -2133,7 +2146,14 @@ def q_rollup_merge(spark, sf_dir):
     merged WITHOUT re-aggregating history, proven equal to the full
     re-aggregate by the oracle (which computes the rollup directly
     from all events).  Sums accumulate in decimal(18,2) so the merge
-    is bit-exact cross-engine."""
+    is bit-exact cross-engine.
+
+    r12 examined, kept as-is: folding both slices into ONE flagged
+    aggregate + persist A/B'd 1.13-1.40x SLOWER (persist
+    materialisation + an extra merge shuffle cost more than the saved
+    second scan), and the two-scan shape is itself a bench artifact —
+    in production the history rollup is read back from storage, never
+    re-aggregated, which is the exact property this query proves."""
     from dask_ms_spark.operators.timeseries import (bucket_aggregate,
                                                     merge_rollups)
 

@@ -129,21 +129,70 @@ def grouped_ols(df: DataFrame, group_cols: list[str] | str,
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,
                   exact_ndv: bool = True) -> DataFrame:
-    """Single-pass per-column profile: nulls, min, max, distinct count.
+    """Per-column profile: nulls, min, max, distinct count.
 
-    One wide aggregate over one scan — every statistic partial-merges
-    map-side, so the cost at 100 TB is the scan plus one tiny shuffle,
-    not a pass per column.  ``exact_ndv=False`` swaps exact distinct
-    (which expands the aggregate per column) for HyperLogLog
-    ``approx_count_distinct`` — the only sane setting on wide fact
-    tables at scale; the exact form exists so the sketch has an oracle.
-    Output is long-format ``(col_name, n_nulls, n_distinct, min_s,
-    max_s)`` with min/max rendered to strings so mixed types share one
-    schema.
+    ``exact_ndv=True`` (the oracle form) runs one scan through
+    ``GROUPING SETS ((c1), ..., (cn)) count(*)`` and derives every
+    statistic from the collapsed per-value counts (nulls from the
+    NULL group's count, ndv from the non-null group count, min/max
+    over the distinct set).  The Expand still emits |cols| copies of
+    each row, but they are single-column-narrow and the partial
+    aggregate is a plain HASH aggregate (count buffers only) that
+    collapses duplicates map-side — unlike the wide
+    multi-countDistinct spelling Catalyst plans for the naive form,
+    whose string min/max push the whole (|cols|+1)-times-expanded
+    stream through a Sort + SortAggregate before any collapse (r12:
+    A/B'd 0.92-0.97x locally, and at scale the exchange carries
+    ~Σ per-column distinct values instead of |cols|x the row count).
+
+    ``exact_ndv=False`` keeps the single wide aggregate with
+    HyperLogLog ``approx_count_distinct`` (no Expand in that plan) —
+    the only sane setting on wide fact tables at scale; the exact form
+    exists so the sketch has an oracle.  Output is long-format
+    ``(col_name, n_nulls, n_distinct, min_s, max_s)`` with min/max
+    rendered to strings so mixed types share one schema.
     """
     from pyspark.sql import functions as F
 
     cols = columns or [f.name for f in df.schema.fields]
+    if exact_ndv:
+        # one scan -> GROUPING SETS ((c1),...,(cn)) count — Expand
+        # emits |cols| narrow single-column copies and the partial
+        # HASH aggregate collapses duplicates map-side, so the
+        # exchange carries ~Σ per-column distinct values; the string
+        # min/max (sort-based aggregation) then run over that
+        # collapsed set, not the raw expanded stream
+        k = len(cols)
+        g = (df.groupingSets([[c] for c in cols],
+                             *[F.col(c) for c in cols])
+               .agg(F.count(F.lit(1)).alias("__cnt"),
+                    F.grouping_id().alias("__gid")))
+        aggs = []
+        for i, c in enumerate(cols):
+            gid_c = (1 << k) - 1 - (1 << (k - 1 - i))
+            mine = F.col("__gid") == gid_c
+            aggs += [
+                # sum-of-zeros (not NULL) when no NULL group exists,
+                # NULL on an empty frame — same as summing per-row
+                # isNull() flags over the raw table
+                F.sum(F.when(mine & F.col(c).isNull(), F.col("__cnt"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias(f"__nn_{c}"),
+                F.count(F.when(mine, F.col(c))).alias(f"__nd_{c}"),
+                F.min(F.when(mine, F.col(c))).cast("string")
+                 .alias(f"__mn_{c}"),
+                F.max(F.when(mine, F.col(c))).cast("string")
+                 .alias(f"__mx_{c}"),
+            ]
+        wide = g.agg(*aggs)
+        stacked = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("col_name"),
+                     F.col(f"__nn_{c}").alias("n_nulls"),
+                     F.col(f"__nd_{c}").alias("n_distinct"),
+                     F.col(f"__mn_{c}").alias("min_s"),
+                     F.col(f"__mx_{c}").alias("max_s"))
+            for c in cols]))
+        return wide.select(stacked.alias("p")).select("p.*")
     ndv = (F.countDistinct if exact_ndv
            else lambda c: F.approx_count_distinct(c))
     aggs = []

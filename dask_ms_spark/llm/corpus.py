@@ -296,11 +296,19 @@ def phrase_boilerplate(docs: DataFrame, text_col: str = "text",
 
     Plan shape: explode n-grams, hash POST-explode (the measured
     codegen discipline — hashing inside the array ``transform`` runs
-    interpreted), distinct (doc, gram-hash), then one aggregation per
-    gram-hash counting documents and one per doc computing the shared
-    fraction.  Payload never shuffles: every exchanged row is
-    (8-byte hash, id) or smaller.
+    interpreted), distinct (doc, gram-hash), then the per-gram
+    document count rides a ``count() OVER (PARTITION BY gh)`` window
+    on the SAME distinct pair set (r12 — the groupBy-gh + join-back
+    spelling re-deduplicated the pair set for the aggregate leg and
+    broadcast the whole pair table to attach the counts; at corpus
+    scale that broadcast does not fit and the join becomes a second
+    gh-keyed shuffle, which is exactly the one exchange the window
+    already pays).  A hot gram keys one window partition either way —
+    same skew surface as the join's gh shuffle, one fewer pass.
+    Payload never shuffles: every exchanged row is (8-byte hash, id)
+    or smaller.
     """
+    from pyspark.sql import Window
     toks = tokens(F.lower(F.col(text_col)))
     nt = F.size(toks)
 
@@ -320,9 +328,9 @@ def phrase_boilerplate(docs: DataFrame, text_col: str = "text",
                      F.explode(grams).alias("gram"))
              .select("id", portable_hash64(F.col("gram")).alias("gh"))
              .distinct())
-    gram_docs = (pairs.groupBy("gh")
-                 .agg(F.count(F.lit(1)).alias("n_docs")))
-    return (pairs.join(gram_docs, "gh")
+    counted = pairs.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    return (counted
             .groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).cast("long").alias("n_phrases"),
                  F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
