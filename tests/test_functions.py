@@ -256,6 +256,32 @@ def test_grouped_ols_native_matches_kernel(spark):
                 1.0, abs(kr.intercept))
 
 
+def test_profile_table_nulls_and_empty(spark):
+    """Pins the grouping-sets exact path's edge semantics (r12
+    rewrite): n_nulls counts the NULL group's rows (0, not NULL, when
+    no nulls exist), n_distinct excludes NULL, min/max ignore NULL,
+    and an empty frame still yields one row per column with NULL
+    stats and n_distinct 0 — exactly what the old per-row-flag wide
+    aggregate produced."""
+    from dask_ms_spark.functions.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (None, "a"), (None, "a")],
+        "k int, s string")
+    got = {r.col_name: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert (got["k"].n_nulls, got["k"].n_distinct,
+            got["k"].min_s, got["k"].max_s) == (2, 2, "1", "2")
+    assert (got["s"].n_nulls, got["s"].n_distinct,
+            got["s"].min_s, got["s"].max_s) == (1, 2, "a", "b")
+    empty = {r.col_name: r for r in
+             profile_table(df.where("k > 99"), ["k", "s"]).collect()}
+    assert set(empty) == {"k", "s"}
+    for c in ("k", "s"):
+        assert empty[c].n_nulls is None  # SUM over zero rows
+        assert empty[c].n_distinct == 0
+        assert empty[c].min_s is None and empty[c].max_s is None
+
+
 def test_profile_table_exact_and_sketch(orders):
     from dask_ms_spark.functions.stats import profile_table
 
