@@ -85,10 +85,18 @@ _SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" \
 
 
 def _path_bytes(path: str) -> int:
-    if os.path.isdir(path):
-        return sum(os.path.getsize(os.path.join(path, f))
-                   for f in os.listdir(path))
-    return os.path.getsize(path)
+    """Local on-disk size of a table path; a non-local path (object
+    store URI) returns a large sentinel — both consumers degrade to
+    their scale-safe behaviour on it (the split widening is attempted
+    and is a no-op on many-split inputs; the q8 broadcast gate
+    declines the hint and lets AQE decide)."""
+    try:
+        if os.path.isdir(path):
+            return sum(os.path.getsize(os.path.join(path, f))
+                       for f in os.listdir(path))
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 60
 
 
 # Split-widening floor: a scan below this size skips the
@@ -756,6 +764,16 @@ def q_tpch_q2(spark, sf_dir):
                         .alias("acctbal")))
 
 
+# Fact-derived broadcast gate (r13, verdict r12 item 2): a derived
+# subset of a fact table may only carry an explicit broadcast hint
+# when the WHOLE source fact's on-disk bytes are below this cap —
+# i.e. when even a 100%-selectivity estimate error stays broadcast-
+# safe.  Above the cap (any real deployment) no hint is emitted and
+# AQE's runtime size check owns the decision.
+_BCAST_GATE_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_BCAST_GATE_BYTES", str(32 * 1024 * 1024)))
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape (national market share): share of ASIA-customer
     order volume supplied from NATION_5, per order year — nation twice
@@ -784,10 +802,15 @@ def q_tpch_q8(spark, sf_dir):
     # BEFORE the lineitem edge — region keeps ~1/5 of nations, so
     # the o_orderkey join (the one fact-fact shuffle at scale)
     # carries ~6% of orders instead of ~29%.  Inner joins commute:
-    # identical result set.  The gated set is ~6% of orders and the
-    # ungated plan already relied on auto-broadcasting FULL orders,
-    # so the broadcast hint never broadcasts more than before.
-    # Interleaved A/B at sf0.1: 0.944x (1.55 -> 1.46 s medians).
+    # identical result set.  r13 (verdict r12 item 2): the broadcast
+    # hint is no longer UNCONDITIONAL — a forced broadcast of a
+    # fact-derived relation bypasses AQE's size check and OOMs at
+    # real scale (~6% of orders is unbounded at 100 TB).  The hint is
+    # now gated on the source table's on-disk size: only when ALL of
+    # orders is comfortably broadcastable can the ~6% subset be (the
+    # unhinted plan was A/B'd 1.20x slower at sf0.1 — the static
+    # planner's post-join estimate is inflated and plans an SMJ
+    # before AQE can demote it); past the gate AQE decides.
     orders_asia = (orders
                    .join(customer,
                          orders.o_custkey == customer.c_custkey)
@@ -795,7 +818,10 @@ def q_tpch_q8(spark, sf_dir):
                          customer.c_nationkey == F.col("c_nk"))
                    .join(region, F.col("c_rk") == region.r_regionkey)
                    .select("o_orderkey", "o_orderdate"))
-    j = (li.join(F.broadcast(orders_asia),
+    if (_path_bytes(os.path.join(sf_dir, "orders.parquet"))
+            <= _BCAST_GATE_BYTES):
+        orders_asia = F.broadcast(orders_asia)
+    j = (li.join(orders_asia,
                  li.l_orderkey == F.col("o_orderkey"))
            .join(supplier, li.l_suppkey == supplier.s_suppkey)
            .join(n_supp, supplier.s_nationkey == F.col("s_nk")))
@@ -1588,24 +1614,38 @@ def q_events_funnel(spark, sf_dir):
           .where(F.col("event_type").isin("view", "click", "purchase")))
     # r12: the staged spelling shuffled the event stream on user_id
     # once per stage (3 aggregates + 2 joins, 6 event scans in the
-    # plan); ONE user-keyed aggregate carries the same information —
-    # t1 is a plain MIN, and the later stages' "min ts strictly after
-    # the previous stage" evaluates per user over the collected
-    # click/purchase timestamp lists (bounded per user).  A user
-    # without the previous stage has t_prev NULL, the filter predicate
-    # evaluates NULL and keeps nothing — exactly the rows the staged
-    # joins dropped.
-    per_user = (ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-         .alias("t1"),
-        F.collect_list(F.when(F.col("event_type") == "click",
-                              F.col("ts"))).alias("cl"),
-        F.collect_list(F.when(F.col("event_type") == "purchase",
-                              F.col("ts"))).alias("pu")))
-    per_user = per_user.withColumn(
-        "t2", F.array_min(F.filter("cl", lambda t: t > F.col("t1"))))
-    funnel = per_user.withColumn(
-        "t3", F.array_min(F.filter("pu", lambda t: t > F.col("t2"))))
+    # plan); ONE user-keyed pass carries the same information.
+    # r13 (verdict r12 item 3): the r12 spelling got the one-shuffle
+    # plan by collect_list'ing the click/purchase timestamps per user
+    # — an aggregation buffer that grows with the hottest user's
+    # event count and cannot spill mid-key (guide §5 per-key state).
+    # Chained conditional window-MINs over the SAME user_id exchange
+    # carry the identical values with bounded state: WindowExec
+    # buffers rows in a spillable array, and each stage's "min ts
+    # strictly after the previous stage" is a conditional MIN whose
+    # predicate reads the previous window's output column.  A user
+    # without the previous stage has t_prev NULL, the predicate
+    # evaluates NULL and the MIN sees nothing — exactly the rows the
+    # staged joins dropped.  The trailing per-user collapse reuses
+    # the window's hashpartitioning(user_id), so the plan still has
+    # one data exchange before the final 1-row aggregate.
+    w = Window.partitionBy("user_id")
+    staged = (ev
+              .withColumn("t1", F.min(F.when(
+                  F.col("event_type") == "view", F.col("ts")))
+                  .over(w))
+              .withColumn("t2", F.min(F.when(
+                  (F.col("event_type") == "click")
+                  & (F.col("ts") > F.col("t1")), F.col("ts")))
+                  .over(w))
+              .withColumn("t3", F.min(F.when(
+                  (F.col("event_type") == "purchase")
+                  & (F.col("ts") > F.col("t2")), F.col("ts")))
+                  .over(w)))
+    funnel = (staged.groupBy("user_id")
+              .agg(F.min("t1").alias("t1"),
+                   F.min("t2").alias("t2"),
+                   F.min("t3").alias("t3")))
     # exact integer microseconds (not SECOND diffs, whose sub-second
     # truncation differs between engines); avg skips the NULL rows of
     # users who never reached the stage — the same value sets the

@@ -282,6 +282,27 @@ def test_profile_table_nulls_and_empty(spark):
         assert empty[c].min_s is None and empty[c].max_s is None
 
 
+def test_profile_table_past_grouping_set_limit(spark):
+    """r12 ADVICE repro: Catalyst rejects more than 64 grouping sets
+    (GROUPING_SIZE_LIMIT_EXCEEDED), and the default invocation
+    (columns=None, exact_ndv=True) hits it on any >64-column frame.
+    The exact path now batches columns <=64 per pass and unions the
+    long-format outputs — per-column stats are independent, so the
+    values must equal a per-column single-batch run."""
+    from dask_ms_spark.functions.stats import profile_table
+
+    n_cols = 65
+    df = spark.range(20).selectExpr(
+        *[f"cast(id % {i + 2} as int) as c{i}" for i in range(n_cols)])
+    got = {r.col_name: r for r in profile_table(df).collect()}
+    assert len(got) == n_cols
+    for i in range(n_cols):
+        r = got[f"c{i}"]
+        assert r.n_nulls == 0
+        assert r.n_distinct == min(20, i + 2)
+        assert r.min_s == "0"
+
+
 def test_profile_table_exact_and_sketch(orders):
     from dask_ms_spark.functions.stats import profile_table
 
