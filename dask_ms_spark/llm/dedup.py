@@ -961,6 +961,64 @@ def embedding_dup_pairs_bucketed(embs: DataFrame,
     return scored
 
 
+def _duckdb_available() -> bool:
+    """The Arrow edit-distance kernel needs duckdb on the workers;
+    probe the driver env (same interpreter in local mode, same image
+    on a sanely-built cluster) and fall back to the JVM banded
+    expression when absent — both paths are result-identical."""
+    try:
+        import duckdb  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _edits_arrow_kernel(pairs: DataFrame) -> DataFrame:
+    """Exact Levenshtein over candidate pairs via DuckDB inside
+    ``mapInArrow`` (guide §4.2: let Spark do distribution, hand whole
+    Arrow batches to a native vectorized engine).
+
+    Input: (id_a, id_b, ta, tb, __L); output replaces the texts with
+    ``__edits`` (exact distance, unbanded).  Result-identity with the
+    banded JVM form: the band threshold k only ever turned a distance
+    that PROVABLY fails the max_edits/max_ratio filters into -1 —
+    returning the exact distance instead drops the same pairs on the
+    same filters (d > k = min(max_edits, floor(max_ratio*L)+1)
+    implies d > max_edits or round(d/L, 6) > max_ratio).  DuckDB's
+    levenshtein is code-point exact-match to Spark's (probed; the
+    DuckDB oracle itself scores with it).
+
+    The round-robin repartition keeps `_verify_once`'s CPU-spread
+    property: hub documents cluster thousands of pairs on one
+    partition after the id_b payload join, a CPU skew AQE cannot see.
+    The connection is constructed once per TASK and pinned to one
+    thread — parallelism comes from Spark's tasks, not DuckDB's pool.
+    """
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields if f.name not in ("ta", "tb"))
+    schema = f"{out_fields}, __edits int"
+
+    def score(batches):
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        con.execute("SET threads TO 1")
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            con.register("b", tbl)
+            out = con.execute(
+                "SELECT * EXCLUDE (ta, tb), "
+                "CAST(levenshtein(ta, tb) AS INT) AS __edits FROM b"
+            ).fetch_arrow_table()
+            con.unregister("b")
+            yield from out.to_batches()
+
+    return pairs.repartition(n_parts).mapInArrow(score, schema)
+
+
 def edit_distance_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_edits: int = 120,
@@ -1022,14 +1080,38 @@ def edit_distance_pairs(docs: DataFrame, text_col: str = "text",
               .withColumn("__k", kcol)
               .where(F.abs(F.length("ta") - F.length("tb"))
                      <= F.col("__k")))
-    joined = _verify_once(
-        joined, "__edits",
-        F.expr("levenshtein(ta, tb, __k)"))
-    longest = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    # r13 kernel choice (verdict r12 item 4), measured on the
+    # materialised 40.6k-pair candidate frame at sf0.1 (medians of 5,
+    # noop sink): stage floor without any DP 0.16 s; JVM banded
+    # `levenshtein(ta, tb, __k)` 2.03-2.07 s; DuckDB-in-mapInArrow
+    # full distance 1.49-1.80 s — ~1.25-1.45x on the DP stage,
+    # 0.915x on the whole query (interleaved A/B, 6 alternations).
+    # Why the band does not help here: the corpus' near-dup negatives
+    # are content-similar but order-shuffled, so the surviving
+    # candidates' true distance (median 305) sits ABOVE the band
+    # (median k 180) while the band width 2k+1 is ~92% of the matrix
+    # anyway — the threshold form saves almost no cells and pays
+    # UTF8-decode-per-cell, while DuckDB's kernel runs the plain
+    # matrix at native speed.  A pure-Python bit-parallel Myers was
+    # microbenched at 850 us/pair vs DuckDB's 733 us — not taken.
+    # Exact-safe prefilters beyond the r12 length-gap were measured
+    # useless on this shape (character-histogram L1/2 lower bound
+    # skips 0 of 40.6k pairs — order-shuffled texts share
+    # histograms).
+    if _duckdb_available():
+        joined = _edits_arrow_kernel(
+            joined.select("id_a", "id_b", "ta", "tb",
+                          longest0.alias("__L")))
+    else:
+        joined = _verify_once(
+            joined, "__edits",
+            F.expr("levenshtein(ta, tb, __k)"))
+        joined = joined.withColumn(
+            "__L", F.greatest(F.length("ta"), F.length("tb"), F.lit(1)))
     return (joined
             .select("id_a", "id_b",
                     F.col("__edits").alias("edits"),
-                    F.round(F.col("__edits") / longest, 6)
+                    F.round(F.col("__edits") / F.col("__L"), 6)
                     .alias("edit_ratio"))
             .where((F.col("edits") >= 0) & (F.col("edits") <= max_edits)
                    & (F.col("edit_ratio") <= max_ratio)))

@@ -745,6 +745,39 @@ def test_edit_distance_pairs_planted(spark):
     assert not none
 
 
+def test_edit_distance_kernel_paths_agree(spark, monkeypatch):
+    """r13: the Arrow/DuckDB edit-distance kernel and the JVM banded
+    fallback must emit the identical pair set with identical edits —
+    the band only ever hid distances that provably fail the filters,
+    so the unbanded exact distance drops the same pairs."""
+    from pyspark.sql import Row
+
+    from dask_ms_spark.llm import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau") * 3
+    rows = [Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.replace("gamma", "gimel")
+                .replace("sigma", "samekh")),
+            Row(doc_id=3, text=base.replace("alpha", "aleph")),
+            Row(doc_id=4, text="unrelated words entirely disjoint "
+                               "vocabulary nothing shared " * 6)]
+    df = spark.createDataFrame(rows)
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b, r.edits, r.edit_ratio)
+            for r in dedup.edit_distance_pairs(
+                df, max_edits=60, max_ratio=0.3,
+                lsh_threshold=0.3).collect())
+
+    got_duck = run()
+    monkeypatch.setattr(dedup, "_duckdb_available", lambda: False)
+    got_jvm = run()
+    assert got_duck == got_jvm
+    assert got_duck, "planted near-dups must survive"
+
+
 def test_pq_encode_codes_shape(spark):
     """PQ encoding: every vector gets num_sub codes in [0, num_codes);
     the codebook seed vectors encode to their own code in every
