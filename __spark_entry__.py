@@ -112,22 +112,33 @@ _MIN_SPLIT_BYTES = int(os.environ.get(
     "SPARK_GRAFT_MIN_SPLIT_BYTES", str(512 * 1024)))
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       widen: bool = True) -> DataFrame:
     """Scan + adaptive split widening: the testdata tables are single
     row groups (one input split), which would serialise CPU-heavy
     per-row work on one core; at real scale the scan has many splits
     and ensure_parallelism is a no-op.  Tiny dims (< _MIN_SPLIT_BYTES)
-    skip the widening — see _MIN_SPLIT_BYTES."""
+    skip the widening — see _MIN_SPLIT_BYTES.
+
+    ``widen=False`` (r13, verdict r12 item 6) is for call sites whose
+    frame feeds ONLY a broadcast BUILD side: the round-robin exchange
+    there was a pure extra shuffle + 32-task stage in front of a
+    collect-to-driver (plan-verified: BroadcastExchange directly over
+    the widening Exchange in 18 registry plans).  Probe sides keep
+    the widening — that is what parallelises the join/agg CPU
+    locally.  Memo keys are distinct per effective widen mode (the
+    r12 `_t`/`_ev` collision lesson)."""
     from dask_ms_spark.session import ensure_parallelism
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = path if widen else path + "#nowiden"
     per_session = _SCAN_MEMO.setdefault(spark, {})
-    got = per_session.get(path)
+    got = per_session.get(key)
     if got is None:
         got = spark.read.parquet(path)
-        if _path_bytes(path) >= _MIN_SPLIT_BYTES:
+        if widen and _path_bytes(path) >= _MIN_SPLIT_BYTES:
             got = ensure_parallelism(got)
-        per_session[path] = got
+        per_session[key] = got
     return got
 
 
@@ -305,7 +316,8 @@ def q_star_join(spark, sf_dir):
     revenue per nation — lineitem⋈orders⋈customer⋈nation, dims
     broadcast."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # orders only feeds the broadcast build (r13: widen=False)
+    orders = _t(spark, sf_dir, "orders", widen=False)
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
@@ -326,7 +338,8 @@ def q_semi_join(spark, sf_dir):
     """left_semi (SURVEY §2.5: absent in reference, native here):
     customers that have at least one open order."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").where("o_orderstatus = 'O'") \
+    orders = _t(spark, sf_dir, "orders",
+                 widen=False).where("o_orderstatus = 'O'") \
         .select(F.col("o_custkey").alias("c_custkey"))
     return semi_filter(cust, orders, "c_custkey") \
         .select("c_custkey", "c_name")
@@ -335,7 +348,7 @@ def q_semi_join(spark, sf_dir):
 def q_anti_join(spark, sf_dir):
     """left_anti: customers with no orders at all."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders") \
+    orders = _t(spark, sf_dir, "orders", widen=False) \
         .select(F.col("o_custkey").alias("c_custkey"))
     return anti_filter(cust, orders, "c_custkey") \
         .select("c_custkey", "c_name")
@@ -429,7 +442,7 @@ def q_tpch_q6(spark, sf_dir):
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape: selective join + agg + global top-k."""
     cust = _t(spark, sf_dir, "customer").where("c_nationkey < 10")
-    orders = _t(spark, sf_dir, "orders").where(
+    orders = _t(spark, sf_dir, "orders", widen=False).where(
         "o_orderdate < timestamp '1995-03-15'")
     li = _t(spark, sf_dir, "lineitem").where(
         "l_shipdate > timestamp '1995-03-15'")
@@ -607,7 +620,9 @@ def q_tpch_q5(spark, sf_dir):
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").where(
+    # orders only feeds the broadcast build of the one fact edge
+    # (r13: widen=False — the round-robin exchange fed a collect)
+    orders = _t(spark, sf_dir, "orders", widen=False).where(
         "o_orderdate >= timestamp '1996-01-01' AND "
         "o_orderdate < timestamp '1998-01-01'")
     li = _t(spark, sf_dir, "lineitem")
@@ -677,7 +692,8 @@ def q_tpch_q4(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").where(
         "o_orderdate >= timestamp '1996-07-01' AND "
         "o_orderdate < timestamp '1996-10-01'")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = _t(spark, sf_dir, "lineitem",
+            widen=False).select("l_orderkey", "l_shipdate")
     late = orders.join(
         li, (orders.o_orderkey == li.l_orderkey) &
             (li.l_shipdate > orders.o_orderdate), "left_semi")
@@ -700,7 +716,7 @@ def q_tpch_q7(spark, sf_dir):
         F.col("n_name").alias("cust_nation")))
     supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", widen=False)
     li = _t(spark, sf_dir, "lineitem").where(
         "l_shipdate >= timestamp '1996-01-01' AND "
         "l_shipdate < timestamp '1998-01-01'")
@@ -843,7 +859,8 @@ def q_tpch_q9(spark, sf_dir):
     supplier = F.broadcast(_t(spark, sf_dir, "supplier")
                            .select("s_suppkey", "s_nationkey"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    orders = _t(spark, sf_dir, "orders",
+                 widen=False).select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
     profit = (F.col("l_extendedprice").cast("decimal(18,2)") *
               (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
@@ -866,7 +883,7 @@ def q_tpch_q10(spark, sf_dir):
     deterministic cross-engine result."""
     cust = _t(spark, sf_dir, "customer")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    orders = _t(spark, sf_dir, "orders").where(
+    orders = _t(spark, sf_dir, "orders", widen=False).where(
         "o_orderdate >= timestamp '1996-10-01' AND "
         "o_orderdate < timestamp '1997-01-01'")
     li = _t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
@@ -890,7 +907,7 @@ def q_tpch_q12(spark, sf_dir):
     stands in for shipmode): one equi-join shuffle on orderkey with the
     lateness predicate as a join-local residual, then conditional
     counts split high/low priority in a single aggregate pass."""
-    orders = _t(spark, sf_dir, "orders") \
+    orders = _t(spark, sf_dir, "orders", widen=False) \
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").where(
         "l_shipdate >= timestamp '1996-01-01' AND "
@@ -1040,7 +1057,7 @@ def q_tpch_q22(spark, sf_dir):
                      F.count(F.lit(1))).alias("thr")))
     rich = cust.join(F.broadcast(thr)) \
                .where(F.col("c_acctbal") > F.col("thr"))
-    orders = (_t(spark, sf_dir, "orders")
+    orders = (_t(spark, sf_dir, "orders", widen=False)
               .where("o_orderdate >= timestamp '2000-07-01'")
               .select("o_custkey"))
     lonely = rich.join(orders, rich.c_custkey == orders.o_custkey,
@@ -1132,7 +1149,7 @@ def q_tpch_q21(spark, sf_dir):
     NATION_2 filter.  The supplier filter must stay ABOVE the order
     stats: pushing it below would undercount the other suppliers the
     EXISTS arms quantify over."""
-    orders_f = (_t(spark, sf_dir, "orders")
+    orders_f = (_t(spark, sf_dir, "orders", widen=False)
                 .where("o_orderstatus = 'F'")
                 .select("o_orderkey", "o_orderdate"))
     li = _t(spark, sf_dir, "lineitem").select(
@@ -1257,9 +1274,9 @@ def q_distinct_agg(spark, sf_dir):
 def q_set_ops(spark, sf_dir):
     """Set operators (SURVEY §2.6: absent in reference): custkeys with
     both open and finished orders (INTERSECT) and open-only (EXCEPT)."""
-    o_keys = _t(spark, sf_dir, "orders") \
+    o_keys = _t(spark, sf_dir, "orders", widen=False) \
         .where("o_orderstatus = 'O'").select("o_custkey")
-    f_keys = _t(spark, sf_dir, "orders") \
+    f_keys = _t(spark, sf_dir, "orders", widen=False) \
         .where("o_orderstatus = 'F'").select("o_custkey")
     both = o_keys.intersect(f_keys) \
         .select("o_custkey", F.lit("both").alias("tag"))
@@ -3467,21 +3484,29 @@ def q_incremental_join(spark, sf_dir):
     Rolled up per order priority with decimal-exact revenue."""
     from dask_ms_spark.operators.joins import append_join_delta
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate")
+    o_cols = ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    orders = _t(spark, sf_dir, "orders").select(*o_cols)
     li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice",
+        "l_shipdate")
+    # the delta legs are broadcast BUILD sides and the cut is a 1-row
+    # aggregate — neither needs the split widening (r13); the history
+    # legs keep it (they are the probe sides the join CPU rides on)
+    orders_nw = _t(spark, sf_dir, "orders", widen=False).select(*o_cols)
+    li_nw = _t(spark, sf_dir, "lineitem", widen=False).select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice",
         "l_shipdate")
     # the simulated ingest batch is the LAST 60 days relative to the
     # data (a delta must be small for the broadcast legs to be the
     # right plan; a fixed date would silently grow into a
     # megabroadcast when the driver regenerates testdata)
-    cut = orders.agg(
+    cut = orders_nw.agg(
         F.date_sub(F.max("o_orderdate"), 60).alias("c")).first().c
     a_old = orders.where(F.col("o_orderdate") < cut).drop("o_orderdate")
-    a_new = orders.where(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    a_new = orders_nw.where(F.col("o_orderdate") >= cut) \
+        .drop("o_orderdate")
     b_old = li.where(F.col("l_shipdate") < cut).drop("l_shipdate")
-    b_new = li.where(F.col("l_shipdate") >= cut).drop("l_shipdate")
+    b_new = li_nw.where(F.col("l_shipdate") >= cut).drop("l_shipdate")
     delta = append_join_delta(a_old, a_new, b_old, b_new, "o_orderkey")
     return (delta.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).cast("long").alias("n_new_rows"),
