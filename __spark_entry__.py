@@ -29,7 +29,8 @@ import sys
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
-from dask_ms_spark.cache import scoped_persist  # noqa: E402
+from dask_ms_spark.cache import (pin_multi_consumer,  # noqa: E402
+                                 scoped_persist)
 
 # Concurrent partition jobs for the backfill query: overlapping the
 # many-small-weeks shape backfills executor idle tails (guide §2.6).
@@ -3234,10 +3235,10 @@ def q_sample_weighted(spark, sf_dir):
     # filter, the per-lang denominator) — materialise once or the
     # entropy pipeline re-executes per consumer (the measured
     # lineage-reuse rule; 5.9 s -> ~2 s)
-    scored = (docs.select("doc_id", "lang")
-              .join(char_entropy(docs)
-                    .select("doc_id", "entropy_bits"), "doc_id")
-              .localCheckpoint(eager=False))
+    scored = pin_multi_consumer(
+        docs.select("doc_id", "lang")
+            .join(char_entropy(docs)
+                  .select("doc_id", "entropy_bits"), "doc_id"))
     kept = sample_weighted(scored, "doc_id", "entropy_bits",
                            base_rate=0.6)
     return (scored.groupBy("lang")
@@ -3369,10 +3370,10 @@ def q_cdc_apply(spark, sf_dir):
 
     # snap feeds the three synthetic change legs AND the merge's
     # pass-through side — materialise once (lineage-reuse rule)
-    snap = _t(spark, sf_dir, "orders").select(
+    snap = pin_multi_consumer(_t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,2)")
-        .alias("o_totalprice")).localCheckpoint(eager=False)
+        .alias("o_totalprice")))
     k = F.col("o_orderkey")
     deletes = snap.where(k % 7 == 0).select(
         "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
@@ -3539,7 +3540,7 @@ def q_active_users_rolling(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     day = F.to_date("ts")
     du = ev.select(day.alias("day"), "user_id").distinct() \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # persist A/B-rejected r13 (1.35x)
     dau = du.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("dau"))
     served = (du.select(
@@ -3699,10 +3700,10 @@ def q_heavy_hitters_cms(spark, sf_dir):
     identical md5-hashed sketch in SQL."""
     from dask_ms_spark.llm.sketches import cms_estimate, cms_sketch
 
-    toks = (_t(spark, sf_dir, "documents")
-            .select(F.explode(tokens(F.lower(F.col("text"))))
-                    .alias("token"))
-            .localCheckpoint(eager=False))  # feeds sketch AND top-k
+    toks = pin_multi_consumer(  # feeds sketch AND top-k
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text"))))
+                .alias("token")))
     sk = cms_sketch(toks, "token", width=1024, depth=4)
     exact = (toks.groupBy("token")
              .agg(F.count(F.lit(1)).cast("long").alias("exact_freq")))

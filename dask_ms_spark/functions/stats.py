@@ -250,7 +250,8 @@ def robust_stats(df, value_col: str, group_cols=None):
     """
     from pyspark.sql import functions as F
 
-    from dask_ms_spark.cache import scoped_persist
+    from dask_ms_spark.cache import (pin_multi_consumer,
+                                     scoped_persist)
 
     group_cols = list(group_cols or [])
     base = df.select(*group_cols, F.col(value_col).cast("double")
@@ -275,11 +276,11 @@ def robust_stats(df, value_col: str, group_cols=None):
     qs = (base.groupBy(*group_cols)
           .agg(F.percentile("x", F.array(F.lit(0.25), F.lit(0.5),
                                          F.lit(0.75))).alias("qq")))
-    q = (qs.select(*group_cols,
-                   F.col("qq")[1].alias("median"),
-                   F.col("qq")[0].alias("q1"),
-                   F.col("qq")[2].alias("q3"))
-         .localCheckpoint(eager=False))
+    q = pin_multi_consumer(
+        qs.select(*group_cols,
+                  F.col("qq")[1].alias("median"),
+                  F.col("qq")[0].alias("q1"),
+                  F.col("qq")[2].alias("q3")))
     j = base.join(F.broadcast(q), group_cols) if group_cols \
         else base.crossJoin(F.broadcast(q))
     iqr = F.col("q3") - F.col("q1")

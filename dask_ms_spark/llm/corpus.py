@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import pin_multi_consumer
 from ..functions.text import portable_hash64, tokens
 from ..functions.vector import _bind_once
 from ..session import ensure_parallelism
@@ -949,8 +950,8 @@ def heaps_fit(docs: DataFrame, text_col: str = "text",
     # bucket totals, and the offset join): checkpoint the tiny
     # (id, cnt) table so the corpus tokenizes once for all of them
     # instead of once per consumer (review r8)
-    counts = base.select("id", F.size("__t").alias("cnt")) \
-        .localCheckpoint(eager=False)
+    counts = pin_multi_consumer(
+        base.select("id", F.size("__t").alias("cnt")))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     parted = (counts.repartitionByRange(n_parts, F.col("id"))
               .sortWithinPartitions("id")

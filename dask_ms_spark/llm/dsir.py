@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+
 from ..session import ensure_parallelism
 from ..functions.text import portable_hash64, tokens
 
@@ -153,7 +154,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame | None = None,
     # join (the repo's measured lineage-reuse rule)
     occ = _bucketed_tokens(raw, text_col, id_col, n_buckets,
                            flag=target_pred) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # persist A/B-rejected r13 (1.06x)
     lam = _log_ratio_table(occ, target, text_col, id_col,
                            n_buckets, smoothing)
     scored = (occ.join(F.broadcast(lam), "bucket")

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import pin_multi_consumer
 from ..functions.vector import dot, norm
 from .clustering import kmeans_assign
 
@@ -62,8 +63,8 @@ def semantic_dedup(embs: DataFrame, vec_col: str = "embedding",
     # one (the dot product); norms are per-vector work, not per-pair.
     members = (assigned.select(F.col(id_col).alias("id"), "cluster")
                .join(vecs, "id")
-               .withColumn("nrm", norm(F.col("vec")))
-               .localCheckpoint(eager=False))
+               .withColumn("nrm", norm(F.col("vec"))))
+    members = pin_multi_consumer(members)
     a = members.select(F.col("id").alias("id_a"), "cluster",
                        F.col("vec").alias("va"),
                        F.col("nrm").alias("na"))

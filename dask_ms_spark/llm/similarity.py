@@ -315,7 +315,7 @@ def build_ivf_index(embs: DataFrame, path: str, num_cells: int = 16,
                        F.col(vec_col).alias("vec"))
     members = assigned.join(vecs, "id") \
         .select("id", F.col("cluster").alias("cell"), "vec") \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # persist A/B-rejected r13 (1.18x)
     cents = (members.select(
         "cell", F.posexplode(F.transform(
             "vec", lambda x: x.cast("double"))).alias("pos", "x"))

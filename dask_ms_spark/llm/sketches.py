@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_ms_spark.functions.text import portable_hash64
+from dask_ms_spark.cache import pin_multi_consumer
 
 __all__ = ["kmv_distinct", "kmv_overlap", "HASH_SPACE",
            "cms_sketch", "cms_merge", "cms_estimate",
@@ -146,8 +147,8 @@ def kmv_overlap(a: "DataFrame", b: "DataFrame", value_col: str,
     merged = (ha.unionByName(hb)
               .groupBy("h")
               .agg(F.max("in_a").alias("in_a"),
-                   F.max("in_b").alias("in_b"))
-              .localCheckpoint(eager=False))
+                   F.max("in_b").alias("in_b")))
+    merged = pin_multi_consumer(merged)
     sk = _k_smallest(merged, k)
 
     def est(cnt, mx):

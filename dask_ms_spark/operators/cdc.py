@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import pin_multi_consumer
+
 __all__ = ["apply_cdc", "scd2_apply"]
 
 
@@ -57,9 +59,9 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame,
     # materialisation the dedup window (exchange + sort) runs twice
     # (plan-verified).  lazy localCheckpoint: one window pass, and
     # the change feed is the small side by construction.
-    latest = (changes.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1).drop("__rn")
-              .localCheckpoint(eager=False))
+    latest = pin_multi_consumer(
+        changes.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
     upserts = latest.where(F.col(op_col) != "D") \
         .drop(op_col, seq_col) \
         .select(*snapshot.columns)

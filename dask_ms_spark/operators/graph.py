@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 __all__ = ["connected_components", "pagerank", "triangle_count"]
 
 
@@ -342,6 +343,9 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
                  F.greatest(F.col(src), F.col(dst)).alias("v"))
          .where(F.col("u") != F.col("v"))
          .distinct()
+         # persist A/B-rejected r13 (1.51x with similarity's probes):
+         # the truncated-lineage leaf feeds the triangle self-join
+         # better statistics than an InMemoryRelation does
          .localCheckpoint(eager=False))
     deg = (e.select(F.col("u").alias("id"))
            .unionByName(e.select(F.col("v").alias("id")))
