@@ -7069,8 +7069,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The rotation ledger lives at the window boundary (position 50)
     # inside the dict below.
     return {
-        # -- round-12 window, positions 1-17: the r8-checked tail head
-        #    (r4-stale re-check remainder + oldest r5-checked) --
+        # -- round-13 window, positions 1-20: the r12-verdict item-1
+        #    list (every r12 semantic rewrite the driver oracle had
+        #    not yet seen on the new code) --
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "table_profile": q_table_profile,
+        "bm25_search": q_bm25_search,
+        "dsir_select": q_dsir_select,
+        "ccnet_buckets": q_ccnet_buckets,
+        "phrase_boilerplate": q_phrase_boilerplate,
+        "sigma_clip": q_sigma_clip,
+        "cusum_segments": q_cusum_segments,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivfpq": q_ann_ivfpq,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_containment": q_dedup_containment,
+        "backfill_restart": q_backfill_restart,
+        # -- positions 21-39: every query this round's optimizations
+        #    touched (robust_stats persist; the 12 unwiden sites;
+        #    the 6 pin_multi_consumer winners) --
+        "robust_stats": q_robust_stats,
+        "star_join": q_star_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "set_ops": q_set_ops,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q22": q_tpch_q22,
+        "incremental_join": q_incremental_join,
+        "cdc_apply": q_cdc_apply,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "sample_weighted": q_sample_weighted,
+        "zipf_fit": q_zipf_fit,
+        "vocab_topk": q_vocab_topk,
+        "corpus_overlap_kmv": q_corpus_overlap_kmv,
+        # -- positions 40-50: the stalest block (r9-checked
+        #    remainder head) --
+        "text_repetition": q_text_repetition,
+        "tpch_q2": q_tpch_q2,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "text_bpe": q_text_bpe,
+        "text_winnow": q_text_winnow,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_simhash": q_dedup_simhash,
+        # ==== driver window ends here (position 50) ====
+        # ROTATION LEDGER (50-row window over the registry,
+        # 4-round coverage union):
+        #   r8-r12 windows: see git history at d4bfb24 (each 50/50
+        #     green in its CORRECTNESS_rNN.json; zero-overlap
+        #     rotation r11->r12 verified by the r12 judge).
+        #   r13 window (this one — final round, so the staleness
+        #     rotation yields to the r12 verdict's item 1): the 20
+        #     verdict-named r12 rewrites + the 19 queries r13's own
+        #     optimizations touched + the 11 stalest r9-checked.
+        #     Two r9-checked names (dedup_exact, similarity_topk)
+        #     did not fit; they are code-unchanged since their r9
+        #     green check and stay covered by tools/check_oracle
+        #     full sweeps (sf0.01 + sf0.001, round close).
+        #     The tail below keeps the prior staleness order.
+        # Round-8 demotions (oracles retained in
+        # demoted_oracle_sql, swept by tools/check_oracle +
+        # pytest): grid_wstack, ann_pq, dedup_semantic,
+        # dedup_minhash_drop, contamination (see ledger in git
+        # history for the beside-twin rationale).
+        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
+        # events_changepoint, closure_phase, lm_kneser_ney,
+        # resample_fill, kmeans_cluster, sample_temperature,
+        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
+        # quality_filter.
+        # Round-10 demotion: ann_ivf (beside ann_ivf_indexed).
+        # Round-11 demotion: pagerank (beside split_leakage).
         "range_join": q_range_join,
         "salted_join": q_salted_join,
         "window_frames": q_window_frames,
@@ -7088,34 +7171,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "collocations_pmi": q_collocations_pmi,
         "char_entropy": q_char_entropy,
-        # -- window positions 18-50: the oldest r9-checked block (the
-        #    r9 window head, minus the ann_ivf demotion) --
         "taql_subquery": q_taql_subquery,
         "graph_triangles": q_graph_triangles,
-        "corpus_overlap_kmv": q_corpus_overlap_kmv,
         "interval_overlap": q_interval_overlap,
         "events_ema": q_events_ema,
         "session_stats": q_session_stats,
         "dataset_card": q_dataset_card,
         "active_users_rolling": q_active_users_rolling,
         "multimodal_audio": q_multimodal_audio,
-        "incremental_join": q_incremental_join,
         "constraint_audit": q_constraint_audit,
         "pipeline_funnel": q_pipeline_funnel,
-        "robust_stats": q_robust_stats,
-        "cdc_apply": q_cdc_apply,
         "scd2_history": q_scd2_history,
         "events_anomaly": q_events_anomaly,
         "lang_mismatch": q_lang_mismatch,
         "quality_prune": q_quality_prune,
-        "sample_weighted": q_sample_weighted,
         "sample_quota": q_sample_quota,
         "events_seasonality": q_events_seasonality,
         "conversion_lag": q_conversion_lag,
-        "zipf_fit": q_zipf_fit,
         "events_gap_stats": q_events_gap_stats,
         "events_correlate": q_events_correlate,
-        "star_join": q_star_join,
         "rollup": q_rollup,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
@@ -7123,100 +7197,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "events_dedup": q_events_dedup,
         "corpus_mixture": q_corpus_mixture,
-        # ==== driver window ends here (position 50) ====
-        # ROTATION LEDGER (50-row window over the registry,
-        # 4-round coverage union):
-        #   r8 window: 21 r7-debuts + 17 r4-stale + 12 oldest
-        #     r5-checked = 50 (CORRECTNESS_r08: 50/50 green)
-        #   r9 window: 1 r8-debut + 23 r5-checked + 13 r6-checked
-        #     + 13 oldest "last row r5" = 50 (CORRECTNESS_r09:
-        #     50/50 green)
-        #   r10 window: the 26 "last row r5" remainder + the 24
-        #     oldest r7-checked = 50 (CORRECTNESS_r10: 50/50 green
-        #     — after it every registered query's latest row is
-        #     green).  ann_ivf demoted r10 beside ann_ivf_indexed;
-        #     registry 166 + 27 demoted = 193 total at r10 close;
-        #     r11 demotes pagerank beside split_leakage (wall
-        #     bound) -> 165 + 28 = 193.
-        #   r11 window: 6 r7-checked debuts + 16 r7-checked
-        #     r4-stale + 16 r8-checked r7-debuts + the 12 oldest
-        #     r8-checked r4-stale = 50 (CORRECTNESS_r11: 50/50
-        #     green).
-        #   r12 window (this one, exactly the r11 ledger's plan —
-        #     the first 50 lines after rotation): the 17 r8-checked
-        #     tail heads (range_join ... char_entropy) + the 33
-        #     oldest r9-checked (taql_subquery ... corpus_mixture)
-        #     = 50.  The post-window tail below stays ordered by
-        #     staleness (r9-checked remainder, r10-checked block,
-        #     r11-checked block) so future windows are always the
-        #     first 50 lines after rotation; the r13 window is the
-        #     16 r9-checked remainder (text_repetition ...
-        #     similarity_topk) + the 34 oldest r10-checked
-        #     (sample_split ... weighted_quantiles).
-        # Round-8 demotions (oracles retained in
-        # demoted_oracle_sql, swept by tools/check_oracle +
-        # pytest): grid_wstack, ann_pq, dedup_semantic,
-        # dedup_minhash_drop, contamination (see ledger in git
-        # history for the beside-twin rationale).
-        # Round-9 demotions (r8 verdict item 3, suite wall <= 220 s):
-        # events_changepoint, closure_phase, lm_kneser_ney,
-        # resample_fill, kmeans_cluster, sample_temperature,
-        # bandpass_solve, heaps_fit, fk_audit, ngram_novelty,
-        # quality_filter.
-        # Round-10 demotion: ann_ivf (beside ann_ivf_indexed).
-        # Round-11 demotion: pagerank (beside split_leakage).
-        # -- last driver row r9 (the r9 window remainder) --
-        "text_repetition": q_text_repetition,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "text_bpe": q_text_bpe,
-        "text_winnow": q_text_winnow,
-        "text_stats": q_text_stats,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "ann_lsh": q_ann_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
-        # -- last driver row r10 (the full r10 window: 26 "last
-        #    row r5" remainder + 24 oldest r7-checked, minus the
-        #    r11 pagerank demotion) --
         "sample_split": q_sample_split,
         "udaf_ols": q_udaf_ols,
-        "table_profile": q_table_profile,
         "group_aggr": q_group_aggr,
         "tensor_slice": q_tensor_slice,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
         "stratified_sample": q_stratified_sample,
         "pack_contexts": q_pack_contexts,
         "embed_project": q_embed_project,
-        "vocab_topk": q_vocab_topk,
-        "phrase_boilerplate": q_phrase_boilerplate,
         "multimodal_features": q_multimodal_features,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "bm25_search": q_bm25_search,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
         "value_histogram": q_value_histogram,
         "skew_profile": q_skew_profile,
         "events_transitions": q_events_transitions,
         "negative_sampling": q_negative_sampling,
         "snapshot_roundtrip": q_snapshot_roundtrip,
-        "backfill_restart": q_backfill_restart,
-        "ann_ivf_indexed": q_ann_ivf_indexed,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
         "tensor_chan_avg": q_tensor_chan_avg,
         "tensor_row_avg": q_tensor_row_avg,
-        "dedup_edit_distance": q_dedup_edit_distance,
         "phase_rotate": q_phase_rotate,
         "spectral_index": q_spectral_index,
         "weighted_quantiles": q_weighted_quantiles,
@@ -7229,38 +7230,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imaging_weights": q_imaging_weights,
         "crossmatch_nearest": q_crossmatch_nearest,
         "bda_weighted": q_bda_weighted,
-        "sigma_clip": q_sigma_clip,
-        "ann_ivfpq": q_ann_ivfpq,
         "curriculum": q_curriculum,
         "stokes_convert": q_stokes_convert,
         "hanning": q_hanning,
-        # -- last driver row r11 (the full r11 window) --
         "uvcontsub": q_uvcontsub,
         "predict_vis": q_predict_vis,
-        "dsir_select": q_dsir_select,
         "uvw_compute": q_uvw_compute,
         "quality_classifier": q_quality_classifier,
         "sumthreshold": q_sumthreshold,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
         "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
         "applycal": q_applycal,
         "flag_grow": q_flag_grow,
         "parallactic_angle": q_parallactic_angle,
-        "dedup_containment": q_dedup_containment,
         "sample_unimax": q_sample_unimax,
         "scan_summary": q_scan_summary,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -7269,18 +7257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "closure_amp": q_closure_amp,
         "split_leakage": q_split_leakage,
-        "ccnet_buckets": q_ccnet_buckets,
         "attribution": q_attribution,
         "cuped": q_cuped,
-        "cusum_segments": q_cusum_segments,
         "expr_arithmetic": q_expr_arithmetic,
         "group_partition": q_group_partition,
         "sorted_read": q_sorted_read,
         "within_group_sort": q_within_group_sort,
         "topk": q_topk,
         "broadcast_join": q_broadcast_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "concat": q_concat,
         "overlay": q_overlay,
         "complex_mul": q_complex_mul,

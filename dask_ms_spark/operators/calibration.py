@@ -106,7 +106,13 @@ def gain_solve(vis: DataFrame, ant1_col: str = "antenna1",
                           + F.lit(d) * F.col("sim") / F.col("sd"))
                          .alias("gim")))
         # the gain table is tiny; checkpointing truncates the lineage
-        # so each iteration's plan stays iteration-sized
+        # so each iteration's plan stays iteration-sized.  r13
+        # examined and REJECTED a collect + createDataFrame
+        # truncation (A/B: gain_solve 1.70x, bandpass 1.46x,
+        # applycal 1.30x SLOWER): the collect materialises every
+        # iteration synchronously through the driver, while the
+        # checkpoint's result stage stays lazy until the next
+        # iteration's job needs it.
         gains = gains.localCheckpoint(eager=False)
     return gains.select(*keys, "antenna",
                         F.array("gre", "gim").alias("gain"))
