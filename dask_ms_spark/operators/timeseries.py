@@ -131,6 +131,13 @@ def resample_fill(events: DataFrame, ts_col: str = "ts",
     """
     bucket = bucket_index(ts_col, step_seconds, origin)
 
+    # agg feeds BOTH the per-key range aggregate (grid generation)
+    # and the grid join, and the whole scan + bucket aggregate
+    # executes twice (final-AQE-plan verified).  A pin was A/B'd in
+    # r13 and REJECTED (1.20x slower for resample_interp AND
+    # resample_fill): the persist's materialisation barrier costs
+    # more than the recomputed narrow aggregate, and the pinned
+    # relation starves the grid join of statistics.
     agg = (events
            .groupBy(F.col(key_col).alias("key"),
                     bucket.alias("bucket"))
