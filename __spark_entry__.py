@@ -675,7 +675,15 @@ def q_tpch_q18(spark, sf_dir):
              .where(F.col("total_qty") > 300))
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    return (orders.join(F.broadcast(big),
+    # r13: `big` is fact-derived (lineitem aggregate, HAVING-bounded
+    # only) — same class as q8's orders_asia.  The broadcast hint is
+    # gated on the SOURCE fact's on-disk bytes so a forced broadcast
+    # never bypasses AQE's size check at real scale; past the gate
+    # AQE's runtime estimate owns the build-side decision.
+    if (_path_bytes(os.path.join(sf_dir, "lineitem.parquet"))
+            <= _BCAST_GATE_BYTES):
+        big = F.broadcast(big)
+    return (orders.join(big,
                         orders.o_orderkey == big.l_orderkey)
                   .join(cust, orders.o_custkey == cust.c_custkey)
                   .select("c_custkey", "c_name", "o_orderkey",
